@@ -1,0 +1,15 @@
+"""North-star LLM-data-pipeline extensions (SURVEY.md §2.12, X1-X5).
+
+`register()` returns extension QueryDefs merged into the main registry.
+"""
+
+from __future__ import annotations
+
+
+def register() -> dict:
+    from . import dedup, similarity, text
+
+    reg: dict = {}
+    for mod in (dedup, similarity, text):
+        reg.update(mod.register())
+    return reg

@@ -1,0 +1,422 @@
+"""X1/X2 — document deduplication tiers over the `documents` table.
+
+Tiers, in increasing fuzziness (SURVEY.md §2.12):
+  1. exact            — hash-groupBy on raw text (SQL-checkable)
+  2. normalized       — sha256 of whitespace/case-normalized text (SQL-checkable)
+  3. ngram_jaccard    — exact word-shingle Jaccard pairs via inverted
+                        index self-join (SQL-checkable; quadratic only
+                        within shingle buckets)
+  4. minhash_lsh      — MinHash signatures + LSH banding, candidates
+                        verified with exact Jaccard (rows-only check;
+                        the 100 TB path: candidate generation is
+                        linear-ish in corpus size, never all-pairs)
+  5. simhash          — 64-bit SimHash + chunk banding, Hamming-verified
+                        (rows-only)
+
+Everything is built from JVM-side expressions (higher-order array
+functions, xxhash64) — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+# -- shared tokenization (lockstep with the DuckDB twins below) -----------
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def _tokens(col):
+    """lower -> split on non-alphanumeric -> drop empties."""
+    return F.filter(
+        F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != F.lit("")
+    )
+
+
+def _shingles(tokens_col, n: int = 3):
+    """n-word shingles as '<t1> <t2> <t3>' strings (distinct)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+# -- tier 1/2: exact + normalized hash ------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — one row per distinct text: canonical doc id + duplicate count."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("canonical_doc_id", "n_copies")
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (hash tier) — near-dup by normalized-text sha256."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.withColumn("text_hash", F.sha2(norm, 256))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# -- tier 3: exact n-gram Jaccard pairs (inverted-index join) --------------
+
+
+def ngram_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.35
+) -> DataFrame:
+    """X2 — exact word-shingle Jaccard over pairs sharing >=1 shingle.
+
+    Inverted-index self-join: only docs sharing a shingle are compared,
+    so cost is sum over shingles of (docs-per-shingle choose 2), not
+    |docs|^2.  At 100 TB you'd cap hot shingles (drop shingles with
+    document frequency above a cutoff) — the MinHash tier replaces this
+    entirely at that scale.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle")
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# -- tier 4: MinHash + LSH banding ----------------------------------------
+
+NUM_HASHES = 64
+BAND_SIZE = 4  # 16 bands of 4 -> catches jaccard ~>0.3-0.5 candidates
+
+
+def _minhash_signature(shingles_col, num_hashes: int = NUM_HASHES):
+    """MinHash signature: for seed i, min over shingles of
+    xxhash64(seed_i, shingle).  Pure JVM expression (64-bit, seeded)."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.35,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """X2 (scale tier) — MinHash/LSH candidate pairs, Jaccard-verified.
+
+    Plan shape: one scan computes signatures; explode to (band,
+    band_hash) keys; a groupBy-join within band buckets yields
+    candidates (linear-ish in corpus size); candidates are verified
+    against exact shingle Jaccard.  This is the 100 TB dedup path —
+    no all-pairs product anywhere.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    with_sig = docs.select(
+        "doc_id",
+        _shingles(_tokens(F.col("text")), n).alias("shingles"),
+    ).withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+
+    n_bands = num_hashes // band_size
+    bands = with_sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at(F.col("sig"), bi * band_size + j + 1)
+                                for j in range(band_size)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = with_sig.select("doc_id", "shingles")
+    verified = (
+        candidates.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# -- tier 5: SimHash -------------------------------------------------------
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """X2 — 64-bit SimHash near-dup: bit-majority over token hashes,
+    4x16-bit chunk banding, Hamming-verified.  All JVM-side: the
+    per-bit majority is 64 conditional sums over exploded tokens.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    ).withColumn("h", F.xxhash64("token"))
+
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    simhash = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        simhash = term if simhash is None else simhash.bitwiseXOR(term)
+    sigs = bit_sums.select("doc_id", simhash.alias("simhash"))
+
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.chunk_val")
+
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# -- tier: embedding cosine near-dup (SQL-checkable, label-blocked) --------
+
+
+def embedding_cosine_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """X2 — embedding near-dup pairs within label blocks.
+
+    Label blocking keeps the pair space |block|^2 x |labels| instead of
+    |corpus|^2; the un-blocked scale path is the LSH variant in
+    similarity.py.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    with_norm = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            "cosine",
+        )
+    )
+
+
+# -- registry ---------------------------------------------------------------
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    return {
+        "dedup_exact": QueryDef(
+            dedup_exact,
+            """
+            SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+            """,
+            "X1 exact dedup (hash groupBy)",
+        ),
+        "dedup_normalized": QueryDef(
+            dedup_normalized,
+            """
+            SELECT sha256(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS text_hash,
+                   MIN(doc_id) AS canonical_doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents
+            GROUP BY 1
+            """,
+            "X2 normalized-hash near-dup",
+        ),
+        "dedup_ngram_jaccard": QueryDef(
+            ngram_jaccard_pairs,
+            """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                           FOR i IN range(1, GREATEST(len(tokens) - 2, 0) + 1)
+                       ]) AS shingles
+                FROM tok
+            ), exploded AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_common
+                FROM exploded a JOIN exploded b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                  >= 0.35
+            """,
+            "X2 exact n-gram Jaccard pairs (inverted-index join)",
+        ),
+        "dedup_minhash_lsh": QueryDef(
+            minhash_lsh_pairs,
+            None,  # engine-specific hash functions -> rows-only check
+            "X2 MinHash+LSH candidate pairs, Jaccard-verified (100TB path)",
+        ),
+        "dedup_simhash": QueryDef(
+            simhash_pairs,
+            None,  # engine-specific hash functions -> rows-only check
+            "X2 SimHash chunk-banded near-dup",
+        ),
+        "dedup_embedding_cosine": QueryDef(
+            embedding_cosine_pairs,
+            """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS norm
+                FROM embeddings
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                       AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
+            """,
+            "X2 embedding-cosine near-dup (label-blocked)",
+        ),
+    }

@@ -1,0 +1,194 @@
+"""X3 — similarity search over the `embeddings` table.
+
+Two tiers:
+  - brute-force cosine top-k: the correctness baseline (SQL-checkable
+    against DuckDB list_dot_product).  Query side is tiny -> broadcast;
+    the corpus is scanned once, scores are JVM-side higher-order-function
+    expressions (no Python), top-k via window rank.
+  - IVF (inverted-file) top-k: the 100 TB path — corpus is assigned to
+    deterministic coarse centroids once (a partition-pruning index);
+    each query probes only its nprobe nearest cells, so the scan is
+    |corpus| * nprobe / ncells instead of |corpus| per query.
+    Rows-only check (approximation), with recall measured in tests.
+
+Dot products are computed in double precision from the float32 inputs —
+sequential fold on both engines, so the oracle comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def knn_bruteforce(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: queries are vec_id < n_queries.
+
+    Output: (query_id, neighbor_id, cosine, rank) — rank 1..k by cosine
+    desc with vec_id tie-break, self-match excluded.
+    """
+    corpus = _corpus(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k (the scale path).
+
+    Coarse quantizer: the first `n_cells` vectors serve as deterministic
+    centroids (at scale: k-means centroids trained offline).  Build
+    phase assigns every corpus vector to its nearest centroid — on a
+    cluster this becomes the partitioning/bucketing key, so a probe
+    reads nprobe/n_cells of the data.  Query phase scans only probed
+    cells.  Same output shape as knn_bruteforce.
+    """
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    def nearest_cells(df: DataFrame, vcol: str, ncol: str, keep: int) -> DataFrame:
+        cos = _dot(F.col(vcol), F.col("cv")) / (F.col(ncol) * F.col("cnorm"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("__cell_cos").desc(), F.col("cell_id")
+        )
+        return (
+            df.join(F.broadcast(centroids), how="cross")
+            .withColumn("__cell_cos", cos)
+            .withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .drop("__cell_cos", "__cr", "cv", "cnorm")
+        )
+
+    assigned = nearest_cells(corpus, "v", "norm", keep=1)  # build index
+    queries = nearest_cells(  # probe lists
+        corpus.filter(F.col("vec_id") < n_queries), "v", "norm", keep=nprobe
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "cell_id",
+    )
+
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(queries), on="cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5-adjacent — vector columns as first-class values through aggs."""
+    corpus = _corpus(spark, sf_dir)
+    return corpus.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg("norm"), 4).alias("avg_norm"),
+        F.round(F.max("norm"), 4).alias("max_norm"),
+    )
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    return {
+        "knn_bruteforce": QueryDef(
+            knn_bruteforce,
+            """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS norm
+                FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+                FROM e WHERE vec_id < 10
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       ROUND(list_dot_product(qv, v) / (qnorm * norm), 6)
+                           AS cosine
+                FROM e CROSS JOIN q
+                WHERE e.vec_id <> q.query_id
+            )
+            SELECT query_id, neighbor_id, cosine,
+                   CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM scored
+            )
+            WHERE rnk <= 5
+            """,
+            "X3 brute-force cosine top-k (correctness baseline)",
+        ),
+        "knn_ivf": QueryDef(
+            knn_ivf,
+            None,  # approximate -> rows-only; recall asserted in tests
+            "X3 IVF-partitioned approximate top-k (100TB path)",
+        ),
+        "embedding_label_stats": QueryDef(
+            embedding_label_stats,
+            """
+            SELECT label, COUNT(*) AS n_vectors,
+                   ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[],
+                         embedding::DOUBLE[]))), 4) AS avg_norm,
+                   ROUND(MAX(sqrt(list_dot_product(embedding::DOUBLE[],
+                         embedding::DOUBLE[]))), 4) AS max_norm
+            FROM embeddings GROUP BY label
+            """,
+            "X5 vector columns through relational aggs",
+        ),
+    }

@@ -1,0 +1,275 @@
+"""X4 — text analysis over the `documents` table.
+
+All SQL-checkable tiers are pure JVM expressions (split/regexp/
+higher-order array functions) with DuckDB twins using the same token
+definition; nothing here touches Python row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+_TOKEN_SPLIT = "[^a-z0-9]+"
+
+# language marker stopwords for the n-gram/stopword heuristic language ID
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "los", "que", "y", "es"),
+    "fr": ("le", "les", "et", "des", "est", "une"),
+}
+_STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda t: t != F.lit(""))
+
+
+def _n_in(tokens_col, words: tuple[str, ...]):
+    """Count of tokens that belong to a fixed word set (JVM-side)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col, lambda t: F.array_contains(arr, t)))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token histogram: occurrences + document frequency."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts (whitespace + BPE-ish
+    regex), average token length, punctuation ratio, stopword ratio,
+    and a keep/drop quality flag."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    ws_tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
+    # BPE-ish: letter runs, digit runs, or single non-alnum-non-space marks
+    bpe = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), r"[.,;:!?]", "")
+    )
+    d = (
+        docs.withColumn("tokens", toks)
+        .withColumn("n_tokens", F.size("tokens"))
+        .withColumn("n_ws_tokens", F.size(ws_tokens))
+        .withColumn("n_bpe_tokens", F.size(bpe))
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.aggregate(
+                    F.col("tokens"),
+                    F.lit(0.0),
+                    lambda acc, t: acc + F.length(t),
+                )
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                4,
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                _n_in(F.col("tokens"), _STOPWORDS)
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ),
+        )
+    )
+    keep = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("avg_token_len") >= 2)
+        & (F.col("avg_token_len") <= 15)
+    )
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        keep.alias("keep"),
+    )
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with a deterministic argmax
+    (fixed preference order en > de > es > fr, 'und' = no markers)."""
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.withColumn("tokens", _tokens(F.col("text")))
+    for lang, words in LANG_MARKERS.items():
+        d = d.withColumn(f"score_{lang}", _n_in(F.col("tokens"), words))
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["es"] == best, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"score_{lang}").alias(f"score_{lang}") for lang in LANG_MARKERS],
+        pred.alias("pred_lang"),
+    )
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str, width: int = 8) -> DataFrame:
+    """Rolling-window document fingerprint: min-md5 over all `width`-char
+    shingles of the raw text (a locality-sensitive 'winnowing lite')."""
+    docs = read_table(spark, sf_dir, "documents")
+    # sequence 1..len-width+1 (Spark, inclusive) == range(1, len-width+2) (DuckDB)
+    fp = F.array_min(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.length("text") - (width - 1), F.lit(1))
+            ),
+            lambda i: F.md5(F.col("text").substr(i, F.lit(width))),
+        )
+    )
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_raw")
+    )
+
+
+def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup per (lang, source)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    markers_sql = {
+        lang: ", ".join(f"'{w}'" for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    return {
+        "token_counts": QueryDef(
+            token_counts,
+            """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM tok GROUP BY token
+            """,
+            "X4 corpus token histogram",
+        ),
+        "text_quality": QueryDef(
+            text_quality,
+            f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
+                       list_filter(regexp_split_to_array(text, '\\s+'),
+                           t -> t <> '') AS ws_tokens,
+                       regexp_extract_all(lower(text),
+                           '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(tokens) AS n_tokens,
+                   len(ws_tokens) AS n_ws_tokens,
+                   len(bpe) AS n_bpe_tokens,
+                   ROUND(list_sum(list_transform(tokens, t -> length(t)))
+                         / GREATEST(len(tokens), 1), 4) AS avg_token_len,
+                   ROUND((length(text) - length(regexp_replace(text,
+                         '[.,;:!?]', '', 'g')))
+                         / GREATEST(length(text), 1), 6) AS punct_ratio,
+                   ROUND(len(list_filter(tokens, t -> t IN ({stop_list})))
+                         / GREATEST(len(tokens), 1), 6) AS stopword_ratio,
+                   (len(tokens) >= 5
+                    AND ROUND(list_sum(list_transform(tokens, t -> length(t)))
+                        / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15)
+                       AS keep
+            FROM d
+            """,
+            "X4 per-document quality features",
+        ),
+        "lang_id": QueryDef(
+            lang_id,
+            f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, lang,
+                       len(list_filter(tokens, t -> t IN ({markers_sql['en']})))
+                           AS score_en,
+                       len(list_filter(tokens, t -> t IN ({markers_sql['de']})))
+                           AS score_de,
+                       len(list_filter(tokens, t -> t IN ({markers_sql['es']})))
+                           AS score_es,
+                       len(list_filter(tokens, t -> t IN ({markers_sql['fr']})))
+                           AS score_fr
+                FROM d
+            )
+            SELECT doc_id, lang AS labeled_lang,
+                   score_en, score_de, score_es, score_fr,
+                   CASE
+                     WHEN GREATEST(score_en, score_de, score_es, score_fr) = 0
+                       THEN 'und'
+                     WHEN score_en = GREATEST(score_en, score_de, score_es,
+                                              score_fr) THEN 'en'
+                     WHEN score_de = GREATEST(score_en, score_de, score_es,
+                                              score_fr) THEN 'de'
+                     WHEN score_es = GREATEST(score_en, score_de, score_es,
+                                              score_fr) THEN 'es'
+                     ELSE 'fr'
+                   END AS pred_lang
+            FROM scored
+            """,
+            "X4 marker-stopword language ID",
+        ),
+        "doc_fingerprints": QueryDef(
+            doc_fingerprints,
+            """
+            SELECT doc_id,
+                   list_min([md5(substr(text, i, 8))
+                             FOR i IN range(1, GREATEST(length(text) - 7, 1) + 1)])
+                       AS fingerprint,
+                   length(text) AS n_chars_raw
+            FROM documents
+            """,
+            "X4 rolling min-hash document fingerprint",
+        ),
+        "lang_source_rollup": QueryDef(
+            lang_source_rollup,
+            """
+            SELECT lang, source, COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars,
+                   ROUND(AVG(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang, source
+            """,
+            "X4 corpus composition rollup",
+        ),
+    }

@@ -1,0 +1,47 @@
+"""Table readers for the driver's synthetic parquet layout.
+
+`read_table(spark, sf_dir, name)` is the only way engine code touches
+storage in batch mode; parquet scans get Catalyst's pushdown/pruning for
+free. Kafka / JDBC adapters live in `sources/`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # self-sufficient even on a driver-provided session that didn't
+        # configure it (the conf is runtime-settable)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS): read as long nanos
+        # (spark.sql.legacy.parquet.nanosAsLong) and truncate to
+        # microseconds — the same ns->us truncation DuckDB applies.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.expr("timestamp_micros(ts div 1000)")
+            )
+    return df

@@ -1,0 +1,555 @@
+"""Query registry — every graded operator as a (PySpark fn, DuckDB oracle) pair.
+
+Each entry's Spark side is a pure (spark, sf_dir) -> DataFrame composed
+from plans.views + operators/*; the oracle side is ANSI SQL over the
+same derived views (plans.oracle keeps the derivations in lockstep).
+Column names/aliases match exactly on both sides — the driver's compare
+sorts columns by name before hashing.
+
+Float policy: double aggregates are ROUND()ed to 4 decimals on BOTH
+sides so partial-aggregation order differences between engines can't
+flip the value hash; raw passthrough doubles are left exact.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import aggregations as agg
+from .operators.joins import enrich
+from .operators.sessionize import sessionize
+from .operators.thresholds import ACHIEVEMENT_THRESHOLDS, threshold_crossings
+from .plans import oracle, views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: QueryFn
+    sql: Optional[str]  # None -> non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Reference surface (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+def _event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — count per event type over the registered branch."""
+    return agg.count_by_key(
+        views.registered_events(spark, sf_dir), ["event_type"], alias="n_events"
+    )
+
+
+def _daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (core) — tumbling 1-day counts per event type."""
+    return agg.daily_counts(
+        views.registered_events(spark, sf_dir), "ts", ["event_type"], alias="n_events"
+    )
+
+
+def _daily_role_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 (full) — day x role x type counts over the J1-enriched stream."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    enriched = enrich(ev, u, on="user_id")
+    return agg.daily_counts(enriched, "ts", ["role", "event_type"], alias="n_events")
+
+
+def _user_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — latest-per-user upsert snapshot of 'signup' events
+    (plays the CREATE_UPDATE_USER KTable build, P2+O1)."""
+    ev = views.registered_events(spark, sf_dir).filter(
+        F.col("event_type") == "signup"
+    )
+    snap = agg.latest_per_key(ev, ["user_id"], "ts", tiebreak_col="event_id")
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+
+
+def _enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P4 — registered events joined to the user dimension, projected
+    to the reference's userEvents shape (LoggedEventsListener.java:122-133)."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    return enrich(ev, u, on="user_id").select(
+        "event_id", "user_id", "role", "gender", "event_type", "ts", "value"
+    )
+
+
+def _last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — last-seen per (user, event_type) + OVERALL rollup."""
+    return agg.last_seen(
+        views.registered_events(spark, sf_dir), "user_id", "event_type", "ts"
+    )
+
+
+def _user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 — gap sessionization (gap = 1 day) with reference streak units."""
+    return sessionize(
+        views.registered_events(spark, sf_dir),
+        user_col="user_id",
+        ts_col="ts",
+        gap_seconds=86400,
+    )
+
+
+def _question_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 level 1 — correct attempts per (user, page, part)."""
+    part_level, _ = agg.two_level_question_counts(
+        views.question_attempts(spark, sf_dir)
+    )
+    return part_level
+
+
+def _question_page_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 level 2 — per (user, page) rollup of the part-level partials."""
+    _, page_level = agg.two_level_question_counts(
+        views.question_attempts(spark, sf_dir)
+    )
+    return page_level
+
+
+def _question_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — AugmentedQuestionDetailMapper: completion flag via the
+    questions dimension (broadcast join replaces per-record HTTP, S5)."""
+    _, page_level = agg.two_level_question_counts(
+        views.question_attempts(spark, sf_dir)
+    )
+    q = views.questions(spark, sf_dir)
+    return enrich(page_level, q, on="question_page_id").select(
+        "user_id",
+        "question_page_id",
+        "n_parts_attempted",
+        "question_part_count",
+        "level",
+        (F.col("n_parts_attempted") == F.col("question_part_count")).alias(
+            "completed"
+        ),
+        "latest_attempt",
+    )
+
+
+def _threshold_achievements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — achievement rows at each threshold crossing."""
+    qa = views.question_attempts(spark, sf_dir).filter(F.col("correct"))
+    return threshold_crossings(qa, user_col="user_id", ts_col="date_attempted")
+
+
+def _user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 — generic count + latest per user (QuestionAnswerCounter)."""
+    return agg.count_and_latest(
+        views.registered_events(spark, sf_dir), ["user_id"], "ts"
+    )
+
+
+def _anonymous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 anonymous branch, projected for the K1 sink."""
+    return views.anonymous_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+def _user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — the user-profile projection (allow-list of columns)."""
+    return views.users(spark, sf_dir)
+
+
+def _props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F12 — JSON payload field access: stats per props.k bucket."""
+    ev = views.registered_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", k % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-shaped relational smoke (generic engine capability + BENCH)
+# --------------------------------------------------------------------------
+
+
+def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    nat = read_table(spark, sf_dir, "nation")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def _top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB) — same derived views via plans.oracle.with_views
+# --------------------------------------------------------------------------
+
+_THRESH_IN = ", ".join(str(t) for t in ACHIEVEMENT_THRESHOLDS)
+
+REGISTRY: dict[str, QueryDef] = {
+    "event_type_counts": QueryDef(
+        _event_type_counts,
+        oracle.with_views(
+            """
+            SELECT event_type, COUNT(*) AS n_events
+            FROM registered_events GROUP BY event_type
+            """,
+            "registered_events",
+        ),
+        "O3 store_log_event_counts (LoggedEventsListener.java:165-172)",
+    ),
+    "daily_event_counts": QueryDef(
+        _daily_event_counts,
+        oracle.with_views(
+            """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   event_type, COUNT(*) AS n_events
+            FROM registered_events GROUP BY 1, 2
+            """,
+            "registered_events",
+        ),
+        "O4 core — tumbling 1-day counts (LoggedEventsListener.java:177-224)",
+    ),
+    "daily_role_counts": QueryDef(
+        _daily_role_counts,
+        oracle.with_views(
+            """
+            SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+                   u.role, e.event_type,
+                   COUNT(*) AS n_events
+            FROM registered_events e JOIN users u USING (user_id)
+            GROUP BY 1, 2, 3
+            """,
+            "registered_events",
+            "users",
+        ),
+        "O4 full — day x role x type over J1-enriched stream",
+    ),
+    "user_snapshot": QueryDef(
+        _user_snapshot,
+        oracle.with_views(
+            """
+            SELECT user_id, ts AS last_ts, value AS last_value,
+                   props AS last_props
+            FROM registered_events
+            WHERE event_type = 'signup'
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+            """,
+            "registered_events",
+        ),
+        "O1 userData KTable snapshot (LoggedEventsListener.java:92-115)",
+    ),
+    "enriched_events": QueryDef(
+        _enriched_events,
+        oracle.with_views(
+            """
+            SELECT e.event_id, e.user_id, u.role, u.gender, e.event_type,
+                   e.ts, e.value
+            FROM registered_events e JOIN users u USING (user_id)
+            """,
+            "registered_events",
+            "users",
+        ),
+        "J1+P4 userEvents join (LoggedEventsListener.java:118-134)",
+    ),
+    "last_seen": QueryDef(
+        _last_seen,
+        oracle.with_views(
+            """
+            SELECT user_id, COALESCE(event_type, 'OVERALL') AS event_type,
+                   MAX(ts) AS last_seen
+            FROM registered_events
+            GROUP BY GROUPING SETS ((user_id, event_type), (user_id))
+            """,
+            "registered_events",
+        ),
+        "O2 store_user_last_seen + OVERALL (LoggedEventsListener.java:138-160)",
+    ),
+    "user_streaks": QueryDef(
+        _user_streaks,
+        oracle.with_views(
+            """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts) > 86400000
+                            THEN 1 ELSE 0 END AS brk
+                FROM registered_events
+            ), sessioned AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sess
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts) AS streak_start,
+                   MAX(ts) AS streak_end,
+                   COUNT(*) AS n_events,
+                   CAST(FLOOR(FLOOR((epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)))
+                        / 1000.0) / 7) AS BIGINT) AS streak_units
+            FROM sessioned GROUP BY user_id, sess
+            """,
+            "registered_events",
+        ),
+        "O5 gap sessionization, reference units (DerivedStreams.java:63-117)",
+    ),
+    "question_part_counts": QueryDef(
+        _question_part_counts,
+        oracle.with_views(
+            """
+            SELECT user_id, question_page_id, question_part_id,
+                   COUNT(*) AS correct_attempts,
+                   MAX(date_attempted) AS latest_attempt
+            FROM question_attempts WHERE correct
+            GROUP BY user_id, question_page_id, question_part_id
+            """,
+            "question_attempts",
+        ),
+        "O6 L1 per-part correct counts (DerivedStreams.java:152-226)",
+    ),
+    "question_page_rollup": QueryDef(
+        _question_page_rollup,
+        oracle.with_views(
+            """
+            WITH part_level AS (
+                SELECT user_id, question_page_id, question_part_id,
+                       COUNT(*) AS correct_attempts,
+                       MAX(date_attempted) AS latest_attempt
+                FROM question_attempts WHERE correct
+                GROUP BY user_id, question_page_id, question_part_id
+            )
+            SELECT user_id, question_page_id,
+                   COUNT(*) AS n_parts_attempted,
+                   SUM(correct_attempts) AS total_correct_attempts,
+                   MAX(latest_attempt) AS latest_attempt
+            FROM part_level GROUP BY user_id, question_page_id
+            """,
+            "question_attempts",
+        ),
+        "O6 L2 per-page rollup of part-level partials",
+    ),
+    "question_completion": QueryDef(
+        _question_completion,
+        oracle.with_views(
+            """
+            WITH part_level AS (
+                SELECT user_id, question_page_id, question_part_id,
+                       COUNT(*) AS correct_attempts,
+                       MAX(date_attempted) AS latest_attempt
+                FROM question_attempts WHERE correct
+                GROUP BY user_id, question_page_id, question_part_id
+            ), page_level AS (
+                SELECT user_id, question_page_id,
+                       COUNT(*) AS n_parts_attempted,
+                       SUM(correct_attempts) AS total_correct_attempts,
+                       MAX(latest_attempt) AS latest_attempt
+                FROM part_level GROUP BY user_id, question_page_id
+            )
+            SELECT p.user_id, p.question_page_id, p.n_parts_attempted,
+                   q.question_part_count, q.level,
+                   (p.n_parts_attempted = q.question_part_count) AS completed,
+                   p.latest_attempt
+            FROM page_level p JOIN questions q USING (question_page_id)
+            """,
+            "question_attempts",
+            "questions",
+        ),
+        "U1 completion flag via questions dim (AugmentedQuestionDetailMapper)",
+    ),
+    "threshold_achievements": QueryDef(
+        _threshold_achievements,
+        oracle.with_views(
+            f"""
+            SELECT user_id,
+                   'QUESTIONS_ANSWERED_CORRECTLY' AS achievement_id,
+                   CAST(rnk AS BIGINT) AS threshold,
+                   date_attempted AS achieved_at
+            FROM (
+                SELECT user_id, date_attempted,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY date_attempted, event_id) AS rnk
+                FROM question_attempts WHERE correct
+            )
+            WHERE rnk IN ({_THRESH_IN})
+            """,
+            "question_attempts",
+        ),
+        "T8 threshold crossings (ThresholdAchievedProcessor.java:49-111)",
+    ),
+    "user_event_counts": QueryDef(
+        _user_event_counts,
+        oracle.with_views(
+            """
+            SELECT user_id, COUNT(*) AS n_attempts, MAX(ts) AS latest_attempt
+            FROM registered_events GROUP BY user_id
+            """,
+            "registered_events",
+        ),
+        "O7 generic count+last (QuestionAnswerCounter.java:33-45)",
+    ),
+    "anonymous_events": QueryDef(
+        _anonymous_events,
+        oracle.with_views(
+            """
+            SELECT event_id, user_id, event_type, ts, value
+            FROM anonymous_events
+            """,
+            "anonymous_events",
+        ),
+        "P1 anonymous branch -> K1 sink shape (LoggedEventsListener.java:88)",
+    ),
+    "user_profiles": QueryDef(
+        _user_profiles,
+        oracle.with_views("SELECT * FROM users", "users"),
+        "P6 user-profile projection (KafkaUserLoader.java:119-150)",
+    ),
+    "props_k_stats": QueryDef(
+        _props_k_stats,
+        oracle.with_views(
+            """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+                       AS k_bucket,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM registered_events GROUP BY 1
+            """,
+            "registered_events",
+        ),
+        "F1/F12 JSON payload access stats",
+    ),
+    "tpch_q1": QueryDef(
+        _tpch_q1,
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 4) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        "TPC-H Q1-shaped aggregation smoke",
+    ),
+    "revenue_by_nation": QueryDef(
+        _revenue_by_nation,
+        """
+        SELECT n_name AS nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """,
+        "multi-join star aggregation smoke",
+    ),
+    "top_orders_per_segment": QueryDef(
+        _top_orders_per_segment,
+        """
+        SELECT c_mktsegment AS segment, o_orderkey, o_totalprice,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        )
+        WHERE rank <= 3
+        """,
+        "top-k per group window smoke",
+    ),
+}
+
+
+def all_queries() -> dict[str, QueryDef]:
+    reg = dict(REGISTRY)
+    # extension registries attach lazily to avoid import cycles
+    from .extensions import register as register_extensions
+
+    reg.update(register_extensions())
+    return reg

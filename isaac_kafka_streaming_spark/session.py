@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the local[32] test harness.
+
+The settings mirror the scale-design notes in SURVEY.md §6: AQE on
+(runtime re-planning, skew-join handling, partition coalescing),
+shuffle partitions sized to cores rather than the 200 default, UTC
+session timezone so event-time bucketing matches the DuckDB oracle,
+and Arrow enabled for the Pandas-UDF slow path.
+
+On a real cluster the same builder applies — only master/memory change;
+shuffle partitions should scale to ~2-3x total cores and
+`spark.sql.files.maxPartitionBytes` tuned so scan tasks stay ~128-256MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "isaac-kafka-streaming-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime re-plan, auto-coalesce post-shuffle partitions,
+        # skew-join splitting — the 100 TB safety nets (SURVEY.md §6).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local[32]: shuffle width ~ cores; on a cluster this scales with
+        # executor count (or is left to AQE's initialPartitionNum).
+        .config("spark.sql.shuffle.partitions", cpus)
+        # Oracle comparison: duckdb timestamps are UTC-naive.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert in io.read_table (ns -> us truncation,
+        # matching DuckDB's read of the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,79 @@
+"""Oracle parity — mimics the driver's t2 check locally.
+
+For every registry entry with an oracle: run the Spark query and the
+DuckDB SQL on the same parquet, sort columns by name and rows by all
+columns, and compare values exactly (floats exactly too — both sides
+ROUND their aggregates, so any drift is a real lockstep bug).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from isaac_kafka_streaming_spark.io import TABLES
+from isaac_kafka_streaming_spark.queries import all_queries
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+_REGISTRY = all_queries()
+_ORACLE_CASES = sorted(n for n, q in _REGISTRY.items() if q.sql is not None)
+_ROWS_ONLY = sorted(n for n, q in _REGISTRY.items() if q.sql is None)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _normalize(df):
+    """Sort columns by name, rows by all values, reset index."""
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+@pytest.mark.parametrize("name", _ORACLE_CASES)
+def test_matches_oracle(spark, name):
+    qd = _REGISTRY[name]
+    got = _normalize(qd.fn(spark, SF_DIR).toPandas())
+    con = _duck(SF_DIR)
+    want = _normalize(con.execute(qd.sql).fetchdf())
+    con.close()
+
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
+    for col in got.columns:
+        gv, wv = got[col].tolist(), want[col].tolist()
+        bad = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(gv, wv))
+            if not _values_equal(a, b)
+        ][:5]
+        assert not bad, f"{name}.{col}: first mismatches {bad}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    qd = _REGISTRY[name]
+    df = qd.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
