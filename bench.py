@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is materialized with the noop sink (full execution, no
+driver-side collect cost).  Wall-clock per query, one shared
+SparkSession, AQE on (session.get_spark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from isaac_kafka_streaming_spark.queries import all_queries  # noqa: E402
+from isaac_kafka_streaming_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scans+agg, star join, window
+# top-k, enrichment join + daily rollup, sessionization, threshold
+# ranks, JSON access, dedup tiers, similarity search, text analysis.
+HEADLINE = [
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "daily_role_counts",
+    "user_streaks",
+    "threshold_achievements",
+    "last_seen",
+    "props_k_stats",
+    "dedup_normalized",
+    "dedup_minhash_lsh",
+    "knn_bruteforce",
+    "token_counts",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("isaac-bench")
+    registry = all_queries()
+
+    # JVM/codegen warmup on a trivial plan (not counted)
+    registry["event_type_counts"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        best = float("inf")
+        for _ in range(2):  # min-of-2: robust to scheduler/GC noise
+            t0 = time.perf_counter()
+            registry[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -125,12 +125,15 @@ BAND_SIZE = 4  # 16 bands of 4 -> catches jaccard ~>0.3-0.5 candidates
 
 
 def _minhash_signature(shingles_col, num_hashes: int = NUM_HASHES):
-    """MinHash signature: for seed i, min over shingles of
-    xxhash64(seed_i, shingle).  Pure JVM expression (64-bit, seeded)."""
+    """MinHash signature: hash each shingle *string* once to a 64-bit
+    value, then derive the per-seed minima by re-hashing the longs —
+    64 long-hashes per shingle instead of 64 string-hashes, and all
+    ANSI-safe (no overflowing multiply-add mixing)."""
+    base = F.transform(shingles_col, lambda s: F.xxhash64(s))
     return F.array(
         *[
             F.array_min(
-                F.transform(shingles_col, lambda s, i=i: F.xxhash64(F.lit(i), s))
+                F.transform(base, lambda h, i=i: F.xxhash64(F.lit(i), h))
             ).alias(f"h{i}")
             for i in range(num_hashes)
         ]
@@ -153,11 +156,24 @@ def minhash_lsh_pairs(
     against exact shingle Jaccard.  This is the 100 TB dedup path —
     no all-pairs product anywhere.
     """
-    docs = read_table(spark, sf_dir, "documents")
-    with_sig = docs.select(
-        "doc_id",
-        _shingles(_tokens(F.col("text")), n).alias("shingles"),
-    ).withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+    # the source is a single small parquet file (one scan partition):
+    # spread the signature computation across cores before the heavy
+    # per-document expressions. At 100 TB the scan is already parallel
+    # and this repartition is dropped.
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    # cached: referenced by the band fanout AND twice by the
+    # verification join — without it the signature computation runs 4x.
+    # At 100 TB this intermediate is written to a temp table instead.
+    with_sig = (
+        docs.select(
+            "doc_id",
+            _shingles(_tokens(F.col("text")), n).alias("shingles"),
+        )
+        .withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
+        .cache()
+    )
 
     n_bands = num_hashes // band_size
     bands = with_sig.select(
@@ -227,7 +243,9 @@ def simhash_pairs(
     4x16-bit chunk banding, Hamming-verified.  All JVM-side: the
     per-bit majority is 64 conditional sums over exploded tokens.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
     ).withColumn("h", F.xxhash64("token"))
