@@ -1,0 +1,194 @@
+"""X5 — multimodal (image/audio/video) column plumbing.
+
+Design: media travels as opaque BinaryType columns with a typed
+metadata struct alongside; decode / feature-extract / resize /
+frame-sample run as Arrow-batched functions over mapInPandas, so each
+task processes a columnar batch of blobs without JVM<->Python row
+churn.  At 100 TB the binary column lives in its own parquet column
+chunk (column pruning means metadata-only queries never read bytes),
+and partitioning is by content-defined bucket (hash of media_id), never
+by blob size.
+
+The test container ships no image/audio codecs, so the actual decoders
+are STUBS: `decode_image` raises NotImplementedError unless
+`fake=True`, in which case a deterministic fake decoder (derived from
+the blob's bytes) exercises the full plumbing — schema, batching,
+partitioning — with real data shapes.  Swapping in PIL/ffmpeg later
+changes only `_decode_one`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("blob", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("source", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("brightness", T.DoubleType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter for tests: treat document text bytes as media blobs so
+    the plumbing runs against real driver data (no media tables ship)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.octet_length(F.encode("text", "utf-8")).cast("long").alias(
+                "n_bytes"
+            ),
+            F.lit("application/octet-stream").alias("mime"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_one(blob: bytes, fake: bool) -> tuple[int, int, float]:
+    """Decode a single image blob -> (width, height, brightness).
+
+    STUB: real decoding needs an image codec (PIL/opencv), absent in
+    this container.  The fake path derives deterministic dimensions
+    from the content hash so tests exercise real data flow.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image codec (PIL/opencv); "
+            "run with fake=True for the deterministic test decoder"
+        )
+    digest = hashlib.sha256(blob).digest()
+    width = 64 + digest[0] % 192  # 64..255, deterministic per content
+    height = 64 + digest[1] % 192
+    brightness = digest[2] / 255.0
+    return width, height, brightness
+
+
+def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode + feature-extract over mapInPandas (Arrow batches).
+
+    One output row per input row; the blob column is dropped on output
+    so downstream stages never shuffle bytes they don't need.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_decode_one(b, fake) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "n_bytes": [len(b) for b in pdf["blob"]],
+                    "content_hash": [
+                        hashlib.sha256(b).hexdigest() for b in pdf["blob"]
+                    ],
+                    "brightness": [d[2] for d in decoded],
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int, fake: bool = False
+) -> DataFrame:
+    """Resize stub: passes blobs through mapInPandas preserving the
+    media schema with updated metadata.  Real implementation plugs a
+    codec into `_resize_one`."""
+
+    def _resize_one(blob: bytes) -> bytes:
+        if not fake:
+            raise NotImplementedError(
+                "image resize requires an image codec; use fake=True"
+            )
+        # deterministic fake: truncate/pad the blob to min(len, w*h)
+        n = min(len(blob), target_w * target_h)
+        return blob[:n]
+
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [_resize_one(b) for b in pdf["blob"]]
+            meta = [
+                {
+                    "n_bytes": len(b),
+                    "mime": m["mime"] if isinstance(m, dict) else m.mime,
+                    "source": m["source"] if isinstance(m, dict) else m.source,
+                }
+                for b, m in zip(blobs, pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "blob": blobs,
+                    "meta": meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 4096, fake: bool = False
+) -> DataFrame:
+    """Frame-sampling stub (video -> frames): 1->N row expansion through
+    mapInPandas, the shape a real ffmpeg-backed sampler would have."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if not fake:
+                    raise NotImplementedError(
+                        "frame sampling requires a video codec; use fake=True"
+                    )
+                for i, off in enumerate(range(0, len(blob), every_n_bytes)):
+                    ids.append(mid)
+                    frame_nos.append(i)
+                    frames.append(bytes(blob[off : off + every_n_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": frame_nos, "frame": frames}
+            )
+
+    return media.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("frame_no", T.IntegerType()),
+                T.StructField("frame", T.BinaryType()),
+            ]
+        ),
+    )

@@ -25,10 +25,10 @@ from ..io import read_table
 ANONYMOUS_MODULUS = 10
 
 
-def logged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events` as the reference's `topic_logged_events` records (A1)."""
-    ev = read_table(spark, sf_dir, "events")
-    return ev.select(
+def logged_events_from(events: DataFrame) -> DataFrame:
+    """Pure derivation: events table/stream -> logged-event records (A1).
+    Works identically on batch and streaming DataFrames."""
+    return events.select(
         "event_id",
         "user_id",
         "event_type",
@@ -37,6 +37,11 @@ def logged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+def logged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`events` as the reference's `topic_logged_events` records (A1)."""
+    return logged_events_from(read_table(spark, sf_dir, "events"))
 
 
 def registered_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +86,12 @@ def question_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR before the modulus: Spark CAST(double AS INT) truncates while
     DuckDB rounds, so both sides floor first (see plans.oracle).
     """
-    ev = registered_events(spark, sf_dir)
+    return question_attempts_from(registered_events(spark, sf_dir))
+
+
+def question_attempts_from(ev: DataFrame) -> DataFrame:
+    """Pure derivation: registered logged events -> question attempts
+    (batch or streaming)."""
     vi = F.floor(F.col("value")).cast("int")
     page = F.concat(F.lit("q"), (vi % 20).cast("string"))
     part = F.concat(F.lit("p"), (vi % 3).cast("string"))

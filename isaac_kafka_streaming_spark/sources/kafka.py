@@ -1,0 +1,124 @@
+"""S1/K1/K2 — Kafka source and sink adapters.
+
+The reference subscribes to `topic_logged_events` with String keys and
+JSON values (LoggedEventsListener.java:49-53,81) and writes the
+anonymous branch to `topic_anonymous_logged_events` (:88).  Spark
+mapping: the built-in kafka source/sink with from_json/to_json and the
+declared LOGGED_EVENT_SCHEMA.
+
+The test container has no Kafka broker (and may lack the
+spark-sql-kafka artifact), so these builders construct the plan but
+callers must be prepared for a runtime error if the kafka data source
+is unavailable — the file-based twin in streaming.topology covers
+tests.  Topic names mirror config.properties via sources.config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import LOGGED_EVENT_SCHEMA
+
+LOGGED_EVENTS_TOPIC = "topic_logged_events"
+ANONYMOUS_EVENTS_TOPIC = "topic_anonymous_logged_events"
+
+
+def read_logged_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = LOGGED_EVENTS_TOPIC,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """S1 — streaming Kafka source -> parsed logged-event records.
+
+    Key = user_id (string), value = JSON logged event; missing fields
+    parse to NULL (from_json permissive mode) with the reference's
+    zero-defaults applied via coalesce (SURVEY.md §1.2).
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return _parse(raw)
+
+
+def read_logged_events_batch(
+    spark: SparkSession, bootstrap_servers: str, topic: str = LOGGED_EVENTS_TOPIC
+) -> DataFrame:
+    """Batch twin of S1 (bounded replay of a topic)."""
+    raw = (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return _parse(raw)
+
+
+def _parse(raw: DataFrame) -> DataFrame:
+    parsed = raw.select(
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), LOGGED_EVENT_SCHEMA).alias("v"),
+        "timestamp",
+    )
+    return parsed.select(
+        "kafka_key",
+        F.coalesce(F.col("v.user_id"), F.lit("")).alias("user_id"),
+        F.coalesce(F.col("v.anonymous_user"), F.lit(False)).alias(
+            "anonymous_user"
+        ),
+        F.coalesce(F.col("v.event_type"), F.lit("")).alias("event_type"),
+        F.col("v.event_details").alias("event_details"),
+        F.coalesce(F.col("v.timestamp"), F.lit(0)).alias("event_ts_ms"),
+        F.timestamp_millis(F.coalesce(F.col("v.timestamp"), F.lit(0))).alias(
+            "ts"
+        ),
+    )
+
+
+def to_kafka_records(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Shape a record stream for the kafka sink: key = user_id,
+    value = JSON of all payload columns (K1/K2,
+    LoggedEventsListener.java:88, KafkaLoader.java:112)."""
+    payload_cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.to_json(F.struct(*payload_cols)).alias("value"),
+    )
+
+
+def write_stream_to_kafka(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    key_col: str = "user_id",
+):
+    """K1 — continuous Kafka sink. Returns the StreamingQuery."""
+    return (
+        to_kafka_records(df, key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def write_batch_to_kafka(
+    df: DataFrame, bootstrap_servers: str, topic: str, key_col: str = "user_id"
+) -> None:
+    """K2 — batch producer (the loader sink; no per-record throttle —
+    the reference's Thread.sleep(1) was a single-threaded-producer
+    artifact, KafkaLoader.java:117)."""
+    (
+        to_kafka_records(df, key_col)
+        .write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .save()
+    )

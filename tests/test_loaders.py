@@ -1,0 +1,89 @@
+"""Loader row-shaping (KafkaLoader/KafkaUserLoader equivalents) — pure
+transforms tested without a database, plus the kafka record shaping.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.sources.jdbc import (
+    shape_logged_event,
+    shape_user_event,
+)
+from isaac_kafka_streaming_spark.sources.kafka import to_kafka_records
+
+
+def test_shape_logged_event_nulls_to_empty(spark):
+    rows = spark.createDataFrame(
+        [
+            (
+                "u1",
+                None,
+                None,
+                None,
+                '{"k": 1}',
+                None,
+                "2015-06-01 12:00:00",
+            )
+        ],
+        schema=(
+            "user_id string, anonymous_user boolean, event_type string, "
+            "event_details_type string, event_details string, "
+            "ip_address string, timestamp string"
+        ),
+    )
+    out = shape_logged_event(rows).collect()[0]
+    # NullHandler contract (KafkaLoader.java:132-135): null -> ''
+    assert out.event_type == ""
+    assert out.ip_address == ""
+    assert out.anonymous_user is False
+    assert out.timestamp == 1433160000000  # epoch ms, UTC session tz
+
+
+def test_shape_user_event_wraps_profile(spark):
+    users = spark.createDataFrame(
+        [
+            (
+                "42",
+                "Ada",
+                None,
+                "STUDENT",
+                None,
+                "FEMALE",
+                "2016-01-02 00:00:00",
+                None,
+                None,
+                "3",
+                "VERIFIED",
+                "SECRET-MUST-NOT-LEAK",
+                "ada@example.com",
+            )
+        ],
+        schema=(
+            "user_id string, given_name string, family_name string, "
+            "role string, date_of_birth string, gender string, "
+            "registration_date string, school_id string, school_other string, "
+            "default_level string, email_verification_status string, "
+            "password string, email string"
+        ),
+    )
+    out = shape_user_event(users).collect()[0]
+    assert out.event_type == "CREATE_UPDATE_USER"
+    assert out.anonymous_user is False
+    details = json.loads(out.event_details)
+    assert details["given_name"] == "Ada"
+    assert details["family_name"] == ""  # null -> ''
+    # PII exclusion (KafkaUserLoader.java:123,132-137)
+    assert "password" not in details and "email" not in details
+    assert out.timestamp == 1451692800000
+
+
+def test_to_kafka_records_key_value(spark):
+    df = spark.createDataFrame([Row(user_id=7, event_type="click", value=1.5)])
+    out = to_kafka_records(df).collect()[0]
+    assert out.key == "7"
+    payload = json.loads(out.value)
+    assert payload == {"event_type": "click", "value": 1.5}

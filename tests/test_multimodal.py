@@ -1,0 +1,86 @@
+"""X5 multimodal plumbing — schema, Arrow batching, 1->N expansion.
+
+Decoders are stubbed (no codecs in the container): the fake path must
+be deterministic, and the non-fake path must fail loudly, never
+silently fabricate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.extensions import multimodal as mm
+from isaac_kafka_streaming_spark.io import read_table
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_smoke):
+    return mm.documents_as_media(read_table(spark, sf_smoke, "documents"))
+
+
+def test_media_schema(media):
+    def shape(schema):
+        return [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    # nullability differs by construction path; names+types must match
+    assert shape(media.schema) == shape(mm.MEDIA_SCHEMA)
+
+
+def test_extract_image_features_fake(spark, media):
+    feats = mm.extract_image_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    r = {row.media_id: row for row in rows}
+    # deterministic: same content -> same fake decode on a second run
+    rows2 = {row.media_id: row for row in mm.extract_image_features(media, fake=True).collect()}
+    for mid, row in r.items():
+        assert (row.width, row.height, row.brightness) == (
+            rows2[mid].width,
+            rows2[mid].height,
+            rows2[mid].brightness,
+        )
+        assert 64 <= row.width <= 255 and 64 <= row.height <= 255
+        assert len(row.content_hash) == 64
+        assert row.n_bytes > 0
+
+
+def test_extract_without_codec_raises(spark, media):
+    with pytest.raises(Exception) as exc_info:
+        mm.extract_image_features(media.limit(1), fake=False).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_resize_preserves_schema_updates_meta(spark, media):
+    resized = mm.resize_images(media.limit(10), 16, 16, fake=True)
+    assert resized.schema == mm.MEDIA_SCHEMA
+    for row in resized.collect():
+        assert row.meta.n_bytes == len(row.blob)
+        assert row.meta.n_bytes <= 16 * 16
+
+
+def test_sample_frames_expansion(spark, media):
+    frames = mm.sample_frames(media.limit(5), every_n_bytes=100, fake=True)
+    pdf = frames.toPandas()
+    # 1->N: each media_id yields ceil(n_bytes/100) frames, numbered 0..N-1
+    src = {r.media_id: r.meta.n_bytes for r in media.limit(5).collect()}
+    for mid, n_bytes in src.items():
+        got = pdf[pdf.media_id == mid].sort_values("frame_no")
+        assert list(got.frame_no) == list(range(-(-n_bytes // 100)))
+        assert sum(len(b) for b in got.frame) == n_bytes
+
+
+def test_metadata_only_query_prunes_blob(spark, media, tmp_path):
+    """Column pruning: a metadata-only aggregate over the parquet-backed
+    media table must not read the blob column (ReadSchema check)."""
+    path = str(tmp_path / "media.parquet")
+    media.write.parquet(path)
+    meta_only = (
+        spark.read.parquet(path)
+        .groupBy("media_type")
+        .agg(F.sum("meta.n_bytes").alias("total_bytes"))
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    assert "blob" not in plan

@@ -1,0 +1,139 @@
+"""Operator edge cases — the reference quirks SURVEY.md §7.6 pins:
+zero-defaults for missing JSON, single-event streaks, threshold
+boundary equality, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.functions.scalars import (
+    json_bool,
+    json_long,
+    json_str,
+)
+from isaac_kafka_streaming_spark.operators.aggregations import (
+    last_seen,
+    latest_per_key,
+)
+from isaac_kafka_streaming_spark.operators.sessionize import sessionize
+from isaac_kafka_streaming_spark.operators.thresholds import threshold_crossings
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_json_zero_defaults(spark):
+    """Jackson .path() semantics: absent -> ''/0/false, never null."""
+    df = spark.createDataFrame(
+        [Row(props='{"a": "x", "n": 5, "b": true}'), Row(props="{}"),
+         Row(props=None)]
+    )
+    out = df.select(
+        json_str("props", "$.a").alias("s"),
+        json_long("props", "$.n").alias("n"),
+        json_bool("props", "$.b").alias("b"),
+    ).collect()
+    assert (out[0].s, out[0].n, out[0].b) == ("x", 5, True)
+    assert (out[1].s, out[1].n, out[1].b) == ("", 0, False)
+    assert (out[2].s, out[2].n, out[2].b) == ("", 0, False)
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", ts=_ts("2024-01-01T10:00:00"), event_id=1, v="first"),
+            Row(k="a", ts=_ts("2024-01-01T10:00:00"), event_id=2, v="second"),
+        ]
+    )
+    out = latest_per_key(df, ["k"], "ts", tiebreak_col="event_id").collect()
+    assert len(out) == 1 and out[0].v == "second"
+
+
+def test_single_event_streak(spark):
+    """One event -> one session, streak_units floor(0/1000/7) = 0."""
+    df = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts("2024-01-01T10:00:00"))]
+    )
+    out = sessionize(df).collect()
+    assert len(out) == 1
+    assert out[0].n_events == 1 and out[0].streak_units == 0
+    assert out[0].streak_start == out[0].streak_end
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap strictly greater than threshold breaks; exactly equal merges
+    (reference compares with >, DerivedStreams.java:92-94)."""
+    base = _ts("2024-01-01T00:00:00")
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=base),
+            Row(user_id=1, ts=base + dt.timedelta(seconds=60)),  # == gap
+            Row(user_id=1, ts=base + dt.timedelta(seconds=121)),  # > gap
+        ]
+    )
+    out = sessionize(df, gap_seconds=60).orderBy("streak_start").collect()
+    assert [r.n_events for r in out] == [2, 1]
+
+
+def test_threshold_at_boundary_inclusive(spark):
+    """The n-th qualifying event IS the crossing (TAP.java:68-74 inserts
+    *at* threshold): 5 events -> thresholds 1 and 5, timestamped by the
+    1st and 5th events."""
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        Row(user_id=1, date_attempted=base + dt.timedelta(minutes=i), event_id=i)
+        for i in range(5)
+    ]
+    out = (
+        threshold_crossings(spark.createDataFrame(rows))
+        .orderBy("threshold")
+        .collect()
+    )
+    assert [(r.threshold, r.achieved_at) for r in out] == [
+        (1, base),
+        (5, base + dt.timedelta(minutes=4)),
+    ]
+
+
+def test_threshold_four_events_only_first(spark):
+    base = _ts("2024-01-01T00:00:00")
+    rows = [
+        Row(user_id=1, date_attempted=base + dt.timedelta(minutes=i), event_id=i)
+        for i in range(4)
+    ]
+    out = threshold_crossings(spark.createDataFrame(rows)).collect()
+    assert [r.threshold for r in out] == [1]
+
+
+def test_last_seen_overall_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, event_type="click", ts=_ts("2024-01-01T10:00:00")),
+            Row(user_id=1, event_type="view", ts=_ts("2024-01-02T10:00:00")),
+            Row(user_id=2, event_type="click", ts=_ts("2024-01-03T10:00:00")),
+        ]
+    )
+    out = {
+        (r.user_id, r.event_type): r.last_seen
+        for r in last_seen(df, "user_id", "event_type", "ts").collect()
+    }
+    assert out[(1, "OVERALL")] == _ts("2024-01-02T10:00:00")
+    assert out[(1, "click")] == _ts("2024-01-01T10:00:00")
+    assert out[(2, "OVERALL")] == out[(2, "click")]
+    assert len(out) == 5
+
+
+def test_count_sums_to_input(spark, sf_smoke):
+    """Property: O3 counts sum to the registered row count."""
+    from isaac_kafka_streaming_spark.plans import views
+
+    reg = views.registered_events(spark, sf_smoke)
+    counted = reg.groupBy("event_type").agg(F.count("*").alias("n"))
+    assert (
+        counted.agg(F.sum("n")).collect()[0][0] == reg.count()
+    )

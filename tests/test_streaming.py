@@ -1,0 +1,138 @@
+"""Streaming/batch parity — the update-mode forms compute the same
+final state as the batch operators on the same data (SURVEY.md §5.2.4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.io import read_table
+from isaac_kafka_streaming_spark.operators.sessionize import sessionize
+from isaac_kafka_streaming_spark.operators.thresholds import threshold_crossings
+from isaac_kafka_streaming_spark.plans import views
+from isaac_kafka_streaming_spark.streaming import topology as st
+from isaac_kafka_streaming_spark.streaming.state import threshold_crossing_stream
+
+
+@pytest.fixture(scope="module")
+def events_stream_dir(spark, sf_smoke, tmp_path_factory):
+    """Events re-written as two parquet files split by time — drives
+    multi-batch incremental processing with maxFilesPerTrigger=1."""
+    out = tmp_path_factory.mktemp("events_stream")
+    ev = read_table(spark, sf_smoke, "events")
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        str(out / "part1")
+    )
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        str(out / "part2")
+    )
+    # flatten: move part files into one dir as two files
+    import shutil, glob, os  # noqa: E401
+
+    final = tmp_path_factory.mktemp("events_stream_flat")
+    for i, sub in enumerate(["part1", "part2"]):
+        (src,) = glob.glob(str(out / sub / "part-*.parquet"))
+        shutil.copy(src, final / f"{i:03d}.parquet")
+    return str(final)
+
+
+def _rows(df, *cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_streaming_event_type_counts_parity(spark, sf_smoke, events_stream_dir):
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got = st.run_to_memory(
+        st.streaming_event_type_counts(reg), "o3_counts", output_mode="complete"
+    )
+    want = (
+        views.registered_events(spark, sf_smoke)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(got, "event_type", "n_events") == _rows(
+        want, "event_type", "n_events"
+    )
+
+
+def test_streaming_daily_counts_parity(spark, sf_smoke, events_stream_dir):
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got = st.run_to_memory(
+        st.streaming_daily_counts(reg), "o4_daily", output_mode="complete"
+    )
+    want = (
+        views.registered_events(spark, sf_smoke)
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert _rows(got, "day", "event_type", "n_events") == _rows(
+        want, "day", "event_type", "n_events"
+    )
+
+
+def test_streaming_latest_per_user_parity(spark, sf_smoke, events_stream_dir):
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got = st.run_to_memory(
+        st.streaming_latest_per_user(reg), "o1_latest", output_mode="complete"
+    )
+    from isaac_kafka_streaming_spark.operators.aggregations import latest_per_key
+
+    want = latest_per_key(
+        views.registered_events(spark, sf_smoke),
+        ["user_id"],
+        "ts",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+        F.col("props").alias("last_props"),
+    )
+    assert _rows(got, "user_id", "last_ts", "last_value") == _rows(
+        want, "user_id", "last_ts", "last_value"
+    )
+
+
+def test_streaming_sessions_parity(spark, sf_smoke, events_stream_dir):
+    """session_window(gap) == batch gap-and-island for continuous ts."""
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got = st.run_to_memory(
+        st.streaming_sessions(reg, gap="1 day"), "o5_sessions",
+        output_mode="complete",
+    )
+    want = sessionize(
+        views.registered_events(spark, sf_smoke), gap_seconds=86400
+    )
+    assert _rows(got, "user_id", "streak_start", "streak_end", "n_events") == _rows(
+        want, "user_id", "streak_start", "streak_end", "n_events"
+    )
+
+
+def test_threshold_crossing_stream_parity(spark, sf_smoke, events_stream_dir):
+    """The applyInPandasWithState state machine emits exactly the batch
+    crossings when batches arrive in time order."""
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    qa = views.question_attempts_from(reg).filter(F.col("correct"))
+    got = st.run_to_memory(
+        threshold_crossing_stream(qa), "t8_achievements", output_mode="append"
+    )
+    want = threshold_crossings(
+        views.question_attempts(spark, sf_smoke).filter(F.col("correct")),
+        user_col="user_id",
+        ts_col="date_attempted",
+    )
+    got_set = _rows(got, "user_id", "threshold")
+    want_set = _rows(want, "user_id", "threshold")
+    assert got_set == want_set
+    # crossing timestamps also match (batch order == event-time order,
+    # since the two stream files are split by time)
+    assert _rows(got, "user_id", "threshold", "achieved_at") == _rows(
+        want, "user_id", "threshold", "achieved_at"
+    )
