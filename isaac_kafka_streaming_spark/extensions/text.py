@@ -147,6 +147,38 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str, width: int = 8) -> DataFr
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf*ln(N/df).
+
+    Single tokenization feeds both the per-doc tf and the corpus df;
+    the document-frequency side is tiny (one row per distinct token)
+    and broadcast into the scoring join.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_total"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_total") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rank")
+    )
+
+
 def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -261,6 +293,36 @@ def register() -> dict:
             FROM documents
             """,
             "X4 rolling min-hash document fingerprint",
+        ),
+        "tfidf_top_terms": QueryDef(
+            tfidf_top_terms,
+            """
+            WITH tok AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '')) AS token
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM tok GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df
+                FROM tok GROUP BY token
+            ), n AS (SELECT COUNT(*) AS n_total FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       ROUND(tf.tf * ln(n.n_total / df.df), 6) AS tfidf
+                FROM tf JOIN df USING (token) CROSS JOIN n
+            )
+            SELECT doc_id, token, tf, df, tfidf, CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) AS rnk
+                FROM scored
+            )
+            WHERE rnk <= 3
+            """,
+            "X4 tf-idf characteristic terms per document",
         ),
         "lang_source_rollup": QueryDef(
             lang_source_rollup,

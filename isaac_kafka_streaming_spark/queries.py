@@ -184,6 +184,59 @@ def _props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _question_page_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 presentation shape — the reference's partAttemptsCorrect array
+    (DerivedStreams.java:191-216), as deterministic JSON: sorted
+    array<struct> serialized identically by both engines."""
+    part_level, _ = agg.two_level_question_counts(
+        views.question_attempts(spark, sf_dir)
+    )
+    return part_level.groupBy("user_id", "question_page_id").agg(
+        F.to_json(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("question_part_id", "correct_attempts")
+                )
+            )
+        ).alias("part_attempts_json"),
+        F.max("latest_attempt").alias("latest_attempt"),
+    )
+
+
+def _purchasers_without_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (EXCEPT as anti-join): users who purchased but
+    never hit an error."""
+    ev = views.registered_events(spark, sf_dir)
+    purchasers = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    erroring = ev.filter(F.col("event_type") == "error").select(
+        "user_id"
+    ).distinct()
+    return purchasers.join(erroring, "user_id", "left_anti")
+
+
+def _daily_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (day, role): per-day-per-role, per-day, and grand
+    total levels in one pass (no-null presentation via sentinels)."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    enriched = enrich(ev, u, on="user_id").select(
+        F.date_trunc("day", "ts").alias("day"), "role"
+    )
+    return (
+        enriched.rollup("day", "role")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce(F.col("day"), F.lit("1970-01-01").cast("timestamp")).alias(
+                "day"
+            ),
+            F.coalesce(F.col("role"), F.lit("ALL")).alias("role"),
+            "n_events",
+        )
+    )
+
+
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import read_table
 
@@ -232,6 +285,65 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape — pure scan + conjunctive filter + single agg; its whole
+    point is filter pushdown (the scan must receive every predicate)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def _tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape — selective star join + agg + deterministic top-10."""
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers with no order above 300k."""
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    big = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300_000
+    )
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
 
 
 def _top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,6 +605,100 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "F1/F12 JSON payload access stats",
+    ),
+    "question_page_array": QueryDef(
+        _question_page_array,
+        oracle.with_views(
+            """
+            WITH part_level AS (
+                SELECT user_id, question_page_id, question_part_id,
+                       COUNT(*) AS correct_attempts,
+                       MAX(date_attempted) AS latest_attempt
+                FROM question_attempts WHERE correct
+                GROUP BY user_id, question_page_id, question_part_id
+            )
+            SELECT user_id, question_page_id,
+                   CAST(to_json(list_sort(list(struct_pack(
+                       question_part_id := question_part_id,
+                       correct_attempts := correct_attempts))))
+                       AS VARCHAR) AS part_attempts_json,
+                   MAX(latest_attempt) AS latest_attempt
+            FROM part_level GROUP BY user_id, question_page_id
+            """,
+            "question_attempts",
+        ),
+        "O6 array presentation shape (DerivedStreams.java:191-216)",
+    ),
+    "purchasers_without_errors": QueryDef(
+        _purchasers_without_errors,
+        oracle.with_views(
+            """
+            SELECT DISTINCT user_id FROM registered_events
+            WHERE event_type = 'purchase'
+            EXCEPT
+            SELECT DISTINCT user_id FROM registered_events
+            WHERE event_type = 'error'
+            """,
+            "registered_events",
+        ),
+        "set-op / anti-join surface",
+    ),
+    "daily_role_rollup": QueryDef(
+        _daily_role_rollup,
+        oracle.with_views(
+            """
+            SELECT COALESCE(CAST(date_trunc('day', e.ts) AS TIMESTAMP),
+                            TIMESTAMP '1970-01-01') AS day,
+                   COALESCE(u.role, 'ALL') AS role,
+                   COUNT(*) AS n_events
+            FROM registered_events e JOIN users u USING (user_id)
+            GROUP BY ROLLUP (CAST(date_trunc('day', e.ts) AS TIMESTAMP),
+                             u.role)
+            """,
+            "registered_events",
+            "users",
+        ),
+        "ROLLUP multi-level aggregation",
+    ),
+    "tpch_q6": QueryDef(
+        _tpch_q6,
+        """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+          AND l_discount >= 0.03 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+        "TPC-H Q6-shaped filter+agg (pushdown showcase)",
+    ),
+    "tpch_q3": QueryDef(
+        _tpch_q3,
+        """
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        "TPC-H Q3-shaped join + top-k",
+    ),
+    "customers_without_big_orders": QueryDef(
+        _customers_without_big_orders,
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 300000
+        )
+        """,
+        "anti-join / NOT EXISTS surface",
     ),
     "tpch_q1": QueryDef(
         _tpch_q1,
