@@ -1,0 +1,80 @@
+"""Physical-plan guards — the scale discipline, asserted.
+
+These tests pin the plan properties that matter at 100 TB: filters
+reach the parquet scan, projections prune the read schema, dimension
+joins broadcast, aggregates partial-aggregate map-side, and no Python
+row-at-a-time UDF appears in any relational hot path.  A regression
+here can stay correct on 60k rows and still be a disaster at scale —
+that's why they're tests, not review notes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from isaac_kafka_streaming_spark.queries import all_queries
+
+REGISTRY = all_queries()
+
+
+def _executed_plan(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(spark, name: str, sf_dir: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_smoke):
+    plan = _formatted(spark, "tpch_q6", sf_smoke)
+    assert "PushedFilters:" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+
+
+def test_q1_prunes_columns(spark, sf_smoke):
+    plan = _formatted(spark, "tpch_q1", sf_smoke)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    # 7 needed columns, and specifically not the join keys it never uses
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf_smoke):
+    for name in ("daily_role_counts", "enriched_events", "question_completion"):
+        plan = _executed_plan(spark, name, sf_smoke)
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "SortMergeJoin" not in plan, f"{name} fell back to sort-merge"
+
+
+def test_aggregates_are_partial(spark, sf_smoke):
+    """Two-phase hash aggregation: a partial HashAggregate must run
+    before the exchange (map-side combine)."""
+    plan = _executed_plan(spark, "event_type_counts", sf_smoke)
+    first_agg = plan.index("HashAggregate")
+    first_exchange = plan.index("Exchange")
+    assert plan.count("HashAggregate") >= 2
+    assert first_agg < first_exchange or plan.count("Exchange") == 0
+
+
+def test_no_python_udf_in_relational_paths(spark, sf_smoke):
+    """Reference-surface and SQL-checkable queries must stay JVM-side
+    (BatchEvalPython/ArrowEvalPython = a Python worker in the plan)."""
+    for name, qd in REGISTRY.items():
+        if qd.sql is None:
+            continue
+        plan = _executed_plan(spark, name, sf_smoke)
+        assert "EvalPython" not in plan, f"{name} has a Python UDF in plan"
+
+
+def test_single_exchange_for_sessionize(spark, sf_smoke):
+    """Gap-and-island: the two windows + final agg share one shuffle on
+    user_id (plus AQE read nodes) — no repeated repartition."""
+    plan = _executed_plan(spark, "user_streaks", sf_smoke)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"sessionize shuffles {n_shuffles}x"

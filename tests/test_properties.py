@@ -1,0 +1,139 @@
+"""Property-based invariants (SURVEY.md §5.2.5) — hypothesis-generated
+event streams checked against operator invariants, shuffle-order
+independence included.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.operators.aggregations import latest_per_key
+from isaac_kafka_streaming_spark.operators.sessionize import sessionize
+from isaac_kafka_streaming_spark.operators.thresholds import (
+    ACHIEVEMENT_THRESHOLDS,
+    threshold_crossings,
+)
+
+BASE = dt.datetime(2024, 1, 1)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),  # user_id
+        st.integers(min_value=0, max_value=10_000_000),  # offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _df(spark, pairs):
+    rows = [
+        (uid, i, BASE + dt.timedelta(seconds=off))
+        for i, (uid, off) in enumerate(pairs)
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp"
+    )
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_session_count_equals_gaps_plus_one(spark, pairs):
+    """Per user: #sessions == 1 + #gaps strictly greater than the
+    threshold in the time-sorted event sequence."""
+    gap = 3600
+    df = _df(spark, pairs)
+    got = {
+        r.user_id: r.n
+        for r in sessionize(df, gap_seconds=gap)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    by_user: dict[int, list[dt.datetime]] = {}
+    for uid, off in pairs:
+        by_user.setdefault(uid, []).append(BASE + dt.timedelta(seconds=off))
+    for uid, tss in by_user.items():
+        tss.sort()
+        gaps = sum(
+            1
+            for a, b in zip(tss, tss[1:])
+            if (b - a).total_seconds() > gap
+        )
+        assert got[uid] == gaps + 1
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_sessions_partition_events(spark, pairs):
+    """Session n_events sum to the input count per user."""
+    df = _df(spark, pairs)
+    out = (
+        sessionize(df, gap_seconds=60)
+        .groupBy("user_id")
+        .agg(F.sum("n_events").alias("total"))
+        .collect()
+    )
+    want = {}
+    for uid, _ in pairs:
+        want[uid] = want.get(uid, 0) + 1
+    assert {r.user_id: r.total for r in out} == want
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_latest_per_key_is_max_ts(spark, pairs):
+    df = _df(spark, pairs)
+    got = {
+        r.user_id: r.ts
+        for r in latest_per_key(
+            df, ["user_id"], "ts", tiebreak_col="event_id"
+        ).collect()
+    }
+    want: dict[int, dt.datetime] = {}
+    for uid, off in pairs:
+        ts = BASE + dt.timedelta(seconds=off)
+        if uid not in want or ts > want[uid]:
+            want[uid] = ts
+    assert got == want
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_threshold_crossings_match_counts(spark, pairs):
+    """A user has exactly the crossings {t in thresholds : t <= n}."""
+    df = _df(spark, pairs).withColumnRenamed("ts", "date_attempted")
+    got: dict[int, set[int]] = {}
+    for r in threshold_crossings(df).collect():
+        got.setdefault(r.user_id, set()).add(r.threshold)
+    counts: dict[int, int] = {}
+    for uid, _ in pairs:
+        counts[uid] = counts.get(uid, 0) + 1
+    for uid, n in counts.items():
+        want = {t for t in ACHIEVEMENT_THRESHOLDS if t <= n}
+        assert got.get(uid, set()) == want
+
+
+@given(pairs=events_strategy, seed=st.integers(0, 3))
+@_settings
+def test_shuffle_order_independence(spark, pairs, seed):
+    """Repartitioning the input arbitrarily never changes sessionize."""
+    df = _df(spark, pairs)
+    shuffled = df.repartition(4, (F.col("event_id") * (seed + 7)) % 4)
+    a = sorted(
+        map(tuple, sessionize(df, gap_seconds=120).collect())
+    )
+    b = sorted(
+        map(tuple, sessionize(shuffled, gap_seconds=120).collect())
+    )
+    assert a == b
