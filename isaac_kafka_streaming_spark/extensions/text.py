@@ -29,9 +29,12 @@ def _tokens(col):
 
 
 def _n_in(tokens_col, words: tuple[str, ...]):
-    """Count of tokens that belong to a fixed word set (JVM-side)."""
+    """Count of tokens that belong to a fixed word set (JVM-side).
+    long-typed to match DuckDB's BIGINT len()."""
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens_col, lambda t: F.array_contains(arr, t)))
+    return F.size(
+        F.filter(tokens_col, lambda t: F.array_contains(arr, t))
+    ).cast("long")
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -60,9 +63,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         docs.withColumn("tokens", toks)
-        .withColumn("n_tokens", F.size("tokens"))
-        .withColumn("n_ws_tokens", F.size(ws_tokens))
-        .withColumn("n_bpe_tokens", F.size(bpe))
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+        .withColumn("n_ws_tokens", F.size(ws_tokens).cast("long"))
+        .withColumn("n_bpe_tokens", F.size(bpe).cast("long"))
         .withColumn(
             "avg_token_len",
             F.round(
@@ -143,7 +146,9 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str, width: int = 8) -> DataFr
         )
     )
     return docs.select(
-        "doc_id", fp.alias("fingerprint"), F.length("text").alias("n_chars_raw")
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_raw"),
     )
 
 
@@ -328,7 +333,7 @@ def register() -> dict:
             lang_source_rollup,
             """
             SELECT lang, source, COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    ROUND(AVG(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang, source
             """,

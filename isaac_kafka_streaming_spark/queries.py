@@ -509,7 +509,7 @@ REGISTRY: dict[str, QueryDef] = {
             )
             SELECT user_id, question_page_id,
                    COUNT(*) AS n_parts_attempted,
-                   SUM(correct_attempts) AS total_correct_attempts,
+                   CAST(SUM(correct_attempts) AS BIGINT) AS total_correct_attempts,
                    MAX(latest_attempt) AS latest_attempt
             FROM part_level GROUP BY user_id, question_page_id
             """,
@@ -530,7 +530,7 @@ REGISTRY: dict[str, QueryDef] = {
             ), page_level AS (
                 SELECT user_id, question_page_id,
                        COUNT(*) AS n_parts_attempted,
-                       SUM(correct_attempts) AS total_correct_attempts,
+                       CAST(SUM(correct_attempts) AS BIGINT) AS total_correct_attempts,
                        MAX(latest_attempt) AS latest_attempt
                 FROM part_level GROUP BY user_id, question_page_id
             )

@@ -60,6 +60,17 @@ def test_matches_oracle(spark, name):
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
+    # dtype discipline: numeric kind+width must match exactly (the
+    # driver compares schemas; int32-vs-int64 or HUGEINT drift counts);
+    # datetimes may differ in unit only.
+    for col in got.columns:
+        g, w = got[col].dtype, want[col].dtype
+        gk, wk = g.kind, w.kind
+        if gk == "M" and wk == "M":
+            continue
+        assert (gk, g.itemsize) == (wk, w.itemsize), (
+            f"{name}.{col}: dtype {g} vs oracle {w}"
+        )
     assert len(got) == len(want), f"{name}: {len(got)} rows vs oracle {len(want)}"
     for col in got.columns:
         gv, wv = got[col].tolist(), want[col].tolist()
