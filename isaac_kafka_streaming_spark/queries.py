@@ -273,16 +273,23 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = read_table(spark, sf_dir, "nation")
     orders = read_table(spark, sf_dir, "orders")
     li = read_table(spark, sf_dir, "lineitem")
+    # Pre-aggregate lineitem to one row per order BEFORE the join: the
+    # partial sum happens map-side on the scan, the join input shrinks
+    # ~4x (lines -> orders), and COUNT(DISTINCT o_orderkey) degenerates
+    # to a plain COUNT(*) — no expand/two-phase distinct at 100 TB.
+    order_rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "order_revenue"
+        )
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        order_rev.join(orders, order_rev.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("order_revenue"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
     )
 
