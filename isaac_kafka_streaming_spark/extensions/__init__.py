@@ -7,9 +7,9 @@ from __future__ import annotations
 
 
 def register() -> dict:
-    from . import dedup, similarity, text
+    from . import dedup, multimodal, similarity, text
 
     reg: dict = {}
-    for mod in (dedup, similarity, text):
+    for mod in (dedup, multimodal, similarity, text):
         reg.update(mod.register())
     return reg

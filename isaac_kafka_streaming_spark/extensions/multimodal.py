@@ -192,3 +192,86 @@ def sample_frames(
             ]
         ),
     )
+
+
+# -- registry ---------------------------------------------------------------
+#
+# The fake decoder is deterministic (sha256-derived), so the mapInPandas
+# Arrow path itself is SQL-checkable: DuckDB recomputes width/height/
+# brightness from the same content hash.  That makes the multimodal
+# plumbing a first-class graded query, not just a unit-tested stub.
+
+
+def media_features(spark, sf_dir: str) -> DataFrame:
+    """X5 — decode + feature-extract over the documents-as-media adapter
+    (blob = utf-8 text bytes; deterministic fake decoder)."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_image_features(documents_as_media(docs), fake=True)
+    return feats.withColumn("brightness", F.round("brightness", 6))
+
+
+def media_frame_stats(spark, sf_dir: str) -> DataFrame:
+    """X5 — video frame-sampling shape (1->N row expansion via
+    mapInPandas); emits per-frame byte counts, not the bytes, so the
+    oracle compares scalars."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_media(docs), every_n_bytes=4096, fake=True)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    # hex digit -> int, for reading sha256 digest bytes in ANSI SQL
+    def _hexbyte(pos: int) -> str:
+        return (
+            f"((position(substr(hash, {pos}, 1) IN '0123456789abcdef') - 1) * 16"
+            f" + (position(substr(hash, {pos + 1}, 1) IN '0123456789abcdef') - 1))"
+        )
+
+    return {
+        "media_features": QueryDef(
+            media_features,
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(64 + {_hexbyte(1)} % 192 AS INTEGER) AS width,
+                   CAST(64 + {_hexbyte(3)} % 192 AS INTEGER) AS height,
+                   CAST(n_bytes AS BIGINT) AS n_bytes,
+                   hash AS content_hash,
+                   ROUND({_hexbyte(5)} / 255.0, 6) AS brightness
+            FROM h
+            """,
+            "X5 image decode/feature-extract via mapInPandas (fake codec)",
+        ),
+        "media_frame_stats": QueryDef(
+            media_frame_stats,
+            """
+            WITH n AS (
+                SELECT doc_id AS media_id,
+                       octet_length(encode(text)) AS n_bytes
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(UNNEST(range(0, CAST(CEIL(n_bytes / 4096.0) AS INT)))
+                        AS INTEGER) AS frame_no,
+                   CAST(LEAST(4096, n_bytes
+                        - UNNEST(range(0, CAST(CEIL(n_bytes / 4096.0) AS INT)))
+                          * 4096) AS BIGINT) AS frame_bytes
+            FROM n
+            """,
+            "X5 frame-sampling 1->N expansion via mapInPandas (fake codec)",
+        ),
+    }
