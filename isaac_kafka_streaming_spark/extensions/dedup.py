@@ -37,16 +37,26 @@ def _tokens(col):
 
 
 def _shingles(tokens_col, n: int = 3):
-    """n-word shingles as '<t1> <t2> <t3>' strings (distinct)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tokens_col) - (n - 1), F.lit(0)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tokens_col, i + j) for j in range(n)]
-            ),
+    """n-word shingles as '<t1> <t2> <t3>' strings (distinct).
+
+    The tokens expression is bound ONCE as a lambda variable via
+    transform-over-singleton: referencing `tokens_col` directly at each
+    of the n positions would inline (and re-evaluate) the whole
+    split+filter tokenization per shingle position — measured ~20x
+    slower on 300-char docs."""
+
+    def _mk(toks):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            )
         )
-    )
+
+    return F.element_at(F.transform(F.array(tokens_col), _mk), 1)
 
 
 # -- tier 1/2: exact + normalized hash ------------------------------------
@@ -124,17 +134,23 @@ NUM_HASHES = 64
 BAND_SIZE = 4  # 16 bands of 4 -> catches jaccard ~>0.3-0.5 candidates
 
 
-def _minhash_signature(shingles_col, num_hashes: int = NUM_HASHES):
-    """MinHash signature: hash each shingle *string* once to a 64-bit
-    value, then derive the per-seed minima by re-hashing the longs —
-    64 long-hashes per shingle instead of 64 string-hashes, and all
-    ANSI-safe (no overflowing multiply-add mixing)."""
-    base = F.transform(shingles_col, lambda s: F.xxhash64(s))
-    return F.array(
+def _minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES):
+    """MinHash signatures as 64 long columns h0..h{n-1}, one row per doc.
+
+    Shape: explode shingles -> hash each shingle string once -> hash-
+    aggregate per doc with `num_hashes` min() accumulators, each over a
+    cheap long-rehash xxhash64(seed, h).  Everything stays in
+    whole-stage codegen with map-side partial aggregation — no per-doc
+    array allocation (the earlier array-transform form allocated
+    `num_hashes` arrays per document and was ~5x slower cold).  Docs
+    with zero shingles drop out here; they can never pass Jaccard
+    verification anyway."""
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.xxhash64("s").alias("h"))
+    return exploded.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.transform(base, lambda h, i=i: F.xxhash64(F.lit(i), h))
-            ).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -163,20 +179,20 @@ def minhash_lsh_pairs(
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    # cached: referenced by the band fanout AND twice by the
-    # verification join — without it the signature computation runs 4x.
+    # cached: the shingle arrays feed the signature explode AND twice
+    # the verification join — without it the tokenization runs 4x.
     # At 100 TB this intermediate is written to a temp table instead.
-    with_sig = (
-        docs.select(
-            "doc_id",
-            _shingles(_tokens(F.col("text")), n).alias("shingles"),
-        )
-        .withColumn("sig", _minhash_signature(F.col("shingles"), num_hashes))
-        .cache()
-    )
+    shingled = docs.select(
+        "doc_id",
+        _shingles(_tokens(F.col("text")), n).alias("shingles"),
+    ).cache()
+
+    # cached: one row of 64 longs per doc (tiny); the band fanout
+    # self-joins, so without it the signature agg runs twice.
+    sigs = _minhash_signatures(shingled, num_hashes).cache()
 
     n_bands = num_hashes // band_size
-    bands = with_sig.select(
+    bands = sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -185,7 +201,7 @@ def minhash_lsh_pairs(
                         F.lit(bi).alias("band"),
                         F.xxhash64(
                             *[
-                                F.element_at(F.col("sig"), bi * band_size + j + 1)
+                                F.col(f"h{bi * band_size + j}")
                                 for j in range(band_size)
                             ]
                         ).alias("band_hash"),
@@ -209,7 +225,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = with_sig.select("doc_id", "shingles")
+    sh = shingled
     verified = (
         candidates.join(
             sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
