@@ -165,6 +165,34 @@ def streaming_sessions(
     )
 
 
+def streaming_enriched_events(
+    registered: DataFrame, user_dim: DataFrame
+) -> DataFrame:
+    """J1 + P4 — the topology's central stream⋈table enrichment
+    (LoggedEventsListener.java:118-134) as a stream-static inner join.
+
+    SURVEY.md §2.5 plan (a): the static side is the latest-profile
+    snapshot (O1), re-resolved against the dimension source every
+    micro-batch — Kafka Streams joins events against the profile state
+    *as of arrival*, which is inherently racy; per-micro-batch snapshot
+    refresh is the declared timing semantics here.  Inner join drops
+    events whose user is unknown, like the reference.  The dimension is
+    broadcast: the fact stream stays shuffle-free (no state store
+    needed, unlike a stream-stream join).
+    """
+    from ..operators.joins import enrich
+
+    return enrich(registered, user_dim, on="user_id", how="inner").select(
+        "user_id",
+        F.col("role").alias("user_role"),
+        F.col("gender").alias("user_gender"),
+        "event_type",
+        "ts",
+        "value",
+        "props",
+    )
+
+
 # ---- sink helpers ---------------------------------------------------------
 
 

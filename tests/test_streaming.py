@@ -114,6 +114,36 @@ def test_streaming_sessions_parity(spark, sf_smoke, events_stream_dir):
     )
 
 
+def test_streaming_enriched_events_parity(spark, sf_smoke, events_stream_dir):
+    """J1 stream-static broadcast join == batch enrichment join."""
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got = st.run_to_memory(
+        st.streaming_enriched_events(reg, views.users(spark, sf_smoke)),
+        "j1_enriched",
+        output_mode="append",
+    )
+    from isaac_kafka_streaming_spark.operators.joins import enrich
+
+    want = enrich(
+        views.registered_events(spark, sf_smoke),
+        views.users(spark, sf_smoke),
+        on="user_id",
+    )
+    assert _rows(got, "user_id", "user_role", "event_type", "ts", "value") == _rows(
+        want.select(
+            "user_id", F.col("role").alias("user_role"), "event_type", "ts", "value"
+        ),
+        "user_id",
+        "user_role",
+        "event_type",
+        "ts",
+        "value",
+    )
+    # inner join: no event survives with an unknown user
+    assert got.filter(F.col("user_role").isNull()).count() == 0
+
+
 def test_threshold_crossing_stream_parity(spark, sf_smoke, events_stream_dir):
     """The applyInPandasWithState state machine emits exactly the batch
     crossings when batches arrive in time order."""
