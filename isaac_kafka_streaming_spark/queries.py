@@ -353,6 +353,34 @@ def _customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def _orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join (EXISTS) surface: orders having >=1 returned lineitem.
+    Catalyst plans a left-semi hash join — the build side carries only
+    the join key, no dedup shuffle needed."""
+    from .io import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    returned = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return orders.join(
+        returned, orders.o_orderkey == returned.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer surface: every user with their registered-event count,
+    zero for users who never emitted one (the rows an inner J1 drops)."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    return u.join(counts, "user_id", "left").select(
+        "user_id",
+        "role",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
 def _top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import read_table
 
@@ -706,6 +734,35 @@ REGISTRY: dict[str, QueryDef] = {
         )
         """,
         "anti-join / NOT EXISTS surface",
+    ),
+    "orders_with_returns": QueryDef(
+        _orders_with_returns,
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+        )
+        """,
+        "semi-join / EXISTS surface",
+    ),
+    "user_activity_coverage": QueryDef(
+        _user_activity_coverage,
+        oracle.with_views(
+            """
+            SELECT u.user_id, u.role,
+                   CAST(COALESCE(c.cnt, 0) AS BIGINT) AS n_events
+            FROM users u
+            LEFT JOIN (
+                SELECT user_id, COUNT(*) AS cnt
+                FROM registered_events GROUP BY user_id
+            ) c ON c.user_id = u.user_id
+            """,
+            "users",
+            "registered_events",
+        ),
+        "left-outer join + coalesce surface",
     ),
     "tpch_q1": QueryDef(
         _tpch_q1,
