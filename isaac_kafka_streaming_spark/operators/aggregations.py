@@ -94,6 +94,37 @@ def daily_counts(
     ).agg(F.count("*").alias(alias))
 
 
+def last_seen_as_map(last_seen_df: DataFrame, user_col: str, type_col: str) -> DataFrame:
+    """O2 presentation — reshape the relational last-seen rows into the
+    reference's store layout: one row per user with a map
+    event_type -> last_seen (OVERALL included as a map key, matching
+    store_user_last_seen, LoggedEventsListener.java:138-160).  Engine
+    stays relational; this runs only at the presentation edge."""
+    return last_seen_df.groupBy(user_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(type_col, "last_seen")))
+        ).alias("last_seen_by_type")
+    )
+
+
+def daily_counts_as_map(daily_df: DataFrame, role_col: str, type_col: str) -> DataFrame:
+    """O4 presentation — the reference's nested day -> role -> type ->
+    count JSON (store_daily_log_events, LoggedEventsListener.java:204-218)
+    from the relational daily counts: two map_from_entries levels."""
+    per_role = daily_df.groupBy("day", role_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(type_col, "n")))
+        ).alias("by_type")
+    )
+    # no array_sort here: structs containing maps are not orderable, and
+    # map equality is content-based anyway
+    return per_role.groupBy("day").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(role_col, "by_type"))
+        ).alias("by_role")
+    )
+
+
 def two_level_question_counts(
     attempts: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:

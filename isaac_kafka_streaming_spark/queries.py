@@ -146,6 +146,26 @@ def _threshold_achievements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossings(qa, user_col="user_id", ts_col="date_attempted")
 
 
+def _user_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `userNotifications` end of the reference's intended stream
+    chain (config.properties:10-14: loggedEvents -> questionPartAttempts
+    -> completedQuestions -> userAchievements -> userNotifications) —
+    never wired in the reference; one notification per achievement."""
+    ach = _threshold_achievements(spark, sf_dir)
+    return ach.select(
+        "user_id",
+        F.lit("ACHIEVEMENT_UNLOCKED").alias("notification_type"),
+        F.concat(
+            F.lit("Achievement "),
+            F.col("achievement_id"),
+            F.lit(" at "),
+            F.col("threshold").cast("string"),
+        ).alias("message"),
+        "threshold",
+        F.col("achieved_at").alias("notified_at"),
+    )
+
+
 def _user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O7 — generic count + latest per user (QuestionAnswerCounter)."""
     return agg.count_and_latest(
@@ -599,6 +619,28 @@ REGISTRY: dict[str, QueryDef] = {
             "question_attempts",
         ),
         "T8 threshold crossings (ThresholdAchievedProcessor.java:49-111)",
+    ),
+    "user_notifications": QueryDef(
+        _user_notifications,
+        oracle.with_views(
+            f"""
+            SELECT user_id,
+                   'ACHIEVEMENT_UNLOCKED' AS notification_type,
+                   'Achievement QUESTIONS_ANSWERED_CORRECTLY at '
+                       || CAST(rnk AS VARCHAR) AS message,
+                   CAST(rnk AS BIGINT) AS threshold,
+                   date_attempted AS notified_at
+            FROM (
+                SELECT user_id, date_attempted,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY date_attempted, event_id) AS rnk
+                FROM question_attempts WHERE correct
+            )
+            WHERE rnk IN ({_THRESH_IN})
+            """,
+            "question_attempts",
+        ),
+        "userNotifications chain end (config.properties:10-14)",
     ),
     "user_event_counts": QueryDef(
         _user_event_counts,

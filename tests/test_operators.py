@@ -137,3 +137,50 @@ def test_count_sums_to_input(spark, sf_smoke):
     assert (
         counted.agg(F.sum("n")).collect()[0][0] == reg.count()
     )
+
+
+def test_last_seen_map_presentation(spark):
+    """O2 map layout: one row per user, event_type -> ts map with the
+    OVERALL entry (store_user_last_seen shape)."""
+    from isaac_kafka_streaming_spark.operators.aggregations import (
+        last_seen_as_map,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(u=1, et="view", ts=_ts("2024-01-01T10:00:00")),
+            Row(u=1, et="view", ts=_ts("2024-01-02T10:00:00")),
+            Row(u=1, et="click", ts=_ts("2024-01-03T10:00:00")),
+        ]
+    )
+    rel = last_seen(df, "u", "et", "ts")
+    out = {r.u: r.last_seen_by_type for r in last_seen_as_map(rel, "u", "et").collect()}
+    assert out[1] == {
+        "view": _ts("2024-01-02T10:00:00"),
+        "click": _ts("2024-01-03T10:00:00"),
+        "OVERALL": _ts("2024-01-03T10:00:00"),
+    }
+
+
+def test_daily_counts_map_presentation(spark):
+    """O4 nested map layout: day -> role -> type -> count
+    (store_daily_log_events shape)."""
+    from isaac_kafka_streaming_spark.operators.aggregations import (
+        daily_counts,
+        daily_counts_as_map,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(ts=_ts("2024-01-01T10:00:00"), role="STUDENT", et="view"),
+            Row(ts=_ts("2024-01-01T11:00:00"), role="STUDENT", et="view"),
+            Row(ts=_ts("2024-01-01T12:00:00"), role="TEACHER", et="click"),
+        ]
+    )
+    rel = daily_counts(df, "ts", ["role", "et"])
+    out = daily_counts_as_map(rel, "role", "et").collect()
+    assert len(out) == 1
+    assert out[0].by_role == {
+        "STUDENT": {"view": 2},
+        "TEACHER": {"click": 1},
+    }
