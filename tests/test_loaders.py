@@ -87,3 +87,36 @@ def test_to_kafka_records_key_value(spark):
     assert out.key == "7"
     payload = json.loads(out.value)
     assert payload == {"event_type": "click", "value": 1.5}
+
+
+def test_kafka_parse_roundtrip_and_zero_defaults(spark):
+    """S1 contract without a broker: shaped producer records parse back
+    through _parse, and missing JSON fields take the reference's
+    zero-defaults ('', false, 0 — SURVEY.md §1.2), never null."""
+    from isaac_kafka_streaming_spark.sources.kafka import _parse
+
+    good = json.dumps(
+        {
+            "user_id": "u9",
+            "anonymous_user": True,
+            "event_type": "VIEW_PAGE",
+            "event_details": {"k": 3},
+            "timestamp": 1433160000000,
+        }
+    )
+    sparse = json.dumps({"user_id": "u10"})  # everything else missing
+    raw = spark.createDataFrame(
+        [(b"u9", good.encode()), (b"u10", sparse.encode())],
+        schema="key binary, value binary",
+    ).withColumn("timestamp", F.current_timestamp())
+    out = {r.kafka_key: r for r in _parse(raw).collect()}
+    g = out["u9"]
+    assert (g.user_id, g.anonymous_user, g.event_type) == (
+        "u9",
+        True,
+        "VIEW_PAGE",
+    )
+    assert g.event_ts_ms == 1433160000000
+    assert g.ts.isoformat().startswith("2015-06-01")
+    s = out["u10"]
+    assert (s.anonymous_user, s.event_type, s.event_ts_ms) == (False, "", 0)
