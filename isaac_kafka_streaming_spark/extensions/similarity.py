@@ -131,6 +131,87 @@ def knn_ivf(
     )
 
 
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_path: str, n_cells: int = 16
+) -> None:
+    """Materialize the IVF index: corpus written PARTITIONED BY cell
+    (hive layout `cell_id=N/`), centroids alongside.
+
+    This is the 100 TB artifact the in-memory knn_ivf models: cell
+    assignment becomes the physical partitioning key, so a probe of
+    nprobe cells is *partition pruning* at the parquet scan — the
+    untouched cells are never read (asserted in tests via inputFiles).
+    """
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("cell_id"))
+    assigned = (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .withColumn("__c", cos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "label", "v", "norm", "cell_id")
+    )
+    assigned.write.partitionBy("cell_id").mode("overwrite").parquet(
+        f"{index_path}/cells"
+    )
+    centroids.select("cell_id", F.col("cv").alias("v"), F.col("cnorm").alias("norm")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_path}/centroids")
+
+
+def knn_ivf_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the materialized IVF index: per query, rank centroids,
+    scan only the nprobe best cells (partition-pruned), brute-force
+    within them.  queries_df: (query_id, qv, qnorm)."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    ccos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("cell_id")
+    )
+    probes = (
+        queries_df.join(F.broadcast(centroids), how="cross")
+        .withColumn("__c", ccos)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "qnorm", "cell_id")
+    )
+    # collect the probed cell ids (tiny: |queries| x nprobe) so the cell
+    # filter is a literal IN-list -> static partition pruning at the scan
+    cells = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    corpus = spark.read.parquet(f"{index_path}/cells").filter(
+        F.col("cell_id").isin(cells)
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        corpus.join(F.broadcast(probes), on="cell_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5-adjacent — vector columns as first-class values through aggs."""
     corpus = _corpus(spark, sf_dir)

@@ -25,6 +25,31 @@ TABLES = (
 )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+) -> None:
+    """Materialize a table bucketed (and sorted) by the join/group key.
+
+    The 100 TB co-location primitive: two tables bucketed the same way
+    join with NO exchange on either side (asserted in
+    tests/test_scale_paths.py), and aggregations on the bucket key skip
+    their shuffle.  On a cluster the bucket count tracks total cores;
+    the sortBy makes the sort-merge join's sort a no-op too.
+    """
+    (
+        df.write.bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
