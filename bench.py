@@ -55,7 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: robust to scheduler/GC noise
+        for _ in range(3):  # min-of-3: robust to scheduler/GC/load noise
             t0 = time.perf_counter()
             registry[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
