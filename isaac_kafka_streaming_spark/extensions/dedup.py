@@ -46,15 +46,21 @@ def _shingles(tokens_col, n: int = 3):
     slower on 300-char docs."""
 
     def _mk(toks):
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-        return F.array_distinct(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            )
-        )
+        # guard: sequence(1, 0) is DESCENDING ([1, 0]) and element_at
+        # past the end throws under ANSI — docs shorter than n tokens
+        # have no shingles, full stop
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        return F.when(
+            F.size(toks) >= n,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(tokens_col), _mk), 1)
 

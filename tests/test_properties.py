@@ -137,3 +137,57 @@ def test_shuffle_order_independence(spark, pairs, seed):
         map(tuple, sessionize(shuffled, gap_seconds=120).collect())
     )
     assert a == b
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_last_seen_overall_is_row_max(spark, pairs):
+    """O2: the OVERALL row equals the max over that user's per-type
+    rows, for every user, under any input order."""
+    from isaac_kafka_streaming_spark.operators.aggregations import last_seen
+
+    df = _df(spark, pairs).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 3 == 0, "view")
+        .when(F.col("event_id") % 3 == 1, "click")
+        .otherwise("error"),
+    )
+    rows = last_seen(df, "user_id", "event_type", "ts").collect()
+    per_type: dict[int, list] = {}
+    overall: dict[int, dt.datetime] = {}
+    for r in rows:
+        if r.event_type == "OVERALL":
+            overall[r.user_id] = r.last_seen
+        else:
+            per_type.setdefault(r.user_id, []).append(r.last_seen)
+    assert set(per_type) == set(overall)
+    for uid, tss in per_type.items():
+        assert overall[uid] == max(tss)
+
+
+@given(pairs=events_strategy)
+@_settings
+def test_minhash_identical_docs_always_candidates(spark, pairs):
+    """Identical token sequences produce identical signatures, so every
+    duplicated doc pair must surface with jaccard == 1."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        _minhash_signatures,
+        _shingles,
+        _tokens,
+    )
+
+    # two identical docs + one different, derived from generated ints
+    words = " ".join(f"w{uid}x{off % 7}" for uid, off in pairs[:12])
+    docs = spark.createDataFrame(
+        [(1, words), (2, words), (3, words + " extra tail tokens here")],
+        "doc_id long, text string",
+    )
+    shingled = docs.select(
+        "doc_id", _shingles(_tokens(F.col("text")), 3).alias("shingles")
+    )
+    sigs = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(64))
+        for r in _minhash_signatures(shingled, 64).collect()
+    }
+    if 1 in sigs:  # docs with <3 tokens have no shingles/signature
+        assert sigs[1] == sigs[2]
