@@ -165,6 +165,27 @@ def streaming_sessions(
     )
 
 
+def streaming_question_part_counts(
+    attempts: DataFrame, watermark: Optional[str] = None
+) -> DataFrame:
+    """O6 (level 1) — correct-attempt counts per (user, page, part),
+    update-mode.  The page-level rollup (level 2) is computed at read
+    time from this materialized table, same policy as streaming_last_seen
+    (a streaming aggregate can't feed a second aggregate in update
+    mode); batch form materializes both levels
+    (operators.aggregations.two_level_question_counts)."""
+    if watermark:
+        attempts = attempts.withWatermark("date_attempted", watermark)
+    return (
+        attempts.filter(F.col("correct"))
+        .groupBy("user_id", "question_page_id", "question_part_id")
+        .agg(
+            F.count("*").alias("correct_attempts"),
+            F.max("date_attempted").alias("latest_attempt"),
+        )
+    )
+
+
 def streaming_enriched_events(
     registered: DataFrame, user_dim: DataFrame
 ) -> DataFrame:

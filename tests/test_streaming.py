@@ -114,6 +114,29 @@ def test_streaming_sessions_parity(spark, sf_smoke, events_stream_dir):
     )
 
 
+def test_streaming_question_part_counts_parity(spark, sf_smoke, events_stream_dir):
+    """O6 level-1 update-mode aggregate == batch part-level counts."""
+    from isaac_kafka_streaming_spark.operators.aggregations import (
+        two_level_question_counts,
+    )
+
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    qa = views.question_attempts_from(reg)
+    got = st.run_to_memory(
+        st.streaming_question_part_counts(qa), "o6_parts", output_mode="complete"
+    )
+    want, _ = two_level_question_counts(views.question_attempts(spark, sf_smoke))
+    cols = (
+        "user_id",
+        "question_page_id",
+        "question_part_id",
+        "correct_attempts",
+        "latest_attempt",
+    )
+    assert _rows(got, *cols) == _rows(want, *cols)
+
+
 def test_streaming_enriched_events_parity(spark, sf_smoke, events_stream_dir):
     """J1 stream-static broadcast join == batch enrichment join."""
     stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
