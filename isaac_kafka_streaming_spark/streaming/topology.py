@@ -214,6 +214,58 @@ def streaming_enriched_events(
     )
 
 
+def run_full_topology(
+    spark: SparkSession,
+    source_dir: str,
+    user_dim: DataFrame,
+    prefix: str = "topo",
+    max_files_per_trigger: Optional[int] = None,
+) -> dict:
+    """The LoggedEventsListener.main equivalent (§3.4): ONE event source
+    feeding every materialization concurrently — the anonymous branch
+    (K1), the O1/O3/O4 state stores, and the J1-enriched stream — each
+    as its own StreamingQuery against a memory sink.
+
+    Kafka Streams drives all stores from one consumer; Structured
+    Streaming runs one scan per query (micro-batch file sources are
+    cheap to re-scan; on Kafka, consumer groups share the log the same
+    way).  Runs to completion synchronously and returns {logical name:
+    final DataFrame} — the streaming twin of the batch query registry.
+    """
+    stream = stream_events(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    )
+    logged = as_logged_events(stream)
+    reg = logged.filter(~F.col("anonymous_user"))
+    anon = logged.filter(F.col("anonymous_user"))
+
+    plans = {
+        "anonymous_events": (anon, "append"),
+        "latest_per_user": (streaming_latest_per_user(reg), "complete"),
+        "event_type_counts": (streaming_event_type_counts(reg), "complete"),
+        "daily_counts": (streaming_daily_counts(reg), "complete"),
+        "enriched_events": (
+            streaming_enriched_events(reg, user_dim),
+            "append",
+        ),
+    }
+    queries = {}
+    try:
+        for name, (df, mode) in plans.items():
+            queries[name] = (
+                df.writeStream.format("memory")
+                .queryName(f"{prefix}_{name}")
+                .outputMode(mode)
+                .start()
+            )
+        for q in queries.values():
+            q.processAllAvailable()
+    finally:
+        for q in queries.values():
+            q.stop()
+    return {name: spark.table(f"{prefix}_{name}") for name in plans}
+
+
 # ---- sink helpers ---------------------------------------------------------
 
 

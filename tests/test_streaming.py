@@ -189,3 +189,43 @@ def test_threshold_crossing_stream_parity(spark, sf_smoke, events_stream_dir):
     assert _rows(got, "user_id", "threshold", "achieved_at") == _rows(
         want, "user_id", "threshold", "achieved_at"
     )
+
+
+def test_full_topology_concurrent_materializations(
+    spark, sf_smoke, events_stream_dir
+):
+    """LoggedEventsListener.main equivalent: one source drives all five
+    materializations concurrently; final states match the batch twins."""
+    out = st.run_full_topology(
+        spark,
+        events_stream_dir,
+        views.users(spark, sf_smoke),
+        prefix="fulltopo",
+        max_files_per_trigger=1,
+    )
+    assert set(out) == {
+        "anonymous_events",
+        "latest_per_user",
+        "event_type_counts",
+        "daily_counts",
+        "enriched_events",
+    }
+    n_logged = views.logged_events(spark, sf_smoke).count()
+    n_anon = views.anonymous_events(spark, sf_smoke).count()
+    assert out["anonymous_events"].count() == n_anon
+    # branch partition: anonymous + registered == all
+    n_reg = n_logged - n_anon
+    assert (
+        out["event_type_counts"].agg(F.sum("n_events")).collect()[0][0] == n_reg
+    )
+    want_counts = _rows(
+        views.registered_events(spark, sf_smoke)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events")),
+        "event_type",
+        "n_events",
+    )
+    assert _rows(out["event_type_counts"], "event_type", "n_events") == want_counts
+    assert out["latest_per_user"].groupBy("user_id").count().filter(
+        F.col("count") > 1
+    ).count() == 0  # one snapshot row per user
