@@ -329,6 +329,69 @@ def simhash_pairs(
     )
 
 
+# -- dedup clustering: connected components over near-dup pairs ------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set -> (node, component).
+
+    The post-pairing step of dedup: near-dup PAIRS become KEEP/DROP
+    decisions only after grouping into clusters (component id = min
+    doc_id reachable).  Converges in O(graph diameter) rounds; each
+    round is one join + one min-aggregate, localCheckpoint()ed so the
+    plan doesn't grow with iterations.  At 100 TB swap the plain
+    propagation for the large-star/small-star alternation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond") — same
+    join+min primitive, provably fewer rounds on skewed graphs.
+    Genuinely iterative -> no SQL oracle (rows-only check).
+    """
+    sym = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = sym.union(sym.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "comp")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            neighbor_min.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = neighbor_min
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+) -> DataFrame:
+    """X2 — duplicate clusters from MinHash-verified pairs: one row per
+    clustered doc with its cluster id and the canonical-keep flag
+    (lowest doc_id in the cluster survives)."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
 # -- tier: embedding cosine near-dup (SQL-checkable, label-blocked) --------
 
 
@@ -441,6 +504,11 @@ def register() -> dict:
             simhash_pairs,
             None,  # engine-specific hash functions -> rows-only check
             "X2 SimHash chunk-banded near-dup",
+        ),
+        "dedup_clusters": QueryDef(
+            dedup_clusters,
+            None,  # iterative connected components -> rows-only check
+            "X2 duplicate clusters (connected components over LSH pairs)",
         ),
         "dedup_embedding_cosine": QueryDef(
             embedding_cosine_pairs,

@@ -184,3 +184,19 @@ def test_daily_counts_map_presentation(spark):
         "STUDENT": {"view": 2},
         "TEACHER": {"click": 1},
     }
+
+
+def test_connected_components_chain_and_isolate(spark):
+    """CC over a chain finds one cluster with min-label id; disjoint
+    pairs stay separate; convergence needs diameter rounds."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (9, 10)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r.node: r.comp for r in connected_components(edges).collect()
+    }
+    assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 9: 9, 10: 9}
