@@ -184,6 +184,37 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's end product: per-document keep/drop decision for a
+    training corpus — quality gate (text_quality.keep) AND canonical
+    survivor of normalized-hash dedup (lowest doc_id per hash).  Both
+    tiers are SQL-expressible, so the whole decision is oracle-checked;
+    fuzzy tiers (LSH clusters) refine `is_canonical` at scale."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    w = Window.partitionBy("text_hash")
+    flags = (
+        docs.withColumn("text_hash", norm_hash)
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .select("doc_id", "is_canonical")
+    )
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    return flags.join(quality, "doc_id").select(
+        "doc_id",
+        "keep_quality",
+        "is_canonical",
+        (F.col("keep_quality") & F.col("is_canonical")).alias("keep"),
+    )
+
+
 def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -328,6 +359,33 @@ def register() -> dict:
             WHERE rnk <= 3
             """,
             "X4 tf-idf characteristic terms per document",
+        ),
+        "corpus_keep_list": QueryDef(
+            corpus_keep_list,
+            """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
+                       MIN(doc_id) OVER (PARTITION BY
+                           sha256(TRIM(regexp_replace(lower(text), '\\s+',
+                                       ' ', 'g')))) AS canon
+                FROM documents
+            ), q AS (
+                SELECT doc_id,
+                       (len(tokens) >= 5
+                        AND ROUND(list_sum(list_transform(tokens,
+                                t -> length(t)))
+                            / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15)
+                           AS keep_quality,
+                       (doc_id = canon) AS is_canonical
+                FROM d
+            )
+            SELECT doc_id, keep_quality, is_canonical,
+                   (keep_quality AND is_canonical) AS keep
+            FROM q
+            """,
+            "X2/X4 end-product: training-corpus keep/drop decision",
         ),
         "lang_source_rollup": QueryDef(
             lang_source_rollup,
