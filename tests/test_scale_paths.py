@@ -103,3 +103,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_smoke, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS ev_b")
         spark.sql("DROP TABLE IF EXISTS cnt_b")
+
+
+def test_salted_join_matches_unsalted(spark, sf_smoke):
+    """Salting redistributes the shuffle but never changes the result —
+    even with a heavily skewed fact key."""
+    from isaac_kafka_streaming_spark.operators.joins import salted_join
+
+    ev = read_table(spark, sf_smoke, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    # manufacture skew: fold most users onto one hot key
+    skewed = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 3 != 0, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        skewed.select("user_id").distinct().withColumn(
+            "user_tag", F.concat(F.lit("u"), F.col("user_id"))
+        )
+    )
+    plain = skewed.join(dim, "user_id").drop("user_id")
+    salted = salted_join(skewed, dim, "user_id", n_salts=8).drop("user_id")
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
