@@ -37,6 +37,91 @@ OUTPUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("count", T.LongType())])
 
 
+STREAK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("streak_start", T.TimestampType()),
+        T.StructField("streak_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("streak_units", T.LongType()),
+    ]
+)
+
+STREAK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def streak_state_stream(
+    events: DataFrame, gap_seconds: int = 86400
+) -> DataFrame:
+    """O5 exact KTable semantics — per-user CURRENT streak state machine
+    (DerivedStreams.java:68-106): the store holds one {streakStart,
+    streakEnd} per user; a gap larger than the threshold resets it.
+    Unlike sessionize (which emits every historical session), this
+    emits the latest streak per user per batch — the reference's
+    userStreaks store discards history the same way.
+
+    Gap rule matches operators.sessionize (delta_ms > gap_ms); the
+    reference's truncating SECONDS.convert compare is a pinned quirk
+    discussed in SURVEY.md §7.6.  streak_units reproduces the literal
+    floor(floor(span_ms/1000)/7).  Input columns: (user_id, ts).
+    """
+    gap_ms = gap_seconds * 1000
+
+    def process(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        start_us, end_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            for ts in pdf["ts"].sort_values():
+                us = int(ts.value // 1_000)  # pandas ns -> us (exact ts)
+                # gap compare in ms, truncated per-timestamp like
+                # unix_millis does in the batch form
+                if (
+                    end_us is not None
+                    and us // 1000 - end_us // 1000 > gap_ms
+                ):
+                    start_us, n = us, 0
+                if start_us is None:
+                    start_us = us
+                end_us = max(end_us, us) if end_us is not None else us
+                n += 1
+        state.update((start_us, end_us, n))
+        if start_us is not None:
+            span_ms = end_us // 1000 - start_us // 1000
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "streak_start": [pd.Timestamp(start_us, unit="us")],
+                    "streak_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "streak_units": [(span_ms // 1000) // 7],
+                }
+            )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            process,
+            outputStructType=STREAK_OUTPUT_SCHEMA,
+            stateStructType=STREAK_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def threshold_crossing_stream(
     qualifying: DataFrame,
     thresholds: Sequence[int] = ACHIEVEMENT_THRESHOLDS,

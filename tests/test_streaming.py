@@ -229,3 +229,74 @@ def test_full_topology_concurrent_materializations(
     assert out["latest_per_user"].groupBy("user_id").count().filter(
         F.col("count") > 1
     ).count() == 0  # one snapshot row per user
+
+
+def test_streak_state_machine_matches_last_session(
+    spark, sf_smoke, events_stream_dir
+):
+    """O5 exact KTable semantics: the state machine's final per-user
+    streak equals the LAST session from batch gap-and-island (the
+    reference's userStreaks store keeps only the current streak)."""
+    from isaac_kafka_streaming_spark.streaming.state import streak_state_stream
+
+    # arrival order must be event-time order for the state machine to
+    # agree with global-time-order sessionization (the reference's
+    # arrival-time processing is racy under reordering by design), so
+    # split the stream files on ts, not event_id
+    import glob
+    import shutil
+
+    import os
+
+    ev = read_table(spark, sf_smoke, "events").withColumn(
+        "__ms", F.unix_millis("ts")
+    )
+    mid_ms = ev.approxQuantile("__ms", [0.5], 0.0)[0]
+    base = events_stream_dir + "_ts_split"
+    if not os.path.exists(base):
+        os.makedirs(base)
+        for i, part in enumerate(
+            [
+                ev.filter(F.col("__ms") <= mid_ms).drop("__ms"),
+                ev.filter(F.col("__ms") > mid_ms).drop("__ms"),
+            ]
+        ):
+            tmp = base + f"_tmp{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (src,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.copy(src, f"{base}/{i:03d}.parquet")
+
+    stream = st.stream_events(spark, base, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    got_df = st.run_to_memory(
+        streak_state_stream(reg, gap_seconds=86400),
+        "o5_state_streaks",
+        output_mode="update",
+    )
+    # memory sink in update mode appends one row per (user, batch);
+    # final state = the latest update (streak_end is monotone per user,
+    # n_events breaks same-end ties)
+    final = {}
+    for r in got_df.collect():
+        cur = final.get(r.user_id)
+        if cur is None or (r.streak_end, r.n_events) > (
+            cur.streak_end,
+            cur.n_events,
+        ):
+            final[r.user_id] = r
+    want = {}
+    for r in sessionize(
+        views.registered_events(spark, sf_smoke), gap_seconds=86400
+    ).collect():
+        cur = want.get(r.user_id)
+        if cur is None or r.streak_start > cur.streak_start:
+            want[r.user_id] = r
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        g = final[uid]
+        assert (
+            g.streak_start,
+            g.streak_end,
+            g.n_events,
+            g.streak_units,
+        ) == (w.streak_start, w.streak_end, w.n_events, w.streak_units), uid
