@@ -82,9 +82,55 @@ def test_matches_oracle(spark, name):
         assert not bad, f"{name}.{col}: first mismatches {bad}"
 
 
+def _check_minhash(rows):
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= 0.35
+
+
+def _check_simhash(rows):
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 6
+
+
+def _check_knn_ivf(rows):
+    per_query = {}
+    for r in rows:
+        assert r.query_id < 10 and r.neighbor_id != r.query_id
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def _check_clusters(rows):
+    by_cluster = {}
+    for r in rows:
+        assert r.cluster_id <= r.doc_id
+        assert r.is_canonical == (r.doc_id == r.cluster_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, members in by_cluster.items():
+        assert cid in members, f"cluster {cid} lost its canonical doc"
+        assert len(members) >= 2, f"singleton cluster {cid} (no edge)"
+
+
+# rows-only ops don't get a DuckDB compare; pin their semantic
+# invariants instead so "runs and returns rows" can't silently rot
+_INVARIANTS = {
+    "dedup_minhash_lsh": _check_minhash,
+    "dedup_simhash": _check_simhash,
+    "knn_ivf": _check_knn_ivf,
+    "dedup_clusters": _check_clusters,
+}
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     qd = _REGISTRY[name]
     df = qd.fn(spark, SF_DIR)
-    assert df.count() >= 0
+    rows = df.collect()
     assert len(df.schema.fields) > 0
+    check = _INVARIANTS.get(name)
+    if check is not None:
+        assert rows, f"{name}: no rows to check invariants on"
+        check(rows)
