@@ -64,6 +64,29 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-contamination check: held-out (val/test) documents whose
+    normalized text also appears in train — the leak a dedup-then-split
+    pipeline must prove absent.  Pairs each contaminated eval doc with
+    the lowest-id train doc sharing its hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    hashed = docs.select("doc_id", norm_hash.alias("text_hash")).join(
+        corpus_split(spark, sf_dir).select("doc_id", "split"), "doc_id"
+    )
+    train = hashed.filter(F.col("split") == "train").groupBy("text_hash").agg(
+        F.min("doc_id").alias("train_doc_id")
+    )
+    held_out = hashed.filter(F.col("split") != "train")
+    return held_out.join(train, "text_hash").select(
+        F.col("doc_id").alias("eval_doc_id"),
+        "split",
+        "train_doc_id",
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -94,6 +117,31 @@ def register() -> dict:
             FROM b
             """,
             "reproducible train/val/test split (md5-bucketed)",
+        ),
+        "split_contamination": QueryDef(
+            split_contamination,
+            f"""
+            WITH d AS (
+                SELECT doc_id,
+                       sha256(TRIM(regexp_replace(lower(text), '\\s+', ' ',
+                                   'g'))) AS text_hash,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text_hash,
+                       CASE WHEN {val4} % 100 < 5 THEN 'test'
+                            WHEN {val4} % 100 < 10 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM d
+            ), train AS (
+                SELECT text_hash, MIN(doc_id) AS train_doc_id
+                FROM s WHERE split = 'train' GROUP BY text_hash
+            )
+            SELECT s.doc_id AS eval_doc_id, s.split, train.train_doc_id
+            FROM s JOIN train USING (text_hash)
+            WHERE s.split <> 'train'
+            """,
+            "eval-set contamination check (held-out x train overlap)",
         ),
         "stratified_sample": QueryDef(
             stratified_sample,

@@ -222,10 +222,37 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean vector per label, relationally: posexplode ->
+    groupBy (label, pos) avg.  This is the k-means update step (and the
+    IVF centroid trainer) expressed as a plain shuffle aggregation —
+    dimension count bounds the fan-out, so at 100 TB it's one pass with
+    map-side partial means."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .withColumn("pos", (F.col("pos") + 1).cast("long"))  # 1-based
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("avg_val"))
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
     return {
+        "embedding_centroids": QueryDef(
+            embedding_centroids,
+            """
+            SELECT label, CAST(i AS BIGINT) AS pos,
+                   ROUND(AVG(embedding[i]::DOUBLE), 6) AS avg_val
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY label, i
+            """,
+            "X3 per-label centroid (k-means update step, relational)",
+        ),
         "knn_bruteforce": QueryDef(
             knn_bruteforce,
             """
