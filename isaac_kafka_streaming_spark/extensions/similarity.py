@@ -222,6 +222,69 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embeddings — the offline IVF centroid
+    trainer SCALE_DESIGN.md defers to.  Deterministic init (first k
+    vectors), cosine assignment (matching the IVF probe metric), mean
+    update via posexplode + groupBy — every step a plain DataFrame op,
+    localCheckpoint()ed per iteration so lineage stays flat.  Returns
+    (cell_id, pos, centroid_val, n_members) relational centroids.
+    Iterative -> rows-only check with structural invariants in tests.
+    """
+    emb = _corpus(spark, sf_dir).select("vec_id", "v", "norm")
+    cents = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("__c").desc(), F.col("cell_id")
+        )
+        assigned = (
+            emb.join(F.broadcast(cents), how="cross")
+            .withColumn("__c", cos)
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("cell_id", "v")
+        )
+        means = (
+            assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg("val").alias("m"), F.count("*").alias("cnt"))
+        )
+        cents = (
+            means.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv"),
+                F.first("cnt").alias("n_members"),
+            )
+            .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+            .select("cell_id", "cv", "cnorm", "n_members")
+            .localCheckpoint()
+        )
+    return cents.select(
+        "cell_id",
+        F.posexplode("cv").alias("pos", "centroid_val"),
+    ).select(
+        "cell_id",
+        (F.col("pos") + 1).cast("long").alias("pos"),
+        F.round("centroid_val", 6).alias("centroid_val"),
+    ).join(
+        cents.select("cell_id", "n_members"), "cell_id"
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise mean vector per label, relationally: posexplode ->
     groupBy (label, pos) avg.  This is the k-means update step (and the
@@ -286,6 +349,11 @@ def register() -> dict:
             knn_ivf,
             None,  # approximate -> rows-only; recall asserted in tests
             "X3 IVF-partitioned approximate top-k (100TB path)",
+        ),
+        "kmeans_centroids": QueryDef(
+            kmeans_centroids,
+            None,  # iterative -> rows-only; structure asserted in tests
+            "X3 Lloyd k-means centroid trainer (IVF offline step)",
         ),
         "embedding_label_stats": QueryDef(
             embedding_label_stats,

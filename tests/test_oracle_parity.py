@@ -116,11 +116,22 @@ def _check_clusters(rows):
 
 # rows-only ops don't get a DuckDB compare; pin their semantic
 # invariants instead so "runs and returns rows" can't silently rot
+def _check_kmeans(rows):
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, set()).add(r.pos)
+        assert r.n_members >= 1
+    for cell, positions in by_cell.items():
+        assert positions == set(range(1, 65)), f"cell {cell} wrong dims"
+    assert 1 <= len(by_cell) <= 8  # <= k cells, empty cells dropped
+
+
 _INVARIANTS = {
     "dedup_minhash_lsh": _check_minhash,
     "dedup_simhash": _check_simhash,
     "knn_ivf": _check_knn_ivf,
     "dedup_clusters": _check_clusters,
+    "kmeans_centroids": _check_kmeans,
 }
 
 
