@@ -53,6 +53,11 @@ def write_bucketed(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    # engine semantic, not a tuning knob: event-time bucketing is pinned
+    # to UTC so day truncation matches the (timezone-naive) DuckDB
+    # oracle on ANY host session, including a driver-owned one that
+    # didn't configure it.  Runtime-settable, like nanosAsLong below.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # self-sufficient even on a driver-provided session that didn't
         # configure it (the conf is runtime-settable)
