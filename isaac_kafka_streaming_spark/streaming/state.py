@@ -82,20 +82,20 @@ def streak_state_stream(
         start_us, end_us, n = (
             state.get if state.exists else (None, None, 0)
         )
-        for pdf in pdfs:
-            for ts in pdf["ts"].sort_values():
-                us = int(ts.value // 1_000)  # pandas ns -> us (exact ts)
-                # gap compare in ms, truncated per-timestamp like
-                # unix_millis does in the batch form
-                if (
-                    end_us is not None
-                    and us // 1000 - end_us // 1000 > gap_ms
-                ):
-                    start_us, n = us, 0
-                if start_us is None:
-                    start_us = us
-                end_us = max(end_us, us) if end_us is not None else us
-                n += 1
+        # gather every chunk before sorting (see threshold processor)
+        for ts in sorted(ts for pdf in pdfs for ts in pdf["ts"]):
+            us = int(ts.value // 1_000)  # pandas ns -> us (exact ts)
+            # gap compare in ms, truncated per-timestamp like
+            # unix_millis does in the batch form
+            if (
+                end_us is not None
+                and us // 1000 - end_us // 1000 > gap_ms
+            ):
+                start_us, n = us, 0
+            if start_us is None:
+                start_us = us
+            end_us = max(end_us, us) if end_us is not None else us
+            n += 1
         state.update((start_us, end_us, n))
         if start_us is not None:
             span_ms = end_us // 1000 - start_us // 1000
@@ -144,12 +144,15 @@ def threshold_crossing_stream(
         count = state.get[0] if state.exists else 0
         out_thresholds = []
         out_ts = []
-        for pdf in pdfs:
-            for ts in pdf["date_attempted"].sort_values():
-                count += 1
-                if count in thresholds_set:
-                    out_thresholds.append(count)
-                    out_ts.append(ts)
+        # a group's batch rows may arrive as SEVERAL chunks — gather
+        # them all before sorting, or event-time order only holds
+        # within a chunk (a real flake caught by the parity test)
+        all_ts = sorted(ts for pdf in pdfs for ts in pdf["date_attempted"])
+        for ts in all_ts:
+            count += 1
+            if count in thresholds_set:
+                out_thresholds.append(count)
+                out_ts.append(ts)
         state.update((count,))
         if out_thresholds:
             yield pd.DataFrame(

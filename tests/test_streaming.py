@@ -34,7 +34,12 @@ def events_stream_dir(spark, sf_smoke, tmp_path_factory):
     final = tmp_path_factory.mktemp("events_stream_flat")
     for i, sub in enumerate(["part1", "part2"]):
         (src,) = glob.glob(str(out / sub / "part-*.parquet"))
-        shutil.copy(src, final / f"{i:03d}.parquet")
+        dst = final / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        # the file source orders batches by MODIFICATION TIME; copies
+        # land with near-identical mtimes, so arrival order flips
+        # between runs — pin strictly increasing mtimes
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
     return str(final)
 
 
@@ -264,7 +269,9 @@ def test_streak_state_machine_matches_last_session(
             tmp = base + f"_tmp{i}"
             part.coalesce(1).write.mode("overwrite").parquet(tmp)
             (src,) = glob.glob(f"{tmp}/part-*.parquet")
-            shutil.copy(src, f"{base}/{i:03d}.parquet")
+            dst = f"{base}/{i:03d}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
 
     stream = st.stream_events(spark, base, max_files_per_trigger=1)
     reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
