@@ -373,6 +373,37 @@ def _customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape — 6-way star join with a region filter: local-supplier
+    revenue per nation.  Exercises Catalyst's join ordering with two
+    broadcastable dims (region, nation) and the supplier/customer
+    co-nation predicate."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nat = read_table(spark, sf_dir, "nation")
+    reg = read_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def _orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS) surface: orders having >=1 returned lineitem.
     Catalyst plans a left-semi hash join — the build side carries only
@@ -776,6 +807,23 @@ REGISTRY: dict[str, QueryDef] = {
         )
         """,
         "anti-join / NOT EXISTS surface",
+    ),
+    "tpch_q5": QueryDef(
+        _tpch_q5,
+        """
+        SELECT n_name AS nation,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
+        """,
+        "TPC-H Q5-shaped 6-way star join",
     ),
     "orders_with_returns": QueryDef(
         _orders_with_returns,
