@@ -146,6 +146,19 @@ def _threshold_achievements(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossings(qa, user_col="user_id", ts_col="date_attempted")
 
 
+def _sliding_weekly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — sliding event-time window (7-day length, 1-day slide) over
+    registered events: the windowed form the reference never used but
+    SURVEY.md §2.10 maps.  Epoch-aligned starts, TIMESTAMP-typed;
+    oracle expands each event into its 7 enclosing windows."""
+    ev = views.registered_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
 def _user_notifications(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `userNotifications` end of the reference's intended stream
     chain (config.properties:10-14: loggedEvents -> questionPartAttempts
@@ -650,6 +663,20 @@ REGISTRY: dict[str, QueryDef] = {
             "question_attempts",
         ),
         "T8 threshold crossings (ThresholdAchievedProcessor.java:49-111)",
+    ),
+    "sliding_weekly_counts": QueryDef(
+        _sliding_weekly_counts,
+        oracle.with_views(
+            """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                       - INTERVAL 1 DAY * k AS window_start,
+                   COUNT(*) AS n_events
+            FROM registered_events, UNNEST(range(0, 7)) AS t(k)
+            GROUP BY 1
+            """,
+            "registered_events",
+        ),
+        "T3 sliding 7-day/1-day event-time window",
     ),
     "user_notifications": QueryDef(
         _user_notifications,
