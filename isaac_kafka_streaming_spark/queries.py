@@ -270,6 +270,24 @@ def _daily_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _role_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (role, event_type): all four grouping levels in one
+    pass — completes the grouping-analytics family next to rollup
+    (daily_role_rollup) and the grouping-sets-style O2 OVERALL."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    enriched = enrich(ev, u, on="user_id").select("role", "event_type")
+    return (
+        enriched.cube("role", "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.coalesce(F.col("role"), F.lit("ALL")).alias("role"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n_events",
+        )
+    )
+
+
 def _tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .io import read_table
 
@@ -794,6 +812,21 @@ REGISTRY: dict[str, QueryDef] = {
             "users",
         ),
         "ROLLUP multi-level aggregation",
+    ),
+    "role_type_cube": QueryDef(
+        _role_type_cube,
+        oracle.with_views(
+            """
+            SELECT COALESCE(u.role, 'ALL') AS role,
+                   COALESCE(e.event_type, 'ALL') AS event_type,
+                   COUNT(*) AS n_events
+            FROM registered_events e JOIN users u USING (user_id)
+            GROUP BY CUBE (u.role, e.event_type)
+            """,
+            "registered_events",
+            "users",
+        ),
+        "CUBE four-level aggregation",
     ),
     "tpch_q6": QueryDef(
         _tpch_q6,
