@@ -47,6 +47,10 @@ def main() -> None:
     spark = get_spark("isaac-bench")
     registry = all_queries()
 
+    # settle: a preceding phase's JVM may still be tearing down and
+    # stealing cores — measured 3-10x per-query spikes when timing
+    # starts immediately (wall-only cost; not part of the metric)
+    time.sleep(10)
     # JVM/codegen warmup on a trivial plan (not counted)
     registry["event_type_counts"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
@@ -63,6 +67,10 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
+        # between-query GC (uncounted): heap pressure from earlier
+        # queries otherwise lands as a collection pause inside a later
+        # query's measured window
+        spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
     print(
