@@ -17,6 +17,8 @@ sequential fold on both engines, so the oracle comparison is exact.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -212,6 +214,85 @@ def knn_ivf_indexed(
     )
 
 
+def knn_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """X3 (alternate scale path) — random-hyperplane LSH bucketed top-k.
+
+    SimHash-for-cosine: each of `n_tables` hash tables projects a
+    vector onto `n_bits` fixed random hyperplanes and packs the sign
+    bits into a long bucket key; vectors that collide with a query in
+    ANY table are candidates, scored exactly, top-k per query.  Union
+    over tables trades one multiplicative recall factor for linear
+    extra work — the standard LSH recall knob.
+
+    The (n_tables * n_bits) x dim sign-projection is a dense matmul —
+    exactly the shape Arrow-batched numpy beats a Catalyst expression
+    tree at (72+ nested `aggregate(zip_with(...))` per row would blow
+    up codegen), so bucket keys come from a vectorized pandas UDF; the
+    hyperplanes ship BY VALUE inside the closure (no module-level
+    references — executors can't import this package).  Everything
+    downstream (explode, bucket equi-join, exact rescoring, window
+    rank) is JVM-side.  At 100 TB: key computation is map-side and
+    embarrassingly parallel, the bucket join replaces the all-pairs
+    product, and `(table, key)` becomes the storage bucketing key so
+    repeated query batches join without reshuffling the corpus.
+    Deterministic (fixed seed); approximate -> rows-only check, recall
+    vs brute-force pinned in tests.
+    """
+    from pyspark.sql.types import ArrayType, LongType
+
+    dim = 64  # embeddings table contract (TESTDATA.md)
+    planes = (
+        np.random.RandomState(seed)
+        .standard_normal((n_tables * n_bits, dim))
+        .T.copy()  # (dim, n_tables*n_bits), C-order for the matmul
+    )
+    bit_weights = (1 << np.arange(n_bits, dtype=np.int64))
+    n_t, n_b = n_tables, n_bits
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_keys(vs: pd.Series) -> pd.Series:
+        m = np.array(vs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (m @ planes) >= 0.0  # (batch, n_t*n_b)
+        keys = (bits.reshape(len(m), n_t, n_b) * bit_weights).sum(axis=2)
+        return pd.Series(list(keys))
+
+    corpus = _corpus(spark, sf_dir).withColumn("keys", bucket_keys("v"))
+    buckets = corpus.select(
+        "vec_id", "v", "norm", F.posexplode("keys").alias("table", "key")
+    )
+    qbuckets = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "table",
+        "key",
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        buckets.join(F.broadcast(qbuckets), on=["table", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .distinct()  # a pair colliding in several tables scores once
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5-adjacent — vector columns as first-class values through aggs."""
     corpus = _corpus(spark, sf_dir)
@@ -349,6 +430,11 @@ def register() -> dict:
             knn_ivf,
             None,  # approximate -> rows-only; recall asserted in tests
             "X3 IVF-partitioned approximate top-k (100TB path)",
+        ),
+        "knn_lsh": QueryDef(
+            knn_lsh,
+            None,  # approximate -> rows-only; recall asserted in tests
+            "X3 hyperplane-LSH bucketed approximate top-k (alt scale path)",
         ),
         "kmeans_centroids": QueryDef(
             kmeans_centroids,

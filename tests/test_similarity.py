@@ -7,6 +7,7 @@ from __future__ import annotations
 from isaac_kafka_streaming_spark.extensions.similarity import (
     knn_bruteforce,
     knn_ivf,
+    knn_lsh,
 )
 
 
@@ -31,6 +32,43 @@ def test_ivf_recall_against_bruteforce(spark, sf_smoke):
         for r in knn_ivf(spark, sf_smoke).collect()
     }
     assert approx == approx2
+
+
+def test_lsh_recall_and_exact_rescoring(spark, sf_smoke):
+    """Hyperplane-LSH (6 bits x 8 tables) must recover a useful
+    fraction of the true top-5 on random 64-dim data (measured 0.32 —
+    deterministic, fixed seed), and every returned pair must carry the
+    EXACT cosine: candidate generation is approximate, scoring is not."""
+    exact_rows = knn_bruteforce(spark, sf_smoke).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    lsh_rows = knn_lsh(spark, sf_smoke).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in lsh_rows}
+    assert len(exact) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    for r in lsh_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+    # determinism: fixed hyperplane seed -> identical second run
+    approx2 = {
+        (r.query_id, r.neighbor_id) for r in knn_lsh(spark, sf_smoke).collect()
+    }
+    assert approx == approx2
+
+
+def test_lsh_output_contract(spark, sf_smoke):
+    """Same output shape/invariants as the other knn tiers: <= k rows
+    per query, ranks 1..k dense from 1, no self-matches."""
+    rows = knn_lsh(spark, sf_smoke, n_queries=5, k=3).collect()
+    by_q: dict = {}
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
 
 
 def test_ivf_scans_fraction_of_corpus(spark, sf_smoke):
