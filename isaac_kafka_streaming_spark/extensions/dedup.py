@@ -95,15 +95,29 @@ def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, n: int = 3, threshold: float = 0.35
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.35,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """X2 — exact word-shingle Jaccard over pairs sharing >=1 shingle.
 
     Inverted-index self-join: only docs sharing a shingle are compared,
     so cost is sum over shingles of (docs-per-shingle choose 2), not
-    |docs|^2.  At 100 TB you'd cap hot shingles (drop shingles with
-    document frequency above a cutoff) — the MinHash tier replaces this
-    entirely at that scale.
+    |docs|^2.
+
+    ``max_shingle_df`` is the hot-shingle guard for that sum: a shingle
+    shared by d documents contributes d^2/2 pairs to ONE join key, so a
+    single boilerplate phrase at 100 TB (d ~ 10^6) degenerates the join
+    toward all-pairs.  With the cap set, shingles whose document
+    frequency exceeds it are dropped from the index — and from the
+    per-doc sizes, so the reported Jaccard is exact over the *filtered*
+    shingle universe (hot shingles are treated as stopwords: they carry
+    no near-dup signal precisely because everyone shares them).  The
+    hot list is tiny by a counting bound (<= total_occurrences/cutoff
+    entries), so AQE turns the anti-join into a broadcast; no hint
+    needed.  Default None preserves the uncapped exact semantics.
     """
     docs = read_table(spark, sf_dir, "documents")
     sh = (
@@ -111,6 +125,15 @@ def ngram_jaccard_pairs(
             "doc_id", F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle")
         )
     )
+    if max_shingle_df is not None:
+        # _shingles is per-doc distinct, so count(*) == document frequency
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -169,6 +192,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.35,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2 (scale tier) — MinHash/LSH candidate pairs, Jaccard-verified.
 
@@ -177,6 +201,23 @@ def minhash_lsh_pairs(
     candidates (linear-ish in corpus size); candidates are verified
     against exact shingle Jaccard.  This is the 100 TB dedup path —
     no all-pairs product anywhere.
+
+    ``max_bucket_size`` is the hot-bucket guard: a band bucket holding
+    w docs emits w^2/2 candidate rows on one join key, and a cluster of
+    near-identical boilerplate docs lands in the SAME bucket in EVERY
+    band.  With the cap set, buckets wider than it are dropped before
+    the self-join, bounding per-key fan-out at max_bucket_size^2.  The
+    recall cost is confined to ultra-common duplicates — exactly the
+    ones the exact/normalized hash tiers (far cheaper) already catch.
+    Default None (off) preserves full candidate generation locally.
+
+    Cache contract: the two intermediates this builds (shingle arrays,
+    signatures) are .cache()d because the returned plan references each
+    more than once.  They are attached to the returned DataFrame as
+    ``df._cached_deps``; long-lived callers should call
+    ``unpersist_deps(df)`` once they have fully materialized the
+    result (see dedup_clusters).  One-shot graded/bench runs may skip
+    it — session teardown clears the blocks.
     """
     # the source is a single small parquet file (one scan partition):
     # spread the signature computation across cores before the heavy
@@ -218,6 +259,15 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_hash")
 
+    if max_bucket_size is not None:
+        wide = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("width"))
+            .filter(F.col("width") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(wide, ["band", "band_hash"], "left_anti")
+
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -252,7 +302,16 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    verified._cached_deps = [shingled, sigs]  # see cache contract above
     return verified
+
+
+def unpersist_deps(df: DataFrame) -> None:
+    """Release cached intermediates attached by minhash_lsh_pairs once
+    the result has been fully materialized (blocking=False: eviction is
+    async, correctness never depends on it)."""
+    for dep in getattr(df, "_cached_deps", ()):
+        dep.unpersist()
 
 
 # -- tier 5: SimHash -------------------------------------------------------
@@ -384,7 +443,15 @@ def dedup_clusters(
     clustered doc with its cluster id and the canonical-keep flag
     (lowest doc_id in the cluster survives)."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
-    comp = connected_components(pairs)
+    try:
+        # each propagation round re-reads the pair plan, so the caches
+        # attached by minhash_lsh_pairs pay off across rounds ...
+        comp = connected_components(pairs)
+    finally:
+        # ... and comp is localCheckpoint()ed (materialized independent
+        # of lineage), so the caches can be released here even though
+        # the returned DataFrame is still lazy.
+        unpersist_deps(pairs)
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
@@ -396,17 +463,43 @@ def dedup_clusters(
 
 
 def embedding_cosine_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """X2 — embedding near-dup pairs within label blocks.
 
     Label blocking keeps the pair space |block|^2 x |labels| instead of
-    |corpus|^2; the un-blocked scale path is the LSH variant in
-    similarity.py.
+    |corpus|^2 — but a dominant label is all-pairs in disguise, so the
+    block width is guarded: every row carries a lazy ``assert_true``
+    that its label's block is within ``max_block_size``, and the query
+    FAILS (rather than silently running a ~|corpus|^2 join) when a
+    block is wider.  The guard is a broadcast of per-label counts —
+    no driver-side action, no result-shape change, so the DuckDB
+    oracle stays in lockstep.  Corpora that trip it should use the
+    LSH tiers (minhash_lsh_pairs / similarity.knn_lsh), which bound
+    candidate generation by construction.
     """
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    if max_block_size is not None:
+        block_n = emb.groupBy("label").agg(F.count("*").alias("_block_n"))
+        guard = F.assert_true(
+            F.col("_block_n") <= max_block_size,
+            F.concat(
+                F.lit("embedding_cosine_pairs: label block '"),
+                F.col("label"),
+                F.lit(f"' exceeds max_block_size={max_block_size}; "),
+                F.lit("use the LSH tier for corpora this skewed"),
+            ),
+        )
+        emb = (
+            emb.join(F.broadcast(block_n), "label")
+            .filter(guard.isNull())  # assert_true yields NULL when it passes
+            .drop("_block_n")
+        )
     dot = lambda x, y: F.aggregate(  # noqa: E731
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
     )
@@ -494,6 +587,54 @@ def register() -> dict:
                   >= 0.35
             """,
             "X2 exact n-gram Jaccard pairs (inverted-index join)",
+        ),
+        # the 100 TB-guarded form, graded against its own oracle: the
+        # df<=5 cutoff BINDS on driver data (max shingle df is 7 at
+        # sf0.01), so the hot-shingle path is exercised end-to-end
+        "dedup_ngram_jaccard_capped": QueryDef(
+            lambda spark, sf_dir: ngram_jaccard_pairs(
+                spark, sf_dir, max_shingle_df=5
+            ),
+            """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                           FOR i IN range(1, GREATEST(len(tokens) - 2, 0) + 1)
+                       ]) AS shingles
+                FROM tok
+            ), exploded_all AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), hot AS (
+                SELECT shingle FROM exploded_all
+                GROUP BY shingle HAVING COUNT(*) > 5
+            ), exploded AS (
+                SELECT doc_id, shingle FROM exploded_all
+                ANTI JOIN hot USING (shingle)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_common
+                FROM exploded a JOIN exploded b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                  >= 0.35
+            """,
+            "X2 n-gram Jaccard with hot-shingle DF cap (100TB guard, binding)",
         ),
         "dedup_minhash_lsh": QueryDef(
             minhash_lsh_pairs,

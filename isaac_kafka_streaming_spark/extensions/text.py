@@ -266,7 +266,7 @@ def register() -> dict:
                    len(tokens) AS n_tokens,
                    len(ws_tokens) AS n_ws_tokens,
                    len(bpe) AS n_bpe_tokens,
-                   ROUND(list_sum(list_transform(tokens, t -> length(t)))
+                   ROUND(COALESCE(list_sum(list_transform(tokens, t -> length(t))), 0)
                          / GREATEST(len(tokens), 1), 4) AS avg_token_len,
                    ROUND((length(text) - length(regexp_replace(text,
                          '[.,;:!?]', '', 'g')))
@@ -274,7 +274,7 @@ def register() -> dict:
                    ROUND(len(list_filter(tokens, t -> t IN ({stop_list})))
                          / GREATEST(len(tokens), 1), 6) AS stopword_ratio,
                    (len(tokens) >= 5
-                    AND ROUND(list_sum(list_transform(tokens, t -> length(t)))
+                    AND ROUND(COALESCE(list_sum(list_transform(tokens, t -> length(t))), 0)
                         / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15)
                        AS keep
             FROM d
@@ -374,8 +374,8 @@ def register() -> dict:
             ), q AS (
                 SELECT doc_id,
                        (len(tokens) >= 5
-                        AND ROUND(list_sum(list_transform(tokens,
-                                t -> length(t)))
+                        AND ROUND(COALESCE(list_sum(list_transform(tokens,
+                                t -> length(t))), 0)
                             / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15)
                            AS keep_quality,
                        (doc_id = canon) AS is_canonical
