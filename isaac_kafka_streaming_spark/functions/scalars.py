@@ -38,8 +38,17 @@ def before(col: Column | str, delim: str) -> Column:
 
 
 def after(col: Column | str, delim: str) -> Column:
-    """F4 — substring after first delimiter (DerivedStreams.java:172-177)."""
-    return F.substring_index(F.col(col) if isinstance(col, str) else col, delim, -1)
+    """F4 — substring after the FIRST delimiter (DerivedStreams.java:172-177
+    splits questionId on '|' and takes everything past the first one).
+
+    Not substring_index(col, delim, -1): that returns the part after the
+    LAST delimiter, which diverges on values containing the delimiter
+    more than once.  locate()-based instead, with the reference's exact
+    corner case: Java's indexOf returns -1 when absent, so
+    substring(indexOf+1) = substring(0) = the WHOLE string."""
+    c = F.col(col) if isinstance(col, str) else col
+    pos = F.locate(delim, c)
+    return F.when(pos > 0, c.substr(pos + len(delim), F.length(c))).otherwise(c)
 
 
 def composite_key(*cols: Column | str, sep: str = "-") -> Column:

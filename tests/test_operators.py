@@ -11,6 +11,8 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from isaac_kafka_streaming_spark.functions.scalars import (
+    after,
+    before,
     json_bool,
     json_long,
     json_str,
@@ -41,6 +43,22 @@ def test_json_zero_defaults(spark):
     assert (out[0].s, out[0].n, out[0].b) == ("x", 5, True)
     assert (out[1].s, out[1].n, out[1].b) == ("", 0, False)
     assert (out[2].s, out[2].n, out[2].b) == ("", 0, False)
+
+
+def test_before_after_first_delimiter(spark):
+    """F4 splits on the FIRST delimiter (Java indexOf), including the
+    reference's corner cases: multiple delimiters -> everything after
+    the first; absent delimiter -> substring(indexOf+1=0) = whole
+    string (DerivedStreams.java:177)."""
+    df = spark.createDataFrame(
+        [Row(s="page|part|sub"), Row(s="page|part"), Row(s="nodelim")]
+    )
+    out = df.select(
+        before("s", "|").alias("b"), after("s", "|").alias("a")
+    ).collect()
+    assert (out[0].b, out[0].a) == ("page", "part|sub")
+    assert (out[1].b, out[1].a) == ("page", "part")
+    assert (out[2].b, out[2].a) == ("nodelim", "nodelim")
 
 
 def test_latest_per_key_tiebreak(spark):
