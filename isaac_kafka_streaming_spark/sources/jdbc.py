@@ -52,16 +52,24 @@ def read_logged_events_jdbc(
     The reference hand-writes the WHERE into its SQL; here the range
     is the partition column spec, so Catalyst both pushes the predicate
     AND splits the scan into parallel range queries.
+
+    Uses the option-based DataSource API, not the read.jdbc()
+    convenience wrapper: the wrapper int()-coerces lowerBound/upperBound
+    and so cannot express TIMESTAMP range bounds (caught by the Derby
+    round-trip test, tests/test_jdbc_roundtrip.py).
     """
-    return spark.read.jdbc(
-        url,
-        table,
-        column="timestamp",
-        lowerBound=lower_ts,
-        upperBound=upper_ts,
-        numPartitions=num_partitions,
-        properties=properties or {},
-    ).filter(
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", "timestamp")
+        .option("lowerBound", lower_ts)
+        .option("upperBound", upper_ts)
+        .option("numPartitions", str(num_partitions))
+    )
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load().filter(
         (F.col("timestamp") > lower_ts) & (F.col("timestamp") < upper_ts)
     )
 

@@ -1,0 +1,155 @@
+"""JDBC adapters against a REAL database — embedded Derby.
+
+Round-1 verdict: the S2/S3 loaders and the K3 foreachBatch sink were
+shape-tested only ("no DB in the container").  Spark ships Derby on its
+classpath (the Hive metastore dependency), so an in-memory Derby DB
+(`jdbc:derby:memory:...`) exercises the actual read.jdbc/write.jdbc
+option plumbing — driver resolution, dialect type mapping, partitioned
+range predicates — inside the same JVM that local-mode executors share.
+
+Reference parity targets:
+  - KafkaLoader.java:87-97   (range-filtered logged_events SELECT)
+  - KafkaUserLoader.java:82-86 (full users scan)
+  - ThresholdAchievedProcessor.java:78-97 (insert of achieved rows)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from isaac_kafka_streaming_spark.sources.jdbc import (
+    read_logged_events_jdbc,
+    read_users_jdbc,
+    shape_logged_event,
+    shape_user_event,
+    write_jdbc,
+)
+
+DERBY_PROPS = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+
+
+def _url(name: str) -> str:
+    return f"jdbc:derby:memory:{name};create=true"
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def derby_ok(spark):
+    """Skip (not fail) if the bundled Derby cannot load in this JVM."""
+    try:
+        spark.createDataFrame([(1,)], "probe int").write.jdbc(
+            _url("probe"), "probe_t", mode="overwrite", properties=DERBY_PROPS
+        )
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"embedded Derby unavailable: {e}")
+
+
+def test_users_write_read_roundtrip(spark, derby_ok):
+    """S3: write.jdbc creates the table via the Derby dialect; the full
+    scan reads back value-identical rows, and the shaped user events
+    match the same shaping applied to the original frame."""
+    users = spark.createDataFrame(
+        [
+            (1, "Ada", "Lovelace", "STUDENT", _ts("2024-01-02T03:04:05")),
+            (2, "Max", None, "TEACHER", _ts("2024-02-03T04:05:06")),
+        ],
+        "user_id long, given_name string, family_name string, "
+        "role string, registration_date timestamp",
+    )
+    write_jdbc(users, _url("rt"), "users", mode="overwrite", properties=DERBY_PROPS)
+    back = read_users_jdbc(spark, _url("rt"), properties=DERBY_PROPS)
+    key = lambda df: sorted(map(tuple, df.select(*users.columns).collect()))  # noqa: E731
+    assert key(back) == key(users)
+    # the loader wrap (P5/P6 allow-list incl. null -> '' coalescing)
+    # produces identical events from the DB as from the source frame
+    assert sorted(map(tuple, shape_user_event(back).collect())) == sorted(
+        map(tuple, shape_user_event(users).collect())
+    )
+
+
+def test_logged_events_partitioned_range_read(spark, derby_ok):
+    """S2: the range lands as parallel partition predicates (4 range
+    queries), the exclusive-bounds filter matches the reference's
+    hand-written WHERE, and row shaping survives the DB round-trip."""
+    base = _ts("2024-03-01T00:00:00")
+    rows = [
+        (str(i % 3), i % 4 == 0, f"TYPE_{i % 2}", "dt", '{"k":1}', "10.0.0.1",
+         base + dt.timedelta(hours=i))
+        for i in range(48)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id string, anonymous_user boolean, event_type string, "
+        "event_details_type string, event_details string, "
+        "ip_address string, timestamp timestamp",
+    )
+    write_jdbc(ev, _url("rt"), "logged_events", mode="overwrite",
+               properties=DERBY_PROPS)
+    lo, hi = "2024-03-01 05:00:00", "2024-03-02 17:00:00"
+    got = read_logged_events_jdbc(
+        spark, _url("rt"), lo, hi, num_partitions=4, properties=DERBY_PROPS
+    )
+    assert got.rdd.getNumPartitions() == 4
+    expected = ev.filter((F.col("timestamp") > lo) & (F.col("timestamp") < hi))
+    assert sorted(map(tuple, got.select(*ev.columns).collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    shaped = shape_logged_event(got)
+    assert shaped.columns == [
+        "user_id", "anonymous_user", "event_type", "event_details_type",
+        "event_details", "ip_address", "timestamp",
+    ]
+    # epoch-millis conversion (KafkaLoader.java:108) checked on one row
+    one = shaped.filter(F.col("timestamp") > 0).first()
+    assert one.timestamp % 1000 == 0  # whole-second source timestamps
+
+
+def test_foreach_batch_jdbc_streaming_sink(spark, derby_ok, tmp_path_factory):
+    """K3: a real streaming query appends each microbatch to Derby via
+    foreachBatch; the final table equals the union of the batches
+    (ThresholdAchievedProcessor's insert, minus the PG-specific pool)."""
+    from isaac_kafka_streaming_spark.streaming.topology import foreach_batch_jdbc
+
+    src = tmp_path_factory.mktemp("ach_stream")
+    a = spark.createDataFrame(
+        [(1, 10), (2, 10)], "user_id long, threshold long"
+    )
+    b = spark.createDataFrame([(3, 20)], "user_id long, threshold long")
+    a.coalesce(1).write.parquet(str(src / "b0"))
+    b.coalesce(1).write.parquet(str(src / "b1"))
+    import glob
+    import os
+    import shutil
+
+    flat = tmp_path_factory.mktemp("ach_flat")
+    for i, sub in enumerate(["b0", "b1"]):
+        (f,) = glob.glob(str(src / sub / "part-*.parquet"))
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    # pre-create the sink table (append mode requires it to exist)
+    spark.createDataFrame([], "user_id long, threshold long").write.jdbc(
+        _url("rt"), "achievements", mode="overwrite", properties=DERBY_PROPS
+    )
+    stream = (
+        spark.readStream.schema("user_id long, threshold long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    q = foreach_batch_jdbc(
+        stream, _url("rt"), "achievements", properties=DERBY_PROPS,
+        checkpoint=str(tmp_path_factory.mktemp("ckpt")),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.jdbc(_url("rt"), "achievements", properties=DERBY_PROPS)
+    assert sorted(map(tuple, final.collect())) == [(1, 10), (2, 10), (3, 20)]
