@@ -81,13 +81,15 @@ def _parse(raw: DataFrame) -> DataFrame:
 
 
 def to_kafka_records(df: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """Shape a record stream for the kafka sink: key = user_id,
-    value = JSON of all payload columns (K1/K2,
-    LoggedEventsListener.java:88, KafkaLoader.java:112)."""
-    payload_cols = [c for c in df.columns if c != key_col]
+    """Shape a record stream for the kafka sink: key = user_id, value =
+    JSON of ALL columns — the key column included, duplicating it onto
+    the wire exactly as the reference does (KafkaLoader.java:104,112
+    puts user_id in the ObjectNode AND keys the ProducerRecord with it),
+    so `_parse(to_kafka_records(df))` is an identity on the payload
+    (K1/K2, LoggedEventsListener.java:88)."""
     return df.select(
         F.col(key_col).cast("string").alias("key"),
-        F.to_json(F.struct(*payload_cols)).alias("value"),
+        F.to_json(F.struct(*df.columns)).alias("value"),
     )
 
 

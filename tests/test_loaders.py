@@ -86,7 +86,8 @@ def test_to_kafka_records_key_value(spark):
     out = to_kafka_records(df).collect()[0]
     assert out.key == "7"
     payload = json.loads(out.value)
-    assert payload == {"event_type": "click", "value": 1.5}
+    # user_id rides in BOTH key and value (KafkaLoader.java:104,112)
+    assert payload == {"user_id": 7, "event_type": "click", "value": 1.5}
 
 
 def test_kafka_parse_roundtrip_and_zero_defaults(spark):
@@ -120,3 +121,51 @@ def test_kafka_parse_roundtrip_and_zero_defaults(spark):
     assert g.ts.isoformat().startswith("2015-06-01")
     s = out["u10"]
     assert (s.anonymous_user, s.event_type, s.event_ts_ms) == (False, "", 0)
+
+
+def test_kafka_serialize_parse_exact_roundtrip(spark):
+    """K1/K2 ∘ S1 as a composition: records shaped by to_kafka_records
+    parse back through _parse value-identical — the full producer ->
+    consumer contract minus the broker itself (none exists in the
+    container; see COVERAGE.md S1)."""
+    from isaac_kafka_streaming_spark.sources.kafka import _parse
+
+    src = spark.createDataFrame(
+        [
+            ("u1", False, "VIEW_PAGE", '{"p":"home"}', 1433160000000),
+            ("u2", True, "ANSWER_QUESTION", None, 1433163600000),
+        ],
+        "user_id string, anonymous_user boolean, event_type string, "
+        "event_details string, timestamp long",
+    )
+    wire = to_kafka_records(src)  # key string, value json-string
+    back = _parse(wire.withColumn("timestamp", F.current_timestamp()))
+    got = sorted(
+        (r.user_id, r.anonymous_user, r.event_type, r.event_ts_ms)
+        for r in back.collect()
+    )
+    want = sorted(
+        (r.user_id, r.anonymous_user, r.event_type, r.timestamp)
+        for r in src.collect()
+    )
+    assert got == want
+    # keys carry the partitioning contract: key == user_id
+    assert {r.key for r in wire.collect()} == {"u1", "u2"}
+
+
+def test_kafka_parse_malformed_json_zero_defaults(spark):
+    """A value that is not JSON at all must not poison the stream:
+    from_json yields a NULL struct and every field takes its
+    zero-default — the reference's Jackson .path() never-null contract
+    extended to unparseable payloads."""
+    from isaac_kafka_streaming_spark.sources.kafka import _parse
+
+    raw = spark.createDataFrame(
+        [(b"k1", b"not{json at all"), (b"k2", b""), (b"k3", None)],
+        schema="key binary, value binary",
+    ).withColumn("timestamp", F.current_timestamp())
+    rows = {r.kafka_key: r for r in _parse(raw).collect()}
+    assert len(rows) == 3  # no row dropped
+    for r in rows.values():
+        assert (r.user_id, r.anonymous_user, r.event_type) == ("", False, "")
+        assert r.event_ts_ms == 0 and r.event_details is None
