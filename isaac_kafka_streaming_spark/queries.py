@@ -94,6 +94,69 @@ def _last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _last_seen_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 presentation — the reference's store_user_last_seen byte
+    layout: one row per user, map event_type -> last-seen epoch-ms with
+    the OVERALL key (LoggedEventsListener.java:138-160), via the
+    last_seen_as_map operator.  Serialized to sorted-key JSON so the
+    driver can hash it against DuckDB (map cursors differ between
+    engines; JSON text doesn't)."""
+    ls = agg.last_seen(
+        views.registered_events(spark, sf_dir), "user_id", "event_type", "ts"
+    ).withColumn("last_seen", F.unix_millis("last_seen"))
+    m = agg.last_seen_as_map(ls, "user_id", "event_type")
+    return m.select(
+        "user_id", F.to_json("last_seen_by_type").alias("last_seen_json")
+    )
+
+
+def _daily_role_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 presentation — the reference's nested day -> role -> type ->
+    count store JSON (store_daily_log_events, LoggedEventsListener.java:
+    204-218).  JSON-serialized twin of daily_counts_as_map with
+    DETERMINISTIC key order at both levels: structs containing maps are
+    not orderable in Spark, so level 2 sorts struct(role, level1_json)
+    pairs (strings are orderable) and concatenates the entries
+    manually — byte-compatible with DuckDB's string_agg(... ORDER BY)."""
+    ev = views.registered_events(spark, sf_dir)
+    u = views.users(spark, sf_dir)
+    daily = agg.daily_counts(
+        enrich(ev, u, on="user_id"), "ts", ["role", "event_type"], alias="n"
+    )
+    lvl1 = daily.groupBy("day", "role").agg(
+        F.to_json(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("event_type", "n")))
+            )
+        ).alias("by_type_json")
+    )
+    entries = lvl1.groupBy("day").agg(
+        F.array_sort(
+            F.collect_list(F.struct("role", "by_type_json"))
+        ).alias("es")
+    )
+    return entries.select(
+        "day",
+        F.concat(
+            F.lit("{"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "es",
+                    # '"role":{...}' — plain quoting, not to_json (which
+                    # rejects bare strings); role values are enum-like
+                    # identifiers with nothing to escape, same on both
+                    # engines (oracle uses '"' || role || '"')
+                    lambda e: F.concat(
+                        F.lit('"'), e["role"], F.lit('":'), e["by_type_json"]
+                    ),
+                ),
+            ),
+            F.lit("}"),
+        ).alias("by_role_json"),
+    )
+
+
 def _user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O5 — gap sessionization (gap = 1 day) with reference streak units."""
     return sessionize(
@@ -529,6 +592,31 @@ REGISTRY: dict[str, QueryDef] = {
         ),
         "O4 full — day x role x type over J1-enriched stream",
     ),
+    "daily_role_type_map": QueryDef(
+        _daily_role_type_map,
+        oracle.with_views(
+            """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS day,
+                       u.role, e.event_type, COUNT(*) AS n
+                FROM registered_events e JOIN users u USING (user_id)
+                GROUP BY 1, 2, 3
+            ), lvl1 AS (
+                SELECT day, role,
+                       '{' || string_agg(to_json(event_type) || ':' || n,
+                              ',' ORDER BY event_type) || '}' AS by_type_json
+                FROM daily GROUP BY day, role
+            )
+            SELECT day,
+                   '{' || string_agg('"' || role || '":' || by_type_json,
+                          ',' ORDER BY role) || '}' AS by_role_json
+            FROM lvl1 GROUP BY day
+            """,
+            "registered_events",
+            "users",
+        ),
+        "O4 presentation — nested day->role->type store JSON",
+    ),
     "user_snapshot": QueryDef(
         _user_snapshot,
         oracle.with_views(
@@ -569,6 +657,26 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "O2 store_user_last_seen + OVERALL (LoggedEventsListener.java:138-160)",
+    ),
+    "last_seen_map": QueryDef(
+        _last_seen_map,
+        oracle.with_views(
+            """
+            WITH ls AS (
+                SELECT user_id, COALESCE(event_type, 'OVERALL') AS event_type,
+                       MAX(ts) AS last_seen
+                FROM registered_events
+                GROUP BY GROUPING SETS ((user_id, event_type), (user_id))
+            )
+            SELECT user_id,
+                   '{' || string_agg(to_json(event_type) || ':'
+                          || epoch_ms(last_seen), ',' ORDER BY event_type)
+                       || '}' AS last_seen_json
+            FROM ls GROUP BY user_id
+            """,
+            "registered_events",
+        ),
+        "O2 presentation — per-user map store layout as sorted-key JSON",
     ),
     "user_streaks": QueryDef(
         _user_streaks,
