@@ -24,6 +24,11 @@ from isaac_kafka_streaming_spark.session import get_spark  # noqa: E402
 # Headline set: one per operator family — scans+agg, star join, window
 # top-k, enrichment join + daily rollup, sessionization, threshold
 # ranks, JSON access, dedup tiers, similarity search, text analysis.
+# Round 2 widened it with the text-analysis queries and dedup_simhash so
+# regressions in the newest code surface in the per-round numbers.
+# Caveat (SCALE_DESIGN.md): min-of-3 reports the WARM floor — queries
+# that .cache() internally (minhash) hit plan-equality cache reuse on
+# repeats; cold cost is measured separately with clearCache between runs.
 HEADLINE = [
     "tpch_q1",
     "revenue_by_nation",
@@ -35,9 +40,15 @@ HEADLINE = [
     "props_k_stats",
     "dedup_normalized",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "knn_bruteforce",
     "token_counts",
     "text_quality",
+    "lang_id",
+    "tfidf_top_terms",
+    "doc_fingerprints",
+    "corpus_keep_list",
+    "lang_source_rollup",
 ]
 
 
@@ -73,6 +84,10 @@ def main() -> None:
         spark._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
+    # the round-1 headline set as a subtotal, so round-over-round totals
+    # stay comparable after the set was widened in round 2
+    R1_SET = HEADLINE[:10] + ["knn_bruteforce", "token_counts", "text_quality"]
+    r1_subtotal = round(sum(timings[q] for q in R1_SET if q in timings), 3)
     print(
         json.dumps(
             {
@@ -81,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "r1_headline_subtotal_sec": r1_subtotal,
             }
         )
     )
