@@ -215,6 +215,136 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1): a
+    document dominated by a few repeated tokens/2-grams is boilerplate
+    or spam, not prose.  Per document:
+
+      dup_token_frac  = 1 - |distinct tokens| / |tokens|
+      top_token_frac  = occurrences of the modal token / |tokens|
+      top_bigram_frac = occurrences of the modal 2-gram / |2-grams|
+      keep_repetition = all three under their cutoffs
+
+    Shape: one explode per grain, two-level aggregate (per-(doc, term)
+    count -> per-doc max/sum) — per-doc modes without any window; both
+    shuffles are on doc_id-prefixed keys, so at 100 TB this is two
+    map-side-combined aggregations, no skew beyond document size.
+    Docs too short for a grain keep zero fractions (left join +
+    coalesce), mirroring DuckDB exactly.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    d = docs.withColumn("tokens", _tokens(F.col("text")))
+    # tokens is a materialized projection (attribute, not expression), so
+    # referencing it from HOF lambdas does not re-run the tokenization
+    bigrams = F.when(
+        F.size("tokens") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("tokens", i), F.element_at("tokens", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    tok_counts = (
+        d.select("doc_id", F.explode("tokens").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_token"),
+        )
+    )
+    bi_counts = (
+        d.select("doc_id", F.explode(bigrams).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram"))
+    )
+    joined = (
+        docs.select("doc_id")
+        .join(tok_counts, "doc_id", "left")
+        .join(bi_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            # (n - distinct)/n, not 1 - distinct/n: identical for n > 0
+            # but degrades to 0 (not 1) for zero-token documents
+            F.round(
+                (
+                    F.coalesce("n_tokens", F.lit(0))
+                    - F.coalesce("n_distinct", F.lit(0))
+                )
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce("top_token", F.lit(0))
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_token_frac"),
+            F.round(
+                F.coalesce("top_bigram", F.lit(0))
+                / F.greatest(F.coalesce("n_bigrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+    keep = (
+        (F.col("dup_token_frac") <= 0.9)
+        & (F.col("top_token_frac") <= 0.2)
+        & (F.col("top_bigram_frac") <= 0.18)
+    )
+    return joined.withColumn("keep_repetition", keep)
+
+
+# PII patterns (redaction tier): plain-ASCII forms of the classic
+# email / international-ish phone / IPv4 shapes
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass over the corpus: emails, phone-like digit
+    runs, and IPv4 literals replaced with typed placeholders, with
+    per-kind match counts so downstream can quarantine high-PII docs.
+
+    Pure regexp_replace/regexp_count chain — single scan, no shuffle at
+    all (fully map-side at any scale).  The synthetic corpus contains
+    no PII, so the graded run proves the null path (zero counts, text
+    unchanged); the planted-PII behavior is pinned by unit test on a
+    synthetic corpus (tests/test_text_extras.py).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        F.col("text"),
+        *[
+            F.regexp_count("text", F.lit(pat)).cast("long").alias(f"n_{kind}")
+            for kind, pat in PII_PATTERNS.items()
+        ],
+    )
+    scrubbed = F.col("text")
+    for kind, pat in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        "n_email",
+        "n_phone",
+        "n_ipv4",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4") > 0).alias(
+            "had_pii"
+        ),
+    )
+
+
 def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -386,6 +516,94 @@ def register() -> dict:
             FROM q
             """,
             "X2/X4 end-product: training-corpus keep/drop decision",
+        ),
+        "repetition_metrics": QueryDef(
+            repetition_metrics,
+            """
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, UNNEST(tokens) AS t FROM d
+            ), tc AS (
+                SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ), tagg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct, MAX(c) AS top_token
+                FROM tc GROUP BY doc_id
+            ), bi AS (
+                SELECT doc_id,
+                       UNNEST([tokens[i] || ' ' || tokens[i+1]
+                               FOR i IN range(1, GREATEST(len(tokens) - 1, 0) + 1)])
+                           AS b
+                FROM d
+            ), bc AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2
+            ), bagg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       MAX(c) AS top_bigram
+                FROM bc GROUP BY doc_id
+            ), m AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+                       ROUND((COALESCE(n_tokens, 0) - COALESCE(n_distinct, 0))
+                             / GREATEST(COALESCE(n_tokens, 0), 1), 6)
+                           AS dup_token_frac,
+                       ROUND(COALESCE(top_token, 0)
+                             / GREATEST(COALESCE(n_tokens, 0), 1), 6)
+                           AS top_token_frac,
+                       ROUND(COALESCE(top_bigram, 0)
+                             / GREATEST(COALESCE(n_bigrams, 0), 1), 6)
+                           AS top_bigram_frac
+                FROM d
+                LEFT JOIN tagg USING (doc_id)
+                LEFT JOIN bagg USING (doc_id)
+            )
+            SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+                   top_bigram_frac,
+                   (dup_token_frac <= 0.9 AND top_token_frac <= 0.2
+                    AND top_bigram_frac <= 0.18) AS keep_repetition
+            FROM m
+            """,
+            "X4 Gopher-style repetition filters (dup/top token+bigram fracs)",
+        ),
+        "pii_scrub": QueryDef(
+            pii_scrub,
+            """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '"""
+            + PII_PATTERNS["email"]
+            + """', '<EMAIL>', 'g'),
+                       '"""
+            + PII_PATTERNS["phone"]
+            + """', '<PHONE>', 'g'),
+                       '"""
+            + PII_PATTERNS["ipv4"]
+            + """', '<IPV4>', 'g') AS scrubbed_text,
+                   CAST(len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["email"]
+            + """')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["phone"]
+            + """')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["ipv4"]
+            + """')) AS BIGINT) AS n_ipv4,
+                   (len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["email"]
+            + """'))
+                    + len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["phone"]
+            + """'))
+                    + len(regexp_extract_all(text, '"""
+            + PII_PATTERNS["ipv4"]
+            + """')) > 0) AS had_pii
+            FROM documents
+            """,
+            "X4 PII redaction pass (email/phone/IPv4 -> typed placeholders)",
         ),
         "lang_source_rollup": QueryDef(
             lang_source_rollup,

@@ -1,0 +1,74 @@
+"""Round-2 text-pipeline additions: repetition filters + PII scrub.
+
+The driver corpus is clean prose-soup (no PII, mild repetition), so the
+graded oracle rows prove the null path; these tests plant the
+pathologies the operators exist for and pin exact values.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from isaac_kafka_streaming_spark.extensions.text import pii_scrub, repetition_metrics
+
+
+@pytest.fixture(scope="module")
+def patho_dir(spark, tmp_path_factory) -> str:
+    base = tmp_path_factory.mktemp("patho")
+    rows = [
+        (0, "a a a a a"),                      # one token repeated
+        (1, "one two three four five"),        # all distinct
+        (2, "x y x y x y"),                    # repeated bigram
+        (3, "!!! ???"),                        # zero tokens
+        (4, "solo"),                           # one token, no bigrams
+        (5, "mail me at ada@example.com or call +1 (555) 123-4567 "
+            "from 10.0.0.1 thanks"),           # every PII kind
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    return str(base)
+
+
+def test_repetition_metrics_values(spark, patho_dir):
+    rows = {r.doc_id: r for r in repetition_metrics(spark, patho_dir).collect()}
+    assert len(rows) == 6  # zero-token docs keep a row (left join)
+
+    r0 = rows[0]  # "a a a a a"
+    assert (r0.n_tokens, r0.dup_token_frac, r0.top_token_frac) == (5, 0.8, 1.0)
+    assert r0.top_bigram_frac == 1.0 and not r0.keep_repetition
+
+    r1 = rows[1]  # all distinct
+    assert (r1.dup_token_frac, r1.top_token_frac, r1.top_bigram_frac) == (
+        0.0, 0.2, 0.25,
+    )
+
+    r2 = rows[2]  # "x y x y x y": top bigram "x y" 3 of 5
+    assert (r2.n_tokens, r2.top_token_frac, r2.top_bigram_frac) == (6, 0.5, 0.6)
+    assert r2.dup_token_frac == round(1 - 2 / 6, 6)
+    assert not r2.keep_repetition
+
+    r3 = rows[3]  # zero tokens: all-zero fractions, trivially keepable
+    assert (r3.n_tokens, r3.dup_token_frac, r3.top_bigram_frac) == (0, 0.0, 0.0)
+    assert r3.keep_repetition
+
+    r4 = rows[4]  # single token: no bigram grain
+    assert (r4.n_tokens, r4.top_bigram_frac) == (1, 0.0)
+
+
+def test_pii_scrub_plants_and_nulls(spark, patho_dir):
+    rows = {r.doc_id: r for r in pii_scrub(spark, patho_dir).collect()}
+
+    hot = rows[5]
+    assert (hot.n_email, hot.n_phone, hot.n_ipv4, hot.had_pii) == (1, 1, 1, True)
+    assert "<EMAIL>" in hot.scrubbed_text
+    assert "<PHONE>" in hot.scrubbed_text
+    assert "<IPV4>" in hot.scrubbed_text
+    assert "ada@example.com" not in hot.scrubbed_text
+    assert "555" not in hot.scrubbed_text
+    assert "10.0.0.1" not in hot.scrubbed_text
+
+    clean = rows[1]
+    assert (clean.n_email, clean.n_phone, clean.n_ipv4) == (0, 0, 0)
+    assert clean.scrubbed_text == "one two three four five"
+    assert not clean.had_pii
