@@ -529,6 +529,96 @@ def embedding_cosine_pairs(
     )
 
 
+def embedding_srp_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    num_planes: int = 3,
+    max_block_size: int | None = 100_000,
+) -> DataFrame:
+    """X2 (embedding scale tier) — signed-projection sub-blocked cosine
+    near-dup: the quadratic-capped form of embedding_cosine_pairs.
+
+    Pairs are compared only within (label, srp_bucket), where the
+    bucket is the K-bit sign pattern of the vector against K
+    DETERMINISTIC Hadamard-sign hyperplanes c(k, i) = (-1)^((i>>k)&1).
+    Determinism is the point: unlike the random-matrix LSH in
+    similarity.knn_lsh, both engines can evaluate the same planes with
+    the same index-order summation, so this *approximate* tier is
+    itself ORACLE-CHECKED — the DuckDB twin mirrors the bucketing
+    bit-for-bit rather than falling back to a rows-only check.
+
+    Scale shape: 2^K sub-blocks divide each label block's |B|^2 pair
+    space by ~2^K (uniform case); recall for a pair at angle θ is the
+    SRP collision law (1 - θ/π)^K — raise K for bigger corpora, at a
+    measured recall cost (pinned in tests/test_dedup_guards.py).  The
+    same lazy width guard as embedding_cosine_pairs applies per
+    (label, bucket), so a degenerate corpus fails loudly, never
+    silently quadratic.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    for k in range(num_planes):
+        emb = emb.withColumn(
+            f"dot{k}",
+            F.expr(
+                f"aggregate(sequence(0, size(v)-1), 0.0D, (acc, i) -> "
+                f"acc + element_at(v, i+1) * IF(((i >> {k}) & 1) = 0, 1.0D, -1.0D))"
+            ),
+        )
+    bucket = " + ".join(
+        f"(CAST((dot{k} >= 0.0D) AS BIGINT) << {k})" for k in range(num_planes)
+    )
+    emb = emb.withColumn("bucket", F.expr(bucket)).drop(
+        *[f"dot{k}" for k in range(num_planes)]
+    )
+    if max_block_size is not None:
+        block_n = emb.groupBy("label", "bucket").agg(
+            F.count("*").alias("_block_n")
+        )
+        guard = F.assert_true(
+            F.col("_block_n") <= max_block_size,
+            F.concat(
+                F.lit("embedding_srp_pairs: block ('"),
+                F.col("label"),
+                F.lit("', "),
+                F.col("bucket"),
+                F.lit(f") exceeds max_block_size={max_block_size}; raise "),
+                F.lit("num_planes for this corpus"),
+            ),
+        )
+        emb = (
+            emb.join(F.broadcast(block_n), ["label", "bucket"])
+            .filter(guard.isNull())
+            .drop("_block_n")
+        )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, v: acc + v
+    )
+    with_norm = emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = with_norm.alias("a")
+    b = with_norm.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.col("a.bucket").alias("bucket"),
+            "cosine",
+        )
+    )
+
+
 # -- registry ---------------------------------------------------------------
 
 
@@ -672,5 +762,39 @@ def register() -> dict:
             WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
             """,
             "X2 embedding-cosine near-dup (label-blocked)",
+        ),
+        "dedup_embedding_srp": QueryDef(
+            embedding_srp_pairs,
+            """
+            WITH e AS (
+                SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings
+            ), bucketed AS (
+                SELECT vec_id, label, v,
+                       sqrt(list_dot_product(v, v)) AS norm,
+                       (CAST(list_sum([v[i+1] * (CASE WHEN ((i >> 0) & 1) = 0
+                               THEN 1.0 ELSE -1.0 END)
+                               FOR i IN range(0, len(v))]) >= 0.0 AS BIGINT) << 0)
+                     + (CAST(list_sum([v[i+1] * (CASE WHEN ((i >> 1) & 1) = 0
+                               THEN 1.0 ELSE -1.0 END)
+                               FOR i IN range(0, len(v))]) >= 0.0 AS BIGINT) << 1)
+                     + (CAST(list_sum([v[i+1] * (CASE WHEN ((i >> 2) & 1) = 0
+                               THEN 1.0 ELSE -1.0 END)
+                               FOR i IN range(0, len(v))]) >= 0.0 AS BIGINT) << 2)
+                           AS bucket
+                FROM e
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+                   a.bucket AS bucket,
+                   ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                       AS cosine
+            FROM bucketed a
+            JOIN bucketed b
+              ON a.label = b.label AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+                  >= 0.3
+            """,
+            "X2 SRP sub-blocked embedding near-dup (oracle-checked scale tier)",
         ),
     }

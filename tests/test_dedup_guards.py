@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from isaac_kafka_streaming_spark.extensions.dedup import (
     embedding_cosine_pairs,
+    embedding_srp_pairs,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     unpersist_deps,
@@ -136,6 +137,31 @@ def test_embedding_guard_passes_within_cap(spark, sf_smoke):
         (r.vec_a, r.vec_b, r.label, r.cosine) for r in df.collect()
     )
     assert key(guarded) == key(unguarded) and key(guarded)
+
+
+def test_embedding_srp_subset_and_recall(spark, sf_smoke):
+    """The SRP sub-blocked tier returns a SUBSET of the exact
+    label-blocked pairs (same cosine values), with recall no worse than
+    the few-planes SRP collision floor on driver data."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_cosine_pairs(spark, sf_smoke).collect()
+    }
+    srp = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_srp_pairs(spark, sf_smoke).collect()
+    }
+    assert srp  # non-vacuous
+    assert set(srp) <= set(exact)
+    assert all(exact[k] == v for k, v in srp.items())
+    recall = len(srp) / len(exact)
+    assert recall >= 0.1, f"recall {recall:.2f} below floor"
+    # fewer planes -> strictly more candidates -> recall monotone
+    srp1 = {
+        (r.vec_a, r.vec_b)
+        for r in embedding_srp_pairs(spark, sf_smoke, num_planes=1).collect()
+    }
+    assert set(srp) <= srp1 <= set(exact)
 
 
 def test_embedding_guard_trips_on_dominant_label(spark, tmp_path_factory):
