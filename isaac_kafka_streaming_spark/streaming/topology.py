@@ -214,6 +214,38 @@ def streaming_enriched_events(
     )
 
 
+def streaming_dedup_normalized(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    ts_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """X1/X2 streaming form — normalized-hash dedup as a continuous
+    filter: the FIRST-ARRIVED document per normalized-text sha256
+    survives; later copies never leave the stream.
+
+    Batch twin: dedup_normalized / corpus_keep_list.is_canonical.
+    Documented deviation: batch canonicalizes by MIN(doc_id), a
+    total order the stream cannot see — arrival order replaces it
+    (the reference's stores have the same first-write-wins shape).
+
+    State: dropDuplicates keys the state store by hash — unbounded
+    over an infinite stream.  Pass ts_col+watermark to switch to
+    dropDuplicatesWithinWatermark, which expires per-key state once
+    the watermark passes it: the 100 TB/day form, trading "dups
+    farther apart than the watermark re-emerge" for bounded state.
+    """
+    norm = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
+    )
+    hashed = docs_stream.withColumn("text_hash", norm)
+    if ts_col is not None and watermark is not None:
+        return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["text_hash"]
+        )
+    return hashed.dropDuplicates(["text_hash"])
+
+
 def run_full_topology(
     spark: SparkSession,
     source_dir: str,
