@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import aggregations as agg
-from .operators.joins import enrich
+from .operators.joins import asof_join, enrich
 from .operators.sessionize import sessionize
 from .operators.thresholds import ACHIEVEMENT_THRESHOLDS, threshold_crossings
 from .plans import oracle, views
@@ -154,6 +154,24 @@ def _daily_role_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.lit("}"),
         ).alias("by_role_json"),
+    )
+
+
+def _purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join showcase — each purchase event annotated with the
+    user's most recent prior-or-same-time signup (ts + value), NULLs
+    when the purchase precedes every signup.  Oracle: DuckDB's native
+    ASOF LEFT JOIN; Spark side is operators.joins.asof_join (union +
+    keyed window carry — one shuffle)."""
+    ev = views.registered_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, signups, on="user_id", value_cols=["ts", "value"]
     )
 
 
@@ -677,6 +695,27 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "O2 presentation — per-user map store layout as sorted-key JSON",
+    ),
+    "purchase_asof_signup": QueryDef(
+        _purchase_asof_signup,
+        oracle.with_views(
+            """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value
+                FROM registered_events WHERE event_type = 'purchase'
+            ), s AS (
+                SELECT user_id, ts, MAX(value) AS value
+                FROM registered_events WHERE event_type = 'signup'
+                GROUP BY 1, 2
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   s.ts AS asof_ts, s.value AS asof_value
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            """,
+            "registered_events",
+        ),
+        "as-of join: purchase -> latest prior signup (time-series lookup)",
     ),
     "user_streaks": QueryDef(
         _user_streaks,

@@ -72,6 +72,41 @@ def test_latest_per_key_tiebreak(spark):
     assert len(out) == 1 and out[0].v == "second"
 
 
+def test_asof_join_semantics(spark):
+    """Backward as-of: greatest right_ts <= left_ts per key, inclusive
+    at equality, NULLs before the first right row, later rights
+    invisible."""
+    from isaac_kafka_streaming_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # before any snapshot
+            (2, "u1", _ts("2024-01-02T00:00:00")),  # == snapshot ts (tie)
+            (3, "u1", _ts("2024-01-03T12:00:00")),  # between snapshots
+            (4, "u2", _ts("2024-01-05T00:00:00")),  # other key
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-02T00:00:00"), 10.0),
+            ("u1", _ts("2024-01-03T00:00:00"), 20.0),
+            ("u1", _ts("2024-01-04T00:00:00"), 30.0),  # later: invisible to 1-3
+            ("u2", _ts("2024-01-01T00:00:00"), 99.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(left, right, on="user_id",
+                           value_cols=["ts", "value"]).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-02T00:00:00"), 10.0)
+    assert out[3] == (_ts("2024-01-03T00:00:00"), 20.0)
+    assert out[4] == (_ts("2024-01-01T00:00:00"), 99.0)
+
+
 def test_single_event_streak(spark):
     """One event -> one session, streak_units floor(0/1000/7) = 0."""
     df = spark.createDataFrame(
