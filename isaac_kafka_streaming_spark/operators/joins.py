@@ -109,6 +109,47 @@ def asof_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    band_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Banded range join: left rows matched to right rows where
+    left_ts lies in [right_start, right_start + band_seconds) for the
+    same key — the point-in-interval join Spark would otherwise plan as
+    a BroadcastNestedLoop/cartesian on the inequality.
+
+    Shape: both sides are bucketed into band-width time chunks; an
+    interval of width == chunk width can only overlap the chunk of its
+    start and the next one, so the right side explodes to exactly 2
+    chunk keys and the join is a plain EQUI-join on (key, chunk) with
+    the exact inequality applied as a post-filter.  One shuffle, 2x
+    duplication of the (smaller) interval side, no nested loop at any
+    scale — the standard banded-range-join rewrite that engines with a
+    range-join optimizer (and DuckDB's IEJoin) do internally.
+    """
+    chunk_l = F.floor(F.unix_micros(F.col(left_ts)) / (band_seconds * 1_000_000))
+    chunk_r = F.floor(
+        F.unix_micros(F.col(right_start)) / (band_seconds * 1_000_000)
+    )
+    l = left.withColumn("__chunk", chunk_l)
+    r = right.withColumn(
+        "__chunk", F.explode(F.array(chunk_r, chunk_r + 1))
+    )
+    cond = (
+        (F.col(left_ts) >= F.col(right_start))
+        & (
+            F.col(left_ts)
+            < F.col(right_start) + F.expr(f"INTERVAL {band_seconds} SECOND")
+        )
+    )
+    return l.join(r, on=[on, "__chunk"], how=how).filter(cond).drop("__chunk")
+
+
 def salted_join(
     facts: DataFrame,
     dim: DataFrame,

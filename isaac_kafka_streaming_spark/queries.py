@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import aggregations as agg
-from .operators.joins import asof_join, enrich
+from .operators.joins import asof_join, enrich, interval_join
 from .operators.sessionize import sessionize
 from .operators.thresholds import ACHIEVEMENT_THRESHOLDS, threshold_crossings
 from .plans import oracle, views
@@ -172,6 +172,37 @@ def _purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return asof_join(
         purchases, signups, on="user_id", value_cols=["ts", "value"]
+    )
+
+
+def _purchases_within_day_of_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-join showcase — (purchase, signup) pairs where the purchase
+    lands inside [signup_ts, signup_ts + 1 day): attribution-window
+    semantics.  Spark side is the banded equi-join rewrite
+    (operators.joins.interval_join); oracle is DuckDB's plain
+    inequality join (its optimizer plans IEJoin natively)."""
+    ev = views.registered_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    return interval_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_start="signup_ts",
+        band_seconds=86400,
+    ).select(
+        "purchase_id", "user_id", "purchase_ts", "purchase_value",
+        "signup_id", "signup_ts",
     )
 
 
@@ -716,6 +747,28 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "as-of join: purchase -> latest prior signup (time-series lookup)",
+    ),
+    "purchases_within_day_of_signup": QueryDef(
+        _purchases_within_day_of_signup,
+        oracle.with_views(
+            """
+            WITH p AS (
+                SELECT event_id AS purchase_id, user_id,
+                       ts AS purchase_ts, value AS purchase_value
+                FROM registered_events WHERE event_type = 'purchase'
+            ), s AS (
+                SELECT event_id AS signup_id, user_id, ts AS signup_ts
+                FROM registered_events WHERE event_type = 'signup'
+            )
+            SELECT purchase_id, user_id, purchase_ts, purchase_value,
+                   signup_id, signup_ts
+            FROM p JOIN s USING (user_id)
+            WHERE purchase_ts >= signup_ts
+              AND purchase_ts < signup_ts + INTERVAL 1 DAY
+            """,
+            "registered_events",
+        ),
+        "banded range join: purchases inside a 1-day signup window",
     ),
     "user_streaks": QueryDef(
         _user_streaks,

@@ -107,6 +107,50 @@ def test_asof_join_semantics(spark):
     assert out[4] == (_ts("2024-01-01T00:00:00"), 99.0)
 
 
+def test_interval_join_matches_naive_inequality(spark):
+    """The banded equi-join rewrite must equal the naive inequality
+    join row-for-row, including chunk-boundary and half-open-edge
+    cases."""
+    from isaac_kafka_streaming_spark.operators.joins import interval_join
+
+    base = _ts("2024-01-01T00:00:00")
+    left = spark.createDataFrame(
+        [
+            # on the interval start (inclusive), just under the end,
+            # exactly the end (excluded), crossing a chunk boundary
+            (i, "u1", base + dt.timedelta(seconds=s))
+            for i, s in enumerate([0, 3599, 3600, 5400, 7199, 7200, 10000])
+        ],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, "u1", base),
+            (101, "u1", base + dt.timedelta(seconds=5400)),  # mid-chunk start
+            (102, "u2", base),  # other key: never matches
+        ],
+        "iv_id long, user_id string, start timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.iv_id)
+        for r in interval_join(
+            left, right, on="user_id", left_ts="ts",
+            right_start="start", band_seconds=3600,
+        ).collect()
+    )
+    naive = sorted(
+        (r.event_id, r.iv_id)
+        for r in left.join(right, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("start"))
+            & (F.col("ts") < F.col("start") + F.expr("INTERVAL 3600 SECOND"))
+        )
+        .collect()
+    )
+    assert got == naive
+    assert got == [(0, 100), (1, 100), (3, 101), (4, 101), (5, 101)]
+
+
 def test_single_event_streak(spark):
     """One event -> one session, streak_units floor(0/1000/7) = 0."""
     df = spark.createDataFrame(
