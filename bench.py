@@ -49,6 +49,10 @@ HEADLINE = [
     "doc_fingerprints",
     "corpus_keep_list",
     "lang_source_rollup",
+    "repetition_metrics",
+    "dedup_embedding_srp",
+    "purchase_asof_signup",
+    "purchases_within_day_of_signup",
 ]
 
 

@@ -559,20 +559,16 @@ def embedding_srp_pairs(
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    for k in range(num_planes):
-        emb = emb.withColumn(
-            f"dot{k}",
-            F.expr(
-                f"aggregate(sequence(0, size(v)-1), 0.0D, (acc, i) -> "
-                f"acc + element_at(v, i+1) * IF(((i >> {k}) & 1) = 0, 1.0D, -1.0D))"
-            ),
-        )
+    # one select, one composite expr: chaining K withColumns re-analyzes
+    # the HOF-bearing plan K times (measured ~0.8s of pure driver-side
+    # analysis at K=3 — same py4j/analysis lesson as simhash)
     bucket = " + ".join(
-        f"(CAST((dot{k} >= 0.0D) AS BIGINT) << {k})" for k in range(num_planes)
+        f"(CAST((aggregate(sequence(0, size(v)-1), 0.0D, (acc, i) -> "
+        f"acc + element_at(v, i+1) * IF(((i >> {k}) & 1) = 0, 1.0D, -1.0D)"
+        f") >= 0.0D) AS BIGINT) << {k})"
+        for k in range(num_planes)
     )
-    emb = emb.withColumn("bucket", F.expr(bucket)).drop(
-        *[f"dot{k}" for k in range(num_planes)]
-    )
+    emb = emb.select("vec_id", "label", "v", F.expr(bucket).alias("bucket"))
     if max_block_size is not None:
         block_n = emb.groupBy("label", "bucket").agg(
             F.count("*").alias("_block_n")
