@@ -157,6 +157,28 @@ def _daily_role_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (p25/p50/p90/p95/p99) — the
+    distribution summary every metrics pipeline wants next to counts.
+
+    `percentile` is the EXACT aggregate (linear interpolation, same
+    definition as DuckDB quantile_cont, so the oracle matches
+    bit-for-bit before rounding).  Exactness costs a per-group sort at
+    scale; for 100 TB groups swap in approx_percentile (t-digest,
+    bounded memory) at a declared error — kept exact here because the
+    oracle-graded tier is the correctness baseline."""
+    ev = views.registered_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q}D)"), 4).alias(
+                f"p{int(q * 100)}"
+            )
+            for q in (0.25, 0.5, 0.9, 0.95, 0.99)
+        ],
+        F.count("*").alias("n_events"),
+    )
+
+
 def _purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join showcase — each purchase event annotated with the
     user's most recent prior-or-same-time signup (ts + value), NULLs
@@ -457,6 +479,32 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape — promo revenue share per ship-month: fact filtered by
+    time, dimension (part) broadcast, conditional aggregation.  The
+    CASE rides inside the same partial agg as the total, so promo share
+    costs nothing over a plain monthly rollup."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.round(F.sum(rev), 4).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def _tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q6 shape — pure scan + conjunctive filter + single agg; its whole
     point is filter pushdown (the scan must receive every predicate)."""
@@ -726,6 +774,23 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "O2 presentation — per-user map store layout as sorted-key JSON",
+    ),
+    "value_quantiles": QueryDef(
+        _value_quantiles,
+        oracle.with_views(
+            """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(value, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.90), 4) AS p90,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   ROUND(quantile_cont(value, 0.99), 4) AS p99,
+                   COUNT(*) AS n_events
+            FROM registered_events GROUP BY event_type
+            """,
+            "registered_events",
+        ),
+        "exact per-type value quantiles (percentile == quantile_cont)",
     ),
     "purchase_asof_signup": QueryDef(
         _purchase_asof_signup,
@@ -1040,6 +1105,22 @@ REGISTRY: dict[str, QueryDef] = {
           AND l_quantity < 24
         """,
         "TPC-H Q6-shaped filter+agg (pushdown showcase)",
+    ),
+    "tpch_q14": QueryDef(
+        _tpch_q14,
+        """
+        SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+               ROUND(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END) * 100.0
+                     / SUM(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_share_pct,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+        """,
+        "TPC-H Q14-shaped promo share (broadcast dim + conditional agg)",
     ),
     "tpch_q3": QueryDef(
         _tpch_q3,
