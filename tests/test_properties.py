@@ -191,3 +191,114 @@ def test_minhash_identical_docs_always_candidates(spark, pairs):
     }
     if 1 in sigs:  # docs with <3 tokens have no shingles/signature
         assert sigs[1] == sigs[2]
+
+
+joinable_strategy = st.tuples(
+    st.lists(  # left probes: (user, offset)
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=100_000),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(  # right anchors: (user, offset, value)
+        st.tuples(
+            st.integers(min_value=1, max_value=4),
+            st.integers(min_value=0, max_value=100_000),
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+)
+
+
+@given(data=joinable_strategy)
+@_settings
+def test_asof_join_equals_naive_argmax(spark, data):
+    """asof_join == per-left-row argmax over right rows with
+    right_ts <= left_ts (same key), on arbitrary generated streams —
+    including duplicate timestamps on both sides."""
+    from isaac_kafka_streaming_spark.operators.joins import asof_join
+
+    lpairs, rpairs = data
+    left = spark.createDataFrame(
+        [
+            (i, uid, BASE + dt.timedelta(seconds=off))
+            for i, (uid, off) in enumerate(lpairs)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (uid, BASE + dt.timedelta(seconds=off), v)
+            for uid, off, v in rpairs
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.event_id: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["ts", "value"]
+        ).collect()
+    }
+    # naive reference: python argmax with the SAME deterministic
+    # tiebreak (max value among equal (key, ts) right rows)
+    best = {}
+    for uid, off, v in rpairs:
+        ts = BASE + dt.timedelta(seconds=off)
+        cur = best.get((uid, ts))
+        best[(uid, ts)] = v if cur is None else max(cur, v)
+    want = {}
+    for i, (uid, off) in enumerate(lpairs):
+        lts = BASE + dt.timedelta(seconds=off)
+        cands = [
+            (ts, v) for (u, ts), v in best.items() if u == uid and ts <= lts
+        ]
+        want[i] = max(cands) if cands else (None, None)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
+
+
+@given(data=joinable_strategy)
+@_settings
+def test_interval_join_equals_naive_inequality(spark, data):
+    """Banded rewrite == naive inequality join on arbitrary generated
+    streams (band boundaries land wherever hypothesis puts them)."""
+    from isaac_kafka_streaming_spark.operators.joins import interval_join
+
+    lpairs, rpairs = data
+    band = 7200
+    left = spark.createDataFrame(
+        [
+            (i, uid, BASE + dt.timedelta(seconds=off))
+            for i, (uid, off) in enumerate(lpairs)
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, uid, BASE + dt.timedelta(seconds=off))
+            for j, (uid, off, _) in enumerate(rpairs)
+        ],
+        "iv_id long, user_id long, start timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.iv_id)
+        for r in interval_join(
+            left, right, on="user_id", left_ts="ts",
+            right_start="start", band_seconds=band,
+        ).collect()
+    )
+    naive = sorted(
+        (r.event_id, r.iv_id)
+        for r in left.join(right, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("start"))
+            & (F.col("ts") < F.col("start") + F.expr(f"INTERVAL {band} SECOND"))
+        )
+        .collect()
+    )
+    assert got == naive
