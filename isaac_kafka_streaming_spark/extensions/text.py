@@ -180,7 +180,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df derived FROM tf (one row per (doc, token) -> COUNT(*) == distinct
+    # docs): replaces COUNT(DISTINCT doc_id) — a two-level distinct
+    # aggregation over the full exploded token stream — with a plain
+    # count over the already-collapsed tf rows.  Measured 3.1 s -> 1.7 s
+    # warm at sf0.1.  (The tokenize+explode itself still appears in both
+    # branches' lineage — at 100 TB materialize `tok`/`tf` to a temp
+    # table to make the sharing physical.)
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_total"))
     scored = (
         tf.join(F.broadcast(df_), "token")
@@ -488,8 +495,8 @@ def register() -> dict:
                 SELECT doc_id, token, COUNT(*) AS tf
                 FROM tok GROUP BY doc_id, token
             ), df AS (
-                SELECT token, COUNT(DISTINCT doc_id) AS df
-                FROM tok GROUP BY token
+                SELECT token, COUNT(*) AS df
+                FROM tf GROUP BY token
             ), n AS (SELECT COUNT(*) AS n_total FROM documents),
             scored AS (
                 SELECT tf.doc_id, tf.token, tf.tf, df.df,
