@@ -38,12 +38,20 @@ def _n_in(tokens_col, words: tuple[str, ...]):
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token histogram: occurrences + document frequency."""
+    """Corpus token histogram: occurrences + document frequency.
+
+    Two chained aggregates instead of count + COUNT(DISTINCT) in one:
+    the per-(doc, token) pre-aggregation is map-side combinable and
+    collapses the exploded stream before the per-token level, where
+    n_docs becomes a plain COUNT(*) — no distinct aggregation anywhere.
+    The hot-key risk ("the" at 100 TB) lands on the SECOND, collapsed
+    level, bounded by |docs| not |occurrences|."""
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    return tok.groupBy("token").agg(
-        F.count("*").alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("c").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
     )
 
 
