@@ -7,9 +7,9 @@ from __future__ import annotations
 
 
 def register() -> dict:
-    from . import dedup, multimodal, sampling, similarity, text
+    from . import dedup, multimodal, packing, sampling, similarity, text
 
     reg: dict = {}
-    for mod in (dedup, multimodal, sampling, similarity, text):
+    for mod in (dedup, multimodal, packing, sampling, similarity, text):
         reg.update(mod.register())
     return reg

@@ -1,0 +1,182 @@
+"""Training-batch assembly — deterministic corpus shuffle/shard and
+GPT-style concat-and-chunk token packing, as relational plans.
+
+An LLM training pipeline ends with two layout decisions that are easy
+to get wrong at 100 TB:
+
+* **Global shuffle + sharding** for the dataloader.  A true global
+  ``ORDER BY rand()`` is a total-order sort (one straggler reducer owns
+  the merge) and is irreproducible across engines.  Instead: shard =
+  md5-bucket of doc_id, order within shard = the same md5 — a
+  deterministic permutation that both Spark and DuckDB compute
+  identically, with each shard an independent window partition.  At scale,
+  shards map 1:1 onto output files and pack in parallel; the per-shard
+  sort is bounded by |corpus| / n_shards, not |corpus|.
+
+* **Concat-and-chunk packing** (GPT-style): concatenate documents in
+  shuffle order, slice into fixed ``ctx``-token windows.  The chunk
+  assignment of every document is a pure function of the exclusive
+  running token sum within its shard — one window aggregate, no state
+  machine, no driver loop.  Documents may straddle chunk boundaries
+  (``chunk_first < chunk_last``); zero-token documents occupy no chunk.
+
+Both decisions are keyed by document identity only (never row order or
+partition layout), so appending data never reassigns existing docs and
+the whole plan is oracle-checkable against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from .text import _tokens
+
+N_SHARDS = 16
+CTX_TOKENS = 128
+
+
+def _sharded(docs: DataFrame, n_shards: int, *extra_cols) -> DataFrame:
+    """doc_id + shuffle hash + shard bucket (+ caller extras), one select."""
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id", h.alias("h"), *extra_cols
+    ).withColumn(
+        "shard",
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("long") % n_shards,
+    )
+
+
+def corpus_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = N_SHARDS
+) -> DataFrame:
+    """Deterministic global shuffle: (shard, position) per document.
+
+    position is a row_number within the shard ordered by the md5 hash —
+    the dataloader reads shard files sequentially and sees a stable
+    pseudo-random document order.  The window partitions by shard, so
+    the sort parallelizes across shards (no global total order)."""
+    base = _sharded(read_table(spark, sf_dir, "documents"), n_shards)
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+    )
+
+
+def concat_chunk_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    ctx: int = CTX_TOKENS,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Concat-and-chunk packing plan: for each document, the half-open
+    range of ``ctx``-token training chunks it lands in after the corpus
+    is concatenated in shard/shuffle order.
+
+    tok_offset is the exclusive prefix sum of token counts within the
+    shard (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING — the one shuffle in
+    the plan, partitioned by shard); chunk ids are integer division of
+    the offset range.  n_chunks sums to ceil(shard_tokens / ctx) spread
+    over documents, and a downstream writer can explode the range to
+    materialize chunk rows without re-reading text."""
+    base = _sharded(
+        read_table(spark, sf_dir, "documents"),
+        n_shards,
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        .cast("long")
+        .alias("tok_offset"),
+    )
+    last_tok = F.col("tok_offset") + F.greatest(
+        F.col("n_tokens") - 1, F.lit(0)
+    )
+    return with_off.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / ctx).cast("long").alias("chunk_first"),
+        F.floor(last_tok / ctx).cast("long").alias("chunk_last"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor(last_tok / ctx) - F.floor(F.col("tok_offset") / ctx) + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_chunks"),
+    )
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    # DuckDB-side first-4-hex-digits value (no conv() there)
+    def hx(i: int) -> str:
+        return f"(position(substr(h, {i}, 1) IN '0123456789abcdef') - 1)"
+
+    val4 = f"((({hx(1)} * 16 + {hx(2)}) * 16 + {hx(3)}) * 16 + {hx(4)})"
+
+    shard_cte = f"""
+        WITH d AS (
+            SELECT doc_id,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS h,
+                   len(list_filter(regexp_split_to_array(lower(text),
+                       '[^a-z0-9]+'), t -> t <> '')) AS n_tokens
+            FROM documents
+        ), s AS (
+            SELECT doc_id, h, n_tokens,
+                   CAST({val4} % {N_SHARDS} AS BIGINT) AS shard
+            FROM d
+        )
+    """
+
+    return {
+        "corpus_shards": QueryDef(
+            corpus_shards,
+            shard_cte
+            + """
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                        ORDER BY h, doc_id) AS BIGINT) AS position
+            FROM s
+            """,
+            "deterministic dataloader shuffle: md5 shard + position",
+        ),
+        "concat_chunk_plan": QueryDef(
+            concat_chunk_plan,
+            shard_cte
+            + f"""
+            , o AS (
+                SELECT doc_id, shard, n_tokens,
+                       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+                           ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+                FROM s
+            )
+            SELECT doc_id, shard, n_tokens, tok_offset,
+                   CAST(tok_offset // {CTX_TOKENS} AS BIGINT) AS chunk_first,
+                   CAST((tok_offset + GREATEST(n_tokens - 1, 0))
+                        // {CTX_TOKENS} AS BIGINT) AS chunk_last,
+                   CAST(CASE WHEN n_tokens > 0
+                        THEN (tok_offset + n_tokens - 1) // {CTX_TOKENS}
+                             - tok_offset // {CTX_TOKENS} + 1
+                        ELSE 0 END AS BIGINT) AS n_chunks
+            FROM o
+            """,
+            "GPT-style concat-and-chunk token packing plan",
+        ),
+    }

@@ -595,6 +595,38 @@ def _tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape — aggregated semi-join (HAVING subquery): large-volume
+    orders.  The lineitem aggregate is computed ONCE and reused as both
+    the qualifier and the output sum — vs the literal IN-subquery plan
+    (two lineitem scans) this halves the big-table I/O at 100 TB; the
+    orders/customer joins then run only on the qualifying minority, and
+    the qualifier is a map-side-combinable sum on the join key (no
+    distinct, no skew beyond the natural orderkey fan-in)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    qual = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 160)
+    )
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        qual.join(orders, qual.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
 def _orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-join (EXISTS) surface: orders having >=1 returned lineitem.
     Catalyst plans a left-semi hash join — the build side carries only
@@ -1165,6 +1197,23 @@ REGISTRY: dict[str, QueryDef] = {
         GROUP BY n_name
         """,
         "TPC-H Q5-shaped 6-way star join",
+    ),
+    "tpch_q18": QueryDef(
+        _tpch_q18,
+        """
+        WITH qual AS (
+            SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING ROUND(SUM(l_quantity), 4) > 160
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM qual
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+        "TPC-H Q18-shaped aggregated semi-join (HAVING subquery)",
     ),
     "orders_with_returns": QueryDef(
         _orders_with_returns,

@@ -12,6 +12,7 @@ import math
 import os
 
 import duckdb
+import pandas as pd
 import pytest
 
 from isaac_kafka_streaming_spark.io import TABLES
@@ -39,8 +40,15 @@ def _normalize(df):
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _is_scalar_na(v) -> bool:
+    # pd.isna on list-valued cells returns an array; only scalars count.
+    if isinstance(v, (list, tuple)) or hasattr(v, "__len__"):
+        return False
+    return bool(pd.isna(v))
+
+
 def _values_equal(a, b) -> bool:
-    if a is None and b is None:
+    if _is_scalar_na(a) and _is_scalar_na(b):
         return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):

@@ -1,0 +1,53 @@
+"""Packing invariants — properties the oracle hash can't see.
+
+The parity test proves Spark == DuckDB row-for-row; these pin the
+semantics both engines are supposed to share: dense per-shard
+positions, prefix-sum offsets, and chunk ranges that tile each shard's
+token stream exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from isaac_kafka_streaming_spark.extensions.packing import (
+    CTX_TOKENS,
+    N_SHARDS,
+    concat_chunk_plan,
+    corpus_shards,
+)
+
+
+def test_corpus_shards_dense_positions(spark, sf_smoke):
+    pdf = corpus_shards(spark, sf_smoke).toPandas()
+    assert pdf.doc_id.is_unique
+    assert pdf.shard.between(0, N_SHARDS - 1).all()
+    for _, g in pdf.groupby("shard"):
+        assert sorted(g.position) == list(range(1, len(g) + 1))
+
+
+def test_concat_chunk_tiles_each_shard(spark, sf_smoke):
+    pdf = concat_chunk_plan(spark, sf_smoke).toPandas()
+    assert pdf.doc_id.is_unique
+    assert (pdf.n_tokens >= 0).all()
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values("tok_offset")
+        total = int(g.n_tokens.sum())
+        # offsets are the exclusive prefix sum of token counts
+        assert list(g.tok_offset) == [
+            int(c) for c in ([0] + list(g.n_tokens.cumsum()[:-1]))
+        ]
+        nonzero = g[g.n_tokens > 0]
+        if total:
+            # chunk ids tile [0, ceil(total/ctx)) with no gaps
+            assert int(nonzero.chunk_last.max()) == math.ceil(
+                total / CTX_TOKENS
+            ) - 1
+            covered = set()
+            for r in nonzero.itertuples():
+                assert r.chunk_first == r.tok_offset // CTX_TOKENS
+                assert r.n_chunks == r.chunk_last - r.chunk_first + 1
+                covered.update(range(r.chunk_first, r.chunk_last + 1))
+            assert covered == set(range(math.ceil(total / CTX_TOKENS)))
+        # zero-token docs occupy no chunk
+        assert (g[g.n_tokens == 0].n_chunks == 0).all()
