@@ -53,6 +53,8 @@ HEADLINE = [
     "dedup_embedding_srp",
     "purchase_asof_signup",
     "purchases_within_day_of_signup",
+    "tpch_q18",
+    "concat_chunk_plan",
 ]
 
 
