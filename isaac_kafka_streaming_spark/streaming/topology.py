@@ -246,6 +246,41 @@ def streaming_dedup_normalized(
     return hashed.dropDuplicates(["text_hash"])
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_start: str,
+    band_seconds: int,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-stream inner join within a per-key time band — the
+    continuous form of operators.joins.interval_join (attribution
+    windows over live streams; beyond the reference, which only joins
+    stream⋈table).
+
+    Structured Streaming buffers BOTH sides in state and emits matches
+    as they arrive; the watermarks plus the time-range condition let it
+    expire state — a left row can stop waiting once the watermark
+    passes left_ts, a right row once it passes right_start +
+    band_seconds.  `watermark` is the lateness bound; state per key is
+    O(rows within watermark + band), not O(stream).  Batch/stream
+    parity is asserted in tests/test_streaming.py.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_start, watermark)
+    cond = (
+        (l[on] == r[on])
+        & (l[left_ts] >= r[right_start])
+        & (
+            l[left_ts]
+            < r[right_start] + F.expr(f"INTERVAL {band_seconds} SECOND")
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[on])
+
+
 def run_full_topology(
     spark: SparkSession,
     source_dir: str,

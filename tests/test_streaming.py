@@ -406,3 +406,57 @@ def test_streaming_dedup_within_watermark_form(spark, sf_smoke, tmp_path_factory
         output_mode="append",
     ).collect()
     assert len(got) == dedup_normalized(spark, sf_smoke).count()
+
+
+def test_streaming_interval_join_parity(spark, sf_smoke, events_stream_dir):
+    """Stream-stream banded join: (purchase, signup) attribution pairs
+    from two branches of the same event stream must equal the batch
+    interval_join at the same band.  Watermark is set far above the
+    corpus's event-time span so no row can be classed late regardless
+    of file arrival order."""
+    from isaac_kafka_streaming_spark.operators.joins import interval_join
+
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    purchases = reg.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    signups = reg.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    got = st.run_to_memory(
+        st.streaming_interval_join(
+            purchases,
+            signups,
+            on="user_id",
+            left_ts="purchase_ts",
+            right_start="signup_ts",
+            band_seconds=86400,
+            watermark="3650 days",
+        ),
+        "j_stream_interval",
+        output_mode="append",
+    )
+
+    ev = views.registered_events(spark, sf_smoke)
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    bs = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+    )
+    want = interval_join(
+        bp, bs, on="user_id", left_ts="purchase_ts",
+        right_start="signup_ts", band_seconds=86400,
+    )
+    cols = ("purchase_id", "signup_id", "user_id")
+    assert _rows(got, *cols) == _rows(want, *cols)
+    assert got.count() == want.count()  # no dup emissions either
