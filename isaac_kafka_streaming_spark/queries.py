@@ -179,6 +179,33 @@ def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier of the metrics summaries — the shapes that replace
+    their exact twins at 100 TB:
+
+    * ``approx_count_distinct`` (HyperLogLog++): mergeable fixed-size
+      registers instead of a distinct-shuffle whose state is O(keys);
+      ~2.3%/sqrt(2^p) standard error at the default rsd=0.05.
+    * ``approx_percentile`` (Greenwald-Khanna summaries): bounded
+      memory per group instead of value_quantiles' per-group sort.
+
+    Both are deterministic for a fixed input (hash-based, no RNG) but
+    implementation-defined, so there is no DuckDB oracle — the driver
+    records a rows-only check and tests/test_operators.py pins the
+    relative error against the exact aggregates instead."""
+    ev = views.registered_events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5D, 10000)"), 4).alias(
+            "approx_p50"
+        ),
+        F.round(F.expr("approx_percentile(value, 0.95D, 10000)"), 4).alias(
+            "approx_p95"
+        ),
+        F.count("*").alias("n_events"),
+    )
+
+
 def _purchase_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join showcase — each purchase event annotated with the
     user's most recent prior-or-same-time signup (ts + value), NULLs
@@ -823,6 +850,12 @@ REGISTRY: dict[str, QueryDef] = {
             "registered_events",
         ),
         "exact per-type value quantiles (percentile == quantile_cont)",
+    ),
+    "sketch_summaries": QueryDef(
+        _sketch_summaries,
+        None,  # sketch values are implementation-defined; error bounds
+        # vs the exact twins are pinned in tests/test_operators.py
+        "HLL++ distinct users + GK approx percentiles per event type",
     ),
     "purchase_asof_signup": QueryDef(
         _purchase_asof_signup,

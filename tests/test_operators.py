@@ -297,3 +297,36 @@ def test_connected_components_chain_and_isolate(spark):
         r.node: r.comp for r in connected_components(edges).collect()
     }
     assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 9: 9, 10: 9}
+
+
+def test_sketch_summaries_error_bounds(spark, sf_smoke):
+    """The sketch tier must track its exact twins within declared
+    error: HLL++ rsd=0.05 (assert 3 sigma = 15%), approx_percentile at
+    accuracy=10000 has rank error <= 1/10000 (assert the sketch value
+    lies between neighboring exact quantiles with slack)."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+
+    reg = all_queries()
+    sk = {r.event_type: r for r in
+          reg["sketch_summaries"].fn(spark, sf_smoke).collect()}
+    from isaac_kafka_streaming_spark.plans import views as v
+    from pyspark.sql import functions as F
+
+    ev = v.registered_events(spark, sf_smoke)
+    exact = {r.event_type: r for r in ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.expr("percentile(value, 0.45D)").alias("p45"),
+        F.expr("percentile(value, 0.5D)").alias("p50"),
+        F.expr("percentile(value, 0.55D)").alias("p55"),
+        F.expr("percentile(value, 0.90D)").alias("p90"),
+        F.expr("percentile(value, 0.95D)").alias("p95"),
+        F.expr("percentile(value, 0.99D)").alias("p99"),
+        F.count("*").alias("n"),
+    ).collect()}
+    assert set(sk) == set(exact)
+    for et, s in sk.items():
+        e = exact[et]
+        assert abs(s.approx_users - e.users) <= max(0.15 * e.users, 1), et
+        assert e.p45 <= s.approx_p50 <= e.p55, et
+        assert e.p90 <= s.approx_p95 <= e.p99, et
+        assert s.n_events == e.n, et
