@@ -78,3 +78,35 @@ def test_single_exchange_for_sessionize(spark, sf_smoke):
     plan = _executed_plan(spark, "user_streaks", sf_smoke)
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 1, f"sessionize shuffles {n_shuffles}x"
+
+
+def test_q18_scans_lineitem_once(spark, sf_smoke):
+    """The HAVING-subquery rewrite must not expand into two lineitem
+    scans (qualifier + output sum are the same aggregate)."""
+    plan = _formatted(spark, "tpch_q18", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "lineitem.parquet" in l and "Location" in l
+    ]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_concat_chunk_single_exchange(spark, sf_smoke):
+    """Packing is ONE shard-partitioned shuffle; chunk ids must stay
+    pure projections (no global sort, no second exchange)."""
+    plan = _executed_plan(spark, "concat_chunk_plan", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan  # a global ORDER BY crept in
+
+
+def test_sketch_summaries_partial_agg_no_expand(spark, sf_smoke):
+    """HLL++/GK sketches must partial-aggregate map-side and never fall
+    back to the distinct-Expand plan."""
+    plan = _executed_plan(spark, "sketch_summaries", sf_smoke)
+    assert "Expand" not in plan
+    # executedPlan prints top-down: the partial (map-side) sketch agg
+    # must sit BELOW the one exchange
+    assert plan.index("partial_approx_count_distinct") > plan.index(
+        "Exchange"
+    )
+    assert plan.count("Exchange") == 1
