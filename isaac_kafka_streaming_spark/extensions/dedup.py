@@ -157,6 +157,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def duplicate_passages(
+    spark: SparkSession, sf_dir: str, n: int = 8
+) -> DataFrame:
+    """X2 (exact-substring tier) — n-token passages appearing in more
+    than one document: the cross-document repeated-substring signal
+    that whole-document hashing misses (the shape of suffix-array
+    training-data dedup à la Lee et al. 2022, bounded to n-token
+    windows so it stays one explode + one aggregate).
+
+    `_shingles` is per-doc distinct, so COUNT(*) at the passage level
+    IS document frequency; the aggregate is map-side combinable and
+    the per-key width is bounded by |docs|, never |occurrences|.  The
+    output is the boilerplate/leak list itself — downstream passes
+    anti-join it (as ngram_jaccard's hot-shingle cap does) or strike
+    the spans from the text."""
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(_shingles(_tokens(F.col("text")), n)).alias("passage"),
+    )
+    return (
+        sh.groupBy("passage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 # -- tier 4: MinHash + LSH banding ----------------------------------------
 
 NUM_HASHES = 64
@@ -681,6 +711,32 @@ def register() -> dict:
                   >= 0.35
             """,
             "X2 exact n-gram Jaccard pairs (inverted-index join)",
+        ),
+        "duplicate_passages": QueryDef(
+            duplicate_passages,
+            """
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(["""
+            + " || ' ' || ".join(f"tokens[i+{j}]" for j in range(8))
+            + """
+                           FOR i IN range(1, GREATEST(len(tokens) - 7, 0) + 1)
+                       ]) AS passages
+                FROM tok
+            ), exploded AS (
+                SELECT doc_id, UNNEST(passages) AS passage FROM sh
+            )
+            SELECT passage, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc_id
+            FROM exploded
+            GROUP BY passage
+            HAVING COUNT(*) > 1
+            """,
+            "X2 exact duplicated 8-token passages across documents",
         ),
         # the 100 TB-guarded form, graded against its own oracle: the
         # df<=5 cutoff BINDS on driver data (max shingle df is 7 at

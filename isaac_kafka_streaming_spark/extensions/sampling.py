@@ -87,6 +87,51 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_contamination(
+    spark: SparkSession, sf_dir: str, n: int = 5
+) -> DataFrame:
+    """Partial-overlap contamination: for every held-out document with
+    >= n tokens, the fraction of its distinct n-token shingles that
+    appear ANYWHERE in the train split — the graded metric behind
+    "decontaminate eval sets by n-gram overlap" (exact-hash
+    split_contamination only catches verbatim copies).
+
+    Shape at 100 TB: one explode feeds both sides; the train side
+    collapses to DISTINCT shingles (two-level, map-side combinable)
+    before the equi-join, so a shingle's join width is its distinct-doc
+    frequency, never its occurrence count.  Hot boilerplate shingles
+    are exactly the duplicate_passages list — drop them first in a real
+    pipeline (same anti-join as ngram_jaccard's cap)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .dedup import _shingles
+    from .text import _tokens
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle"),
+    ).join(corpus_split(spark, sf_dir).select("doc_id", "split"), "doc_id")
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    held_out = sh.filter(F.col("split") != "train")
+    hits = held_out.join(
+        train_sh.withColumn("_hit", F.lit(1)), "shingle", "left"
+    )
+    return (
+        hits.groupBy(F.col("doc_id").alias("eval_doc_id"), "split")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0))
+            .cast("long")
+            .alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_frac",
+            F.round(F.col("n_leaked") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -142,6 +187,51 @@ def register() -> dict:
             WHERE s.split <> 'train'
             """,
             "eval-set contamination check (held-out x train overlap)",
+        ),
+        "ngram_contamination": QueryDef(
+            ngram_contamination,
+            f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       CASE WHEN {val4} % 100 < 5 THEN 'test'
+                            WHEN {val4} % 100 < 10 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM d
+            ), tok AS (
+                SELECT doc_id, split,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM s
+            ), sh AS (
+                SELECT doc_id, split,
+                       list_distinct(["""
+            + " || ' ' || ".join(f"tokens[i+{j}]" for j in range(5))
+            + """
+                           FOR i IN range(1, GREATEST(len(tokens) - 4, 0) + 1)
+                       ]) AS shingles
+                FROM tok
+            ), ex AS (
+                SELECT doc_id, split, UNNEST(shingles) AS shingle FROM sh
+            ), train AS (
+                SELECT DISTINCT shingle FROM ex WHERE split = 'train'
+            )
+            SELECT ex.doc_id AS eval_doc_id, ex.split,
+                   COUNT(*) AS n_shingles,
+                   CAST(COALESCE(SUM(CASE WHEN train.shingle IS NOT NULL
+                                          THEN 1 END), 0) AS BIGINT)
+                       AS n_leaked,
+                   ROUND(CAST(COALESCE(SUM(CASE WHEN train.shingle IS NOT
+                                           NULL THEN 1 END), 0) AS BIGINT)
+                         / COUNT(*), 6) AS leak_frac
+            FROM ex LEFT JOIN train ON ex.shingle = train.shingle
+            WHERE ex.split <> 'train'
+            GROUP BY 1, 2
+            """,
+            "n-gram eval contamination (held-out shingles found in train)",
         ),
         "stratified_sample": QueryDef(
             stratified_sample,

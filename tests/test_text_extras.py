@@ -72,3 +72,62 @@ def test_pii_scrub_plants_and_nulls(spark, patho_dir):
     assert (clean.n_email, clean.n_phone, clean.n_ipv4) == (0, 0, 0)
     assert clean.scrubbed_text == "one two three four five"
     assert not clean.had_pii
+
+
+def test_duplicate_passages_planted(spark, tmp_path_factory):
+    """Two docs sharing an exact 8-token run are caught; n_docs counts
+    documents (not occurrences — doc 0 repeats the run twice)."""
+    from isaac_kafka_streaming_spark.extensions.dedup import duplicate_passages
+
+    run = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"{run} filler one two {run}"),
+        (1, f"prefix words here {run} suffix"),
+        (2, "totally unrelated text with no repeats at all whatsoever"),
+    ]
+    base = tmp_path_factory.mktemp("dup_passages")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.passage: r for r in duplicate_passages(spark, str(base)).collect()
+    }
+    assert run in got
+    assert got[run].n_docs == 2 and got[run].first_doc_id == 0
+    # no passage from the unrelated doc appears
+    assert all("unrelated" not in p for p in got)
+
+
+def test_ngram_contamination_planted(spark, tmp_path_factory):
+    """A held-out doc that verbatim-copies a train doc must show
+    leak_frac 1.0; a held-out doc with fresh text shows 0.0."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        ngram_contamination,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    train_ids = [i for i in range(1000) if bucket(i) >= 10]
+    eval_ids = [i for i in range(1000) if bucket(i) < 10]
+    leaked_text = "one two three four five six seven eight nine ten"
+    fresh_text = "cold warm hot cool mild crisp damp dry wet humid"
+    rows = [
+        (train_ids[0], leaked_text),
+        (eval_ids[0], leaked_text),   # verbatim leak
+        (eval_ids[1], fresh_text),    # no overlap with train
+    ]
+    base = tmp_path_factory.mktemp("ngram_contam")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.eval_doc_id: r
+        for r in ngram_contamination(spark, str(base)).collect()
+    }
+    assert set(got) == {eval_ids[0], eval_ids[1]}
+    assert got[eval_ids[0]].leak_frac == 1.0
+    assert got[eval_ids[1]].leak_frac == 0.0
