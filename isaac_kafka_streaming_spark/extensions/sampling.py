@@ -34,9 +34,26 @@ def _bucket(key_col, salt: str = ""):
     )
 
 
+def split_assignment(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, split) from doc_id alone — 5% test, 5% val, 90%
+    train.  Keyed by document identity, so adding documents never
+    reassigns existing ones; pure map-side projection usable on any
+    table that has doc_id (contamination checks join THIS, not the
+    full corpus_split output, so they don't require lang/source)."""
+    split = (
+        F.when(F.col("bucket") < 5, F.lit("test"))
+        .when(F.col("bucket") < 10, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select("doc_id", _bucket(F.col("doc_id"))).withColumn(
+        "split", split
+    )
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test assignment: 5% test, 5% val, 90% train, keyed by
-    doc_id alone — adding documents never reassigns existing ones."""
+    """Train/val/test assignment over the documents table (graded
+    shape: identity + lang/source strata + bucket + split), still a
+    single map-side projection — no join, no shuffle."""
     docs = read_table(spark, sf_dir, "documents")
     b = _bucket(F.col("doc_id"))
     split = (
@@ -74,7 +91,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
     hashed = docs.select("doc_id", norm_hash.alias("text_hash")).join(
-        corpus_split(spark, sf_dir).select("doc_id", "split"), "doc_id"
+        split_assignment(docs).select("doc_id", "split"), "doc_id"
     )
     train = hashed.filter(F.col("split") == "train").groupBy("text_hash").agg(
         F.min("doc_id").alias("train_doc_id")
@@ -109,7 +126,7 @@ def ngram_contamination(
     sh = docs.select(
         "doc_id",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle"),
-    ).join(corpus_split(spark, sf_dir).select("doc_id", "split"), "doc_id")
+    ).join(split_assignment(docs).select("doc_id", "split"), "doc_id")
     train_sh = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )

@@ -58,6 +58,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # oracle on ANY host session, including a driver-owned one that
     # didn't configure it.  Runtime-settable, like nanosAsLong below.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # naive (isAdjustedToUTC=false) parquet timestamps must read as
+    # TIMESTAMP_LTZ with the stored micros taken as micros-since-epoch —
+    # the same reading DuckDB's epoch_ms applies — not as TIMESTAMP_NTZ,
+    # which unix_millis/window() reject.  The generator writes naive UTC
+    # wall-clock, so with the session pinned to UTC the two are equal.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         # self-sufficient even on a driver-provided session that didn't
         # configure it (the conf is runtime-settable)
