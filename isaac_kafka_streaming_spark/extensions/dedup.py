@@ -427,7 +427,7 @@ def simhash_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 64
 ) -> DataFrame:
     """Min-label propagation over an undirected edge set -> (node, component).
 
@@ -435,10 +435,10 @@ def connected_components(
     decisions only after grouping into clusters (component id = min
     doc_id reachable).  Converges in O(graph diameter) rounds; each
     round is one join + one min-aggregate, localCheckpoint()ed so the
-    plan doesn't grow with iterations.  At 100 TB swap the plain
-    propagation for the large-star/small-star alternation (Kiveris et
-    al., "Connected Components in MapReduce and Beyond") — same
-    join+min primitive, provably fewer rounds on skewed graphs.
+    plan doesn't grow with iterations.  Correctness baseline; the scale
+    path is ``connected_components_star`` below (provably fewer rounds
+    and no per-round full-graph label join on skewed graphs), tested
+    equal on every graph shape in tests/test_operators.py.
     Genuinely iterative -> no SQL oracle (rows-only check).
     """
     sym = edges.select(
@@ -471,6 +471,95 @@ def connected_components(
     return labels
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al. 2014, alg. 2): every node links
+    its LARGER neighbors to the minimum of its closed neighborhood.
+    Emitted per symmetric orientation, so one groupBy(u) sees Γ(u)."""
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    return (
+        sym.groupBy("a")
+        .agg(F.collect_set("b").alias("nbrs"), F.min("b").alias("mb"))
+        .select(
+            F.col("a").alias("u"),
+            F.least(F.col("mb"), F.col("a")).alias("m"),
+            F.explode(F.filter("nbrs", lambda v: v > F.col("a"))).alias("v"),
+        )
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round (alg. 3): orient edges larger->smaller; every
+    node links its smaller neighbors (and itself) to their minimum."""
+    oriented = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    return (
+        oriented.groupBy("a")
+        .agg(F.collect_set("b").alias("nbrs"), F.min("b").alias("m"))
+        .select(
+            F.explode(
+                F.array_union(F.col("nbrs"), F.array(F.col("a")))
+            ).alias("v"),
+            F.col("m"),
+        )
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 50
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) -> (node, component).
+
+    Same contract as ``connected_components`` — component id = min
+    reachable node — but the 100 TB shape: each round rewrites the EDGE
+    set toward star graphs instead of joining a full label table against
+    every edge, converging in O(log^2 n) rounds vs O(diameter), and the
+    per-key width after a large-star round is bounded by the
+    neighborhood minimum's degree, which small-star immediately
+    collapses — the skew a long chain or hub builds up is dismantled a
+    round later rather than re-joined every round.  collect_set per node
+    is safe at scale for near-dup graphs (neighborhoods are candidate
+    lists already bounded by the LSH band/bucket caps upstream); the
+    guarded caps keep any row under max_bucket_size entries.
+    Genuinely iterative -> no SQL oracle (rows-only check).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        e_next = _small_star(_large_star(e)).localCheckpoint()
+        # converged when the edge set is a fixed point (all stars)
+        changed = e_next.exceptAll(e).count() + e.exceptAll(e_next).count()
+        e = e_next
+        if changed == 0:
+            break
+    # fixed point = disjoint stars centered at each component's minimum:
+    # every remaining edge is (member, center)
+    centers = e.select(F.col("a").alias("node"), F.col("b").alias("comp"))
+    return nodes.join(centers, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
+
+
 def dedup_clusters(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35
 ) -> DataFrame:
@@ -479,13 +568,13 @@ def dedup_clusters(
     (lowest doc_id in the cluster survives)."""
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
     try:
-        # each propagation round re-reads the pair plan, so the caches
-        # attached by minhash_lsh_pairs pay off across rounds ...
-        comp = connected_components(pairs)
+        # the star alternation localCheckpoint()s the edge set up front,
+        # so the pair computation (and the caches minhash_lsh_pairs
+        # attached to it) runs exactly once ...
+        comp = connected_components_star(pairs)
     finally:
-        # ... and comp is localCheckpoint()ed (materialized independent
-        # of lineage), so the caches can be released here even though
-        # the returned DataFrame is still lazy.
+        # ... and can be released as soon as that materialization is
+        # done, even though the returned DataFrame is still lazy.
         unpersist_deps(pairs)
     return comp.select(
         F.col("node").alias("doc_id"),

@@ -299,6 +299,49 @@ def test_connected_components_chain_and_isolate(spark):
     assert comp == {2: 2, 3: 2, 4: 2, 5: 2, 9: 9, 10: 9}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    """The large-star/small-star scale path must produce the same
+    (node, component) labeling as plain min-label propagation on every
+    graph shape: long chain (worst diameter), hub star (worst skew),
+    dense clique, disjoint pairs, duplicate/reversed edges, and a
+    pseudo-random near-dup-like graph."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    rand_edges = [
+        (rng.randrange(0, 60), rng.randrange(0, 60)) for _ in range(80)
+    ]
+    graphs = [
+        # chain: diameter 29 — needs >= 29 propagation rounds, while the
+        # star alternation converges in a handful (the point of having it)
+        [(i, i + 1) for i in range(1, 30)],
+        [(100, v) for v in range(101, 140)],             # hub star
+        [(a, b) for a in range(1, 9) for b in range(a + 1, 9)],  # clique
+        [(2, 3), (3, 4), (9, 10), (20, 21)],             # disjoint
+        [(5, 6), (6, 5), (5, 6), (7, 7)],                # dupes/reversed/self
+        [(a, b) for a, b in rand_edges if a != b],
+    ]
+    for g in graphs:
+        edges = spark.createDataFrame(g, "doc_a long, doc_b long")
+        base = {
+            r.node: r.comp for r in connected_components(edges).collect()
+        }
+        star = {
+            r.node: r.comp
+            for r in connected_components_star(edges).collect()
+        }
+        # propagation drops nothing; star drops only self-loop-only nodes
+        assert {n: c for n, c in base.items() if n in star} == star
+        assert set(base) - set(star) <= {
+            a for a, b in g if a == b
+        }, "star variant lost a non-self-loop node"
+
+
 def test_sketch_summaries_error_bounds(spark, sf_smoke):
     """The sketch tier must track its exact twins within declared
     error: HLL++ rsd=0.05 (assert 3 sigma = 15%), approx_percentile at
