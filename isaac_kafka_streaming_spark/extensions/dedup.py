@@ -737,13 +737,85 @@ def embedding_srp_pairs(
     )
 
 
+# -- incremental dedup: new batch against existing corpus ------------------
+
+
+def dedup_incoming(
+    spark: SparkSession, sf_dir: str, incoming_pct: int = 10
+) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup: a production pipeline never
+    re-dedups 100 TB for each new crawl — it checks the INCOMING slice
+    against the existing corpus.  The newest ``incoming_pct``% of
+    documents (deterministic md5 bucket, salt 'inc', independent of the
+    train/val/test split) plays the new batch; every incoming doc
+    resolves to the lowest-id existing duplicate (normalized-hash tier)
+    or is_new.
+
+    Scale shape: the existing side collapses to one row per text_hash
+    (map-side combinable) before a single equi-join; with the corpus
+    hash index stored bucketed by text_hash the join is exchange-free
+    on the big side and the incoming batch is the only thing shuffled.
+    The LSH tiers refine is_new for near-dups the hash tier misses —
+    same join, band keys instead of hashes.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    from .sampling import _bucket
+
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    hashed = docs.select(
+        "doc_id", norm_hash.alias("text_hash"), _bucket(F.col("doc_id"), "inc")
+    )
+    incoming = hashed.filter(F.col("bucket") >= 100 - incoming_pct)
+    existing = hashed.filter(F.col("bucket") < 100 - incoming_pct)
+    corpus_index = existing.groupBy("text_hash").agg(
+        F.min("doc_id").alias("dup_of")
+    )
+    return incoming.join(corpus_index, "text_hash", "left").select(
+        "doc_id",
+        "text_hash",
+        "dup_of",
+        F.col("dup_of").isNull().alias("is_new"),
+    )
+
+
 # -- registry ---------------------------------------------------------------
 
 
 def register() -> dict:
     from ..queries import QueryDef
 
+    def hx(i: int) -> str:
+        return f"(position(substr(h, {i}, 1) IN '0123456789abcdef') - 1)"
+
+    val4 = f"((({hx(1)} * 16 + {hx(2)}) * 16 + {hx(3)}) * 16 + {hx(4)})"
+
     return {
+        "dedup_incoming": QueryDef(
+            dedup_incoming,
+            f"""
+            WITH h AS (
+                SELECT doc_id,
+                       sha256(TRIM(regexp_replace(lower(text), '\\s+', ' ',
+                                   'g'))) AS text_hash,
+                       md5('inc' || CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), b AS (
+                SELECT doc_id, text_hash,
+                       CAST({val4} % 100 AS BIGINT) AS bucket
+                FROM h
+            ), corpus_index AS (
+                SELECT text_hash, MIN(doc_id) AS dup_of
+                FROM b WHERE bucket < 90 GROUP BY text_hash
+            )
+            SELECT b.doc_id, b.text_hash, corpus_index.dup_of,
+                   (corpus_index.dup_of IS NULL) AS is_new
+            FROM b LEFT JOIN corpus_index USING (text_hash)
+            WHERE b.bucket >= 90
+            """,
+            "X2 incremental dedup: incoming batch vs existing corpus index",
+        ),
         "dedup_exact": QueryDef(
             dedup_exact,
             """

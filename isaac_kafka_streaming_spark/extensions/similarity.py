@@ -383,6 +383,52 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column —
+    the storage/serving compression step of an embedding pipeline
+    (4x smaller than float32, 8x than the double working form).
+
+    scale = max|v_i| / 127; q_i = round(v_i / scale) in [-127, 127];
+    the per-vector max-abs preserves relative precision per row without
+    any global calibration pass.  Reported reconstruction error
+    (row MSE) keeps the lossiness observable downstream.
+
+    Pure map-side higher-order expressions over one scan — no shuffle,
+    no UDF; both engines fold the MSE sum sequentially in double, so
+    the whole thing is oracle-checked, quantized codes included.
+    Zero vectors get scale = ~1e-32 (guarded denominator) -> all-zero
+    codes rather than NULL/NaN.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    max_abs = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.greatest(max_abs, F.lit(1e-30)) / F.lit(127.0)
+    d = emb.withColumn("scale_raw", scale)
+    q = F.transform(
+        "v", lambda x: F.round(x / F.col("scale_raw")).cast("int")
+    )
+    d = d.withColumn("q", q)
+    sq_err = F.aggregate(
+        F.zip_with(
+            "v",
+            "q",
+            lambda x, qi: F.pow(x - qi * F.col("scale_raw"), F.lit(2.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return d.select(
+        "vec_id",
+        F.size("v").cast("long").alias("n_dims"),
+        F.round("scale_raw", 9).alias("scale"),
+        # graded-output convention: array columns serialize to JSON so
+        # both engines emit the identical string (cf. question_page_array)
+        F.to_json("q").alias("q_json"),
+        F.round(sq_err / F.size("v"), 9).alias("mse"),
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -440,6 +486,32 @@ def register() -> dict:
             kmeans_centroids,
             None,  # iterative -> rows-only; structure asserted in tests
             "X3 Lloyd k-means centroid trainer (IVF offline step)",
+        ),
+        "embedding_quantize": QueryDef(
+            embedding_quantize,
+            """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), s AS (
+                SELECT vec_id, v,
+                       GREATEST(list_max(list_transform(v, x -> abs(x))),
+                                1e-30) / 127.0 AS scale_raw
+                FROM e
+            ), qd AS (
+                SELECT vec_id, v, scale_raw,
+                       list_transform(v,
+                           x -> CAST(ROUND(x / scale_raw) AS INT)) AS q
+                FROM s
+            )
+            SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+                   ROUND(scale_raw, 9) AS scale,
+                   CAST(to_json(q) AS VARCHAR) AS q_json,
+                   ROUND(list_sum(list_transform(range(1, len(v) + 1),
+                             i -> (v[i] - q[i] * scale_raw) ^ 2))
+                         / len(v), 9) AS mse
+            FROM qd
+            """,
+            "X3/X5 symmetric per-vector int8 quantization + recon error",
         ),
         "embedding_label_stats": QueryDef(
             embedding_label_stats,

@@ -386,6 +386,64 @@ def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation gate a training pipeline runs before packing:
+    per-document AND of every filter tier this module implements —
+
+      keep_quality    — token-count / token-length gate (text_quality)
+      keep_repetition — Gopher repetition filters (repetition_metrics)
+      lang_ok         — language ID confident (any marker stopword hit;
+                        equivalent to lang_id.pred_lang <> 'und')
+      is_canonical    — survivor of normalized-hash exact dedup
+
+    Composition shape at 100 TB: quality and lang are pure map-side
+    expressions over one documents scan; repetition is two two-level
+    aggregates; dedup canonicalization is one window over the hash.
+    All re-join on doc_id, so on a doc_id-bucketed layout the joins are
+    exchange-free; a real pipeline materializes the per-document
+    feature table once and reuses it for every downstream decision.
+    """
+    from pyspark.sql import Window
+
+    q = text_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    r = repetition_metrics(spark, sf_dir).select("doc_id", "keep_repetition")
+    lang_ok = lang_id(spark, sf_dir).select(
+        "doc_id", (F.col("pred_lang") != "und").alias("lang_ok")
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    w = Window.partitionBy("text_hash")
+    canon = (
+        docs.withColumn("text_hash", norm_hash)
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .select("doc_id", "is_canonical")
+    )
+    return (
+        canon.join(q, "doc_id")
+        .join(r, "doc_id")
+        .join(lang_ok, "doc_id")
+        .select(
+            "doc_id",
+            "keep_quality",
+            "keep_repetition",
+            "lang_ok",
+            "is_canonical",
+            (
+                F.col("keep_quality")
+                & F.col("keep_repetition")
+                & F.col("lang_ok")
+                & F.col("is_canonical")
+            ).alias("keep"),
+        )
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -645,5 +703,69 @@ def register() -> dict:
             FROM documents GROUP BY lang, source
             """,
             "X4 corpus composition rollup",
+        ),
+        "corpus_curation": QueryDef(
+            corpus_curation,
+            f"""
+            WITH d AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
+                       MIN(doc_id) OVER (PARTITION BY
+                           sha256(TRIM(regexp_replace(lower(text), '\\s+',
+                                       ' ', 'g')))) AS canon
+                FROM documents
+            ), flags AS (
+                SELECT doc_id,
+                       (len(tokens) >= 5
+                        AND ROUND(COALESCE(list_sum(list_transform(tokens,
+                                t -> length(t))), 0)
+                            / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15)
+                           AS keep_quality,
+                       (len(list_filter(tokens, t -> t IN ({stop_list})))
+                            > 0) AS lang_ok,
+                       (doc_id = canon) AS is_canonical
+                FROM d
+            ), tok AS (
+                SELECT doc_id, UNNEST(tokens) AS t FROM d
+            ), tc AS (
+                SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ), tagg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                       COUNT(*) AS n_distinct, MAX(c) AS top_token
+                FROM tc GROUP BY doc_id
+            ), bi AS (
+                SELECT doc_id,
+                       UNNEST([tokens[i] || ' ' || tokens[i+1]
+                               FOR i IN range(1, GREATEST(len(tokens) - 1, 0) + 1)])
+                           AS b
+                FROM d
+            ), bc AS (
+                SELECT doc_id, b, COUNT(*) AS c FROM bi GROUP BY 1, 2
+            ), bagg AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                       MAX(c) AS top_bigram
+                FROM bc GROUP BY doc_id
+            ), rep AS (
+                SELECT d.doc_id,
+                       (ROUND((COALESCE(n_tokens, 0) - COALESCE(n_distinct, 0))
+                              / GREATEST(COALESCE(n_tokens, 0), 1), 6) <= 0.9
+                        AND ROUND(COALESCE(top_token, 0)
+                              / GREATEST(COALESCE(n_tokens, 0), 1), 6) <= 0.2
+                        AND ROUND(COALESCE(top_bigram, 0)
+                              / GREATEST(COALESCE(n_bigrams, 0), 1), 6) <= 0.18)
+                           AS keep_repetition
+                FROM d
+                LEFT JOIN tagg USING (doc_id)
+                LEFT JOIN bagg USING (doc_id)
+            )
+            SELECT flags.doc_id, keep_quality, keep_repetition, lang_ok,
+                   is_canonical,
+                   (keep_quality AND keep_repetition AND lang_ok
+                    AND is_canonical) AS keep
+            FROM flags JOIN rep ON flags.doc_id = rep.doc_id
+            """,
+            "X2/X4 full curation gate: quality AND repetition AND lang "
+            "AND dedup-canonical",
         ),
     }

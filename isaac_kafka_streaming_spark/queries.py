@@ -1344,7 +1344,9 @@ REGISTRY: dict[str, QueryDef] = {
 # stays registered and locally parity-tested regardless of position
 # (tests/test_oracle_parity.py runs all 71).
 _DRIVER_CHECK_ORDER = [
-    # A — never driver-checked
+    # A — never driver-checked (incl. the three added in round 4:
+    # corpus_curation / embedding_quantize / dedup_incoming)
+    "corpus_curation", "embedding_quantize", "dedup_incoming",
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",
     "lang_id", "doc_fingerprints", "tfidf_top_terms", "corpus_keep_list",
     "repetition_metrics", "pii_scrub", "lang_source_rollup",
@@ -1360,13 +1362,14 @@ _DRIVER_CHECK_ORDER = [
     "duplicate_passages", "dedup_ngram_jaccard_capped",
     "dedup_embedding_srp",
     # D — core reference surface (triple-green; keep fresh rows on the
-    # operators the reference's own topology exercises)
+    # operators the reference's own topology exercises).  dedup_clusters
+    # stays in-window because its clustering algorithm changed in round 4.
     "event_type_counts", "daily_event_counts", "daily_role_counts",
     "user_snapshot", "enriched_events", "last_seen", "user_streaks",
     "question_part_counts", "question_completion",
     "threshold_achievements", "sliding_weekly_counts",
-    "user_notifications", "anonymous_events", "user_profiles", "tpch_q1",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters",
+    "user_notifications", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_clusters",
 ]
 
 
