@@ -55,6 +55,11 @@ HEADLINE = [
     "purchases_within_day_of_signup",
     "tpch_q18",
     "concat_chunk_plan",
+    # round 4 additions
+    "corpus_curation",
+    "embedding_quantize",
+    "dedup_incoming",
+    "dedup_clusters",
 ]
 
 

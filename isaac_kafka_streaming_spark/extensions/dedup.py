@@ -545,11 +545,18 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
     for _ in range(max_iter):
         e_next = _small_star(_large_star(e)).localCheckpoint()
-        # converged when the edge set is a fixed point (all stars)
-        changed = e_next.exceptAll(e).count() + e.exceptAll(e_next).count()
-        e = e_next
+        # fixed-point check (all stars): both sides are distinct sets,
+        # so equal counts + empty one-way difference <=> equality —
+        # one exceptAll job instead of two, skipped entirely while the
+        # edge count is still shrinking
+        n_next = e_next.count()
+        changed = (
+            1 if n_next != n_edges else e_next.exceptAll(e).count()
+        )
+        e, n_edges = e_next, n_next
         if changed == 0:
             break
     # fixed point = disjoint stars centered at each component's minimum:

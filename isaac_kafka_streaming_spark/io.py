@@ -50,6 +50,35 @@ def write_bucketed(
     )
 
 
+def write_range_partitioned(
+    df: DataFrame, path: str, col: str, n_partitions: int = 32
+) -> None:
+    """Materialize a table range-partitioned AND sorted by `col`, so
+    every output file covers a disjoint range of it.
+
+    The time-slice scan primitive at 100 TB: parquet stores per-file /
+    per-row-group min-max stats, so a `ts BETWEEN ...` scan over a
+    layout sorted this way skips every file outside the slice instead
+    of reading 100 TB to filter it.  Complements write_bucketed (which
+    co-locates JOIN/GROUP keys): bucket by the equi-key, range-sort by
+    the range-predicate key.  tests/test_scale_paths.py asserts the
+    disjointness and the bounded file fan-in of a slice query.
+    """
+    # Spark's default parquet timestamp encoding is legacy INT96, which
+    # carries NO column statistics — it silently defeats the entire
+    # point of this layout.  TIMESTAMP_MICROS restores min-max stats
+    # (and is the non-deprecated encoding).
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    (
+        df.repartitionByRange(n_partitions, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")

@@ -128,3 +128,55 @@ def test_salted_join_matches_unsalted(spark, sf_smoke):
     a = sorted(map(tuple, plain.collect()))
     b = sorted(map(tuple, salted.collect()))
     assert a == b
+
+
+def test_range_partitioned_layout_prunes_time_slices(
+    spark, sf_smoke, tmp_path_factory
+):
+    """write_range_partitioned must yield files with pairwise-disjoint
+    ts ranges (parquet min-max stats then skip whole files for a time
+    slice), and a one-day slice must land in a bounded number of files
+    instead of all of them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from isaac_kafka_streaming_spark.io import write_range_partitioned
+
+    base = tmp_path_factory.mktemp("range_layout")
+    ev = read_table(spark, sf_smoke, "events").select("event_id", "ts")
+    write_range_partitioned(ev, str(base / "ev"), "ts", n_partitions=8)
+
+    files = sorted(glob.glob(str(base / "ev" / "part-*.parquet")))
+    assert len(files) >= 4  # range partitioner actually split
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "ts"
+            )
+            assert col.statistics is not None, "ts stats missing"
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+    # a one-day slice touches only the file(s) whose range covers it
+    lo = ev.agg(F.min("ts")).collect()[0][0]
+    import datetime
+
+    hi = lo + datetime.timedelta(days=1)
+    touched = (
+        spark.read.parquet(str(base / "ev"))
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert 1 <= touched <= 2, f"day slice spread across {touched} files"
