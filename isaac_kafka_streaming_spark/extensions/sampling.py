@@ -105,7 +105,10 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_contamination(
-    spark: SparkSession, sf_dir: str, n: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Partial-overlap contamination: for every held-out document with
     >= n tokens, the fraction of its distinct n-token shingles that
@@ -116,9 +119,13 @@ def ngram_contamination(
     Shape at 100 TB: one explode feeds both sides; the train side
     collapses to DISTINCT shingles (two-level, map-side combinable)
     before the equi-join, so a shingle's join width is its distinct-doc
-    frequency, never its occurrence count.  Hot boilerplate shingles
-    are exactly the duplicate_passages list — drop them first in a real
-    pipeline (same anti-join as ngram_jaccard's cap)."""
+    frequency, never its occurrence count.  ``max_shingle_df`` is the
+    hot-boilerplate cap (default off = graded semantics): shingles
+    whose distinct-doc frequency exceeds it are dropped from BOTH sides
+    before the join — a boilerplate phrase shared by 10^6 docs stops
+    counting as "contamination" and stops being a hot join key.  Same
+    anti-join shape as ngram_jaccard_pairs' cap; bounded fan-out pinned
+    in tests/test_dedup_guards.py."""
     docs = read_table(spark, sf_dir, "documents")
     from .dedup import _shingles
     from .text import _tokens
@@ -127,6 +134,14 @@ def ngram_contamination(
         "doc_id",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle"),
     ).join(split_assignment(docs).select("doc_id", "split"), "doc_id")
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
     train_sh = (
         sh.filter(F.col("split") == "train").select("shingle").distinct()
     )
@@ -145,6 +160,78 @@ def ngram_contamination(
         .withColumn(
             "leak_frac",
             F.round(F.col("n_leaked") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+# target corpus mixture for mixture_plan: the share of the training
+# token budget each language should contribute
+MIXTURE_TARGETS: dict[str, float] = {
+    "en": 0.5,
+    "de": 0.2,
+    "es": 0.2,
+    "fr": 0.1,
+}
+
+
+def mixture_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    targets: dict[str, float] | None = None,
+) -> DataFrame:
+    """Data-mixing plan: per-language keep fractions that rebalance the
+    corpus to a target token mixture WITHOUT upsampling.
+
+    The feasible token budget is B = min_l(tokens_l / share_l) — the
+    binding language is kept whole (keep_frac 1.0) and every other
+    language is downsampled to share_l * B tokens.  Output is the plan
+    a curation run feeds into deterministic bucket sampling
+    (stratified_sample with keep_pct = round(100 * keep_frac)).
+
+    Two tiny aggregations (per-lang token totals, then a global min),
+    re-broadcast onto four rows — nothing here scales with corpus size
+    except the one map-side token-count pass.
+    """
+    targets = MIXTURE_TARGETS if targets is None else targets
+    from .text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = (
+        docs.select(
+            "lang", F.size(_tokens(F.col("text"))).cast("long").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    share = F.lit(None).cast("double")
+    for lang, s in targets.items():
+        share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
+    planned = per_lang.withColumn("target_share", share).filter(
+        F.col("target_share").isNotNull()
+    )
+    budget = planned.agg(
+        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
+    )
+    return (
+        planned.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "target_share",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share") * F.col("budget") / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("keep_frac"),
+            F.round(F.col("target_share") * F.col("budget"), 2).alias(
+                "expected_tokens"
+            ),
         )
     )
 
@@ -268,5 +355,36 @@ def register() -> dict:
             FROM b WHERE bucket < keep_pct
             """,
             "per-language deterministic downsampling (mixture reweighting)",
+        ),
+        "mixture_plan": QueryDef(
+            mixture_plan,
+            f"""
+            WITH per_lang AS (
+                SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(len(list_filter(regexp_split_to_array(
+                           lower(text), '[^a-z0-9]+'), t -> t <> '')))
+                           AS BIGINT) AS n_tokens
+                FROM documents GROUP BY lang
+            ), planned AS (
+                SELECT lang, n_docs, n_tokens,
+                       CAST(CASE lang {' '.join(
+                           f"WHEN '{lang}' THEN {share}"
+                           for lang, share in MIXTURE_TARGETS.items()
+                       )} END AS DOUBLE) AS target_share
+                FROM per_lang
+                WHERE lang IN ({', '.join(
+                    f"'{lang}'" for lang in MIXTURE_TARGETS
+                )})
+            ), b AS (
+                SELECT MIN(n_tokens / target_share) AS budget FROM planned
+            )
+            SELECT lang, n_docs, n_tokens, target_share,
+                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                               target_share * budget / n_tokens), 6)
+                       AS keep_frac,
+                   ROUND(target_share * budget, 2) AS expected_tokens
+            FROM planned CROSS JOIN b
+            """,
+            "token-budget mixture rebalancing plan (no upsampling)",
         ),
     }

@@ -396,38 +396,46 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                         equivalent to lang_id.pred_lang <> 'und')
       is_canonical    — survivor of normalized-hash exact dedup
 
-    Composition shape at 100 TB: quality and lang are pure map-side
-    expressions over one documents scan; repetition is two two-level
-    aggregates; dedup canonicalization is one window over the hash.
-    All re-join on doc_id, so on a doc_id-bucketed layout the joins are
-    exchange-free; a real pipeline materializes the per-document
-    feature table once and reuses it for every downstream decision.
+    Composition shape at 100 TB: the quality and lang tiers are pure
+    map-side expressions, so they're FUSED into the dedup-canonical
+    scan (one window over the hash) — one documents pass computes
+    three of the four flags.  Only repetition needs its own aggregates
+    (explode per grain), re-joined on doc_id; on a doc_id-bucketed
+    layout that join is exchange-free.  A real pipeline materializes
+    the per-document feature table once and reuses it for every
+    downstream decision.
     """
     from pyspark.sql import Window
 
-    q = text_quality(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_quality")
-    )
     r = repetition_metrics(spark, sf_dir).select("doc_id", "keep_repetition")
-    lang_ok = lang_id(spark, sf_dir).select(
-        "doc_id", (F.col("pred_lang") != "und").alias("lang_ok")
-    )
     docs = read_table(spark, sf_dir, "documents")
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
+    toks = _tokens(F.col("text"))
     w = Window.partitionBy("text_hash")
-    canon = (
+    avg_len = F.round(
+        F.aggregate(
+            F.col("tokens"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / F.greatest(F.size("tokens"), F.lit(1)),
+        4,
+    )
+    flags = (
         docs.withColumn("text_hash", norm_hash)
+        .withColumn("tokens", toks)
+        .withColumn(
+            "keep_quality",
+            (F.size("tokens") >= 5) & avg_len.between(2, 15),
+        )
+        .withColumn("lang_ok", _n_in(F.col("tokens"), _STOPWORDS) > 0)
         .withColumn(
             "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
         )
-        .select("doc_id", "is_canonical")
+        .select("doc_id", "keep_quality", "lang_ok", "is_canonical")
     )
     return (
-        canon.join(q, "doc_id")
-        .join(r, "doc_id")
-        .join(lang_ok, "doc_id")
+        flags.join(r, "doc_id")
         .select(
             "doc_id",
             "keep_quality",

@@ -176,3 +176,70 @@ def test_embedding_guard_trips_on_dominant_label(spark, tmp_path_factory):
     ).write.parquet(str(base / "embeddings.parquet"))
     with pytest.raises(Exception, match="exceeds max_block_size"):
         embedding_cosine_pairs(spark, str(base), max_block_size=4).collect()
+
+
+# -- ngram-contamination hot-shingle cap -----------------------------------
+
+
+def test_contamination_cap_off_is_identity(spark, sf_smoke):
+    """max_shingle_df=inf must be byte-identical to no cap."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        ngram_contamination,
+    )
+
+    base = sorted(
+        map(tuple, ngram_contamination(spark, sf_smoke).collect())
+    )
+    capped = sorted(
+        map(
+            tuple,
+            ngram_contamination(
+                spark, sf_smoke, max_shingle_df=10**9
+            ).collect(),
+        )
+    )
+    assert base == capped and base
+
+
+def test_contamination_cap_drops_boilerplate_leaks(
+    spark, tmp_path_factory
+):
+    """Boilerplate shared by every doc counts as leakage uncapped, but
+    with the cap below its df it stops counting — the held-out docs'
+    leak_frac over their remaining (unique) shingles drops to 0."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        ngram_contamination,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    train_ids = [i for i in range(1000) if bucket(i) >= 10][:6]
+    eval_ids = [i for i in range(1000) if bucket(i) < 10][:2]
+    base = tmp_path_factory.mktemp("boiler_contam")
+    docs = [
+        (i, f"{BOILERPLATE} unique{i}a tail{i}b filler{i}c word{i}d end{i}e")
+        for i in train_ids + eval_ids
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+
+    uncapped = {
+        r.eval_doc_id: r.leak_frac
+        for r in ngram_contamination(spark, str(base)).collect()
+    }
+    # the 12-token boilerplate prefix yields shared 5-gram shingles in
+    # every doc -> both held-out docs show leakage without the cap
+    assert set(uncapped) == set(eval_ids)
+    assert all(f > 0 for f in uncapped.values())
+    capped = {
+        r.eval_doc_id: r.leak_frac
+        for r in ngram_contamination(
+            spark, str(base), max_shingle_df=4
+        ).collect()
+    }
+    assert capped and all(f == 0.0 for f in capped.values())

@@ -79,3 +79,32 @@ def test_ivf_scans_fraction_of_corpus(spark, sf_smoke):
     rows = out.collect()
     assert len(rows) <= 5 * 3
     assert all(r.rank <= 3 for r in rows)
+
+
+def test_embedding_quantize_error_bound(spark, sf_smoke):
+    """int8 quantization invariants: codes within [-127, 127], per-value
+    reconstruction error <= scale/2 (round-to-nearest), and MSE
+    consistent with that bound."""
+    import json
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        embedding_quantize,
+    )
+    from isaac_kafka_streaming_spark.io import read_table
+
+    orig = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in read_table(spark, sf_smoke, "embeddings").collect()
+    }
+    rows = embedding_quantize(spark, sf_smoke).collect()
+    assert len(rows) == len(orig)
+    for r in rows:
+        q = json.loads(r.q_json)
+        v = orig[r.vec_id]
+        assert len(q) == r.n_dims == len(v)
+        assert max(abs(c) for c in q) <= 127
+        # r.scale is rounded to 9 decimals; allow that slack
+        bound = r.scale / 2 + 1e-8
+        for x, c in zip(v, q):
+            assert abs(x - c * r.scale) <= bound + abs(x) * 1e-6
+        assert r.mse <= bound * bound + 1e-8
