@@ -110,3 +110,33 @@ def test_sketch_summaries_partial_agg_no_expand(spark, sf_smoke):
         "Exchange"
     )
     assert plan.count("Exchange") == 1
+
+
+def test_curation_fuses_map_side_tiers(spark, sf_smoke):
+    """corpus_curation must scan documents once for the three fused
+    map-side flags plus once per repetition grain — never the 4+ scans
+    of the naive per-tier join composition."""
+    plan = _formatted(spark, "corpus_curation", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "documents.parquet" in l and "Location" in l
+    ]
+    # 1 fused flags scan + repetition's 3 (doc base, token grain,
+    # bigram grain); the naive per-tier join composition costs 6
+    assert len(scans) <= 4, f"documents scanned {len(scans)}x:\n{plan}"
+
+
+def test_quantize_has_no_shuffle(spark, sf_smoke):
+    """int8 quantization is pure map-side: zero exchanges, zero Python."""
+    plan = _executed_plan(spark, "embedding_quantize", sf_smoke)
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_incoming_dedup_partial_aggregates(spark, sf_smoke):
+    """The existing-corpus hash index must collapse map-side (two-phase
+    hash aggregation: partial + final) ahead of its single join, and
+    stay a single-join plan."""
+    plan = _executed_plan(spark, "dedup_incoming", sf_smoke)
+    assert plan.count("HashAggregate") >= 2, plan
+    assert plan.count("Join") == 1, plan
