@@ -669,6 +669,104 @@ def _orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
 
+def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape — EXISTS with a correlated inequality: orders placed in
+    1996 having at least one line shipped after the order date, counted
+    per priority.  Catalyst plans the correlated EXISTS as a left-semi
+    join carrying the inequality; only the 1996 slice of orders reaches
+    it (pushdown)."""
+    from .io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
+def _tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape — returned-item revenue per customer, top 20.
+    Lineitem pre-aggregates to customer grain BEFORE touching the
+    customer/nation dims (same discipline as revenue_by_nation); the
+    top-k is orderBy+limit (TakeOrdered — no global sort), with rank
+    recomputed on the 20 survivors for a deterministic graded output."""
+    from .io import read_table
+
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_return_lines"),
+        )
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    top = (
+        rev.join(cust, rev.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "revenue",
+            "n_return_lines",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape — supplier diversity per part attribute: distinct
+    supplier count per (brand, type, size) over observed part-supplier
+    pairs (derived from lineitem — the fixtures carry no partsupp),
+    excluding one brand and 'complaint' suppliers (negative balance)
+    via anti-join."""
+    from .io import read_table
+
+    part = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    bad = (
+        read_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    ps = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    ps = ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -1325,6 +1423,68 @@ REGISTRY: dict[str, QueryDef] = {
         WHERE rank <= 3
         """,
         "top-k per group window smoke",
+    ),
+    "tpch_q4": QueryDef(
+        _tpch_q4,
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """,
+        "correlated-EXISTS semi-join smoke (Q4 shape)",
+    ),
+    "tpch_q10": QueryDef(
+        _tpch_q10,
+        """
+        WITH rev AS (
+            SELECT o_custkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS revenue,
+                   COUNT(*) AS n_return_lines
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY o_custkey
+        )
+        SELECT c_custkey, c_name, nation, revenue, n_return_lines,
+               CAST(rnk AS BIGINT) AS rank
+        FROM (
+            SELECT c_custkey, c_name, n_name AS nation, revenue,
+                   n_return_lines,
+                   ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey)
+                       AS rnk
+            FROM rev
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        )
+        WHERE rnk <= 20
+        """,
+        "returned-item revenue top-20 (Q10 shape)",
+    ),
+    "tpch_q16": QueryDef(
+        _tpch_q16,
+        """
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ), ok AS (
+            SELECT l_partkey, l_suppkey FROM ps
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ok JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+        GROUP BY p_brand, p_type, p_size
+        """,
+        "supplier-diversity distinct count with anti-join (Q16 shape)",
     ),
 }
 
