@@ -131,3 +131,26 @@ def test_ngram_contamination_planted(spark, tmp_path_factory):
     assert set(got) == {eval_ids[0], eval_ids[1]}
     assert got[eval_ids[0]].leak_frac == 1.0
     assert got[eval_ids[1]].leak_frac == 0.0
+
+
+def test_mixture_plan_invariants(spark, sf_smoke):
+    """The mixing plan must be feasible (keep_frac <= 1, no
+    upsampling), exact on the binding language (keep_frac == 1), and
+    hit the target proportions for every language's expected tokens."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        MIXTURE_TARGETS,
+        mixture_plan,
+    )
+
+    rows = {r.lang: r for r in mixture_plan(spark, sf_smoke).collect()}
+    assert set(rows) == set(MIXTURE_TARGETS)
+    assert all(0 < r.keep_frac <= 1 for r in rows.values())
+    assert any(abs(r.keep_frac - 1.0) < 1e-6 for r in rows.values()), (
+        "no binding language — budget not maximal"
+    )
+    budget = sum(r.expected_tokens for r in rows.values())
+    for lang, r in rows.items():
+        # expected tokens realize the target share of the total budget
+        assert abs(r.expected_tokens / budget - MIXTURE_TARGETS[lang]) < 1e-4
+        # never plans more tokens than the language has
+        assert r.expected_tokens <= r.n_tokens + 0.51
