@@ -246,6 +246,32 @@ def streaming_dedup_normalized(
     return hashed.dropDuplicates(["text_hash"])
 
 
+def streaming_dedup_incoming(
+    docs_stream: DataFrame,
+    corpus_index: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """X2 streaming form of incremental dedup: each arriving document
+    resolves against the EXISTING corpus's hash index (stream-static
+    left join — the index is re-read per micro-batch, so a compacted
+    index table keeps the check current without restarting the query).
+
+    Batch twin: dedup_incoming.  The static side carries one row per
+    text_hash with its canonical doc_id; the join is broadcast when the
+    index fits, otherwise a shuffle on the batch side only — the
+    streaming state stays empty (this is a lookup, not a stateful
+    dedup; compose with streaming_dedup_normalized to also dedup the
+    stream against itself).
+    """
+    norm = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
+    )
+    hashed = docs_stream.withColumn("text_hash", norm)
+    return hashed.join(corpus_index, "text_hash", "left").withColumn(
+        "is_new", F.col("dup_of").isNull()
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -460,3 +460,69 @@ def test_streaming_interval_join_parity(spark, sf_smoke, events_stream_dir):
     cols = ("purchase_id", "signup_id", "user_id")
     assert _rows(got, *cols) == _rows(want, *cols)
     assert got.count() == want.count()  # no dup emissions either
+
+
+def test_streaming_dedup_incoming_parity(spark, sf_smoke, tmp_path_factory):
+    """Stream-static incremental dedup: streaming only the incoming
+    slice against the existing-corpus hash index must produce exactly
+    the batch dedup_incoming rows (doc_id, dup_of, is_new)."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.dedup import dedup_incoming
+    from isaac_kafka_streaming_spark.extensions.sampling import _bucket
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_dedup_incoming,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    bucketed = docs.select("doc_id", "text", _bucket(F.col("doc_id"), "inc"))
+    incoming = bucketed.filter(F.col("bucket") >= 90).drop("bucket")
+    existing = bucketed.filter(F.col("bucket") < 90)
+    corpus_index = (
+        existing.withColumn(
+            "text_hash",
+            F.sha2(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                256,
+            ),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+
+    flat = tmp_path_factory.mktemp("docs_stream_inc")
+    mid = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [
+            incoming.filter(F.col("doc_id") <= mid),
+            incoming.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        r.doc_id: (r.dup_of, r.is_new)
+        for r in run_to_memory(
+            streaming_dedup_incoming(stream, corpus_index),
+            "x2_stream_incoming",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.dup_of, r.is_new)
+        for r in dedup_incoming(spark, sf_smoke).collect()
+    }
+    assert got == want and want
