@@ -1504,11 +1504,11 @@ REGISTRY: dict[str, QueryDef] = {
 # stays registered and locally parity-tested regardless of position
 # (tests/test_oracle_parity.py runs all 71).
 _DRIVER_CHECK_ORDER = [
-    # A — never driver-checked (incl. the four added in round 4:
+    # A — never driver-checked (incl. the five added in round 4:
     # corpus_curation / embedding_quantize / dedup_incoming /
-    # mixture_plan)
+    # mixture_plan / knn_quantized)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
-    "mixture_plan",
+    "mixture_plan", "knn_quantized",
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",
     "lang_id", "doc_fingerprints", "tfidf_top_terms", "corpus_keep_list",
     "repetition_metrics", "pii_scrub", "lang_source_rollup",
@@ -1530,7 +1530,7 @@ _DRIVER_CHECK_ORDER = [
     "user_snapshot", "enriched_events", "last_seen", "user_streaks",
     "question_part_counts", "question_completion",
     "threshold_achievements", "sliding_weekly_counts",
-    "user_notifications", "dedup_minhash_lsh", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_clusters",
 ]
 
 

@@ -108,3 +108,23 @@ def test_embedding_quantize_error_bound(spark, sf_smoke):
         for x, c in zip(v, q):
             assert abs(x - c * r.scale) <= bound + abs(x) * 1e-6
         assert r.mse <= bound * bound + 1e-8
+
+
+def test_quantized_knn_recall_vs_float(spark, sf_smoke):
+    """int8 rounding must barely disturb the float top-k: recall@5 of
+    the quantized search against the exact baseline stays high (the
+    approximation is rounding, not pruning)."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        knn_quantized,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(spark, sf_smoke, n_queries=5, k=5).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_quantized(spark, sf_smoke, n_queries=5, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.8, f"int8 recall {recall:.2f} below floor"
