@@ -219,6 +219,32 @@ def _minhash_signatures(shingled: DataFrame, num_hashes: int = NUM_HASHES):
     )
 
 
+def _band_keys(
+    sigs: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """Signature rows -> exploded (doc_id, band, band_hash) LSH keys."""
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{bi * band_size + j}")
+                                for j in range(band_size)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_hash")
+
+
 def minhash_lsh_pairs(
     spark: SparkSession,
     sf_dir: str,
@@ -272,26 +298,7 @@ def minhash_lsh_pairs(
     # self-joins, so without it the signature agg runs twice.
     sigs = _minhash_signatures(shingled, num_hashes).cache()
 
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{bi * band_size + j}")
-                                for j in range(band_size)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_hash")
+    bands = _band_keys(sigs, num_hashes, band_size)
 
     if max_bucket_size is not None:
         wide = (
@@ -816,6 +823,96 @@ def dedup_incoming(
     )
 
 
+def dedup_incoming_minhash(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    incoming_pct: int = 10,
+    n: int = 3,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = 4,
+) -> DataFrame:
+    """Near-dup tier of incremental dedup: the incoming slice's LSH
+    band keys equi-join the EXISTING corpus's band keys — the "same
+    join, band keys instead of hashes" scale path dedup_incoming's
+    exact tier defers to.
+
+    The candidate space is incoming x existing ONLY (no self-pairs on
+    either side): at 100 TB the existing corpus's band table is a
+    precomputed, hash-bucketed index that each new crawl probes, so
+    per-batch cost scales with the batch, not the corpus.  Candidates
+    are verified with exact shingle Jaccard; output keeps each
+    incoming doc's best match (highest verified Jaccard, lowest
+    existing doc_id on ties).  Engine-specific hash functions ->
+    rows-only check; planted-pair behavior pinned in
+    tests/test_dedup_guards.py.
+    """
+    from .sampling import _bucket
+
+    docs = read_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    shingled = docs.select(
+        "doc_id",
+        _shingles(_tokens(F.col("text")), n).alias("shingles"),
+    ).cache()
+    sigs = _minhash_signatures(shingled, num_hashes).cache()
+    bands = _band_keys(sigs, num_hashes, band_size).withColumn(
+        "bucket", _bucket(F.col("doc_id"), "inc")
+    )
+    cut = 100 - incoming_pct
+    inc = bands.filter(F.col("bucket") >= cut).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_hash"
+    )
+    ref = bands.filter(F.col("bucket") < cut).select(
+        F.col("doc_id").alias("doc_ref"), "band", "band_hash"
+    )
+    candidates = (
+        inc.join(ref, ["band", "band_hash"])
+        .select("doc_new", "doc_ref")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_new"),
+                F.col("shingles").alias("sh_new"),
+            ),
+            "doc_new",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_ref"),
+                F.col("shingles").alias("sh_ref"),
+            ),
+            "doc_ref",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_new", "sh_ref"))
+                / F.size(F.array_union("sh_new", "sh_ref")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_new").orderBy(
+        F.col("jaccard").desc(), F.col("doc_ref")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_new").alias("doc_id"),
+            F.col("doc_ref").alias("near_dup_of"),
+            "jaccard",
+        )
+    )
+    best._cached_deps = [shingled, sigs]  # see minhash cache contract
+    return best
+
+
 # -- registry ---------------------------------------------------------------
 
 
@@ -987,6 +1084,12 @@ def register() -> dict:
             minhash_lsh_pairs,
             None,  # engine-specific hash functions -> rows-only check
             "X2 MinHash+LSH candidate pairs, Jaccard-verified (100TB path)",
+        ),
+        "dedup_incoming_minhash": QueryDef(
+            dedup_incoming_minhash,
+            None,  # engine-specific hash functions -> rows-only check
+            "X2 incremental near-dup: incoming batch vs existing corpus "
+            "via LSH band probe",
         ),
         "dedup_simhash": QueryDef(
             simhash_pairs,

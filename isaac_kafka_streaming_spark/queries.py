@@ -1504,11 +1504,11 @@ REGISTRY: dict[str, QueryDef] = {
 # stays registered and locally parity-tested regardless of position
 # (tests/test_oracle_parity.py runs all 71).
 _DRIVER_CHECK_ORDER = [
-    # A — never driver-checked (incl. the five added in round 4:
+    # A — never driver-checked (incl. the six added in round 4:
     # corpus_curation / embedding_quantize / dedup_incoming /
-    # mixture_plan / knn_quantized)
+    # mixture_plan / knn_quantized / dedup_incoming_minhash)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
-    "mixture_plan", "knn_quantized",
+    "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",
     "lang_id", "doc_fingerprints", "tfidf_top_terms", "corpus_keep_list",
     "repetition_metrics", "pii_scrub", "lang_source_rollup",
@@ -1529,8 +1529,7 @@ _DRIVER_CHECK_ORDER = [
     "event_type_counts", "daily_event_counts", "daily_role_counts",
     "user_snapshot", "enriched_events", "last_seen", "user_streaks",
     "question_part_counts", "question_completion",
-    "threshold_achievements", "sliding_weekly_counts",
-    "dedup_minhash_lsh", "dedup_clusters",
+    "threshold_achievements", "dedup_minhash_lsh", "dedup_clusters",
 ]
 
 

@@ -243,3 +243,48 @@ def test_contamination_cap_drops_boilerplate_leaks(
         ).collect()
     }
     assert capped and all(f == 0.0 for f in capped.values())
+
+
+# -- incremental near-dup (LSH band probe) ---------------------------------
+
+
+def test_incoming_minhash_finds_cross_slice_near_dups(
+    spark, tmp_path_factory
+):
+    """A near-identical (incoming, existing) pair must be detected; an
+    identical incoming x incoming pair must NOT pair with itself (the
+    candidate space is strictly incoming x existing)."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        dedup_incoming_minhash,
+        unpersist_deps,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(("inc" + str(doc_id)).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    existing_ids = [i for i in range(1000) if bucket(i) < 90]
+    incoming_ids = [i for i in range(1000) if bucket(i) >= 90]
+    base_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    fresh = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (existing_ids[0], base_text),
+        (incoming_ids[0], base_text + " phi"),   # near-dup of existing
+        (incoming_ids[1], fresh),                # novel
+        (incoming_ids[2], fresh),                # identical to the OTHER incoming
+    ]
+    base = tmp_path_factory.mktemp("inc_minhash")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    out = dedup_incoming_minhash(spark, str(base), threshold=0.5)
+    got = {r.doc_id: r for r in out.collect()}
+    unpersist_deps(out)
+    assert set(got) == {incoming_ids[0]}, got
+    assert got[incoming_ids[0]].near_dup_of == existing_ids[0]
+    assert got[incoming_ids[0]].jaccard >= 0.5
