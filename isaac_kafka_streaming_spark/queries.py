@@ -669,6 +669,50 @@ def _orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
 
 
+def _session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence assembly: each (user, gap-session)'s
+    time-ordered event transcript as deterministic JSON — the
+    "conversation assembly" step that turns an event log into dialog-
+    style training sequences.  Same single user_id shuffle as O5 (the
+    windows and the aggregate reuse one partitioning); the transcript
+    is array_sort(collect_list(struct)) serialized at the edge, so
+    state stays relational until presentation."""
+    from pyspark.sql import Window as W
+
+    ev = views.registered_events(spark, sf_dir).select(
+        "user_id", "ts", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    ts_ms = F.unix_millis(F.col("ts"))
+    brk = (
+        F.when(ts_ms - F.lag(ts_ms).over(w) > 86_400_000, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    sess = F.sum(brk).over(
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("session_id", sess.cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+            F.to_json(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_millis("ts").alias("t"),
+                            F.col("event_type").alias("e"),
+                        )
+                    )
+                )
+            ).alias("transcript"),
+        )
+    )
+
+
 def _tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 shape — EXISTS with a correlated inequality: orders placed in
     1996 having at least one line shipped after the order date, counted
@@ -1424,6 +1468,36 @@ REGISTRY: dict[str, QueryDef] = {
         """,
         "top-k per group window smoke",
     ),
+    "session_transcripts": QueryDef(
+        _session_transcripts,
+        oracle.with_views(
+            """
+            WITH flagged AS (
+                SELECT user_id, ts, event_type,
+                       CASE WHEN epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts) > 86400000
+                            THEN 1 ELSE 0 END AS brk
+                FROM registered_events
+            ), sessioned AS (
+                SELECT user_id, ts, event_type,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS session_start,
+                   COUNT(*) AS n_events,
+                   CAST(to_json(list_sort(list(struct_pack(
+                       t := epoch_ms(ts), e := event_type))))
+                       AS VARCHAR) AS transcript
+            FROM sessioned GROUP BY user_id, session_id
+            """,
+            "registered_events",
+        ),
+        "training-sequence assembly: per-session ordered event "
+        "transcripts as deterministic JSON",
+    ),
     "tpch_q4": QueryDef(
         _tpch_q4,
         """
@@ -1504,11 +1578,13 @@ REGISTRY: dict[str, QueryDef] = {
 # stays registered and locally parity-tested regardless of position
 # (tests/test_oracle_parity.py runs all 71).
 _DRIVER_CHECK_ORDER = [
-    # A — never driver-checked (incl. the six added in round 4:
+    # A — never driver-checked (incl. the seven added in round 4:
     # corpus_curation / embedding_quantize / dedup_incoming /
-    # mixture_plan / knn_quantized / dedup_incoming_minhash)
+    # mixture_plan / knn_quantized / dedup_incoming_minhash /
+    # session_transcripts)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
     "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
+    "session_transcripts",
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",
     "lang_id", "doc_fingerprints", "tfidf_top_terms", "corpus_keep_list",
     "repetition_metrics", "pii_scrub", "lang_source_rollup",
@@ -1526,7 +1602,7 @@ _DRIVER_CHECK_ORDER = [
     # D — core reference surface (triple-green; keep fresh rows on the
     # operators the reference's own topology exercises).  dedup_clusters
     # stays in-window because its clustering algorithm changed in round 4.
-    "event_type_counts", "daily_event_counts", "daily_role_counts",
+    "daily_event_counts", "daily_role_counts",
     "user_snapshot", "enriched_events", "last_seen", "user_streaks",
     "question_part_counts", "question_completion",
     "threshold_achievements", "dedup_minhash_lsh", "dedup_clusters",
