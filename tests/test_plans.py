@@ -140,3 +140,11 @@ def test_incoming_dedup_partial_aggregates(spark, sf_smoke):
     plan = _executed_plan(spark, "dedup_incoming", sf_smoke)
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("Join") == 1, plan
+
+
+def test_session_transcripts_single_exchange(spark, sf_smoke):
+    """Sequence assembly reuses ONE user_id shuffle for the gap flag,
+    the running session sum, and the transcript aggregate."""
+    plan = _executed_plan(spark, "session_transcripts", sf_smoke)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"transcript assembly shuffles {n_shuffles}x"
