@@ -289,14 +289,16 @@ def minhash_lsh_pairs(
     # cached: the shingle arrays feed the signature explode AND twice
     # the verification join — without it the tokenization runs 4x.
     # At 100 TB this intermediate is written to a temp table instead.
-    shingled = docs.select(
-        "doc_id",
-        _shingles(_tokens(F.col("text")), n).alias("shingles"),
-    ).cache()
+    shingled = _cache_once(
+        docs.select(
+            "doc_id",
+            _shingles(_tokens(F.col("text")), n).alias("shingles"),
+        )
+    )
 
     # cached: one row of 64 longs per doc (tiny); the band fanout
     # self-joins, so without it the signature agg runs twice.
-    sigs = _minhash_signatures(shingled, num_hashes).cache()
+    sigs = _cache_once(_minhash_signatures(shingled, num_hashes))
 
     bands = _band_keys(sigs, num_hashes, band_size)
 
@@ -355,6 +357,19 @@ def unpersist_deps(df: DataFrame) -> None:
         dep.unpersist()
 
 
+def _cache_once(df: DataFrame) -> DataFrame:
+    """cache() unless this plan is already in the CacheManager.
+
+    Several registry queries build the same minhash sub-plan in one
+    session; a fresh DataFrame over an already-cached plan reports the
+    cached storage level (CacheManager lookup is by plan, not object),
+    so calling .cache() again would log "Asked to cache already cached
+    data" and, at scale, double-pin the blocks.  After unpersist_deps
+    the level drops back to NONE and the next caller re-caches."""
+    lvl = df.storageLevel
+    return df if (lvl.useMemory or lvl.useDisk) else df.cache()
+
+
 # -- tier 5: SimHash -------------------------------------------------------
 
 
@@ -373,15 +388,23 @@ def simhash_pairs(
     hundreds of py4j round-trips — before a byte of data moved;
     measured 2x faster end-to-end at sf0.001 with identical output.
 
-    The 64 per-bit counters are packed 4-per-long into 16 lane
-    aggregates (16-bit fields — SIMD-in-a-register on the aggregation
-    state): lane j accumulates bit-positions {j, j+16, j+32, j+48}.
+    The 64 per-bit counters are packed 3-per-long into 16 lane
+    aggregates plus 16 plain sums (SIMD-in-a-register on the
+    aggregation state): lane j accumulates bit-positions {j, j+16,
+    j+32} in 16-bit fields and position j+48 in its own unpacked sum.
     Fields can't carry into each other while every per-doc distinct
-    token count stays under 2^16 (guarded with a lazy assert_true);
-    measured 1.47x faster than 64 separate sums on the signature stage
-    at sf0.1 (0.53 s -> 0.36 s warm), byte-identical output.  The sign
-    bit of the final assembly is safe: the 64 shifted terms are
-    bit-disjoint, so their sum is their bitwise OR, no carries.
+    token count stays under 2^16 (guarded with a lazy assert_true).
+    The top field is deliberately NOT packed: under Spark 4's default
+    ANSI mode a field at shift 48 would push the signed-64 running sum
+    past Long.MAX at n_tok >= 2^15 and raise ARITHMETIC_OVERFLOW
+    *during aggregation*, before the guard projection ever evaluates;
+    with the top shift at 32 the packed sum stays < n_tok * 2^33, so
+    overflow would need n_tok >= 2^30 — unreachable for a document —
+    and the carry guard always fires first.  Packing measured 1.47x
+    faster than 64 separate sums on the signature stage at sf0.1
+    (0.53 s -> 0.36 s warm), byte-identical output.  The sign bit of
+    the final assembly is safe: the 64 shifted terms are bit-disjoint,
+    so their sum is their bitwise OR, no carries.
     """
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
@@ -392,10 +415,9 @@ def simhash_pairs(
 
     lanes = [
         f"sum(((h >> {j}) & 1) + (((h >> {j + 16}) & 1) << 16)"
-        f" + (((h >> {j + 32}) & 1) << 32)"
-        f" + (((h >> {j + 48}) & 1) << 48)) AS lane{j}"
+        f" + (((h >> {j + 32}) & 1) << 32)) AS lane{j}"
         for j in range(16)
-    ]
+    ] + [f"sum((h >> {j + 48}) & 1) AS hi{j}" for j in range(16)]
     bit_sums = (
         tok.groupBy("doc_id")
         .agg(F.expr("count(*) AS n_tok"), *[F.expr(lane) for lane in lanes])
@@ -412,6 +434,8 @@ def simhash_pairs(
 
     def _bit(i: int) -> str:
         lane, field = i % 16, i // 16
+        if field == 3:  # top 16 bits live in their own unpacked sums
+            return f"(CAST(IF(2*hi{lane} > n_tok, 1, 0) AS BIGINT) << {i})"
         return (
             f"(CAST(IF(2*((lane{lane} >> {16 * field}) & 65535) > n_tok,"
             f" 1, 0) AS BIGINT) << {i})"
@@ -852,11 +876,13 @@ def dedup_incoming_minhash(
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    shingled = docs.select(
-        "doc_id",
-        _shingles(_tokens(F.col("text")), n).alias("shingles"),
-    ).cache()
-    sigs = _minhash_signatures(shingled, num_hashes).cache()
+    shingled = _cache_once(
+        docs.select(
+            "doc_id",
+            _shingles(_tokens(F.col("text")), n).alias("shingles"),
+        )
+    )
+    sigs = _cache_once(_minhash_signatures(shingled, num_hashes))
     bands = _band_keys(sigs, num_hashes, band_size).withColumn(
         "bucket", _bucket(F.col("doc_id"), "inc")
     )

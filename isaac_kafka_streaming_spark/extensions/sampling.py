@@ -191,8 +191,21 @@ def mixture_plan(
     Two tiny aggregations (per-lang token totals, then a global min),
     re-broadcast onto four rows — nothing here scales with corpus size
     except the one map-side token-count pass.
+
+    Target shares must sum to 1.0 (+-1e-6): a plan whose shares don't
+    cover the budget would silently under-promise.  A target language
+    absent from the corpus still gets a row (n_docs/n_tokens 0,
+    expected_tokens 0.0) so the shortfall vs its target_share is
+    observable in the plan instead of vanishing; the feasible budget
+    min only ranges over languages that actually have tokens.
     """
     targets = MIXTURE_TARGETS if targets is None else targets
+    total_share = sum(targets.values())
+    if abs(total_share - 1.0) > 1e-6:
+        raise ValueError(
+            f"mixture target shares must sum to 1.0, got {total_share:.6f} "
+            f"for {sorted(targets)}"
+        )
     from .text import _tokens
 
     docs = read_table(spark, sf_dir, "documents")
@@ -206,13 +219,19 @@ def mixture_plan(
             F.sum("n_tok").alias("n_tokens"),
         )
     )
-    share = F.lit(None).cast("double")
-    for lang, s in targets.items():
-        share = F.when(F.col("lang") == lang, F.lit(s)).otherwise(share)
-    planned = per_lang.withColumn("target_share", share).filter(
-        F.col("target_share").isNotNull()
+    targets_df = spark.createDataFrame(
+        sorted((lang, float(s)) for lang, s in targets.items()),
+        "lang string, target_share double",
     )
-    budget = planned.agg(
+    # right-anchored on the targets so absent languages surface as
+    # zero-token rows; per_lang is an agg of <= |langs| rows, broadcast
+    planned = targets_df.join(F.broadcast(per_lang), "lang", "left").select(
+        "lang",
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "target_share",
+    )
+    budget = planned.filter(F.col("n_tokens") > 0).agg(
         F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
     )
     return (
@@ -222,16 +241,22 @@ def mixture_plan(
             "n_docs",
             "n_tokens",
             "target_share",
-            F.round(
-                F.least(
-                    F.lit(1.0),
-                    F.col("target_share") * F.col("budget") / F.col("n_tokens"),
-                ),
-                6,
-            ).alias("keep_frac"),
-            F.round(F.col("target_share") * F.col("budget"), 2).alias(
-                "expected_tokens"
-            ),
+            F.when(F.col("n_tokens") == 0, F.lit(1.0))
+            .otherwise(
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_share")
+                        * F.col("budget")
+                        / F.col("n_tokens"),
+                    ),
+                    6,
+                )
+            )
+            .alias("keep_frac"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("target_share") * F.col("budget"), 2))
+            .alias("expected_tokens"),
         )
     )
 

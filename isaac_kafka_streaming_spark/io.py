@@ -67,16 +67,21 @@ def write_range_partitioned(
     # Spark's default parquet timestamp encoding is legacy INT96, which
     # carries NO column statistics — it silently defeats the entire
     # point of this layout.  TIMESTAMP_MICROS restores min-max stats
-    # (and is the non-deprecated encoding).
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
-    (
-        df.repartitionByRange(n_partitions, col)
-        .sortWithinPartitions(col)
-        .write.mode("overwrite")
-        .parquet(path)
-    )
+    # (and is the non-deprecated encoding).  The conf is scoped to this
+    # write: the caller's session keeps whatever encoding it had.
+    conf = df.sparkSession.conf
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = conf.get(key, None)
+    conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.repartitionByRange(n_partitions, col)
+            .sortWithinPartitions(col)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    finally:
+        conf.set(key, prev) if prev is not None else conf.unset(key)
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

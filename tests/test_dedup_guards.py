@@ -288,3 +288,26 @@ def test_incoming_minhash_finds_cross_slice_near_dups(
     assert set(got) == {incoming_ids[0]}, got
     assert got[incoming_ids[0]].near_dup_of == existing_ids[0]
     assert got[incoming_ids[0]].jaccard >= 0.5
+
+
+# -- simhash wide-document ANSI-overflow guard -----------------------------
+
+
+def test_simhash_wide_doc_no_ansi_overflow(spark, tmp_path_factory):
+    """A doc with > 2^15 distinct tokens must produce a signature, not
+    throw ARITHMETIC_OVERFLOW mid-aggregation.  With the old 4-per-long
+    packing (top field at shift 48) the signed-64 running sum crossed
+    Long.MAX at ~2^15 tokens under Spark 4's default ANSI mode, erroring
+    before the carry guard ever evaluated; the top 16 bits now live in
+    unpacked sums so the packed lanes stay < n_tok * 2^33."""
+    from isaac_kafka_streaming_spark.extensions.dedup import simhash_pairs
+
+    base = tmp_path_factory.mktemp("wide")
+    wide = " ".join(f"tok{i}" for i in range(40_000))  # 2^15 < 40k < 2^16
+    docs = [(0, wide + " endA"), (1, wide + " endB"), (2, "tiny doc")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    pairs = simhash_pairs(spark, str(base)).collect()
+    # the two wide docs differ by one token out of 40k: Hamming ~0
+    assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs)

@@ -154,3 +154,31 @@ def test_mixture_plan_invariants(spark, sf_smoke):
         assert abs(r.expected_tokens / budget - MIXTURE_TARGETS[lang]) < 1e-4
         # never plans more tokens than the language has
         assert r.expected_tokens <= r.n_tokens + 0.51
+
+
+def test_mixture_plan_validates_share_sum(spark, sf_smoke):
+    """Shares that don't sum to 1.0 are a plan bug, not a silent
+    under-promise: the call must fail fast."""
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.sampling import mixture_plan
+
+    with pytest.raises(ValueError, match="sum to 1.0"):
+        mixture_plan(spark, sf_smoke, targets={"en": 0.5, "de": 0.2})
+
+
+def test_mixture_plan_surfaces_missing_language(spark, sf_smoke):
+    """A target language absent from the corpus still gets a plan row
+    (zero tokens, zero expected) so the shortfall vs target_share is
+    observable, and the feasible budget is computed over the present
+    languages only (not collapsed to zero by the absent one)."""
+    from isaac_kafka_streaming_spark.extensions.sampling import mixture_plan
+
+    targets = {"en": 0.5, "de": 0.2, "xx": 0.3}  # xx not in the corpus
+    rows = {r.lang: r for r in mixture_plan(spark, sf_smoke, targets).collect()}
+    assert set(rows) == set(targets)
+    xx = rows["xx"]
+    assert (xx.n_docs, xx.n_tokens, xx.expected_tokens) == (0, 0, 0.0)
+    # present languages still get a real, non-zero plan
+    assert rows["en"].expected_tokens > 0
+    assert any(abs(r.keep_frac - 1.0) < 1e-6 for r in rows.values())
