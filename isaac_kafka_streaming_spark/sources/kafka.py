@@ -23,6 +23,16 @@ from ..schemas import LOGGED_EVENT_SCHEMA
 LOGGED_EVENTS_TOPIC = "topic_logged_events"
 ANONYMOUS_EVENTS_TOPIC = "topic_anonymous_logged_events"
 
+# The data source format every adapter below builds its plan against.
+# Production value is the real connector's name; tests that run in a
+# brokerless container repoint it at the in-process test double
+# (tests/kafka_double.py, registered as "kafkasim") — Spark hardwires
+# the literal "kafka" lookup to fail without the spark-sql-kafka
+# artifact before consulting the Python data source registry, so the
+# seam has to be the format name itself.  Everything else in the plan
+# (options, schema contract, parse/serialize stack) is identical.
+KAFKA_FORMAT = "kafka"
+
 
 def read_logged_events_stream(
     spark: SparkSession,
@@ -37,7 +47,7 @@ def read_logged_events_stream(
     zero-defaults applied via coalesce (SURVEY.md §1.2).
     """
     raw = (
-        spark.readStream.format("kafka")
+        spark.readStream.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
@@ -51,7 +61,7 @@ def read_logged_events_batch(
 ) -> DataFrame:
     """Batch twin of S1 (bounded replay of a topic)."""
     raw = (
-        spark.read.format("kafka")
+        spark.read.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribe", topic)
         .load()
@@ -103,7 +113,7 @@ def write_stream_to_kafka(
     """K1 — continuous Kafka sink. Returns the StreamingQuery."""
     return (
         to_kafka_records(df, key_col)
-        .writeStream.format("kafka")
+        .writeStream.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .option("checkpointLocation", checkpoint)
@@ -119,7 +129,10 @@ def write_batch_to_kafka(
     artifact, KafkaLoader.java:117)."""
     (
         to_kafka_records(df, key_col)
-        .write.format("kafka")
+        .write.format(KAFKA_FORMAT)
+        # a topic is append-only; say so instead of the ErrorIfExists
+        # default (the real connector treats every mode as append)
+        .mode("append")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)
         .save()

@@ -1,0 +1,176 @@
+"""S1/K1/K2 — the kafka format boundary, executed end-to-end.
+
+The container has no broker and no spark-sql-kafka artifact, so the
+real connector cannot run; these tests close the next-best gap (round-4
+verdict item 3) in two layers:
+
+1. `test_real_kafka_plan_reaches_connector_resolution` drives the
+   UNMODIFIED plans (format "kafka") and pins the failure to the
+   curated connector-missing error — proving the plan is well-formed up
+   to format resolution.  If the artifact ever lands on the classpath,
+   the same test flips to asserting the plan constructs, so it can
+   never silently rot.
+2. The remaining tests run the IDENTICAL plans against
+   tests/kafka_double.py — a Python Data Source (Spark 4 API) exposing
+   the real connector's exact read schema, option names, and key/value
+   binary sink contract — so batch read, batch write, streaming read,
+   and streaming write all execute: wire bytes in, parsed rows out.
+
+Reference behavior covered: LoggedEventsListener.java:81 (consume),
+:88 (produce to the anonymous topic), KafkaLoader.java:104-117.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+import kafka_double
+from isaac_kafka_streaming_spark.sources import kafka as K
+
+EVENTS = [
+    {
+        "user_id": f"user_{i}",
+        "anonymous_user": i % 3 == 0,
+        "event_type": "question_answered" if i % 2 else "page_viewed",
+        "event_details": {"correct": i % 2 == 1, "question_id": f"q{i}"},
+        "timestamp": 1_700_000_000_000 + i * 1000,
+    }
+    for i in range(20)
+]
+
+
+@pytest.fixture()
+def broker(spark, tmp_path, monkeypatch):
+    """A registered test double + a 'broker' directory, with the
+    adapters' format seam pointed at the double."""
+    fmt = kafka_double.register(spark)
+    monkeypatch.setattr(K, "KAFKA_FORMAT", fmt)
+    return str(tmp_path / "broker")
+
+
+def _produce(broker: str, topic: str, events) -> None:
+    kafka_double.append_records(
+        f"{broker}/{topic}",
+        [
+            (e["user_id"].encode(), json.dumps(e).encode())
+            for e in events
+        ],
+    )
+
+
+def test_real_kafka_plan_reaches_connector_resolution(spark):
+    """The production plan (format 'kafka') must be well-formed up to
+    connector resolution: without the artifact it fails with exactly
+    the curated kafka error; with it, it must construct."""
+    try:
+        K.read_logged_events_batch(spark, "localhost:9092")
+    except Exception as e:  # noqa: BLE001 — asserting on the class/message
+        assert "kafka" in str(e).lower() and "deploy" in str(e).lower(), (
+            f"kafka plan failed before format resolution: {e}"
+        )
+    # if no exception: the artifact is present and the plan constructed
+
+
+def test_batch_roundtrip_wire_to_rows(spark, broker):
+    """Produce JSON wire records -> read_logged_events_batch parses them
+    with the reference's zero-defaults."""
+    _produce(broker, K.LOGGED_EVENTS_TOPIC, EVENTS)
+    got = {
+        r.user_id: r
+        for r in K.read_logged_events_batch(spark, broker).collect()
+    }
+    assert len(got) == len(EVENTS)
+    for e in EVENTS:
+        r = got[e["user_id"]]
+        assert r.kafka_key == e["user_id"]
+        assert r.anonymous_user == e["anonymous_user"]
+        assert r.event_type == e["event_type"]
+        assert r.event_ts_ms == e["timestamp"]
+        # event_details is polymorphic raw JSON in LOGGED_EVENT_SCHEMA
+        assert json.loads(r.event_details) == e["event_details"]
+
+
+def test_batch_roundtrip_malformed_defaults(spark, broker):
+    """Missing/malformed fields take the reference's zero-defaults
+    (LoggedEvent.java initializers) through the real format path."""
+    kafka_double.append_records(
+        f"{broker}/{K.LOGGED_EVENTS_TOPIC}",
+        [
+            (b"k1", json.dumps({"event_type": "page_viewed"}).encode()),
+            (None, b"not json at all"),
+        ],
+        partition_of=lambda k: 0,
+    )
+    rows = sorted(
+        K.read_logged_events_batch(spark, broker).collect(),
+        key=lambda r: r.event_type,
+    )
+    assert [r.event_type for r in rows] == ["", "page_viewed"]
+    for r in rows:
+        assert r.user_id == "" and r.anonymous_user is False
+        assert r.event_ts_ms == 0
+
+
+def test_batch_producer_then_consume(spark, broker):
+    """K2 -> S1: write_batch_to_kafka puts key=user_id and the full-row
+    JSON on the wire; reading the topic back parses to the same rows
+    (the _parse . to_kafka_records identity, now through the format)."""
+    src = spark.createDataFrame(
+        [(e["user_id"], e["event_type"], e["timestamp"]) for e in EVENTS],
+        "user_id string, event_type string, timestamp long",
+    )
+    K.write_batch_to_kafka(src, broker, "topic_out")
+    back = K.read_logged_events_batch(spark, broker, topic="topic_out")
+    got = sorted(
+        (r.kafka_key, r.user_id, r.event_type, r.event_ts_ms)
+        for r in back.collect()
+    )
+    want = sorted(
+        (e["user_id"], e["user_id"], e["event_type"], e["timestamp"])
+        for e in EVENTS
+    )
+    assert got == want
+
+
+def test_stream_source_parses_topic(spark, broker, tmp_path):
+    """S1 streaming: readStream over the topic -> parsed rows land in a
+    memory sink, offsets tracked per partition."""
+    _produce(broker, K.LOGGED_EVENTS_TOPIC, EVENTS)
+    q = (
+        K.read_logged_events_stream(spark, broker)
+        .writeStream.format("memory")
+        .queryName("kafka_fmt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from kafka_fmt_stream").collect()
+    assert {r.user_id for r in rows} == {e["user_id"] for e in EVENTS}
+    assert all(r.event_ts_ms > 0 for r in rows)
+
+
+def test_stream_sink_writes_topic(spark, broker, tmp_path):
+    """K1 streaming: the anonymous-branch pipeline shape — a streaming
+    source written to a kafka topic via write_stream_to_kafka, then read
+    back and parsed (LoggedEventsListener.java:88)."""
+    _produce(broker, K.LOGGED_EVENTS_TOPIC, EVENTS)
+    anon = K.read_logged_events_stream(spark, broker).filter(
+        F.col("anonymous_user")
+    ).drop("kafka_key", "ts")
+    q = K.write_stream_to_kafka(
+        anon,
+        broker,
+        K.ANONYMOUS_EVENTS_TOPIC,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    back = K.read_logged_events_batch(
+        spark, broker, topic=K.ANONYMOUS_EVENTS_TOPIC
+    )
+    got = {r.user_id for r in back.collect()}
+    assert got == {e["user_id"] for e in EVENTS if e["anonymous_user"]}
