@@ -9,14 +9,21 @@ chunk (column pruning means metadata-only queries never read bytes),
 and partitioning is by content-defined bucket (hash of media_id), never
 by blob size.
 
-The test container ships no image/audio codecs, so the actual decoders
-are STUBS: they raise NotImplementedError unless `fake=True`, in which
-case a deterministic fake decoder (derived from the blob's bytes)
-exercises the full plumbing — schema, batching, partitioning — with
-real data shapes.  Swapping in PIL/ffmpeg later changes only the
-nested `decode_one`/`_resize_one` bodies.  Worker-side code is nested
-inside each builder so cloudpickle ships it by value — executors never
-need this package on their sys.path.
+Decode tiers (the container ships no PIL/cv2/ffmpeg):
+  * PNG and WAV blobs are decoded FOR REAL — `extensions.codecs`
+    implements the formats on the stdlib (zlib inflate + scanline
+    unfiltering; RIFF/`wave`), and `extract_image_features` /
+    `extract_audio_features` dispatch on the magic bytes.  The graded
+    queries `media_png_features` / `media_wav_stats` run this path
+    end-to-end over real encoded bytes, oracle-checked.
+  * JPEG/video remain STUBS: they raise NotImplementedError unless
+    `fake=True`, in which case a deterministic fake decoder (derived
+    from the blob's bytes) exercises the full plumbing — schema,
+    batching, partitioning — with real data shapes.  Swapping in
+    PIL/ffmpeg later changes only the nested decoder bodies.
+Worker-side code is nested inside each builder (or shipped by value
+via cloudpickle's register_pickle_by_value for `codecs`) — executors
+never need this package on their sys.path.
 """
 
 from __future__ import annotations
@@ -76,25 +83,136 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def _ship_codecs_by_value() -> None:
+    """Make cloudpickle serialize `extensions.codecs` by value: workers
+    don't have this package on sys.path (the grading driver runs from
+    an arbitrary cwd), so module-by-reference pickling would fail."""
+    from pyspark import cloudpickle
+
+    from . import codecs
+
+    cloudpickle.register_pickle_by_value(codecs)
+
+
+# width lookup for the digest-pixel PNGs: digest[0] % 4 -> a factor
+# pair of 32, so every layout holds exactly the 32 digest bytes with
+# no padding (brightness stays the plain mean of the digest bytes)
+_PNG_DIMS = [(4, 8), (8, 4), (16, 2), (32, 1)]
+
+
+def documents_as_png_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL greyscale PNG whose pixel
+    payload is the sha256 digest of its text (32 bytes, dims chosen by
+    digest[0] % 4).  The encoding runs in mapInPandas with the stdlib
+    encoder, so the graded query downstream decodes genuine PNG bytes —
+    while staying DuckDB-checkable, because every decoded feature is a
+    function of sha256(text), which the oracle recomputes in SQL."""
+    _ship_codecs_by_value()
+    from .codecs import png_encode
+
+    dims = _PNG_DIMS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                w, h = dims[digest[0] % 4]
+                rows.append(
+                    (
+                        doc_id,
+                        "image",
+                        png_encode(digest, w, h),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "image/png",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def documents_as_wav_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL WAV (8 kHz mono 8-bit PCM)
+    whose samples are the sha256 digest bytes of its text — real RIFF
+    container, real `wave` decode downstream, SQL-checkable features."""
+    _ship_codecs_by_value()
+    from .codecs import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        wav_encode(digest, sample_rate=8000, n_channels=1),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "audio/wav",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def extract_image_features(
+    media: DataFrame, fake: bool = False, hash_mode: str = "sha256"
+) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
+
+    PNG blobs (magic-sniffed) take the REAL stdlib decoder — width and
+    height from IHDR, brightness as the mean decoded sample, and
+    content_hash/n_bytes over the decoded pixel payload.  Non-PNG blobs
+    fall back to the deterministic fake decoder when `fake=True`
+    (payload = the raw blob, so hash/n_bytes keep their raw-bytes
+    semantics) and raise otherwise — JPEG etc. need a codec this
+    container doesn't ship.
+
+    ``hash_mode``: "sha256" (default) emits sha256(payload) as
+    content_hash; "hex" emits the payload itself hex-encoded — used by
+    the graded PNG query, whose payload is already a sha256 digest
+    (DuckDB 1.0 can't hash BLOBs, and payload-equals-digest is the
+    stronger decode assertion anyway).
 
     One output row per input row; the blob column is dropped on output
     so downstream stages never shuffle bytes they don't need.
     """
+    if hash_mode not in ("sha256", "hex"):
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    _ship_codecs_by_value()
+    from .codecs import PNG_MAGIC, png_decode
 
-    # nested (not a module-level reference) so cloudpickle ships the
-    # decoder BY VALUE: workers must not need this package importable —
-    # only the driver has the repo on sys.path (the grading driver runs
-    # from an arbitrary cwd)
-    def decode_one(blob: bytes) -> tuple[int, int, float]:
+    def decode_one(blob: bytes) -> tuple[int, int, float, bytes]:
+        if bytes(blob[:8]) == PNG_MAGIC:
+            w, h, _channels, pixels = png_decode(bytes(blob))
+            return w, h, (sum(pixels) / len(pixels)) / 255.0, pixels
         if not fake:
             raise NotImplementedError(
-                "image decoding requires an image codec (PIL/opencv); "
+                "only PNG decodes without an external codec (PIL/opencv); "
                 "run with fake=True for the deterministic test decoder"
             )
         digest = hashlib.sha256(blob).digest()
-        return 64 + digest[0] % 192, 64 + digest[1] % 192, digest[2] / 255.0
+        return (
+            64 + digest[0] % 192,
+            64 + digest[1] % 192,
+            digest[2] / 255.0,
+            bytes(blob),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,15 +222,60 @@ def extract_image_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     "media_id": pdf["media_id"].values,
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
-                    "n_bytes": [len(b) for b in pdf["blob"]],
+                    "n_bytes": [len(d[3]) for d in decoded],
                     "content_hash": [
-                        hashlib.sha256(b).hexdigest() for b in pdf["blob"]
+                        d[3].hex()
+                        if hash_mode == "hex"
+                        else hashlib.sha256(d[3]).hexdigest()
+                        for d in decoded
                     ],
                     "brightness": [d[2] for d in decoded],
                 }
             )
 
     return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode over mapInPandas: WAV blobs parsed with the
+    stdlib `wave` reader; RMS over 8-bit unsigned PCM samples."""
+    _ship_codecs_by_value()
+    from .codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
+                rms = math.sqrt(
+                    sum((b - 128) ** 2 for b in pcm) / len(pcm)
+                )
+                rows.append((mid, rate, n_ch, n_frames, rms))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_channels",
+                    "n_frames",
+                    "rms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def resize_images(
@@ -208,6 +371,31 @@ def media_features(spark, sf_dir: str) -> DataFrame:
     return feats.withColumn("brightness", F.round("brightness", 6))
 
 
+def media_png_features(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL image decode on a graded path: documents rendered as
+    genuine PNGs (pixel payload = sha256 digest), decoded by the
+    stdlib PNG decoder (no fake mode anywhere), features oracle-checked
+    against DuckDB recomputing them from sha256(text)."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_image_features(
+        documents_as_png_media(docs), hash_mode="hex"
+    )
+    return feats.withColumn("brightness", F.round("brightness", 6))
+
+
+def media_wav_stats(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL audio decode on a graded path: documents rendered as
+    genuine 8 kHz mono WAVs (samples = sha256 digest), decoded with the
+    stdlib `wave` reader; RMS oracle-checked from sha256(text)."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    stats = extract_audio_features(documents_as_wav_media(docs))
+    return stats.withColumn("rms", F.round("rms", 6))
+
+
 def media_frame_stats(spark, sf_dir: str) -> DataFrame:
     """X5 — video frame-sampling shape (1->N row expansion via
     mapInPandas); emits per-frame byte counts, not the bytes, so the
@@ -251,6 +439,50 @@ def register() -> dict:
             FROM h
             """,
             "X5 image decode/feature-extract via mapInPandas (fake codec)",
+        ),
+        "media_png_features": QueryDef(
+            media_png_features,
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(CASE {_hexbyte(1)} % 4
+                        WHEN 0 THEN 4 WHEN 1 THEN 8
+                        WHEN 2 THEN 16 ELSE 32 END AS INTEGER) AS width,
+                   CAST(CASE {_hexbyte(1)} % 4
+                        WHEN 0 THEN 8 WHEN 1 THEN 4
+                        WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS height,
+                   CAST(32 AS BIGINT) AS n_bytes,
+                   hash AS content_hash,
+                   ROUND(({
+                       " + ".join(_hexbyte(2 * j + 1) for j in range(32))
+                   }) / 32.0 / 255.0, 6) AS brightness
+            FROM h
+            """,
+            "X5 REAL PNG decode (stdlib inflate+unfilter) via mapInPandas",
+        ),
+        "media_wav_stats": QueryDef(
+            media_wav_stats,
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS n_channels,
+                   CAST(32 AS BIGINT) AS n_frames,
+                   ROUND(SQRT(({
+                       " + ".join(
+                           f"POWER({_hexbyte(2 * j + 1)} - 128, 2)"
+                           for j in range(32)
+                       )
+                   }) / 32.0), 6) AS rms
+            FROM h
+            """,
+            "X5 REAL WAV decode (stdlib wave reader) via mapInPandas",
         ),
         "media_frame_stats": QueryDef(
             media_frame_stats,

@@ -1575,19 +1575,23 @@ REGISTRY: dict[str, QueryDef] = {
 # full 81-entry registry locally every round regardless of position.
 #
 # Round-5 window tiers by prior driver coverage:
-#   A: never driver-checked                         (3: tpch_q4/q10/q16,
-#      added in round 4 past the then-current window)
+#   A: never driver-checked                         (5: tpch_q4/q10/q16
+#      added in round 4 past the then-current window; media_png_features
+#      and media_wav_stats are new in round 5)
 #   B: last checked in round 3                      (28)
-#   C: single green row, from round 4               (17: the round-4
-#      additions and first-time-checked entries)
+#   C: single green row, from round 4               (15: round-4
+#      additions and first-time-checked entries; corpus_shards and
+#      concat_chunk_plan sit out — both r04-green and unchanged)
 #   D: changed-this/last-round code kept in-window  (2: dedup_clusters —
 #      clustering algorithm replaced in r4; user_streaks — sessionization
 #      gains a skew cap in r5)
-# The 31 entries past the window each hold >= 2 green driver rows
-# (r04 plus at least one of r01-r03).
+# The 33 entries past the window each hold >= 2 green driver rows
+# (r04 plus at least one of r01-r03), except corpus_shards /
+# concat_chunk_plan (one green row, r04, unchanged since).
 _DRIVER_CHECK_ORDER = [
     # A — never driver-checked
     "tpch_q4", "tpch_q10", "tpch_q16",
+    "media_png_features", "media_wav_stats",
     # B — last checked in round 3
     "anonymous_events", "customers_without_big_orders",
     "daily_role_rollup", "dedup_embedding_cosine", "dedup_exact",
@@ -1601,7 +1605,7 @@ _DRIVER_CHECK_ORDER = [
     # C — one green row (round 4 only)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
     "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
-    "session_transcripts", "corpus_shards", "concat_chunk_plan",
+    "session_transcripts",
     "ngram_contamination", "lang_id", "doc_fingerprints",
     "tfidf_top_terms", "corpus_keep_list", "repetition_metrics",
     "pii_scrub", "lang_source_rollup",

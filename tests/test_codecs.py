@@ -1,0 +1,141 @@
+"""Pure-stdlib PNG/WAV codecs (extensions.codecs) — no Spark needed.
+
+The decoder must be a *real* parser: round-trips with our encoder are
+necessary but not sufficient, so the filter tests hand-build PNG
+streams with every scanline filter type (1-4) the encoder itself never
+emits, and the corruption tests check CRC/format validation rejects
+bad bytes instead of decoding garbage.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from isaac_kafka_streaming_spark.extensions.codecs import (
+    PNG_MAGIC,
+    png_decode,
+    png_encode,
+    wav_decode,
+    wav_encode,
+)
+
+
+def test_png_roundtrip_gray():
+    pixels = bytes(range(256)) * 4  # 32x32 greyscale
+    blob = png_encode(pixels, 32, 32)
+    assert blob[:8] == PNG_MAGIC
+    w, h, ch, out = png_decode(blob)
+    assert (w, h, ch) == (32, 32, 1)
+    assert out == pixels
+
+
+@pytest.mark.parametrize("color_type,channels", [(2, 3), (6, 4)])
+def test_png_roundtrip_color(color_type, channels):
+    pixels = bytes((i * 7 + c) % 256 for i in range(60) for c in range(channels))
+    blob = png_encode(pixels, 10, 6, color_type=color_type)
+    w, h, ch, out = png_decode(blob)
+    assert (w, h, ch) == (10, 6, channels)
+    assert out == pixels
+
+
+def _hand_png(width, height, scanlines_with_filters):
+    """Build a PNG from explicit (filter_type, filtered_bytes) lines."""
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in scanlines_with_filters)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilters_sub_up_average_paeth():
+    """Decode a stream using all five filter types; expected pixels
+    computed from the spec's reconstruction functions by hand."""
+    # 4-wide, 5-tall greyscale; target image rows:
+    rows = [
+        [10, 20, 30, 40],  # filter 0 (None): stored as-is
+        [15, 25, 35, 45],  # filter 1 (Sub): stored diffs vs left
+        [20, 30, 40, 50],  # filter 2 (Up): stored diffs vs above
+        [30, 40, 50, 60],  # filter 3 (Average)
+        [35, 45, 55, 65],  # filter 4 (Paeth)
+    ]
+    lines = [(0, rows[0])]
+    # Sub: raw[x] - raw[x-1]
+    lines.append((1, [rows[1][0]] + [
+        (rows[1][x] - rows[1][x - 1]) & 0xFF for x in range(1, 4)
+    ]))
+    # Up: raw[x] - prior[x]
+    lines.append((2, [(rows[2][x] - rows[1][x]) & 0xFF for x in range(4)]))
+    # Average: raw[x] - floor((left + up)/2)
+    avg = []
+    for x in range(4):
+        left = rows[3][x - 1] if x else 0
+        avg.append((rows[3][x] - ((left + rows[2][x]) >> 1)) & 0xFF)
+    lines.append((3, avg))
+    # Paeth: raw[x] - paeth(left, up, upleft)
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    pae = []
+    for x in range(4):
+        left = rows[4][x - 1] if x else 0
+        ul = rows[3][x - 1] if x else 0
+        pae.append((rows[4][x] - paeth(left, rows[3][x], ul)) & 0xFF)
+    lines.append((4, pae))
+
+    w, h, ch, out = png_decode(_hand_png(4, 5, lines))
+    assert (w, h, ch) == (4, 5, 1)
+    assert list(out) == [p for row in rows for p in row]
+
+
+def test_png_rejects_corruption():
+    blob = bytearray(png_encode(bytes(64), 8, 8))
+    with pytest.raises(ValueError, match="signature"):
+        png_decode(b"JUNK" + bytes(blob[4:]))
+    blob[40] ^= 0xFF  # flip a byte inside a chunk body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+
+
+def test_png_rejects_unsupported():
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)  # 16-bit depth
+    blob = PNG_MAGIC + chunk(b"IHDR", ihdr16)
+    with pytest.raises(ValueError, match="unsupported"):
+        png_decode(blob)
+
+
+def test_wav_roundtrip():
+    pcm = bytes((i * 13) % 256 for i in range(320))
+    blob = wav_encode(pcm, sample_rate=8000, n_channels=1)
+    rate, ch, n, out = wav_decode(blob)
+    assert (rate, ch, n) == (8000, 1, 320)
+    assert out == pcm
+
+
+def test_wav_rejects_non_riff():
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"\x89PNG\r\n\x1a\nnot audio")
