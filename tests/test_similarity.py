@@ -25,7 +25,9 @@ def test_ivf_recall_against_bruteforce(spark, sf_smoke):
     }
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    # pinned floor (round-4 verdict item 5): measured 0.94 deterministic
+    # at sf0.001, nprobe=4/16; margin for driver testdata regeneration
+    assert recall >= 0.85, f"IVF recall regressed: {recall}"
     # determinism: same result on a second run
     approx2 = {
         (r.query_id, r.neighbor_id)
@@ -46,7 +48,11 @@ def test_lsh_recall_and_exact_rescoring(spark, sf_smoke):
     approx = {(r.query_id, r.neighbor_id) for r in lsh_rows}
     assert len(exact) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # pinned floor: measured 0.32 deterministic (6 bits x 8 tables on
+    # random 64-dim data — the hard case for LSH); margin for driver
+    # testdata regeneration.  Exact rescoring below is the quality
+    # backstop: returned pairs always carry true cosines.
+    assert recall >= 0.25, f"LSH recall regressed: {recall}"
     for r in lsh_rows:
         key = (r.query_id, r.neighbor_id)
         if key in exact_cos:
@@ -128,3 +134,49 @@ def test_quantized_knn_recall_vs_float(spark, sf_smoke):
     }
     recall = len(exact & quant) / len(exact)
     assert recall >= 0.8, f"int8 recall {recall:.2f} below floor"
+
+
+def test_kmeans_objective_nonincreasing(spark, sf_smoke):
+    """Lloyd invariant: each iteration must not worsen the clustering
+    objective.  With cosine assignment and mean updates (spherical
+    k-means; cosine is scale-invariant in the centroid, and the mean
+    direction maximizes a cluster's summed cosine), total max-cosine
+    is non-decreasing in the iteration count."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        _corpus,
+        _dot,
+        kmeans_centroids,
+    )
+
+    emb = _corpus(spark, sf_smoke).select("vec_id", "v", "norm")
+
+    def objective(iters: int) -> float:
+        cents = (
+            kmeans_centroids(spark, sf_smoke, k=8, iters=iters)
+            .groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "centroid_val"))),
+                    lambda s: s["centroid_val"],
+                ).alias("cv")
+            )
+            .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        )
+        best = (
+            emb.join(F.broadcast(cents), how="cross")
+            .withColumn(
+                "cos",
+                _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm")),
+            )
+            .groupBy("vec_id")
+            .agg(F.max("cos").alias("best"))
+            .agg(F.sum("best").alias("obj"))
+        )
+        return best.collect()[0].obj
+
+    objs = [objective(i) for i in (1, 2, 3)]
+    # tolerance: centroid_val is rounded to 6 decimals on output
+    assert objs[1] >= objs[0] - 1e-3, f"objective worsened: {objs}"
+    assert objs[2] >= objs[1] - 1e-3, f"objective worsened: {objs}"
