@@ -60,6 +60,13 @@ HEADLINE = [
     "embedding_quantize",
     "dedup_incoming",
     "dedup_clusters",
+    # round 5 additions: the round-4 stragglers (verdict item 6) plus
+    # the real-decode media path
+    "mixture_plan",
+    "knn_quantized",
+    "session_transcripts",
+    "dedup_incoming_minhash",
+    "media_png_features",
 ]
 
 

