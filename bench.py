@@ -67,6 +67,8 @@ HEADLINE = [
     "session_transcripts",
     "dedup_incoming_minhash",
     "media_png_features",
+    "bpe_pair_counts",
+    "epoch_shuffle",
 ]
 
 

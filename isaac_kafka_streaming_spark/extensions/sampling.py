@@ -14,7 +14,7 @@ sampling decisions from the split assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
@@ -261,6 +261,44 @@ def mixture_plan(
     )
 
 
+def epoch_shuffle(
+    spark: SparkSession, sf_dir: str, epoch: int = 3, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic per-epoch training order — the data-loader shuffle,
+    computed engine-side.
+
+    A trainer needs a different, reproducible permutation of the corpus
+    every epoch.  Materializing `ORDER BY rand(epoch)` is (a) a global
+    sort and (b) partition-layout-dependent; instead each doc gets a
+    pseudo-random order key md5(epoch ':' doc_id) — stable across
+    engines and layouts — a shard from the key's top byte, and a
+    position from a PER-SHARD sort.  Shards are the unit a loader
+    reads sequentially, so no global order is ever imposed: at 100 TB
+    this is `repartitionByRange(shard)` + sortWithinPartitions into
+    n_shards files, each an independent bounded sort, exactly the
+    write_range_partitioned layout.  Epoch changes re-key everything;
+    doc identity (not row order) drives the permutation, so resuming a
+    crashed epoch re-reads identical shards.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    okey = F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id")))
+    shard = (F.conv(F.substring(F.col("order_key"), 1, 2), 16, 10) % n_shards).cast(
+        "int"
+    )
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        docs.select("doc_id", okey.alias("order_key"))
+        .withColumn("shard", shard)
+        .select(
+            "doc_id",
+            F.lit(epoch).cast("int").alias("epoch"),
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "order_key",
+        )
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -270,8 +308,29 @@ def register() -> dict:
         return f"(position(substr(h, {i}, 1) IN '0123456789abcdef') - 1)"
 
     val4 = f"((({hx(1)} * 16 + {hx(2)}) * 16 + {hx(3)}) * 16 + {hx(4)})"
+    val2 = f"({hx(1)} * 16 + {hx(2)})"
 
     return {
+        "epoch_shuffle": QueryDef(
+            epoch_shuffle,
+            f"""
+            WITH o AS (
+                SELECT doc_id, md5('3:' || doc_id) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, h AS order_key,
+                       CAST({val2} % 8 AS INTEGER) AS shard
+                FROM o
+            )
+            SELECT doc_id, CAST(3 AS INTEGER) AS epoch, shard,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY order_key, doc_id
+                   ) AS BIGINT) AS pos,
+                   order_key
+            FROM s
+            """,
+            "deterministic per-epoch training order (per-shard sort)",
+        ),
         "corpus_split": QueryDef(
             corpus_split,
             f"""

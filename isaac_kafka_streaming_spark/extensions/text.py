@@ -452,6 +452,47 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, min_count: int = 2
+) -> DataFrame:
+    """X4 — adjacent-token-pair frequencies: one BPE merge step,
+    distributed.
+
+    A byte-pair-encoding trainer's inner loop is "count every adjacent
+    symbol pair, merge the most frequent"; over a corpus this is the
+    aggregation that dominates vocabulary building.  Expressed
+    relationally: tokens materialized once per doc, adjacent pairs via
+    zip_with over two shifted slices (JVM-side, no Python), then a
+    plain two-level groupBy — map-side combinable, per-key width
+    bounded by |docs| via the same distinct-pair trick as
+    duplicate_passages.  `min_count` trims the hapax tail (a BPE
+    trainer never merges count-1 pairs), keeping the output the
+    candidate-merge table rather than the full histogram; at 100 TB the
+    tail is the bulk of the keys, so the HAVING prunes most of the
+    shuffle output after partial aggregation.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(toks, 1, greatest(size(toks) - 1, 0))"),
+                F.expr("slice(toks, 2, greatest(size(toks) - 1, 0))"),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -475,6 +516,27 @@ def register() -> dict:
             FROM tok GROUP BY token
             """,
             "X4 corpus token histogram",
+        ),
+        "bpe_pair_counts": QueryDef(
+            bpe_pair_counts,
+            """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '') AS toks
+                FROM documents
+            ), p AS (
+                SELECT doc_id,
+                       UNNEST(list_zip(toks[1:len(toks)-1],
+                                       toks[2:len(toks)])) AS z
+                FROM t
+            )
+            SELECT z[1] || ' ' || z[2] AS pair,
+                   COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM p GROUP BY 1 HAVING COUNT(*) >= 2
+            """,
+            "X4 BPE merge-step: adjacent-pair frequency aggregation",
         ),
         "text_quality": QueryDef(
             text_quality,

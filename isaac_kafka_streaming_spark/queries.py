@@ -1575,23 +1575,25 @@ REGISTRY: dict[str, QueryDef] = {
 # full 81-entry registry locally every round regardless of position.
 #
 # Round-5 window tiers by prior driver coverage:
-#   A: never driver-checked                         (5: tpch_q4/q10/q16
-#      added in round 4 past the then-current window; media_png_features
-#      and media_wav_stats are new in round 5)
+#   A: never driver-checked                         (7: tpch_q4/q10/q16
+#      added in round 4 past the then-current window; media_png_features,
+#      media_wav_stats, epoch_shuffle, bpe_pair_counts are new in round 5)
 #   B: last checked in round 3                      (28)
-#   C: single green row, from round 4               (15: round-4
-#      additions and first-time-checked entries; corpus_shards and
-#      concat_chunk_plan sit out — both r04-green and unchanged)
+#   C: single green row, from round 4               (13: round-4
+#      additions and first-time-checked entries; corpus_shards,
+#      concat_chunk_plan, ngram_contamination, lang_source_rollup sit
+#      out — all r04-green and unchanged)
 #   D: changed-this/last-round code kept in-window  (2: dedup_clusters —
 #      clustering algorithm replaced in r4; user_streaks — sessionization
 #      gains a skew cap in r5)
-# The 33 entries past the window each hold >= 2 green driver rows
-# (r04 plus at least one of r01-r03), except corpus_shards /
-# concat_chunk_plan (one green row, r04, unchanged since).
+# The 35 entries past the window each hold >= 2 green driver rows
+# (r04 plus at least one of r01-r03), except the four named C-tier
+# sit-outs (one green row each, r04, unchanged since).
 _DRIVER_CHECK_ORDER = [
     # A — never driver-checked
     "tpch_q4", "tpch_q10", "tpch_q16",
     "media_png_features", "media_wav_stats",
+    "epoch_shuffle", "bpe_pair_counts",
     # B — last checked in round 3
     "anonymous_events", "customers_without_big_orders",
     "daily_role_rollup", "dedup_embedding_cosine", "dedup_exact",
@@ -1606,9 +1608,9 @@ _DRIVER_CHECK_ORDER = [
     "corpus_curation", "embedding_quantize", "dedup_incoming",
     "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
     "session_transcripts",
-    "ngram_contamination", "lang_id", "doc_fingerprints",
+    "lang_id", "doc_fingerprints",
     "tfidf_top_terms", "corpus_keep_list", "repetition_metrics",
-    "pii_scrub", "lang_source_rollup",
+    "pii_scrub",
     # D — code changed recently; keep fresh rows on it
     "dedup_clusters", "user_streaks",
 ]
