@@ -148,3 +148,41 @@ def test_session_transcripts_single_exchange(spark, sf_smoke):
     plan = _executed_plan(spark, "session_transcripts", sf_smoke)
     n_shuffles = plan.count("Exchange hashpartitioning")
     assert n_shuffles <= 1, f"transcript assembly shuffles {n_shuffles}x"
+
+
+def test_epoch_shuffle_single_exchange_no_global_sort(spark, sf_smoke):
+    """The epoch permutation must be per-shard: exactly one hash
+    exchange on shard, and no rangepartitioning (a global ORDER BY
+    would serialize the corpus through one sort)."""
+    plan = _executed_plan(spark, "epoch_shuffle", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan  # no driver-bottleneck window
+
+
+def test_bpe_pairs_partial_agg_jvm_side(spark, sf_smoke):
+    """The BPE pair count must partial-aggregate map-side before its
+    shuffle, and the pair construction (zip_with over slices) must stay
+    JVM-side — no Python eval in the plan."""
+    plan = _executed_plan(spark, "bpe_pair_counts", sf_smoke)
+    assert "partial_count" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_media_png_prunes_scan_no_exchange(spark, sf_smoke):
+    """The real-decode path is two pipelined MapInPandas stages over a
+    doc_id+text scan: blob bytes must never reach an exchange, and the
+    parquet read schema must exclude every unused column."""
+    plan = _formatted(spark, "media_png_features", sf_smoke)
+    assert plan.count("MapInPandas") >= 2
+    assert "Exchange" not in plan, "blob bytes crossed a shuffle"
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in schema_line and "lang" not in schema_line
+
+
+def test_knn_lsh_corpus_side_not_multiplied(spark, sf_smoke):
+    """Multiprobe must stay query-side: the corpus explode feeds the
+    join probe side once, and the join build side is the (broadcast)
+    query bucket set."""
+    plan = _executed_plan(spark, "knn_lsh", sf_smoke)
+    assert "BroadcastHashJoin" in plan, plan

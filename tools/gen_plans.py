@@ -114,6 +114,30 @@ PICKS = {
         "self-pair space on either side), then Jaccard verification "
         "joins shingles back on the candidate minority."
     ),
+    # round 5 additions
+    "media_png_features": (
+        "REAL PNG decode via Arrow mapInPandas: one ArrowEvalPython-"
+        "free plan outside the two mapInPandas stages (encode, decode); "
+        "the scan reads only doc_id+text — blob bytes exist solely "
+        "inside the pipelined Python stages, never in a shuffle."
+    ),
+    "epoch_shuffle": (
+        "Per-epoch training order: ONE hash exchange on shard, then "
+        "window sort within shards — no global sort, no singleton "
+        "partition; the md5 order key is a map-side projection."
+    ),
+    "bpe_pair_counts": (
+        "BPE merge-step: zip_with over shifted slices stays inside "
+        "WholeStageCodegen; one partial_count-backed HashAggregate "
+        "before the exchange (map-side combine), HAVING prunes the "
+        "hapax tail after the final agg."
+    ),
+    "knn_lsh": (
+        "Multiprobe hyperplane LSH: query-side keys explode (n_bits+1)x "
+        "but the corpus side of the bucket equi-join — the 100 TB "
+        "side — is one scan + one explode, and the join is broadcast "
+        "on the tiny query side."
+    ),
 }
 
 
