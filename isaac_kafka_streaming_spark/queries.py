@@ -811,6 +811,149 @@ def _tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape — cross-nation shipping volume: lineitem joined through
+    supplier AND through orders->customer to two nation dimensions,
+    keeping only the (NATION_1, NATION_2) pair in either direction (the
+    disjunctive pair filter is Q7's signature), yearly rollup.  Both
+    nation joins broadcast; the fact table shuffles once per big join
+    key, never for the pair filter."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def _tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape — customer order-count distribution INCLUDING the
+    zero-order customers: the filter lives in the left-join condition
+    (not a WHERE, which would silently turn the join inner), then a
+    count-of-counts double aggregation."""
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape — top-revenue supplier: a quarter's revenue per
+    supplier, keep the row(s) equal to the maximum (the view + scalar
+    subquery pattern).  Revenue is rounded BEFORE the max so the
+    selection compares 4-decimal values — identical across engines even
+    though raw float sums can differ in the last ulp with summation
+    order."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape — small-quantity revenue: lineitems of one brand below
+    20% of their part's average quantity (the correlated scalar
+    subquery, decorrelated into an aggregate join).  The per-part
+    average is computed over ALL lineitems of the part, joined back
+    broadcast; exact cross-engine because l_quantity is integral, so
+    the float average is order-independent."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    brand_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_floor")
+    )
+    picked = li.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return (
+        picked.join(
+            F.broadcast(avg_q), F.col("l_partkey") == F.col("ap_partkey")
+        )
+        .filter(F.col("l_quantity") < F.col("qty_floor"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -1541,6 +1684,79 @@ REGISTRY: dict[str, QueryDef] = {
         """,
         "returned-item revenue top-20 (Q10 shape)",
     ),
+    "tpch_q7": QueryDef(
+        _tpch_q7,
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               ROUND(SUM(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        )
+        GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "cross-nation volume with disjunctive pair filter (Q7 shape)",
+    ),
+    "tpch_q13": QueryDef(
+        _tpch_q13,
+        """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+        """,
+        "order-count distribution incl. zero-order customers (Q13 shape)",
+    ),
+    "tpch_q15": QueryDef(
+        _tpch_q15,
+        """
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON supplier_no = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "top-revenue supplier via max-of-aggregate (Q15 shape)",
+    ),
+    "tpch_q17": QueryDef(
+        _tpch_q17,
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+              SELECT 0.2 * AVG(l2.l_quantity)
+              FROM lineitem l2
+              WHERE l2.l_partkey = lineitem.l_partkey
+          )
+        """,
+        "small-quantity correlated-average filter (Q17 shape)",
+    ),
     "tpch_q16": QueryDef(
         _tpch_q16,
         """
@@ -1575,25 +1791,28 @@ REGISTRY: dict[str, QueryDef] = {
 # full 81-entry registry locally every round regardless of position.
 #
 # Round-5 window tiers by prior driver coverage:
-#   A: never driver-checked                         (7: tpch_q4/q10/q16
-#      added in round 4 past the then-current window; media_png_features,
-#      media_wav_stats, epoch_shuffle, bpe_pair_counts are new in round 5)
+#   A: never driver-checked                         (11: tpch_q4/q10/q16
+#      added in round 4 past the then-current window; round-5 additions
+#      media_png_features, media_wav_stats, epoch_shuffle,
+#      bpe_pair_counts, tpch_q7, tpch_q13, tpch_q15, tpch_q17)
 #   B: last checked in round 3                      (28)
-#   C: single green row, from round 4               (13: round-4
-#      additions and first-time-checked entries; corpus_shards,
-#      concat_chunk_plan, ngram_contamination, lang_source_rollup sit
-#      out — all r04-green and unchanged)
+#   C: single green row, from round 4               (9: the round-4
+#      additions; the eight r04-green-and-unchanged first-time entries
+#      sit out: corpus_shards, concat_chunk_plan, ngram_contamination,
+#      lang_source_rollup, lang_id, doc_fingerprints, tfidf_top_terms,
+#      corpus_keep_list)
 #   D: changed-this/last-round code kept in-window  (2: dedup_clusters —
 #      clustering algorithm replaced in r4; user_streaks — sessionization
 #      gains a skew cap in r5)
-# The 35 entries past the window each hold >= 2 green driver rows
-# (r04 plus at least one of r01-r03), except the four named C-tier
+# The 39 entries past the window each hold >= 2 green driver rows
+# (r04 plus at least one of r01-r03), except the eight named C-tier
 # sit-outs (one green row each, r04, unchanged since).
 _DRIVER_CHECK_ORDER = [
     # A — never driver-checked
     "tpch_q4", "tpch_q10", "tpch_q16",
     "media_png_features", "media_wav_stats",
     "epoch_shuffle", "bpe_pair_counts",
+    "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17",
     # B — last checked in round 3
     "anonymous_events", "customers_without_big_orders",
     "daily_role_rollup", "dedup_embedding_cosine", "dedup_exact",
@@ -1607,10 +1826,7 @@ _DRIVER_CHECK_ORDER = [
     # C — one green row (round 4 only)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
     "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
-    "session_transcripts",
-    "lang_id", "doc_fingerprints",
-    "tfidf_top_terms", "corpus_keep_list", "repetition_metrics",
-    "pii_scrub",
+    "session_transcripts", "repetition_metrics", "pii_scrub",
     # D — code changed recently; keep fresh rows on it
     "dedup_clusters", "user_streaks",
 ]
