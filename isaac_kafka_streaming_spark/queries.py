@@ -954,6 +954,43 @@ def _tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape — "global sales opportunity": customers with
+    above-average account balance and NO orders, counted per nation
+    (the fixtures carry no phone column, so the country-code substring
+    becomes the nation dimension).  Two Q22 signatures survive: the
+    scalar aggregate subquery (the positive-balance average) applied as
+    a filter, and the NOT EXISTS anti-join against orders.  The scalar
+    is one tiny broadcast row; the anti-join shuffles on the customer
+    key only."""
+    from .io import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+    )
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -1757,6 +1794,22 @@ REGISTRY: dict[str, QueryDef] = {
         """,
         "small-quantity correlated-average filter (Q17 shape)",
     ),
+    "tpch_q22": QueryDef(
+        _tpch_q22,
+        """
+        SELECT n_name AS nation, COUNT(*) AS numcust,
+               ROUND(SUM(c_acctbal), 4) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        GROUP BY n_name
+        """,
+        "above-average-balance customers with no orders (Q22 shape)",
+    ),
     "tpch_q16": QueryDef(
         _tpch_q16,
         """
@@ -1791,28 +1844,28 @@ REGISTRY: dict[str, QueryDef] = {
 # full 81-entry registry locally every round regardless of position.
 #
 # Round-5 window tiers by prior driver coverage:
-#   A: never driver-checked                         (11: tpch_q4/q10/q16
+#   A: never driver-checked                         (12: tpch_q4/q10/q16
 #      added in round 4 past the then-current window; round-5 additions
 #      media_png_features, media_wav_stats, epoch_shuffle,
-#      bpe_pair_counts, tpch_q7, tpch_q13, tpch_q15, tpch_q17)
+#      bpe_pair_counts, tpch_q7, tpch_q13, tpch_q15, tpch_q17, tpch_q22)
 #   B: last checked in round 3                      (28)
-#   C: single green row, from round 4               (9: the round-4
-#      additions; the eight r04-green-and-unchanged first-time entries
+#   C: single green row, from round 4               (8: the round-4
+#      additions; the nine r04-green-and-unchanged first-time entries
 #      sit out: corpus_shards, concat_chunk_plan, ngram_contamination,
 #      lang_source_rollup, lang_id, doc_fingerprints, tfidf_top_terms,
-#      corpus_keep_list)
+#      corpus_keep_list, repetition_metrics)
 #   D: changed-this/last-round code kept in-window  (2: dedup_clusters —
 #      clustering algorithm replaced in r4; user_streaks — sessionization
 #      gains a skew cap in r5)
-# The 39 entries past the window each hold >= 2 green driver rows
-# (r04 plus at least one of r01-r03), except the eight named C-tier
+# The 40 entries past the window each hold >= 2 green driver rows
+# (r04 plus at least one of r01-r03), except the nine named C-tier
 # sit-outs (one green row each, r04, unchanged since).
 _DRIVER_CHECK_ORDER = [
     # A — never driver-checked
     "tpch_q4", "tpch_q10", "tpch_q16",
     "media_png_features", "media_wav_stats",
     "epoch_shuffle", "bpe_pair_counts",
-    "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17",
+    "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q22",
     # B — last checked in round 3
     "anonymous_events", "customers_without_big_orders",
     "daily_role_rollup", "dedup_embedding_cosine", "dedup_exact",
@@ -1826,7 +1879,7 @@ _DRIVER_CHECK_ORDER = [
     # C — one green row (round 4 only)
     "corpus_curation", "embedding_quantize", "dedup_incoming",
     "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
-    "session_transcripts", "repetition_metrics", "pii_scrub",
+    "session_transcripts", "pii_scrub",
     # D — code changed recently; keep fresh rows on it
     "dedup_clusters", "user_streaks",
 ]
