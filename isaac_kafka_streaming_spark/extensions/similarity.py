@@ -134,7 +134,12 @@ def knn_ivf(
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_path: str, n_cells: int = 16
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_cells: int = 16,
+    centroid_source: str = "first_n",
+    kmeans_iters: int = 3,
 ) -> None:
     """Materialize the IVF index: corpus written PARTITIONED BY cell
     (hive layout `cell_id=N/`), centroids alongside.
@@ -143,13 +148,42 @@ def build_ivf_index(
     assignment becomes the physical partitioning key, so a probe of
     nprobe cells is *partition pruning* at the parquet scan — the
     untouched cells are never read (asserted in tests via inputFiles).
+
+    ``centroid_source``: "first_n" takes the first n_cells vectors as
+    the coarse quantizer (deterministic, zero training cost);
+    "kmeans" runs the Lloyd trainer (`kmeans_centroids`) for
+    ``kmeans_iters`` iterations first — the offline-training path
+    SCALE_DESIGN.md describes, now wired end-to-end: trained centroids
+    balance the cells, which directly bounds the worst-case probe cost
+    (a probe reads its cells' actual sizes, not |corpus|/n_cells on
+    average with pathological tails).
     """
     corpus = _corpus(spark, sf_dir)
-    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroid_source == "kmeans":
+        trained = kmeans_centroids(
+            spark, sf_dir, k=n_cells, iters=kmeans_iters
+        )
+        centroids = (
+            trained.groupBy("cell_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "centroid_val"))
+                    ),
+                    lambda s: s["centroid_val"],
+                ).alias("cv")
+            )
+            .withColumn("cnorm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+            .select("cell_id", "cv", "cnorm")
+        )
+    elif centroid_source == "first_n":
+        centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cnorm"),
+        )
+    else:
+        raise ValueError(f"unknown centroid_source {centroid_source!r}")
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
     w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("cell_id"))
     assigned = (

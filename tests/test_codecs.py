@@ -139,3 +139,44 @@ def test_wav_roundtrip():
 def test_wav_rejects_non_riff():
     with pytest.raises(ValueError, match="RIFF"):
         wav_decode(b"\x89PNG\r\n\x1a\nnot audio")
+
+
+# -- property-based round-trips (no Spark) ---------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    color=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+def test_png_roundtrip_property(w, h, color, data):
+    """encode . decode is the identity for every dim/color-type combo."""
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    dw, dh, dch, out = png_decode(png_encode(pixels, w, h, color_type=color))
+    assert (dw, dh, dch) == (w, h, channels)
+    assert out == pixels
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    pcm=st.binary(min_size=1, max_size=2048),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(pcm, rate):
+    drate, dch, dn, out = wav_decode(wav_encode(pcm, sample_rate=rate))
+    assert (drate, dch, dn) == (rate, 1, len(pcm))
+    assert out == pcm

@@ -180,3 +180,44 @@ def test_range_partitioned_layout_prunes_time_slices(
         .count()
     )
     assert 1 <= touched <= 2, f"day slice spread across {touched} files"
+
+
+def test_ivf_index_with_trained_centroids(spark, sf_smoke, tmp_path_factory):
+    """The kmeans-trained coarse quantizer wires into the materialized
+    index end-to-end: the index builds, probes partition-prune, recall
+    holds, and the trained cells are better balanced than first_n
+    (the property training exists to buy — bounded probe cost)."""
+    path = str(tmp_path_factory.mktemp("ivf_km") / "index")
+    build_ivf_index(
+        spark, sf_smoke, path, n_cells=N_CELLS, centroid_source="kmeans"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_bruteforce(spark, sf_smoke, n_queries=5, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivf_indexed(
+            spark, path, _queries(spark, sf_smoke, 5), k=5, nprobe=N_CELLS // 2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"trained-centroid recall {recall:.2f}"
+
+    from pyspark.sql import functions as F
+
+    def imbalance(p: str) -> float:
+        sizes = [
+            r.n
+            for r in spark.read.parquet(f"{p}/cells")
+            .groupBy("cell_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+        return max(sizes) / (sum(sizes) / len(sizes))
+
+    first_n_path = str(tmp_path_factory.mktemp("ivf_fn") / "index")
+    build_ivf_index(spark, sf_smoke, first_n_path, n_cells=N_CELLS)
+    assert imbalance(path) <= imbalance(first_n_path) + 0.25, (
+        "trained centroids made cell balance materially worse"
+    )
