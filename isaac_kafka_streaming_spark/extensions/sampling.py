@@ -261,6 +261,40 @@ def mixture_plan(
     )
 
 
+def soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware importance sampling — the SOFT alternative to
+    hard dedup: every document is kept with probability 1/n_copies of
+    its normalized-text duplicate group, so each group contributes one
+    surviving copy in expectation while preserving within-group
+    diversity (hard dedup's min-doc_id canonical keeps the same copy
+    every time).  The keep decision is the deterministic md5 bucket
+    (salt 'sd') compared against 100/n_copies — layout-independent,
+    reproducible, oracle-checkable.
+
+    Shape at 100 TB: one shuffle on the normalized hash for the group
+    count (window count, map-side partial via the two-level groupBy
+    equivalent), then a pure map-side keep filter; no join against a
+    canonical table and no second pass.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    hashed = docs.select("doc_id", norm_hash.alias("text_hash"))
+    n_copies = F.count("*").over(Window.partitionBy("text_hash"))
+    return (
+        hashed.withColumn("n_copies", n_copies.cast("long"))
+        .withColumn("bucket", _bucket(F.col("doc_id"), "sd"))
+        .filter(F.col("bucket") < 100.0 / F.col("n_copies"))
+        .select(
+            "doc_id",
+            "n_copies",
+            F.round(1.0 / F.col("n_copies"), 6).alias("weight"),
+            "bucket",
+        )
+    )
+
+
 def epoch_shuffle(
     spark: SparkSession, sf_dir: str, epoch: int = 3, n_shards: int = 8
 ) -> DataFrame:
@@ -311,6 +345,31 @@ def register() -> dict:
     val2 = f"({hx(1)} * 16 + {hx(2)})"
 
     return {
+        "soft_dedup_sample": QueryDef(
+            soft_dedup_sample,
+            f"""
+            WITH h AS (
+                SELECT doc_id,
+                       sha256(TRIM(regexp_replace(lower(text), '\\s+', ' ',
+                           'g'))) AS text_hash
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       COUNT(*) OVER (PARTITION BY text_hash) AS n_copies
+                FROM h
+            ), b AS (
+                SELECT doc_id, n_copies,
+                       md5('sd' || doc_id) AS h
+                FROM c
+            )
+            SELECT doc_id, CAST(n_copies AS BIGINT) AS n_copies,
+                   ROUND(1.0 / n_copies, 6) AS weight,
+                   CAST({{val4}} % 100 AS BIGINT) AS bucket
+            FROM b
+            WHERE CAST({{val4}} % 100 AS BIGINT) < 100.0 / n_copies
+            """.replace("{val4}", val4),
+            "duplicate-aware importance sampling (soft dedup, 1/n keep)",
+        ),
         "epoch_shuffle": QueryDef(
             epoch_shuffle,
             f"""

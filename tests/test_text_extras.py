@@ -182,3 +182,37 @@ def test_mixture_plan_surfaces_missing_language(spark, sf_smoke):
     # present languages still get a real, non-zero plan
     assert rows["en"].expected_tokens > 0
     assert any(abs(r.keep_frac - 1.0) < 1e-6 for r in rows.values())
+
+
+def test_soft_dedup_sample_keeps_one_per_group(spark, tmp_path_factory):
+    """Duplicate-aware sampling: singletons always survive; a
+    duplicate group of n keeps exactly the members whose deterministic
+    md5 bucket < 100/n (recomputed independently here), i.e. ~1 in
+    expectation — and whitespace/case variants count as the same
+    group (normalized hashing)."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        soft_dedup_sample,
+    )
+
+    base = tmp_path_factory.mktemp("softdedup")
+    dup_ids = list(range(100, 120))  # 20 copies of one text
+    rows = [(i, f"unique document number {i} with its own words")
+            for i in range(10)]
+    rows += [(i, "THE  repeated   Boilerplate\ttext") for i in dup_ids]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in soft_dedup_sample(spark, str(base)).collect()}
+    # singletons: all present, weight 1
+    for i in range(10):
+        assert got[i].n_copies == 1 and got[i].weight == 1.0
+    # the dup group: survivors are exactly the bucket < 100/20 members
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"sd{doc_id}".encode()).hexdigest()
+        return int(h[:4], 16) % 100
+    expect = {i for i in dup_ids if bucket(i) < 100 / 20}
+    assert {i for i in got if i >= 100} == expect
+    for i in expect:
+        assert got[i].n_copies == 20 and got[i].weight == 0.05
