@@ -69,6 +69,7 @@ HEADLINE = [
     "media_png_features",
     "bpe_pair_counts",
     "epoch_shuffle",
+    "soft_dedup_sample",
 ]
 
 
