@@ -174,3 +174,113 @@ def test_stream_sink_writes_topic(spark, broker, tmp_path):
     )
     got = {r.user_id for r in back.collect()}
     assert got == {e["user_id"] for e in EVENTS if e["anonymous_user"]}
+
+
+def test_full_topology_through_kafka_boundary(spark, sf_smoke, broker):
+    """The LoggedEventsListener.main shape (§3.4) with the KAFKA format
+    as the transport on both ends: the events table is produced onto a
+    topic (K2 path), consumed as a streaming kafka source (S1 path),
+    branched and aggregated by the SAME topology builders the file twin
+    uses, and every materialization must equal its batch twin computed
+    directly from the parquet table.  This is the reference's actual
+    wiring — kafka in, kafka out — executing end-to-end."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.io import read_table
+    from isaac_kafka_streaming_spark.schemas import EVENTS_TABLE_SCHEMA
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        as_logged_events,
+        streaming_event_type_counts,
+        streaming_latest_per_user,
+    )
+
+    events = read_table(spark, sf_smoke, "events")
+    # ts rides the wire as unix micros: to_json's timestamp rendering is
+    # millisecond-precision, which would corrupt max_by tie-breaks
+    K.write_batch_to_kafka(
+        events.withColumn("ts", F.unix_micros("ts")),
+        broker,
+        "events_topic",
+        key_col="user_id",
+    )
+
+    import pyspark.sql.types as T
+
+    wire_schema = T.StructType(
+        [
+            f if f.name != "ts" else T.StructField("ts", T.LongType())
+            for f in EVENTS_TABLE_SCHEMA.fields
+        ]
+    )
+    raw = (
+        spark.readStream.format(K.KAFKA_FORMAT)
+        .option("kafka.bootstrap.servers", broker)
+        .option("subscribe", "events_topic")
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    parsed = (
+        raw.select(
+            F.from_json(F.col("value").cast("string"), wire_schema).alias("v")
+        )
+        .select("v.*")
+        .withColumn("ts", F.timestamp_micros("ts"))
+    )
+    logged = as_logged_events(parsed)
+    reg = logged.filter(~F.col("anonymous_user"))
+    anon = logged.filter(F.col("anonymous_user"))
+
+    plans = {
+        "kb_anon": (anon, "append"),
+        "kb_type_counts": (streaming_event_type_counts(reg), "complete"),
+        "kb_latest": (streaming_latest_per_user(reg), "complete"),
+    }
+    queries = []
+    try:
+        for name, (df, mode) in plans.items():
+            queries.append(
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .start()
+            )
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+
+    # batch truths straight from the parquet table
+    blogged = as_logged_events(events)
+    breg = blogged.filter(~F.col("anonymous_user"))
+    assert (
+        spark.table("kb_anon").count()
+        == blogged.filter(F.col("anonymous_user")).count()
+        > 0
+    )
+    want_counts = sorted(
+        (r.event_type, r.n_events)
+        for r in breg.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    got_counts = sorted(
+        (r.event_type, r.n_events)
+        for r in spark.table("kb_type_counts").collect()
+    )
+    assert got_counts == want_counts
+    want_latest = sorted(
+        map(
+            tuple,
+            breg.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "value", "props"), F.struct("ts", "event_id")
+                ).alias("l")
+            )
+            .select("user_id", "l.ts", "l.value", "l.props")
+            .collect(),
+        )
+    )
+    got_latest = sorted(map(tuple, spark.table("kb_latest").collect()))
+    assert got_latest == want_latest
