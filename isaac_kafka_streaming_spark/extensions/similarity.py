@@ -201,6 +201,51 @@ def build_ivf_index(
     ).parquet(f"{index_path}/centroids")
 
 
+def append_to_ivf_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> None:
+    """Incrementally maintain the materialized IVF index: assign the
+    incoming batch to the EXISTING centroids and append into the cell
+    partitions — no rebuild, no touch of resident data.
+
+    The ops-side twin of dedup_incoming: at 100 TB an index rebuild is
+    a full-corpus job, but ingest only needs (a) the centroid broadcast
+    (tiny) to assign cells and (b) a partitioned APPEND, which writes
+    only the affected `cell_id=N/` directories.  Probes keep partition-
+    pruning unchanged; centroid drift is handled by periodic offline
+    retrains (kmeans tier), not on the ingest path.
+
+    ``new_vectors``: (vec_id, label, embedding array<float|double>).
+    """
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    incoming = new_vectors.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("cell_id"))
+    assigned = (
+        incoming.join(
+            F.broadcast(
+                centroids.select(
+                    "cell_id",
+                    F.col("v").alias("cv"),
+                    F.col("norm").alias("cnorm"),
+                )
+            ),
+            how="cross",
+        )
+        .withColumn("__c", cos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "label", "v", "norm", "cell_id")
+    )
+    assigned.write.partitionBy("cell_id").mode("append").parquet(
+        f"{index_path}/cells"
+    )
+
+
 def knn_ivf_indexed(
     spark: SparkSession,
     index_path: str,

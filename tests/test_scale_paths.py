@@ -221,3 +221,49 @@ def test_ivf_index_with_trained_centroids(spark, sf_smoke, tmp_path_factory):
     assert imbalance(path) <= imbalance(first_n_path) + 0.25, (
         "trained centroids made cell balance materially worse"
     )
+
+
+def test_ivf_index_incremental_append(spark, sf_smoke, tmp_path_factory):
+    """Ingest without rebuild: appending a batch touches only its cells
+    (partitioned append), resident rows are byte-identical afterwards,
+    probes still partition-prune, and an appended vector is findable as
+    its own exact nearest neighbor."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivf_inc") / "index")
+    build_ivf_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    before = {
+        (r.vec_id, tuple(r.v))
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    }
+
+    # incoming batch: clones of vectors 1 and 2 with new ids
+    src = spark.read.parquet(f"{path}/cells").filter(F.col("vec_id").isin(1, 2))
+    incoming = src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.col("v").alias("embedding"),
+    )
+    append_to_ivf_index(spark, path, incoming)
+
+    after = spark.read.parquet(f"{path}/cells")
+    assert after.count() == len(before) + 2
+    resident = {
+        (r.vec_id, tuple(r.v))
+        for r in after.filter(F.col("vec_id") < 1_000_000).collect()
+    }
+    assert resident == before, "append disturbed resident rows"
+    # a clone's nearest neighbor (cosine 1.0) must be its original;
+    # same cell by construction, so even nprobe=1 finds it
+    q = (
+        after.filter(F.col("vec_id") == 1_000_001)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    top = knn_ivf_indexed(spark, path, q, k=1, nprobe=1).collect()
+    assert top and top[0].neighbor_id == 1 and abs(top[0].cosine - 1.0) < 1e-9
