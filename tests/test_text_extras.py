@@ -216,3 +216,47 @@ def test_soft_dedup_sample_keeps_one_per_group(spark, tmp_path_factory):
     assert {i for i in got if i >= 100} == expect
     for i in expect:
         assert got[i].n_copies == 20 and got[i].weight == 0.05
+
+
+def test_bpe_pairs_short_doc_edges(spark, tmp_path_factory):
+    """Docs with 0/1 tokens contribute no pairs (the slice guard), and
+    pair counts are occurrence counts, not doc counts."""
+    from isaac_kafka_streaming_spark.extensions.text import bpe_pair_counts
+
+    base = tmp_path_factory.mktemp("bpe")
+    rows = [
+        (0, ""),  # no tokens
+        (1, "solo"),  # one token -> no pairs
+        (2, "a b a b a"),  # pairs: 'a b' x2, 'b a' x2
+        (3, "a b c"),  # 'a b', 'b c'
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.pair: (r.n_occurrences, r.n_docs)
+        for r in bpe_pair_counts(spark, str(base), min_count=1).collect()
+    }
+    assert got == {"a b": (3, 2), "b a": (2, 1), "b c": (1, 1)}
+
+
+def test_epoch_shuffle_permutes_across_epochs(spark, sf_smoke):
+    """Different epochs give different orders over the same docs; the
+    same epoch is bit-stable across invocations; shard positions are
+    dense 1..n per shard."""
+    from collections import Counter
+
+    from isaac_kafka_streaming_spark.extensions.sampling import epoch_shuffle
+
+    e3a = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(spark, sf_smoke, epoch=3).collect()}
+    e3b = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(spark, sf_smoke, epoch=3).collect()}
+    e4 = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(spark, sf_smoke, epoch=4).collect()}
+    assert e3a == e3b  # reproducible
+    assert {d for d, _, _ in e3a} == {d for d, _, _ in e4}  # same corpus
+    assert e3a != e4  # genuinely re-keyed
+    per_shard = Counter(s for _, s, _ in e3a)
+    pos_by_shard = {}
+    for _, s, p in e3a:
+        pos_by_shard.setdefault(s, set()).add(p)
+    for s, n in per_shard.items():
+        assert pos_by_shard[s] == set(range(1, n + 1)), f"shard {s} not dense"
