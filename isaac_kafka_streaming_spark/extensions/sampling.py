@@ -295,6 +295,30 @@ def soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_topk_sample(
+    spark: SparkSession, sf_dir: str, k: int = 25
+) -> DataFrame:
+    """Exact-k per-stratum selection — eval-set construction.
+
+    `stratified_sample` keeps a deterministic *fraction* per language;
+    evaluation sets instead need an exact, reproducible k per stratum
+    regardless of stratum size.  Selection order is md5('tk' ||
+    doc_id) — identity-keyed, so a grown corpus only ever *displaces*
+    members (never reshuffles survivors' relative order), and engines
+    agree byte-for-byte.  One shuffle on the stratum key; the window
+    rank is per-stratum (bounded by stratum size, no global sort).
+    Ties are impossible (md5 of distinct ids), so row_number is stable.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    okey = F.md5(F.concat(F.lit("tk"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("sel_key", "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", okey.alias("sel_key"))
+        .withColumn("sel_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sel_rank") <= k)
+    )
+
+
 def epoch_shuffle(
     spark: SparkSession, sf_dir: str, epoch: int = 3, n_shards: int = 8
 ) -> DataFrame:
@@ -369,6 +393,23 @@ def register() -> dict:
             WHERE CAST({{val4}} % 100 AS BIGINT) < 100.0 / n_copies
             """.replace("{val4}", val4),
             "duplicate-aware importance sampling (soft dedup, 1/n keep)",
+        ),
+        "stratified_topk_sample": QueryDef(
+            stratified_topk_sample,
+            """
+            WITH s AS (
+                SELECT doc_id, lang, source,
+                       md5('tk' || doc_id) AS sel_key
+                FROM documents
+            )
+            SELECT doc_id, lang, source, sel_key,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY sel_key, doc_id
+                   ) AS BIGINT) AS sel_rank
+            FROM s
+            QUALIFY sel_rank <= 25
+            """,
+            "exact-k per-stratum eval-set selection (md5 order)",
         ),
         "epoch_shuffle": QueryDef(
             epoch_shuffle,
