@@ -912,10 +912,15 @@ def _tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("total_revenue")
     )
-    top = rev.agg(F.max("total_revenue").alias("mx"))
+    # the scalar max as a window over the ONE revenue aggregate: a
+    # self-join against rev.agg(max) would re-run the lineitem scan +
+    # aggregation (no DataFrame CSE); the empty-frame window costs one
+    # exchange over |suppliers| POST-AGG rows — tiny at any scale
+    mx = F.max("total_revenue").over(Window.partitionBy())
     supp = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        rev.withColumn("mx", mx)
+        .filter(F.col("total_revenue") == F.col("mx"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )

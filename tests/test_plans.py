@@ -186,3 +186,40 @@ def test_knn_lsh_corpus_side_not_multiplied(spark, sf_smoke):
     query bucket set."""
     plan = _executed_plan(spark, "knn_lsh", sf_smoke)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_soft_dedup_single_exchange(spark, sf_smoke):
+    """Soft dedup is ONE shuffle (group count over the normalized
+    hash); the keep decision must stay a map-side projection."""
+    plan = _executed_plan(spark, "soft_dedup_sample", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan
+
+
+def test_stratified_topk_single_exchange(spark, sf_smoke):
+    """Exact-k per stratum: one shuffle on the stratum key, rank
+    bounded per stratum — no global sort."""
+    plan = _executed_plan(spark, "stratified_topk_sample", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_q13_preserves_left_join(spark, sf_smoke):
+    """The orderpriority filter must live in the join condition: a
+    WHERE would turn the join inner and silently drop zero-order
+    customers."""
+    plan = _executed_plan(spark, "tpch_q13", sf_smoke)
+    assert "LeftOuter" in plan, plan
+
+
+def test_q15_scans_lineitem_once(spark, sf_smoke):
+    """The max-of-aggregate selection must reuse ONE revenue aggregate
+    for both the rows and the scalar max (window over the aggregate) —
+    a self-join against rev.agg(max) would scan lineitem twice."""
+    plan = _formatted(spark, "tpch_q15", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "lineitem.parquet" in l and "Location" in l
+    ]
+    assert len(scans) == 1, f"lineitem scanned {len(scans)}x"

@@ -138,6 +138,30 @@ PICKS = {
         "side — is one scan + one explode, and the join is broadcast "
         "on the tiny query side."
     ),
+    "soft_dedup_sample": (
+        "Soft dedup: one shuffle (group count over the normalized "
+        "hash); md5 keep decision is a map-side projection — no "
+        "canonical-table join, no second pass."
+    ),
+    "stratified_topk_sample": (
+        "Exact-k per stratum: one shuffle on the stratum key, window "
+        "rank bounded by stratum size; no global sort."
+    ),
+    "tpch_q13": (
+        "Zero-preserving left join: the priority filter lives in the "
+        "join condition (LeftOuter survives), then count-of-counts "
+        "double aggregation, both map-side combinable."
+    ),
+    "tpch_q15": (
+        "Max-of-aggregate selection: ONE lineitem scan — the scalar "
+        "max is a window over the supplier-level aggregate, not a "
+        "self-join that would recompute it."
+    ),
+    "tpch_q17": (
+        "Correlated avg decorrelated into an aggregate join: the "
+        "per-part average and the brand part list both broadcast onto "
+        "one lineitem pass."
+    ),
 }
 
 
