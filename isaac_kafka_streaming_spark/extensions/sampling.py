@@ -340,9 +340,10 @@ def epoch_shuffle(
     """
     docs = read_table(spark, sf_dir, "documents")
     okey = F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id")))
-    shard = (F.conv(F.substring(F.col("order_key"), 1, 2), 16, 10) % n_shards).cast(
-        "int"
-    )
+    shard = (
+        F.conv(F.substring(F.col("order_key"), 1, 2), 16, 10).cast("long")
+        % n_shards
+    ).cast("int")
     w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
     return (
         docs.select("doc_id", okey.alias("order_key"))

@@ -815,9 +815,9 @@ def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 shape — cross-nation shipping volume: lineitem joined through
     supplier AND through orders->customer to two nation dimensions,
     keeping only the (NATION_1, NATION_2) pair in either direction (the
-    disjunctive pair filter is Q7's signature), yearly rollup.  Both
-    nation joins broadcast; the fact table shuffles once per big join
-    key, never for the pair filter."""
+    disjunctive pair filter is Q7's signature), yearly rollup.  The
+    nation dims broadcast; supplier/customer are AQE's call — the fact
+    table shuffles once per big join key, never for the pair filter."""
     from .io import read_table
 
     li = read_table(spark, sf_dir, "lineitem").filter(
@@ -847,10 +847,13 @@ def _tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | (
         (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
     )
+    # only the nation dims are broadcast-guaranteed at any scale;
+    # supplier/customer are left to AQE (they broadcast at test SFs,
+    # shuffle-join with skew-split on a real 100 TB run)
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
