@@ -70,6 +70,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "epoch_shuffle",
     "soft_dedup_sample",
+    "stratified_topk_sample",
+    "media_wav_stats",
 ]
 
 
