@@ -641,7 +641,48 @@ def register() -> dict:
         ),
         "knn_ivf": QueryDef(
             knn_ivf,
-            None,  # approximate -> rows-only; recall asserted in tests
+            # approximate vs brute force, but DETERMINISTIC and exactly
+            # SQL-expressible: dot products are sequential folds on both
+            # engines (identical doubles), assignment ranks by the raw
+            # cosine, final ranks by the rounded one — so the oracle
+            # replays the whole index + probe + rescore pipeline
+            """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS norm
+                FROM embeddings
+            ), cent AS (
+                SELECT vec_id AS cell_id, v AS cv, norm AS cnorm
+                FROM e WHERE vec_id < 16
+            ), ac AS (
+                SELECT vec_id, v, norm, cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY list_dot_product(v, cv)
+                                    / (norm * cnorm) DESC, cell_id
+                       ) AS cr
+                FROM e CROSS JOIN cent
+            ), assigned AS (
+                SELECT vec_id, v, norm, cell_id FROM ac WHERE cr = 1
+            ), probes AS (
+                SELECT vec_id AS query_id, v AS qv, norm AS qnorm, cell_id
+                FROM ac WHERE vec_id < 10 AND cr <= 4
+            ), scored AS (
+                SELECT p.query_id, a.vec_id AS neighbor_id,
+                       ROUND(list_dot_product(p.qv, a.v)
+                             / (p.qnorm * a.norm), 6) AS cosine
+                FROM assigned a JOIN probes p USING (cell_id)
+                WHERE a.vec_id <> p.query_id
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id) AS rnk
+                FROM scored
+            )
+            WHERE rnk <= 5
+            """,
             "X3 IVF-partitioned approximate top-k (100TB path)",
         ),
         "knn_lsh": QueryDef(
