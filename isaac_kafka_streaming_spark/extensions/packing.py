@@ -120,6 +120,57 @@ def concat_chunk_plan(
     )
 
 
+def overlap_chunk_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Per-document sliding-window chunking with overlap — the
+    RAG/long-document chunker, as a plan.
+
+    Unlike concat_chunk_plan (which packs the corpus end-to-end),
+    every document is split independently into windows of
+    ``chunk_tokens`` tokens advancing by ``stride`` (overlap =
+    chunk - stride), with the final partial window kept.  Emitting the
+    plan rows (doc, chunk ordinal, 1-based token start, window length)
+    rather than text keeps the output scalar-comparable and the
+    operator a pure map-side projection + explode: no shuffle, nothing
+    driver-side, trivially parallel at any corpus size.
+    """
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"need 0 < stride <= chunk_tokens, got {stride}")
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(_tokens(F.col("text"))).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    # windows fully covering the doc: ceil(max(n-chunk,0)/stride) + 1
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.col("n_tokens") - chunk_tokens, F.lit(0))
+            / F.lit(stride)
+        )
+        + 1
+    ).cast("int")
+    return (
+        toks.withColumn(
+            "chunk_id", F.explode(F.sequence(F.lit(0), n_chunks - 1))
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride + 1).cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.col("n_tokens") - F.col("chunk_id") * stride,
+            )
+            .cast("long")
+            .alias("chunk_len"),
+        )
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -144,6 +195,31 @@ def register() -> dict:
     """
 
     return {
+        "overlap_chunk_plan": QueryDef(
+            overlap_chunk_plan,
+            """
+            WITH t AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, n_tokens,
+                       CAST(CEIL(GREATEST(n_tokens - 128, 0) / 96.0)
+                            AS INTEGER) + 1 AS n_chunks
+                FROM t WHERE n_tokens > 0
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(UNNEST(range(0, n_chunks)) AS BIGINT) AS chunk_id,
+                   CAST(UNNEST(range(0, n_chunks)) * 96 + 1 AS BIGINT)
+                       AS start_tok,
+                   CAST(LEAST(128, n_tokens - UNNEST(range(0, n_chunks)) * 96)
+                       AS BIGINT) AS chunk_len
+            FROM s
+            """,
+            "sliding-window chunk plan with overlap (map-side explode)",
+        ),
         "corpus_shards": QueryDef(
             corpus_shards,
             shard_cte

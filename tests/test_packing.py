@@ -51,3 +51,39 @@ def test_concat_chunk_tiles_each_shard(spark, sf_smoke):
             assert covered == set(range(math.ceil(total / CTX_TOKENS)))
         # zero-token docs occupy no chunk
         assert (g[g.n_tokens == 0].n_chunks == 0).all()
+
+
+def test_overlap_chunks_long_doc(spark, tmp_path_factory):
+    """Multi-window docs: stride-96/len-128 windows tile a 300-token
+    doc as starts 1,97,193 with the last window partial; every token
+    is covered and consecutive windows overlap by chunk-stride."""
+    from isaac_kafka_streaming_spark.extensions.packing import (
+        overlap_chunk_plan,
+    )
+
+    base = tmp_path_factory.mktemp("ovl")
+    rows = [
+        (0, " ".join(f"t{i}" for i in range(300))),
+        (1, "short doc"),
+        (2, ""),  # tokenless: no chunks
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    out = overlap_chunk_plan(spark, str(base)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.start_tok, r.chunk_len))
+    assert 2 not in by_doc
+    assert by_doc[1] == [(0, 1, 2)]
+    got = sorted(by_doc[0])
+    assert got == [(0, 1, 128), (1, 97, 128), (2, 193, 108)]
+    # full coverage: last window reaches token 300 exactly
+    assert got[-1][1] + got[-1][2] - 1 == 300
+    # overlap between consecutive windows = chunk - stride = 32
+    assert got[0][1] + got[0][2] - got[1][1] == 32
+
+    import pytest
+
+    with pytest.raises(ValueError, match="stride"):
+        overlap_chunk_plan(spark, str(base), chunk_tokens=64, stride=65)
