@@ -72,6 +72,7 @@ HEADLINE = [
     "soft_dedup_sample",
     "stratified_topk_sample",
     "media_wav_stats",
+    "overlap_chunk_plan",
 ]
 
 
