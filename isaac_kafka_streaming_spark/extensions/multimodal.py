@@ -260,8 +260,11 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
-                rms = math.sqrt(
-                    sum((b - 128) ** 2 for b in pcm) / len(pcm)
+                # empty data chunk is a valid WAV: rms 0.0, not a crash
+                rms = (
+                    math.sqrt(sum((b - 128) ** 2 for b in pcm) / len(pcm))
+                    if pcm
+                    else 0.0
                 )
                 rows.append((mid, rate, n_ch, n_frames, rms))
             yield pd.DataFrame(

@@ -84,3 +84,22 @@ def test_metadata_only_query_prunes_blob(spark, media, tmp_path):
     )
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "blob" not in plan
+
+
+def test_audio_features_empty_wav(spark):
+    """A WAV with an empty data chunk is valid: rms 0.0, no crash."""
+    from isaac_kafka_streaming_spark.extensions.codecs import wav_encode
+    from isaac_kafka_streaming_spark.extensions.multimodal import (
+        extract_audio_features,
+    )
+
+    media = spark.createDataFrame(
+        [(0, "audio", wav_encode(b"", sample_rate=8000),
+          {"n_bytes": 0, "mime": "audio/wav", "source": "t"})],
+        "media_id long, media_type string, blob binary, "
+        "meta struct<n_bytes:long,mime:string,source:string>",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.n_frames, row.rms) == (
+        8000, 1, 0, 0.0,
+    )
