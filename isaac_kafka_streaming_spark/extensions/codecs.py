@@ -85,10 +85,13 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     height = channels = None
     idat = bytearray()
     while pos < len(blob):
-        (length,) = struct.unpack_from(">I", blob, pos)
-        tag = blob[pos + 4 : pos + 8]
-        body = blob[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        try:
+            (length,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4 : pos + 8]
+            body = blob[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        except struct.error as e:  # truncated mid-chunk
+            raise ValueError(f"truncated PNG chunk stream: {e}") from e
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         pos += 12 + length
@@ -155,10 +158,13 @@ def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     """Decode a WAV: (sample_rate, n_channels, n_frames, pcm bytes)."""
     if blob[:4] != WAV_MAGIC:
         raise ValueError("not a WAV: bad RIFF signature")
-    with wave.open(io.BytesIO(blob), "rb") as w:
-        return (
-            w.getframerate(),
-            w.getnchannels(),
-            w.getnframes(),
-            w.readframes(w.getnframes()),
-        )
+    try:
+        with wave.open(io.BytesIO(blob), "rb") as w:
+            return (
+                w.getframerate(),
+                w.getnchannels(),
+                w.getnframes(),
+                w.readframes(w.getnframes()),
+            )
+    except (wave.Error, EOFError) as e:  # malformed RIFF body
+        raise ValueError(f"malformed WAV: {e}") from e

@@ -180,3 +180,14 @@ def test_wav_roundtrip_property(pcm, rate):
     drate, dch, dn, out = wav_decode(wav_encode(pcm, sample_rate=rate))
     assert (drate, dch, dn) == (rate, 1, len(pcm))
     assert out == pcm
+
+
+def test_truncated_blobs_raise_valueerror():
+    """Truncation mid-structure surfaces as the declared ValueError,
+    never a raw struct/wave error from inside the parser."""
+    whole = png_encode(bytes(64), 8, 8)
+    with pytest.raises(ValueError, match="truncated"):
+        png_decode(whole[: len(whole) // 2])
+    wav = wav_encode(bytes(range(64)))
+    with pytest.raises(ValueError, match="malformed WAV"):
+        wav_decode(wav[:10])
