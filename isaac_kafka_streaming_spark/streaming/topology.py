@@ -388,15 +388,20 @@ def foreach_batch_jdbc(
     table: str,
     properties: Optional[dict] = None,
     checkpoint: Optional[str] = None,
+    output_mode: str = "update",
 ):
     """K3 — streaming JDBC sink via foreachBatch append (idempotence
     contract: PK on the business key, ThresholdAchievedProcessor's
-    user_id+achievement_id).  Returns the StreamingQuery."""
+    user_id+achievement_id).  Returns the StreamingQuery.
+
+    ``output_mode`` must match the upstream operator's contract:
+    "update" for the KTable-style aggregates, "append" when the source
+    is an append-mode stateful emitter (threshold_crossing_stream)."""
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.jdbc(url, table, mode="append", properties=properties or {})
 
-    writer = df.writeStream.foreachBatch(_write).outputMode("update")
+    writer = df.writeStream.foreachBatch(_write).outputMode(output_mode)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

@@ -284,3 +284,92 @@ def test_full_topology_through_kafka_boundary(spark, sf_smoke, broker):
     )
     got_latest = sorted(map(tuple, spark.table("kb_latest").collect()))
     assert got_latest == want_latest
+
+
+def test_achievement_pipeline_kafka_to_jdbc(spark, broker, tmp_path):
+    """Reference pipeline #2 across BOTH integration boundaries: correct
+    question attempts consumed from a kafka topic (S1), counted by the
+    exact applyInPandasWithState crossing state machine (T8), appended
+    to a JDBC table via foreachBatch (K3) — the complete
+    ThresholdAchievedProcessor wiring (kafka in, database out),
+    verified against the crossings computed directly."""
+    import pytest
+
+    pytest.importorskip("py4j")
+    from isaac_kafka_streaming_spark.streaming.state import (
+        threshold_crossing_stream,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        foreach_batch_jdbc,
+    )
+
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+        )
+    except Exception:
+        pytest.skip("Derby driver not on the JVM classpath")
+
+    # users 1 and 2: 6 and 4 correct attempts -> crossings at 1,5 / 1
+    events = []
+    for uid, n in ((1, 6), (2, 4)):
+        for i in range(n):
+            events.append(
+                {
+                    "user_id": str(uid),
+                    "anonymous_user": False,
+                    "event_type": "ANSWER_QUESTION",
+                    "event_details": {"correct": True},
+                    "timestamp": 1_700_000_000_000 + i * 60_000,
+                }
+            )
+    # noise that must not count
+    events.append(
+        {
+            "user_id": "1",
+            "anonymous_user": False,
+            "event_type": "ANSWER_QUESTION",
+            "event_details": {"correct": False},
+            "timestamp": 1_700_000_999_000,
+        }
+    )
+    _produce(broker, K.LOGGED_EVENTS_TOPIC, events)
+
+    qualifying = (
+        K.read_logged_events_stream(spark, broker)
+        .filter(
+            (F.col("event_type") == "ANSWER_QUESTION")
+            & (F.get_json_object("event_details", "$.correct") == "true")
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("ts").alias("date_attempted"),
+        )
+    )
+    crossings = threshold_crossing_stream(qualifying)
+
+    url = "jdbc:derby:memory:ach_kafka;create=true"
+    props = {"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"}
+    # pre-create the sink table (append requires it to exist)
+    spark.createDataFrame(
+        [],
+        "user_id long, achievement_id string, threshold long, "
+        "achieved_at timestamp",
+    ).write.jdbc(url, "achievements", mode="overwrite", properties=props)
+
+    q = foreach_batch_jdbc(
+        crossings,
+        url,
+        "achievements",
+        properties=props,
+        checkpoint=str(tmp_path / "ach_ckpt"),
+        output_mode="append",
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(
+        (r.user_id, r.threshold)
+        for r in spark.read.jdbc(url, "achievements", properties=props).collect()
+    )
+    assert got == [(1, 1), (1, 5), (2, 1)]
