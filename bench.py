@@ -73,6 +73,7 @@ HEADLINE = [
     "stratified_topk_sample",
     "media_wav_stats",
     "overlap_chunk_plan",
+    "char_entropy",
 ]
 
 

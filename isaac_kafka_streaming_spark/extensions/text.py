@@ -493,6 +493,40 @@ def bpe_pair_counts(
     )
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — per-document character-level Shannon entropy (bits/char):
+    the engine-side proxy for LM-perplexity quality filtering (CCNet/
+    Gopher filter on perplexity; entropy catches the same degenerate
+    tails — repeated characters, binary junk, single-symbol spam —
+    without a model).  Low entropy = repetitive/degenerate, ~4-4.5 =
+    typical prose, higher = noisy/random.
+
+    Shape: explode to (doc, char) -> two-level count agg (map-side
+    combinable; per-doc key width bounded by the alphabet, not doc
+    length) -> entropy as a sum over <= |alphabet| terms.  Rounded to
+    6: the <= 1e-14 cross-engine summation-order noise on ~100 terms
+    sits far below the rounding grain, so the oracle hash-matches.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
+    totals = per_char.groupBy("doc_id").agg(
+        F.sum("n").alias("n_chars"),
+        F.sum(F.col("n") * F.log2("n")).alias("sum_nlogn"),
+    )
+    # H = log2(N) - (1/N) * sum(n_i * log2(n_i)) — one pass, no join
+    return totals.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(
+            F.log2("n_chars") - F.col("sum_nlogn") / F.col("n_chars"), 6
+        ).alias("entropy_bits"),
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -537,6 +571,27 @@ def register() -> dict:
             FROM p GROUP BY 1 HAVING COUNT(*) >= 2
             """,
             "X4 BPE merge-step: adjacent-pair frequency aggregation",
+        ),
+        "char_entropy": QueryDef(
+            char_entropy,
+            """
+            WITH c AS (
+                SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+                FROM documents WHERE len(text) > 0
+            ), pc AS (
+                SELECT doc_id, ch, COUNT(*) AS n
+                FROM c GROUP BY doc_id, ch
+            ), t AS (
+                SELECT doc_id, SUM(n) AS n_chars,
+                       SUM(n * log2(n)) AS sum_nlogn
+                FROM pc GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   ROUND(log2(n_chars) - sum_nlogn / n_chars, 6)
+                       AS entropy_bits
+            FROM t
+            """,
+            "X4 char-level Shannon entropy (perplexity-proxy quality)",
         ),
         "text_quality": QueryDef(
             text_quality,

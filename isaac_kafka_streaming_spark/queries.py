@@ -1852,31 +1852,32 @@ REGISTRY: dict[str, QueryDef] = {
 # full 81-entry registry locally every round regardless of position.
 #
 # Round-5 window tiers by prior driver coverage:
-#   A: never driver-checked                         (15: tpch_q4/q10/q16
+#   A: never driver-checked                         (16: tpch_q4/q10/q16
 #      added in round 4 past the then-current window; round-5 additions
 #      media_png_features, media_wav_stats, epoch_shuffle,
 #      bpe_pair_counts, soft_dedup_sample, stratified_topk_sample,
-#      overlap_chunk_plan, tpch_q7, tpch_q13, tpch_q15, tpch_q17,
-#      tpch_q22)
+#      overlap_chunk_plan, char_entropy, tpch_q7, tpch_q13, tpch_q15,
+#      tpch_q17, tpch_q22)
 #   B: last checked in round 3                      (28)
-#   C: single green row, from round 4               (5: the round-4
-#      additions; the twelve r04-green-and-unchanged first-time entries
-#      sit out: corpus_shards, concat_chunk_plan, ngram_contamination,
-#      lang_source_rollup, lang_id, doc_fingerprints, tfidf_top_terms,
-#      corpus_keep_list, repetition_metrics, pii_scrub,
-#      session_transcripts, dedup_incoming)
+#   C: single green row, from round 4               (4: the round-4
+#      additions; the thirteen r04-green-and-unchanged first-time
+#      entries sit out: corpus_shards, concat_chunk_plan,
+#      ngram_contamination, lang_source_rollup, lang_id,
+#      doc_fingerprints, tfidf_top_terms, corpus_keep_list,
+#      repetition_metrics, pii_scrub, session_transcripts,
+#      dedup_incoming, knn_quantized)
 #   D: changed-this/last-round code kept in-window  (2: dedup_clusters —
 #      clustering algorithm replaced in r4; user_streaks — sessionization
 #      gains a skew cap in r5)
-# The 43 entries past the window each hold >= 2 green driver rows
-# (r04 plus at least one of r01-r03), except the twelve named C-tier
+# The 44 entries past the window each hold >= 2 green driver rows
+# (r04 plus at least one of r01-r03), except the thirteen named C-tier
 # sit-outs (one green row each, r04, unchanged since).
 _DRIVER_CHECK_ORDER = [
     # A — never driver-checked
     "tpch_q4", "tpch_q10", "tpch_q16",
     "media_png_features", "media_wav_stats",
     "epoch_shuffle", "bpe_pair_counts", "soft_dedup_sample",
-    "stratified_topk_sample", "overlap_chunk_plan",
+    "stratified_topk_sample", "overlap_chunk_plan", "char_entropy",
     "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q22",
     # B — last checked in round 3
     "anonymous_events", "customers_without_big_orders",
@@ -1890,7 +1891,7 @@ _DRIVER_CHECK_ORDER = [
     "user_event_counts", "user_notifications", "user_profiles",
     # C — one green row (round 4 only)
     "corpus_curation", "embedding_quantize",
-    "mixture_plan", "knn_quantized", "dedup_incoming_minhash",
+    "mixture_plan", "dedup_incoming_minhash",
     # D — code changed recently; keep fresh rows on it
     "dedup_clusters", "user_streaks",
 ]

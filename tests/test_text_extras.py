@@ -260,3 +260,27 @@ def test_epoch_shuffle_permutes_across_epochs(spark, sf_smoke):
         pos_by_shard.setdefault(s, set()).add(p)
     for s, n in per_shard.items():
         assert pos_by_shard[s] == set(range(1, n + 1)), f"shard {s} not dense"
+
+
+def test_char_entropy_orders_degenerate_docs(spark, tmp_path_factory):
+    """Entropy must separate degenerate from diverse text: a
+    single-character doc scores 0, repeated spam scores low, prose
+    scores higher; uniform-alphabet text hits exactly log2(k)."""
+    from isaac_kafka_streaming_spark.extensions.text import char_entropy
+
+    base = tmp_path_factory.mktemp("ent")
+    rows = [
+        (0, "aaaaaaaaaaaaaaaa"),                      # H = 0
+        (1, "abababababababab"),                      # H = 1 (two chars)
+        (2, "abcdabcdabcdabcd"),                      # H = 2 (four chars)
+        (3, "The quick brown fox jumps over the lazy dog."),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {r.doc_id: r.entropy_bits for r in char_entropy(spark, str(base)).collect()}
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == 2.0
+    assert got[3] > 3.5  # natural prose
+    assert got[0] < got[1] < got[2] < got[3]
