@@ -804,6 +804,84 @@ def embedding_srp_pairs(
     )
 
 
+def dedup_semantic(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    tau: float = 0.4,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023 shape):
+    cluster the embedding space coarsely, then drop near-identical
+    vectors WITHIN each cluster — the cross-cluster pair space is never
+    touched, which is the whole scale story.
+
+    Coarse quantizer: the first ``n_cells`` vectors serve as
+    deterministic centroids (same contract as knn_ivf — at scale these
+    come from the shipped kmeans_centroids trainer, run offline), so
+    assignment and therefore the entire output is replayable by a SQL
+    oracle.  Within a cell, a vector is a duplicate if some LOWER-id
+    cellmate has cosine >= tau; it records its lowest-id such cellmate
+    as ``dup_of`` (keep-lowest-id canonicalization; the paper's
+    keep-farthest-from-centroid variant is the same plan with the
+    ordering swapped to centroid_cos).
+
+    Output: one row per vector — (vec_id, cell_id, centroid_cos,
+    dup_of, kept).
+
+    Scale shape: centroids broadcast (n_cells rows); assignment is a
+    map-side argmax; the within-cell self-join is quadratic ONLY in
+    cell size, bounded by the k-means granularity — an oversized cell
+    sub-blocks with the shipped SRP bucketing (embedding_srp_pairs)
+    without changing semantics.
+    """
+    from .similarity import _corpus, _dot
+
+    corpus = _corpus(spark, sf_dir)
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell_id")
+    )
+    assigned = (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .withColumn("__ccos", ccos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            "cell_id",
+            F.round(F.col("__ccos"), 6).alias("centroid_cos"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pcos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell_id") == F.col("b.cell_id"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(pcos >= tau)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        assigned.select("vec_id", "cell_id", "centroid_cos")
+        .join(dups, "vec_id", "left")
+        .withColumn("kept", F.col("dup_of").isNull())
+    )
+
+
 # -- incremental dedup: new batch against existing corpus ------------------
 
 
@@ -1143,6 +1221,45 @@ def register() -> dict:
             WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
             """,
             "X2 embedding-cosine near-dup (label-blocked)",
+        ),
+        "dedup_semantic": QueryDef(
+            dedup_semantic,
+            """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS norm
+                FROM embeddings
+            ), c AS (
+                SELECT vec_id AS cell_id, v AS cv, norm AS cnorm
+                FROM e WHERE vec_id < 16
+            ), asg AS (
+                SELECT e.vec_id, e.v, e.norm, c.cell_id,
+                       list_dot_product(e.v, c.cv) / (e.norm * c.cnorm)
+                           AS ccos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv)
+                                    / (e.norm * c.cnorm) DESC, c.cell_id
+                       ) AS rn
+                FROM e CROSS JOIN c
+            ), a1 AS (
+                SELECT vec_id, v, norm, cell_id, ROUND(ccos, 6)
+                           AS centroid_cos
+                FROM asg WHERE rn = 1
+            ), dup AS (
+                SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+                FROM a1 a JOIN a1 b
+                  ON a.cell_id = b.cell_id AND b.vec_id < a.vec_id
+                WHERE ROUND(list_dot_product(a.v, b.v)
+                            / (a.norm * b.norm), 6) >= 0.4
+                GROUP BY a.vec_id
+            )
+            SELECT a1.vec_id, a1.cell_id, a1.centroid_cos, dup.dup_of,
+                   (dup.dup_of IS NULL) AS kept
+            FROM a1 LEFT JOIN dup USING (vec_id)
+            """,
+            "X2 SemDeDup: within-k-means-cell embedding near-dup drop",
         ),
         "dedup_embedding_srp": QueryDef(
             embedding_srp_pairs,

@@ -164,6 +164,99 @@ def ngram_contamination(
     )
 
 
+def decontaminate_exact(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+) -> DataFrame:
+    """Exact substring-level decontamination: held-out documents whose
+    full normalized token sequence appears VERBATIM inside some train
+    document.  Catches truncation/concatenation leaks that exact-hash
+    split_contamination misses (hash equality needs the whole doc) and
+    that ngram_contamination only scores approximately.
+
+    Sorted-ngram-anchor containment, never all-pairs:
+
+    1. both splits explode to distinct n-token shingles (train side also
+       yields the per-shingle train document frequency);
+    2. each held-out doc picks ONE anchor shingle — its globally RAREST
+       (min train-df, shingle tie-break), since a containing train doc
+       must contain *every* eval shingle, any single one is a sound
+       join key and the rarest minimizes fan-out.  A rarest-df of 0
+       proves non-containment and prunes the doc entirely;
+    3. candidates = anchor equi-join against train shingles — per eval
+       doc at most min-df candidate train docs, the data-dependent
+       bound a boilerplate-heavy corpus cannot blow up;
+    4. verify candidates exactly: space-delimited normalized text
+       containment (token-aligned by construction), then roll up per
+       eval doc.
+
+    Held-out docs with < n tokens have no shingles and are not checked
+    (same contract as ngram_contamination).  At 100 TB every stage is
+    an equi-join or two-level agg on shingle/doc keys; the quadratic
+    LIKE scan of the naive form never appears.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    from .dedup import _shingles, _tokens
+
+    base = (
+        docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
+        .withColumn(
+            "norm_text",
+            F.concat(
+                F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")
+            ),
+        )
+        .join(split_assignment(docs).select("doc_id", "split"), "doc_id")
+    )
+    sh = base.filter(F.size("tokens") >= n).select(
+        "doc_id",
+        "split",
+        F.explode(_shingles(F.col("tokens"), n)).alias("shingle"),
+    )
+    train_sh = sh.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    train_df = train_sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    anchors = (
+        sh.filter(F.col("split") != "train")
+        .join(train_df, "shingle", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .groupBy(F.col("doc_id").alias("eval_doc_id"), "split")
+        .agg(F.min(F.struct("df", "shingle")).alias("a"))
+        .filter(F.col("a.df") > 0)
+        .select("eval_doc_id", "split", F.col("a.shingle").alias("anchor"))
+    )
+    cands = anchors.join(
+        train_sh, anchors.anchor == train_sh.shingle
+    ).select("eval_doc_id", "split", "train_doc_id")
+    texts = base.select("doc_id", "norm_text")
+    verified = (
+        cands.join(
+            texts.select(
+                F.col("doc_id").alias("eval_doc_id"),
+                F.col("norm_text").alias("e_norm"),
+            ),
+            "eval_doc_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("train_doc_id"),
+                F.col("norm_text").alias("t_norm"),
+            ),
+            "train_doc_id",
+        )
+        .filter(F.col("t_norm").contains(F.col("e_norm")))
+    )
+    return verified.groupBy("eval_doc_id", "split").agg(
+        F.count("*").alias("n_train_hits"),
+        F.min("train_doc_id").alias("first_train_doc_id"),
+        F.max((F.col("t_norm") == F.col("e_norm")).cast("int"))
+        .cast("boolean")
+        .alias("any_exact"),
+    )
+
+
 # target corpus mixture for mixture_plan: the share of the training
 # token budget each language should contribute
 MIXTURE_TARGETS: dict[str, float] = {
@@ -521,6 +614,75 @@ def register() -> dict:
             GROUP BY 1, 2
             """,
             "n-gram eval contamination (held-out shingles found in train)",
+        ),
+        "decontaminate_exact": QueryDef(
+            decontaminate_exact,
+            f"""
+            WITH d AS (
+                SELECT doc_id, text,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents
+            ), s AS (
+                SELECT doc_id, text,
+                       CASE WHEN {val4} % 100 < 5 THEN 'test'
+                            WHEN {val4} % 100 < 10 THEN 'val'
+                            ELSE 'train' END AS split
+                FROM d
+            ), tok AS (
+                SELECT doc_id, split,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM s
+            ), nrm AS (
+                SELECT doc_id, split, tokens,
+                       ' ' || array_to_string(tokens, ' ') || ' '
+                           AS norm_text
+                FROM tok
+            ), sh AS (
+                SELECT doc_id, split,
+                       list_distinct(["""
+            + " || ' ' || ".join(f"tokens[i+{j}]" for j in range(5))
+            + """
+                           FOR i IN range(1, GREATEST(len(tokens) - 4, 0) + 1)
+                       ]) AS shingles
+                FROM nrm WHERE len(tokens) >= 5
+            ), ex AS (
+                SELECT doc_id, split, UNNEST(shingles) AS shingle FROM sh
+            ), train_sh AS (
+                SELECT doc_id AS train_doc_id, shingle
+                FROM ex WHERE split = 'train'
+            ), tdf AS (
+                SELECT shingle, COUNT(*) AS df FROM train_sh GROUP BY shingle
+            ), ranked AS (
+                SELECT ex.doc_id AS eval_doc_id, ex.split, ex.shingle,
+                       COALESCE(tdf.df, 0) AS df,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY ex.doc_id
+                           ORDER BY COALESCE(tdf.df, 0), ex.shingle
+                       ) AS rn
+                FROM ex LEFT JOIN tdf USING (shingle)
+                WHERE ex.split <> 'train'
+            ), anch AS (
+                SELECT eval_doc_id, split, shingle AS anchor
+                FROM ranked WHERE rn = 1 AND df > 0
+            ), cand AS (
+                SELECT anch.eval_doc_id, anch.split, t.train_doc_id
+                FROM anch JOIN train_sh t ON anch.anchor = t.shingle
+            ), v AS (
+                SELECT c.eval_doc_id, c.split, c.train_doc_id,
+                       en.norm_text AS e_norm, tn.norm_text AS t_norm
+                FROM cand c
+                JOIN nrm en ON en.doc_id = c.eval_doc_id
+                JOIN nrm tn ON tn.doc_id = c.train_doc_id
+                WHERE position(en.norm_text IN tn.norm_text) > 0
+            )
+            SELECT eval_doc_id, split, COUNT(*) AS n_train_hits,
+                   MIN(train_doc_id) AS first_train_doc_id,
+                   CAST(MAX(CASE WHEN e_norm = t_norm THEN 1 ELSE 0 END)
+                        AS BOOLEAN) AS any_exact
+            FROM v GROUP BY 1, 2
+            """,
+            "exact substring decontamination (rarest-anchor containment)",
         ),
         "stratified_sample": QueryDef(
             stratified_sample,

@@ -508,9 +508,14 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sits far below the rounding grain, so the oracle hash-matches.
     """
     docs = read_table(spark, sf_dir, "documents")
+    # split("") yields CODE POINTS (Java 8+ zero-width split never cuts a
+    # surrogate pair), matching DuckDB string_split(text, '') character
+    # semantics; the earlier '(?!^)' pattern split between UTF-16 code
+    # units, diverging from the oracle on supplementary-plane text —
+    # pinned by tests/test_text_extras.py::test_char_entropy_unicode_parity
     chars = docs.select(
         "doc_id",
-        F.explode(F.split(F.col("text"), "(?!^)")).alias("ch"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
     ).filter(F.col("ch") != "")
     per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("n"))
     totals = per_char.groupBy("doc_id").agg(

@@ -120,8 +120,18 @@ def append_records(topic_dir: str, rows, partition_of=None) -> None:
         for key, value in rows:
             if partition_of is not None:
                 p = partition_of(key)
+            elif key:
+                # deterministic digest, NOT hash(): Python salts str/bytes
+                # hashing per process (PYTHONHASHSEED), which would make
+                # partition layout nondeterministic across runs
+                import hashlib
+
+                p = (
+                    int.from_bytes(hashlib.md5(key).digest()[:4], "big")
+                    % N_PARTITIONS
+                )
             else:
-                p = (hash(key) & 0x7FFFFFFF) % N_PARTITIONS if key else 0
+                p = 0
             if p not in handles:
                 handles[p] = open(_partition_file(topic_dir, p), "a")
             handles[p].write(
@@ -186,9 +196,21 @@ class _StreamReader(SimpleDataSourceStreamReader):
                 yield row
 
 
+class _CommitMsg(WriterCommitMessage):
+    """Carries the task's buffered (key, value) pairs to the driver."""
+
+    def __init__(self, pairs):
+        self.pairs = pairs
+
+
 class _Writer(DataSourceWriter):
     """Accepts the real sink contract: key/value columns (binary or
-    string), everything else ignored."""
+    string), everything else ignored.
+
+    Tasks only BUFFER rows (returned via the commit message); the
+    driver-side commit() appends once — so a retried or speculative
+    task can't double-append, and concurrent tasks can't interleave
+    buffered writes mid-line."""
 
     def __init__(self, options):
         self.topic_dir = _topic_dir(options)
@@ -199,14 +221,18 @@ class _Writer(DataSourceWriter):
                 return bytes(v) if v is not None else None
             return str(v).encode()
 
+        return _CommitMsg(
+            [(as_bytes(r["key"]), as_bytes(r["value"])) for r in rows]
+        )
+
+    def _append(self, messages):
         append_records(
             self.topic_dir,
-            ((as_bytes(r["key"]), as_bytes(r["value"])) for r in rows),
+            (pair for m in messages if m is not None for pair in m.pairs),
         )
-        return WriterCommitMessage()
 
     def commit(self, messages):
-        pass
+        self._append(messages)
 
     def abort(self, messages):
         pass
@@ -219,7 +245,7 @@ class _StreamWriter(_Writer, DataSourceStreamWriter):
         _Writer.__init__(self, options)
 
     def commit(self, messages, batchId):
-        pass
+        self._append(messages)
 
     def abort(self, messages, batchId):
         pass

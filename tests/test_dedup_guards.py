@@ -311,3 +311,93 @@ def test_simhash_wide_doc_no_ansi_overflow(spark, tmp_path_factory):
     pairs = simhash_pairs(spark, str(base)).collect()
     # the two wide docs differ by one token out of 40k: Hamming ~0
     assert any({r.doc_a, r.doc_b} == {0, 1} for r in pairs)
+
+
+# -- exact substring decontamination (rarest-anchor containment) -----------
+
+
+def test_decontaminate_exact_planted_containments(spark, tmp_path_factory):
+    """Planted cases spanning every stage of the anchor pipeline:
+
+    * E1 token-contained mid-document in T1        -> flagged, not exact
+    * E2 verbatim copy of T2                       -> flagged, exact
+    * E6 contained in TWO train docs (one equal)   -> n_train_hits=2, exact
+    * E7 every shingle present in T5 but never the full sequence
+      (anchor-join candidate that must FAIL verification) -> absent
+    * E8 rarest anchor df=0 (pruned pre-join)      -> absent
+    """
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        decontaminate_exact,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    train_ids = [i for i in range(1000) if bucket(i) >= 10][:5]
+    eval_ids = [i for i in range(1000) if bucket(i) < 10][:5]
+    t1, t2, t4a, t4b, t5 = train_ids
+    e1, e2, e6, e7, e8 = eval_ids
+    rows = [
+        (t1, "alpha beta gamma delta epsilon zeta eta"),
+        (t2, "quebec romeo sierra tango uniform victor"),
+        (t4a, "mike november oscar papa lima"),
+        (t4b, "mike november oscar papa lima unrelated1 unrelated2"),
+        (t5, "tok1 tok2 tok3 tok4 tok5 brk tok2 tok3 tok4 tok5 tok6"),
+        (e1, "beta gamma delta epsilon zeta"),
+        (e2, "quebec romeo sierra tango uniform victor"),
+        (e6, "mike november oscar papa lima"),
+        (e7, "tok1 tok2 tok3 tok4 tok5 tok6"),
+        (e8, "foo1 foo2 foo3 foo4 foo5"),
+    ]
+    base = tmp_path_factory.mktemp("decontam")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {r.eval_doc_id: r for r in decontaminate_exact(spark, str(base)).collect()}
+    assert set(got) == {e1, e2, e6}, got
+    assert (got[e1].n_train_hits, got[e1].first_train_doc_id) == (1, t1)
+    assert got[e1].any_exact is False
+    assert (got[e2].n_train_hits, got[e2].first_train_doc_id) == (1, t2)
+    assert got[e2].any_exact is True
+    assert got[e6].n_train_hits == 2
+    assert got[e6].first_train_doc_id == min(t4a, t4b)
+    assert got[e6].any_exact is True
+
+
+# -- SemDeDup within-cell embedding drop -----------------------------------
+
+
+def test_dedup_semantic_planted_duplicates(spark, tmp_path_factory):
+    """One-hot centroids make cell assignment exact: two scaled copies of
+    centroid 3's direction must both drop against vec 3 (keep-lowest-id
+    reaches across to the centroid itself), while a uniform vector whose
+    best centroid cosine (0.25) sits below tau survives.  Centroid rows
+    are their own cells' lowest ids, so all 16 stay kept."""
+    from isaac_kafka_streaming_spark.extensions.dedup import dedup_semantic
+
+    dim = 16
+    rows = []
+    for i in range(16):  # centroids: one-hot e_i
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    rows.append((16, [0.0] * 3 + [2.0] + [0.0] * 12, 0))  # 2*e_3
+    rows.append((17, [0.0] * 3 + [3.0] + [0.0] * 12, 0))  # 3*e_3
+    rows.append((18, [1.0] * dim, 0))  # cos 0.25 to every centroid
+    base = tmp_path_factory.mktemp("semdedup")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(base / "embeddings.parquet"))
+
+    got = {r.vec_id: r for r in dedup_semantic(spark, str(base)).collect()}
+    assert set(got) == set(range(19))
+    for i in range(16):
+        assert got[i].kept is True and got[i].dup_of is None
+    for i in (16, 17):
+        assert got[i].cell_id == 3
+        assert got[i].kept is False and got[i].dup_of == 3
+    assert got[18].cell_id == 0  # tie on cosine 0.25 -> lowest cell wins
+    assert got[18].kept is True and got[18].dup_of is None

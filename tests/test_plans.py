@@ -223,3 +223,23 @@ def test_q15_scans_lineitem_once(spark, sf_smoke):
         if "lineitem.parquet" in l and "Location" in l
     ]
     assert len(scans) == 1, f"lineitem scanned {len(scans)}x"
+
+
+def test_decontaminate_all_equi_joins(spark, sf_smoke):
+    """The naive form of substring decontamination is an all-pairs LIKE
+    scan; the rarest-anchor design must keep every join an equi-join —
+    a nested-loop or cartesian node here means the candidate generation
+    degenerated to eval x train."""
+    plan = _executed_plan(spark, "decontaminate_exact", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dedup_semantic_broadcast_centroids_no_cartesian_pairs(spark, sf_smoke):
+    """Centroid assignment broadcasts the tiny centroid side (the one
+    legitimate nested-loop join); the within-cell pair join must stay a
+    cell_id equi-join — a CartesianProduct means the quadratic escaped
+    its cell bound."""
+    plan = _executed_plan(spark, "dedup_semantic", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast centroid pass

@@ -28,14 +28,16 @@ FRESHNESS_ROUNDS = 2
 
 def _is_green(row: dict) -> bool:
     """A clean driver row: oracle triple-match, or the declared rows-only
-    contract (``err == "no_oracle"`` with a row count recorded)."""
+    contract (``err == "no_oracle"`` with a row count recorded).
+    Affirmative signals required — an all-None row with no err (a query
+    that never actually executed) must NOT count as green."""
     if row.get("err") == "no_oracle":
         return row.get("spark_rows") is not None
     return (
         not row.get("err")
-        and row.get("rows_match") is not False
-        and row.get("schema_match") is not False
-        and row.get("hash_match") is not False
+        and row.get("rows_match") is True
+        and row.get("schema_match") is True
+        and row.get("hash_match") is True
     )
 
 

@@ -284,3 +284,45 @@ def test_char_entropy_orders_degenerate_docs(spark, tmp_path_factory):
     assert got[2] == 2.0
     assert got[3] > 3.5  # natural prose
     assert got[0] < got[1] < got[2] < got[3]
+
+
+def test_char_entropy_unicode_parity(spark, tmp_path_factory):
+    """Pin Spark's Java-regex split('(?!^)') against DuckDB
+    string_split(text, '') on supplementary-plane (surrogate-pair) and
+    combining-mark text: both engines must count the same 'characters'
+    (code points — a combining acute stays its own char), or regenerated
+    testdata with such text would silently hash-mismatch."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        char_entropy,
+        register,
+    )
+
+    docs = [
+        (0, "\U0001F600\U0001F600\U0001F389 abc"),  # astral emoji
+        (1, "café résumé"),  # combining acute accents
+        (2, "\U0001D518\U0001D52B\U0001D526\U0001D520"),  # math fraktur
+        (3, "plain ascii text"),
+    ]
+    base = tmp_path_factory.mktemp("ent_uni")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.doc_id: (r.n_chars, r.entropy_bits)
+        for r in char_entropy(spark, str(base)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(register()["char_entropy"].sql).fetchall()
+    }
+    # doc 0 has 7 code points (3 astral), doc 2 is 4 astral chars — NOT
+    # 10/8 UTF-16 code units; combining marks count separately (doc 1)
+    assert got[0][0] == 7 and got[1][0] == 14 and got[2][0] == 4
+    assert got == want

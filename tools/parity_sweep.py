@@ -63,12 +63,16 @@ def _norm(v) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter for iteration
+
     import duckdb
     from pyspark.sql import SparkSession
 
     mod = _load_entry_module()
     queries = mod.queries()
     oracles = mod.oracle_sql()
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
 
     # Bare session on purpose: no engine get_spark(), like the driver's.
     spark = (
