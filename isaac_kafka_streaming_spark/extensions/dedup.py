@@ -628,21 +628,44 @@ def connected_components_star(
 
 
 def dedup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    pair_tier: str = "exact",
 ) -> DataFrame:
-    """X2 — duplicate clusters from MinHash-verified pairs: one row per
+    """X2 — duplicate clusters from verified near-dup pairs: one row per
     clustered doc with its cluster id and the canonical-keep flag
-    (lowest doc_id in the cluster survives)."""
-    pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
-    try:
-        # the star alternation localCheckpoint()s the edge set up front,
-        # so the pair computation (and the caches minhash_lsh_pairs
-        # attached to it) runs exactly once ...
+    (lowest doc_id in the cluster survives).
+
+    The pair-generation tier is pluggable; the star-alternation CC on
+    top is identical either way:
+
+    * ``"exact"`` (default, graded): the inverted-index n-gram Jaccard
+      tier — every stage deterministic and engine-neutral, so the WHOLE
+      composition (pairs + iterative clustering) replays in the DuckDB
+      oracle as a recursive transitive-closure CTE and is hash-checked,
+      not just row-counted.
+    * ``"lsh"``: the MinHash/LSH tier — the 100 TB candidate path.
+      xxhash64 signatures aren't replayable in the oracle, so this
+      variant is graded rows-only (``dedup_clusters_lsh``).  Both tiers
+      verify candidates against the same exact-Jaccard threshold, so
+      LSH output is a subset of the exact tier's (identical on driver
+      data — asserted in tests/test_dedup_guards.py).
+    """
+    if pair_tier == "exact":
+        pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
         comp = connected_components_star(pairs)
-    finally:
-        # ... and can be released as soon as that materialization is
-        # done, even though the returned DataFrame is still lazy.
-        unpersist_deps(pairs)
+    else:
+        pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
+        try:
+            # the star alternation localCheckpoint()s the edge set up
+            # front, so the pair computation (and the caches
+            # minhash_lsh_pairs attached to it) runs exactly once ...
+            comp = connected_components_star(pairs)
+        finally:
+            # ... and can be released as soon as that materialization is
+            # done, even though the returned DataFrame is still lazy.
+            unpersist_deps(pairs)
     return comp.select(
         F.col("node").alias("doc_id"),
         F.col("comp").alias("cluster_id"),
@@ -1028,6 +1051,41 @@ def register() -> dict:
 
     val4 = f"((({hx(1)} * 16 + {hx(2)}) * 16 + {hx(3)}) * 16 + {hx(4)})"
 
+    # shared CTE chain for the exact n-gram Jaccard pair tier — used by
+    # dedup_ngram_jaccard directly and replayed inside dedup_clusters'
+    # recursive-CTE oracle
+    jac_ctes = """tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                           FOR i IN range(1, GREATEST(len(tokens) - 2, 0) + 1)
+                       ]) AS shingles
+                FROM tok
+            ), exploded AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       COUNT(*) AS n_common
+                FROM exploded a JOIN exploded b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )"""
+    jac_select = """SELECT doc_a, doc_b,
+                   ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
+                  >= 0.35"""
+
     return {
         "dedup_incoming": QueryDef(
             dedup_incoming,
@@ -1075,38 +1133,9 @@ def register() -> dict:
         ),
         "dedup_ngram_jaccard": QueryDef(
             ngram_jaccard_pairs,
-            """
-            WITH tok AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(lower(text),
-                           '[^a-z0-9]+'), t -> t <> '') AS tokens
-                FROM documents
-            ), sh AS (
-                SELECT doc_id,
-                       list_distinct([
-                           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
-                           FOR i IN range(1, GREATEST(len(tokens) - 2, 0) + 1)
-                       ]) AS shingles
-                FROM tok
-            ), exploded AS (
-                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
-            ), sizes AS (
-                SELECT doc_id, COUNT(*) AS n_shingles FROM exploded GROUP BY doc_id
-            ), inter AS (
-                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                       COUNT(*) AS n_common
-                FROM exploded a JOIN exploded b
-                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                GROUP BY 1, 2
-            )
-            SELECT doc_a, doc_b,
-                   ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
-                       AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6)
-                  >= 0.35
+            f"""
+            WITH {jac_ctes}
+            {jac_select}
             """,
             "X2 exact n-gram Jaccard pairs (inverted-index join)",
         ),
@@ -1200,10 +1229,39 @@ def register() -> dict:
             None,  # engine-specific hash functions -> rows-only check
             "X2 SimHash chunk-banded near-dup",
         ),
+        # the full composition (exact pair tier + iterative clustering)
+        # replays in SQL: connected components = min over the transitive
+        # closure, a recursive CTE with UNION (set) semantics so the
+        # fixed point terminates on cyclic graphs
         "dedup_clusters": QueryDef(
             dedup_clusters,
-            None,  # iterative connected components -> rows-only check
-            "X2 duplicate clusters (connected components over LSH pairs)",
+            f"""
+            WITH RECURSIVE {jac_ctes}, pairs AS (
+                {jac_select}
+            ), edges AS (
+                SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM pairs
+            ), reach(node, comp) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT e.a, r.comp
+                FROM edges e JOIN reach r ON e.b = r.node
+            )
+            SELECT node AS doc_id, MIN(comp) AS cluster_id,
+                   (node = MIN(comp)) AS is_canonical
+            FROM reach GROUP BY node
+            """,
+            "X2 duplicate clusters (CC over exact-Jaccard pairs, "
+            "oracle-replayed as recursive closure)",
+        ),
+        "dedup_clusters_lsh": QueryDef(
+            lambda spark, sf_dir: dedup_clusters(
+                spark, sf_dir, pair_tier="lsh"
+            ),
+            None,  # xxhash64 signatures -> rows-only check
+            "X2 duplicate clusters (CC over MinHash-LSH pairs, the "
+            "100TB candidate path)",
         ),
         "dedup_embedding_cosine": QueryDef(
             embedding_cosine_pairs,

