@@ -74,6 +74,11 @@ HEADLINE = [
     "media_wav_stats",
     "overlap_chunk_plan",
     "char_entropy",
+    # round 6 additions
+    "decontaminate_exact",
+    "dedup_semantic",
+    "dedup_clusters_lsh",
+    "kmeans_centroids",
 ]
 
 

@@ -532,6 +532,33 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle variant of char_entropy: per-doc character counts
+    via higher-order functions (array_distinct + filter-size per
+    symbol) instead of explode + two-level agg.  Pure projection — no
+    exchange at all — at the cost of O(len x |alphabet|) CPU per doc
+    vs the explode form's O(len) + a docs x alphabet shuffle.  Kept as
+    a benched alternative (equality-tested against the graded form);
+    SCALE_DESIGN.md records the measured tradeoff at sf0.1."""
+    docs = read_table(spark, sf_dir, "documents")
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    n = F.size(chars)
+    sum_nlogn = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, ni: acc + ni * F.log2(ni),
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.round(F.log2(n) - sum_nlogn / n, 6).alias("entropy_bits"),
+    ).filter(F.col("n_chars") > 0)
+
+
 def register() -> dict:
     from ..queries import QueryDef
 

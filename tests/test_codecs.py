@@ -191,3 +191,91 @@ def test_truncated_blobs_raise_valueerror():
     wav = wav_encode(bytes(range(64)))
     with pytest.raises(ValueError, match="malformed WAV"):
         wav_decode(wav[:10])
+
+
+# -- property: arbitrary pixels x arbitrary per-line filters ---------------
+
+from hypothesis import given, settings, strategies as st
+
+_CHANNELS_BY_COLOR = {0: 1, 2: 3, 6: 4}
+
+
+def _forward_filter(ftype, line, prev, channels):
+    """The spec's filter transform (inverse of the decoder's
+    reconstruction), over the RECONSTRUCTED previous line."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    out = bytearray(len(line))
+    for x in range(len(line)):
+        left = line[x - channels] if x >= channels else 0
+        up = prev[x]
+        ul = prev[x - channels] if x >= channels else 0
+        if ftype == 0:
+            v = line[x]
+        elif ftype == 1:
+            v = line[x] - left
+        elif ftype == 2:
+            v = line[x] - up
+        elif ftype == 3:
+            v = line[x] - ((left + up) >> 1)
+        else:
+            v = line[x] - paeth(left, up, ul)
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_png_decode_roundtrips_random_filtered_streams(data):
+    """Any 8-bit image, filtered with any per-scanline filter choice,
+    must decode back to the original pixels — every (filter, random
+    content) combination exercises the reconstruction arithmetic the
+    hand-built cases only spot-check."""
+    color = data.draw(st.sampled_from([0, 2, 6]))
+    channels = _CHANNELS_BY_COLOR[color]
+    width = data.draw(st.integers(1, 9))
+    height = data.draw(st.integers(1, 9))
+    stride = width * channels
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=stride * height,
+                max_size=stride * height,
+            )
+        )
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=height, max_size=height)
+    )
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    prev = bytes(stride)
+    raw = bytearray()
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        raw += bytes([filters[y]]) + _forward_filter(
+            filters[y], line, prev, channels
+        )
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, out = png_decode(blob)
+    assert (w, h, ch) == (width, height, channels)
+    assert out == pixels

@@ -326,3 +326,16 @@ def test_char_entropy_unicode_parity(spark, tmp_path_factory):
     # 10/8 UTF-16 code units; combining marks count separately (doc 1)
     assert got[0][0] == 7 and got[1][0] == 14 and got[2][0] == 4
     assert got == want
+
+
+def test_char_entropy_hof_matches_explode_form(spark, sf_smoke):
+    """The zero-shuffle HOF variant must be value-identical to the
+    graded explode+agg form."""
+    from isaac_kafka_streaming_spark.extensions.text import (
+        char_entropy,
+        char_entropy_hof,
+    )
+
+    base = sorted(map(tuple, char_entropy(spark, sf_smoke).collect()))
+    hof = sorted(map(tuple, char_entropy_hof(spark, sf_smoke).collect()))
+    assert base == hof and base
