@@ -162,6 +162,21 @@ PICKS = {
         "per-part average and the brand part list both broadcast onto "
         "one lineitem pass."
     ),
+    "decontaminate_exact": (
+        "Rarest-anchor containment: every join is an equi-join "
+        "(shingle / doc_id keys); no nested-loop or cartesian node — "
+        "the naive all-pairs LIKE scan never appears."
+    ),
+    "dedup_semantic": (
+        "SemDeDup: one broadcast nested-loop for the tiny centroid "
+        "side (assignment argmax), then the pair join stays a cell_id "
+        "equi-join — quadratic bounded by cell size."
+    ),
+    "kmeans_centroids": (
+        "Lloyd iteration: centroids broadcast per round, mean update is "
+        "a two-phase hash aggregate on (cell_id, pos); localCheckpoint "
+        "keeps lineage flat (plan shown is the final projection)."
+    ),
 }
 
 
