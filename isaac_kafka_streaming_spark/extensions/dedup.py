@@ -120,7 +120,12 @@ def ngram_jaccard_pairs(
     needed.  Default None preserves the uncapped exact semantics.
     """
     docs = read_table(spark, sf_dir, "documents")
-    sh = (
+    # cached: the exploded shingle index feeds the per-doc sizes (doc_id
+    # shuffle) AND both sides of the inverted-index self-join (shingle
+    # shuffle, reused exchange) — without it the tokenize+shingle scan
+    # runs once per shuffle key.  Same contract as minhash_lsh_pairs:
+    # released via unpersist_deps by long-lived callers (dedup_clusters).
+    sh = _cache_once(
         docs.select(
             "doc_id", F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle")
         )
@@ -148,13 +153,15 @@ def ngram_jaccard_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sz_b"))
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    out._cached_deps = [sh]  # see cache contract above
+    return out
 
 
 def duplicate_passages(
@@ -654,7 +661,10 @@ def dedup_clusters(
     """
     if pair_tier == "exact":
         pairs = ngram_jaccard_pairs(spark, sf_dir, threshold=threshold)
-        comp = connected_components_star(pairs)
+        try:
+            comp = connected_components_star(pairs)
+        finally:
+            unpersist_deps(pairs)
     else:
         pairs = minhash_lsh_pairs(spark, sf_dir, threshold=threshold)
         try:
