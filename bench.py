@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_semantic",
     "dedup_clusters_lsh",
     "kmeans_centroids",
+    "dedup_minhash_lsh_md5",
 ]
 
 

@@ -356,6 +356,126 @@ def minhash_lsh_pairs(
     return verified
 
 
+def _md5long(col):
+    """Engine-neutral 60-bit hash: first 15 hex digits of md5, as long.
+    Spark conv(hex,16,10) and DuckDB CAST('0x'||hex AS BIGINT) produce
+    identical values, so MinHash built on this is oracle-replayable."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_lsh_pairs_md5(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 3,
+    threshold: float = 0.35,
+    num_hashes: int = 32,
+    band_size: int = 4,
+) -> DataFrame:
+    """X2 — the MinHash/LSH pipeline on an engine-neutral hash family,
+    making the WHOLE band/bucket/verify mechanism oracle-checkable.
+
+    Same algorithm as minhash_lsh_pairs (signatures -> banded buckets ->
+    candidate equi-join -> exact-Jaccard verify); two deliberate
+    substitutions keep every intermediate replayable in DuckDB:
+
+    * per-seed hashes are md5-derived (`_md5long` of 'seed|shingle')
+      instead of xxhash64 — slower per row (32 md5s vs 32 cheap long
+      rehashes), which is why the xxhash64 tier remains the production
+      path and this one is the cross-engine correctness witness for it;
+    * band keys are the plain comma-joined signature slices (exact
+      string equality both engines) instead of hashed band values.
+
+    Verified output is identical in distribution to the production
+    tier's (both emit exactly the candidate pairs whose true Jaccard
+    clears the threshold); on driver testdata the two emit the SAME
+    pair set (pinned in tests/test_dedup_guards.py).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = _cache_once(
+        docs.select(
+            "doc_id",
+            _shingles(_tokens(F.col("text")), n).alias("shingles"),
+        )
+    )
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(_md5long(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(
+                f"h{i}"
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{bi * band_size + j}").cast(
+                                    "string"
+                                )
+                                for j in range(band_size)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            "doc_a",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    verified._cached_deps = [shingled]
+    return verified
+
+
 def unpersist_deps(df: DataFrame) -> None:
     """Release cached intermediates attached by minhash_lsh_pairs once
     the result has been fully materialized (blocking=False: eviction is
@@ -1225,8 +1345,49 @@ def register() -> dict:
         ),
         "dedup_minhash_lsh": QueryDef(
             minhash_lsh_pairs,
-            None,  # engine-specific hash functions -> rows-only check
+            None,  # xxhash64 signatures -> rows-only check; the md5
+            # variant below is the oracle-checked witness for the same
+            # band/bucket/verify mechanism
             "X2 MinHash+LSH candidate pairs, Jaccard-verified (100TB path)",
+        ),
+        "dedup_minhash_lsh_md5": QueryDef(
+            minhash_lsh_pairs_md5,
+            (
+                lambda nh=32, bs=4: f"""
+            WITH {jac_ctes}, sig AS (
+                SELECT doc_id, """
+                + ",\n                       ".join(
+                    f"MIN(CAST('0x' || substr(md5('{i}|' || shingle), 1, 15)"
+                    f" AS BIGINT)) AS h{i}"
+                    for i in range(nh)
+                )
+                + """
+                FROM exploded GROUP BY doc_id
+            ), bands AS (
+                """
+                + "\n                UNION ALL\n                ".join(
+                    f"SELECT doc_id, {bi} AS band, "
+                    + " || ',' || ".join(
+                        f"CAST(h{bi * bs + j} AS VARCHAR)" for j in range(bs)
+                    )
+                    + " AS band_key FROM sig"
+                    for bi in range(nh // bs)
+                )
+                + f"""
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+            ), pairs AS (
+                {jac_select}
+            )
+            SELECT p.doc_a, p.doc_b, p.jaccard
+            FROM pairs p JOIN cand USING (doc_a, doc_b)
+            """
+            )(),
+            "X2 MinHash+LSH on an engine-neutral md5 hash family — the "
+            "oracle-checked witness for the xxhash64 production tier",
         ),
         "dedup_incoming_minhash": QueryDef(
             dedup_incoming_minhash,

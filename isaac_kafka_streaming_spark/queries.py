@@ -1884,9 +1884,11 @@ _DRIVER_CHECK_ORDER = [
     "knn_bruteforce", "knn_ivf", "knn_lsh", "kmeans_centroids",
     "embedding_label_stats", "token_counts", "text_quality",
     # C — code changed round 5/6; keep fresh rows on it
-    "dedup_clusters", "user_streaks", "dedup_simhash",
-    # D — new in round 6
+    "dedup_clusters", "dedup_simhash",
+    # D — new in round 6 (user_streaks, r05-green, yields its slot and
+    # rotates back in round 7)
     "decontaminate_exact", "dedup_semantic", "dedup_clusters_lsh",
+    "dedup_minhash_lsh_md5",
 ]
 
 

@@ -436,3 +436,23 @@ def test_dedup_clusters_tiers_same_clusters(spark, sf_smoke):
         map(tuple, dedup_clusters(spark, sf_smoke, pair_tier="lsh").collect())
     )
     assert exact == lsh and exact
+
+
+def test_minhash_md5_witness_matches_production_tier(spark, sf_smoke):
+    """The oracle-checked md5-hash LSH variant and the xxhash64
+    production tier must emit the same verified pair set on driver
+    data — different hash families, same candidates surviving the same
+    exact-Jaccard verification."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_md5,
+        unpersist_deps,
+    )
+
+    prod_df = minhash_lsh_pairs(spark, sf_smoke)
+    prod = {(r.doc_a, r.doc_b, r.jaccard) for r in prod_df.collect()}
+    unpersist_deps(prod_df)
+    md5_df = minhash_lsh_pairs_md5(spark, sf_smoke)
+    md5 = {(r.doc_a, r.doc_b, r.jaccard) for r in md5_df.collect()}
+    unpersist_deps(md5_df)
+    assert prod == md5 and prod
