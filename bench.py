@@ -80,6 +80,7 @@ HEADLINE = [
     "dedup_clusters_lsh",
     "kmeans_centroids",
     "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
 ]
 
 

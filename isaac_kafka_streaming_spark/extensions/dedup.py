@@ -1035,6 +1035,74 @@ def dedup_semantic(
     )
 
 
+def simhash_pairs_md5(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 6
+) -> DataFrame:
+    """X2 — SimHash on the engine-neutral md5 hash family: the
+    oracle-checked witness for simhash_pairs' bit-majority + chunk-band
+    + Hamming-verify mechanism (xxhash64 keeps the production tier
+    fast; this tier proves the algorithm against the oracle).
+
+    60-bit signatures (15 hex digits of md5 — the widest slice that
+    fits a signed BIGINT on both engines), banded as 4 x 15-bit chunks.
+    Plain per-bit conditional sums, no lane packing: the witness
+    optimizes for being obviously the textbook algorithm, not for
+    speed — the packed production form is equality-tested against its
+    own unpacked baseline in tests.
+    """
+    bits = 60
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token"),
+    ).withColumn("h", _md5long(F.col("token")))
+    bit_sums = tok.groupBy("doc_id").agg(
+        F.expr("count(*) AS n_tok"),
+        *[F.expr(f"sum((h >> {i}) & 1) AS b{i}") for i in range(bits)],
+    )
+    assembly = " + ".join(
+        f"(CAST(IF(2*b{i} > n_tok, 1, 0) AS BIGINT) << {i})"
+        for i in range(bits)
+    )
+    sigs = bit_sums.select("doc_id", F.expr(assembly).alias("simhash"))
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("doc_id", "simhash", "ck.chunk", "ck.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # -- incremental dedup: new batch against existing corpus ------------------
 
 
@@ -1397,8 +1465,54 @@ def register() -> dict:
         ),
         "dedup_simhash": QueryDef(
             simhash_pairs,
-            None,  # engine-specific hash functions -> rows-only check
+            None,  # xxhash64 -> rows-only; md5 witness below
             "X2 SimHash chunk-banded near-dup",
+        ),
+        "dedup_simhash_md5": QueryDef(
+            simhash_pairs_md5,
+            f"""
+            WITH {jac_ctes}, tokd AS (
+                SELECT doc_id, UNNEST(list_distinct(tokens)) AS token
+                FROM tok
+            ), th AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                           AS h
+                FROM tokd
+            ), bs AS (
+                SELECT doc_id, COUNT(*) AS n_tok,
+                       """
+            + ",\n                       ".join(
+                f"SUM((h >> {i}) & 1) AS b{i}" for i in range(60)
+            )
+            + """
+                FROM th GROUP BY doc_id
+            ), sig AS (
+                SELECT doc_id,
+                       """
+            + "\n                     + ".join(
+                f"(CAST(CASE WHEN 2*b{i} > n_tok THEN 1 ELSE 0 END"
+                f" AS BIGINT) << {i})"
+                for i in range(60)
+            )
+            + """
+                           AS simhash
+                FROM bs
+            ), ck AS (
+                SELECT doc_id, simhash, c AS chunk,
+                       (simhash >> (c * 15)) & 32767 AS chunk_val
+                FROM sig, (VALUES (0), (1), (2), (3)) t(c)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM ck a JOIN ck b
+              ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+             AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+            """,
+            "X2 SimHash on the engine-neutral md5 family — oracle-"
+            "checked witness for the xxhash64 production tier",
         ),
         # the full composition (exact pair tier + iterative clustering)
         # replays in SQL: connected components = min over the transitive

@@ -1883,12 +1883,12 @@ _DRIVER_CHECK_ORDER = [
     "split_contamination", "stratified_sample", "embedding_centroids",
     "knn_bruteforce", "knn_ivf", "knn_lsh", "kmeans_centroids",
     "embedding_label_stats", "token_counts", "text_quality",
-    # C — code changed round 5/6; keep fresh rows on it
-    "dedup_clusters", "dedup_simhash",
-    # D — new in round 6 (user_streaks, r05-green, yields its slot and
-    # rotates back in round 7)
+    # C — code changed round 6; keep a fresh row on it
+    "dedup_clusters",
+    # D — new in round 6 (user_streaks and dedup_simhash, both
+    # r05-green, yield their slots and rotate back in round 7)
     "decontaminate_exact", "dedup_semantic", "dedup_clusters_lsh",
-    "dedup_minhash_lsh_md5",
+    "dedup_minhash_lsh_md5", "dedup_simhash_md5",
 ]
 
 

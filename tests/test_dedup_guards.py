@@ -456,3 +456,22 @@ def test_minhash_md5_witness_matches_production_tier(spark, sf_smoke):
     md5 = {(r.doc_a, r.doc_b, r.jaccard) for r in md5_df.collect()}
     unpersist_deps(md5_df)
     assert prod == md5 and prod
+
+
+def test_simhash_md5_witness_finds_planted_near_dup(spark, tmp_path_factory):
+    """Same planted contract as the production tier: two docs differing
+    by one token out of many must pair at small Hamming distance; an
+    unrelated doc must not pair with them."""
+    from isaac_kafka_streaming_spark.extensions.dedup import simhash_pairs_md5
+
+    base = tmp_path_factory.mktemp("simhash_md5")
+    wide = " ".join(f"tok{i}" for i in range(500))
+    docs = [(0, wide + " endA"), (1, wide + " endB"),
+            (2, "a completely different tiny document about nothing")]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_pairs_md5(spark, str(base)).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 6
+    assert all({0, 1} >= {a, b} for a, b in pairs), pairs
