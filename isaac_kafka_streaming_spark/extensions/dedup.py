@@ -378,10 +378,12 @@ def minhash_lsh_pairs_md5(
     candidate equi-join -> exact-Jaccard verify); two deliberate
     substitutions keep every intermediate replayable in DuckDB:
 
-    * per-seed hashes are md5-derived (`_md5long` of 'seed|shingle')
-      instead of xxhash64 — slower per row (32 md5s vs 32 cheap long
-      rehashes), which is why the xxhash64 tier remains the production
-      path and this one is the cross-engine correctness witness for it;
+    * per-seed hashes come from ONE md5 per shingle feeding a
+      2-universal family (Broder's linear permutations): h1 = 60 bits
+      of the digest, h2 = the next 56, seed-i hash = (h1 + i*h2) mod
+      2^60 — exact integer arithmetic both engines replay bit-for-bit
+      (all terms < 2^62, safe under ANSI), one md5 instead of
+      num_hashes of them;
     * band keys are the plain comma-joined signature slices (exact
       string equality both engines) instead of hashed band values.
 
@@ -397,14 +399,23 @@ def minhash_lsh_pairs_md5(
             _shingles(_tokens(F.col("text")), n).alias("shingles"),
         )
     )
-    exploded = shingled.select(
-        "doc_id", F.explode("shingles").alias("s")
+    exploded = (
+        shingled.select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("md", F.md5("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("md", 1, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring("md", 16, 14), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
     )
+    mask = (1 << 60) - 1
     sigs = exploded.groupBy("doc_id").agg(
         *[
-            F.min(_md5long(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(
-                f"h{i}"
-            )
+            F.expr(f"min((h1 + {i} * h2) & {mask}) AS h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -1422,15 +1433,21 @@ def register() -> dict:
             minhash_lsh_pairs_md5,
             (
                 lambda nh=32, bs=4: f"""
-            WITH {jac_ctes}, sig AS (
+            WITH {jac_ctes}, hashed AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                           AS h1,
+                       CAST('0x' || substr(md5(shingle), 16, 14) AS BIGINT)
+                           AS h2
+                FROM exploded
+            ), sig AS (
                 SELECT doc_id, """
                 + ",\n                       ".join(
-                    f"MIN(CAST('0x' || substr(md5('{i}|' || shingle), 1, 15)"
-                    f" AS BIGINT)) AS h{i}"
+                    f"MIN((h1 + {i} * h2) & {(1 << 60) - 1}) AS h{i}"
                     for i in range(nh)
                 )
                 + """
-                FROM exploded GROUP BY doc_id
+                FROM hashed GROUP BY doc_id
             ), bands AS (
                 """
                 + "\n                UNION ALL\n                ".join(
