@@ -257,6 +257,33 @@ def decontaminate_exact(
     )
 
 
+def eval_anchor_index(eval_docs: DataFrame, n: int = 5) -> DataFrame:
+    """Static side of streaming decontamination: one row per held-out
+    document — (anchor, eval_doc_id, e_norm), where anchor is the doc's
+    FIRST n-token shingle.  Any document containing the eval text
+    token-aligned necessarily contains its first shingle, so an
+    anchor equi-join has no false negatives and the containment filter
+    removes the false positives; the emitted pair set is therefore
+    independent of the anchor choice (first vs rarest — the batch tier
+    uses rarest only to minimize candidate fan-out against a large
+    train corpus; the eval side here is small and broadcast).  Docs
+    with < n tokens have no shingles and are not checked (same
+    contract as decontaminate_exact)."""
+    from .dedup import _shingles, _tokens
+
+    base = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        _tokens(F.col("text")).alias("tokens"),
+    ).filter(F.size("tokens") >= n)
+    return base.select(
+        F.element_at(_shingles(F.col("tokens"), n), 1).alias("anchor"),
+        "eval_doc_id",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")
+        ).alias("e_norm"),
+    )
+
+
 # target corpus mixture for mixture_plan: the share of the training
 # token budget each language should contribute
 MIXTURE_TARGETS: dict[str, float] = {

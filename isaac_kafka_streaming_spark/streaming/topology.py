@@ -272,6 +272,54 @@ def streaming_dedup_incoming(
     )
 
 
+def streaming_decontaminate(
+    docs_stream: DataFrame,
+    eval_index: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Streaming form of exact substring decontamination, with the
+    sides flipped to the production shape: the EVAL SET is small and
+    static (broadcast `eval_anchor_index`), the training corpus is the
+    live ingest stream — every arriving document is checked for
+    containing any held-out document verbatim BEFORE it enters the
+    corpus, instead of auditing the corpus after the fact
+    (batch twin: extensions.sampling.decontaminate_exact).
+
+    Entirely stateless — explode to shingles, stream-static equi-join
+    on the eval anchors, containment filter — so it runs in append mode
+    with zero state store and emits (train_doc_id, eval_doc_id,
+    any_exact) pairs as they arrive.  Anchor soundness (no false
+    negatives, choice-independent output) per eval_anchor_index's
+    docstring.
+    """
+    from ..extensions.dedup import _shingles, _tokens
+
+    base = docs_stream.select(
+        F.col("doc_id").alias("train_doc_id"),
+        _tokens(F.col(text_col)).alias("tokens"),
+    ).filter(F.size("tokens") >= n)
+    sh = base.select(
+        "train_doc_id",
+        F.concat(
+            F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")
+        ).alias("t_norm"),
+        F.explode(_shingles(F.col("tokens"), n)).alias("shingle"),
+    )
+    return (
+        sh.join(
+            F.broadcast(eval_index),
+            sh["shingle"] == eval_index["anchor"],
+        )
+        .filter(F.col("t_norm").contains(F.col("e_norm")))
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            (F.col("t_norm") == F.col("e_norm")).alias("any_exact"),
+        )
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -526,3 +526,98 @@ def test_streaming_dedup_incoming_parity(spark, sf_smoke, tmp_path_factory):
         for r in dedup_incoming(spark, sf_smoke).collect()
     }
     assert got == want and want
+
+
+def test_streaming_decontaminate_parity(spark, sf_smoke, tmp_path_factory):
+    """Stream-static decontamination: streaming the train-side docs
+    against the broadcast eval-anchor index must emit exactly the true
+    containment pair set (computed by a brute-force batch containment
+    join over the same split) — plus a planted mid-document containment
+    so the non-exact path is exercised even if the natural corpus only
+    has verbatim copies."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        eval_anchor_index,
+        split_assignment,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_decontaminate,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents").select("doc_id", "text")
+    split = split_assignment(read_table(spark, sf_smoke, "documents")).select(
+        "doc_id", "split"
+    )
+    docs = docs.join(split, "doc_id")
+    eval_docs = docs.filter(F.col("split") != "train").drop("split")
+    train = docs.filter(F.col("split") == "train").drop("split")
+    # plant: a train doc that embeds one eval doc's text mid-document
+    planted_eval = eval_docs.orderBy("doc_id").first()
+    planted = spark.createDataFrame(
+        [(10_000_000, f"prefix words {planted_eval.text} suffix words")],
+        "doc_id long, text string",
+    )
+    train = train.unionByName(planted)
+
+    idx = eval_anchor_index(eval_docs)
+
+    flat = tmp_path_factory.mktemp("docs_stream_decontam")
+    mid = train.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [
+            train.filter(F.col("doc_id") <= mid),
+            train.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        (r.train_doc_id, r.eval_doc_id): r.any_exact
+        for r in run_to_memory(
+            streaming_decontaminate(stream, idx),
+            "x_stream_decontam",
+            output_mode="append",
+        ).collect()
+    }
+
+    # brute-force batch truth: norm-text containment over all pairs
+    def norm(col):
+        from isaac_kafka_streaming_spark.extensions.dedup import _tokens
+
+        return F.concat(
+            F.lit(" "), F.concat_ws(" ", _tokens(col)), F.lit(" ")
+        )
+
+    t = train.select(
+        F.col("doc_id").alias("train_doc_id"), norm(F.col("text")).alias("tn")
+    )
+    e = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"), norm(F.col("text")).alias("en")
+    ).filter(F.size(F.split(F.trim(F.col("en")), " ")) >= 5)
+    want = {
+        (r.train_doc_id, r.eval_doc_id): r.any_exact
+        for r in t.crossJoin(e)
+        .filter(F.col("tn").contains(F.col("en")))
+        .select(
+            "train_doc_id",
+            "eval_doc_id",
+            (F.col("tn") == F.col("en")).alias("any_exact"),
+        )
+        .collect()
+    }
+    assert got == want and want
+    assert got[(10_000_000, planted_eval.doc_id)] is False  # non-exact hit
