@@ -279,3 +279,28 @@ def test_png_decode_roundtrips_random_filtered_streams(data):
     w, h, ch, out = png_decode(blob)
     assert (w, h, ch) == (width, height, channels)
     assert out == pixels
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_wav_roundtrip_random_pcm(data):
+    """Any PCM payload x (rate, channels, sample width) must round-trip
+    through the RIFF container byte-for-byte with its parameters."""
+    rate = data.draw(st.sampled_from([8000, 16000, 44100]))
+    channels = data.draw(st.integers(1, 2))
+    width = data.draw(st.sampled_from([1, 2]))
+    n_frames = data.draw(st.integers(0, 200))
+    frame = channels * width
+    pcm = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=n_frames * frame,
+                max_size=n_frames * frame,
+            )
+        )
+    )
+    blob = wav_encode(pcm, sample_rate=rate, n_channels=channels, sampwidth=width)
+    got_rate, got_ch, got_frames, got_pcm = wav_decode(blob)
+    assert (got_rate, got_ch, got_frames) == (rate, channels, n_frames)
+    assert got_pcm == pcm
