@@ -532,6 +532,105 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bigram_perplexity(
+    spark: SparkSession, sf_dir: str, k: float = 0.5
+) -> DataFrame:
+    """X4 — corpus-trained bigram-LM perplexity per document: the real
+    CCNet/Gopher-style quality signal (char_entropy is the model-free
+    proxy; this is the modeled form, trained relationally on the corpus
+    itself — no external LM).
+
+    Model: add-k smoothed conditionals p(w2|w1) = (C(w1,w2) + k) /
+    (C(w1) + k·V) over corpus unigram/bigram counts (no BOS/EOS
+    symbols — scores cover within-document bigrams only, documented
+    deviation from a sentence-segmented LM).  Per doc: cross-entropy
+    bits/bigram H = mean(-log2 p) and perplexity 2^H.  Repetitive or
+    boilerplate-heavy docs score LOW perplexity, rare-junk docs HIGH —
+    both tails are filter targets.  Docs with < 2 tokens have no
+    bigrams and are excluded.
+
+    Scale shape: one token explode feeds the unigram counts; one
+    bigram explode feeds BOTH the model counts and the scoring side;
+    every stage is an equi-join or map-side-combinable agg keyed on
+    token/bigram — hot bigrams ("of the") are 1-row build keys AQE can
+    split.  Registered for driver grading in round 7 (the round-6
+    window is saturated); the DuckDB oracle below is parity-tested
+    already.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
+    unigrams = toks.select("doc_id", F.explode("tokens").alias("w"))
+    uni_counts = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
+    vocab = unigrams.select(
+        F.count_distinct("w").alias("v")
+    )  # 1-row scalar, broadcast below
+    bigrams = toks.filter(F.size("tokens") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tokens"), i).alias("w1"),
+                    F.element_at(F.col("tokens"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bi_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        bigrams.join(bi_counts, ["w1", "w2"])
+        .join(uni_counts.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.col("cb") + F.lit(k)) / (F.col("cw") + F.lit(k) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("cross_entropy_bits"),
+        F.round(F.pow(F.lit(2.0), F.avg("nll")), 6).alias("perplexity"),
+    )
+
+
+# DuckDB twin for bigram_perplexity — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7 when
+# driver-window slots free up.
+BIGRAM_PERPLEXITY_ORACLE_SQL = """
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), uni AS (
+    SELECT doc_id, UNNEST(tokens) AS w FROM tok
+), cw AS (
+    SELECT w, COUNT(*) AS cw FROM uni GROUP BY w
+), v AS (
+    SELECT COUNT(DISTINCT w) AS v FROM uni
+), bg AS (
+    SELECT doc_id, tokens[i] AS w1, tokens[i+1] AS w2
+    FROM tok, UNNEST(range(1, len(tokens))) t(i)
+    WHERE len(tokens) >= 2
+), cb AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2
+), scored AS (
+    SELECT bg.doc_id,
+           -log2((cb.cb + 0.5) / (cw.cw + 0.5 * v.v)) AS nll
+    FROM bg
+    JOIN cb USING (w1, w2)
+    JOIN cw ON cw.w = bg.w1
+    CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(nll), 6) AS cross_entropy_bits,
+       ROUND(POW(2.0, AVG(nll)), 6) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

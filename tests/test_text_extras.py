@@ -339,3 +339,80 @@ def test_char_entropy_hof_matches_explode_form(spark, sf_smoke):
     base = sorted(map(tuple, char_entropy(spark, sf_smoke).collect()))
     hof = sorted(map(tuple, char_entropy_hof(spark, sf_smoke).collect()))
     assert base == hof and base
+
+
+def test_bigram_perplexity_values_and_oracle_parity(spark, tmp_path_factory):
+    """Pin the smoothed-LM arithmetic on a hand-checkable corpus, the
+    repetitive-low / rare-high ordering, and Spark↔DuckDB agreement on
+    the staged round-7 oracle."""
+    import math
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BIGRAM_PERPLEXITY_ORACLE_SQL,
+        bigram_perplexity,
+    )
+
+    docs = [
+        (0, "a a a a a a a a"),              # one bigram repeated
+        (1, "q w e r t y u i"),              # every bigram unique
+        (2, "a a a a q w e r"),              # mixed
+        (3, "solo"),                          # no bigrams -> excluded
+    ]
+    base = tmp_path_factory.mktemp("bigram_ppl")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in bigram_perplexity(spark, str(base)).collect()}
+    assert set(got) == {0, 1, 2}
+    # repetitive doc scores far lower perplexity than all-unique doc
+    assert got[0].perplexity < got[1].perplexity
+    assert got[0].perplexity < got[2].perplexity < got[1].perplexity
+    # hand check doc 0: C(a,a)=10 corpus-wide (7 + 3), C(a)=12, V=10
+    # (a q w e r t y u i solo — "solo" counts even without bigrams),
+    # p = (10+0.5)/(12+0.5*10) = 10.5/17 for each of its 7 bigrams
+    h0 = -math.log2(10.5 / 17.0)
+    assert got[0].n_bigrams == 7
+    assert abs(got[0].cross_entropy_bits - round(h0, 6)) < 1e-6
+    assert abs(got[0].perplexity - round(2.0**h0, 6)) < 1e-6
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(BIGRAM_PERPLEXITY_ORACLE_SQL).fetchall()
+    }
+    assert {
+        d: (r.n_bigrams, r.cross_entropy_bits, r.perplexity)
+        for d, r in got.items()
+    } == want
+
+
+def test_bigram_perplexity_oracle_parity_sf(spark, sf_smoke):
+    """Full-corpus Spark↔DuckDB parity at the smoke SF (value-exact
+    after rounding), so round-7 registration is pre-verified."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BIGRAM_PERPLEXITY_ORACLE_SQL,
+        bigram_perplexity,
+    )
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.cross_entropy_bits, r.perplexity)
+        for r in bigram_perplexity(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(BIGRAM_PERPLEXITY_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
