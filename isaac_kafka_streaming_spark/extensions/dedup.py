@@ -814,6 +814,148 @@ def dedup_clusters(
     )
 
 
+def contained_documents(
+    spark: SparkSession, sf_dir: str, n: int = 5
+) -> DataFrame:
+    """X2 — truncation-duplicate tier: documents whose full normalized
+    token sequence appears VERBATIM inside another document.  Catches
+    the truncated/re-crawled/quoted-in-full duplicates that whole-doc
+    hashing misses (unequal hashes) and Jaccard under-scores (a short
+    doc inside a long one has low Jaccard).
+
+    Same rarest-ngram-anchor machinery as decontaminate_exact, but
+    self-referential over the whole corpus: anchor df counts include
+    the doc itself, a containment requires a DIFFERENT doc, and exact
+    duplicates canonicalize keep-lowest-id (doc_id X counts as
+    contained only by equal-text docs with smaller id, so each exact
+    group's minimum survives).  Docs with < n tokens are not checked.
+
+    Registered for driver grading in round 7 (round-6 window is
+    saturated); CONTAINED_DOCUMENTS_ORACLE_SQL below is parity-tested
+    already.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).withColumn(
+        "norm_text",
+        F.concat(F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")),
+    )
+    sh = base.filter(F.size("tokens") >= n).select(
+        "doc_id", F.explode(_shingles(F.col("tokens"), n)).alias("shingle")
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    anchors = (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("df", "shingle")).alias("a"))
+        .filter(F.col("a.df") > 1)  # df==1 = only the doc itself
+        .select("doc_id", F.col("a.shingle").alias("anchor"))
+    )
+    cands = (
+        anchors.withColumnRenamed("doc_id", "inner_doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("container_doc_id"),
+                F.col("shingle").alias("anchor"),
+            ),
+            "anchor",
+        )
+        .filter(F.col("inner_doc_id") != F.col("container_doc_id"))
+    )
+    texts = base.select("doc_id", "norm_text")
+    verified = (
+        cands.join(
+            texts.select(
+                F.col("doc_id").alias("inner_doc_id"),
+                F.col("norm_text").alias("e_norm"),
+            ),
+            "inner_doc_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("container_doc_id"),
+                F.col("norm_text").alias("t_norm"),
+            ),
+            "container_doc_id",
+        )
+        .filter(
+            F.col("t_norm").contains(F.col("e_norm"))
+            & (
+                (F.length("t_norm") > F.length("e_norm"))
+                | (
+                    (F.col("t_norm") == F.col("e_norm"))
+                    & (F.col("container_doc_id") < F.col("inner_doc_id"))
+                )
+            )
+        )
+    )
+    return verified.groupBy(F.col("inner_doc_id").alias("doc_id")).agg(
+        F.count("*").alias("n_containers"),
+        F.min("container_doc_id").alias("first_container_id"),
+        F.max((F.col("t_norm") == F.col("e_norm")).cast("int"))
+        .cast("boolean")
+        .alias("any_exact"),
+    )
+
+
+# DuckDB twin for contained_documents — parity-tested now
+# (tests/test_dedup_guards.py), wired into register() in round 7.
+CONTAINED_DOCUMENTS_ORACLE_SQL = (
+    """
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), nrm AS (
+    SELECT doc_id, tokens,
+           ' ' || array_to_string(tokens, ' ') || ' ' AS norm_text
+    FROM tok
+), sh AS (
+    SELECT doc_id,
+           list_distinct(["""
+    + " || ' ' || ".join(f"tokens[i+{j}]" for j in range(5))
+    + """
+               FOR i IN range(1, GREATEST(len(tokens) - 4, 0) + 1)
+           ]) AS shingles
+    FROM nrm WHERE len(tokens) >= 5
+), ex AS (
+    SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+), dfc AS (
+    SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle
+), ranked AS (
+    SELECT ex.doc_id, ex.shingle, dfc.df,
+           ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+                              ORDER BY dfc.df, ex.shingle) AS rn
+    FROM ex JOIN dfc USING (shingle)
+), anch AS (
+    SELECT doc_id AS inner_doc_id, shingle AS anchor
+    FROM ranked WHERE rn = 1 AND df > 1
+), cand AS (
+    SELECT a.inner_doc_id, t.doc_id AS container_doc_id
+    FROM anch a JOIN ex t ON a.anchor = t.shingle
+    WHERE a.inner_doc_id <> t.doc_id
+), v AS (
+    SELECT c.inner_doc_id, c.container_doc_id,
+           en.norm_text AS e_norm, tn.norm_text AS t_norm
+    FROM cand c
+    JOIN nrm en ON en.doc_id = c.inner_doc_id
+    JOIN nrm tn ON tn.doc_id = c.container_doc_id
+    WHERE position(en.norm_text IN tn.norm_text) > 0
+      AND (len(tn.norm_text) > len(en.norm_text)
+           OR (tn.norm_text = en.norm_text
+               AND c.container_doc_id < c.inner_doc_id))
+)
+SELECT inner_doc_id AS doc_id, COUNT(*) AS n_containers,
+       MIN(container_doc_id) AS first_container_id,
+       CAST(MAX(CASE WHEN e_norm = t_norm THEN 1 ELSE 0 END) AS BOOLEAN)
+           AS any_exact
+FROM v GROUP BY inner_doc_id
+"""
+)
+
+
 # -- tier: embedding cosine near-dup (SQL-checkable, label-blocked) --------
 
 

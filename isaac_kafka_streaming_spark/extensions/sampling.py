@@ -257,6 +257,104 @@ def decontaminate_exact(
     )
 
 
+def temperature_mixture_plan(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.7
+) -> DataFrame:
+    """Temperature-resampled language mixture (the T5/multilingual
+    alpha-sampling rule): target share_l ∝ p_l^alpha where p_l is the
+    language's NATURAL token share — alpha < 1 upweights rare
+    languages without hand-written targets (mixture_plan's explicit
+    MIXTURE_TARGETS become the derived p^alpha shares).  Budget and
+    keep_frac computation then follow mixture_plan exactly: feasible
+    budget B = min_l(tokens_l / share_l) — with alpha < 1 the RAREST
+    language binds (kept whole) and abundant ones downsample.
+
+    Two tiny aggregations + a broadcast scalar, like mixture_plan;
+    nothing scales with the corpus except the one token-count pass.
+    Registered for driver grading in round 7 (round-6 window is
+    saturated); TEMPERATURE_MIXTURE_ORACLE_SQL below is parity-tested.
+    """
+    from .dedup import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = docs.select(
+        "lang", F.size(_tokens(F.col("text"))).alias("n")
+    ).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+    )
+    totals = per_lang.select(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    weighted = (
+        per_lang.crossJoin(F.broadcast(totals))
+        .withColumn("nat_share", F.col("n_tokens") / F.col("total_tokens"))
+        .withColumn("w", F.pow(F.col("nat_share"), F.lit(alpha)))
+    )
+    wsum = weighted.select(F.sum("w").alias("wsum"))
+    planned = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("target_share", F.col("w") / F.col("wsum"))
+    )
+    budget = planned.select(
+        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
+    )
+    return (
+        planned.crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share") * F.col("budget") / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("keep_frac"),
+            F.round(F.col("target_share") * F.col("budget"), 2).alias(
+                "expected_tokens"
+            ),
+        )
+    )
+
+
+# DuckDB twin for temperature_mixture_plan — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+TEMPERATURE_MIXTURE_ORACLE_SQL = """
+WITH per_lang AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(len(list_filter(regexp_split_to_array(
+               lower(text), '[^a-z0-9]+'), t -> t <> ''))) AS BIGINT)
+               AS n_tokens
+    FROM documents GROUP BY lang
+), t AS (
+    SELECT SUM(n_tokens) AS total_tokens FROM per_lang
+), weighted AS (
+    SELECT lang, n_docs, n_tokens,
+           n_tokens / total_tokens AS nat_share,
+           POW(n_tokens / total_tokens, 0.7) AS w
+    FROM per_lang CROSS JOIN t
+), ws AS (
+    SELECT SUM(w) AS wsum FROM weighted
+), planned AS (
+    SELECT lang, n_docs, n_tokens, nat_share, w / wsum AS target_share
+    FROM weighted CROSS JOIN ws
+), b AS (
+    SELECT MIN(n_tokens / target_share) AS budget FROM planned
+)
+SELECT lang, n_docs, n_tokens,
+       ROUND(nat_share, 6) AS nat_share,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   target_share * budget / n_tokens), 6) AS keep_frac,
+       ROUND(target_share * budget, 2) AS expected_tokens
+FROM planned CROSS JOIN b
+"""
+
+
 def eval_anchor_index(eval_docs: DataFrame, n: int = 5) -> DataFrame:
     """Static side of streaming decontamination: one row per held-out
     document — (anchor, eval_doc_id, e_norm), where anchor is the doc's

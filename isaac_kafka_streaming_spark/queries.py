@@ -1865,6 +1865,16 @@ REGISTRY: dict[str, QueryDef] = {
 #      dedup_semantic, dedup_clusters_lsh)
 # The 47 entries past the window are all green in CORRECTNESS_r05.json,
 # so they stay fresh through round 6 and rotate back in round 7.
+#
+# STAGED FOR ROUND 7 (implemented + parity-tested, NOT yet registered
+# because registering puts an entry under the freshness invariant and
+# the round-6 window is saturated): bigram_perplexity +
+# BIGRAM_PERPLEXITY_ORACLE_SQL (extensions/text.py),
+# contained_documents + CONTAINED_DOCUMENTS_ORACLE_SQL
+# (extensions/dedup.py), temperature_mixture_plan +
+# TEMPERATURE_MIXTURE_ORACLE_SQL (extensions/sampling.py).  Round 7:
+# add the three QueryDefs to their registers and front them in the
+# window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -475,3 +475,53 @@ def test_simhash_md5_witness_finds_planted_near_dup(spark, tmp_path_factory):
              for r in simhash_pairs_md5(spark, str(base)).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] <= 6
     assert all({0, 1} >= {a, b} for a, b in pairs), pairs
+
+
+def test_contained_documents_planted_and_oracle_parity(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Truncation-dup tier: a doc embedded mid-document in a longer one
+    is flagged; exact-dup groups keep their lowest id; the staged
+    round-7 oracle agrees with Spark on both the planted corpus and the
+    full smoke corpus."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        CONTAINED_DOCUMENTS_ORACLE_SQL,
+        contained_documents,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),                      # inner
+        (1, "prefix alpha beta gamma delta epsilon suffix words"),  # container
+        (2, "quebec romeo sierra tango uniform"),                   # exact dup lo
+        (3, "quebec romeo sierra tango uniform"),                   # exact dup hi
+        (4, "unrelated text with completely different tokens here"),
+    ]
+    base = tmp_path_factory.mktemp("contained")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {r.doc_id: r for r in contained_documents(spark, str(base)).collect()}
+    assert set(got) == {0, 3}
+    assert (got[0].n_containers, got[0].first_container_id, got[0].any_exact) == (
+        1, 1, False,
+    )
+    assert (got[3].n_containers, got[3].first_container_id, got[3].any_exact) == (
+        1, 2, True,
+    )
+
+    for d in (str(base) + "/documents.parquet/*.parquet",
+              sf_smoke + "/documents.parquet"):
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}')")
+        want = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(CONTAINED_DOCUMENTS_ORACLE_SQL).fetchall()
+        }
+        src = str(base) if "*" in d else sf_smoke
+        have = {
+            r.doc_id: (r.n_containers, r.first_container_id, r.any_exact)
+            for r in contained_documents(spark, src).collect()
+        }
+        assert have == want

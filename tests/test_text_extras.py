@@ -416,3 +416,42 @@ def test_bigram_perplexity_oracle_parity_sf(spark, sf_smoke):
         for r in con.execute(BIGRAM_PERPLEXITY_ORACLE_SQL).fetchall()
     }
     assert got == want and len(got) > 100
+
+
+def test_temperature_mixture_invariants_and_parity(spark, sf_smoke):
+    """alpha-sampling: shares sum to 1, the rarest language binds
+    (keep_frac 1), abundant languages downsample below their natural
+    share, and the staged round-7 oracle agrees value-exactly."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        TEMPERATURE_MIXTURE_ORACLE_SQL,
+        temperature_mixture_plan,
+    )
+
+    rows = {r.lang: r for r in temperature_mixture_plan(spark, sf_smoke).collect()}
+    assert abs(sum(r.target_share for r in rows.values()) - 1.0) < 1e-4
+    assert all(0 < r.keep_frac <= 1 for r in rows.values())
+    rarest = min(rows.values(), key=lambda r: r.n_tokens)
+    biggest = max(rows.values(), key=lambda r: r.n_tokens)
+    assert abs(rarest.keep_frac - 1.0) < 1e-6      # rarest binds
+    assert biggest.keep_frac < 1.0                  # abundant downsampled
+    # alpha < 1 compresses shares toward uniform
+    assert biggest.target_share < biggest.nat_share
+    assert rarest.target_share > rarest.nat_share
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(TEMPERATURE_MIXTURE_ORACLE_SQL).fetchall()
+    }
+    got = {
+        lang: (r.n_docs, r.n_tokens, r.nat_share, r.target_share,
+               r.keep_frac, r.expected_tokens)
+        for lang, r in rows.items()
+    }
+    assert got == want
