@@ -243,3 +243,28 @@ def test_dedup_semantic_broadcast_centroids_no_cartesian_pairs(spark, sf_smoke):
     plan = _executed_plan(spark, "dedup_semantic", sf_smoke)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast centroid pass
+
+
+def test_staged_round7_ops_all_equi_joins(spark, sf_smoke):
+    """The round-7-staged operators must already hold the scale
+    discipline: no cartesian/nested-loop except broadcast 1-row
+    scalars, no Python eval nodes."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        contained_documents,
+    )
+    from isaac_kafka_streaming_spark.extensions.text import bigram_perplexity
+
+    for fn in (contained_documents, bigram_perplexity):
+        df = fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+    # bigram_perplexity's one nested-loop is the broadcast 1-row vocab
+    # scalar; contained_documents must have none at all
+    cd_plan = (
+        contained_documents(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in cd_plan
