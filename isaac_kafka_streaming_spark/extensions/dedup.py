@@ -125,11 +125,12 @@ def ngram_jaccard_pairs(
     # shuffle, reused exchange) — without it the tokenize+shingle scan
     # runs once per shuffle key.  Same contract as minhash_lsh_pairs:
     # released via unpersist_deps by long-lived callers (dedup_clusters).
-    sh = _cache_once(
+    sh_cached = _cache_once(
         docs.select(
             "doc_id", F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle")
         )
     )
+    sh = sh_cached
     if max_shingle_df is not None:
         # _shingles is per-doc distinct, so count(*) == document frequency
         hot = (
@@ -160,7 +161,9 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    out._cached_deps = [sh]  # see cache contract above
+    # the CACHED ref, not the (possibly anti-joined) rebinding — only a
+    # sameResult plan can be unpersisted
+    out._cached_deps = [sh_cached]
     return out
 
 

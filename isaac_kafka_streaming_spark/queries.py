@@ -1858,11 +1858,12 @@ REGISTRY: dict[str, QueryDef] = {
 #      round-5 verdict's top chore is rotating these back in)
 #   B: last checked in round 4 (>= 2 green rows)     (31: everything
 #      else whose freshness lapses after round 6 otherwise)
-#   C: code changed in round 5/6, kept in-window     (3: dedup_clusters —
-#      CC oracle upgraded r6; user_streaks — r5 skew cap;
-#      dedup_simhash — r5 ANSI repack)
-#   D: new in round 6                                (3: decontaminate_exact,
-#      dedup_semantic, dedup_clusters_lsh)
+#   C: code changed in round 6, kept in-window       (1: dedup_clusters —
+#      pair tier swapped + CC oracle added r6)
+#   D: new in round 6                                (5: decontaminate_exact,
+#      dedup_semantic, dedup_clusters_lsh, dedup_minhash_lsh_md5,
+#      dedup_simhash_md5 — user_streaks and dedup_simhash, both
+#      r05-green, yielded their slots and rotate back in round 7)
 # The 47 entries past the window are all green in CORRECTNESS_r05.json,
 # so they stay fresh through round 6 and rotate back in round 7.
 #

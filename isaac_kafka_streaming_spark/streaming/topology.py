@@ -480,6 +480,10 @@ def jdbc_idempotent_batch_writer(
     staging = f"{table}_staging"
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # one business key per batch: two same-key rows in one trigger
+        # would BOTH be NOT MATCHED against the target snapshot and both
+        # insert (arbitrary winner among same-key payloads, documented)
+        batch_df = batch_df.dropDuplicates(key_cols)
         batch_df.write.jdbc(url, staging, mode="overwrite", properties=props)
         cols = batch_df.columns
         # Spark's JDBC writer creates QUOTED (case-exact) column names;
@@ -499,19 +503,35 @@ def jdbc_idempotent_batch_writer(
         collist = ", ".join(f'"{c}"' for c in cols)
         vals = ", ".join(f's."{c}"' for c in cols)
         jvm = batch_df.sparkSession._jvm
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        # same connection options as the Spark staging write: load the
+        # driver class if given, pass the remaining entries (user,
+        # password, ...) as java.util.Properties — a bare
+        # getConnection(url) would fail on any authenticated database
+        if "driver" in props:
+            jvm.java.lang.Class.forName(props["driver"])
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            if k != "driver":
+                jprops.setProperty(k, str(v))
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             meta = conn.getMetaData()
-            rs = meta.getTables(None, None, table.upper(), None)
-            if not rs.next():  # first batch: target = empty staging clone
-                st = conn.createStatement()
+            # identifier case folding is dialect-specific (Derby folds
+            # unquoted names UP, Postgres folds DOWN) — check all three
+            exists = False
+            for probe in (table, table.upper(), table.lower()):
+                rs = meta.getTables(None, None, probe, None)
+                found = rs.next()
+                rs.close()
+                if found:
+                    exists = True
+                    break
+            st = conn.createStatement()
+            if not exists:  # first batch: target = empty staging clone
                 st.executeUpdate(
                     f"CREATE TABLE {table} AS SELECT * FROM {staging} "
                     "WITH NO DATA"
                 )
-                st.close()
-            rs.close()
-            st = conn.createStatement()
             st.executeUpdate(
                 f"MERGE INTO {table} t USING {staging} s ON ({on}) "
                 f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"

@@ -525,3 +525,16 @@ def test_contained_documents_planted_and_oracle_parity(
             for r in contained_documents(spark, src).collect()
         }
         assert have == want
+
+
+def test_ngram_capped_unpersist_releases_cached_index(spark, sf_smoke):
+    """Regression (round-6 review): with the hot-shingle cap on, the
+    attached dep must be the CACHED shingle index, not the anti-joined
+    rebinding — unpersist_deps on a never-cached plan is a no-op and
+    the index leaks for the session."""
+    df = ngram_jaccard_pairs(spark, sf_smoke, max_shingle_df=5)
+    (dep,) = df._cached_deps
+    df.count()
+    assert dep.storageLevel.useMemory
+    unpersist_deps(df)
+    assert not dep.storageLevel.useMemory

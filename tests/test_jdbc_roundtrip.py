@@ -244,3 +244,27 @@ def test_idempotent_sink_streaming_end_to_end(spark, derby_ok, tmp_path):
         ).collect()
     )
     assert rows == [(1, "A", 5), (2, "A", 5), (3, "B", 7)]
+
+
+def test_idempotent_writer_dedupes_within_batch(spark, derby_ok):
+    """Regression (round-6 review): two same-key rows in ONE micro-batch
+    are both NOT MATCHED against the target snapshot — the writer must
+    collapse them to one row before the merge."""
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        jdbc_idempotent_batch_writer,
+    )
+
+    url = _url("idem_dup")
+    write = jdbc_idempotent_batch_writer(
+        url, "ach_dup", ["user_id", "achievement_id"], DERBY_PROPS
+    )
+    b0 = spark.createDataFrame(
+        [(1, "A", 5), (1, "A", 5), (2, "B", 7)],  # in-batch duplicate key
+        "user_id int, achievement_id string, threshold int",
+    )
+    write(b0, 0)
+    rows = sorted(
+        (r.user_id, r.achievement_id)
+        for r in spark.read.jdbc(url, "ach_dup", properties=DERBY_PROPS).collect()
+    )
+    assert rows == [(1, "A"), (2, "B")]

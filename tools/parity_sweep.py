@@ -72,6 +72,10 @@ def main() -> int:
     queries = mod.queries()
     oracles = mod.oracle_sql()
     if only:
+        unknown = only - set(queries)
+        if unknown:  # a typo must not read as "verified, nothing ran"
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
         queries = {n: f for n, f in queries.items() if n in only}
 
     # Bare session on purpose: no engine get_spark(), like the driver's.
