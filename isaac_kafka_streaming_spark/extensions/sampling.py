@@ -537,6 +537,105 @@ def stratified_topk_sample(
     )
 
 
+def priority_sample(
+    spark: SparkSession, sf_dir: str, k: int = 20
+) -> DataFrame:
+    """Weighted sampling without replacement per stratum — priority
+    sampling (Duffield–Lund–Thorup, JACM 2007): each document draws a
+    uniform u from its identity hash, gets priority q = w/u (weight w =
+    n_chars, so long documents are proportionally more likely to be
+    kept), and each language keeps its k largest priorities.  The
+    (k+1)-th priority is the stratum threshold tau, and est_weight =
+    max(w, tau) is the Horvitz–Thompson estimator that makes any
+    weighted sum over the sample unbiased for the population — the
+    principled way to downsample a corpus by length/quality weight
+    while keeping totals estimable.
+
+    Engine-exact by construction: u is a 24-bit md5 slice (u_int in
+    [1, 2^24]), and q = (w * 2^24) / u_int uses only an exact integer
+    product (fits double far below 2^53) and one IEEE-754 division —
+    both engines produce bit-identical doubles, unlike ln/pow-based
+    A-ES keys whose libm implementations differ in ulps and could flip
+    a rank.  Selection ties are impossible (distinct md5 slices; doc_id
+    tie-break regardless).
+
+    Shape at 100 TB: one shuffle on the stratum key; the rank window is
+    per-stratum.  A stratum with <= k members keeps everything with
+    est_weight = w (tau is NULL -> 0).  STAGED FOR ROUND 7 (window
+    saturated); PRIORITY_SAMPLE_ORACLE_SQL below is parity-tested now
+    (tests/test_sampling_staged.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    u_int = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    q = (F.col("n_chars") * F.lit(float(1 << 24))) / F.col("u_int")
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("q").desc(), F.col("doc_id")
+    )
+    w_str = Window.partitionBy("lang")
+    ranked = (
+        docs.select("doc_id", "lang", "n_chars", u_int.alias("u_int"))
+        .withColumn("q", q)
+        .withColumn("prio_rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("prio_rank") <= k + 1)
+        .withColumn(
+            "tau",
+            F.max(
+                F.when(F.col("prio_rank") == k + 1, F.col("q"))
+            ).over(w_str),
+        )
+    )
+    return ranked.filter(F.col("prio_rank") <= k).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("weight"),
+        "prio_rank",
+        F.round("q", 4).alias("priority"),
+        F.round(
+            F.greatest(F.col("n_chars").cast("double"), F.coalesce("tau", F.lit(0.0))),
+            4,
+        ).alias("est_weight"),
+    )
+
+
+# DuckDB twin for priority_sample — parity-tested now
+# (tests/test_sampling_staged.py), registered in round 7.
+PRIORITY_SAMPLE_ORACLE_SQL = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           CAST('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)
+                AS BIGINT) + 1 AS u_int
+    FROM documents
+), prio AS (
+    SELECT doc_id, lang, n_chars, u_int,
+           (n_chars * 16777216.0) / u_int AS q
+    FROM keyed
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY q DESC, doc_id) AS prio_rank
+    FROM prio
+), windowed AS (
+    SELECT *, MAX(CASE WHEN prio_rank = 21 THEN q END)
+                  OVER (PARTITION BY lang) AS tau
+    FROM ranked WHERE prio_rank <= 21
+)
+SELECT doc_id, lang, n_chars AS weight, prio_rank,
+       ROUND(q, 4) AS priority,
+       ROUND(GREATEST(CAST(n_chars AS DOUBLE), COALESCE(tau, 0.0)), 4)
+           AS est_weight
+FROM windowed WHERE prio_rank <= 20
+"""
+
+
 def epoch_shuffle(
     spark: SparkSession, sf_dir: str, epoch: int = 3, n_shards: int = 8
 ) -> DataFrame:

@@ -999,6 +999,229 @@ def _tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape — national market share: of all PROMO-part revenue sold
+    to ASIA customers in 1995–1996, the fraction supplied by NATION_2,
+    per order year.  The signature is the conditional-share aggregate
+    riding the same partial sum as the denominator (one pass, no second
+    scan), over a 7-way star join where every dimension except orders
+    is broadcastable.  The part filter lands on the broadcast build
+    side, so the fact table is pruned by the join itself — at 100 TB
+    the lineitem scan is the only large input and it shuffles once per
+    big join key (orderkey), never for the dims.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q8_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    n_cust = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).filter(F.col("r_name") == "ASIA").select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nk"))
+        .withColumn("vol", vol)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2", F.col("vol"))
+                    .otherwise(0.0)
+                )
+                / F.sum("vol"),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum("vol"), 4).alias("total_volume"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q8 — parity-tested now (tests/test_tpch_staged.py),
+# registered as "tpch_q8" in round 7 (the round-6 window is saturated).
+TPCH_Q8_ORACLE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_volume,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+def _tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape — product-type profit by supplier nation and order
+    year.  ADAPTED: the fixtures carry no partsupp table
+    (TESTDATA.md), so unit cost is the part's retail price
+    (``p_retailprice * l_quantity``) instead of ``ps_supplycost *
+    l_quantity`` — same plan shape (fact joined to a filtered part dim
+    carrying a cost column, supplier->nation rollup through the order
+    date), different constant column.  The '%red%' name filter prunes
+    the broadcast part side before the join, Q9's signature.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q9_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("red"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("profit", profit)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum("profit"), 4).alias("sum_profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q9 — parity-tested now, registered in round 7.
+TPCH_Q9_ORACLE_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * l_quantity), 4) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def _tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape — disjunctive bracket predicates (OR-of-ANDs mixing
+    both tables' columns): discounted revenue from three
+    brand/size/quantity brackets.  ADAPTED to the fixture columns: the
+    reference brackets quantify over p_container/l_shipmode, absent
+    here, so the brackets bind p_brand + p_size + l_quantity.  What the
+    shape exercises survives intact: Catalyst extracts the common
+    partkey equi-join from the disjunction (no nested-loop fallback),
+    pushes the part-only disjuncts (brand IN ..., size <= 15) to the
+    broadcast build side's scan, and leaves the mixed residual as a
+    post-join filter.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q19_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(bracket)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q19 — parity-tested now, registered in round 7.
+TPCH_Q19_ORACLE_SQL = """
+SELECT p_brand AS brand,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+GROUP BY 1
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -1873,9 +2096,12 @@ REGISTRY: dict[str, QueryDef] = {
 # BIGRAM_PERPLEXITY_ORACLE_SQL (extensions/text.py),
 # contained_documents + CONTAINED_DOCUMENTS_ORACLE_SQL
 # (extensions/dedup.py), temperature_mixture_plan +
-# TEMPERATURE_MIXTURE_ORACLE_SQL (extensions/sampling.py).  Round 7:
-# add the three QueryDefs to their registers and front them in the
-# window.
+# TEMPERATURE_MIXTURE_ORACLE_SQL (extensions/sampling.py),
+# _tpch_q8/_tpch_q9/_tpch_q19 + TPCH_Q{8,9,19}_ORACLE_SQL (this
+# module, tests/test_tpch_staged.py), priority_sample +
+# PRIORITY_SAMPLE_ORACLE_SQL (extensions/sampling.py,
+# tests/test_sampling_staged.py).  Round 7: add the staged QueryDefs
+# to their registers and front them in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -1,0 +1,69 @@
+"""Parity + invariants for the round-7-staged priority_sample
+(Duffield–Lund–Thorup weighted sampling without replacement).
+
+Staged, not registered: the round-6 driver window is saturated (see
+the staging note above _DRIVER_CHECK_ORDER in queries.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from isaac_kafka_streaming_spark.extensions.sampling import (
+    PRIORITY_SAMPLE_ORACLE_SQL,
+    priority_sample,
+)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_priority_sample_matches_oracle(spark, sf_smoke):
+    got = _normalize(priority_sample(spark, sf_smoke).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = _normalize(con.execute(PRIORITY_SAMPLE_ORACLE_SQL).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        g, w = got[col].dtype, want[col].dtype
+        assert (g.kind, g.itemsize) == (w.kind, w.itemsize), (
+            f"{col}: dtype {g} vs {w}"
+        )
+        assert list(got[col]) == list(want[col]), f"{col} differs"
+
+
+def test_priority_sample_invariants(spark, sf_smoke):
+    """Exact-k per stratum (or the whole stratum when smaller), the
+    Horvitz–Thompson estimator never below the raw weight, and the
+    sample reproducible across invocations."""
+    df = priority_sample(spark, sf_smoke, k=5).toPandas()
+    assert (df.prio_rank <= 5).all()
+    assert (df.est_weight >= df.weight - 1e-9).all()
+    per_lang = df.groupby("lang").size()
+    assert (per_lang <= 5).all() and (per_lang >= 1).all()
+    again = priority_sample(spark, sf_smoke, k=5).toPandas()
+    assert sorted(df.doc_id) == sorted(again.doc_id)
+
+
+def test_priority_sample_weight_sensitivity(spark, tmp_path_factory):
+    """A document with overwhelming weight is always selected: priority
+    q = w/u with u <= 1, so w = 10^9 outranks any unit-weight doc's
+    maximum possible q = 2^24."""
+    base = tmp_path_factory.mktemp("prio")
+    rows = [(i, "x", "en", "s", 1) for i in range(50)] + [
+        (999, "y", "en", "s", 10**9)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(base / "documents.parquet"))
+    picked = priority_sample(spark, str(base), k=3).toPandas()
+    assert 999 in set(picked.doc_id)
+    assert picked.loc[picked.doc_id == 999, "prio_rank"].iloc[0] == 1
