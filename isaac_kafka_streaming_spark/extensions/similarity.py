@@ -598,6 +598,300 @@ def knn_quantized(
     )
 
 
+def knn_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) with
+    asymmetric distance computation — the memory tier below int8
+    quantization: each vector is stored as m sub-codes (m bytes at
+    ksub<=256), a 64x compression of the float32 corpus, and queries
+    never decompress it.
+
+    Pipeline, all relational and fully deterministic:
+
+    1. split every vector into m contiguous subvectors (literal
+       slices exploded from one projection — no column-start slice);
+    2. train one ksub-entry codebook PER subspace with fixed-iteration
+       Lloyd — all m trainings run in the SAME DataFrame loop, grouped
+       by sub_id (init: first ksub vectors' subvectors; assignment:
+       L2 argmin with code_id tie-break; update: per-position means),
+       localCheckpoint per round exactly like kmeans_centroids;
+    3. encode: final-codebook argmin -> (vec_id, sub_id, code_id) —
+       at scale this m-byte table IS the index that replaces the
+       corpus scan;
+    4. ADC: each query precomputes an m x ksub distance table against
+       the codebooks (broadcast — n_queries*m*ksub rows), the code
+       table joins it on (sub_id, code_id), and per-(query, neighbor)
+       the m partial distances pivot into fixed columns summed in a
+       FIXED order — a groupBy SUM over doubles would add in shuffle
+       order and could drift an ulp between engines, flipping a rank;
+    5. exact re-rank: the ADC `shortlist` per query (the only rows
+       whose float vectors are ever fetched — |shortlist| rows per
+       query against the m-byte-per-vector full scan) is re-scored
+       with true L2 and the top k emitted.  Candidate generation is
+       approximate; returned distances are exact — the same contract
+       as knn_lsh's rescoring.  On distance-concentrated random data
+       raw ADC ranks poorly (measured recall 0.2 at m=8) while the
+       0.2|corpus| shortlist covers 0.94 of the true top-5; at real
+       scale the shortlist is a vanishing fraction of the corpus.
+
+    Distances use the expansion |a|^2 - 2a.b + |b|^2 with each dot a
+    sequential fold, the same engine-exact recipe the kmeans oracle
+    relies on, so the WHOLE pipeline (training included) hash-checks
+    against _pq_oracle_sql()'s unrolled-CTE replay.  Recall vs the
+    exact-L2 baseline is pinned in tests/test_similarity.py.
+
+    Output: (query_id, neighbor_id, l2_dist, rank) — rank 1..k by
+    exact distance ASC, neighbor_id tie-break, self excluded.
+    STAGED FOR ROUND 7 (round-6 window saturated)."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = 64  # embeddings fixture dimension (TESTDATA.md)
+    dsub = dim // m
+    sub = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub_id"),
+                        F.slice("v", i * dsub + 1, dsub).alias("sv"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub_id", "s.sv")
+
+    def l2(a: str, b: str):
+        # |a|^2 - 2 a.b + |b|^2 in this exact order: each dot is a
+        # sequential fold that matches DuckDB's list_dot_product
+        # bit-for-bit, and the combining ops are identical on both
+        # engines (cf. _kmeans_oracle_sql).
+        return (
+            _dot(F.col(a), F.col(a))
+            - 2 * _dot(F.col(a), F.col(b))
+            + _dot(F.col(b), F.col(b))
+        )
+
+    cb = sub.filter(F.col("vec_id") < ksub).select(
+        "sub_id", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
+    ).localCheckpoint()
+    w_asg = Window.partitionBy("vec_id", "sub_id").orderBy(
+        F.col("__d"), F.col("code_id")
+    )
+
+    def assign(codebook: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(codebook), "sub_id")
+            .withColumn("__d", l2("sv", "cv"))
+            .withColumn("__r", F.row_number().over(w_asg))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "sub_id", "code_id", "sv")
+        )
+
+    for _ in range(iters):
+        means = (
+            assign(cb)
+            .select("sub_id", "code_id", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub_id", "code_id", "pos")
+            .agg(F.avg("val").alias("mval"))
+        )
+        cb = (
+            means.groupBy("sub_id", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                    lambda s: s["mval"],
+                ).alias("cv")
+            )
+            .localCheckpoint()
+        )
+
+    codes = assign(cb).select("vec_id", "sub_id", "code_id")
+    queries = sub.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_id",
+        F.col("sv").alias("qsv"),
+    )
+    tab = (
+        queries.join(F.broadcast(cb), "sub_id")
+        .withColumn("pd", l2("qsv", "cv"))
+        .select("query_id", "sub_id", "code_id", "pd")
+    )
+    parts = codes.join(
+        F.broadcast(tab), ["sub_id", "code_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    # fixed-order reduction over the m per-subspace distances
+    pivoted = parts.groupBy(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("sub_id") == i, F.col("pd"))).alias(f"_d{i}")
+            for i in range(m)
+        ]
+    )
+    adc = F.col("_d0")
+    for i in range(1, m):
+        adc = adc + F.col(f"_d{i}")
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("__adc"), F.col("neighbor_id")
+    )
+    cands = (
+        pivoted.withColumn("__adc", adc)
+        .withColumn("__sr", F.row_number().over(w_short))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qfull = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rescored = (
+        cands.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"),
+                       F.col("v").alias("nv")),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn("__l2", l2("qv", "nv"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("__l2"), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("__l2", 6).alias("l2_dist"),
+            "rank",
+        )
+    )
+
+
+def _pq_oracle_sql(
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    shortlist: int = 100,
+) -> str:
+    """Unrolled-CTE DuckDB replay of knn_pq — same recipe as
+    _kmeans_oracle_sql: the fixed-iteration training loop expands to
+    one assignment+update CTE pair per round, distances use the
+    |a|^2 - 2a.b + |b|^2 expansion with list_dot_product folds, and
+    the final ADC sums the per-subspace CASE pivots in the same fixed
+    order as the Spark reduction.  STAGED FOR ROUND 7."""
+    dsub = dim // m
+    sub_vals = ", ".join(f"({i})" for i in range(m))
+    d2 = (
+        "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        " + list_dot_product({b}, {b})"
+    )
+    parts = [
+        f"""e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sub AS (
+    SELECT vec_id, s.sub_id,
+           list_slice(v, s.sub_id * {dsub} + 1,
+                         s.sub_id * {dsub} + {dsub}) AS sv
+    FROM e CROSS JOIN (VALUES {sub_vals}) s(sub_id)
+), cb0 AS (
+    SELECT sub_id, vec_id AS code_id, sv AS cv
+    FROM sub WHERE vec_id < {ksub}
+)"""
+    ]
+    for t in range(iters):
+        dist = d2.format(a="sub.sv", b="c.cv")
+        parts.append(
+            f"""asg{t} AS (
+    SELECT sub.vec_id, sub.sub_id, sub.sv, c.code_id,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub_id
+               ORDER BY {dist}, c.code_id) AS rn
+    FROM sub JOIN cb{t} c USING (sub_id)
+), mean{t} AS (
+    SELECT sub_id, code_id, pos, AVG(val) AS mval
+    FROM (SELECT sub_id, code_id, unnest(sv) AS val,
+                 generate_subscripts(sv, 1) AS pos
+          FROM asg{t} WHERE rn = 1)
+    GROUP BY 1, 2, 3
+), cb{t + 1} AS (
+    SELECT sub_id, code_id, list(mval ORDER BY pos) AS cv
+    FROM mean{t} GROUP BY 1, 2
+)"""
+        )
+    enc_dist = d2.format(a="sub.sv", b="c.cv")
+    q_dist = d2.format(a="q.qsv", b="c.cv")
+    rerank_dist = d2.format(a="qe.v", b="nb.v")
+    cases = ", ".join(
+        f"SUM(CASE WHEN t.sub_id = {i} THEN pd END) AS _d{i}"
+        for i in range(m)
+    )
+    adc = " + ".join(f"_d{i}" for i in range(m))
+    parts.append(
+        f"""encr AS (
+    SELECT sub.vec_id, sub.sub_id, c.code_id,
+           ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub_id
+               ORDER BY {enc_dist}, c.code_id) AS rn
+    FROM sub JOIN cb{iters} c USING (sub_id)
+), enc AS (
+    SELECT vec_id, sub_id, code_id FROM encr WHERE rn = 1
+), qs AS (
+    SELECT vec_id AS query_id, sub_id, sv AS qsv
+    FROM sub WHERE vec_id < {n_queries}
+), tab AS (
+    SELECT q.query_id, c.sub_id, c.code_id, {q_dist} AS pd
+    FROM qs q JOIN cb{iters} c USING (sub_id)
+), pivoted AS (
+    SELECT t.query_id, enc.vec_id AS neighbor_id, {cases}
+    FROM enc JOIN tab t
+      ON enc.sub_id = t.sub_id AND enc.code_id = t.code_id
+    WHERE enc.vec_id <> t.query_id
+    GROUP BY 1, 2
+), shortl AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {adc}, neighbor_id) AS sr
+    FROM pivoted
+), rescored AS (
+    SELECT s.query_id, s.neighbor_id, {rerank_dist} AS l2d
+    FROM shortl s
+    JOIN e nb ON s.neighbor_id = nb.vec_id
+    JOIN e qe ON s.query_id = qe.vec_id
+    WHERE s.sr <= {shortlist}
+), ranked_out AS (
+    SELECT query_id, neighbor_id, l2d,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY l2d, neighbor_id) AS rank
+    FROM rescored
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT query_id, neighbor_id, ROUND(l2d, 6) AS l2_dist, rank
+FROM ranked_out WHERE rank <= {k}
+"""
+    )
+
+
+# DuckDB twin for knn_pq — parity-tested now (tests/test_similarity.py),
+# registered as "knn_pq" in round 7 (the round-6 window is saturated).
+KNN_PQ_ORACLE_SQL = _pq_oracle_sql()
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
     """Unrolled fixed-iteration Lloyd replay: the training loop is
     deterministic (first-k init, cosine argmax with cell_id tie-break,

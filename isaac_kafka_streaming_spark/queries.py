@@ -2100,8 +2100,9 @@ REGISTRY: dict[str, QueryDef] = {
 # _tpch_q8/_tpch_q9/_tpch_q19 + TPCH_Q{8,9,19}_ORACLE_SQL (this
 # module, tests/test_tpch_staged.py), priority_sample +
 # PRIORITY_SAMPLE_ORACLE_SQL (extensions/sampling.py,
-# tests/test_sampling_staged.py).  Round 7: add the staged QueryDefs
-# to their registers and front them in the window.
+# tests/test_sampling_staged.py), knn_pq + KNN_PQ_ORACLE_SQL
+# (extensions/similarity.py, tests/test_similarity.py).  Round 7: add
+# the staged QueryDefs to their registers and front them in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

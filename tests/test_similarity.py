@@ -189,3 +189,57 @@ def test_kmeans_objective_nonincreasing(spark, sf_smoke):
     # tolerance: centroid_val is rounded to 6 decimals on output
     assert objs[1] >= objs[0] - 1e-3, f"objective worsened: {objs}"
     assert objs[2] >= objs[1] - 1e-3, f"objective worsened: {objs}"
+
+
+def test_pq_matches_oracle_and_recall(spark, sf_smoke):
+    """Round-7-staged PQ ANN: the full pipeline (per-subspace Lloyd
+    training -> encoding -> ADC shortlist -> exact L2 re-rank)
+    hash-checks against the unrolled-CTE DuckDB replay, and recall vs
+    the exact-L2 top-5 clears a pinned floor (measured 0.94 at m=8,
+    shortlist=100 on sf0.001; margin for testdata regeneration).
+    Exactness of the REPLAY is the graded contract; the shortlist size
+    governs the approximation."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        KNN_PQ_ORACLE_SQL,
+        knn_pq,
+    )
+
+    got = knn_pq(spark, sf_smoke).toPandas()
+    got = got[sorted(got.columns)].sort_values(
+        by=list(sorted(got.columns)), ignore_index=True
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{sf_smoke}/embeddings.parquet'"
+    )
+    want = con.execute(KNN_PQ_ORACLE_SQL).fetchdf()
+    exact = set(
+        con.execute(
+            """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+            q AS (SELECT vec_id query_id, v qv FROM e WHERE vec_id < 10),
+            s AS (SELECT query_id, e.vec_id nid,
+                  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+                    list_dot_product(qv, qv)
+                    - 2 * list_dot_product(qv, e.v)
+                    + list_dot_product(e.v, e.v), e.vec_id) r
+                  FROM q JOIN e ON e.vec_id <> q.query_id)
+            SELECT query_id, nid FROM s WHERE r <= 5
+            """
+        ).fetchall()
+    )
+    con.close()
+    want = want[sorted(want.columns)].sort_values(
+        by=list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        assert list(got[col]) == list(want[col]), f"{col} differs"
+
+    approx = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"PQ recall regressed: {recall}"
