@@ -268,3 +268,63 @@ def test_staged_round7_ops_all_equi_joins(spark, sf_smoke):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" not in cd_plan
+
+
+def test_staged_tpch_broadcasts_and_pushdown(spark, sf_smoke):
+    """Round-7-staged TPC-H shapes: dims stay broadcast, q19's
+    part-only disjunct (brand IN ...) reaches the part scan, and no
+    cartesian/Python nodes anywhere."""
+    from isaac_kafka_streaming_spark.queries import (
+        _tpch_q8,
+        _tpch_q9,
+        _tpch_q19,
+    )
+
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    for fn in (_tpch_q8, _tpch_q9, _tpch_q19):
+        df = fn(spark, sf_smoke)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "EvalPython" not in plan, fn.__name__
+    q19 = _tpch_q19(spark, sf_smoke)._jdf.queryExecution().explainString(mode)
+    # Catalyst extracts each table's own disjunct from the OR-of-ANDs
+    # and pushes both to their scans: the brand/size brackets to part,
+    # the quantity brackets to lineitem
+    assert "EqualTo(p_brand,Brand#12)" in q19, q19
+    assert "LessThanOrEqual(l_quantity,11.0)" in q19, q19
+
+
+def test_priority_sample_single_exchange(spark, sf_smoke):
+    """Priority sampling is one shuffle on the stratum key — the rank
+    and threshold windows reuse the same partitioning."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        priority_sample,
+    )
+
+    plan = (
+        priority_sample(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_knn_pq_no_python_no_cartesian(spark, sf_smoke):
+    """PQ training + encoding + ADC is all JVM-side; the only
+    nested-loop joins are the broadcast codebook passes (64-row build
+    sides), never corpus x corpus."""
+    from isaac_kafka_streaming_spark.extensions.similarity import knn_pq
+
+    plan = (
+        knn_pq(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
