@@ -631,6 +631,107 @@ FROM scored GROUP BY doc_id
 """
 
 
+def cms_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    d: int = 4,
+    w: int = 256,
+    k: int = 20,
+) -> DataFrame:
+    """Count-Min-sketch heavy hitters (Cormode–Muthukrishnan, 2005) —
+    the hash-checked witness for the sketch family: sketch_summaries'
+    HLL/GK tiers are Spark-internal (rows-only by contract), so this
+    operator demonstrates the same fixed-size-mergeable-state idea
+    with a sketch BOTH engines can replay bit-for-bit.
+
+    Build: every token occurrence increments d=4 counters, one per
+    hash row, at column md5(r ':' token) mod w — after map-side
+    partial aggregation the shuffled state is AT MOST d*w = 1024
+    counters regardless of corpus size (vs the exact token count's
+    O(vocab) shuffle), and merging two sketches is elementwise sum,
+    i.e. exactly what partial aggregation already does.  Probe: the
+    exact top-k tokens (TakeOrdered — top-k per partition + merge, no
+    global sort) look up min over their d counters.  CMS guarantees
+    estimate >= exact (counters only ever over-count, pinned in
+    tests); md5-derived columns make the whole pipeline engine-exact,
+    same witness recipe as dedup_minhash_lsh_md5.
+
+    Output: (token, exact_cnt, cms_est, overestimate), the top-k
+    tokens by exact count (count desc, token asc tie-break).
+    STAGED FOR ROUND 7 (round-6 window saturated);
+    CMS_HEAVY_HITTERS_ORACLE_SQL is parity-tested now
+    (tests/test_text_extras.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(F.col("text"))).alias("token")
+    )
+
+    def col_of(r_col, token_col):
+        h = F.md5(F.concat(r_col.cast("string"), F.lit(":"), token_col))
+        return (
+            F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % w
+        )
+
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
+    cms = (
+        toks.select("token", rows)
+        .select("r", col_of(F.col("r"), F.col("token")).alias("col"))
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("c"))
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    topk = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(k)
+    probes = topk.select("token", "exact_cnt", rows).withColumn(
+        "col", col_of(F.col("r"), F.col("token"))
+    )
+    return (
+        probes.join(F.broadcast(cms), ["r", "col"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "token",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
+
+
+# DuckDB twin for cms_heavy_hitters — parity-tested now
+# (tests/test_text_extras.py), registered in round 7.
+CMS_HEAVY_HITTERS_ORACLE_SQL = """
+WITH toks AS (
+    SELECT unnest(list_filter(
+        regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        t -> t <> '')) AS token
+    FROM documents
+), hrows AS (
+    SELECT * FROM (VALUES (0), (1), (2), (3)) v(r)
+), cms AS (
+    SELECT r,
+           CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 6)
+                AS BIGINT) % 256 AS col,
+           COUNT(*) AS c
+    FROM toks CROSS JOIN hrows
+    GROUP BY 1, 2
+), exact AS (
+    SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
+), topk AS (
+    SELECT token, exact_cnt FROM exact
+    ORDER BY exact_cnt DESC, token LIMIT 20
+), probes AS (
+    SELECT t.token, t.exact_cnt, h.r,
+           CAST('0x' || substr(md5(CAST(h.r AS VARCHAR) || ':' || t.token),
+                               1, 6) AS BIGINT) % 256 AS col
+    FROM topk t CROSS JOIN hrows h
+)
+SELECT p.token, p.exact_cnt, MIN(c.c) AS cms_est,
+       MIN(c.c) - p.exact_cnt AS overestimate
+FROM probes p JOIN cms c ON p.r = c.r AND p.col = c.col
+GROUP BY 1, 2
+"""
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

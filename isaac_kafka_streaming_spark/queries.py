@@ -2101,8 +2101,10 @@ REGISTRY: dict[str, QueryDef] = {
 # module, tests/test_tpch_staged.py), priority_sample +
 # PRIORITY_SAMPLE_ORACLE_SQL (extensions/sampling.py,
 # tests/test_sampling_staged.py), knn_pq + KNN_PQ_ORACLE_SQL
-# (extensions/similarity.py, tests/test_similarity.py).  Round 7: add
-# the staged QueryDefs to their registers and front them in the window.
+# (extensions/similarity.py, tests/test_similarity.py),
+# cms_heavy_hitters + CMS_HEAVY_HITTERS_ORACLE_SQL (extensions/text.py,
+# tests/test_text_extras.py).  Round 7: add the staged QueryDefs to
+# their registers and front them in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -328,3 +328,22 @@ def test_knn_pq_no_python_no_cartesian(spark, sf_smoke):
     )
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_cms_sketch_state_bounded_and_broadcast(spark, sf_smoke):
+    """The CMS build aggregate partial-aggregates map-side (the whole
+    point: shuffled state is <= d*w counters, not O(vocab)), the probe
+    joins the tiny sketch via broadcast, and nothing drops to Python."""
+    from isaac_kafka_streaming_spark.extensions.text import (
+        cms_heavy_hitters,
+    )
+
+    plan = (
+        cms_heavy_hitters(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -455,3 +455,41 @@ def test_temperature_mixture_invariants_and_parity(spark, sf_smoke):
         for lang, r in rows.items()
     }
     assert got == want
+
+
+def test_cms_heavy_hitters_oracle_and_bound(spark, sf_smoke):
+    """Round-7-staged Count-Min witness: hash-exact vs the DuckDB
+    replay, and the CMS guarantee holds — estimates never undercount
+    (estimate == exact for tokens whose d counters are all
+    collision-free)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        CMS_HEAVY_HITTERS_ORACLE_SQL,
+        cms_heavy_hitters,
+    )
+
+    got = cms_heavy_hitters(spark, sf_smoke).toPandas()
+    got = got[sorted(got.columns)].sort_values(
+        by=list(sorted(got.columns)), ignore_index=True
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(CMS_HEAVY_HITTERS_ORACLE_SQL).fetchdf()
+    con.close()
+    want = want[sorted(want.columns)].sort_values(
+        by=list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) == 20
+    for col in got.columns:
+        g, w = got[col].dtype, want[col].dtype
+        assert (g.kind, g.itemsize) == (w.kind, w.itemsize), (
+            f"{col}: dtype {g} vs {w}"
+        )
+        assert list(got[col]) == list(want[col]), f"{col} differs"
+    assert (got.overestimate >= 0).all()
+    assert (got.cms_est >= got.exact_cnt).all()
