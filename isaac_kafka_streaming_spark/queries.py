@@ -13,6 +13,7 @@ flip the value hash; raw passthrough doubles are left exact.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -177,6 +178,167 @@ def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         F.count("*").alias("n_events"),
     )
+
+
+# Linear-counting lookup m*ln(m/V) for m=64, V=1..64 (index 0 unused):
+# materialized as literals so NEITHER engine evaluates ln at query time
+# (libm last-ulp differences could flip a rounded estimate).  repr()
+# emits shortest-round-trip floats, which parse to identical doubles in
+# the JVM and in DuckDB.
+_HLL_LC = [0.0] + [64.0 * math.log(64.0 / v) for v in range(1, 65)]
+
+
+def _hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count witness (Flajolet et al., 2007) —
+    the engine-exact twin of sketch_summaries' approx_count_distinct:
+    that tier uses Spark's internal HLL++ (rows-only by declared
+    contract), while this one builds the SAME register structure from
+    md5 bits both engines compute identically, so a mergeable
+    cardinality sketch is hash-checked end to end (the same witness
+    recipe as dedup_minhash_lsh_md5 and cms_heavy_hitters).
+
+    Per (event_type, user): register = 6 md5 bits (m=64), rho = leading
+    zeros + 1 of the next 60 bits, computed WITHOUT libm — rho falls
+    out of length(bin(v)) and 2^-M is 1/(1<<M), an exact power-of-two
+    division, so no ln/pow whose last-ulp behavior differs between
+    engines.  Register maxes fill absent registers with 0 via a
+    per-type 64-row sequence; the harmonic sum folds the 64 register
+    terms IN REGISTER ORDER (sorted collect_list fold — a shuffled SUM
+    could drift an ulp and change the rounded estimate).  The
+    small-range linear-counting correction (est_raw <= 2.5m with empty
+    registers -> m*ln(m/V)) IS applied, but ln never runs in either
+    engine: V has only 64 possible values, so both sides index the
+    SAME precomputed literal table (_HLL_LC[V]) — shortest-round-trip
+    float literals parse to identical doubles everywhere.
+
+    At 100 TB: the register table is the shuffle state — at most
+    64 rows per group after map-side partial max, the mergeable
+    fixed-size property that replaces the O(distinct-keys) exact
+    shuffle.  Relative error 1.04/sqrt(64) = 13% expected; pinned
+    loosely against the exact count in tests.
+
+    STAGED FOR ROUND 7 (round-6 window saturated);
+    HLL_DISTINCT_ORACLE_SQL is parity-tested now
+    (tests/test_operators_staged.py)."""
+    from .io import read_table
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+    )
+    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
+    register = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 64
+    v = F.conv(F.substring(h, 7, 15), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(v))
+    )
+    regs = (
+        ev.withColumn("register", register)
+        .withColumn("rho", rho)
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("M"))
+    )
+    allr = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("__r"),
+        )
+        .select("event_type", F.col("__r").cast("long").alias("register"))
+    )
+    filled = allr.join(regs, ["event_type", "register"], "left").withColumn(
+        "M", F.coalesce(F.col("M"), F.lit(0))
+    )
+    pw = F.expr("1.0d / cast(shiftleft(1L, cast(M as int)) as double)")
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(64.0))
+    agged = (
+        filled.withColumn("pw", pw)
+        .groupBy("event_type")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("register", "pw"))),
+                    lambda s: s["pw"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("S"),
+            F.count(F.when(F.col("M") == 0, 1)).alias("n_zero_registers"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    raw = alpha * F.lit(4096.0) / F.col("S")
+    lc = F.element_at(
+        F.array(*[F.lit(x) for x in _HLL_LC]),
+        F.col("n_zero_registers").cast("int") + 1,
+    )
+    est = F.when(
+        (raw <= F.lit(160.0)) & (F.col("n_zero_registers") > 0), lc
+    ).otherwise(raw)
+    return agged.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        F.round(est, 4).alias("hll_est"),
+        "n_zero_registers",
+    )
+
+
+# DuckDB twin for _hll_distinct_md5 — parity-tested now
+# (tests/test_operators_staged.py), registered in round 7.  The same
+# _HLL_LC literal table is spliced in, so neither engine runs ln.
+HLL_DISTINCT_ORACLE_SQL = """
+WITH ev AS (
+    SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+), hashed AS (
+    SELECT event_type,
+           CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                               1, 6) AS BIGINT) % 64 AS register,
+           CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)),
+                               7, 15) AS BIGINT) AS v
+    FROM ev
+), regs AS (
+    SELECT event_type, register,
+           MAX(CASE WHEN v = 0 THEN 61
+                    ELSE 61 - length(bin(v)) END) AS M
+    FROM hashed GROUP BY 1, 2
+), allr AS (
+    SELECT t.event_type, r.register
+    FROM (SELECT DISTINCT event_type FROM ev) t
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS register) r
+), filled AS (
+    SELECT a.event_type, a.register, COALESCE(regs.M, 0) AS M
+    FROM allr a LEFT JOIN regs
+      ON a.event_type = regs.event_type AND a.register = regs.register
+), pws AS (
+    SELECT event_type, register, M,
+           1.0 / CAST(1::BIGINT << CAST(M AS INT) AS DOUBLE) AS pw
+    FROM filled
+), agged AS (
+    SELECT event_type,
+           list_dot_product(list(pw ORDER BY register),
+                            [1.0 FOR i IN range(0, 64)]) AS S,
+           COUNT(CASE WHEN M = 0 THEN 1 END) AS n_zero_registers
+    FROM pws GROUP BY 1
+), exact AS (
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM ev GROUP BY 1
+), scored AS (
+    SELECT event_type,
+           (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0 / S AS raw,
+           n_zero_registers
+    FROM agged
+)
+SELECT s.event_type, exact_users,
+       ROUND(CASE WHEN raw <= 160.0 AND n_zero_registers > 0
+                  THEN [{lc}][CAST(n_zero_registers AS INT) + 1]
+                  ELSE raw END, 4) AS hll_est,
+       n_zero_registers
+FROM scored s JOIN exact e ON s.event_type = e.event_type
+""".format(lc=", ".join(repr(x) for x in _HLL_LC))
 
 
 def _sketch_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2103,8 +2265,10 @@ REGISTRY: dict[str, QueryDef] = {
 # tests/test_sampling_staged.py), knn_pq + KNN_PQ_ORACLE_SQL
 # (extensions/similarity.py, tests/test_similarity.py),
 # cms_heavy_hitters + CMS_HEAVY_HITTERS_ORACLE_SQL (extensions/text.py,
-# tests/test_text_extras.py).  Round 7: add the staged QueryDefs to
-# their registers and front them in the window.
+# tests/test_text_extras.py), _hll_distinct_md5 +
+# HLL_DISTINCT_ORACLE_SQL (this module, tests/test_operators_staged.py).
+# Round 7: add the staged QueryDefs to their registers and front them
+# in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -1,0 +1,50 @@
+"""Parity + invariants for the round-7-staged HLL distinct witness.
+
+Staged, not registered: the round-6 driver window is saturated (see
+the staging note above _DRIVER_CHECK_ORDER in queries.py).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+from isaac_kafka_streaming_spark.queries import (
+    HLL_DISTINCT_ORACLE_SQL,
+    _hll_distinct_md5,
+)
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def test_hll_matches_oracle(spark, sf_smoke):
+    got = _normalize(_hll_distinct_md5(spark, sf_smoke).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_smoke}/events.parquet'"
+    )
+    want = _normalize(con.execute(HLL_DISTINCT_ORACLE_SQL).fetchdf())
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        g, w = got[col].dtype, want[col].dtype
+        assert (g.kind, g.itemsize) == (w.kind, w.itemsize), (
+            f"{col}: dtype {g} vs {w}"
+        )
+        assert list(got[col]) == list(want[col]), f"{col} differs"
+
+
+def test_hll_estimate_quality(spark, sf_smoke):
+    """m=64 raw HLL: every group's estimate within a loose 3-sigma-ish
+    band of the exact distinct count (1.04/sqrt(64) = 13% expected
+    relative error), and deterministic across runs."""
+    df = _hll_distinct_md5(spark, sf_smoke).toPandas()
+    rel = (df.hll_est - df.exact_users).abs() / df.exact_users
+    assert (rel < 0.4).all(), df[["event_type", "exact_users", "hll_est"]]
+    again = _hll_distinct_md5(spark, sf_smoke).toPandas()
+    assert sorted(df.hll_est) == sorted(again.hll_est)

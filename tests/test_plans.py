@@ -347,3 +347,20 @@ def test_cms_sketch_state_bounded_and_broadcast(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_witness_register_state_bounded(spark, sf_smoke):
+    """The HLL build must partial-aggregate the register maxes map-side
+    (shuffled state <= 64 rows per group — the mergeable fixed-size
+    property), and stay JVM-side."""
+    from isaac_kafka_streaming_spark.queries import _hll_distinct_md5
+
+    plan = (
+        _hll_distinct_md5(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_max" in plan, plan
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
