@@ -180,6 +180,149 @@ def _value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _histogram_quantiles(
+    spark: SparkSession, sf_dir: str, bins: int = 64
+) -> DataFrame:
+    """Fixed-bin histogram quantile estimation — the bounded-state
+    percentile tier between value_quantiles (exact, per-group sort)
+    and sketch_summaries' approx_percentile (GK, Spark-internal and
+    rows-only): per group, a 64-bin equi-width histogram whose shuffle
+    state is AT MOST `bins` counters, mergeable by elementwise sum,
+    with p50/p95 read off the cumulative histogram by linear
+    interpolation inside the landing bin.
+
+    Everything is engine-exact arithmetic: bin = floor((v-lo)/width)
+    (IEEE divide + floor, identical in JVM/C++), the cumulative sums
+    are LONG counts (integer adds — order-free), and the interpolation
+    est = lo + width*(bin + (q*n - cum_before)/c) is a fixed-order
+    double expression.  The exact percentiles ride along (the same
+    `percentile` aggregate value_quantiles pins against DuckDB
+    quantile_cont), so the estimator's error is observable in the
+    graded output instead of asserted in a test only.
+
+    Two scans of events (stats pass + binning pass) joined through a
+    broadcast per-group stats row — at 100 TB both are map-side-
+    combinable aggs; the naive alternative (global sort per group) is
+    what this tier exists to avoid.  STAGED FOR ROUND 7;
+    HISTOGRAM_QUANTILES_ORACLE_SQL is parity-tested now
+    (tests/test_operators_staged.py)."""
+    ev = views.registered_events(spark, sf_dir).select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.count("*").alias("n_events"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
+    binned = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("width", width)
+        .withColumn(
+            "bin",
+            F.when(F.col("width") == 0.0, F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("lo")) / F.col("width")),
+                    F.lit(bins - 1),
+                )
+            )
+            .cast("long"),
+        )
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count("*").alias("c"),
+        F.first("lo").alias("lo"),
+        F.first("width").alias("width"),
+        F.first("n_events").alias("n_events"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+
+    def pick(q: float, name: str) -> DataFrame:
+        target = F.lit(q) * F.col("n_events")
+        est = F.col("lo") + F.col("width") * (
+            F.col("bin")
+            + (target - F.col("cum_before")) / F.col("c")
+        )
+        return cum.filter(
+            (F.col("cum_before") < target) & (F.col("cum") >= target)
+        ).select("event_type", F.round(est, 4).alias(name))
+
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("exact_p50"),
+        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("exact_p95"),
+    )
+    return (
+        stats.select("event_type", "n_events")
+        .join(pick(0.5, "hist_p50"), "event_type")
+        .join(pick(0.95, "hist_p95"), "event_type")
+        .join(exact, "event_type")
+    )
+
+
+# DuckDB twin for _histogram_quantiles — parity-tested now
+# (tests/test_operators_staged.py), registered in round 7.
+HISTOGRAM_QUANTILES_ORACLE_SQL = """
+WITH ev AS (
+    -- registered branch, cf. plans/oracle.py REGISTERED_EVENTS
+    SELECT event_type, value FROM events WHERE NOT (user_id % 10 = 0)
+), stats AS (
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi,
+           COUNT(*) AS n_events
+    FROM ev GROUP BY 1
+), binned AS (
+    SELECT e.event_type, e.value, s.lo,
+           (s.hi - s.lo) / 64.0 AS width, s.n_events
+    FROM ev e JOIN stats s ON e.event_type = s.event_type
+), assigned AS (
+    SELECT event_type, lo, width, n_events,
+           CASE WHEN width = 0.0 THEN 0
+                ELSE CAST(LEAST(FLOOR((value - lo) / width), 63) AS BIGINT)
+           END AS bin
+    FROM binned
+), counts AS (
+    SELECT event_type, bin, COUNT(*) AS c,
+           ANY_VALUE(lo) AS lo, ANY_VALUE(width) AS width,
+           ANY_VALUE(n_events) AS n_events
+    FROM assigned GROUP BY 1, 2
+), cum AS (
+    SELECT *,
+           SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cumul
+    FROM counts
+), marked AS (
+    SELECT *, cumul - c AS cum_before FROM cum
+), p50 AS (
+    SELECT event_type,
+           ROUND(lo + width * (bin + (0.5 * n_events - cum_before) / c), 4)
+               AS hist_p50
+    FROM marked
+    WHERE cum_before < 0.5 * n_events AND cumul >= 0.5 * n_events
+), p95 AS (
+    SELECT event_type,
+           ROUND(lo + width * (bin + (0.95 * n_events - cum_before) / c), 4)
+               AS hist_p95
+    FROM marked
+    WHERE cum_before < 0.95 * n_events AND cumul >= 0.95 * n_events
+), exact AS (
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(value, 0.95), 4) AS exact_p95
+    FROM ev GROUP BY 1
+)
+SELECT s.event_type, s.n_events, hist_p50, hist_p95, exact_p50, exact_p95
+FROM stats s
+JOIN p50 USING (event_type)
+JOIN p95 USING (event_type)
+JOIN exact USING (event_type)
+"""
+
+
 # Linear-counting lookup m*ln(m/V) for m=64, V=1..64 (index 0 unused):
 # materialized as literals so NEITHER engine evaluates ln at query time
 # (libm last-ulp differences could flip a rounded estimate).  repr()
@@ -2266,9 +2409,10 @@ REGISTRY: dict[str, QueryDef] = {
 # (extensions/similarity.py, tests/test_similarity.py),
 # cms_heavy_hitters + CMS_HEAVY_HITTERS_ORACLE_SQL (extensions/text.py,
 # tests/test_text_extras.py), _hll_distinct_md5 +
-# HLL_DISTINCT_ORACLE_SQL (this module, tests/test_operators_staged.py).
-# Round 7: add the staged QueryDefs to their registers and front them
-# in the window.
+# HLL_DISTINCT_ORACLE_SQL and _histogram_quantiles +
+# HISTOGRAM_QUANTILES_ORACLE_SQL (this module,
+# tests/test_operators_staged.py).  Round 7: add the staged QueryDefs
+# to their registers and front them in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -48,3 +48,36 @@ def test_hll_estimate_quality(spark, sf_smoke):
     assert (rel < 0.4).all(), df[["event_type", "exact_users", "hll_est"]]
     again = _hll_distinct_md5(spark, sf_smoke).toPandas()
     assert sorted(df.hll_est) == sorted(again.hll_est)
+
+
+def test_histogram_quantiles_matches_oracle_and_error(spark, sf_smoke):
+    """Round-7-staged bounded-state quantile tier: hash-exact vs the
+    DuckDB replay, and the 64-bin estimate lands within one bin width
+    of the exact percentile (the histogram's worst-case error bound)."""
+    from isaac_kafka_streaming_spark.queries import (
+        HISTOGRAM_QUANTILES_ORACLE_SQL,
+        _histogram_quantiles,
+    )
+
+    got = _normalize(_histogram_quantiles(spark, sf_smoke).toPandas())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM '{sf_smoke}/events.parquet'"
+    )
+    want = _normalize(
+        con.execute(HISTOGRAM_QUANTILES_ORACLE_SQL).fetchdf()
+    )
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        g, w = got[col].dtype, want[col].dtype
+        assert (g.kind, g.itemsize) == (w.kind, w.itemsize), (
+            f"{col}: dtype {g} vs {w}"
+        )
+        assert list(got[col]) == list(want[col]), f"{col} differs"
+    # one-bin-width worst case: |est - exact| <= (hi-lo)/64, which for
+    # value in [0, ~500] is < 10
+    assert ((got.hist_p50 - got.exact_p50).abs() < 10).all()
+    assert ((got.hist_p95 - got.exact_p95).abs() < 10).all()
