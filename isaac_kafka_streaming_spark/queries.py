@@ -2411,8 +2411,10 @@ REGISTRY: dict[str, QueryDef] = {
 # tests/test_text_extras.py), _hll_distinct_md5 +
 # HLL_DISTINCT_ORACLE_SQL and _histogram_quantiles +
 # HISTOGRAM_QUANTILES_ORACLE_SQL (this module,
-# tests/test_operators_staged.py).  Round 7: add the staged QueryDefs
-# to their registers and front them in the window.
+# tests/test_operators_staged.py), bloom_prefilter +
+# BLOOM_PREFILTER_ORACLE_SQL (extensions/dedup.py,
+# tests/test_dedup_guards.py).  Round 7: add the staged QueryDefs to
+# their registers and front them in the window.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",

@@ -12,6 +12,7 @@ ON bound the per-key fan-out on a corpus built to be pathological.
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -538,3 +539,42 @@ def test_ngram_capped_unpersist_releases_cached_index(spark, sf_smoke):
     assert dep.storageLevel.useMemory
     unpersist_deps(df)
     assert not dep.storageLevel.useMemory
+
+
+def test_bloom_prefilter_oracle_parity_and_no_false_negatives(
+    spark, sf_smoke
+):
+    """Round-7-staged Bloom prefilter: hash-exact vs the DuckDB replay,
+    and the Bloom contract holds — every true duplicate is a bloom hit
+    (no false negatives, ever); false positives are explicit rows."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        BLOOM_PREFILTER_ORACLE_SQL,
+        bloom_prefilter,
+    )
+
+    got = bloom_prefilter(spark, sf_smoke).toPandas()
+    got = got[sorted(got.columns)].sort_values(
+        by=list(sorted(got.columns)), ignore_index=True
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(BLOOM_PREFILTER_ORACLE_SQL).fetchdf()
+    con.close()
+    want = want[sorted(want.columns)].sort_values(
+        by=list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want) and len(got) > 0
+    for col in got.columns:
+        assert [None if pd.isna(x) else x for x in got[col]] == [
+            None if pd.isna(x) else x for x in want[col]
+        ], f"{col} differs"
+    # Bloom guarantee: is_dup implies bloom_hit
+    assert (~got.is_dup | got.bloom_hit).all()
+    # consistency: false_positive is exactly hit-but-not-dup
+    assert (got.false_positive == (got.bloom_hit & ~got.is_dup)).all()
