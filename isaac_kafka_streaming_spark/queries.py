@@ -2451,3 +2451,92 @@ def all_queries() -> dict[str, QueryDef]:
     ordered = {n: reg[n] for n in _DRIVER_CHECK_ORDER}
     ordered.update({n: qd for n, qd in reg.items() if n not in ordered})
     return ordered
+
+
+def staged_queries() -> dict[str, QueryDef]:
+    """The round-7-staged entries (see the staging note above
+    _DRIVER_CHECK_ORDER): implemented + oracle-twinned + tested now,
+    NOT yet in all_queries() because the round-6 driver window is
+    saturated.  Round-7 registration is mechanical: move each entry
+    into its module's register()/REGISTRY and front the names in the
+    window.  ``tools/stage_check.py`` sweeps this dict against the
+    oracles at any SF, exactly like tools/parity_sweep.py does for the
+    live registry; tests/test_staged_registry.py pins that staged and
+    live names never overlap and that every staged entry passes parity
+    at the smoke SF."""
+    from .extensions.dedup import (
+        BLOOM_PREFILTER_ORACLE_SQL,
+        CONTAINED_DOCUMENTS_ORACLE_SQL,
+        bloom_prefilter,
+        contained_documents,
+    )
+    from .extensions.sampling import (
+        PRIORITY_SAMPLE_ORACLE_SQL,
+        TEMPERATURE_MIXTURE_ORACLE_SQL,
+        priority_sample,
+        temperature_mixture_plan,
+    )
+    from .extensions.similarity import KNN_PQ_ORACLE_SQL, knn_pq
+    from .extensions.text import (
+        BIGRAM_PERPLEXITY_ORACLE_SQL,
+        CMS_HEAVY_HITTERS_ORACLE_SQL,
+        bigram_perplexity,
+        cms_heavy_hitters,
+    )
+
+    return {
+        "bigram_perplexity": QueryDef(
+            bigram_perplexity,
+            BIGRAM_PERPLEXITY_ORACLE_SQL,
+            "X4 corpus-trained bigram-LM perplexity quality scoring",
+        ),
+        "contained_documents": QueryDef(
+            contained_documents,
+            CONTAINED_DOCUMENTS_ORACLE_SQL,
+            "X2 truncation-duplicate tier: verbatim containment",
+        ),
+        "temperature_mixture": QueryDef(
+            temperature_mixture_plan,
+            TEMPERATURE_MIXTURE_ORACLE_SQL,
+            "temperature-reweighted source mixture plan",
+        ),
+        "tpch_q8": QueryDef(
+            _tpch_q8, TPCH_Q8_ORACLE_SQL, "market-share conditional agg"
+        ),
+        "tpch_q9": QueryDef(
+            _tpch_q9, TPCH_Q9_ORACLE_SQL, "profit rollup (adapted cost)"
+        ),
+        "tpch_q19": QueryDef(
+            _tpch_q19, TPCH_Q19_ORACLE_SQL, "disjunctive bracket predicates"
+        ),
+        "priority_sample": QueryDef(
+            priority_sample,
+            PRIORITY_SAMPLE_ORACLE_SQL,
+            "DLT weighted sampling without replacement, engine-exact",
+        ),
+        "knn_pq": QueryDef(
+            knn_pq,
+            KNN_PQ_ORACLE_SQL,
+            "X3 product-quantization ANN: ADC shortlist + exact re-rank",
+        ),
+        "cms_heavy_hitters": QueryDef(
+            cms_heavy_hitters,
+            CMS_HEAVY_HITTERS_ORACLE_SQL,
+            "Count-Min sketch witness: bounded mergeable counters",
+        ),
+        "hll_distinct_md5": QueryDef(
+            _hll_distinct_md5,
+            HLL_DISTINCT_ORACLE_SQL,
+            "HyperLogLog witness incl. literal-table LC correction",
+        ),
+        "histogram_quantiles": QueryDef(
+            _histogram_quantiles,
+            HISTOGRAM_QUANTILES_ORACLE_SQL,
+            "bounded-state quantile estimate with observable error",
+        ),
+        "bloom_prefilter": QueryDef(
+            bloom_prefilter,
+            BLOOM_PREFILTER_ORACLE_SQL,
+            "X2 Bloom membership prefilter for incremental dedup",
+        ),
+    }
