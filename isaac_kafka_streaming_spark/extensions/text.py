@@ -631,6 +631,27 @@ FROM scored GROUP BY doc_id
 """
 
 
+def _cms_col(r_col, token_col, w: int):
+    """Column index of hash row r for a token: md5(r ':' token) mod w —
+    md5-derived so both engines (and the streaming form) agree."""
+    h = F.md5(F.concat(r_col.cast("string"), F.lit(":"), token_col))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % w
+
+
+def cms_positions(
+    df: DataFrame, text_col: str = "text", d: int = 4, w: int = 256
+) -> DataFrame:
+    """(r, col) counter-increment stream for a Count-Min sketch over
+    the tokenized text column — shared by the batch operator
+    (cms_heavy_hitters) and the streaming build
+    (streaming/topology.py::streaming_cms_build)."""
+    toks = df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
+    return toks.select("token", rows).select(
+        "r", _cms_col(F.col("r"), F.col("token"), w).alias("col")
+    )
+
+
 def cms_heavy_hitters(
     spark: SparkSession,
     sf_dir: str,
@@ -665,24 +686,16 @@ def cms_heavy_hitters(
     toks = docs.select(
         F.explode(_tokens(F.col("text"))).alias("token")
     )
-
-    def col_of(r_col, token_col):
-        h = F.md5(F.concat(r_col.cast("string"), F.lit(":"), token_col))
-        return (
-            F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % w
-        )
-
-    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
     cms = (
-        toks.select("token", rows)
-        .select("r", col_of(F.col("r"), F.col("token")).alias("col"))
+        cms_positions(docs, "text", d, w)
         .groupBy("r", "col")
         .agg(F.count("*").alias("c"))
     )
+    rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
     topk = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(k)
     probes = topk.select("token", "exact_cnt", rows).withColumn(
-        "col", col_of(F.col("r"), F.col("token"))
+        "col", _cms_col(F.col("r"), F.col("token"), w)
     )
     return (
         probes.join(F.broadcast(cms), ["r", "col"])

@@ -272,6 +272,34 @@ def streaming_dedup_incoming(
     )
 
 
+def streaming_cms_build(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 256,
+) -> DataFrame:
+    """Streaming form of the Count-Min sketch build — the continuous
+    heavy-hitter counter a live ingest pipeline maintains (batch twin:
+    extensions.text.cms_heavy_hitters' build stage, same md5-derived
+    positions via the shared cms_positions projection).
+
+    The sketch IS the aggregation state: at most d*w counter rows,
+    regardless of stream volume — the state store holds a fixed-size
+    sketch, not per-token state, which is the whole reason CMS exists
+    for streams.  Sums are mergeable, so micro-batch partial counts
+    combine exactly like the batch partial aggregation; run in
+    update/complete mode and the final table equals the batch sketch
+    over the same documents (pinned in tests/test_streaming.py).
+    """
+    from ..extensions.text import cms_positions
+
+    return (
+        cms_positions(docs_stream, text_col, d, w)
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
 def streaming_decontaminate(
     docs_stream: DataFrame,
     eval_index: DataFrame,

@@ -621,3 +621,51 @@ def test_streaming_decontaminate_parity(spark, sf_smoke, tmp_path_factory):
     }
     assert got == want and want
     assert got[(10_000_000, planted_eval.doc_id)] is False  # non-exact hit
+
+
+def test_streaming_cms_build_parity(spark, sf_smoke, tmp_path_factory):
+    """The streaming CMS build over a two-batch document stream must
+    end in EXACTLY the batch sketch: counters are mergeable sums, so
+    micro-batch boundaries cannot change any cell."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.text import cms_positions
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_cms_build,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    flat = tmp_path_factory.mktemp("docs_cms_stream")
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        (r.r, r.col): r.c
+        for r in run_to_memory(
+            streaming_cms_build(stream), "cms_stream", output_mode="complete"
+        ).collect()
+    }
+    want = {
+        (r.r, r.col): r.c
+        for r in cms_positions(docs)
+        .groupBy("r", "col")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
