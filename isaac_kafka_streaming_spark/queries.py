@@ -323,6 +323,24 @@ JOIN exact USING (event_type)
 """
 
 
+def hll_register_updates(
+    df: DataFrame, id_col: str = "user_id"
+) -> DataFrame:
+    """(… , register, rho) projection feeding the HLL register maxes —
+    shared by the batch witness (_hll_distinct_md5) and the streaming
+    build (streaming/topology.py::streaming_hll_registers): register =
+    6 md5 bits (m=64), rho = leading zeros + 1 of the next 60 bits via
+    length(bin(v)) — no libm anywhere.  Pure map-side projection;
+    the groupBy max over it is the mergeable sketch state."""
+    h = F.md5(F.concat(F.lit("hll:"), F.col(id_col).cast("string")))
+    register = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 64
+    v = F.conv(F.substring(h, 7, 15), 16, 10).cast("long")
+    rho = F.when(v == 0, F.lit(61)).otherwise(
+        F.lit(61) - F.length(F.bin(v))
+    )
+    return df.withColumn("register", register).withColumn("rho", rho)
+
+
 # Linear-counting lookup m*ln(m/V) for m=64, V=1..64 (index 0 unused):
 # materialized as literals so NEITHER engine evaluates ln at query time
 # (libm last-ulp differences could flip a rounded estimate).  repr()
@@ -370,17 +388,8 @@ def _hll_distinct_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull())
         .select("event_type", "user_id")
     )
-    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string")))
-    register = F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % 64
-    v = F.conv(F.substring(h, 7, 15), 16, 10).cast("long")
-    rho = F.when(v == 0, F.lit(61)).otherwise(
-        F.lit(61) - F.length(F.bin(v))
-    )
-    regs = (
-        ev.withColumn("register", register)
-        .withColumn("rho", rho)
-        .groupBy("event_type", "register")
-        .agg(F.max("rho").alias("M"))
+    regs = hll_register_updates(ev).groupBy("event_type", "register").agg(
+        F.max("rho").alias("M")
     )
     allr = (
         ev.select("event_type")

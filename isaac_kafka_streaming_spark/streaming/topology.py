@@ -300,6 +300,35 @@ def streaming_cms_build(
     )
 
 
+def streaming_hll_registers(
+    events_stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Streaming form of the HLL register build — continuous distinct
+    counting (batch twin: queries._hll_distinct_md5, same md5 register
+    math via the shared hll_register_updates projection).
+
+    The aggregation state is the sketch: at most 64 register rows per
+    key, each holding a running MAX — max is idempotent and mergeable,
+    so micro-batch boundaries and replays cannot change the registers
+    (the same reason HLL merges across shards at 100 TB).  The final
+    registers equal the batch build's exactly (pinned in
+    tests/test_streaming.py); the estimate projection is a map-side
+    read off this table, left to the consumer like the batch tier's
+    filled/interpolated output.
+    """
+    from ..queries import hll_register_updates
+
+    return (
+        hll_register_updates(
+            events_stream.filter(F.col(id_col).isNotNull()), id_col
+        )
+        .groupBy(key_col, "register")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
 def streaming_decontaminate(
     docs_stream: DataFrame,
     eval_index: DataFrame,

@@ -669,3 +669,30 @@ def test_streaming_cms_build_parity(spark, sf_smoke, tmp_path_factory):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hll_registers_parity(spark, sf_smoke, events_stream_dir):
+    """The streaming HLL register build over a two-batch event stream
+    must end in EXACTLY the batch registers: max is idempotent and
+    mergeable, so micro-batch boundaries cannot change any register."""
+    from isaac_kafka_streaming_spark.queries import hll_register_updates
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        streaming_hll_registers,
+    )
+
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    got = st.run_to_memory(
+        streaming_hll_registers(stream), "hll_stream", output_mode="complete"
+    )
+    ev = read_table(spark, sf_smoke, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    want = (
+        hll_register_updates(ev)
+        .groupBy("event_type", "register")
+        .agg(F.max("rho").alias("M"))
+    )
+    assert _rows(got, "event_type", "register", "M") == _rows(
+        want, "event_type", "register", "M"
+    )
+    assert got.count() > 0
