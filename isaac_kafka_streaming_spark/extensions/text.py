@@ -666,16 +666,21 @@ def cms_heavy_hitters(
     with a sketch BOTH engines can replay bit-for-bit.
 
     Build: every token occurrence increments d=4 counters, one per
-    hash row, at column md5(r ':' token) mod w — after map-side
-    partial aggregation the shuffled state is AT MOST d*w = 1024
-    counters regardless of corpus size (vs the exact token count's
-    O(vocab) shuffle), and merging two sketches is elementwise sum,
-    i.e. exactly what partial aggregation already does.  Probe: the
-    exact top-k tokens (TakeOrdered — top-k per partition + merge, no
-    global sort) look up min over their d counters.  CMS guarantees
-    estimate >= exact (counters only ever over-count, pinned in
-    tests); md5-derived columns make the whole pipeline engine-exact,
-    same witness recipe as dedup_minhash_lsh_md5.
+    hash row, at column md5(r ':' token) mod w — the shuffled sketch
+    state is AT MOST d*w = 1024 counters regardless of corpus size,
+    and merging two sketches is elementwise sum, i.e. exactly what
+    partial aggregation already does.  Because this operator needs the
+    exact per-token counts anyway (for the probe side), the sketch is
+    built FROM the aggregated vocabulary — cell = SUM of counts of the
+    tokens hashing there, identical values to the occurrence-level
+    build but ONE corpus tokenization scan instead of two (the
+    occurrence-level form lives on in streaming_cms_build, where no
+    vocab aggregate exists to reuse).  Probe: the exact top-k tokens
+    (TakeOrdered — top-k per partition + merge, no global sort) look
+    up min over their d counters.  CMS guarantees estimate >= exact
+    (counters only ever over-count, pinned in tests); md5-derived
+    columns make the whole pipeline engine-exact, same witness recipe
+    as dedup_minhash_lsh_md5.
 
     Output: (token, exact_cnt, cms_est, overestimate), the top-k
     tokens by exact count (count desc, token asc tie-break).
@@ -686,13 +691,18 @@ def cms_heavy_hitters(
     toks = docs.select(
         F.explode(_tokens(F.col("text"))).alias("token")
     )
-    cms = (
-        cms_positions(docs, "text", d, w)
-        .groupBy("r", "col")
-        .agg(F.count("*").alias("c"))
-    )
     rows = F.explode(F.array(*[F.lit(i) for i in range(d)])).alias("r")
     exact = toks.groupBy("token").agg(F.count("*").alias("exact_cnt"))
+    cms = (
+        exact.select("token", "exact_cnt", rows)
+        .select(
+            "r",
+            _cms_col(F.col("r"), F.col("token"), w).alias("col"),
+            "exact_cnt",
+        )
+        .groupBy("r", "col")
+        .agg(F.sum("exact_cnt").alias("c"))
+    )
     topk = exact.orderBy(F.col("exact_cnt").desc(), "token").limit(k)
     probes = topk.select("token", "exact_cnt", rows).withColumn(
         "col", _cms_col(F.col("r"), F.col("token"), w)
@@ -720,15 +730,15 @@ WITH toks AS (
     FROM documents
 ), hrows AS (
     SELECT * FROM (VALUES (0), (1), (2), (3)) v(r)
+), exact AS (
+    SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
 ), cms AS (
     SELECT r,
            CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 6)
                 AS BIGINT) % 256 AS col,
-           COUNT(*) AS c
-    FROM toks CROSS JOIN hrows
+           CAST(SUM(exact_cnt) AS BIGINT) AS c
+    FROM exact CROSS JOIN hrows
     GROUP BY 1, 2
-), exact AS (
-    SELECT token, COUNT(*) AS exact_cnt FROM toks GROUP BY 1
 ), topk AS (
     SELECT token, exact_cnt FROM exact
     ORDER BY exact_cnt DESC, token LIMIT 20

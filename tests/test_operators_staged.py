@@ -77,7 +77,20 @@ def test_histogram_quantiles_matches_oracle_and_error(spark, sf_smoke):
             f"{col}: dtype {g} vs {w}"
         )
         assert list(got[col]) == list(want[col]), f"{col} differs"
-    # one-bin-width worst case: |est - exact| <= (hi-lo)/64, which for
-    # value in [0, ~500] is < 10
-    assert ((got.hist_p50 - got.exact_p50).abs() < 10).all()
-    assert ((got.hist_p95 - got.exact_p95).abs() < 10).all()
+    # error bound derived from the data, not hard-coded: the exact
+    # percentile's rank (n-1)q+1 can exceed the histogram's target
+    # rank q*n by up to 1 and land in the adjacent bin, so the worst
+    # case is TWO bin widths, width = (hi-lo)/64 per group
+    con = duckdb.connect()
+    widths = dict(
+        con.execute(
+            "SELECT event_type, (MAX(value) - MIN(value)) / 64.0 FROM "
+            f"'{sf_smoke}/events.parquet' WHERE NOT (user_id % 10 = 0) "
+            "GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    for row in got.itertuples():
+        bound = 2 * widths[row.event_type] + 1e-9
+        assert abs(row.hist_p50 - row.exact_p50) <= bound, row
+        assert abs(row.hist_p95 - row.exact_p95) <= bound, row

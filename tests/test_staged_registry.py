@@ -37,17 +37,10 @@ def test_staged_names_cover_coverage_doc():
     ).read_text()
     section = text.split("## Staged for round-7 registration", 1)[1]
     doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
-    code_names = {
-        # the doc table uses the public callable names
-        "temperature_mixture": "temperature_mixture_plan",
+    # the doc table lists the public callable for the mixture entry
+    expected_doc = (set(staged_queries()) - {"temperature_mixture"}) | {
+        "temperature_mixture_plan"
     }
-    normalized = {code_names.get(n, n) for n in staged_queries()}
-    doc_normalized = {
-        "temperature_mixture_plan" if n == "temperature_mixture_plan" else n
-        for n in doc_names
-    }
-    assert {n.replace("_plan", "") for n in normalized} >= {
-        n.replace("_plan", "") for n in doc_normalized
-    } and {n.replace("_plan", "") for n in doc_normalized} >= {
-        n.replace("_plan", "") for n in normalized
-    }, (sorted(normalized), sorted(doc_normalized))
+    assert doc_names == expected_doc, (
+        sorted(doc_names ^ expected_doc)
+    )

@@ -61,22 +61,15 @@ def _norm(v) -> str:
     return str(v)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])  # optional query-name filter for iteration
-
+def sweep(entries: dict, sf_dir: str, label: str = "") -> int:
+    """Driver-style compare loop shared by this sweep (live registry)
+    and tools/stage_check.py (staged registry): bare session, DuckDB
+    views, per-entry rowcount/schema/value-hash.  ``entries`` maps
+    name -> (fn, sql_or_None).  Returns the process exit code — a
+    single compare implementation so the two gates can never diverge.
+    """
     import duckdb
     from pyspark.sql import SparkSession
-
-    mod = _load_entry_module()
-    queries = mod.queries()
-    oracles = mod.oracle_sql()
-    if only:
-        unknown = only - set(queries)
-        if unknown:  # a typo must not read as "verified, nothing ran"
-            print(f"unknown query names: {sorted(unknown)}")
-            return 1
-        queries = {n: f for n, f in queries.items() if n in only}
 
     # Bare session on purpose: no engine get_spark(), like the driver's.
     spark = (
@@ -93,7 +86,7 @@ def main() -> int:
         )
 
     failed: list[str] = []
-    for name, fn in queries.items():
+    for name, (fn, sql) in entries.items():
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
@@ -103,14 +96,14 @@ def main() -> int:
             failed.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             continue
-        if name not in oracles:
+        if sql is None:
             print(
                 f"ok   {name}: rows-only, {len(rows)} rows "
                 f"({time.perf_counter() - t0:.1f}s)"
             )
             continue
         try:
-            res = con.execute(oracles[name])
+            res = con.execute(sql)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
         except Exception as e:  # noqa: BLE001
@@ -134,11 +127,30 @@ def main() -> int:
             )
 
     print(
-        f"\n{len(queries) - len(failed)}/{len(queries)} pass"
+        f"\n{len(entries) - len(failed)}/{len(entries)}{label} pass"
         + (f"; FAILED: {', '.join(failed)}" if failed else "")
     )
     spark.stop()
     return 1 if failed else 0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])  # optional query-name filter for iteration
+
+    mod = _load_entry_module()
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    if only:
+        unknown = only - set(queries)
+        if unknown:  # a typo must not read as "verified, nothing ran"
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        queries = {n: f for n, f in queries.items() if n in only}
+
+    return sweep(
+        {n: (fn, oracles.get(n)) for n, fn in queries.items()}, sf_dir
+    )
 
 
 if __name__ == "__main__":
