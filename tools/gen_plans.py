@@ -177,13 +177,61 @@ PICKS = {
         "a two-phase hash aggregate on (cell_id, pos); localCheckpoint "
         "keeps lineage flat (plan shown is the final projection)."
     ),
+    # round 6 staged additions (registered round 7; resolved via
+    # staged_queries())
+    "tpch_q8": (
+        "Market-share conditional aggregate: the share and the "
+        "denominator ride ONE partial sum; every dim except orders "
+        "broadcasts, the part filter prunes the fact via the broadcast "
+        "build side."
+    ),
+    "tpch_q19": (
+        "Disjunctive brackets: Catalyst pushes each table's own "
+        "disjunct to its scan (brand/size -> part, quantity -> "
+        "lineitem) and keeps the partkey equi-join — no nested-loop "
+        "fallback."
+    ),
+    "priority_sample": (
+        "DLT priority sampling: ONE shuffle on the stratum key shared "
+        "by the rank and threshold windows; the w/u priority key is a "
+        "map-side projection with engine-exact arithmetic."
+    ),
+    "knn_pq": (
+        "PQ ANN: codebooks broadcast in every Lloyd round and in the "
+        "ADC table build; the cached subvector frame feeds training, "
+        "encoding and queries; shortlist re-rank joins float vectors "
+        "for |shortlist| rows per query only."
+    ),
+    "cms_heavy_hitters": (
+        "Count-Min witness: sketch built FROM the vocab aggregate "
+        "(one tokenization scan), shuffled sketch state capped at d*w "
+        "counters, probe joins the tiny sketch via broadcast."
+    ),
+    "hll_distinct_md5": (
+        "HLL witness: register maxes partial-aggregate map-side "
+        "(<= 64 rows per group), the harmonic fold and literal-table "
+        "LC correction are projections over the 64-row register table."
+    ),
+    "histogram_quantiles": (
+        "Bounded-state quantiles: stats pass broadcasts per-group "
+        "lo/width, bin counts partial-aggregate map-side (<= 64 "
+        "counters per group), cumulative sums are LONG window adds."
+    ),
+    "bloom_prefilter": (
+        "Bloom prefilter: the set-bit table is a DISTINCT aggregation "
+        "bounded by m_bits and broadcasts into the probe join; the "
+        "exact verdict join runs only on the incoming slice."
+    ),
 }
 
 
 def main() -> None:
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
-    reg = all_queries()
+    from isaac_kafka_streaming_spark.queries import staged_queries
+
+    reg = dict(all_queries())
+    reg.update(staged_queries())
     fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
