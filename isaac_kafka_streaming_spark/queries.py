@@ -1536,6 +1536,56 @@ GROUP BY 1
 """
 
 
+def _tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape — shipping-delay priority audit: among lineitems
+    shipped more than 60 days after their order date, how many belong
+    to high-priority orders vs low, per ship year.  ADAPTED to the
+    fixture columns: the reference groups by l_shipmode and brackets
+    l_commitdate/l_receiptdate, absent here, so the date predicate
+    binds l_shipdate vs o_orderdate and the group key is the ship
+    year.  What the shape exercises survives: a fact-to-orders join
+    under a cross-table date-arithmetic predicate, and the dual
+    conditional counts (CASE on o_orderpriority) riding one partial
+    aggregate.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q12_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q12 — parity-tested now, registered in round 7.
+TPCH_Q12_ORACLE_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -2411,7 +2461,7 @@ REGISTRY: dict[str, QueryDef] = {
 # contained_documents + CONTAINED_DOCUMENTS_ORACLE_SQL
 # (extensions/dedup.py), temperature_mixture_plan +
 # TEMPERATURE_MIXTURE_ORACLE_SQL (extensions/sampling.py),
-# _tpch_q8/_tpch_q9/_tpch_q19 + TPCH_Q{8,9,19}_ORACLE_SQL (this
+# _tpch_q8/_tpch_q9/_tpch_q12/_tpch_q19 + TPCH_Q{8,9,12,19}_ORACLE_SQL (this
 # module, tests/test_tpch_staged.py), priority_sample +
 # PRIORITY_SAMPLE_ORACLE_SQL (extensions/sampling.py,
 # tests/test_sampling_staged.py), knn_pq + KNN_PQ_ORACLE_SQL
@@ -2517,6 +2567,11 @@ def staged_queries() -> dict[str, QueryDef]:
         ),
         "tpch_q19": QueryDef(
             _tpch_q19, TPCH_Q19_ORACLE_SQL, "disjunctive bracket predicates"
+        ),
+        "tpch_q12": QueryDef(
+            _tpch_q12,
+            TPCH_Q12_ORACLE_SQL,
+            "late-shipment dual conditional counts (adapted date bracket)",
         ),
         "priority_sample": QueryDef(
             priority_sample,

@@ -277,13 +277,14 @@ def test_staged_tpch_broadcasts_and_pushdown(spark, sf_smoke):
     from isaac_kafka_streaming_spark.queries import (
         _tpch_q8,
         _tpch_q9,
+        _tpch_q12,
         _tpch_q19,
     )
 
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )
-    for fn in (_tpch_q8, _tpch_q9, _tpch_q19):
+    for fn in (_tpch_q8, _tpch_q9, _tpch_q12, _tpch_q19):
         df = fn(spark, sf_smoke)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan, fn.__name__

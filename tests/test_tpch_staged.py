@@ -19,15 +19,18 @@ from isaac_kafka_streaming_spark.io import TABLES
 from isaac_kafka_streaming_spark.queries import (
     TPCH_Q8_ORACLE_SQL,
     TPCH_Q9_ORACLE_SQL,
+    TPCH_Q12_ORACLE_SQL,
     TPCH_Q19_ORACLE_SQL,
     _tpch_q8,
     _tpch_q9,
+    _tpch_q12,
     _tpch_q19,
 )
 
 STAGED = {
     "tpch_q8": (_tpch_q8, TPCH_Q8_ORACLE_SQL),
     "tpch_q9": (_tpch_q9, TPCH_Q9_ORACLE_SQL),
+    "tpch_q12": (_tpch_q12, TPCH_Q12_ORACLE_SQL),
     "tpch_q19": (_tpch_q19, TPCH_Q19_ORACLE_SQL),
 }
 
