@@ -195,10 +195,15 @@ def _histogram_quantiles(
     (IEEE divide + floor, identical in JVM/C++), the cumulative sums
     are LONG counts (integer adds — order-free), and the interpolation
     est = lo + width*(bin + (q*n - cum_before)/c) is a fixed-order
-    double expression.  The exact percentiles ride along (the same
-    `percentile` aggregate value_quantiles pins against DuckDB
-    quantile_cont), so the estimator's error is observable in the
-    graded output instead of asserted in a test only.
+    double expression.  Guarantee (hypothesis-proven over arbitrary
+    distributions, tests/test_properties.py): the selected bin
+    contains the ceil(q*n)-th order statistic, so the estimate is
+    within ONE bin width of it; distance to the *interpolated*
+    percentile additionally depends on inter-sample gaps, which is why
+    the exact percentiles ride along (the same `percentile` aggregate
+    value_quantiles pins against DuckDB quantile_cont) — the
+    estimator's error is observable in the graded output instead of
+    asserted in a test only.
 
     Two scans of events (stats pass + binning pass) joined through a
     broadcast per-group stats row — at 100 TB both are map-side-
@@ -207,6 +212,13 @@ def _histogram_quantiles(
     HISTOGRAM_QUANTILES_ORACLE_SQL is parity-tested now
     (tests/test_operators_staged.py)."""
     ev = views.registered_events(spark, sf_dir).select("event_type", "value")
+    return histogram_quantile_estimates(ev, bins)
+
+
+def histogram_quantile_estimates(ev: DataFrame, bins: int = 64) -> DataFrame:
+    """Core of _histogram_quantiles over any (event_type, value) frame —
+    exposed separately so hypothesis can drive it with generated value
+    distributions (tests/test_properties.py)."""
     stats = ev.groupBy("event_type").agg(
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),

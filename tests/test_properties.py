@@ -302,3 +302,48 @@ def test_interval_join_equals_naive_inequality(spark, data):
         .collect()
     )
     assert got == naive
+
+
+values_strategy = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=64,
+    ),
+    min_size=2,
+    max_size=80,
+)
+
+
+@given(values=values_strategy)
+@_settings
+def test_histogram_quantile_within_one_bin_of_order_statistic(spark, values):
+    """Round-7-staged histogram estimator — the PROVABLE guarantee, on
+    ANY value distribution: the selected bin contains the ceil(q*n)-th
+    order statistic (cum_before < q*n <= cum), and the interpolated
+    estimate stays inside that bin, so |est - x_(ceil(q*n))| <= one
+    bin width.  (Distance to the *interpolated* percentile is NOT
+    bounded by bins alone — with tiny n the interpolation spans
+    inter-sample gaps, which is why the exact percentiles ride along
+    in the operator's output.)"""
+    import math
+
+    from isaac_kafka_streaming_spark.queries import (
+        histogram_quantile_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [("t", float(v)) for v in values], "event_type string, value double"
+    )
+    (row,) = histogram_quantile_estimates(df).collect()
+    width = (max(values) - min(values)) / 64.0
+    ordered = sorted(values)
+    n = len(values)
+    for q, est in ((0.5, row.hist_p50), (0.95, row.hist_p95)):
+        stat = ordered[math.ceil(q * n) - 1]
+        # + 5e-5: the operator rounds its output to 4 decimals
+        assert abs(est - stat) <= width + 5.1e-5, (
+            values, q, est, stat, width,
+        )
