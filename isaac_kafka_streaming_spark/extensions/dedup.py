@@ -1302,6 +1302,42 @@ def dedup_incoming(
     )
 
 
+def _bloom_positions(hashed: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(doc_id, text_hash, i, pos) — the k md5-derived bit positions of
+    each normalized hash; shared by the batch prefilter's build/probe
+    and reused (inline, k-join form) by the streaming probe."""
+    ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("i").cast("string"),
+                        F.lit(":"),
+                        F.col("text_hash"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+    return hashed.select("doc_id", "text_hash", ks).withColumn("pos", pos)
+
+
+def bloom_set_bits(
+    hashed: DataFrame, m_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """The corpus Bloom filter as a relational set-bit table: DISTINCT
+    positions over the corpus hashes — <= m_bits rows no matter the
+    corpus size; union of two filters is this same distinct agg.  Feed
+    it to streaming_bloom_probe as the broadcast static side."""
+    return _bloom_positions(hashed, m_bits, k).select("pos").distinct()
+
+
 def bloom_prefilter(
     spark: SparkSession,
     sf_dir: str,
@@ -1348,31 +1384,9 @@ def bloom_prefilter(
     incoming = hashed.filter(F.col("bucket") >= 100 - incoming_pct)
     existing = hashed.filter(F.col("bucket") < 100 - incoming_pct)
 
-    def positions(df: DataFrame) -> DataFrame:
-        ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("i").cast("string"),
-                            F.lit(":"),
-                            F.col("text_hash"),
-                        )
-                    ),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
-        return df.select("doc_id", "text_hash", ks).withColumn("pos", pos)
-
-    set_bits = positions(existing).select("pos").distinct()
+    set_bits = bloom_set_bits(existing, m_bits, k)
     probe_hits = (
-        positions(incoming)
+        _bloom_positions(incoming, m_bits, k)
         .join(
             F.broadcast(set_bits.withColumn("_set", F.lit(1))), "pos", "left"
         )

@@ -329,6 +329,65 @@ def streaming_hll_registers(
     )
 
 
+def streaming_bloom_probe(
+    docs_stream: DataFrame,
+    set_bits: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 4096,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming form of the Bloom membership prefilter (batch twin:
+    extensions.dedup.bloom_prefilter): every arriving document probes
+    the corpus filter's set-bit table — a stream-static broadcast join,
+    zero streaming state — and certainly-new docs (`bloom_hit` false)
+    can skip the expensive downstream dedup join entirely.
+
+    `set_bits` is the DISTINCT (pos) table built from the existing
+    corpus (<= m_bits rows; rebuilt/unioned as the corpus grows — the
+    static side is re-read per micro-batch, so a compacted table keeps
+    the filter current without restarting the query).  No false
+    negatives by construction: a true duplicate's k positions are all
+    set, so it can never be dropped here.
+
+    STATELESS on purpose: the k probes are k separate broadcast left
+    joins (each against the tiny set-bit table) ANDed per row — no
+    aggregation, so the query runs in plain append mode with zero
+    state store, the shape a prefilter needs (the batch operator's
+    explode+count form would force update mode here).
+    """
+    norm = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
+    )
+    out = docs_stream.withColumn("text_hash", norm)
+    hit = F.lit(True)
+    for i in range(k):
+        pos_i = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("text_hash"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        bits_i = F.broadcast(
+            set_bits.select(
+                F.col("pos").alias(f"_pos{i}"),
+                F.lit(1).alias(f"_set{i}"),
+            )
+        )
+        out = out.withColumn(f"_pos{i}", pos_i).join(
+            bits_i, f"_pos{i}", "left"
+        )
+        hit = hit & F.col(f"_set{i}").isNotNull()
+    return out.withColumn("bloom_hit", hit).select(
+        "doc_id", "text_hash", "bloom_hit"
+    )
+
+
 def streaming_decontaminate(
     docs_stream: DataFrame,
     eval_index: DataFrame,

@@ -696,3 +696,72 @@ def test_streaming_hll_registers_parity(spark, sf_smoke, events_stream_dir):
         want, "event_type", "register", "M"
     )
     assert got.count() > 0
+
+
+def test_streaming_bloom_probe_parity(spark, sf_smoke, tmp_path_factory):
+    """Stateless streaming Bloom probe: over a two-batch document
+    stream, per-doc bloom_hit equals the batch prefilter's verdict for
+    the same corpus filter, and true duplicates are never missed."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        bloom_prefilter,
+        bloom_set_bits,
+    )
+    from isaac_kafka_streaming_spark.extensions.sampling import _bucket
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_bloom_probe,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    norm = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    hashed = docs.select(
+        "doc_id", norm.alias("text_hash"), _bucket(F.col("doc_id"), "inc")
+    )
+    set_bits = bloom_set_bits(hashed.filter(F.col("bucket") < 90))
+    incoming = docs.join(
+        hashed.filter(F.col("bucket") >= 90).select("doc_id"), "doc_id"
+    )
+
+    mid = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    flat = tmp_path_factory.mktemp("docs_bloom_stream")
+    for i, part in enumerate(
+        [
+            incoming.filter(F.col("doc_id") <= mid),
+            incoming.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        r.doc_id: r.bloom_hit
+        for r in run_to_memory(
+            streaming_bloom_probe(stream, set_bits),
+            "bloom_stream",
+            output_mode="append",
+        ).collect()
+    }
+    batch = {
+        r.doc_id: (r.bloom_hit, r.is_dup)
+        for r in bloom_prefilter(spark, sf_smoke).collect()
+    }
+    assert set(got) == set(batch) and len(got) > 0
+    for doc_id, (hit, is_dup) in batch.items():
+        assert got[doc_id] == hit, doc_id
+        if is_dup:
+            assert got[doc_id], f"false negative on true dup {doc_id}"
