@@ -538,7 +538,7 @@ def stratified_topk_sample(
 
 
 def priority_sample(
-    spark: SparkSession, sf_dir: str, k: int = 20
+    spark: SparkSession, sf_dir: str, k: int = 20, salt: str = "ws"
 ) -> DataFrame:
     """Weighted sampling without replacement per stratum — priority
     sampling (Duffield–Lund–Thorup, JACM 2007): each document draws a
@@ -568,7 +568,11 @@ def priority_sample(
     u_int = (
         F.conv(
             F.substring(
-                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"), F.col("doc_id").cast("string")
+                    )
+                ),
                 1,
                 6,
             ),

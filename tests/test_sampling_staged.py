@@ -67,3 +67,36 @@ def test_priority_sample_weight_sensitivity(spark, tmp_path_factory):
     picked = priority_sample(spark, str(base), k=3).toPandas()
     assert 999 in set(picked.doc_id)
     assert picked.loc[picked.doc_id == 999, "prio_rank"].iloc[0] == 1
+
+
+def test_priority_sample_horvitz_thompson_unbiased(spark, sf_smoke):
+    """The DLT estimator's defining property, measured: averaging the
+    per-stratum est_weight sums over 20 independent hash salts lands
+    near the TRUE per-stratum weight total (est_weight = max(w, tau)
+    is Horvitz-Thompson, so each sample's sum is an unbiased estimate
+    of the population total).  Tolerance 20% >> the ~5% standard error
+    of a 20-salt mean at k=20; a systematic estimator bug (e.g. using
+    tau of the wrong stratum, or raw w instead of max(w, tau)) shifts
+    the mean far beyond it."""
+    import statistics
+
+    import duckdb
+
+    con = duckdb.connect()
+    totals = dict(
+        con.execute(
+            "SELECT lang, SUM(n_chars) FROM "
+            f"'{sf_smoke}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    sums: dict[str, list[float]] = {lang: [] for lang in totals}
+    for s in range(20):
+        df = priority_sample(spark, sf_smoke, k=20, salt=f"ht{s}").toPandas()
+        for lang, grp in df.groupby("lang"):
+            sums[lang].append(float(grp.est_weight.sum()))
+    for lang, true_total in totals.items():
+        mean = statistics.mean(sums[lang])
+        assert abs(mean - true_total) / true_total < 0.20, (
+            lang, true_total, mean,
+        )
