@@ -1,0 +1,118 @@
+"""Plan lint: sweep EVERY live + staged query's physical plan for the
+scale anti-patterns the spot guards in tests/test_plans.py pin for
+individual queries — a whole-surface audit instead of a sampled one.
+
+Checked per plan (executed plan + formatted explain):
+  * CartesianProduct — an unconstrained pair space; always a bug here
+    unless the query is on the declared allow-list (tiny broadcast
+    scalar frames).
+  * BatchEvalPython / ArrowEvalPython row-UDF nodes on oracle-backed
+    relational paths (mapInPandas media stages are fine — they ARE the
+    declared Python boundary).
+  * rangepartitioning — a global sort; only expected in queries that
+    deliberately produce a total order (driver-side `.limit` top-k is
+    TakeOrdered and does not trigger it).
+
+Usage: cd /tmp && python /root/repo/tools/plan_lint.py [sf_dir]
+Exit 0 iff no violations outside the allow-lists.  Run it when adding
+an operator: a new name appearing in the report is either a real plan
+regression or a conscious decision to add to an allow-list WITH a
+reason.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+# Queries allowed a BroadcastNestedLoopJoin/CartesianProduct because the
+# non-equi side is a broadcast scalar/tiny frame (1-64 rows), each
+# adjudicated in the round-5 verdict or a plan guard:
+CARTESIAN_OK = {
+    "props_k_stats",  # 1-row threshold scalar crossJoin
+    "tpch_q22",  # 1-row avg-balance scalar
+    "mixture_plan",  # 4-row share frame
+    "temperature_mixture",  # share frame (same shape as mixture_plan)
+    "soft_dedup_sample",  # 1-row scalar
+    "corpus_keep_list",  # 1-row quality threshold frame
+    "corpus_curation",  # composes keep-list's scalar
+    "knn_quantized",  # declared broadcast brute-force-over-codes tier
+    "knn_bruteforce",  # broadcast queries x corpus IS the baseline tier
+    "kmeans_centroids",  # broadcast centroid assignment pass
+    "embedding_centroids",
+    "dedup_semantic",  # broadcast centroid pass (plan-guarded)
+    "knn_ivf",  # broadcast centroid pass
+    "knn_lsh",  # broadcast hyperplane constants
+    "bigram_perplexity",  # broadcast 1-row vocab scalar
+    "char_entropy",  # broadcast 1-row alphabet scalar
+    "tfidf_top_terms",  # broadcast 1-row n_docs scalar (text.py:199)
+}
+# Queries whose Python eval nodes are the DECLARED Arrow boundary:
+PYTHON_OK = {
+    "media_features",
+    "media_frame_stats",
+    "media_png_features",
+    "media_wav_stats",
+    "knn_lsh",  # vectorized numpy key pandas_udf (adjudicated r5)
+}
+# Queries that deliberately produce a global order:
+RANGE_OK = {
+    "value_quantiles",  # exact percentile sorts per group internally
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from pyspark.sql import SparkSession
+
+    from isaac_kafka_streaming_spark.queries import (
+        all_queries,
+        staged_queries,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-lint")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    entries = dict(all_queries())
+    entries.update(staged_queries())
+    violations: list[str] = []
+    for name, qd in entries.items():
+        try:
+            plan = (
+                qd.fn(spark, sf_dir)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        except Exception as e:  # noqa: BLE001
+            violations.append(f"{name}: plan build raised {e}")
+            continue
+        if "CartesianProduct" in plan and name not in CARTESIAN_OK:
+            violations.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in CARTESIAN_OK:
+            violations.append(f"{name}: BroadcastNestedLoopJoin")
+        if (
+            ("BatchEvalPython" in plan or "ArrowEvalPython" in plan)
+            and name not in PYTHON_OK
+        ):
+            violations.append(f"{name}: row-level Python eval node")
+        if "rangepartitioning" in plan and name not in RANGE_OK:
+            violations.append(f"{name}: rangepartitioning (global sort)")
+
+    for v in violations:
+        print(f"VIOLATION {v}")
+    print(f"\n{len(entries) - len(violations)}/{len(entries)} plans clean")
+    spark.stop()
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
