@@ -191,6 +191,11 @@ PICKS = {
         "lineitem) and keeps the partkey equi-join — no nested-loop "
         "fallback."
     ),
+    "tpch_q12": (
+        "Late-shipment audit: cross-table date arithmetic stays a "
+        "post-join filter on an orderkey equi-join; the dual CASE "
+        "counts ride one partial aggregate."
+    ),
     "priority_sample": (
         "DLT priority sampling: ONE shuffle on the stratum key shared "
         "by the rank and threshold windows; the w/u priority key is a "
