@@ -1302,30 +1302,24 @@ def dedup_incoming(
     )
 
 
+def bloom_pos_expr(i_col, hash_col, m_bits: int):
+    """THE bit-position formula — md5(i ':' hash) first-6-hex mod
+    m_bits — as a single column expression.  Every Bloom consumer
+    (batch build, batch probe, streaming k-join probe, DuckDB oracle
+    via the '0x'-cast twin) must derive positions from this one
+    definition: build/probe agreement is what the no-false-negative
+    guarantee rests on."""
+    h = F.md5(F.concat(i_col.cast("string"), F.lit(":"), hash_col))
+    return F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % m_bits
+
+
 def _bloom_positions(hashed: DataFrame, m_bits: int, k: int) -> DataFrame:
-    """(doc_id, text_hash, i, pos) — the k md5-derived bit positions of
-    each normalized hash; shared by the batch prefilter's build/probe
-    and reused (inline, k-join form) by the streaming probe."""
+    """(doc_id, text_hash, i, pos) — the k positions of each normalized
+    hash in explode form, for the batch prefilter's build and probe."""
     ks = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("i")
-    pos = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("i").cast("string"),
-                        F.lit(":"),
-                        F.col("text_hash"),
-                    )
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % m_bits
+    return hashed.select("doc_id", "text_hash", ks).withColumn(
+        "pos", bloom_pos_expr(F.col("i"), F.col("text_hash"), m_bits)
     )
-    return hashed.select("doc_id", "text_hash", ks).withColumn("pos", pos)
 
 
 def bloom_set_bits(

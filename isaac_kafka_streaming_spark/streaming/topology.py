@@ -355,33 +355,24 @@ def streaming_bloom_probe(
     state store, the shape a prefilter needs (the batch operator's
     explode+count form would force update mode here).
     """
+    from ..extensions.dedup import bloom_pos_expr
+
     norm = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 256
     )
     out = docs_stream.withColumn("text_hash", norm)
     hit = F.lit(True)
     for i in range(k):
-        pos_i = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{i}:"), F.col("text_hash"))),
-                    1,
-                    6,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
         bits_i = F.broadcast(
             set_bits.select(
                 F.col("pos").alias(f"_pos{i}"),
                 F.lit(1).alias(f"_set{i}"),
             )
         )
-        out = out.withColumn(f"_pos{i}", pos_i).join(
-            bits_i, f"_pos{i}", "left"
-        )
+        out = out.withColumn(
+            f"_pos{i}",
+            bloom_pos_expr(F.lit(i), F.col("text_hash"), m_bits),
+        ).join(bits_i, f"_pos{i}", "left")
         hit = hit & F.col(f"_set{i}").isNotNull()
     return out.withColumn("bloom_hit", hit).select(
         "doc_id", "text_hash", "bloom_hit"

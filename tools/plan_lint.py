@@ -109,7 +109,8 @@ def main() -> int:
 
     for v in violations:
         print(f"VIOLATION {v}")
-    print(f"\n{len(entries) - len(violations)}/{len(entries)} plans clean")
+    bad_plans = {v.split(":", 1)[0] for v in violations}
+    print(f"\n{len(entries) - len(bad_plans)}/{len(entries)} plans clean")
     spark.stop()
     return 1 if violations else 0
 
