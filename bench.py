@@ -87,7 +87,7 @@ HEADLINE = [
 # note), extend HEADLINE with the new families so their per-round
 # numbers exist from day one: tpch_q8, tpch_q12, tpch_q19, priority_sample,
 # knn_pq, cms_heavy_hitters, hll_distinct_md5, histogram_quantiles,
-# bloom_prefilter (sf0.01/sf0.1 baselines in SCALE_DESIGN.md round-6
+# bloom_prefilter, corpus_report (sf0.01/sf0.1 baselines in SCALE_DESIGN.md round-6
 # sections).
 
 

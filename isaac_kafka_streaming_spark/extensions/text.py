@@ -246,6 +246,142 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card, per (lang, source) — the summary table a training
+    corpus ships with: volume (docs, chars, tokens), duplication
+    (distinct normalized texts + dup rate), curation (keep-gate pass
+    count, composing corpus_keep_list's quality ∧ canonical decision),
+    and the train/val/test split distribution (same md5 buckets as
+    corpus_split, so the report agrees with the split machinery by
+    construction).
+
+    Shape at 100 TB: ONE document scan feeds the per-doc projections
+    (token size, hash, bucket, quality flags), then a single
+    (lang, source) groupBy; the distinct-text count is the two-level
+    form (collapse on (lang, source, hash) first, then count), never a
+    COUNT(DISTINCT) expand; the keep decision re-derives the canonical
+    flag as min-doc_id-per-hash via the same two-level branch.  Fully
+    oracle-checked — every column is deterministic SQL.
+
+    STAGED FOR ROUND 7 (round-6 window saturated);
+    CORPUS_REPORT_ORACLE_SQL below is parity-tested now
+    (tests/test_text_extras.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .sampling import _bucket
+
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    quality = text_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    base = (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            norm_hash.alias("text_hash"),
+            _bucket(F.col("doc_id")),
+        )
+        .join(quality, "doc_id")
+    )
+    per_doc = base.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.when(F.col("bucket") < 5, 1)).alias("n_test"),
+        F.count(
+            F.when((F.col("bucket") >= 5) & (F.col("bucket") < 10), 1)
+        ).alias("n_val"),
+        F.count(F.when(F.col("bucket") >= 10, 1)).alias("n_train"),
+    )
+    # two-level distinct + canonical-keep: collapse per hash first
+    by_hash = base.groupBy("lang", "source", "text_hash").agg(
+        F.count("*").alias("n_copies"),
+        # the canonical copy is min doc_id per hash; it passes the keep
+        # gate iff ITS quality flag is true — max_by picks that flag
+        F.expr("min_by(keep_quality, doc_id)").alias("canonical_quality"),
+    )
+    dedup = by_hash.groupBy("lang", "source").agg(
+        F.count("*").alias("n_unique_texts"),
+        F.count(F.when(F.col("canonical_quality"), 1)).alias("n_kept"),
+    )
+    return (
+        per_doc.join(dedup, ["lang", "source"])
+        .withColumn(
+            "dup_rate",
+            F.round(
+                1.0 - F.col("n_unique_texts") / F.col("n_docs"), 6
+            ),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_unique_texts",
+            "dup_rate",
+            "n_kept",
+            "n_train",
+            "n_val",
+            "n_test",
+        )
+    )
+
+
+# DuckDB twin for corpus_report — parity-tested now
+# (tests/test_text_extras.py), registered in round 7.  The quality
+# keep flag mirrors text_quality's gate; the split buckets mirror
+# corpus_split's md5 scheme (plans/oracle-compatible '0x' cast form).
+CORPUS_REPORT_ORACLE_SQL = """
+WITH t AS (
+    SELECT doc_id, lang, source, n_chars, text,
+           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+               x -> x <> '') AS toks
+    FROM documents
+), q AS (
+    SELECT doc_id, lang, source, n_chars,
+           len(toks) AS n_tokens,
+           sha256(TRIM(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS text_hash,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                AS BIGINT) % 100 AS bucket,
+           -- text_quality's keep gate, exactly (text.py:103-107)
+           (len(toks) >= 5 AND
+            ROUND(CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / GREATEST(len(toks), 1), 4)
+                BETWEEN 2 AND 15) AS keep_quality
+    FROM t
+), per_doc AS (
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           COUNT(CASE WHEN bucket < 5 THEN 1 END) AS n_test,
+           COUNT(CASE WHEN bucket >= 5 AND bucket < 10 THEN 1 END) AS n_val,
+           COUNT(CASE WHEN bucket >= 10 THEN 1 END) AS n_train
+    FROM q GROUP BY 1, 2
+), by_hash AS (
+    SELECT lang, source, text_hash,
+           min_by(keep_quality, doc_id) AS canonical_quality
+    FROM q GROUP BY 1, 2, 3
+), dedup AS (
+    SELECT lang, source,
+           COUNT(*) AS n_unique_texts,
+           COUNT(CASE WHEN canonical_quality THEN 1 END) AS n_kept
+    FROM by_hash GROUP BY 1, 2
+)
+SELECT p.lang, p.source, n_docs, total_chars, total_tokens,
+       n_unique_texts,
+       ROUND(1.0 - n_unique_texts / n_docs, 6) AS dup_rate,
+       n_kept, n_train, n_val, n_test
+FROM per_doc p JOIN dedup d ON p.lang = d.lang AND p.source = d.source
+"""
+
+
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters (Rae et al. 2021, §A1.1): a
     document dominated by a few repeated tokens/2-grams is boilerplate

@@ -2551,8 +2551,10 @@ def staged_queries() -> dict[str, QueryDef]:
     from .extensions.text import (
         BIGRAM_PERPLEXITY_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
+        CORPUS_REPORT_ORACLE_SQL,
         bigram_perplexity,
         cms_heavy_hitters,
+        corpus_report,
     )
 
     return {
@@ -2614,5 +2616,10 @@ def staged_queries() -> dict[str, QueryDef]:
             bloom_prefilter,
             BLOOM_PREFILTER_ORACLE_SQL,
             "X2 Bloom membership prefilter for incremental dedup",
+        ),
+        "corpus_report": QueryDef(
+            corpus_report,
+            CORPUS_REPORT_ORACLE_SQL,
+            "per-(lang, source) dataset card: volume/dup/keep/split",
         ),
     }

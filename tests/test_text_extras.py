@@ -493,3 +493,51 @@ def test_cms_heavy_hitters_oracle_and_bound(spark, sf_smoke):
         assert list(got[col]) == list(want[col]), f"{col} differs"
     assert (got.overestimate >= 0).all()
     assert (got.cms_est >= got.exact_cnt).all()
+
+
+def test_corpus_report_oracle_and_consistency(spark, sf_smoke):
+    """Round-7-staged dataset card: hash-exact vs the DuckDB replay,
+    internally consistent (split counts sum to n_docs, uniques <=
+    docs, kept <= uniques), and its totals agree with the operators it
+    summarizes (corpus_split buckets, corpus_keep_list keeps)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.sampling import corpus_split
+    from isaac_kafka_streaming_spark.extensions.text import (
+        CORPUS_REPORT_ORACLE_SQL,
+        corpus_keep_list,
+        corpus_report,
+    )
+
+    got = corpus_report(spark, sf_smoke).toPandas()
+    srt = got[sorted(got.columns)].sort_values(
+        by=list(sorted(got.columns)), ignore_index=True
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM '{sf_smoke}/documents.parquet'"
+    )
+    want = con.execute(CORPUS_REPORT_ORACLE_SQL).fetchdf()
+    con.close()
+    want = want[sorted(want.columns)].sort_values(
+        by=list(sorted(want.columns)), ignore_index=True
+    )
+    assert list(srt.columns) == list(want.columns)
+    assert len(srt) == len(want) and len(srt) > 0
+    for col in srt.columns:
+        g, w = srt[col].dtype, want[col].dtype
+        assert (g.kind, g.itemsize) == (w.kind, w.itemsize), (
+            f"{col}: dtype {g} vs {w}"
+        )
+        assert list(srt[col]) == list(want[col]), f"{col} differs"
+
+    assert (got.n_train + got.n_val + got.n_test == got.n_docs).all()
+    assert (got.n_unique_texts <= got.n_docs).all()
+    assert (got.n_kept <= got.n_unique_texts).all()
+    # cross-operator agreement: split totals and keep totals
+    split = corpus_split(spark, sf_smoke).toPandas()
+    assert got.n_train.sum() == (split.split == "train").sum()
+    assert got.n_test.sum() == (split.split == "test").sum()
+    keeps = corpus_keep_list(spark, sf_smoke).toPandas()
+    assert got.n_kept.sum() == int(keeps.keep.sum())
