@@ -2485,7 +2485,11 @@ REGISTRY: dict[str, QueryDef] = {
 # tests/test_operators_staged.py), bloom_prefilter +
 # BLOOM_PREFILTER_ORACLE_SQL (extensions/dedup.py,
 # tests/test_dedup_guards.py).  Round 7: add the staged QueryDefs to
-# their registers and front them in the window.
+# their registers and front them in the window — `python
+# tools/plan_window.py --include-staged` computes the rotation
+# automatically from the CORRECTNESS history (tiers: never-checked,
+# invariant-required, expiring, fresh), using test_registry's own
+# green-row definition so planner and invariant cannot disagree.
 _DRIVER_CHECK_ORDER = [
     # A — single green row (r04), sat out round 5
     "corpus_shards", "concat_chunk_plan", "ngram_contamination",
