@@ -44,3 +44,46 @@ def test_staged_names_cover_coverage_doc():
     assert doc_names == expected_doc, (
         sorted(doc_names ^ expected_doc)
     )
+
+
+def test_round7_registration_fits_the_window():
+    """Over-staging guard: assuming the current round-6 window goes
+    green, registering every staged entry in round 7 must fit the
+    50-slot driver window — staged entries have no driver rows (tier
+    T0, must-check) and any live entry whose last green would then be
+    two rounds back is also required in-window.  If this fails, too
+    much was staged: split registration across rounds."""
+    import json
+    import re
+    from pathlib import Path
+
+    from tests.test_registry import DRIVER_WINDOW, _is_green
+
+    repo = Path(__file__).resolve().parent.parent
+    hist = {}
+    for p in repo.glob("CORRECTNESS_r*.json"):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            hist[int(m.group(1))] = json.loads(p.read_text())
+    latest = max(hist)
+    last_green = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if isinstance(row, dict) and _is_green(row):
+                last_green[name] = rnd
+
+    live = all_queries()
+    # assume the current window goes green in round latest+1
+    simulated = latest + 1
+    for name in list(live)[:DRIVER_WINDOW]:
+        last_green[name] = simulated
+
+    t0 = [n for n in list(live) + list(staged_queries())
+          if n not in last_green]
+    t1 = [n for n, lg in last_green.items()
+          if n in live and lg <= simulated - 2]
+    assert len(t0) + len(t1) <= DRIVER_WINDOW, (
+        f"round-{simulated + 1} window infeasible: "
+        f"{len(t0)} never-checked + {len(t1)} invariant-required "
+        f"> {DRIVER_WINDOW}"
+    )

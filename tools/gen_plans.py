@@ -227,6 +227,12 @@ PICKS = {
         "bounded by m_bits and broadcasts into the probe join; the "
         "exact verdict join runs only on the incoming slice."
     ),
+    "corpus_report": (
+        "Dataset card: one document scan -> per-(lang, source) "
+        "volume/dup/keep/split summary; distinct-text and "
+        "canonical-keep are the two-level form (no COUNT DISTINCT "
+        "expand)."
+    ),
 }
 
 
