@@ -85,7 +85,8 @@ HEADLINE = [
 
 # ROUND-7 TODO: when the staged operators register (queries.py staging
 # note), extend HEADLINE with the new families so their per-round
-# numbers exist from day one: tpch_q8, tpch_q12, tpch_q19, priority_sample,
+# numbers exist from day one: tpch_q2, tpch_q8, tpch_q11, tpch_q12,
+# tpch_q19, tpch_q20, tpch_q21, priority_sample,
 # knn_pq, cms_heavy_hitters, hll_distinct_md5, histogram_quantiles,
 # bloom_prefilter, corpus_report (sf0.01/sf0.1 baselines in SCALE_DESIGN.md round-6
 # sections).

@@ -1598,6 +1598,336 @@ GROUP BY 1
 """
 
 
+def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape — minimum-cost supplier per part (adapted: the schema
+    has no partsupp, so the offer book is DERIVED from lineitem — the
+    min observed unit price per (part, supplier) — which preserves the
+    signature: a correlated-min subquery over a supplier dimension
+    restricted by region).  The correlated min is a row_number window
+    over the per-part offer groups with a deterministic (cost, suppkey)
+    tiebreak — one shuffle on l_partkey; part filter and the
+    region-restricted supplier dim both ride broadcast joins, so at
+    100 TB the only large exchange is the offers aggregation, which
+    AQE shrinks to the filtered-part subset because the broadcast part
+    filter executes BEFORE the window.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q2_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    offers = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.col("l_quantity")
+            ).alias("unit_cost")
+        )
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_name")
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    n_eu = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    s_eu = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_eu), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        offers.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            "s_acctbal",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q2 — parity-tested now, registered in round 7.
+TPCH_Q2_ORACLE_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+       ROUND(unit_cost, 4) AS unit_cost
+FROM (
+  SELECT p_partkey, p_name, s_name, n_name, s_acctbal, unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_cost, l_suppkey) AS rk
+  FROM offers
+  JOIN part ON l_partkey = p_partkey
+           AND p_type = 'LARGE' AND p_size <= 15
+  JOIN eu ON l_suppkey = s_suppkey
+) ranked
+WHERE rk = 1
+"""
+
+
+def _tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape — important stock: per-part inventory value restricted
+    to one region's suppliers, keeping parts whose value exceeds a
+    scalar subquery over the whole aggregate (adapted: value is the
+    lineitem-derived discounted revenue, and the threshold is
+    1.25 x the average part value rather than a fixed share of the
+    total — the fixed-share form degenerates as the part count scales,
+    the average-multiple form is scale-invariant).  One shuffle on
+    l_partkey; the threshold is a 1-row broadcast scalar crossJoin
+    (the adjudicated pattern from tpch_q22/props_k_stats).
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q11_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    n_am = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    s_am = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n_am), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(s_am), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("value")
+        )
+    )
+    scalar = vals.agg(
+        F.sum("value").alias("total"), F.count("*").alias("n_parts")
+    )
+    return (
+        vals.crossJoin(F.broadcast(scalar))
+        .filter(
+            F.col("value") > 1.25 * F.col("total") / F.col("n_parts")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 4).alias("stock_value"),
+            F.round(F.col("value") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+# DuckDB twin for _tpch_q11 — parity-tested now, registered in round 7.
+TPCH_Q11_ORACLE_SQL = """
+WITH am AS (
+  SELECT s_suppkey
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'AMERICA'
+), vals AS (
+  SELECT l_partkey, SUM(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM am)
+  GROUP BY 1
+), scalar AS (
+  SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM vals
+)
+SELECT l_partkey AS p_partkey,
+       ROUND(value, 4) AS stock_value,
+       ROUND(value / total, 6) AS share
+FROM vals CROSS JOIN scalar
+WHERE value > 1.25 * total / n_parts
+"""
+
+
+def _tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape — suppliers with excess concentration: suppliers whose
+    LARGE-part quantity shipped inside [1996, 1998) is more than 1.05x
+    the corpus-wide window concentration of their own total (adapted:
+    partsupp's availqty is absent, so the "excess stock vs yearly
+    shipments" test becomes a per-supplier window-concentration test
+    against the global-share scalar; a per-(supplier, part) HAVING
+    saturates here because the fixture's cells are ~3 rows, so ANY
+    supplier owns some all-in-window cell).  The signature survives: a
+    part-filtered threshold aggregate feeding a semi-join up to the
+    supplier dimension.  One shuffle on l_suppkey with both
+    conditional sums riding the same partial aggregate; the threshold
+    is a 1-row broadcast scalar (the adjudicated tpch_q22 pattern) and
+    the qualifying-supplier set is broadcast into the semi-join.
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q20_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "LARGE")
+        .select("p_partkey")
+    )
+    in_win = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    per_supp = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.when(in_win, F.col("l_quantity")).otherwise(0.0)
+            ).alias("qty_win"),
+            F.sum("l_quantity").alias("qty_total"),
+        )
+    )
+    scalar = per_supp.agg(
+        (F.sum("qty_win") / F.sum("qty_total")).alias("global_share")
+    )
+    qual = (
+        per_supp.crossJoin(F.broadcast(scalar))
+        .filter(
+            F.col("qty_win")
+            > 1.05 * F.col("global_share") * F.col("qty_total")
+        )
+        .select("l_suppkey")
+    )
+    nation = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+
+
+# DuckDB twin for _tpch_q20 — parity-tested now, registered in round 7.
+TPCH_Q20_ORACLE_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  THEN l_quantity ELSE 0 END) AS qty_win,
+         SUM(l_quantity) AS qty_total
+  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+  GROUP BY 1
+), scalar AS (
+  SELECT SUM(qty_win) / SUM(qty_total) AS global_share FROM per_supp
+), qual AS (
+  SELECT l_suppkey FROM per_supp CROSS JOIN scalar
+  WHERE qty_win > 1.05 * global_share * qty_total
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
+
+
+def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape — suppliers who kept finished orders waiting: for
+    multi-supplier 'F' orders where EXACTLY ONE supplier shipped late,
+    charge that supplier (adapted: late = l_shipdate more than 60 days
+    after o_orderdate, the commit/receipt bracket being absent — same
+    bracket tpch_q12 uses).  The classic EXISTS / NOT EXISTS pair is
+    rewritten relationally: a two-level aggregate on the SAME orderkey
+    partitioning (supplier-level late flags, then per-order supplier /
+    late-supplier counts — one exchange, reused), so no correlated
+    per-row probes survive at scale.  Final per-supplier count is a
+    tiny aggregate; top-k is TakeOrdered (no global sort shuffle).
+
+    STAGED FOR ROUND 7 (window saturated) — TPCH_Q21_ORACLE_SQL below
+    is parity-tested now (tests/test_tpch_staged.py)."""
+    from .io import read_table
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_supp = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("is_late").alias("n_late"),
+        F.max(F.when(F.col("is_late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(10)
+    )
+
+
+# DuckDB twin for _tpch_q21 — parity-tested now, registered in round 7.
+TPCH_Q21_ORACLE_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  GROUP BY 1, 2
+), per_order AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late,
+         MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS late_supp
+  FROM lo GROUP BY 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 10
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -2474,7 +2804,10 @@ REGISTRY: dict[str, QueryDef] = {
 # (extensions/dedup.py), temperature_mixture_plan +
 # TEMPERATURE_MIXTURE_ORACLE_SQL (extensions/sampling.py),
 # _tpch_q8/_tpch_q9/_tpch_q12/_tpch_q19 + TPCH_Q{8,9,12,19}_ORACLE_SQL (this
-# module, tests/test_tpch_staged.py), priority_sample +
+# module, tests/test_tpch_staged.py), _tpch_q2/_tpch_q11/_tpch_q20/
+# _tpch_q21 + TPCH_Q{2,11,20,21}_ORACLE_SQL (this module,
+# tests/test_tpch_staged.py — completing all 22 TPC-H shapes, adapted
+# where the schema lacks partsupp/commit dates), priority_sample +
 # PRIORITY_SAMPLE_ORACLE_SQL (extensions/sampling.py,
 # tests/test_sampling_staged.py), knn_pq + KNN_PQ_ORACLE_SQL
 # (extensions/similarity.py, tests/test_similarity.py),
@@ -2590,6 +2923,26 @@ def staged_queries() -> dict[str, QueryDef]:
             _tpch_q12,
             TPCH_Q12_ORACLE_SQL,
             "late-shipment dual conditional counts (adapted date bracket)",
+        ),
+        "tpch_q2": QueryDef(
+            _tpch_q2,
+            TPCH_Q2_ORACLE_SQL,
+            "min-cost supplier per part (adapted: lineitem-derived offers)",
+        ),
+        "tpch_q11": QueryDef(
+            _tpch_q11,
+            TPCH_Q11_ORACLE_SQL,
+            "important stock via scalar-subquery threshold (adapted)",
+        ),
+        "tpch_q20": QueryDef(
+            _tpch_q20,
+            TPCH_Q20_ORACLE_SQL,
+            "excess-concentration suppliers semi-join chain (adapted)",
+        ),
+        "tpch_q21": QueryDef(
+            _tpch_q21,
+            TPCH_Q21_ORACLE_SQL,
+            "waiting-orders EXISTS/NOT-EXISTS rewrite (adapted bracket)",
         ),
         "priority_sample": QueryDef(
             priority_sample,

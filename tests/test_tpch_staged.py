@@ -1,4 +1,7 @@
-"""Parity for the round-7-staged TPC-H shapes (q8 / q9 / q19).
+"""Parity for the round-7-staged TPC-H shapes (q2 / q8 / q9 / q11 /
+q12 / q19 / q20 / q21 — with these, every one of the 22 TPC-H query
+shapes has a live or staged equivalent, adapted where the driver
+schema lacks partsupp / commit-receipt dates).
 
 These QueryDefs are implemented and oracle-twinned now but NOT yet
 registered — the round-6 driver window is saturated (see the staging
@@ -17,21 +20,33 @@ import pytest
 
 from isaac_kafka_streaming_spark.io import TABLES
 from isaac_kafka_streaming_spark.queries import (
+    TPCH_Q2_ORACLE_SQL,
     TPCH_Q8_ORACLE_SQL,
     TPCH_Q9_ORACLE_SQL,
+    TPCH_Q11_ORACLE_SQL,
     TPCH_Q12_ORACLE_SQL,
     TPCH_Q19_ORACLE_SQL,
+    TPCH_Q20_ORACLE_SQL,
+    TPCH_Q21_ORACLE_SQL,
+    _tpch_q2,
     _tpch_q8,
     _tpch_q9,
+    _tpch_q11,
     _tpch_q12,
     _tpch_q19,
+    _tpch_q20,
+    _tpch_q21,
 )
 
 STAGED = {
+    "tpch_q2": (_tpch_q2, TPCH_Q2_ORACLE_SQL),
     "tpch_q8": (_tpch_q8, TPCH_Q8_ORACLE_SQL),
     "tpch_q9": (_tpch_q9, TPCH_Q9_ORACLE_SQL),
+    "tpch_q11": (_tpch_q11, TPCH_Q11_ORACLE_SQL),
     "tpch_q12": (_tpch_q12, TPCH_Q12_ORACLE_SQL),
     "tpch_q19": (_tpch_q19, TPCH_Q19_ORACLE_SQL),
+    "tpch_q20": (_tpch_q20, TPCH_Q20_ORACLE_SQL),
+    "tpch_q21": (_tpch_q21, TPCH_Q21_ORACLE_SQL),
 }
 
 

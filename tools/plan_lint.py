@@ -33,6 +33,8 @@ sys.path.insert(0, "/root/repo")
 CARTESIAN_OK = {
     "props_k_stats",  # 1-row threshold scalar crossJoin
     "tpch_q22",  # 1-row avg-balance scalar
+    "tpch_q11",  # 1-row (total, n_parts) threshold scalar
+    "tpch_q20",  # 1-row global-share threshold scalar
     "mixture_plan",  # 4-row share frame
     "temperature_mixture",  # share frame (same shape as mixture_plan)
     "soft_dedup_sample",  # 1-row scalar
