@@ -959,6 +959,122 @@ FROM v GROUP BY inner_doc_id
 )
 
 
+# -- repeated-span scrub: the transform complement of duplicate_passages --
+
+PASSAGE_SCRUB_BLOCK = 8
+PASSAGE_SCRUB_MAX_DF = 2
+
+
+def passage_scrub(
+    spark,
+    sf_dir: str,
+    block: int = PASSAGE_SCRUB_BLOCK,
+    max_df: int = PASSAGE_SCRUB_MAX_DF,
+) -> DataFrame:
+    """X2 (repeated-span REMOVAL tier) — strike cross-document
+    boilerplate spans from the text and reassemble each document:
+    duplicate_passages MINES the repeated spans; this is the transform
+    its docstring promises downstream ("strike the spans from the
+    text"), the C4/RefinedWeb-style scrub emitting training-ready
+    cleaned text rather than a report.
+
+    Documents are cut into NON-overlapping `block`-token spans (the
+    overlap-free grid makes removal well-defined — overlapping windows
+    cannot be struck independently); a span is boilerplate when it
+    occurs in more than `max_df` distinct documents.  Output per doc:
+    block counts and `cleaned_text` = the surviving spans rejoined in
+    original order.
+
+    Scale shape: one explode; span document-frequency is a two-level
+    aggregate (per-(doc, span) distinct first, so the per-key width is
+    bounded by |docs|, never |occurrences|); the hot-span list is tiny
+    by construction (spans above a df cutoff) and broadcasts into the
+    strike join; reassembly groups on doc_id — per-doc state is the
+    doc's own span list, the same bound the corpus already carries.
+    Zero-token docs drop (no spans), matching the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    nblk = F.ceil(F.size("tokens") / F.lit(float(block))).cast("int")
+    blocks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("tokens"), i * block + 1, block), " "
+                ),
+            )
+        ).alias("pos", "btext"),
+    )
+    hot = (
+        blocks.select("doc_id", "btext")
+        .distinct()
+        .groupBy("btext")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("btext", F.lit(1).alias("hot"))
+    )
+    flagged = blocks.join(F.broadcast(hot), "btext", "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(
+            F.when(F.col("hot").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_scrubbed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("hot").isNull(),
+                            F.struct(F.col("pos"), F.col("btext")),
+                        )
+                    )
+                ),
+                lambda s: s["btext"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+# DuckDB twin for passage_scrub — parity-tested now
+# (tests/test_dedup_guards.py), wired into register() in round 7.
+PASSAGE_SCRUB_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), blk AS (
+    SELECT doc_id, i AS pos,
+           array_to_string(
+               list_slice(tokens,
+                          i * {PASSAGE_SCRUB_BLOCK} + 1,
+                          i * {PASSAGE_SCRUB_BLOCK} + {PASSAGE_SCRUB_BLOCK}),
+               ' ') AS btext
+    FROM tok,
+         UNNEST(range(0, CAST(ceil(len(tokens)
+             / {PASSAGE_SCRUB_BLOCK}.0) AS INT))) t(i)
+    WHERE len(tokens) > 0
+), dfc AS (
+    SELECT btext, COUNT(*) AS df
+    FROM (SELECT DISTINCT doc_id, btext FROM blk) GROUP BY 1
+), hot AS (
+    SELECT btext FROM dfc WHERE df > {PASSAGE_SCRUB_MAX_DF}
+)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN h.btext IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_scrubbed,
+       COALESCE(string_agg(CASE WHEN h.btext IS NULL THEN b.btext END,
+                           ' ' ORDER BY b.pos), '') AS cleaned_text
+FROM blk b LEFT JOIN hot h ON b.btext = h.btext
+GROUP BY 1
+"""
+
+
 # -- tier: embedding cosine near-dup (SQL-checkable, label-blocked) --------
 
 

@@ -891,6 +891,99 @@ GROUP BY 1, 2
 """
 
 
+VOCAB_COVERAGE_SHARE = 0.9
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, coverage: float = VOCAB_COVERAGE_SHARE
+) -> DataFrame:
+    """X4 — tokenizer-fit vocabulary + per-document OOV rate: the
+    smallest frequency-ranked vocabulary covering `coverage` of all
+    token occurrences (the unigram analogue of a BPE vocab-size
+    decision), then each document scored by its out-of-vocabulary
+    token share — the signal that flags docs a tokenizer trained on
+    this corpus would shatter into rare pieces.
+
+    Vocabulary rule: rank tokens by (count DESC, token ASC); a token
+    is IN while the cumulative count of strictly-higher-ranked tokens
+    is still below coverage x total — i.e. the prefix that first
+    reaches the target, deterministically.
+
+    Scale shape: the ONLY windowed frame is the token-frequency table
+    — bounded by |vocab|, never by corpus size — so its global sort is
+    a deliberate, bounded rangepartitioning (allow-listed in
+    tools/plan_lint.py); the corpus-sized stages are one explode, one
+    map-side-combinable count, and a broadcast left-join of the vocab
+    back onto the token stream.  Zero-token docs drop, matching the
+    oracle."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("cw"))
+    total = counts.agg(F.sum("cw").alias("tot"))
+    w_rank = (
+        Window.orderBy(F.col("cw").desc(), F.col("w"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vocab = (
+        counts.withColumn(
+            "cum_before", F.coalesce(F.sum("cw").over(w_rank), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cum_before") < coverage * F.col("tot"))
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+# DuckDB twin for vocab_coverage — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+VOCAB_COVERAGE_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT w, COUNT(*) AS cw FROM tok GROUP BY w
+), total AS (
+    SELECT SUM(cw) AS tot FROM counts
+), vocab AS (
+    SELECT w FROM (
+        SELECT w, COALESCE(SUM(cw) OVER (
+            ORDER BY cw DESC, w
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS cum_before
+        FROM counts
+    ) ranked CROSS JOIN total
+    WHERE cum_before < {VOCAB_COVERAGE_SHARE} * tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY 1
+"""
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

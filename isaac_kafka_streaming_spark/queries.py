@@ -2817,7 +2817,11 @@ REGISTRY: dict[str, QueryDef] = {
 # HISTOGRAM_QUANTILES_ORACLE_SQL (this module,
 # tests/test_operators_staged.py), bloom_prefilter +
 # BLOOM_PREFILTER_ORACLE_SQL (extensions/dedup.py,
-# tests/test_dedup_guards.py).  Round 7: add the staged QueryDefs to
+# tests/test_dedup_guards.py), passage_scrub + PASSAGE_SCRUB_ORACLE_SQL
+# (extensions/dedup.py — repeated-span removal with reassembly),
+# vocab_coverage + VOCAB_COVERAGE_ORACLE_SQL (extensions/text.py —
+# coverage-thresholded vocabulary + per-doc OOV).
+# Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
 # automatically from the CORRECTNESS history (tiers: never-checked,
@@ -2875,8 +2879,10 @@ def staged_queries() -> dict[str, QueryDef]:
     from .extensions.dedup import (
         BLOOM_PREFILTER_ORACLE_SQL,
         CONTAINED_DOCUMENTS_ORACLE_SQL,
+        PASSAGE_SCRUB_ORACLE_SQL,
         bloom_prefilter,
         contained_documents,
+        passage_scrub,
     )
     from .extensions.sampling import (
         PRIORITY_SAMPLE_ORACLE_SQL,
@@ -2889,9 +2895,11 @@ def staged_queries() -> dict[str, QueryDef]:
         BIGRAM_PERPLEXITY_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
+        VOCAB_COVERAGE_ORACLE_SQL,
         bigram_perplexity,
         cms_heavy_hitters,
         corpus_report,
+        vocab_coverage,
     )
 
     return {
@@ -2978,5 +2986,15 @@ def staged_queries() -> dict[str, QueryDef]:
             corpus_report,
             CORPUS_REPORT_ORACLE_SQL,
             "per-(lang, source) dataset card: volume/dup/keep/split",
+        ),
+        "passage_scrub": QueryDef(
+            passage_scrub,
+            PASSAGE_SCRUB_ORACLE_SQL,
+            "X2 repeated-span removal with document reassembly",
+        ),
+        "vocab_coverage": QueryDef(
+            vocab_coverage,
+            VOCAB_COVERAGE_ORACLE_SQL,
+            "X4 coverage-thresholded vocabulary + per-doc OOV rate",
         ),
     }

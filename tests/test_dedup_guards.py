@@ -578,3 +578,47 @@ def test_bloom_prefilter_oracle_parity_and_no_false_negatives(
     assert (~got.is_dup | got.bloom_hit).all()
     # consistency: false_positive is exactly hit-but-not-dup
     assert (got.false_positive == (got.bloom_hit & ~got.is_dup)).all()
+
+
+def test_passage_scrub_oracle_parity_and_reassembly(spark, sf_smoke):
+    """Spark↔DuckDB parity for the repeated-span scrub at the smoke
+    SF, plus the reassembly invariant: an unscrubbed document's
+    cleaned_text is exactly its normalized token stream rejoined."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        PASSAGE_SCRUB_ORACLE_SQL,
+        passage_scrub,
+    )
+
+    rows = passage_scrub(spark, sf_smoke).collect()
+    got = {
+        r.doc_id: (r.n_blocks, r.n_scrubbed, r.cleaned_text) for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(PASSAGE_SCRUB_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    assert any(v[1] > 0 for v in got.values()), (
+        "no boilerplate span scrubbed anywhere — threshold inert"
+    )
+
+    # reassembly invariant on untouched docs
+    import re
+
+    texts = dict(
+        con.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    untouched = [d for d, v in got.items() if v[1] == 0][:20]
+    assert untouched
+    for d in untouched:
+        norm = " ".join(
+            t for t in re.split(r"[^a-z0-9]+", texts[d].lower()) if t
+        )
+        assert got[d][2] == norm, f"doc {d} reassembly mismatch"

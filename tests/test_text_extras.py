@@ -541,3 +541,55 @@ def test_corpus_report_oracle_and_consistency(spark, sf_smoke):
     assert got.n_test.sum() == (split.split == "test").sum()
     keeps = corpus_keep_list(spark, sf_smoke).toPandas()
     assert got.n_kept.sum() == int(keeps.keep.sum())
+
+
+def test_vocab_coverage_oracle_parity_and_minimality(spark, sf_smoke):
+    """Spark↔DuckDB parity at the smoke SF, plus the vocabulary
+    minimality invariant: the frequency-ranked prefix reaches the
+    coverage target, and the prefix one token shorter does not."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        VOCAB_COVERAGE_ORACLE_SQL,
+        VOCAB_COVERAGE_SHARE,
+        vocab_coverage,
+    )
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(VOCAB_COVERAGE_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    assert any(v[1] > 0 for v in got.values()), "no OOV anywhere"
+
+    # minimality: vocab prefix covers >= share; one-shorter does not
+    ranked = con.execute(
+        """
+        WITH tok AS (
+            SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS w
+            FROM documents
+        ), c AS (SELECT w, COUNT(*) AS cw FROM tok GROUP BY w)
+        SELECT cw FROM c ORDER BY cw DESC, w
+        """
+    ).fetchall()
+    counts = [r[0] for r in ranked]
+    total = sum(counts)
+    # reproduce the rule: token in vocab iff cum_before < share * total
+    vocab_len = 0
+    cum = 0
+    for cw in counts:
+        if cum < VOCAB_COVERAGE_SHARE * total:
+            vocab_len += 1
+        cum += cw
+    assert sum(counts[:vocab_len]) >= VOCAB_COVERAGE_SHARE * total
+    assert sum(counts[: vocab_len - 1]) < VOCAB_COVERAGE_SHARE * total

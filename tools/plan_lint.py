@@ -50,6 +50,7 @@ CARTESIAN_OK = {
     "bigram_perplexity",  # broadcast 1-row vocab scalar
     "char_entropy",  # broadcast 1-row alphabet scalar
     "tfidf_top_terms",  # broadcast 1-row n_docs scalar (text.py:199)
+    "vocab_coverage",  # broadcast 1-row total-occurrences scalar
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
@@ -62,6 +63,8 @@ PYTHON_OK = {
 # Queries that deliberately produce a global order:
 RANGE_OK = {
     "value_quantiles",  # exact percentile sorts per group internally
+    "vocab_coverage",  # global sort of the token-frequency table only
+    #   — the windowed frame is bounded by |vocab|, never corpus size
 }
 
 
