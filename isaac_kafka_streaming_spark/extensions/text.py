@@ -984,6 +984,165 @@ GROUP BY 1
 """
 
 
+BPE_LEARN_ROUNDS = 3
+
+
+def bpe_learn(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_LEARN_ROUNDS
+) -> DataFrame:
+    """X4 — relational BPE trainer: `rounds` merge steps learned and
+    APPLIED on the corpus word-frequency table (bpe_pair_counts is one
+    step's counts; this is the full trainer loop, unrolled).  Industry
+    BPE trainers run on the word histogram, not the raw corpus — the
+    same shape here: the only corpus-scale stages are one token explode
+    and one map-side-combinable word count; every merge round is then
+    vocab-bounded (pair counting, top-pair selection, greedy rewrite).
+
+    Per round: pair counts weighted by word frequency; the winning
+    pair by (count, a, b) — picked with a 1-row max(struct) aggregate,
+    NOT a global sort; the rewrite is a left-to-right greedy fold
+    (classic BPE merge semantics: after a merge the scanner moves past
+    the merged symbol) expressed as `F.aggregate` over the symbol
+    array — and as DuckDB `list_reduce` in the oracle, so both engines
+    execute the identical scan.  Output per word: final symbolization,
+    symbol count, and the learned merge table as columns.
+
+    Scale: vocabulary at 100 TB is O(10M) words — the per-round frames
+    are histogram-sized, the three scalar tops broadcast, and no stage
+    ever revisits the corpus.  Registered for driver grading in round
+    7 (window saturated); BPE_LEARN_ORACLE_SQL is parity-tested now
+    (tests/test_text_extras.py)."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    # split("(?!^)") matches the end-of-string position too, leaving a
+    # trailing "" element — filter it or every word gains a ghost symbol
+    seq = words.withColumn(
+        "syms",
+        F.array_join(
+            F.filter(
+                F.split(F.col("word"), "(?!^)"), lambda t: t != F.lit("")
+            ),
+            " ",
+        ),
+    )
+    for r in range(1, rounds + 1):
+        arr = F.split(F.col("syms"), " ")
+        pairs = (
+            seq.filter(F.size(arr) >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(arr) - 1),
+                        lambda i: F.struct(
+                            F.element_at(arr, i).alias("a"),
+                            F.element_at(arr, i + 1).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.agg(F.max(F.struct("cnt", "a", "b")).alias("m")).select(
+            F.col("m.a").alias(f"ma{r}"), F.col("m.b").alias(f"mb{r}")
+        )
+        seq = seq.crossJoin(F.broadcast(top))
+        ma, mb = F.col(f"ma{r}"), F.col(f"mb{r}")
+        merged = F.concat(ma, mb)
+        seq = seq.withColumn(
+            "syms",
+            F.aggregate(
+                F.split(F.col("syms"), " "),
+                F.lit(""),
+                lambda acc, x: (
+                    F.when(acc == F.lit(""), x)
+                    .when((x == mb) & (acc == ma), merged)
+                    .when(
+                        (x == mb)
+                        & acc.endswith(F.concat(F.lit(" "), ma)),
+                        F.concat(
+                            F.substring(
+                                acc,
+                                F.lit(1),
+                                F.length(acc) - F.length(ma) - 1,
+                            ),
+                            F.lit(" "),
+                            merged,
+                        ),
+                    )
+                    .otherwise(F.concat(acc, F.lit(" "), x))
+                ),
+            ),
+        )
+    return seq.select(
+        "word",
+        "freq",
+        F.col("syms").alias("symbols"),
+        F.size(F.split(F.col("syms"), " ")).cast("long").alias("n_symbols"),
+        F.concat_ws("+", F.col("ma1"), F.col("mb1")).alias("merge1"),
+        F.concat_ws("+", F.col("ma2"), F.col("mb2")).alias("merge2"),
+        F.concat_ws("+", F.col("ma3"), F.col("mb3")).alias("merge3"),
+    )
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled merge round of the DuckDB twin: pair counts from
+    s{r-1}, deterministic top pair, list_reduce greedy rewrite."""
+    return f"""p{r} AS (
+    SELECT arr[i] AS a, arr[i + 1] AS b, SUM(freq) AS cnt
+    FROM (SELECT freq, string_split(syms, ' ') AS arr FROM s{r - 1}) q,
+         UNNEST(range(1, len(arr))) t(i)
+    WHERE len(arr) >= 2
+    GROUP BY 1, 2
+), m{r} AS (
+    SELECT a AS ma{r}, b AS mb{r} FROM p{r}
+    ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+), s{r} AS (
+    SELECT word, freq, ma{r}, mb{r},
+           list_reduce(string_split(syms, ' '),
+               (acc, x) -> CASE
+                   WHEN x = mb{r} AND acc = ma{r}
+                       THEN ma{r} || mb{r}
+                   WHEN x = mb{r} AND ends_with(acc, ' ' || ma{r})
+                       THEN left(acc, len(acc) - len(ma{r}) - 1)
+                            || ' ' || ma{r} || mb{r}
+                   ELSE acc || ' ' || x END) AS syms
+    FROM s{r - 1} CROSS JOIN m{r}
+)"""
+
+
+# DuckDB twin for bpe_learn — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+BPE_LEARN_ORACLE_SQL = (
+    """
+WITH tok AS (
+    SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '')) AS word
+    FROM documents
+), words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+), s0 AS (
+    SELECT word, freq,
+           array_to_string(string_split(word, ''), ' ') AS syms
+    FROM words
+), """
+    + ", ".join(_bpe_round_sql(r) for r in range(1, BPE_LEARN_ROUNDS + 1))
+    + f"""
+SELECT s.word, s.freq, s.syms AS symbols,
+       CAST(len(string_split(s.syms, ' ')) AS BIGINT) AS n_symbols,
+       m1.ma1 || '+' || m1.mb1 AS merge1,
+       m2.ma2 || '+' || m2.mb2 AS merge2,
+       m3.ma3 || '+' || m3.mb3 AS merge3
+FROM s{BPE_LEARN_ROUNDS} s CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
+"""
+)
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

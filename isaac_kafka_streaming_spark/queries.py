@@ -2820,7 +2820,9 @@ REGISTRY: dict[str, QueryDef] = {
 # tests/test_dedup_guards.py), passage_scrub + PASSAGE_SCRUB_ORACLE_SQL
 # (extensions/dedup.py — repeated-span removal with reassembly),
 # vocab_coverage + VOCAB_COVERAGE_ORACLE_SQL (extensions/text.py —
-# coverage-thresholded vocabulary + per-doc OOV).
+# coverage-thresholded vocabulary + per-doc OOV), bpe_learn +
+# BPE_LEARN_ORACLE_SQL (extensions/text.py — the relational BPE
+# trainer, 3 unrolled merge rounds on the word-frequency table).
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
@@ -2893,10 +2895,12 @@ def staged_queries() -> dict[str, QueryDef]:
     from .extensions.similarity import KNN_PQ_ORACLE_SQL, knn_pq
     from .extensions.text import (
         BIGRAM_PERPLEXITY_ORACLE_SQL,
+        BPE_LEARN_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
         bigram_perplexity,
+        bpe_learn,
         cms_heavy_hitters,
         corpus_report,
         vocab_coverage,
@@ -2996,5 +3000,10 @@ def staged_queries() -> dict[str, QueryDef]:
             vocab_coverage,
             VOCAB_COVERAGE_ORACLE_SQL,
             "X4 coverage-thresholded vocabulary + per-doc OOV rate",
+        ),
+        "bpe_learn": QueryDef(
+            bpe_learn,
+            BPE_LEARN_ORACLE_SQL,
+            "X4 relational BPE trainer: 3 unrolled merge rounds",
         ),
     }

@@ -593,3 +593,73 @@ def test_vocab_coverage_oracle_parity_and_minimality(spark, sf_smoke):
         cum += cw
     assert sum(counts[:vocab_len]) >= VOCAB_COVERAGE_SHARE * total
     assert sum(counts[: vocab_len - 1]) < VOCAB_COVERAGE_SHARE * total
+
+
+def test_bpe_learn_greedy_semantics(spark, tmp_path_factory):
+    """Pin the trainer on a hand-computed corpus: merge selection by
+    (count, a, b) and the classic greedy left-to-right rewrite (after
+    a merge the scanner moves past the merged symbol — 'aaa' under
+    (a,a) becomes 'aa a', and the new 'aa' merges only in the NEXT
+    round), in both engines."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BPE_LEARN_ORACLE_SQL,
+        bpe_learn,
+    )
+
+    docs = [(0, "aaa aaa bab")]
+    base = tmp_path_factory.mktemp("bpe_learn")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.word: (r.freq, r.symbols, r.n_symbols, r.merge1, r.merge2, r.merge3)
+        for r in bpe_learn(spark, str(base)).collect()
+    }
+    # round 1: (a,a) cnt 4 wins; 'a a a' -> 'aa a' (greedy, no rescan)
+    # round 2: (aa,a) cnt 2 wins; 'aa a' -> 'aaa'
+    # round 3: only 'b a b' has pairs; (b,a) ties (a,b) at 1 and wins
+    #          on the (cnt, a, b) rule; 'b a b' -> 'ba b'
+    assert got == {
+        "aaa": (2, "aaa", 1, "a+a", "aa+a", "b+a"),
+        "bab": (1, "ba b", 2, "a+a", "aa+a", "b+a"),
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(BPE_LEARN_ORACLE_SQL).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_learn_oracle_parity_sf(spark, sf_smoke):
+    """Full-corpus Spark↔DuckDB parity at the smoke SF for the staged
+    round-7 BPE trainer."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BPE_LEARN_ORACLE_SQL,
+        bpe_learn,
+    )
+
+    got = {
+        r.word: (r.freq, r.symbols, r.n_symbols, r.merge1, r.merge2, r.merge3)
+        for r in bpe_learn(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(BPE_LEARN_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 20
+    # every word's symbolization is a partition of the word
+    assert all(v[1].replace(" ", "") == w for w, v in got.items())
