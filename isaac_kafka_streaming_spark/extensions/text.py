@@ -1143,6 +1143,92 @@ FROM s{BPE_LEARN_ROUNDS} s CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
 )
 
 
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — apply the bpe_learn tokenizer to the corpus: per-document
+    BPE token counts and compression ratio under the merges the
+    trainer just learned.  This is the APPLY side of the trainer pair
+    (train on the word histogram, tokenize by joining the corpus back
+    to the learned segmentations) — the join-back is how production
+    tokenizer pipelines amortize segmentation: each distinct word is
+    segmented once, not once per occurrence.
+
+    Scale shape: the corpus-scale stages are one token explode and one
+    per-(doc, word) count; the learned segmentation table is
+    vocab-bounded and joins on word (broadcastable at fixture scale,
+    an ordinary equi-join at 100 TB); the final rollup is one
+    map-side-combinable groupBy(doc_id).  Zero-token docs drop,
+    matching the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    seg = bpe_learn(spark, sf_dir).select("word", "n_symbols")
+    occ = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("n_occ"))
+    )
+    return (
+        occ.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_words"),
+            F.sum(F.col("n_occ") * F.length("word"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.col("n_occ") * F.col("n_symbols"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 6),
+        )
+    )
+
+
+# DuckDB twin for bpe_tokenize_stats — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+# Reuses the trainer's unrolled rounds so the applied merges cannot
+# disagree with the learned ones.
+BPE_TOKENIZE_STATS_ORACLE_SQL = (
+    """
+WITH tok AS (
+    SELECT UNNEST(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '')) AS word
+    FROM documents
+), words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY word
+), s0 AS (
+    SELECT word, freq,
+           array_to_string(string_split(word, ''), ' ') AS syms
+    FROM words
+), """
+    + ", ".join(_bpe_round_sql(r) for r in range(1, BPE_LEARN_ROUNDS + 1))
+    + f"""
+, seg AS (
+    SELECT word,
+           CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_symbols
+    FROM s{BPE_LEARN_ROUNDS}
+), dtok AS (
+    SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '')) AS word
+    FROM documents
+), occ AS (
+    SELECT doc_id, word, COUNT(*) AS n_occ FROM dtok GROUP BY 1, 2
+)
+SELECT occ.doc_id,
+       CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       CAST(SUM(n_occ * len(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(n_occ * n_symbols) AS BIGINT) AS n_bpe_tokens,
+       ROUND(SUM(n_occ * len(word))::DOUBLE
+             / SUM(n_occ * n_symbols), 6) AS compression
+FROM occ JOIN seg USING (word)
+GROUP BY 1
+"""
+)
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

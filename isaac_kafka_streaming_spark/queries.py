@@ -2822,7 +2822,10 @@ REGISTRY: dict[str, QueryDef] = {
 # vocab_coverage + VOCAB_COVERAGE_ORACLE_SQL (extensions/text.py —
 # coverage-thresholded vocabulary + per-doc OOV), bpe_learn +
 # BPE_LEARN_ORACLE_SQL (extensions/text.py — the relational BPE
-# trainer, 3 unrolled merge rounds on the word-frequency table).
+# trainer, 3 unrolled merge rounds on the word-frequency table),
+# bpe_tokenize_stats + BPE_TOKENIZE_STATS_ORACLE_SQL (extensions/
+# text.py — the APPLY side: corpus joined back to the learned
+# segmentations).
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
@@ -2896,11 +2899,13 @@ def staged_queries() -> dict[str, QueryDef]:
     from .extensions.text import (
         BIGRAM_PERPLEXITY_ORACLE_SQL,
         BPE_LEARN_ORACLE_SQL,
+        BPE_TOKENIZE_STATS_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
         bigram_perplexity,
         bpe_learn,
+        bpe_tokenize_stats,
         cms_heavy_hitters,
         corpus_report,
         vocab_coverage,
@@ -3005,5 +3010,10 @@ def staged_queries() -> dict[str, QueryDef]:
             bpe_learn,
             BPE_LEARN_ORACLE_SQL,
             "X4 relational BPE trainer: 3 unrolled merge rounds",
+        ),
+        "bpe_tokenize_stats": QueryDef(
+            bpe_tokenize_stats,
+            BPE_TOKENIZE_STATS_ORACLE_SQL,
+            "X4 BPE apply: per-doc token counts under learned merges",
         ),
     }

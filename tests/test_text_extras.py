@@ -663,3 +663,35 @@ def test_bpe_learn_oracle_parity_sf(spark, sf_smoke):
     assert got == want and len(got) > 20
     # every word's symbolization is a partition of the word
     assert all(v[1].replace(" ", "") == w for w, v in got.items())
+
+
+def test_bpe_tokenize_stats_oracle_parity_and_bounds(spark, sf_smoke):
+    """Spark↔DuckDB parity for the BPE apply side, plus the tokenizer
+    sanity bounds: per doc, n_bpe_tokens is at most n_chars (merges
+    only shrink) and at least n_words (a word is >= 1 symbol)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BPE_TOKENIZE_STATS_ORACLE_SQL,
+        bpe_tokenize_stats,
+    )
+
+    rows = bpe_tokenize_stats(spark, sf_smoke).collect()
+    got = {
+        r.doc_id: (r.n_words, r.n_chars, r.n_bpe_tokens, r.compression)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(BPE_TOKENIZE_STATS_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    for n_words, n_chars, n_bpe, _ in got.values():
+        assert n_words <= n_bpe <= n_chars
+    # the learned merges actually compress somewhere
+    assert any(v[2] < v[1] for v in got.values())

@@ -52,6 +52,7 @@ CARTESIAN_OK = {
     "tfidf_top_terms",  # broadcast 1-row n_docs scalar (text.py:199)
     "vocab_coverage",  # broadcast 1-row total-occurrences scalar
     "bpe_learn",  # three 1-row top-pair scalars (one per merge round)
+    "bpe_tokenize_stats",  # composes bpe_learn's scalar tops
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
