@@ -233,6 +233,39 @@ PICKS = {
         "canonical-keep are the two-level form (no COUNT DISTINCT "
         "expand)."
     ),
+    # round-6-proper staged additions (registered round 7)
+    "tpch_q2": (
+        "Correlated-min supplier: the lineitem offers aggregate is the "
+        "only big exchange; part + region-restricted supplier dims "
+        "broadcast BEFORE the per-part row_number window, pruning its "
+        "input."
+    ),
+    "tpch_q21": (
+        "EXISTS/NOT-EXISTS rewrite: per-(order, supplier) late flags "
+        "and per-order counts reuse ONE orderkey exchange; final "
+        "top-k is TakeOrdered, no global sort."
+    ),
+    "passage_scrub": (
+        "Repeated-span scrub: span document-frequency is the "
+        "two-level form; the hot-span list broadcasts into the strike "
+        "join; reassembly groups once on doc_id."
+    ),
+    "vocab_coverage": (
+        "Tokenizer-fit: the ONLY windowed frame is the vocab-bounded "
+        "frequency table (deliberate bounded global sort); the corpus "
+        "stages are one explode + one map-side count + a broadcast "
+        "vocab left-join."
+    ),
+    "bpe_learn": (
+        "Relational BPE trainer: corpus touched once (explode + word "
+        "count); each merge round is vocab-bounded with a 1-row "
+        "max(struct) top pair broadcast into the greedy fold rewrite."
+    ),
+    "bpe_tokenize_stats": (
+        "BPE apply: each distinct word segmented once in the "
+        "vocab-bounded fold; the corpus joins back on word and rolls "
+        "up map-side per doc."
+    ),
 }
 
 
