@@ -1229,6 +1229,124 @@ GROUP BY 1
 )
 
 
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 5  # window width (guarantee: every w consecutive k-grams
+#               contribute >= 1 fingerprint; expected density 2/(w+1))
+
+
+def winnow_fingerprints(
+    spark: SparkSession, sf_dir: str, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """X4 — robust winnowing (Schleimer, Wilkerson, Aiken, SIGMOD'03):
+    the MOSS fingerprint-selection algorithm over token k-grams.  In
+    every window of `w` consecutive k-gram hashes select the minimum,
+    breaking ties by the RIGHTMOST position (the robust variant); the
+    distinct selected (hash, position) pairs are the document's
+    fingerprint sketch, with the paper's guarantee that any match of
+    length >= w + k - 1 tokens shares a fingerprint — the
+    position-aware plagiarism/overlap primitive that doc_fingerprints'
+    positionless rolling hash can't provide.
+
+    Engine-exact trick: hash = first-7-hex of md5(kgram) (28 bits,
+    Spark conv == DuckDB CAST('0x'||hex AS BIGINT) — the established
+    md5 convention), and (hash, rightmost-pos) min-selection is packed
+    into ONE BIGINT: hash * 2^32 + (2^31 - pos), so the windowed MIN
+    is a plain long comparison in both engines — no struct-ordering
+    semantics to align.
+
+    Scale shape: one explode; the windowed MIN partitions by doc_id
+    (hash partition + in-partition sort — per-doc state, no global
+    sort); fingerprint dedup and the rollup are map-side-combinable
+    aggregates on doc_id.  Docs with fewer than w full windows (less
+    than k + w - 1 tokens) drop, matching the oracle."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") >= k + w - 1)
+    kg = toks.select(
+        "doc_id",
+        (F.size("tokens") - k + 1).cast("long").alias("n_kgrams"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - k + 1),
+                lambda i: F.array_join(F.slice(F.col("tokens"), i, k), " "),
+            )
+        ).alias("pos0", "kgram"),
+    ).select(
+        "doc_id",
+        "n_kgrams",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.conv(F.substring(F.md5(F.col("kgram")), 1, 7), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    packed = kg.withColumn(
+        "packed",
+        F.col("h") * F.lit(4294967296).cast("long")
+        + (F.lit(2147483648).cast("long") - F.col("pos")),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    sel = (
+        packed.withColumn("fp", F.min("packed").over(win))
+        .filter(F.col("pos") >= w)  # full windows only
+        .select("doc_id", "n_kgrams", "fp")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kgrams").alias("n_kgrams"),
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.round(F.count("*") / F.max("n_kgrams"), 6).alias("fp_density"),
+        # integer div, NOT floor(double /): packed is ~2^60, past the
+        # 53-bit range where double division stays exact
+        F.min(F.expr("fp DIV 4294967296")).cast("long").alias("fp_min_hash"),
+        F.max(F.expr("fp DIV 4294967296")).cast("long").alias("fp_max_hash"),
+    )
+
+
+# DuckDB twin for winnow_fingerprints — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+WINNOW_FINGERPRINTS_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), kg AS (
+    SELECT doc_id,
+           CAST(len(tokens) - {WINNOW_K} + 1 AS BIGINT) AS n_kgrams,
+           CAST(i AS BIGINT) AS pos,
+           CAST('0x' || substr(md5(array_to_string(
+               list_slice(tokens, i, i + {WINNOW_K} - 1), ' ')), 1, 7)
+               AS BIGINT) AS h
+    FROM tok, UNNEST(range(1, len(tokens) - {WINNOW_K} + 2)) t(i)
+    WHERE len(tokens) >= {WINNOW_K} + {WINNOW_W} - 1
+), packed AS (
+    SELECT doc_id, n_kgrams, pos,
+           h * 4294967296 + (2147483648 - pos) AS packed
+    FROM kg
+), sel AS (
+    SELECT DISTINCT doc_id, n_kgrams,
+           MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+               AS fp
+    FROM packed
+    QUALIFY pos >= {WINNOW_W}
+)
+SELECT doc_id,
+       MAX(n_kgrams) AS n_kgrams,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       ROUND(COUNT(*)::DOUBLE / MAX(n_kgrams), 6) AS fp_density,
+       CAST(MIN(fp // 4294967296) AS BIGINT) AS fp_min_hash,
+       CAST(MAX(fp // 4294967296) AS BIGINT) AS fp_max_hash
+FROM sel GROUP BY doc_id
+"""
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

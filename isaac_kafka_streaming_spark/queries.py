@@ -2825,7 +2825,9 @@ REGISTRY: dict[str, QueryDef] = {
 # trainer, 3 unrolled merge rounds on the word-frequency table),
 # bpe_tokenize_stats + BPE_TOKENIZE_STATS_ORACLE_SQL (extensions/
 # text.py — the APPLY side: corpus joined back to the learned
-# segmentations).
+# segmentations), winnow_fingerprints + WINNOW_FINGERPRINTS_ORACLE_SQL
+# (extensions/text.py — robust winnowing fingerprint selection with
+# the SIGMOD'03 window guarantee pinned in test).
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
@@ -2903,12 +2905,14 @@ def staged_queries() -> dict[str, QueryDef]:
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
+        WINNOW_FINGERPRINTS_ORACLE_SQL,
         bigram_perplexity,
         bpe_learn,
         bpe_tokenize_stats,
         cms_heavy_hitters,
         corpus_report,
         vocab_coverage,
+        winnow_fingerprints,
     )
 
     return {
@@ -3015,5 +3019,10 @@ def staged_queries() -> dict[str, QueryDef]:
             bpe_tokenize_stats,
             BPE_TOKENIZE_STATS_ORACLE_SQL,
             "X4 BPE apply: per-doc token counts under learned merges",
+        ),
+        "winnow_fingerprints": QueryDef(
+            winnow_fingerprints,
+            WINNOW_FINGERPRINTS_ORACLE_SQL,
+            "X4 robust winnowing (MOSS) fingerprint selection",
         ),
     }

@@ -695,3 +695,77 @@ def test_bpe_tokenize_stats_oracle_parity_and_bounds(spark, sf_smoke):
         assert n_words <= n_bpe <= n_chars
     # the learned merges actually compress somewhere
     assert any(v[2] < v[1] for v in got.values())
+
+
+def test_winnow_fingerprints_parity_and_guarantee(spark, sf_smoke):
+    """Spark↔DuckDB parity for robust winnowing, plus the paper's two
+    properties on real data: selected-position gaps never exceed the
+    window width w (coverage guarantee), and density sits in a band
+    around the expected 2/(w+1)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        WINNOW_FINGERPRINTS_ORACLE_SQL,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    got = {
+        r.doc_id: (
+            r.n_kgrams,
+            r.n_fingerprints,
+            r.fp_density,
+            r.fp_min_hash,
+            r.fp_max_hash,
+        )
+        for r in winnow_fingerprints(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(WINNOW_FINGERPRINTS_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+
+    # coverage guarantee: consecutive selected positions gap <= w
+    gaps = con.execute(
+        f"""
+        WITH tok AS (
+            SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '') AS tokens
+            FROM documents
+        ), kg AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   CAST('0x' || substr(md5(array_to_string(
+                       list_slice(tokens, i, i + 3), ' ')), 1, 7)
+                       AS BIGINT) AS h
+            FROM tok, UNNEST(range(1, len(tokens) - 2)) t(i)
+            WHERE len(tokens) >= 8
+        ), sel AS (
+            SELECT DISTINCT doc_id,
+                   MIN(h * 4294967296 + (2147483648 - pos)) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                           AND CURRENT ROW) AS fp
+            FROM kg QUALIFY pos >= {WINNOW_W}
+        ), positions AS (
+            SELECT doc_id, 2147483648 - (fp % 4294967296) AS spos
+            FROM sel
+        )
+        SELECT MAX(gap) FROM (
+            SELECT spos - LAG(spos) OVER (
+                PARTITION BY doc_id ORDER BY spos) AS gap
+            FROM positions
+        ) WHERE gap IS NOT NULL
+        """
+    ).fetchone()[0]
+    assert gaps <= WINNOW_W, f"coverage guarantee violated: gap {gaps}"
+
+    # density band around 2/(w+1)
+    densities = [v[2] for v in got.values()]
+    mean_density = sum(densities) / len(densities)
+    assert 0.5 * 2 / (WINNOW_W + 1) < mean_density < 2.0 * 2 / (WINNOW_W + 1)
