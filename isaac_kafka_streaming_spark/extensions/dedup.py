@@ -959,6 +959,118 @@ FROM v GROUP BY inner_doc_id
 )
 
 
+# -- cross-source overlap matrix: the boilerplate-flow dataset card -------
+
+SOURCE_OVERLAP_N = 8
+SOURCE_OVERLAP_MAX_SRC = 64
+
+
+def source_overlap_matrix(
+    spark,
+    sf_dir: str,
+    n: int = SOURCE_OVERLAP_N,
+    max_sources_per_passage: int = SOURCE_OVERLAP_MAX_SRC,
+) -> DataFrame:
+    """X2/dataset-card — the cross-SOURCE boilerplate/contamination
+    matrix: for every pair of sources, how many distinct n-token
+    passages they share, and the passage-set Jaccard.  corpus_report
+    cards each source in isolation; this is the pairwise view that
+    shows WHERE duplicated material flows between feeds — the check
+    run before mixing two crawls or licensing a new corpus slice.
+
+    Scale shape: distinct (source, passage) is one exchange; the pair
+    space is a self-equi-join on passage whose fan-out per key is
+    bounded by `max_sources_per_passage`^2 by an explicit cap
+    (passages syndicated to more sources than the cap are
+    everywhere-boilerplate — dropped from the matrix and from the
+    per-source sizes, so the Jaccard stays internally consistent over
+    the capped passage space; the cap is the same hot-key discipline
+    as ngram_jaccard's max_shingle_df).  Per-source sizes broadcast
+    into the final projection."""
+    docs = read_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "source",
+        F.explode(_shingles(_tokens(F.col("text")), n)).alias("passage"),
+    ).distinct()
+    spk = (
+        sp.join(
+            sp.groupBy("passage").agg(F.count("*").alias("n_src")),
+            "passage",
+        )
+        .filter(F.col("n_src") <= max_sources_per_passage)
+        .select("source", "passage")
+    )
+    sizes = spk.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_passages")
+    )
+    a = spk.select("passage", F.col("source").alias("source_a"))
+    b = spk.select("passage", F.col("source").alias("source_b"))
+    pairs = (
+        a.join(b, "passage")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_passages").alias("na")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_passages").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("passage_jaccard"),
+        )
+    )
+
+
+# DuckDB twin for source_overlap_matrix — parity-tested now
+# (tests/test_dedup_guards.py), wired into register() in round 7.
+SOURCE_OVERLAP_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT source, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), sh AS (
+    SELECT DISTINCT source,
+           array_to_string(list_slice(tokens, i,
+               i + {SOURCE_OVERLAP_N} - 1), ' ') AS passage
+    FROM tok,
+         UNNEST(range(1, len(tokens) - {SOURCE_OVERLAP_N} + 2)) t(i)
+    WHERE len(tokens) >= {SOURCE_OVERLAP_N}
+), dfs AS (
+    SELECT passage, COUNT(*) AS n_src FROM sh GROUP BY 1
+), keep AS (
+    SELECT sh.source, sh.passage
+    FROM sh JOIN dfs USING (passage)
+    WHERE n_src <= {SOURCE_OVERLAP_MAX_SRC}
+), sizes AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM keep GROUP BY 1
+), pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM keep a JOIN keep b
+      ON a.passage = b.passage AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared,
+       ROUND(n_shared::DOUBLE / (x.n + y.n - n_shared), 6)
+           AS passage_jaccard
+FROM pairs
+JOIN sizes x ON x.source = source_a
+JOIN sizes y ON y.source = source_b
+"""
+
+
 # -- repeated-span scrub: the transform complement of duplicate_passages --
 
 PASSAGE_SCRUB_BLOCK = 8

@@ -2827,7 +2827,9 @@ REGISTRY: dict[str, QueryDef] = {
 # text.py — the APPLY side: corpus joined back to the learned
 # segmentations), winnow_fingerprints + WINNOW_FINGERPRINTS_ORACLE_SQL
 # (extensions/text.py — robust winnowing fingerprint selection with
-# the SIGMOD'03 window guarantee pinned in test).
+# the SIGMOD'03 window guarantee pinned in test),
+# source_overlap_matrix + SOURCE_OVERLAP_ORACLE_SQL
+# (extensions/dedup.py — pairwise cross-source boilerplate matrix).
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
@@ -2887,9 +2889,11 @@ def staged_queries() -> dict[str, QueryDef]:
         BLOOM_PREFILTER_ORACLE_SQL,
         CONTAINED_DOCUMENTS_ORACLE_SQL,
         PASSAGE_SCRUB_ORACLE_SQL,
+        SOURCE_OVERLAP_ORACLE_SQL,
         bloom_prefilter,
         contained_documents,
         passage_scrub,
+        source_overlap_matrix,
     )
     from .extensions.sampling import (
         PRIORITY_SAMPLE_ORACLE_SQL,
@@ -3024,5 +3028,10 @@ def staged_queries() -> dict[str, QueryDef]:
             winnow_fingerprints,
             WINNOW_FINGERPRINTS_ORACLE_SQL,
             "X4 robust winnowing (MOSS) fingerprint selection",
+        ),
+        "source_overlap_matrix": QueryDef(
+            source_overlap_matrix,
+            SOURCE_OVERLAP_ORACLE_SQL,
+            "X2 cross-source shared-passage matrix + Jaccard",
         ),
     }

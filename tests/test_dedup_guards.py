@@ -622,3 +622,37 @@ def test_passage_scrub_oracle_parity_and_reassembly(spark, sf_smoke):
             t for t in re.split(r"[^a-z0-9]+", texts[d].lower()) if t
         )
         assert got[d][2] == norm, f"doc {d} reassembly mismatch"
+
+
+def test_source_overlap_matrix_parity_and_cap(spark, sf_smoke):
+    """Spark↔DuckDB parity for the cross-source passage matrix, plus
+    cap semantics: with max_sources_per_passage=1 every shared passage
+    (by definition in >= 2 sources) is excised, so the matrix is
+    empty."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        SOURCE_OVERLAP_ORACLE_SQL,
+        source_overlap_matrix,
+    )
+
+    got = {
+        (r.source_a, r.source_b): (r.n_shared, r.passage_jaccard)
+        for r in source_overlap_matrix(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(SOURCE_OVERLAP_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 5
+    assert all(v[0] >= 1 and 0 < v[1] <= 1 for v in got.values())
+
+    capped = source_overlap_matrix(
+        spark, sf_smoke, max_sources_per_passage=1
+    )
+    assert capped.count() == 0
