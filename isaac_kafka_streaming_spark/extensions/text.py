@@ -1347,6 +1347,115 @@ FROM sel GROUP BY doc_id
 """
 
 
+PMI_MIN_COUNT = 5
+PMI_TOP_K = 50
+
+
+def pmi_top_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_count: int = PMI_MIN_COUNT,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """X4 — collocation extraction: the top-k adjacent token pairs by
+    pointwise mutual information, PMI = log2(C(w1,w2) * N / (C(w1) *
+    C(w2))), with a minimum pair-count floor (rare pairs explode PMI —
+    the standard Church & Hanks discipline).  bigram_perplexity scores
+    DOCUMENTS with the corpus LM; this scores the VOCABULARY pairs —
+    the phrase-mining complement.
+
+    Cross-engine determinism at the top-k CUTOFF: the sort key is the
+    ROUNDED pmi (6 dp) with (w1, w2) tiebreaks, because raw log2 can
+    differ by an ulp between engines and silently reorder the
+    boundary; after rounding, survival at the cutoff is engine-exact.
+    Scale shape: one bigram explode + two vocab-bounded aggregates;
+    the N scalar broadcasts; top-k is TakeOrdered, never a global
+    sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(_tokens(F.col("text")).alias("tokens"))
+    unigrams = toks.select(F.explode("tokens").alias("w"))
+    uni = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
+    total = unigrams.agg(F.count("*").alias("n_tokens"))
+    bigrams = toks.filter(F.size("tokens") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("tokens"), i).alias("w1"),
+                    F.element_at(F.col("tokens"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    scored = (
+        bi.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            F.col("cb").cast("long").alias("pair_count"),
+            F.round(
+                F.log2(
+                    F.col("cb")
+                    * F.col("n_tokens")
+                    / (F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1"), F.col("w2")
+    ).limit(k)
+
+
+# DuckDB twin for pmi_top_pairs — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+PMI_TOP_PAIRS_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), uni AS (
+    SELECT w, COUNT(*) AS cw FROM (
+        SELECT UNNEST(tokens) AS w FROM tok
+    ) GROUP BY w
+), total AS (
+    SELECT SUM(cw) AS n_tokens FROM uni
+), bi AS (
+    SELECT tokens[i] AS w1, tokens[i + 1] AS w2, COUNT(*) AS cb
+    FROM tok, UNNEST(range(1, len(tokens))) t(i)
+    WHERE len(tokens) >= 2
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, CAST(cb AS BIGINT) AS pair_count,
+       ROUND(log2(cb * n_tokens / (c1.cw * c2.cw)), 6) AS pmi
+FROM bi
+JOIN uni c1 ON c1.w = w1
+JOIN uni c2 ON c2.w = w2
+CROSS JOIN total
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOP_K}
+"""
+
+
 def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-shuffle variant of char_entropy: per-doc character counts
     via higher-order functions (array_distinct + filter-size per

@@ -2829,7 +2829,9 @@ REGISTRY: dict[str, QueryDef] = {
 # (extensions/text.py — robust winnowing fingerprint selection with
 # the SIGMOD'03 window guarantee pinned in test),
 # source_overlap_matrix + SOURCE_OVERLAP_ORACLE_SQL
-# (extensions/dedup.py — pairwise cross-source boilerplate matrix).
+# (extensions/dedup.py — pairwise cross-source boilerplate matrix),
+# pmi_top_pairs + PMI_TOP_PAIRS_ORACLE_SQL (extensions/text.py —
+# collocation mining with an engine-safe rounded top-k cutoff).
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation
@@ -2908,6 +2910,7 @@ def staged_queries() -> dict[str, QueryDef]:
         BPE_TOKENIZE_STATS_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
+        PMI_TOP_PAIRS_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
         WINNOW_FINGERPRINTS_ORACLE_SQL,
         bigram_perplexity,
@@ -2915,6 +2918,7 @@ def staged_queries() -> dict[str, QueryDef]:
         bpe_tokenize_stats,
         cms_heavy_hitters,
         corpus_report,
+        pmi_top_pairs,
         vocab_coverage,
         winnow_fingerprints,
     )
@@ -3033,5 +3037,10 @@ def staged_queries() -> dict[str, QueryDef]:
             source_overlap_matrix,
             SOURCE_OVERLAP_ORACLE_SQL,
             "X2 cross-source shared-passage matrix + Jaccard",
+        ),
+        "pmi_top_pairs": QueryDef(
+            pmi_top_pairs,
+            PMI_TOP_PAIRS_ORACLE_SQL,
+            "X4 collocation mining: top-k PMI pairs, floor-counted",
         ),
     }

@@ -769,3 +769,30 @@ def test_winnow_fingerprints_parity_and_guarantee(spark, sf_smoke):
     densities = [v[2] for v in got.values()]
     mean_density = sum(densities) / len(densities)
     assert 0.5 * 2 / (WINNOW_W + 1) < mean_density < 2.0 * 2 / (WINNOW_W + 1)
+
+
+def test_pmi_top_pairs_parity_and_floor(spark, sf_smoke):
+    """Spark↔DuckDB parity for PMI collocation mining, plus the
+    min-count floor contract (every surviving pair clears it) and PMI
+    sanity (a genuinely collocated pair scores positive)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_PAIRS_ORACLE_SQL,
+        pmi_top_pairs,
+    )
+
+    rows = pmi_top_pairs(spark, sf_smoke).collect()
+    got = sorted((r.w1, r.w2, r.pair_count, r.pmi) for r in rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(PMI_TOP_PAIRS_ORACLE_SQL).fetchall()
+    )
+    assert got == want and len(got) > 10
+    assert all(r[2] >= PMI_MIN_COUNT for r in got)
+    assert max(r[3] for r in got) > 0

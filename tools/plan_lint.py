@@ -53,6 +53,7 @@ CARTESIAN_OK = {
     "vocab_coverage",  # broadcast 1-row total-occurrences scalar
     "bpe_learn",  # three 1-row top-pair scalars (one per merge round)
     "bpe_tokenize_stats",  # composes bpe_learn's scalar tops
+    "pmi_top_pairs",  # broadcast 1-row corpus-token-count scalar
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
