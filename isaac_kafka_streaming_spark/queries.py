@@ -2832,6 +2832,13 @@ REGISTRY: dict[str, QueryDef] = {
 # (extensions/dedup.py — pairwise cross-source boilerplate matrix),
 # pmi_top_pairs + PMI_TOP_PAIRS_ORACLE_SQL (extensions/text.py —
 # collocation mining with an engine-safe rounded top-k cutoff).
+# CAPACITY NOTE for round 7+: the K=2 freshness invariant
+# (tests/test_registry.py) admits at most 50 x 3 = 150 registry
+# entries under perfect disjoint rotation.  Registering all 25 staged
+# entries brings the live registry to 124 (83% of ceiling) — from
+# round 7 on, prefer DEEPENING existing entries (stronger oracles,
+# streaming twins, property tests) over net-new registrations, and
+# retire-or-merge before exceeding ~140.
 # Round 7: add the staged QueryDefs to
 # their registers and front them in the window — `python
 # tools/plan_window.py --include-staged` computes the rotation

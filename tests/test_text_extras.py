@@ -796,3 +796,58 @@ def test_pmi_top_pairs_parity_and_floor(spark, sf_smoke):
     assert got == want and len(got) > 10
     assert all(r[2] >= PMI_MIN_COUNT for r in got)
     assert max(r[3] for r in got) > 0
+
+
+def test_bpe_learn_matches_classic_reference(spark, tmp_path_factory):
+    """Third-implementation check: the classic imperative BPE trainer
+    (the textbook merge loop) on a seeded random corpus must agree
+    with the relational trainer exactly — guarding against BOTH
+    engines sharing a semantics bug that oracle parity alone would
+    miss."""
+    import random
+    from collections import Counter
+
+    from isaac_kafka_streaming_spark.extensions.text import bpe_learn
+
+    rng = random.Random(1234)
+    words = [
+        "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+        for _ in range(200)
+    ]
+    base = tmp_path_factory.mktemp("bpe_ref")
+    spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    ).write.parquet(str(base / "documents.parquet"))
+
+    freqs = Counter(words)
+    seqs = {w: list(w) for w in freqs}
+    merges = []
+    for _ in range(3):
+        pc: Counter = Counter()
+        for w, f in freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        best = max(pc.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))[0]
+        merges.append(best)
+        a, b = best
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+
+    got = {
+        r.word: (r.symbols, r.merge1, r.merge2, r.merge3)
+        for r in bpe_learn(spark, str(base)).collect()
+    }
+    assert set(got) == set(freqs)
+    want_merges = tuple(f"{a}+{b}" for a, b in merges)
+    for w, (symbols, m1, m2, m3) in got.items():
+        assert symbols == " ".join(seqs[w]), f"word {w}"
+        assert (m1, m2, m3) == want_merges
