@@ -656,3 +656,60 @@ def test_source_overlap_matrix_parity_and_cap(spark, sf_smoke):
         spark, sf_smoke, max_sources_per_passage=1
     )
     assert capped.count() == 0
+
+
+def test_passage_scrub_matches_classic_reference(spark, tmp_path_factory):
+    """Third-implementation check for the repeated-span scrub: a plain
+    Python block-grid scrub on a seeded corpus with PLANTED shared
+    spans must agree with the relational form exactly (counts and
+    reassembled text)."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        PASSAGE_SCRUB_BLOCK,
+        PASSAGE_SCRUB_MAX_DF,
+        passage_scrub,
+    )
+
+    rng = random.Random(7)
+    vocab = "aa bb cc dd ee ff gg hh".split()
+    boiler = " ".join(rng.choice(vocab) for _ in range(PASSAGE_SCRUB_BLOCK))
+    docs = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        text = " ".join(words)
+        if d % 3 == 0:
+            # plant the boilerplate run at a block-aligned offset so it
+            # lands as one grid block in >1/3 of docs (df > max_df)
+            text = boiler + " " + text
+        docs.append((d, text))
+    base = tmp_path_factory.mktemp("scrub_ref")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+
+    B = PASSAGE_SCRUB_BLOCK
+
+    def blocks(text):
+        toks = [t for t in text.lower().split() if t]
+        return [
+            " ".join(toks[i : i + B]) for i in range(0, len(toks), B)
+        ]
+
+    df = {}
+    for _, text in docs:
+        for b in set(blocks(text)):
+            df[b] = df.get(b, 0) + 1
+    hot = {b for b, c in df.items() if c > PASSAGE_SCRUB_MAX_DF}
+    assert boiler in hot, "planted span not hot — fixture broken"
+
+    got = {
+        r.doc_id: (r.n_blocks, r.n_scrubbed, r.cleaned_text)
+        for r in passage_scrub(spark, str(base)).collect()
+    }
+    for d, text in docs:
+        blks = blocks(text)
+        kept = [b for b in blks if b not in hot]
+        n_scrubbed = len(blks) - len(kept)
+        assert got[d] == (len(blks), n_scrubbed, " ".join(kept)), f"doc {d}"
+    assert any(v[1] > 0 for v in got.values())

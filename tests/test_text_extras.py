@@ -851,3 +851,65 @@ def test_bpe_learn_matches_classic_reference(spark, tmp_path_factory):
     for w, (symbols, m1, m2, m3) in got.items():
         assert symbols == " ".join(seqs[w]), f"word {w}"
         assert (m1, m2, m3) == want_merges
+
+
+def test_winnow_fingerprints_matches_classic_reference(
+    spark, tmp_path_factory
+):
+    """Third-implementation check for robust winnowing: the textbook
+    sliding-window min-selection (explicit loop, rightmost-min rule)
+    on a seeded random corpus must agree with the relational form in
+    fingerprint COUNTS and hash extremes per doc."""
+    import hashlib
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(99)
+    docs = [
+        (
+            d,
+            " ".join(
+                rng.choice("ab cd ef gh ij kl".split())
+                for _ in range(rng.randint(WINNOW_K + WINNOW_W - 1, 60))
+            ),
+        )
+        for d in range(50)
+    ]
+    base = tmp_path_factory.mktemp("winnow_ref")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+
+    def ref(text):
+        toks = [t for t in text.lower().split() if t]
+        kgrams = [
+            " ".join(toks[i : i + WINNOW_K])
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        hashes = [
+            int(hashlib.md5(kg.encode()).hexdigest()[:7], 16)
+            for kg in kgrams
+        ]
+        sel = set()
+        for end in range(WINNOW_W - 1, len(hashes)):
+            window = hashes[end - WINNOW_W + 1 : end + 1]
+            m = min(window)
+            # rightmost position holding the min
+            off = max(i for i, h in enumerate(window) if h == m)
+            sel.add((m, end - WINNOW_W + 1 + off + 1))  # 1-based pos
+        return sel
+
+    got = {
+        r.doc_id: (r.n_fingerprints, r.fp_min_hash, r.fp_max_hash)
+        for r in winnow_fingerprints(spark, str(base)).collect()
+    }
+    for d, text in docs:
+        fps = ref(text)
+        assert got[d][0] == len(fps), f"doc {d} fingerprint count"
+        assert got[d][1] == min(h for h, _ in fps), f"doc {d} min hash"
+        assert got[d][2] == max(h for h, _ in fps), f"doc {d} max hash"
