@@ -1077,6 +1077,46 @@ PASSAGE_SCRUB_BLOCK = 8
 PASSAGE_SCRUB_MAX_DF = 2
 
 
+def _block_grid(tokens_col, block: int):
+    """Non-overlapping `block`-token spans as strings, in order —
+    shared by the batch scrub, the hot-span miner and the streaming
+    scrub so the grid definition can never diverge."""
+    nblk = F.ceil(F.size(tokens_col) / F.lit(float(block))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda i: F.array_join(
+            F.slice(tokens_col, i * block + 1, block), " "
+        ),
+    )
+
+
+def hot_passage_spans(
+    spark,
+    sf_dir: str,
+    block: int = PASSAGE_SCRUB_BLOCK,
+    max_df: int = PASSAGE_SCRUB_MAX_DF,
+) -> DataFrame:
+    """The boilerplate span list passage_scrub strikes: grid spans in
+    more than `max_df` distinct documents (two-level aggregate; tiny
+    by construction — this is the static side of the streaming
+    scrub)."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    blocks = toks.select(
+        "doc_id",
+        F.explode(_block_grid(F.col("tokens"), block)).alias("btext"),
+    )
+    return (
+        blocks.distinct()
+        .groupBy("btext")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("btext")
+    )
+
+
 def passage_scrub(
     spark,
     sf_dir: str,
@@ -1108,25 +1148,14 @@ def passage_scrub(
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
-    nblk = F.ceil(F.size("tokens") / F.lit(float(block))).cast("int")
     blocks = toks.select(
         "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), nblk - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("tokens"), i * block + 1, block), " "
-                ),
-            )
-        ).alias("pos", "btext"),
+        F.posexplode(_block_grid(F.col("tokens"), block)).alias(
+            "pos", "btext"
+        ),
     )
-    hot = (
-        blocks.select("doc_id", "btext")
-        .distinct()
-        .groupBy("btext")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("btext", F.lit(1).alias("hot"))
+    hot = hot_passage_spans(spark, sf_dir, block, max_df).select(
+        "btext", F.lit(1).alias("hot")
     )
     flagged = blocks.join(F.broadcast(hot), "btext", "left")
     return flagged.groupBy("doc_id").agg(

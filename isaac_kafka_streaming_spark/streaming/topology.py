@@ -272,6 +272,47 @@ def streaming_dedup_incoming(
     )
 
 
+def streaming_passage_scrub(
+    docs_stream: DataFrame,
+    hot_spans: DataFrame,
+    block: int = 8,
+) -> DataFrame:
+    """X2 streaming form of the repeated-span scrub: each arriving
+    document is cut into the block grid and its boilerplate spans
+    struck against a STATIC hot-span list (mined from the existing
+    corpus by `dedup.hot_passage_spans`; re-read per micro-batch, so a
+    recompacted list keeps the scrub current without a restart).
+
+    Batch twin: passage_scrub.  Completely STATELESS — the hot list
+    collapses to a 1-row collect_set frame joined in broadcast, and
+    the strike + reassembly are per-row higher-order array functions,
+    so the query runs in append mode with no watermark and no state
+    store; per-row work is bounded by the doc's own span count.  The
+    grid expression is SHARED with the batch form (_block_grid), so
+    the two can never cut differently."""
+    from ..extensions.dedup import _block_grid, _tokens
+
+    hot1 = hot_spans.agg(F.collect_set("btext").alias("hot_set"))
+    toks = docs_stream.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") > 0)
+    g = (
+        toks.withColumn("k", F.lit(1))
+        .join(F.broadcast(hot1.withColumn("k", F.lit(1))), "k")
+        .withColumn("blocks", _block_grid(F.col("tokens"), block))
+    )
+    kept = F.filter(
+        F.col("blocks"),
+        lambda b: ~F.array_contains(F.col("hot_set"), b),
+    )
+    return g.select(
+        "doc_id",
+        F.size("blocks").cast("long").alias("n_blocks"),
+        (F.size("blocks") - F.size(kept)).cast("long").alias("n_scrubbed"),
+        F.array_join(kept, " ").alias("cleaned_text"),
+    )
+
+
 def streaming_cms_build(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -765,3 +765,59 @@ def test_streaming_bloom_probe_parity(spark, sf_smoke, tmp_path_factory):
         assert got[doc_id] == hit, doc_id
         if is_dup:
             assert got[doc_id], f"false negative on true dup {doc_id}"
+
+
+def test_streaming_passage_scrub_parity(spark, sf_smoke, tmp_path_factory):
+    """Stateless stream-static scrub: streaming every document against
+    the corpus-mined hot-span list must produce exactly the batch
+    passage_scrub rows (n_blocks, n_scrubbed, cleaned_text)."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        hot_passage_spans,
+        passage_scrub,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_passage_scrub,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    hot = hot_passage_spans(spark, sf_smoke)
+
+    flat = tmp_path_factory.mktemp("docs_stream_scrub")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [
+            docs.filter(F.col("doc_id") <= mid),
+            docs.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        r.doc_id: (r.n_blocks, r.n_scrubbed, r.cleaned_text)
+        for r in run_to_memory(
+            streaming_passage_scrub(stream, hot),
+            "x2_stream_scrub",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_blocks, r.n_scrubbed, r.cleaned_text)
+        for r in passage_scrub(spark, sf_smoke).collect()
+    }
+    assert got == want and want
+    assert any(v[1] > 0 for v in want.values())
