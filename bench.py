@@ -88,8 +88,10 @@ HEADLINE = [
 # numbers exist from day one: tpch_q2, tpch_q8, tpch_q11, tpch_q12,
 # tpch_q19, tpch_q20, tpch_q21, priority_sample,
 # knn_pq, cms_heavy_hitters, hll_distinct_md5, histogram_quantiles,
-# bloom_prefilter, corpus_report (sf0.01/sf0.1 baselines in SCALE_DESIGN.md round-6
-# sections).
+# bloom_prefilter, corpus_report, passage_scrub, vocab_coverage,
+# bpe_learn, bpe_tokenize_stats, winnow_fingerprints,
+# source_overlap_matrix, pmi_top_pairs (sf0.01/sf0.1 baselines in
+# SCALE_DESIGN.md round-6 sections).
 
 
 def main() -> None:

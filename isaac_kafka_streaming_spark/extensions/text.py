@@ -1260,6 +1260,24 @@ def winnow_fingerprints(
     aggregates on doc_id.  Docs with fewer than w full windows (less
     than k + w - 1 tokens) drop, matching the oracle."""
     docs = read_table(spark, sf_dir, "documents")
+    sel = _winnow_selected(docs, k, w)
+    return sel.groupBy("doc_id").agg(
+        F.max("n_kgrams").alias("n_kgrams"),
+        F.count("*").cast("long").alias("n_fingerprints"),
+        F.round(F.count("*") / F.max("n_kgrams"), 6).alias("fp_density"),
+        # integer div, NOT floor(double /): packed is ~2^60, past the
+        # 53-bit range where double division stays exact
+        F.min(F.expr("fp DIV 4294967296")).cast("long").alias("fp_min_hash"),
+        F.max(F.expr("fp DIV 4294967296")).cast("long").alias("fp_max_hash"),
+    )
+
+
+def _winnow_selected(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """The selected-fingerprint relation winnow_fingerprints aggregates
+    and winnow_probe_incoming joins: distinct (doc_id, n_kgrams, fp)
+    where fp is the packed (hash, rightmost-pos) BIGINT."""
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") >= k + w - 1)
@@ -1292,20 +1310,11 @@ def winnow_fingerprints(
         .orderBy("pos")
         .rowsBetween(-(w - 1), 0)
     )
-    sel = (
+    return (
         packed.withColumn("fp", F.min("packed").over(win))
         .filter(F.col("pos") >= w)  # full windows only
         .select("doc_id", "n_kgrams", "fp")
         .distinct()
-    )
-    return sel.groupBy("doc_id").agg(
-        F.max("n_kgrams").alias("n_kgrams"),
-        F.count("*").cast("long").alias("n_fingerprints"),
-        F.round(F.count("*") / F.max("n_kgrams"), 6).alias("fp_density"),
-        # integer div, NOT floor(double /): packed is ~2^60, past the
-        # 53-bit range where double division stays exact
-        F.min(F.expr("fp DIV 4294967296")).cast("long").alias("fp_min_hash"),
-        F.max(F.expr("fp DIV 4294967296")).cast("long").alias("fp_max_hash"),
     )
 
 
@@ -1345,6 +1354,130 @@ SELECT doc_id,
        CAST(MAX(fp // 4294967296) AS BIGINT) AS fp_max_hash
 FROM sel GROUP BY doc_id
 """
+
+
+WINNOW_PROBE_MIN_SHARED = 2
+WINNOW_PROBE_MAX_DOCS_PER_FP = 64
+
+
+def winnow_probe_incoming(
+    spark: SparkSession,
+    sf_dir: str,
+    incoming_pct: int = 10,
+    min_shared: int = WINNOW_PROBE_MIN_SHARED,
+    max_corpus_docs_per_fp: int = WINNOW_PROBE_MAX_DOCS_PER_FP,
+) -> DataFrame:
+    """X2/X4 — position-aware incremental overlap probe: fingerprint
+    the INCOMING document slice (same deterministic md5 'inc' bucket
+    split as dedup_incoming) with robust winnowing and join it against
+    the existing corpus's fingerprint index — each surviving
+    (incoming, corpus) pair shares >= `min_shared` distinct
+    fingerprint hashes, i.e. winnowing-guaranteed evidence of shared
+    passages.  This is what the hash tier of dedup_incoming cannot
+    see: PARTIAL overlap (a copied paragraph inside an otherwise-new
+    document), caught at ingest without re-fingerprinting the corpus.
+
+    Scale shape: the corpus index is the materialized
+    (corpus_doc, fp_hash) relation — computed once, joined on fp_hash;
+    fingerprints present in more than `max_corpus_docs_per_fp` corpus
+    docs are everywhere-boilerplate and excised (same hot-key
+    discipline as source_overlap_matrix), bounding the join fan-out
+    per key; only the incoming slice is fingerprinted fresh.  The
+    pair aggregate is map-side combinable on (incoming, corpus)."""
+    docs = read_table(spark, sf_dir, "documents")
+    from .sampling import _bucket
+
+    b = docs.select("doc_id", "text", _bucket(F.col("doc_id"), "inc"))
+    cut = 100 - incoming_pct
+    inc = b.filter(F.col("bucket") >= cut).select("doc_id", "text")
+    cor = b.filter(F.col("bucket") < cut).select("doc_id", "text")
+    sel_inc = (
+        _winnow_selected(inc)
+        .select(
+            F.col("doc_id").alias("incoming_doc_id"),
+            F.expr("fp DIV 4294967296").alias("fph"),
+        )
+        .distinct()
+    )
+    sel_cor = (
+        _winnow_selected(cor)
+        .select(
+            F.col("doc_id").alias("corpus_doc_id"),
+            F.expr("fp DIV 4294967296").alias("fph"),
+        )
+        .distinct()
+    )
+    keep = (
+        sel_cor.groupBy("fph")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") <= max_corpus_docs_per_fp)
+        .select("fph")
+    )
+    return (
+        sel_inc.join(sel_cor.join(keep, "fph"), "fph")
+        .groupBy("incoming_doc_id", "corpus_doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+def _winnow_probe_sql_chain(prefix: str, src: str) -> str:
+    """One slice's winnowing chain for the probe oracle, ending in
+    `{prefix}_sel` = distinct (doc_id, fph)."""
+    return f"""{prefix}_tok AS (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM {src}
+), {prefix}_kg AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           CAST('0x' || substr(md5(array_to_string(
+               list_slice(tokens, i, i + {WINNOW_K} - 1), ' ')), 1, 7)
+               AS BIGINT) AS h
+    FROM {prefix}_tok,
+         UNNEST(range(1, len(tokens) - {WINNOW_K} + 2)) t(i)
+    WHERE len(tokens) >= {WINNOW_K} + {WINNOW_W} - 1
+), {prefix}_sel AS (
+    SELECT DISTINCT doc_id, fp // 4294967296 AS fph FROM (
+        SELECT doc_id,
+               MIN(h * 4294967296 + (2147483648 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+                   AS fp
+        FROM {prefix}_kg QUALIFY pos >= {WINNOW_W}
+    )
+)"""
+
+
+# DuckDB twin for winnow_probe_incoming — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+WINNOW_PROBE_ORACLE_SQL = (
+    """
+WITH b AS (
+    SELECT doc_id, text,
+           CAST('0x' || substr(md5('inc' || CAST(doc_id AS VARCHAR)),
+               1, 4) AS BIGINT) % 100 AS bucket
+    FROM documents
+), inc_docs AS (
+    SELECT doc_id, text FROM b WHERE bucket >= 90
+), cor_docs AS (
+    SELECT doc_id, text FROM b WHERE bucket < 90
+), """
+    + _winnow_probe_sql_chain("inc", "inc_docs")
+    + ", "
+    + _winnow_probe_sql_chain("cor", "cor_docs")
+    + f""", keep AS (
+    SELECT fph FROM cor_sel GROUP BY fph
+    HAVING COUNT(*) <= {WINNOW_PROBE_MAX_DOCS_PER_FP}
+)
+SELECT i.doc_id AS incoming_doc_id, c.doc_id AS corpus_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+FROM inc_sel i
+JOIN (SELECT * FROM cor_sel WHERE fph IN (SELECT fph FROM keep)) c
+  ON i.fph = c.fph
+GROUP BY 1, 2
+HAVING COUNT(*) >= {WINNOW_PROBE_MIN_SHARED}
+"""
+)
 
 
 PMI_MIN_COUNT = 5

@@ -2831,7 +2831,11 @@ REGISTRY: dict[str, QueryDef] = {
 # source_overlap_matrix + SOURCE_OVERLAP_ORACLE_SQL
 # (extensions/dedup.py — pairwise cross-source boilerplate matrix),
 # pmi_top_pairs + PMI_TOP_PAIRS_ORACLE_SQL (extensions/text.py —
-# collocation mining with an engine-safe rounded top-k cutoff).
+# collocation mining with an engine-safe rounded top-k cutoff),
+# winnow_probe_incoming + WINNOW_PROBE_ORACLE_SQL (extensions/text.py
+# — partial-overlap detection of the incoming slice vs the corpus
+# fingerprint index; catches the copied-paragraph case the
+# dedup_incoming hash tier cannot see).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
 # entries under perfect disjoint rotation.  Registering all 25 staged
@@ -2920,6 +2924,7 @@ def staged_queries() -> dict[str, QueryDef]:
         PMI_TOP_PAIRS_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
         WINNOW_FINGERPRINTS_ORACLE_SQL,
+        WINNOW_PROBE_ORACLE_SQL,
         bigram_perplexity,
         bpe_learn,
         bpe_tokenize_stats,
@@ -2928,6 +2933,7 @@ def staged_queries() -> dict[str, QueryDef]:
         pmi_top_pairs,
         vocab_coverage,
         winnow_fingerprints,
+        winnow_probe_incoming,
     )
 
     return {
@@ -3049,5 +3055,10 @@ def staged_queries() -> dict[str, QueryDef]:
             pmi_top_pairs,
             PMI_TOP_PAIRS_ORACLE_SQL,
             "X4 collocation mining: top-k PMI pairs, floor-counted",
+        ),
+        "winnow_probe_incoming": QueryDef(
+            winnow_probe_incoming,
+            WINNOW_PROBE_ORACLE_SQL,
+            "X2 position-aware incremental overlap probe (winnowing)",
         ),
     }

@@ -913,3 +913,47 @@ def test_winnow_fingerprints_matches_classic_reference(
         assert got[d][0] == len(fps), f"doc {d} fingerprint count"
         assert got[d][1] == min(h for h, _ in fps), f"doc {d} min hash"
         assert got[d][2] == max(h for h, _ in fps), f"doc {d} max hash"
+
+
+def test_winnow_probe_incoming_parity_and_partial_overlap(
+    spark, sf_smoke
+):
+    """Spark↔DuckDB parity for the incremental overlap probe, plus the
+    structural claims: every pair clears the min-shared floor, and the
+    probe sees pairs the whole-document hash tier cannot (partial
+    overlaps are a superset of exact dups on this fixture)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        WINNOW_PROBE_MIN_SHARED,
+        WINNOW_PROBE_ORACLE_SQL,
+        winnow_probe_incoming,
+    )
+
+    got = {
+        (r.incoming_doc_id, r.corpus_doc_id): r.n_shared_fp
+        for r in winnow_probe_incoming(spark, sf_smoke).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(WINNOW_PROBE_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 0
+    assert all(v >= WINNOW_PROBE_MIN_SHARED for v in got.values())
+    # the incoming slice is the same 'inc' bucket split dedup_incoming
+    # uses; any exact cross-slice duplicate must also be a probe hit
+    from isaac_kafka_streaming_spark.extensions.dedup import dedup_incoming
+
+    exact_pairs = {
+        (r.doc_id, r.dup_of)
+        for r in dedup_incoming(spark, sf_smoke).collect()
+        if not r.is_new
+    }
+    assert exact_pairs <= set(got), (
+        "an exact cross-slice duplicate escaped the fingerprint probe"
+    )
