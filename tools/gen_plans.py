@@ -266,6 +266,27 @@ PICKS = {
         "vocab-bounded fold; the corpus joins back on word and rolls "
         "up map-side per doc."
     ),
+    "winnow_fingerprints": (
+        "Robust winnowing: the windowed MIN partitions by doc_id "
+        "(per-doc sort, no global exchange); the packed (hash, pos) "
+        "BIGINT keeps selection a plain long comparison."
+    ),
+    "winnow_probe_incoming": (
+        "Incremental overlap probe: only the incoming slice is "
+        "fingerprinted fresh; the corpus index joins on fp hash with "
+        "per-key fan-out capped; pair counts partial-aggregate "
+        "map-side."
+    ),
+    "source_overlap_matrix": (
+        "Cross-source matrix: distinct (source, passage) once; the "
+        "self-join fan-out per passage is capped; per-source sizes "
+        "broadcast into the Jaccard projection."
+    ),
+    "pmi_top_pairs": (
+        "PMI collocations: one bigram explode + vocab-bounded "
+        "aggregates; the corpus token count is a 1-row broadcast "
+        "scalar; top-k is TakeOrdered on the ROUNDED pmi."
+    ),
 }
 
 
