@@ -1356,6 +1356,64 @@ FROM sel GROUP BY doc_id
 """
 
 
+def winnow_fp_hashes(docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W):
+    """Shuffle-free winnowing: the same robust fingerprint selection as
+    _winnow_selected, but computed per-ROW with higher-order array
+    functions (the sliding-window MIN over the doc's own packed-hash
+    array) instead of a partitioned window — NO exchange at all, which
+    also makes it legal on a STREAMING DataFrame, where window
+    functions are not.  The packed array is materialized as a real
+    column first so the window transform references it once per row,
+    not once per window (the inlined form re-evaluates the whole array
+    per element — O(n^2) on long docs).
+
+    Returns (doc_id, fph) distinct — the position-stripped fingerprint
+    HASHES (what the probe joins on).  Equality with the windowed
+    relation is pinned in test."""
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") >= k + w - 1)
+    big = F.lit(4294967296).cast("long")
+    packed = toks.withColumn(
+        "packed_arr",
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - k + 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(F.col("tokens"), i, k), " ")),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * big
+            + (F.lit(2147483648).cast("long") - i.cast("long")),
+        ),
+    )
+    fps = packed.withColumn(
+        "fps",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(w), F.size("packed_arr")),
+                lambda e: F.array_min(
+                    F.slice(F.col("packed_arr"), e - w + 1, w)
+                ),
+            )
+        ),
+    )
+    return fps.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                # shiftright(32) == integer DIV 2^32 for non-negative
+                # longs — exact, unlike / (double division, ~2^60 input)
+                F.transform(F.col("fps"), lambda fp: F.shiftright(fp, 32))
+            )
+        ).alias("fph"),
+    )
+
+
 WINNOW_PROBE_MIN_SHARED = 2
 WINNOW_PROBE_MAX_DOCS_PER_FP = 64
 
@@ -1382,8 +1440,12 @@ def winnow_probe_incoming(
     fingerprints present in more than `max_corpus_docs_per_fp` corpus
     docs are everywhere-boilerplate and excised (same hot-key
     discipline as source_overlap_matrix), bounding the join fan-out
-    per key; only the incoming slice is fingerprinted fresh.  The
-    pair aggregate is map-side combinable on (incoming, corpus)."""
+    per key; only the incoming slice is fingerprinted fresh.
+    Fingerprinting uses the SHUFFLE-FREE per-row form
+    (winnow_fp_hashes — equality with the windowed relation pinned in
+    test, and measurably faster: no exchange until the probe join),
+    so the plan's only exchanges are the join and the map-side-
+    combinable pair aggregate."""
     docs = read_table(spark, sf_dir, "documents")
     from .sampling import _bucket
 
@@ -1391,21 +1453,11 @@ def winnow_probe_incoming(
     cut = 100 - incoming_pct
     inc = b.filter(F.col("bucket") >= cut).select("doc_id", "text")
     cor = b.filter(F.col("bucket") < cut).select("doc_id", "text")
-    sel_inc = (
-        _winnow_selected(inc)
-        .select(
-            F.col("doc_id").alias("incoming_doc_id"),
-            F.expr("fp DIV 4294967296").alias("fph"),
-        )
-        .distinct()
+    sel_inc = winnow_fp_hashes(inc).withColumnRenamed(
+        "doc_id", "incoming_doc_id"
     )
-    sel_cor = (
-        _winnow_selected(cor)
-        .select(
-            F.col("doc_id").alias("corpus_doc_id"),
-            F.expr("fp DIV 4294967296").alias("fph"),
-        )
-        .distinct()
+    sel_cor = winnow_fp_hashes(cor).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
     )
     keep = (
         sel_cor.groupBy("fph")

@@ -313,6 +313,35 @@ def streaming_passage_scrub(
     )
 
 
+def streaming_winnow_probe(
+    docs_stream: DataFrame,
+    corpus_fp_index: DataFrame,
+    min_shared: int = 2,
+) -> DataFrame:
+    """X2/X4 streaming form of the position-aware overlap probe: each
+    arriving document is fingerprinted with the SHUFFLE-FREE winnowing
+    form (`text.winnow_fp_hashes` — per-row higher-order array ops;
+    the partitioned-window form is illegal on streams and unnecessary)
+    and joined against the static corpus fingerprint index; per
+    (incoming, corpus) pair counts accumulate in update/complete mode.
+
+    Batch twin: winnow_probe_incoming.  The only streaming state is
+    the pair-count aggregate — bounded by the number of genuinely
+    overlapping pairs, not by corpus size, because non-matching
+    fingerprints die in the join."""
+    from ..extensions.text import winnow_fp_hashes
+
+    inc = winnow_fp_hashes(docs_stream).withColumnRenamed(
+        "doc_id", "incoming_doc_id"
+    )
+    return (
+        inc.join(corpus_fp_index, "fph")
+        .groupBy("incoming_doc_id", "corpus_doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
+
+
 def streaming_cms_build(
     docs_stream: DataFrame,
     text_col: str = "text",

@@ -821,3 +821,74 @@ def test_streaming_passage_scrub_parity(spark, sf_smoke, tmp_path_factory):
     }
     assert got == want and want
     assert any(v[1] > 0 for v in want.values())
+
+
+def test_streaming_winnow_probe_parity(spark, sf_smoke, tmp_path_factory):
+    """Streaming the incoming slice against the static corpus
+    fingerprint index must produce exactly the batch
+    winnow_probe_incoming pairs — and the equality additionally pins
+    the shuffle-free HOF fingerprinting (winnow_fp_hashes, legal on
+    streams) against the batch op's windowed form."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.sampling import _bucket
+    from isaac_kafka_streaming_spark.extensions.text import (
+        WINNOW_PROBE_MAX_DOCS_PER_FP,
+        winnow_fp_hashes,
+        winnow_probe_incoming,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_winnow_probe,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    b = docs.select("doc_id", "text", _bucket(F.col("doc_id"), "inc"))
+    incoming = b.filter(F.col("bucket") >= 90).drop("bucket")
+    corpus = b.filter(F.col("bucket") < 90).drop("bucket")
+    sel_cor = winnow_fp_hashes(corpus).withColumnRenamed(
+        "doc_id", "corpus_doc_id"
+    )
+    keep = (
+        sel_cor.groupBy("fph")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") <= WINNOW_PROBE_MAX_DOCS_PER_FP)
+        .select("fph")
+    )
+    corpus_fp_index = sel_cor.join(keep, "fph")
+
+    flat = tmp_path_factory.mktemp("docs_stream_wprobe")
+    mid = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [
+            incoming.filter(F.col("doc_id") <= mid),
+            incoming.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = {
+        (r.incoming_doc_id, r.corpus_doc_id): r.n_shared_fp
+        for r in run_to_memory(
+            streaming_winnow_probe(stream, corpus_fp_index),
+            "x2_stream_wprobe",
+            output_mode="complete",
+        ).collect()
+    }
+    want = {
+        (r.incoming_doc_id, r.corpus_doc_id): r.n_shared_fp
+        for r in winnow_probe_incoming(spark, sf_smoke).collect()
+    }
+    assert got == want and want

@@ -957,3 +957,28 @@ def test_winnow_probe_incoming_parity_and_partial_overlap(
     assert exact_pairs <= set(got), (
         "an exact cross-slice duplicate escaped the fingerprint probe"
     )
+
+
+def test_winnow_hof_form_equals_windowed_form(spark, sf_smoke):
+    """The shuffle-free higher-order-function winnowing (legal on
+    streams, no exchange) selects EXACTLY the fingerprint hashes of
+    the partitioned-window form — the equality that licenses
+    winnow_probe_incoming and the streaming probe to use it."""
+    from pyspark.sql import functions as FF
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        _winnow_selected,
+        winnow_fp_hashes,
+    )
+    from isaac_kafka_streaming_spark.io import read_table as rt
+
+    docs = rt(spark, sf_smoke, "documents")
+    windowed = {
+        (r.doc_id, r.fph)
+        for r in _winnow_selected(docs)
+        .select("doc_id", FF.expr("fp DIV 4294967296").alias("fph"))
+        .distinct()
+        .collect()
+    }
+    hof = {(r.doc_id, r.fph) for r in winnow_fp_hashes(docs).collect()}
+    assert windowed == hof and len(hof) > 1000
