@@ -1254,21 +1254,64 @@ def winnow_fingerprints(
     is a plain long comparison in both engines — no struct-ordering
     semantics to align.
 
-    Scale shape: one explode; the windowed MIN partitions by doc_id
-    (hash partition + in-partition sort — per-doc state, no global
-    sort); fingerprint dedup and the rollup are map-side-combinable
-    aggregates on doc_id.  Docs with fewer than w full windows (less
-    than k + w - 1 tokens) drop, matching the oracle."""
+    Scale shape: ZERO exchanges — every output column is derivable
+    from the document's own packed-fingerprint array, so the whole
+    query is scan -> project (higher-order array functions; the
+    per-row window MIN over the materialized packed array).  The
+    min/max HASH ride the packed extremes directly: the hash field
+    dominates the packing, so shiftright(array_min(fps), 32) IS the
+    minimum hash.  The partitioned-window relation (_winnow_selected)
+    remains the reference formulation, equality-pinned in test.  Docs
+    with fewer than w full windows (less than k + w - 1 tokens) drop,
+    matching the oracle."""
     docs = read_table(spark, sf_dir, "documents")
-    sel = _winnow_selected(docs, k, w)
-    return sel.groupBy("doc_id").agg(
-        F.max("n_kgrams").alias("n_kgrams"),
-        F.count("*").cast("long").alias("n_fingerprints"),
-        F.round(F.count("*") / F.max("n_kgrams"), 6).alias("fp_density"),
-        # integer div, NOT floor(double /): packed is ~2^60, past the
-        # 53-bit range where double division stays exact
-        F.min(F.expr("fp DIV 4294967296")).cast("long").alias("fp_min_hash"),
-        F.max(F.expr("fp DIV 4294967296")).cast("long").alias("fp_max_hash"),
+    toks = docs.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).filter(F.size("tokens") >= k + w - 1)
+    big = F.lit(4294967296).cast("long")
+    packed = toks.withColumn(
+        "packed_arr",
+        F.transform(
+            F.sequence(F.lit(1), F.size("tokens") - k + 1),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(F.col("tokens"), i, k), " ")),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * big
+            + (F.lit(2147483648).cast("long") - i.cast("long")),
+        ),
+    )
+    fps = packed.withColumn(
+        "fps",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(w), F.size("packed_arr")),
+                lambda e: F.array_min(
+                    F.slice(F.col("packed_arr"), e - w + 1, w)
+                ),
+            )
+        ),
+    )
+    n_kg = (F.size("tokens") - k + 1).cast("long")
+    n_fp = F.size("fps").cast("long")
+    return fps.select(
+        "doc_id",
+        n_kg.alias("n_kgrams"),
+        n_fp.alias("n_fingerprints"),
+        F.round(n_fp / n_kg, 6).alias("fp_density"),
+        # shiftright == integer DIV 2^32 (exact; / is double division
+        # and packed sits at ~2^60)
+        F.shiftright(F.array_min("fps"), 32).cast("long").alias(
+            "fp_min_hash"
+        ),
+        F.shiftright(F.array_max("fps"), 32).cast("long").alias(
+            "fp_max_hash"
+        ),
     )
 
 
