@@ -1575,6 +1575,83 @@ HAVING COUNT(*) >= {WINNOW_PROBE_MIN_SHARED}
 )
 
 
+FEATURE_HASH_DIM = 16
+
+
+def feature_hash_embed(
+    spark: SparkSession, sf_dir: str, dim: int = FEATURE_HASH_DIM
+) -> DataFrame:
+    """X4/X5 bridge — feature hashing (the Weinberger et al. hashing
+    trick): every document becomes a dense `dim`-dimensional
+    L2-normalized bag-of-words vector, with token -> dimension
+    assignment by md5 (engine-exact, vocabulary-free — no dictionary
+    to build, ship or keep consistent, which is WHY the trick is the
+    production featurizer at corpus scale).  The output is the same
+    `array<double>` shape the embeddings table carries, so every
+    downstream X3 operator (brute-force kNN, SRP dedup, k-means)
+    composes with text directly.
+
+    Scale shape: one token explode -> one map-side-combinable
+    (doc, dim) count -> one groupBy(doc) assembling the dense vector
+    (per-doc state = dim counters); missing dimensions zero-fill via
+    a per-row sequence transform, not a join.  Components are rounded
+    AFTER the exact-integer norm arithmetic (counts are longs; the
+    sqrt and divisions are identical IEEE ops in both engines)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    counts = tok.withColumn(
+        "d",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("long")
+        % dim,
+    ).groupBy("doc_id", "d").agg(F.count("*").alias("c"))
+    sparse = counts.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("d"), F.col("c")))
+        ).alias("m"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    comp = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.round(
+            F.coalesce(F.element_at(F.col("m"), i.cast("long")), F.lit(0))
+            / F.sqrt(F.col("ss")),
+            6,
+        ),
+    )
+    return sparse.select(
+        "doc_id",
+        comp.alias("vec"),
+        F.size("m").cast("long").alias("n_active_dims"),
+    )
+
+
+# DuckDB twin for feature_hash_embed — parity-tested now
+# (tests/test_text_extras.py), wired into register() in round 7.
+FEATURE_HASH_EMBED_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
+               % {FEATURE_HASH_DIM} AS d,
+           COUNT(*) AS c
+    FROM tok GROUP BY 1, 2
+), sparse AS (
+    SELECT doc_id, MAP(list(d), list(c)) AS m, SUM(c * c) AS ss
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       [ROUND(COALESCE(map_extract(m, i)[1], 0) / sqrt(ss), 6)
+        FOR i IN range(0, {FEATURE_HASH_DIM})] AS vec,
+       CAST(cardinality(m) AS BIGINT) AS n_active_dims
+FROM sparse
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 

@@ -2835,7 +2835,10 @@ REGISTRY: dict[str, QueryDef] = {
 # winnow_probe_incoming + WINNOW_PROBE_ORACLE_SQL (extensions/text.py
 # — partial-overlap detection of the incoming slice vs the corpus
 # fingerprint index; catches the copied-paragraph case the
-# dedup_incoming hash tier cannot see).
+# dedup_incoming hash tier cannot see), feature_hash_embed +
+# FEATURE_HASH_EMBED_ORACLE_SQL (extensions/text.py — the
+# Weinberger-et-al hashing-trick featurizer bridging documents to the
+# X3 embedding operators).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
 # entries under perfect disjoint rotation.  Registering all 25 staged
@@ -2921,6 +2924,7 @@ def staged_queries() -> dict[str, QueryDef]:
         BPE_TOKENIZE_STATS_ORACLE_SQL,
         CMS_HEAVY_HITTERS_ORACLE_SQL,
         CORPUS_REPORT_ORACLE_SQL,
+        FEATURE_HASH_EMBED_ORACLE_SQL,
         PMI_TOP_PAIRS_ORACLE_SQL,
         VOCAB_COVERAGE_ORACLE_SQL,
         WINNOW_FINGERPRINTS_ORACLE_SQL,
@@ -2930,6 +2934,7 @@ def staged_queries() -> dict[str, QueryDef]:
         bpe_tokenize_stats,
         cms_heavy_hitters,
         corpus_report,
+        feature_hash_embed,
         pmi_top_pairs,
         vocab_coverage,
         winnow_fingerprints,
@@ -3060,5 +3065,10 @@ def staged_queries() -> dict[str, QueryDef]:
             winnow_probe_incoming,
             WINNOW_PROBE_ORACLE_SQL,
             "X2 position-aware incremental overlap probe (winnowing)",
+        ),
+        "feature_hash_embed": QueryDef(
+            feature_hash_embed,
+            FEATURE_HASH_EMBED_ORACLE_SQL,
+            "X4/X5 hashing-trick doc vectors (L2-normalized, md5 dims)",
         ),
     }

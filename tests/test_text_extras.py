@@ -982,3 +982,36 @@ def test_winnow_hof_form_equals_windowed_form(spark, sf_smoke):
     }
     hof = {(r.doc_id, r.fph) for r in winnow_fp_hashes(docs).collect()}
     assert windowed == hof and len(hof) > 1000
+
+
+def test_feature_hash_embed_parity_and_composition(spark, sf_smoke):
+    """Spark↔DuckDB parity for the hashing-trick featurizer, plus the
+    properties downstream X3 operators rely on: unit L2 norm (within
+    component rounding) and vectors living in the declared dim."""
+    import math
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        FEATURE_HASH_DIM,
+        FEATURE_HASH_EMBED_ORACLE_SQL,
+        feature_hash_embed,
+    )
+
+    rows = feature_hash_embed(spark, sf_smoke).collect()
+    got = {r.doc_id: (tuple(r.vec), r.n_active_dims) for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    want = {
+        r[0]: (tuple(r[1]), r[2])
+        for r in con.execute(FEATURE_HASH_EMBED_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    for vec, n_active in got.values():
+        assert len(vec) == FEATURE_HASH_DIM
+        assert 1 <= n_active <= FEATURE_HASH_DIM
+        norm = math.sqrt(sum(x * x for x in vec))
+        assert abs(norm - 1.0) < 1e-4, norm
