@@ -1928,6 +1928,98 @@ LIMIT 10
 """
 
 
+def _user_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill + LOCF — the feature-engineering
+    primitive none of the count rollups provide: every user gets a row
+    for EVERY day in their active span (zero-filled event counts), and
+    the latest observed `value` carries forward across the gaps
+    (last-observation-carried-forward; per-day "latest" is the max
+    (ts, event_id) event, deterministic).
+
+    Scale shape: one shuffle for the per-(user, day) aggregate; the
+    grid is a per-user sequence explode bounded by the user's own span
+    (never a calendar crossJoin); LOCF is a partitioned window per
+    user — per-user state, no global sort.
+
+    STAGED FOR ROUND 7 (window saturated) — GAPFILL_ORACLE_SQL below
+    is parity-tested now (tests/test_operators_staged.py)."""
+    from .io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n"),
+        F.max(F.struct("ts", "event_id", "value"))
+        .getField("value")
+        .alias("day_value"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.round(
+                F.last("day_value", ignorenulls=True).over(w), 6
+            ).alias("value_locf"),
+        )
+    )
+
+
+# DuckDB twin for _user_daily_gapfill — parity-tested now, registered
+# in round 7.
+GAPFILL_ORACLE_SQL = """
+WITH ev AS (
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           ts, event_id, value
+    FROM events
+), daily AS (
+    SELECT user_id, day, COUNT(*) AS n FROM ev GROUP BY 1, 2
+), lastv AS (
+    SELECT user_id, day, value AS day_value FROM (
+        SELECT user_id, day, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM ev
+    ) WHERE rn = 1
+), spans AS (
+    SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), grid AS (
+    SELECT user_id,
+           UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+    FROM spans
+)
+SELECT g.user_id, g.day,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       ROUND(last_value(day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS value_locf
+FROM grid g
+LEFT JOIN daily USING (user_id, day)
+LEFT JOIN lastv USING (user_id, day)
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -2838,7 +2930,9 @@ REGISTRY: dict[str, QueryDef] = {
 # dedup_incoming hash tier cannot see), feature_hash_embed +
 # FEATURE_HASH_EMBED_ORACLE_SQL (extensions/text.py — the
 # Weinberger-et-al hashing-trick featurizer bridging documents to the
-# X3 embedding operators).
+# X3 embedding operators), _user_daily_gapfill + GAPFILL_ORACLE_SQL
+# (this module — per-user daily resample with zero-fill and
+# last-observation-carried-forward).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
 # entries under perfect disjoint rotation.  Registering all 25 staged
@@ -3070,5 +3164,10 @@ def staged_queries() -> dict[str, QueryDef]:
             feature_hash_embed,
             FEATURE_HASH_EMBED_ORACLE_SQL,
             "X4/X5 hashing-trick doc vectors (L2-normalized, md5 dims)",
+        ),
+        "user_daily_gapfill": QueryDef(
+            _user_daily_gapfill,
+            GAPFILL_ORACLE_SQL,
+            "resample + zero-fill + LOCF per user-day (feature grid)",
         ),
     }

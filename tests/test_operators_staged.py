@@ -146,3 +146,42 @@ def test_histogram_bins_merge_across_shards(spark, sf_smoke):
         for cell, c in part.items():
             merged[cell] = merged.get(cell, 0) + c
     assert merged == whole and len(whole) > 0
+
+
+def test_user_daily_gapfill_parity_and_locf(spark, sf_smoke):
+    """Spark↔DuckDB parity for the resample/gap-fill/LOCF grid, plus
+    the structural properties: every user's span is dense (one row per
+    day, no holes), zero-filled days exist, and value_locf is never
+    null (each span starts on an observed day)."""
+    import datetime
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.queries import (
+        GAPFILL_ORACLE_SQL,
+        _user_daily_gapfill,
+    )
+
+    rows = _user_daily_gapfill(spark, sf_smoke).collect()
+    got = {(r.user_id, r.day): (r.n_events, r.value_locf) for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(GAPFILL_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 100
+    assert any(v[0] == 0 for v in got.values()), "no gap was filled"
+    assert all(v[1] is not None for v in got.values())
+
+    # density: per user, row count == span length in days
+    by_user: dict = {}
+    for (u, d), _ in got.items():
+        by_user.setdefault(u, []).append(d)
+    one_day = datetime.timedelta(days=1)
+    for u, days in by_user.items():
+        days.sort()
+        assert len(days) == (days[-1] - days[0]) // one_day + 1, u
