@@ -90,7 +90,8 @@ HEADLINE = [
 # knn_pq, cms_heavy_hitters, hll_distinct_md5, histogram_quantiles,
 # bloom_prefilter, corpus_report, passage_scrub, vocab_coverage,
 # bpe_learn, bpe_tokenize_stats, winnow_fingerprints,
-# source_overlap_matrix, pmi_top_pairs (sf0.01/sf0.1 baselines in
+# source_overlap_matrix, pmi_top_pairs, winnow_probe_incoming,
+# feature_hash_embed, user_daily_gapfill (sf0.01/sf0.1 baselines in
 # SCALE_DESIGN.md round-6 sections).
 
 

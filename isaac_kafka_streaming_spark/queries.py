@@ -2935,8 +2935,8 @@ REGISTRY: dict[str, QueryDef] = {
 # last-observation-carried-forward).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
-# entries under perfect disjoint rotation.  Registering all 25 staged
-# entries brings the live registry to 124 (83% of ceiling) — from
+# entries under perfect disjoint rotation.  Registering all 28 staged
+# entries brings the live registry to 127 (85% of ceiling) — from
 # round 7 on, prefer DEEPENING existing entries (stronger oracles,
 # streaming twins, property tests) over net-new registrations, and
 # retire-or-merge before exceeding ~140.
