@@ -2020,6 +2020,116 @@ LEFT JOIN lastv USING (user_id, day)
 """
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel — the product-analytics primitive: how
+    many users performed signup, then a view within one day after it,
+    then a click within one day of that, then a purchase (each step
+    the EARLIEST qualifying event inside the window — the standard
+    windowed-funnel semantics; without the window this fixture's
+    dense per-user activity converts everyone and the funnel is
+    uninformative), with per-step conversion from the previous step.
+
+    Scale shape: one conditional-min aggregate per step, each joined
+    to the previous step's (user, ts) frame — every aggregate and
+    every join keys on user_id, so ONE partitioning serves the whole
+    chain; the four step counts are 1-row scalars crossJoined
+    (broadcast) and exploded into the 4-row funnel report, so no
+    global-order window ever appears.
+
+    STAGED FOR ROUND 7 (window saturated) — FUNNEL_ORACLE_SQL below is
+    parity-tested now (tests/test_operators_staged.py)."""
+    from .io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    prev = None
+    counts = []
+    for i, step in enumerate(FUNNEL_STEPS, start=1):
+        stage = ev.filter(F.col("event_type") == step)
+        if prev is None:
+            cur = stage.groupBy("user_id").agg(F.min("ts").alias(f"t{i}"))
+        else:
+            cur = (
+                stage.join(prev, "user_id")
+                .filter(
+                    (F.col("ts") > F.col(f"t{i - 1}"))
+                    & (
+                        F.col("ts")
+                        <= F.col(f"t{i - 1}") + F.expr("INTERVAL 1 DAY")
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias(f"t{i}"))
+            )
+        counts.append(cur.agg(F.count("*").alias(f"n{i}")))
+        prev = cur
+    row = counts[0]
+    for c in counts[1:]:
+        row = row.crossJoin(F.broadcast(c))
+    structs = [
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+            F.col("n1").alias("n_users"),
+            F.lit(1.0).alias("conversion"),
+        )
+    ]
+    for i in range(2, len(FUNNEL_STEPS) + 1):
+        structs.append(
+            F.struct(
+                F.lit(i).alias("step"),
+                F.lit(FUNNEL_STEPS[i - 1]).alias("event_type"),
+                F.col(f"n{i}").alias("n_users"),
+                F.round(
+                    F.col(f"n{i}") / F.col(f"n{i - 1}"), 6
+                ).alias("conversion"),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# DuckDB twin for _funnel_signup_purchase — parity-tested now,
+# registered in round 7.
+FUNNEL_ORACLE_SQL = """
+WITH s1 AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+    SELECT e.user_id, MIN(ts) AS t2
+    FROM events e JOIN s1 USING (user_id)
+    WHERE event_type = 'view' AND ts > t1
+      AND ts <= t1 + INTERVAL 1 DAY GROUP BY 1
+), s3 AS (
+    SELECT e.user_id, MIN(ts) AS t3
+    FROM events e JOIN s2 USING (user_id)
+    WHERE event_type = 'click' AND ts > t2
+      AND ts <= t2 + INTERVAL 1 DAY GROUP BY 1
+), s4 AS (
+    SELECT e.user_id, MIN(ts) AS t4
+    FROM events e JOIN s3 USING (user_id)
+    WHERE event_type = 'purchase' AND ts > t3
+      AND ts <= t3 + INTERVAL 1 DAY GROUP BY 1
+), c AS (
+    SELECT (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2,
+           (SELECT COUNT(*) FROM s3) AS n3,
+           (SELECT COUNT(*) FROM s4) AS n4
+)
+SELECT 1 AS step, 'signup' AS event_type, n1 AS n_users,
+       1.0 AS conversion FROM c
+UNION ALL
+SELECT 2, 'view', n2, ROUND(n2::DOUBLE / n1, 6) FROM c
+UNION ALL
+SELECT 3, 'click', n3, ROUND(n3::DOUBLE / n2, 6) FROM c
+UNION ALL
+SELECT 4, 'purchase', n4, ROUND(n4::DOUBLE / n3, 6) FROM c
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -2932,11 +3042,13 @@ REGISTRY: dict[str, QueryDef] = {
 # Weinberger-et-al hashing-trick featurizer bridging documents to the
 # X3 embedding operators), _user_daily_gapfill + GAPFILL_ORACLE_SQL
 # (this module — per-user daily resample with zero-fill and
-# last-observation-carried-forward).
+# last-observation-carried-forward), _funnel_signup_purchase +
+# FUNNEL_ORACLE_SQL (this module — strict-order event funnel with
+# per-step conversion, the product-analytics primitive).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
-# entries under perfect disjoint rotation.  Registering all 28 staged
-# entries brings the live registry to 127 (85% of ceiling) — from
+# entries under perfect disjoint rotation.  Registering all 29 staged
+# entries brings the live registry to 128 (85% of ceiling) — from
 # round 7 on, prefer DEEPENING existing entries (stronger oracles,
 # streaming twins, property tests) over net-new registrations, and
 # retire-or-merge before exceeding ~140.
@@ -3169,5 +3281,10 @@ def staged_queries() -> dict[str, QueryDef]:
             _user_daily_gapfill,
             GAPFILL_ORACLE_SQL,
             "resample + zero-fill + LOCF per user-day (feature grid)",
+        ),
+        "funnel_signup_purchase": QueryDef(
+            _funnel_signup_purchase,
+            FUNNEL_ORACLE_SQL,
+            "event-sequence funnel with per-step conversion",
         ),
     }

@@ -185,3 +185,34 @@ def test_user_daily_gapfill_parity_and_locf(spark, sf_smoke):
     for u, days in by_user.items():
         days.sort()
         assert len(days) == (days[-1] - days[0]) // one_day + 1, u
+
+
+def test_funnel_parity_and_monotonicity(spark, sf_smoke):
+    """Spark↔DuckDB parity for the windowed event funnel, plus the
+    structural funnel laws: step counts are monotonically
+    non-increasing, every conversion is in (0, 1], and the funnel
+    genuinely discriminates (some step loses users) on this data."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.queries import (
+        FUNNEL_ORACLE_SQL,
+        _funnel_signup_purchase,
+    )
+
+    rows = sorted(
+        (r.step, r.event_type, r.n_users, r.conversion)
+        for r in _funnel_signup_purchase(spark, sf_smoke).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/events.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(FUNNEL_ORACLE_SQL).fetchall()
+    )
+    assert rows == want and len(rows) == 4
+    ns = [r[2] for r in rows]
+    assert ns == sorted(ns, reverse=True), "funnel counts increased"
+    assert all(0 < r[3] <= 1 for r in rows)
+    assert ns[-1] < ns[0], "funnel never discriminated"

@@ -54,6 +54,7 @@ CARTESIAN_OK = {
     "bpe_learn",  # three 1-row top-pair scalars (one per merge round)
     "bpe_tokenize_stats",  # composes bpe_learn's scalar tops
     "pmi_top_pairs",  # broadcast 1-row corpus-token-count scalar
+    "funnel_signup_purchase",  # four 1-row step-count scalars
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
