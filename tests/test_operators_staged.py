@@ -216,3 +216,44 @@ def test_funnel_parity_and_monotonicity(spark, sf_smoke):
     assert ns == sorted(ns, reverse=True), "funnel counts increased"
     assert all(0 < r[3] <= 1 for r in rows)
     assert ns[-1] < ns[0], "funnel never discriminated"
+
+
+def test_user_daily_gapfill_matches_classic_reference(spark, sf_smoke):
+    """Third-implementation check for the resample/LOCF grid: an
+    explicit per-user day loop over the raw events must agree with the
+    relational form exactly."""
+    import datetime
+
+    from isaac_kafka_streaming_spark.io import read_table as rt
+    from isaac_kafka_streaming_spark.queries import _user_daily_gapfill
+
+    events = rt(spark, sf_smoke, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).collect()
+    per_user: dict = {}
+    for r in events:
+        per_user.setdefault(r.user_id, []).append(r)
+
+    want = {}
+    one_day = datetime.timedelta(days=1)
+    for u, evs in per_user.items():
+        by_day: dict = {}
+        for r in evs:
+            by_day.setdefault(r.ts.date(), []).append(r)
+        d0, d1 = min(by_day), max(by_day)
+        locf = None
+        d = d0
+        while d <= d1:
+            rows = by_day.get(d, [])
+            if rows:
+                latest = max(rows, key=lambda r: (r.ts, r.event_id))
+                locf = latest.value
+            day_ts = datetime.datetime(d.year, d.month, d.day)
+            want[(u, day_ts)] = (len(rows), round(locf, 6))
+            d += one_day
+
+    got = {
+        (r.user_id, r.day): (r.n_events, r.value_locf)
+        for r in _user_daily_gapfill(spark, sf_smoke).collect()
+    }
+    assert got == want
