@@ -2130,6 +2130,86 @@ SELECT 4, 'purchase', n4, ROUND(n4::DOUBLE / n3, 6) FROM c
 """
 
 
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the funnel's companion analytics
+    primitive: users grouped by signup week (Monday-aligned
+    date_trunc, identical in both engines), and for every later week,
+    the fraction of the cohort active in it (any event; activity
+    before the signup week is excluded).
+
+    Scale shape: cohort assignment is one user-keyed aggregate;
+    activity distinct-ifies (user, cohort, offset) — map-side
+    combinable, per-key width bounded by the week span; cohort sizes
+    are a tiny broadcast.  Week offsets divide exactly by 7 because
+    both week buckets are Monday-aligned, so the arithmetic is
+    engine-exact integers.
+
+    STAGED FOR ROUND 7 (window saturated) — COHORT_RETENTION_ORACLE_SQL
+    below is parity-tested now (tests/test_operators_staged.py)."""
+    from .io import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    act = (
+        ev.join(cohort, "user_id")
+        .withColumn("aw", F.date_trunc("week", F.col("ts")))
+        .filter(F.col("aw") >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = cohort.groupBy("cw").agg(F.count("*").alias("cohort_size"))
+    return (
+        act.groupBy("cw", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+# DuckDB twin for _cohort_retention — parity-tested now, registered
+# in round 7.
+COHORT_RETENTION_ORACLE_SQL = """
+WITH cohort AS (
+    SELECT user_id,
+           CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cw
+    FROM events WHERE event_type = 'signup' GROUP BY 1
+), act AS (
+    SELECT DISTINCT e.user_id, cw,
+           CAST(datediff('day', cw,
+               CAST(date_trunc('week', ts) AS TIMESTAMP)) / 7
+               AS BIGINT) AS week_offset
+    FROM events e JOIN cohort USING (user_id)
+    WHERE CAST(date_trunc('week', ts) AS TIMESTAMP) >= cw
+), sizes AS (
+    SELECT cw, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+)
+SELECT cw AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       ROUND(COUNT(*)::DOUBLE / cohort_size, 6) AS retention
+FROM act JOIN sizes USING (cw)
+GROUP BY cw, week_offset, cohort_size
+"""
+
+
 def _user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-outer surface: every user with their registered-event count,
     zero for users who never emitted one (the rows an inner J1 drops)."""
@@ -3044,11 +3124,13 @@ REGISTRY: dict[str, QueryDef] = {
 # (this module — per-user daily resample with zero-fill and
 # last-observation-carried-forward), _funnel_signup_purchase +
 # FUNNEL_ORACLE_SQL (this module — strict-order event funnel with
-# per-step conversion, the product-analytics primitive).
+# per-step conversion, the product-analytics primitive),
+# _cohort_retention + COHORT_RETENTION_ORACLE_SQL (this module —
+# signup-week cohort retention matrix).
 # CAPACITY NOTE for round 7+: the K=2 freshness invariant
 # (tests/test_registry.py) admits at most 50 x 3 = 150 registry
-# entries under perfect disjoint rotation.  Registering all 29 staged
-# entries brings the live registry to 128 (85% of ceiling) — from
+# entries under perfect disjoint rotation.  Registering all 30 staged
+# entries brings the live registry to 129 (86% of ceiling) — from
 # round 7 on, prefer DEEPENING existing entries (stronger oracles,
 # streaming twins, property tests) over net-new registrations, and
 # retire-or-merge before exceeding ~140.
@@ -3286,5 +3368,10 @@ def staged_queries() -> dict[str, QueryDef]:
             _funnel_signup_purchase,
             FUNNEL_ORACLE_SQL,
             "event-sequence funnel with per-step conversion",
+        ),
+        "cohort_retention": QueryDef(
+            _cohort_retention,
+            COHORT_RETENTION_ORACLE_SQL,
+            "signup-week cohort retention matrix",
         ),
     }

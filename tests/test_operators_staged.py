@@ -257,3 +257,36 @@ def test_user_daily_gapfill_matches_classic_reference(spark, sf_smoke):
         for r in _user_daily_gapfill(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_cohort_retention_parity_and_bounds(spark, sf_smoke):
+    """Spark↔DuckDB parity for the retention matrix, plus structural
+    bounds: retention in (0, 1], offsets non-negative, and every
+    cohort's offset-0 row exists (signup week itself counts as
+    active)."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.queries import (
+        COHORT_RETENTION_ORACLE_SQL,
+        _cohort_retention,
+    )
+
+    rows = _cohort_retention(spark, sf_smoke).collect()
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.retention)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/events.parquet')"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(COHORT_RETENTION_ORACLE_SQL).fetchall()
+    }
+    assert got == want and len(got) > 2
+    cohorts = {cw for cw, _ in got}
+    assert all(off >= 0 for _, off in got)
+    assert all(0 < v[1] <= 1 for v in got.values())
+    assert all((cw, 0) in got for cw in cohorts), "missing offset-0 row"
