@@ -81,18 +81,40 @@ HEADLINE = [
     "kmeans_centroids",
     "dedup_minhash_lsh_md5",
     "dedup_simhash_md5",
+    # round 7 additions: all 30 operators registered this round
+    # (previously staged; sf0.01/sf0.1 solo baselines in
+    # SCALE_DESIGN.md round-6 sections) — benched = registered
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "priority_sample",
+    "temperature_mixture",
+    "knn_pq",
+    "cms_heavy_hitters",
+    "hll_distinct_md5",
+    "histogram_quantiles",
+    "bloom_prefilter",
+    "contained_documents",
+    "corpus_report",
+    "passage_scrub",
+    "vocab_coverage",
+    "bigram_perplexity",
+    "bpe_learn",
+    "bpe_tokenize_stats",
+    "winnow_fingerprints",
+    "source_overlap_matrix",
+    "pmi_top_pairs",
+    "winnow_probe_incoming",
+    "feature_hash_embed",
+    "user_daily_gapfill",
+    "funnel_signup_purchase",
+    "cohort_retention",
 ]
-
-# ROUND-7 TODO: when the staged operators register (queries.py staging
-# note), extend HEADLINE with the new families so their per-round
-# numbers exist from day one: tpch_q2, tpch_q8, tpch_q11, tpch_q12,
-# tpch_q19, tpch_q20, tpch_q21, priority_sample,
-# knn_pq, cms_heavy_hitters, hll_distinct_md5, histogram_quantiles,
-# bloom_prefilter, corpus_report, passage_scrub, vocab_coverage,
-# bpe_learn, bpe_tokenize_stats, winnow_fingerprints,
-# source_overlap_matrix, pmi_top_pairs, winnow_probe_incoming,
-# feature_hash_embed, user_daily_gapfill (sf0.01/sf0.1 baselines in
-# SCALE_DESIGN.md round-6 sections).
 
 
 def main() -> None:

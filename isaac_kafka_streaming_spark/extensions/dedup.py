@@ -1620,7 +1620,7 @@ def bloom_prefilter(
     probe — is engine-exact and oracle-checked, unlike a production
     xxhash/murmur Bloom whose bits the oracle couldn't replay (that
     production tier is `DataFrame.stat` territory; this is its graded
-    witness).  STAGED FOR ROUND 7 (round-6 window saturated);
+    witness).  STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     BLOOM_PREFILTER_ORACLE_SQL is parity-tested now
     (tests/test_dedup_guards.py)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -2207,5 +2207,27 @@ def register() -> dict:
                   >= 0.3
             """,
             "X2 SRP sub-blocked embedding near-dup (oracle-checked scale tier)",
+        ),
+        # --- registered in round 7 (previously staged; see
+        # queries.staged_queries for the staging mechanism) ---
+        "contained_documents": QueryDef(
+            contained_documents,
+            CONTAINED_DOCUMENTS_ORACLE_SQL,
+            "X2 truncation-duplicate tier: verbatim containment",
+        ),
+        "bloom_prefilter": QueryDef(
+            bloom_prefilter,
+            BLOOM_PREFILTER_ORACLE_SQL,
+            "X2 Bloom membership prefilter for incremental dedup",
+        ),
+        "passage_scrub": QueryDef(
+            passage_scrub,
+            PASSAGE_SCRUB_ORACLE_SQL,
+            "X2 repeated-span removal with document reassembly",
+        ),
+        "source_overlap_matrix": QueryDef(
+            source_overlap_matrix,
+            SOURCE_OVERLAP_ORACLE_SQL,
+            "X2 cross-source shared-passage matrix + Jaccard",
         ),
     }

@@ -561,7 +561,7 @@ def priority_sample(
 
     Shape at 100 TB: one shuffle on the stratum key; the rank window is
     per-stratum.  A stratum with <= k members keeps everything with
-    est_weight = w (tau is NULL -> 0).  STAGED FOR ROUND 7 (window
+    est_weight = w (tau is NULL -> 0).  STAGED round 6, REGISTERED round 7 (window
     saturated); PRIORITY_SAMPLE_ORACLE_SQL below is parity-tested now
     (tests/test_sampling_staged.py)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -961,5 +961,16 @@ def register() -> dict:
             FROM planned CROSS JOIN b
             """,
             "token-budget mixture rebalancing plan (no upsampling)",
+        ),
+        # --- registered in round 7 (previously staged) ---
+        "priority_sample": QueryDef(
+            priority_sample,
+            PRIORITY_SAMPLE_ORACLE_SQL,
+            "DLT weighted sampling without replacement, engine-exact",
+        ),
+        "temperature_mixture": QueryDef(
+            temperature_mixture_plan,
+            TEMPERATURE_MIXTURE_ORACLE_SQL,
+            "temperature-reweighted source mixture plan",
         ),
     }

@@ -650,7 +650,7 @@ def knn_pq(
 
     Output: (query_id, neighbor_id, l2_dist, rank) — rank 1..k by
     exact distance ASC, neighbor_id tie-break, self excluded.
-    STAGED FOR ROUND 7 (round-6 window saturated)."""
+    STAGED round 6, REGISTERED round 7 (round-6 window saturated)."""
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -805,7 +805,7 @@ def _pq_oracle_sql(
     one assignment+update CTE pair per round, distances use the
     |a|^2 - 2a.b + |b|^2 expansion with list_dot_product folds, and
     the final ADC sums the per-subspace CASE pivots in the same fixed
-    order as the Spark reduction.  STAGED FOR ROUND 7."""
+    order as the Spark reduction.  STAGED round 6, REGISTERED round 7."""
     dsub = dim // m
     sub_vals = ", ".join(f"({i})" for i in range(m))
     d2 = (
@@ -1132,5 +1132,11 @@ def register() -> dict:
             FROM embeddings GROUP BY label
             """,
             "X5 vector columns through relational aggs",
+        ),
+        # --- registered in round 7 (previously staged) ---
+        "knn_pq": QueryDef(
+            knn_pq,
+            KNN_PQ_ORACLE_SQL,
+            "X3 product-quantization ANN: ADC shortlist + exact re-rank",
         ),
     }

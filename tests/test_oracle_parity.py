@@ -12,6 +12,7 @@ import math
 import os
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -34,10 +35,41 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _canon_cell(v) -> str:
+    """Canonical sortable string for container-valued cells (array/map
+    columns — e.g. feature_hash_embed's vec) so row ordering works;
+    floats via %.6g, matching tools/parity_sweep._norm."""
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return (
+            "{" + ",".join(f"{k}:{_canon_cell(v[k])}" for k in sorted(v)) + "}"
+        )
+    if isinstance(v, float):
+        return f"{v:.6g}"
+    return str(v)
+
+
 def _normalize(df):
-    """Sort columns by name, rows by all values, reset index."""
+    """Sort columns by name, rows by all values, reset index.
+    Container-valued columns (ndarray/list/dict cells) sort by their
+    canonical string — pandas can't lexsort unhashable cells."""
     df = df[sorted(df.columns)]
-    return df.sort_values(by=list(df.columns), ignore_index=True)
+    if len(df):
+        keys = {}
+        for c in df.columns:
+            col = df[c]
+            if col.dtype == object and col.map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            ).any():
+                keys[c] = col.map(_canon_cell)
+            else:
+                keys[c] = col
+        order = pd.DataFrame(keys).sort_values(by=list(df.columns)).index
+        df = df.loc[order]
+    return df.reset_index(drop=True)
 
 
 def _is_scalar_na(v) -> bool:
@@ -48,6 +80,14 @@ def _is_scalar_na(v) -> bool:
 
 
 def _values_equal(a, b) -> bool:
+    if isinstance(a, np.ndarray):
+        a = a.tolist()
+    if isinstance(b, np.ndarray):
+        b = b.tolist()
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(
+            _values_equal(x, y) for x, y in zip(a, b)
+        )
     if _is_scalar_na(a) and _is_scalar_na(b):
         return True
     if isinstance(a, float) and isinstance(b, float):

@@ -8,7 +8,19 @@ hide a registry entry from driver verification:
 
 * the window is exactly the first 50 names, no dupes, all registered;
 * every registry entry is either in the current window or holds a green
-  driver row from one of the last two recorded rounds (K=2 freshness).
+  driver row from one of the last three recorded rounds (K=3 freshness
+  — every entry driver-verified at least once every three rounds).
+
+K is 3, not 2, because the invariant is evaluated AFTER the current
+round's CORRECTNESS_r{N}.json lands, with the round-N window still in
+the tree; green(r_N) ⊆ window(r_N) by construction, so K=2 would
+collapse to ``live ⊆ window ∪ green(r_{N-1})`` — a hard 100-entry
+registry ceiling that the round-7 registration (99 → 129 live) breaks
+for ANY rotation.  K=3 is the cadence tools/plan_window.py's T1 rule
+and tests/test_staged_registry.py's feasibility guard were already
+written against (their "required next round" tier is lg <= latest-2),
+and yields the intended 50 × 3 = 150-entry ceiling documented in
+queries.py's capacity note.
 
 No SparkSession needed — these are pure registry-shape checks.
 """
@@ -23,7 +35,7 @@ from isaac_kafka_streaming_spark.queries import _DRIVER_CHECK_ORDER, all_queries
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 DRIVER_WINDOW = 50
-FRESHNESS_ROUNDS = 2
+FRESHNESS_ROUNDS = 3
 
 
 def _is_green(row: dict) -> bool:

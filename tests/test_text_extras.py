@@ -594,6 +594,17 @@ def test_vocab_coverage_oracle_parity_and_minimality(spark, sf_smoke):
     assert sum(counts[:vocab_len]) >= VOCAB_COVERAGE_SHARE * total
     assert sum(counts[: vocab_len - 1]) < VOCAB_COVERAGE_SHARE * total
 
+    # the 100 TB join mode (plain shuffled equi-join — no broadcast of
+    # a potentially O(millions)-string vocab) is row-identical to the
+    # graded broadcast mode
+    shuffled = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in vocab_coverage(
+            spark, sf_smoke, vocab_join="shuffle"
+        ).collect()
+    }
+    assert shuffled == got
+
 
 def test_bpe_learn_greedy_semantics(spark, tmp_path_factory):
     """Pin the trainer on a hand-computed corpus: merge selection by
@@ -624,6 +635,47 @@ def test_bpe_learn_greedy_semantics(spark, tmp_path_factory):
     assert got == {
         "aaa": (2, "aaa", 1, "a+a", "aa+a", "b+a"),
         "bab": (1, "ba b", 2, "a+a", "aa+a", "b+a"),
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(BPE_LEARN_ORACLE_SQL).fetchall()
+    }
+    assert got == want
+
+
+def test_bpe_learn_degenerate_corpus_parity(spark, tmp_path_factory):
+    """A corpus of ONLY single-char words gives the trainer nothing to
+    learn: no round has any pair, Spark's max(struct) top-pair
+    aggregate yields a 1-row all-NULL frame, and every word must come
+    through unchanged with empty merge columns — in BOTH engines.
+    Pins the round-7 advice fix: the oracle's old ORDER BY..LIMIT 1
+    top-pair CTE returned ZERO rows here, and its CROSS JOIN silently
+    dropped the entire corpus while Spark returned it all."""
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BPE_LEARN_ORACLE_SQL,
+        bpe_learn,
+    )
+
+    docs = [(0, "a b c a"), (1, "b. c; a")]
+    base = tmp_path_factory.mktemp("bpe_degen")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    got = {
+        r.word: (r.freq, r.symbols, r.n_symbols, r.merge1, r.merge2, r.merge3)
+        for r in bpe_learn(spark, str(base)).collect()
+    }
+    assert got == {
+        "a": (3, "a", 1, "", "", ""),
+        "b": (2, "b", 1, "", "", ""),
+        "c": (2, "c", 1, "", "", ""),
     }
     con = duckdb.connect()
     con.execute(
@@ -706,6 +758,7 @@ def test_winnow_fingerprints_parity_and_guarantee(spark, sf_smoke):
 
     from isaac_kafka_streaming_spark.extensions.text import (
         WINNOW_FINGERPRINTS_ORACLE_SQL,
+        WINNOW_K,
         WINNOW_W,
         winnow_fingerprints,
     )
@@ -739,12 +792,16 @@ def test_winnow_fingerprints_parity_and_guarantee(spark, sf_smoke):
                 '[^a-z0-9]+'), t -> t <> '') AS tokens
             FROM documents
         ), kg AS (
+            -- WINNOW_K interpolated like WINNOW_W so this gap check
+            -- always audits the SAME k-gram stream the implementation
+            -- fingerprints (a hardcoded k would silently verify the
+            -- wrong stream if WINNOW_K ever changed)
             SELECT doc_id, CAST(i AS BIGINT) AS pos,
                    CAST('0x' || substr(md5(array_to_string(
-                       list_slice(tokens, i, i + 3), ' ')), 1, 7)
+                       list_slice(tokens, i, i + {WINNOW_K} - 1), ' ')), 1, 7)
                        AS BIGINT) AS h
-            FROM tok, UNNEST(range(1, len(tokens) - 2)) t(i)
-            WHERE len(tokens) >= 8
+            FROM tok, UNNEST(range(1, len(tokens) - {WINNOW_K} + 2)) t(i)
+            WHERE len(tokens) >= {WINNOW_K} + {WINNOW_W} - 1
         ), sel AS (
             SELECT DISTINCT doc_id,
                    MIN(h * 4294967296 + (2147483648 - pos)) OVER (
@@ -1015,3 +1072,29 @@ def test_feature_hash_embed_parity_and_composition(spark, sf_smoke):
         assert 1 <= n_active <= FEATURE_HASH_DIM
         norm = math.sqrt(sum(x * x for x in vec))
         assert abs(norm - 1.0) < 1e-4, norm
+
+    # the GRADED long form (scalar columns only — what the driver
+    # value-hashes) is exactly the array form unrolled
+    from isaac_kafka_streaming_spark.extensions.text import (
+        FEATURE_HASH_EMBED_LONG_ORACLE_SQL,
+        feature_hash_embed_long,
+    )
+
+    long_rows = feature_hash_embed_long(spark, sf_smoke).collect()
+    rebuilt = {}
+    for r in long_rows:
+        vec, n_active = rebuilt.setdefault(
+            r.doc_id, ([None] * FEATURE_HASH_DIM, r.n_active_dims)
+        )
+        assert n_active == r.n_active_dims
+        vec[r.dim_i] = r.component
+    assert {d: (tuple(v), n) for d, (v, n) in rebuilt.items()} == got
+    want_long = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(FEATURE_HASH_EMBED_LONG_ORACLE_SQL).fetchall()
+    }
+    got_long = {
+        (r.doc_id, r.dim_i): (r.component, r.n_active_dims)
+        for r in long_rows
+    }
+    assert got_long == want_long
