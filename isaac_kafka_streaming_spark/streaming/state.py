@@ -175,3 +175,117 @@ def threshold_crossing_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_reached", T.LongType()),
+        T.StructField("t1", T.TimestampType()),
+        T.StructField("t2", T.TimestampType()),
+        T.StructField("t3", T.TimestampType()),
+        T.StructField("t4", T.TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t1_us", T.LongType()),
+        T.StructField("t2_us", T.LongType()),
+        T.StructField("t3_us", T.LongType()),
+        T.StructField("t4_us", T.LongType()),
+    ]
+)
+
+
+def funnel_state_stream(
+    events: DataFrame,
+    steps: Sequence[str] = ("signup", "view", "click", "purchase"),
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Streaming twin of queries._funnel_signup_purchase — the windowed
+    event-sequence funnel as a per-user state machine (T7 family,
+    applyInPandasWithState like streak_state_stream).
+
+    The batch funnel is a forward-only earliest chain: t1 = first
+    step-1 event; t{i} = first step-i event with
+    t{i-1} < ts <= t{i-1} + window.  Scanned in event-time order that
+    chain is incrementally computable with four nullable timestamps of
+    per-user state — once a slot fills it never changes, so the state
+    machine is exactly the batch semantics under in-order arrival
+    (same-arrival-order caveat as the reference's KTable processors;
+    ties at identical ts are safe because every window compare is
+    STRICT ts > t_prev, so intra-timestamp scan order cannot matter).
+    Each batch emits the user's current chain; step_reached is
+    monotone per user, so the latest row is the funnel position.
+
+    Aggregating the final snapshot (n_users per reached step) equals
+    the batch funnel's counts — pinned in tests/test_streaming.py.
+    Scale: state is 4 longs per user; one shuffle on user_id.
+    """
+    n_steps = len(steps)
+    assert n_steps == 4, "schema is fixed at the 4-step product funnel"
+    step_index = {s: i for i, s in enumerate(steps)}
+    window_us = window_seconds * 1_000_000
+
+    def process(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        t = list(state.get) if state.exists else [None] * n_steps
+        rows = sorted(
+            (ts.value // 1_000, et)
+            for pdf in pdfs
+            for ts, et in zip(pdf["ts"], pdf["event_type"])
+            if et in step_index
+        )
+        for us, et in rows:
+            i = step_index[et]
+            if i == 0:
+                if t[0] is None:
+                    # first-seen signup == earliest signup under
+                    # in-order arrival (the declared contract; under
+                    # disorder the chain stays internally consistent
+                    # — t{i} in (t{i-1}, t{i-1}+window] always — it
+                    # just may differ from the batch chain)
+                    t[0] = us
+            elif (
+                t[i] is None
+                and t[i - 1] is not None
+                and t[i - 1] < us <= t[i - 1] + window_us
+            ):
+                t[i] = us
+        state.update(tuple(t))
+        reached = 0
+        for v in t:
+            if v is None:
+                break
+            reached += 1
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "step_reached": [reached],
+                **{
+                    f"t{i + 1}": [
+                        pd.Timestamp(t[i], unit="us")
+                        if t[i] is not None
+                        else pd.NaT
+                    ]
+                    for i in range(n_steps)
+                },
+            }
+        )
+
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            process,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -892,3 +892,72 @@ def test_streaming_winnow_probe_parity(spark, sf_smoke, tmp_path_factory):
         for r in winnow_probe_incoming(spark, sf_smoke).collect()
     }
     assert got == want and want
+
+
+def test_funnel_state_machine_matches_batch_funnel(
+    spark, sf_smoke, events_stream_dir
+):
+    """T7 funnel twin: replay events in event-time order through the
+    per-user state machine; the final per-step user counts must equal
+    the batch funnel's n_users column exactly, and every emitted chain
+    must be internally consistent (strict-ascending, windowed)."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+    from isaac_kafka_streaming_spark.streaming.state import funnel_state_stream
+
+    # event-time-ordered two-file split (same recipe as the streak
+    # twin: state-machine == batch only under in-order arrival)
+    import glob
+    import os
+    import shutil
+
+    ev = read_table(spark, sf_smoke, "events").withColumn(
+        "__ms", F.unix_millis("ts")
+    )
+    mid_ms = ev.approxQuantile("__ms", [0.5], 0.0)[0]
+    base = events_stream_dir + "_funnel_ts_split"
+    if not os.path.exists(base):
+        os.makedirs(base)
+        for i, part in enumerate(
+            [
+                ev.filter(F.col("__ms") <= mid_ms).drop("__ms"),
+                ev.filter(F.col("__ms") > mid_ms).drop("__ms"),
+            ]
+        ):
+            tmp = base + f"_tmp{i}"
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            (src,) = glob.glob(f"{tmp}/part-*.parquet")
+            dst = f"{base}/{i:03d}.parquet"
+            shutil.copy(src, dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = st.stream_events(spark, base, max_files_per_trigger=1)
+    got_df = st.run_to_memory(
+        funnel_state_stream(stream),
+        "t7_funnel",
+        output_mode="update",
+    )
+    # final snapshot: step_reached is monotone per user, chain slots
+    # never change once set -> max step_reached row is the final state
+    final = {}
+    for r in got_df.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.step_reached > cur.step_reached:
+            final[r.user_id] = r
+        # chain consistency on EVERY emitted row, not just the final
+        ts_chain = [t for t in (r.t1, r.t2, r.t3, r.t4) if t is not None]
+        assert len(ts_chain) == r.step_reached
+        for a, b in zip(ts_chain, ts_chain[1:]):
+            assert a < b <= a + __import__("datetime").timedelta(days=1)
+
+    got_counts = {
+        step: sum(1 for r in final.values() if r.step_reached >= step)
+        for step in (1, 2, 3, 4)
+    }
+    want = {
+        r.step: r.n_users
+        for r in all_queries()["funnel_signup_purchase"]
+        .fn(spark, sf_smoke)
+        .collect()
+    }
+    assert got_counts == want
+    assert want[1] > want[4], "funnel shows no decay on this fixture"
