@@ -114,6 +114,8 @@ HEADLINE = [
     "user_daily_gapfill",
     "funnel_signup_purchase",
     "cohort_retention",
+    # mid-round-7 addition: the incoming-probe md5 witness
+    "dedup_incoming_minhash_md5",
 ]
 
 

@@ -366,6 +366,62 @@ def _md5long(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _md5_band_table(
+    shingled: DataFrame, num_hashes: int, band_size: int
+) -> DataFrame:
+    """(doc_id, band, band_key) LSH band table on the engine-neutral
+    md5 hash family — the shared build behind minhash_lsh_pairs_md5
+    (full self-join witness) and dedup_incoming_minhash_md5 (incoming
+    probe witness).  One md5 per shingle feeds Broder's 2-universal
+    linear family: h1 = 60 digest bits, h2 = the next 56, seed-i hash
+    = (h1 + i*h2) mod 2^60 — exact integer arithmetic both engines
+    replay bit-for-bit; band keys are plain comma-joined signature
+    slices (exact string equality in both engines)."""
+    exploded = (
+        shingled.select("doc_id", F.explode("shingles").alias("s"))
+        .withColumn("md", F.md5("s"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("md", 1, 15), 16, 10)
+            .cast("long")
+            .alias("h1"),
+            F.conv(F.substring("md", 16, 14), 16, 10)
+            .cast("long")
+            .alias("h2"),
+        )
+    )
+    mask = (1 << 60) - 1
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.expr(f"min((h1 + {i} * h2) & {mask}) AS h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    n_bands = num_hashes // band_size
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"h{bi * band_size + j}").cast(
+                                    "string"
+                                )
+                                for j in range(band_size)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
 def minhash_lsh_pairs_md5(
     spark: SparkSession,
     sf_dir: str,
@@ -402,49 +458,7 @@ def minhash_lsh_pairs_md5(
             _shingles(_tokens(F.col("text")), n).alias("shingles"),
         )
     )
-    exploded = (
-        shingled.select("doc_id", F.explode("shingles").alias("s"))
-        .withColumn("md", F.md5("s"))
-        .select(
-            "doc_id",
-            F.conv(F.substring("md", 1, 15), 16, 10)
-            .cast("long")
-            .alias("h1"),
-            F.conv(F.substring("md", 16, 14), 16, 10)
-            .cast("long")
-            .alias("h2"),
-        )
-    )
-    mask = (1 << 60) - 1
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.expr(f"min((h1 + {i} * h2) & {mask}) AS h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    n_bands = num_hashes // band_size
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"h{bi * band_size + j}").cast(
-                                    "string"
-                                )
-                                for j in range(band_size)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    bands = _md5_band_table(shingled, num_hashes, band_size)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -488,6 +502,100 @@ def minhash_lsh_pairs_md5(
     )
     verified._cached_deps = [shingled]
     return verified
+
+
+def dedup_incoming_minhash_md5(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    incoming_pct: int = 10,
+    n: int = 3,
+    num_hashes: int = 32,
+    band_size: int = 4,
+) -> DataFrame:
+    """X2 — the INCOMING-PROBE near-dup mechanism on the engine-neutral
+    md5 hash family: the oracle-checked witness for
+    dedup_incoming_minhash (whose xxhash64 signatures keep it
+    rows-only), completing the witness program the round-6 MinHash and
+    SimHash md5 twins started.
+
+    Same pipeline as the production tier: the incoming slice
+    (deterministic md5 bucket, salt 'inc' — identical split to
+    dedup_incoming) probes the EXISTING corpus's band table, so the
+    candidate space is incoming x existing only (no self-pairs on
+    either side); candidates verify with exact shingle Jaccard and
+    each incoming doc keeps its best match (highest jaccard, lowest
+    existing doc_id on ties).  The md5 band table is the shared
+    _md5_band_table build, so every intermediate — bucket split, band
+    keys, candidate join, verification, best-match window — replays in
+    DuckDB and the driver hash-checks the whole mechanism end to end.
+
+    Scale shape is the production tier's: per-batch cost scales with
+    the incoming slice, the corpus band table is the precomputed index
+    each crawl probes."""
+    from .sampling import _bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    shingled = _cache_once(
+        docs.select(
+            "doc_id",
+            _shingles(_tokens(F.col("text")), n).alias("shingles"),
+        )
+    )
+    bands = _md5_band_table(shingled, num_hashes, band_size).withColumn(
+        "bucket", _bucket(F.col("doc_id"), "inc")
+    )
+    cut = 100 - incoming_pct
+    inc = bands.filter(F.col("bucket") >= cut).select(
+        F.col("doc_id").alias("doc_new"), "band", "band_key"
+    )
+    ref = bands.filter(F.col("bucket") < cut).select(
+        F.col("doc_id").alias("doc_ref"), "band", "band_key"
+    )
+    candidates = (
+        inc.join(ref, ["band", "band_key"])
+        .select("doc_new", "doc_ref")
+        .distinct()
+    )
+    verified = (
+        candidates.join(
+            shingled.select(
+                F.col("doc_id").alias("doc_new"),
+                F.col("shingles").alias("sh_new"),
+            ),
+            "doc_new",
+        )
+        .join(
+            shingled.select(
+                F.col("doc_id").alias("doc_ref"),
+                F.col("shingles").alias("sh_ref"),
+            ),
+            "doc_ref",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_new", "sh_ref"))
+                / F.size(F.array_union("sh_new", "sh_ref")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_new").orderBy(
+        F.col("jaccard").desc(), F.col("doc_ref")
+    )
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("doc_new").alias("doc_id"),
+            F.col("doc_ref").alias("near_dup_of"),
+            "jaccard",
+        )
+    )
+    best._cached_deps = [shingled]
+    return best
 
 
 def unpersist_deps(df: DataFrame) -> None:
@@ -2029,9 +2137,101 @@ def register() -> dict:
         ),
         "dedup_incoming_minhash": QueryDef(
             dedup_incoming_minhash,
-            None,  # engine-specific hash functions -> rows-only check
+            None,  # engine-specific hash functions -> rows-only check;
+            # md5 witness dedup_incoming_minhash_md5 hash-checks the
+            # same probe mechanism end to end
             "X2 incremental near-dup: incoming batch vs existing corpus "
             "via LSH band probe",
+        ),
+        "dedup_incoming_minhash_md5": QueryDef(
+            dedup_incoming_minhash_md5,
+            (
+                lambda nh=32, bs=4: f"""
+            WITH tok AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct([
+                           tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                           FOR i IN range(1, GREATEST(len(tokens) - 2, 0) + 1)
+                       ]) AS shingles
+                FROM tok
+            ), exploded AS (
+                SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_shingles
+                FROM exploded GROUP BY doc_id
+            ), bkt AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5('inc' ||
+                           CAST(doc_id AS VARCHAR)), 1, 4) AS BIGINT)
+                           % 100 AS bucket
+                FROM sh
+            ), hashed AS (
+                SELECT doc_id,
+                       CAST('0x' || substr(md5(shingle), 1, 15) AS BIGINT)
+                           AS h1,
+                       CAST('0x' || substr(md5(shingle), 16, 14) AS BIGINT)
+                           AS h2
+                FROM exploded
+            ), sig AS (
+                SELECT doc_id, """
+                + ",\n                       ".join(
+                    f"MIN((h1 + {i} * h2) & {(1 << 60) - 1}) AS h{i}"
+                    for i in range(nh)
+                )
+                + """
+                FROM hashed GROUP BY doc_id
+            ), bands AS (
+                """
+                + "\n                UNION ALL\n                ".join(
+                    f"SELECT doc_id, {bi} AS band, "
+                    + " || ',' || ".join(
+                        f"CAST(h{bi * bs + j} AS VARCHAR)" for j in range(bs)
+                    )
+                    + " AS band_key FROM sig"
+                    for bi in range(nh // bs)
+                )
+                + """
+            ), cand AS (
+                SELECT DISTINCT i.doc_id AS doc_new, r.doc_id AS doc_ref
+                FROM bands i
+                JOIN bkt bi ON bi.doc_id = i.doc_id AND bi.bucket >= 90
+                JOIN bands r ON r.band = i.band AND r.band_key = i.band_key
+                JOIN bkt br ON br.doc_id = r.doc_id AND br.bucket < 90
+            ), inter AS (
+                SELECT c.doc_new, c.doc_ref, COUNT(*) AS n_common
+                FROM cand c
+                JOIN exploded a ON a.doc_id = c.doc_new
+                JOIN exploded e ON e.doc_id = c.doc_ref
+                                AND e.shingle = a.shingle
+                GROUP BY 1, 2
+            ), verified AS (
+                SELECT doc_new, doc_ref,
+                       ROUND(n_common /
+                           (sa.n_shingles + sb.n_shingles - n_common), 6)
+                           AS jaccard
+                FROM inter
+                JOIN sizes sa ON sa.doc_id = doc_new
+                JOIN sizes sb ON sb.doc_id = doc_ref
+                WHERE ROUND(n_common /
+                          (sa.n_shingles + sb.n_shingles - n_common), 6)
+                      >= 0.5
+            )
+            SELECT doc_new AS doc_id, doc_ref AS near_dup_of, jaccard
+            FROM (
+                SELECT v.*, ROW_NUMBER() OVER (
+                    PARTITION BY doc_new
+                    ORDER BY jaccard DESC, doc_ref) AS rn
+                FROM verified v
+            ) WHERE rn = 1
+            """
+            )(),
+            "X2 incoming-probe MinHash on the engine-neutral md5 family "
+            "— the oracle-checked witness for dedup_incoming_minhash",
         ),
         "dedup_simhash": QueryDef(
             simhash_pairs,

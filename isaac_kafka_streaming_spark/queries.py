@@ -3176,7 +3176,9 @@ REGISTRY: dict[str, QueryDef] = {
 # ``python tools/plan_window.py --include-staged`` and the
 # tests/test_staged_registry.py feasibility guard.
 _DRIVER_CHECK_ORDER = [
-    # T0 — registered round 7, no green row yet (must-check) (30)
+    # T0 — registered round 7, no green row yet (must-check) (31:
+    # the 30 round-6-staged entries + dedup_incoming_minhash_md5,
+    # the incoming-probe witness added mid-round-7)
     "tpch_q8",
     "tpch_q9",
     "tpch_q19",
@@ -3207,8 +3209,11 @@ _DRIVER_CHECK_ORDER = [
     "pmi_top_pairs",
     "winnow_probe_incoming",
     "feature_hash_embed",
-    # T2 — last green r05, expiring (20 of 49; the other 29 are
-    # round-8 must-checks)
+    "dedup_incoming_minhash_md5",
+    # T2 — last green r05, expiring (19 of 49; the other 30 are
+    # round-8 must-checks).  tpch_q6 yielded its slot to the
+    # incoming-probe md5 witness registered mid-round-7; it stays
+    # green via its r05 row under K=3 and fronts the round-8 window.
     "event_type_counts",
     "user_streaks",
     "question_page_rollup",
@@ -3222,7 +3227,6 @@ _DRIVER_CHECK_ORDER = [
     "purchasers_without_errors",
     "daily_role_rollup",
     "role_type_cube",
-    "tpch_q6",
     "tpch_q3",
     "customers_without_big_orders",
     "tpch_q5",

@@ -291,6 +291,62 @@ def test_incoming_minhash_finds_cross_slice_near_dups(
     assert got[incoming_ids[0]].jaccard >= 0.5
 
 
+def test_incoming_minhash_md5_witness_matches_mechanism(
+    spark, tmp_path_factory
+):
+    """The md5 witness runs the identical incoming-probe pipeline:
+    same planted behavior as the production xxhash tier (cross-slice
+    near-dup found, incoming x incoming ignored), same slice split,
+    AND it hash-matches its DuckDB oracle on the planted corpus — the
+    end-to-end check the engine-specific production tier cannot have."""
+    import hashlib
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        dedup_incoming_minhash_md5,
+        register,
+        unpersist_deps,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(("inc" + str(doc_id)).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    existing_ids = [i for i in range(1000) if bucket(i) < 90]
+    incoming_ids = [i for i in range(1000) if bucket(i) >= 90]
+    base_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    fresh = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (existing_ids[0], base_text),
+        (incoming_ids[0], base_text + " phi"),
+        (incoming_ids[1], fresh),
+        (incoming_ids[2], fresh),
+    ]
+    base = tmp_path_factory.mktemp("inc_minhash_md5")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    out = dedup_incoming_minhash_md5(spark, str(base), threshold=0.5)
+    got = {r.doc_id: (r.near_dup_of, r.jaccard) for r in out.collect()}
+    unpersist_deps(out)
+    assert set(got) == {incoming_ids[0]}, got
+    assert got[incoming_ids[0]][0] == existing_ids[0]
+    assert got[incoming_ids[0]][1] >= 0.5
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    sql = register()["dedup_incoming_minhash_md5"].sql
+    want = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    assert got == want
+
+
 # -- simhash wide-document ANSI-overflow guard -----------------------------
 
 
