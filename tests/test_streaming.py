@@ -961,3 +961,37 @@ def test_funnel_state_machine_matches_batch_funnel(
     }
     assert got_counts == want
     assert want[1] > want[4], "funnel shows no decay on this fixture"
+
+
+def test_streaming_latest_value_is_gapfill_locf_terminal(
+    spark, sf_smoke, events_stream_dir
+):
+    """The LOCF core of user_daily_gapfill IS the O1 latest-per-key
+    state: a user's final value_locf in the batch gap-fill grid must
+    equal the streaming latest-per-user twin's last_value (both pick
+    the max-(ts, event_id) event's value; events carry non-null values
+    in the fixture, so day-level LOCF and global latest coincide).
+    Pins that the new registered query and the long-standing streaming
+    store materialize the same state."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    got = st.run_to_memory(
+        st.streaming_latest_per_user(stream),
+        "o1_locf_terminal",
+        output_mode="complete",
+    )
+    streaming_last = {
+        r.user_id: round(r.last_value, 6) for r in got.collect()
+    }
+    grid = (
+        all_queries()["user_daily_gapfill"].fn(spark, sf_smoke).collect()
+    )
+    final = {}
+    for r in grid:
+        cur = final.get(r.user_id)
+        if cur is None or r.day > cur.day:
+            final[r.user_id] = r
+    batch_last = {u: r.value_locf for u, r in final.items()}
+    assert batch_last == streaming_last
+    assert len(batch_last) >= 10  # the smoke fixture's user universe
