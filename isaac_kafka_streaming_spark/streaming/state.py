@@ -220,9 +220,32 @@ def funnel_state_stream(
     monotone per user, so the latest row is the funnel position.
 
     Aggregating the final snapshot (n_users per reached step) equals
-    the batch funnel's counts — pinned in tests/test_streaming.py.
+    the batch funnel's counts — pinned in tests/test_streaming.py; the
+    state transition itself is property-tested batch-split-invariant
+    against a brute-force chain in tests/test_properties.py (via
+    funnel_process).
     Scale: state is 4 longs per user; one shuffle on user_id.
     """
+    return (
+        events.select("user_id", "event_type", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel_process(steps, window_seconds),
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def funnel_process(
+    steps: Sequence[str] = ("signup", "view", "click", "purchase"),
+    window_seconds: int = 86400,
+):
+    """The funnel state-transition function, exposed at module level so
+    tests can drive it directly (hypothesis batch-split invariance)
+    and executors can pickle it without capturing a DataFrame."""
     n_steps = len(steps)
     assert n_steps == 4, "schema is fixed at the 4-step product funnel"
     step_index = {s: i for i, s in enumerate(steps)}
@@ -278,14 +301,4 @@ def funnel_state_stream(
             }
         )
 
-    return (
-        events.select("user_id", "event_type", "ts")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            process,
-            outputStructType=FUNNEL_OUTPUT_SCHEMA,
-            stateStructType=FUNNEL_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
-    )
+    return process

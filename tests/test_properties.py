@@ -347,3 +347,108 @@ def test_histogram_quantile_within_one_bin_of_order_statistic(spark, values):
         assert abs(est - stat) <= width + 5.1e-5, (
             values, q, est, stat, width,
         )
+
+
+# -- streaming funnel state machine (no SparkSession needed) ---------------
+
+funnel_events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+        st.integers(min_value=0, max_value=4 * 86400),  # offset seconds
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+class _FakeGroupState:
+    """Minimal GroupState double: exists/get/update — enough to drive
+    funnel_state_stream's process function without a StreamingQuery."""
+
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, v):
+        self._val = tuple(v)
+
+
+def _batch_funnel_reference(events):
+    """Brute-force earliest chain: t1 = min signup ts; t{i} = min
+    step-i ts in (t{i-1}, t{i-1} + 1 day] — the batch funnel's exact
+    per-user semantics, in plain Python."""
+    steps = ("signup", "view", "click", "purchase")
+    window = dt.timedelta(days=1)
+    t = [None] * 4
+    for i, s in enumerate(steps):
+        cands = [
+            ts
+            for et, ts in events
+            if et == s
+            and (
+                i == 0
+                or (
+                    t[i - 1] is not None
+                    and t[i - 1] < ts <= t[i - 1] + window
+                )
+            )
+        ]
+        t[i] = min(cands) if cands else None
+        if t[i] is None:
+            break
+    return tuple(t)
+
+
+@given(funnel_events_strategy, st.lists(st.integers(0, 39), max_size=4))
+@_settings
+def test_funnel_state_machine_equals_reference_chain(events, cut_points):
+    """Cross-batch exactness of the T7 funnel state machine: ANY
+    in-order split of ANY event sequence through process() yields
+    exactly the brute-force batch chain — batching can never change
+    the funnel.  (The Spark-level twin pins the wiring; this pins the
+    state transition itself over thousands of generated sequences.)"""
+    import pandas as pd
+
+    from isaac_kafka_streaming_spark.streaming.state import funnel_process
+
+    timed = sorted(
+        (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off), et)
+        for et, off in events
+    )
+    # split into in-order batches at the (sorted, deduped) cut points
+    cuts = sorted({c for c in cut_points if c < len(timed)})
+    batches, prev = [], 0
+    for c in cuts + [len(timed)]:
+        if c > prev:
+            batches.append(timed[prev:c])
+            prev = c
+
+    state = _FakeGroupState()
+    process = funnel_process()
+    last = None
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(ts) for ts, _ in batch],
+                "event_type": [et for _, et in batch],
+            }
+        )
+        (last,) = list(process((7,), iter([pdf]), state))
+    want = _batch_funnel_reference([(et, ts) for ts, et in timed])
+    if last is None:
+        assert all(v is None for v in want)
+        return
+    got = tuple(
+        None if pd.isna(last[f"t{i}"].iloc[0])
+        else last[f"t{i}"].iloc[0].to_pydatetime()
+        for i in range(1, 5)
+    )
+    assert got == want
+    assert last["step_reached"].iloc[0] == sum(v is not None for v in want)
