@@ -373,3 +373,55 @@ def test_achievement_pipeline_kafka_to_jdbc(spark, broker, tmp_path):
         for r in spark.read.jdbc(url, "achievements", properties=props).collect()
     )
     assert got == [(1, 1), (1, 5), (2, 1)]
+
+
+def test_funnel_pipeline_kafka_to_state(spark, broker, tmp_path):
+    """The round-7 T7 funnel twin across the source boundary: events
+    consumed from a kafka topic (S1) drive the per-user windowed step
+    chain (funnel_state_stream), materialized to a memory store (K4)
+    — hand-computed chains verified, including the window miss and
+    the missing-first-step case."""
+    from isaac_kafka_streaming_spark.streaming.state import funnel_state_stream
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    h = 3_600_000  # one hour in ms
+    base = 1_700_000_000_000
+    plan = [
+        # user 1: full chain, every step within a day of the previous
+        (1, "signup", 0), (1, "view", h), (1, "click", 2 * h),
+        (1, "purchase", 3 * h),
+        # user 2: click arrives 26h after the view -> window miss
+        (2, "signup", 0), (2, "view", h), (2, "click", h + 26 * h),
+        # user 3: no signup -> chain never starts
+        (3, "view", 0), (3, "click", h), (3, "purchase", 2 * h),
+    ]
+    _produce(
+        broker,
+        K.LOGGED_EVENTS_TOPIC,
+        [
+            {
+                "user_id": str(uid),
+                "anonymous_user": False,
+                "event_type": et,
+                "event_details": {},
+                "timestamp": base + off,
+            }
+            for uid, et, off in plan
+        ],
+    )
+    stream = K.read_logged_events_stream(spark, broker).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type", "ts"
+    )
+    got_df = run_to_memory(
+        funnel_state_stream(stream), "t7_funnel_kafka", output_mode="update"
+    )
+    final = {}
+    for r in got_df.collect():
+        cur = final.get(r.user_id)
+        if cur is None or r.step_reached > cur.step_reached:
+            final[r.user_id] = r
+    assert {u: r.step_reached for u, r in final.items()} == {1: 4, 2: 2, 3: 0}
+    ms = lambda ts: int(ts.timestamp() * 1000)  # noqa: E731
+    assert ms(final[1].t4) == base + 3 * h
+    assert ms(final[2].t2) == base + h and final[2].t3 is None
+    assert final[3].t1 is None
