@@ -737,3 +737,45 @@ def foreach_batch_jdbc_idempotent(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_cohort_activity(
+    events: DataFrame,
+    cohorts: DataFrame,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming core of queries._cohort_retention: the activity stream
+    joined to a STATIC cohort-assignment dimension (stream-static, dim
+    broadcast — the J1 pattern; cohort assignment is a slowly-built
+    batch artifact exactly like the user dim), reduced to FIRST
+    activity per (user, cohort_week, week_offset) via dropDuplicates
+    state.  Emits one row per newly-active (user, week-offset) cell.
+
+    The retention MATRIX is a read-time aggregate over this store —
+    counts per (cohort_week, week_offset) joined to cohort sizes —
+    because an update-mode streaming aggregate cannot feed a second
+    aggregate (the same documented two-level split as
+    streaming_last_seen's OVERALL row).  Parity with the batch matrix
+    is pinned in tests/test_streaming.py.
+
+    ``cohorts`` columns: (user_id, cw) — signup-week per user,
+    Monday-aligned (queries._cohort_retention's cohort frame).  State
+    is one row per distinct (user, offset) cell, bounded by users x
+    active-week span; with a watermark on ts,
+    dropDuplicatesWithinWatermark bounds it further at scale.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    act = (
+        events.join(F.broadcast(cohorts), "user_id")
+        .withColumn("aw", F.date_trunc("week", F.col("ts")))
+        .filter(F.col("aw") >= F.col("cw"))
+        .select(
+            "user_id",
+            "cw",
+            (F.datediff(F.col("aw"), F.col("cw")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+    )
+    return act.dropDuplicates(["user_id", "cw", "week_offset"])

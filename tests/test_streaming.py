@@ -995,3 +995,39 @@ def test_streaming_latest_value_is_gapfill_locf_terminal(
     batch_last = {u: r.value_locf for u, r in final.items()}
     assert batch_last == streaming_last
     assert len(batch_last) >= 10  # the smoke fixture's user universe
+
+
+def test_streaming_cohort_activity_matches_batch_matrix(
+    spark, sf_smoke, events_stream_dir
+):
+    """The streaming first-activity store, aggregated at read time,
+    yields exactly the batch cohort_retention matrix (counts AND
+    retention fractions)."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+
+    ev = read_table(spark, sf_smoke, "events")
+    cohorts = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cw"))
+    )
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    store = st.run_to_memory(
+        st.streaming_cohort_activity(stream, cohorts),
+        "cohort_store",
+        output_mode="append",
+    )
+    sizes = {r.cw: r.n for r in cohorts.groupBy("cw").count()
+             .withColumnRenamed("count", "n").collect()}
+    got = {}
+    for r in store.collect():
+        got[(r.cw, r.week_offset)] = got.get((r.cw, r.week_offset), 0) + 1
+    want_rows = (
+        all_queries()["cohort_retention"].fn(spark, sf_smoke).collect()
+    )
+    want = {(r.cohort_week, r.week_offset): r.n_active for r in want_rows}
+    assert got == want and len(got) > 3
+    for r in want_rows:
+        assert r.retention == round(
+            got[(r.cohort_week, r.week_offset)] / sizes[r.cohort_week], 6
+        )
