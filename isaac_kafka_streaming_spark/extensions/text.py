@@ -953,7 +953,14 @@ def vocab_coverage(
     )
     if vocab_join not in ("broadcast", "shuffle"):
         raise ValueError(f"unknown vocab_join {vocab_join!r}")
-    vocab_side = F.broadcast(vocab) if vocab_join == "broadcast" else vocab
+    # "shuffle" pins a merge join (not merely dropping the broadcast
+    # hint — at fixture scale the optimizer's size estimate would
+    # quietly re-broadcast, defeating the knob's purpose of never
+    # materializing the vocab on a single node)
+    vocab_side = (
+        F.broadcast(vocab) if vocab_join == "broadcast"
+        else vocab.hint("merge")
+    )
     return (
         tok.join(vocab_side, "w", "left")
         .groupBy("doc_id")

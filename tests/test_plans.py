@@ -365,3 +365,32 @@ def test_hll_witness_register_state_bounded(spark, sf_smoke):
     assert "partial_max" in plan, plan
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_shuffle_mode_drops_broadcast(spark, sf_smoke):
+    """The 100 TB vocab_join knob must actually change the physical
+    join: the default broadcast mode pins the vocab to executors, the
+    "shuffle" mode must contain NO broadcast of the vocab side on the
+    token-stream join (a vocabulary of millions of strings cannot be
+    broadcast) — a sort-merge or shuffled-hash join instead."""
+    from isaac_kafka_streaming_spark.extensions.text import vocab_coverage
+
+    def plan(mode: str) -> str:
+        df = vocab_coverage(spark, sf_smoke, vocab_join=mode)
+        m = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        return df._jdf.queryExecution().explainString(m)
+
+    default = plan("broadcast")
+    assert "BroadcastHashJoin" in default
+    shuffled = plan("shuffle")
+    # the scalar `total` count still broadcasts (1 row); the VOCAB join
+    # itself must not — so the shuffle plan needs a non-broadcast join
+    # and strictly fewer broadcast joins than the default
+    assert (
+        "SortMergeJoin" in shuffled or "ShuffledHashJoin" in shuffled
+    ), shuffled
+    assert shuffled.count("BroadcastHashJoin") < default.count(
+        "BroadcastHashJoin"
+    )
