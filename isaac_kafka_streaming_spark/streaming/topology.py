@@ -779,3 +779,93 @@ def streaming_cohort_activity(
         )
     )
     return act.dropDuplicates(["user_id", "cw", "week_offset"])
+
+
+def streaming_histogram_bins(
+    events: DataFrame,
+    stats: DataFrame,
+    bins: int = 64,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Streaming form of the histogram-quantile build (batch twin:
+    queries.histogram_quantile_estimates' binning stage — same
+    floor((value-lo)/width) arithmetic): per (event_type, bin) running
+    counts in update mode.  Completes the streaming sketch family —
+    CMS (counts), HLL (distincts), Bloom (membership), histogram
+    (quantiles): in every case the aggregation state IS the
+    fixed-size sketch, at most `bins` counter rows per group.
+
+    ``stats`` is a STATIC (event_type, lo, width) dimension fixing the
+    bin edges a priori — the standard streaming-histogram contract
+    (edges cannot chase a moving min/max, or earlier counts land in
+    different bins than later ones; at scale the edges come from a
+    prior batch pass or domain knowledge, the same way
+    streaming_cohort_activity takes its cohort dim).  Quantile
+    read-off is histogram_readoff over the materialized store — the
+    two-level split streaming_last_seen documents (a streaming
+    aggregate cannot feed the cumulative-window pass).  Parity with
+    the batch bin counts AND the batch p50/p95 estimates is pinned in
+    tests/test_streaming.py.
+    """
+    if watermark:
+        events = events.withWatermark("ts", watermark)
+    joined = events.join(F.broadcast(stats), "event_type")
+    bin_col = (
+        F.when(F.col("width") == 0.0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("lo")) / F.col("width")),
+                F.lit(bins - 1),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        joined.withColumn("bin", bin_col)
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def histogram_readoff(
+    bin_counts: DataFrame,
+    stats: DataFrame,
+    quantiles: tuple = (0.5, 0.95),
+) -> DataFrame:
+    """Read-time quantile estimates over a (event_type, bin, c) store:
+    cumulative histogram + linear interpolation inside the landing bin
+    — the identical fixed-order expression the batch tier grades, so
+    store + read-off == batch output exactly.  n comes from the STORE
+    (sum of counts), not the stats dim, so the read-off is correct
+    mid-stream too."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = Window.partitionBy("event_type")
+    cum = (
+        bin_counts.join(F.broadcast(stats), "event_type")
+        .withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("cum_before", F.col("cum") - F.col("c"))
+        .withColumn("n_events", F.sum("c").over(n))
+    )
+    # one pass, one conditional pick per quantile: exactly one bin per
+    # group satisfies cum_before < target <= cum, so max(when(...))
+    # selects it — no per-quantile self-join (which would both re-scan
+    # the store and trip conflicting-attribute resolution)
+    aggs = []
+    for q in quantiles:
+        target = F.lit(q) * F.col("n_events")
+        est = F.col("lo") + F.col("width") * (
+            F.col("bin") + (target - F.col("cum_before")) / F.col("c")
+        )
+        cond = (F.col("cum_before") < target) & (F.col("cum") >= target)
+        aggs.append(
+            F.max(F.when(cond, F.round(est, 4))).alias(
+                f"hist_p{int(q * 100)}"
+            )
+        )
+    return cum.groupBy("event_type").agg(*aggs)

@@ -1031,3 +1031,61 @@ def test_streaming_cohort_activity_matches_batch_matrix(
         assert r.retention == round(
             got[(r.cohort_week, r.week_offset)] / sizes[r.cohort_week], 6
         )
+
+
+def test_streaming_histogram_matches_batch_estimates(
+    spark, sf_smoke, events_stream_dir
+):
+    """The streaming histogram store (fixed edges from a static stats
+    dim) plus read-time read-off equals the batch tier exactly: bin
+    counts AND interpolated p50/p95."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+
+    bins = 64
+    reg_batch = views.registered_events(spark, sf_smoke).select(
+        "event_type", "value"
+    )
+    stats_df = reg_batch.groupBy("event_type").agg(
+        F.min("value").alias("lo"),
+        ((F.max("value") - F.min("value")) / F.lit(float(bins))).alias(
+            "width"
+        ),
+    )
+    # materialize: stats shares lineage with reg_batch, and joining two
+    # frames off the same scan trips a conflicting-attribute error in
+    # the batch twin below (the static dim would be a separate table
+    # in production anyway)
+    stats = spark.createDataFrame(stats_df.collect(), stats_df.schema)
+    stream = st.stream_events(spark, events_stream_dir, max_files_per_trigger=1)
+    reg = st.as_logged_events(stream).filter(~F.col("anonymous_user"))
+    store = st.run_to_memory(
+        st.streaming_histogram_bins(
+            reg.select("event_type", "value", "ts"), stats, bins=bins
+        ),
+        "hist_store",
+        output_mode="complete",
+    )
+    # bin counts: store == batch binning over the same fixed edges
+    batch_bins = {
+        (r.event_type, r.bin): r.c
+        for r in st.streaming_histogram_bins(
+            reg_batch.withColumn("ts", F.lit(None).cast("timestamp")),
+            stats,
+            bins=bins,
+        ).collect()
+    }
+    got_bins = {(r.event_type, r.bin): r.c for r in store.collect()}
+    assert got_bins == batch_bins and len(got_bins) > 10
+
+    # read-off == the graded batch estimates
+    est = {
+        r.event_type: (r.hist_p50, r.hist_p95)
+        for r in st.histogram_readoff(store, stats).collect()
+    }
+    want = {
+        r.event_type: (r.hist_p50, r.hist_p95)
+        for r in all_queries()["histogram_quantiles"]
+        .fn(spark, sf_smoke)
+        .collect()
+    }
+    assert est == want and len(want) >= 3
