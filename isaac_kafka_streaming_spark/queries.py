@@ -3175,6 +3175,14 @@ REGISTRY: dict[str, QueryDef] = {
 # future registration must first pass
 # ``python tools/plan_window.py --include-staged`` and the
 # tests/test_staged_registry.py feasibility guard.
+# ROTATION FORECAST (simulated forward through r12 with synthetic
+# green rows and plan_window's tier-aware fill): every future round's
+# must-check set settles at 30 (the expiring third of 130 entries
+# at period 3), leaving ~20 slack slots per round.  The fill
+# DISCIPLINE matters: always take the T2 (expires-next) tier before
+# any fresh entries — a naive fill that rechecks fresh entries lets
+# the expiring cohorts bunch into a 50-wide wave with zero slack.
+# plan_window.py encodes this; use it, don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
     # T0 — registered round 7, no green row yet (must-check) (31:
     # the 30 round-6-staged entries + dedup_incoming_minhash_md5,
