@@ -114,8 +114,10 @@ HEADLINE = [
     "user_daily_gapfill",
     "funnel_signup_purchase",
     "cohort_retention",
-    # mid-round-7 addition: the incoming-probe md5 witness
+    # mid-round-7 additions: the incoming-probe md5 witness and the
+    # SRP ANN probe witness
     "dedup_incoming_minhash_md5",
+    "knn_srp",
 ]
 
 

@@ -293,6 +293,110 @@ def knn_ivf_indexed(
     )
 
 
+def knn_srp(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    num_planes: int = 3,
+) -> DataFrame:
+    """X3 — ORACLE-CHECKED sign-random-projection ANN probe: the
+    witness for knn_lsh's probe mechanism, the same role the md5
+    twins play for the xxhash dedup tiers.
+
+    knn_lsh is rows-only because its hyperplanes are numpy-generated
+    (not replayable in SQL); this tier swaps in the DETERMINISTIC
+    Hadamard-sign planes dedup.embedding_srp_pairs already
+    oracle-checks — c(k, i) = (-1)^((i >> k) & 1) — so the ENTIRE
+    probe path (sign bucketing, bucket equi-join, exact cosine
+    rescoring, top-k window) hash-checks against DuckDB.  Mechanism
+    identical to single-probe knn_lsh: candidates = the query's own
+    bucket, scored exactly, top-k by (rounded cosine DESC, neighbor).
+
+    Single-probe with 2^num_planes buckets is the RECALL floor tier —
+    the production knob stack (multiprobe + multiple tables) lives in
+    knn_lsh; recall-vs-bruteforce for THIS tier is measured and
+    pinned in tests/test_similarity.py.  At scale `bucket` is the
+    storage bucketing key exactly like knn_lsh's (table, key): the
+    corpus-side explode, shuffle, and storage layout are shared
+    shapes.  Output schema matches knn_bruteforce/knn_lsh.
+    """
+    corpus = _corpus(spark, sf_dir)
+    bucket = " + ".join(
+        f"(CAST((aggregate(sequence(0, size(v)-1), 0.0D, (acc, i) -> "
+        f"acc + element_at(v, i+1) * IF(((i >> {kk}) & 1) = 0, 1.0D, -1.0D)"
+        f") >= 0.0D) AS BIGINT) << {kk})"
+        for kk in range(num_planes)
+    )
+    bucketed = corpus.select(
+        "vec_id", "v", "norm", F.expr(bucket).alias("bucket")
+    )
+    queries = bucketed.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    cos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        bucketed.join(F.broadcast(queries), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _knn_srp_oracle_sql(
+    n_queries: int = 10, k: int = 5, num_planes: int = 3
+) -> str:
+    """DuckDB twin of knn_srp — the same Hadamard sign buckets (list
+    comprehension mirrors the Spark fold index-for-index) and the
+    same rounded-cosine top-k."""
+    bucket = "\n             + ".join(
+        f"(CAST(list_sum([v[i+1] * (CASE WHEN ((i >> {kk}) & 1) = 0 "
+        f"THEN 1.0 ELSE -1.0 END) FOR i IN range(0, len(v))]) >= 0.0 "
+        f"AS BIGINT) << {kk})"
+        for kk in range(num_planes)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ), b AS (
+        SELECT vec_id, v, norm,
+               {bucket} AS bucket
+        FROM e
+    ), cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+                   AS cosine
+        FROM b q JOIN b c
+          ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries}
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM cand
+    ) WHERE rn <= {k}
+    """
+
+
+KNN_SRP_ORACLE_SQL = _knn_srp_oracle_sql()
+
+
 def knn_lsh(
     spark: SparkSession,
     sf_dir: str,
@@ -1138,5 +1242,12 @@ def register() -> dict:
             knn_pq,
             KNN_PQ_ORACLE_SQL,
             "X3 product-quantization ANN: ADC shortlist + exact re-rank",
+        ),
+        # --- registered mid-round-7 (witness program) ---
+        "knn_srp": QueryDef(
+            knn_srp,
+            KNN_SRP_ORACLE_SQL,
+            "X3 oracle-checked SRP ANN probe — the witness for "
+            "knn_lsh's bucketing/probe/rescore mechanism",
         ),
     }

@@ -3184,9 +3184,9 @@ REGISTRY: dict[str, QueryDef] = {
 # the expiring cohorts bunch into a 50-wide wave with zero slack.
 # plan_window.py encodes this; use it, don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — registered round 7, no green row yet (must-check) (31:
-    # the 30 round-6-staged entries + dedup_incoming_minhash_md5,
-    # the incoming-probe witness added mid-round-7)
+    # T0 — registered round 7, no green row yet (must-check) (32:
+    # the 30 round-6-staged entries + the two mid-round-7 witnesses
+    # dedup_incoming_minhash_md5 and knn_srp)
     "tpch_q8",
     "tpch_q9",
     "tpch_q19",
@@ -3218,11 +3218,12 @@ _DRIVER_CHECK_ORDER = [
     "winnow_probe_incoming",
     "feature_hash_embed",
     "dedup_incoming_minhash_md5",
-    # T2 — last green r05, expiring (19 of 49; the other 30 are
-    # round-8 must-checks).  tpch_q6 yielded its slot to the
-    # incoming-probe md5 witness registered mid-round-7; it stays
-    # green via its r05 row under K=3 and fronts the round-8 window.
-    "event_type_counts",
+    "knn_srp",
+    # T2 — last green r05, expiring (18 of 49; the other 31 are
+    # round-8 must-checks).  tpch_q6 and event_type_counts yielded
+    # their slots to the two witnesses registered mid-round-7
+    # (incoming-probe minhash md5, SRP ANN probe); both stay green
+    # via their r05 rows under K=3 and front the round-8 window.
     "user_streaks",
     "question_page_rollup",
     "sliding_weekly_counts",

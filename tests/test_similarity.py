@@ -243,3 +243,32 @@ def test_pq_matches_oracle_and_recall(spark, sf_smoke):
     approx = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"PQ recall regressed: {recall}"
+
+
+def test_knn_srp_witness_recall_and_rescoring(spark, sf_smoke):
+    """The oracle-checked SRP probe witness (knn_srp): every returned
+    pair carries the EXACT cosine (same contract as knn_lsh), recall
+    sits at the single-probe SRP collision-law floor (measured 0.28 on
+    driver testdata at 3 planes — the production recall knobs live in
+    knn_lsh's multiprobe/multi-table stack, not here), and the whole
+    output hash-checks against DuckDB via the registry oracle
+    (tests/test_oracle_parity.py)."""
+    from isaac_kafka_streaming_spark.extensions.similarity import knn_srp
+
+    exact_rows = knn_bruteforce(spark, sf_smoke).collect()
+    exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact_rows}
+    srp_rows = knn_srp(spark, sf_smoke).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in srp_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.1, f"SRP single-probe recall collapsed: {recall}"
+    for r in srp_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+    # per-query ranks are dense 1..n
+    per_query = {}
+    for r in srp_rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
