@@ -512,6 +512,7 @@ def dedup_incoming_minhash_md5(
     n: int = 3,
     num_hashes: int = 32,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2 — the INCOMING-PROBE near-dup mechanism on the engine-neutral
     md5 hash family: the oracle-checked witness for
@@ -545,6 +546,16 @@ def dedup_incoming_minhash_md5(
     bands = _md5_band_table(shingled, num_hashes, band_size).withColumn(
         "bucket", _bucket(F.col("doc_id"), "inc")
     )
+    if max_bucket_size is not None:
+        # same hot-band excision as the production tier (measured over
+        # both slices); default None = the graded oracle semantics
+        wide = (
+            bands.groupBy("band", "band_key")
+            .agg(F.count("*").alias("width"))
+            .filter(F.col("width") > max_bucket_size)
+            .select("band", "band_key")
+        )
+        bands = bands.join(wide, ["band", "band_key"], "left_anti")
     cut = 100 - incoming_pct
     inc = bands.filter(F.col("bucket") >= cut).select(
         F.col("doc_id").alias("doc_new"), "band", "band_key"
@@ -1826,6 +1837,7 @@ def dedup_incoming_minhash(
     n: int = 3,
     num_hashes: int = NUM_HASHES,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup tier of incremental dedup: the incoming slice's LSH
     band keys equi-join the EXISTING corpus's band keys — the "same
@@ -1840,6 +1852,16 @@ def dedup_incoming_minhash(
     incoming doc's best match (highest verified Jaccard, lowest
     existing doc_id on ties).  Engine-specific hash functions ->
     rows-only check; planted-pair behavior pinned in
+    tests/test_dedup_guards.py.
+
+    ``max_bucket_size`` is the same hot-band guard minhash_lsh_pairs
+    carries (round-7 addition): a boilerplate band bucket of width w
+    still fans out ~0.1w x 0.9w candidate rows through the
+    incoming x existing join, so buckets wider than the cap (measured
+    over BOTH slices — the boilerplate cluster spans them) are
+    excised before the probe.  Recall loss is confined to
+    ultra-common duplicates the exact dedup_incoming hash tier
+    already catches.  Fan-out bound pinned in
     tests/test_dedup_guards.py.
     """
     from .sampling import _bucket
@@ -1857,6 +1879,14 @@ def dedup_incoming_minhash(
     bands = _band_keys(sigs, num_hashes, band_size).withColumn(
         "bucket", _bucket(F.col("doc_id"), "inc")
     )
+    if max_bucket_size is not None:
+        wide = (
+            bands.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("width"))
+            .filter(F.col("width") > max_bucket_size)
+            .select("band", "band_hash")
+        )
+        bands = bands.join(wide, ["band", "band_hash"], "left_anti")
     cut = 100 - incoming_pct
     inc = bands.filter(F.col("bucket") >= cut).select(
         F.col("doc_id").alias("doc_new"), "band", "band_hash"

@@ -769,3 +769,57 @@ def test_passage_scrub_matches_classic_reference(spark, tmp_path_factory):
         n_scrubbed = len(blks) - len(kept)
         assert got[d] == (len(blks), n_scrubbed, " ".join(kept)), f"doc {d}"
     assert any(v[1] > 0 for v in got.values())
+
+
+def test_incoming_minhash_bucket_cap_bounds_boilerplate_fanout(
+    spark, tmp_path_factory
+):
+    """Hot-band guard on the incoming probe (round-7): a boilerplate
+    cluster spanning both slices lands in the same band bucket in
+    every band; with max_bucket_size set those buckets are excised —
+    the cluster produces ZERO candidates — while a planted near-dup
+    pair in a cold bucket is still found.  With the cap off, the
+    boilerplate cluster floods the probe (the quadratic the cap
+    exists to prevent)."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        dedup_incoming_minhash,
+        dedup_incoming_minhash_md5,
+        unpersist_deps,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(("inc" + str(doc_id)).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    existing_ids = [i for i in range(3000) if bucket(i) < 90]
+    incoming_ids = [i for i in range(3000) if bucket(i) >= 90]
+    boiler = (
+        "terms of service apply to all users of this site including "
+        "liability privacy cookies tracking consent arbitration"
+    )
+    pair_text = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [(existing_ids[0], pair_text),
+            (incoming_ids[0], pair_text + " phi")]
+    # 30 identical boilerplate docs across both slices
+    rows += [(existing_ids[1 + i], boiler) for i in range(20)]
+    rows += [(incoming_ids[1 + i], boiler) for i in range(10)]
+    base = tmp_path_factory.mktemp("inc_cap")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    for fn in (dedup_incoming_minhash, dedup_incoming_minhash_md5):
+        uncapped = fn(spark, str(base), threshold=0.5)
+        got_all = {r.doc_id for r in uncapped.collect()}
+        unpersist_deps(uncapped)
+        # uncapped: every incoming boilerplate doc matches the cluster
+        assert set(incoming_ids[1:11]) <= got_all and incoming_ids[0] in got_all
+        capped = fn(spark, str(base), threshold=0.5, max_bucket_size=8)
+        got = {r.doc_id: r.near_dup_of for r in capped.collect()}
+        unpersist_deps(capped)
+        # capped: the hot cluster is excised, the cold planted pair stays
+        assert got == {incoming_ids[0]: existing_ids[0]}, (fn.__name__, got)
