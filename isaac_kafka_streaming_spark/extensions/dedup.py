@@ -937,7 +937,10 @@ def dedup_clusters(
 
 
 def contained_documents(
-    spark: SparkSession, sf_dir: str, n: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    max_anchor_df: int | None = None,
 ) -> DataFrame:
     """X2 — truncation-duplicate tier: documents whose full normalized
     token sequence appears VERBATIM inside another document.  Catches
@@ -972,8 +975,16 @@ def contained_documents(
         .groupBy("doc_id")
         .agg(F.min(F.struct("df", "shingle")).alias("a"))
         .filter(F.col("a.df") > 1)  # df==1 = only the doc itself
-        .select("doc_id", F.col("a.shingle").alias("anchor"))
     )
+    if max_anchor_df is not None:
+        # hot-anchor cap (round-7; same doctrine as the band-bucket
+        # caps): the anchor join fans out by the RAREST shared
+        # shingle's df, so a doc whose least-common shingle is still
+        # shared by > cap docs is wall-to-wall boilerplate or an
+        # exact-dup clique — both owned by the hash/normalized tiers —
+        # and is excised rather than allowed a df-wide probe.
+        anchors = anchors.filter(F.col("a.df") <= max_anchor_df)
+    anchors = anchors.select("doc_id", F.col("a.shingle").alias("anchor"))
     cands = (
         anchors.withColumnRenamed("doc_id", "inner_doc_id")
         .join(

@@ -168,6 +168,7 @@ def decontaminate_exact(
     spark: SparkSession,
     sf_dir: str,
     n: int = 5,
+    max_anchor_df: int | None = None,
 ) -> DataFrame:
     """Exact substring-level decontamination: held-out documents whose
     full normalized token sequence appears VERBATIM inside some train
@@ -225,7 +226,15 @@ def decontaminate_exact(
         .groupBy(F.col("doc_id").alias("eval_doc_id"), "split")
         .agg(F.min(F.struct("df", "shingle")).alias("a"))
         .filter(F.col("a.df") > 0)
-        .select("eval_doc_id", "split", F.col("a.shingle").alias("anchor"))
+    )
+    if max_anchor_df is not None:
+        # hot-anchor cap — see contained_documents: an eval doc whose
+        # rarest train-shared shingle is still shared by > cap train
+        # docs is boilerplate the hash tiers own; excised rather than
+        # allowed a df-wide candidate probe.
+        anchors = anchors.filter(F.col("a.df") <= max_anchor_df)
+    anchors = anchors.select(
+        "eval_doc_id", "split", F.col("a.shingle").alias("anchor")
     )
     cands = anchors.join(
         train_sh, anchors.anchor == train_sh.shingle

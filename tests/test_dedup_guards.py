@@ -823,3 +823,73 @@ def test_incoming_minhash_bucket_cap_bounds_boilerplate_fanout(
         unpersist_deps(capped)
         # capped: the hot cluster is excised, the cold planted pair stays
         assert got == {incoming_ids[0]: existing_ids[0]}, (fn.__name__, got)
+
+
+def test_anchor_df_cap_bounds_containment_fanout(spark, tmp_path_factory):
+    """Hot-anchor guard on the rarest-ngram containment tiers
+    (round-7): an exact-dup/boilerplate clique's rarest shingle has
+    df = clique size, so each member probes the whole clique; with
+    max_anchor_df set the clique is excised (the hash tiers own exact
+    dups) while a cold containment pair is still found."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        contained_documents,
+    )
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        decontaminate_exact,
+    )
+
+    inner = "omega psi chi phi upsilon tau sigma rho"
+    container = f"prefix words here {inner} suffix words there"
+    boiler = (
+        "terms of service apply to all users of this site including "
+        "liability privacy cookies tracking consent arbitration"
+    )
+
+    # --- contained_documents: whole-corpus self-referential form ---
+    rows = [(0, inner), (1, container)] + [
+        (10 + i, boiler) for i in range(12)
+    ]
+    base = tmp_path_factory.mktemp("anchor_cap")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    uncapped = {
+        (r.doc_id, r.first_container_id)
+        for r in contained_documents(spark, str(base)).collect()
+    }
+    # clique members are contained by lower-id equals; pair found too
+    assert (0, 1) in uncapped and len(uncapped) > 1
+    capped = {
+        (r.doc_id, r.first_container_id)
+        for r in contained_documents(
+            spark, str(base), max_anchor_df=8
+        ).collect()
+    }
+    assert capped == {(0, 1)}
+
+    # --- decontaminate_exact: eval-vs-train form ---
+    def bucket(doc_id: int) -> int:
+        # split_assignment's rule: md5(doc_id), no salt; < 10 = held out
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        return int(h[:4], 16) % 100
+
+    train_ids = [i for i in range(3000) if bucket(i) >= 10]
+    eval_ids = [i for i in range(3000) if bucket(i) < 10]
+    rows2 = [(eval_ids[0], inner), (train_ids[0], container)]
+    rows2 += [(train_ids[1 + i], boiler) for i in range(10)]
+    rows2 += [(eval_ids[1 + i], boiler) for i in range(4)]
+    base2 = tmp_path_factory.mktemp("anchor_cap_decon")
+    spark.createDataFrame(rows2, "doc_id long, text string").write.parquet(
+        str(base2 / "documents.parquet")
+    )
+    unc = {r.eval_doc_id for r in decontaminate_exact(spark, str(base2)).collect()}
+    assert eval_ids[0] in unc and set(eval_ids[1:5]) <= unc
+    cap = {
+        r.eval_doc_id
+        for r in decontaminate_exact(
+            spark, str(base2), max_anchor_df=5
+        ).collect()
+    }
+    assert cap == {eval_ids[0]}
