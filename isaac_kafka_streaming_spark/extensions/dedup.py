@@ -534,8 +534,6 @@ def dedup_incoming_minhash_md5(
     Scale shape is the production tier's: per-batch cost scales with
     the incoming slice, the corpus band table is the precomputed index
     each crawl probes."""
-    from .sampling import _bucket
-
     docs = read_table(spark, sf_dir, "documents")
     shingled = _cache_once(
         docs.select(
@@ -543,30 +541,52 @@ def dedup_incoming_minhash_md5(
             _shingles(_tokens(F.col("text")), n).alias("shingles"),
         )
     )
-    bands = _md5_band_table(shingled, num_hashes, band_size).withColumn(
-        "bucket", _bucket(F.col("doc_id"), "inc")
+    bands = _cache_once(_md5_band_table(shingled, num_hashes, band_size))
+    best = _incoming_probe_best_match(
+        bands, shingled, ["band", "band_key"], threshold, incoming_pct,
+        max_bucket_size,
     )
+    best._cached_deps = [shingled, bands]
+    return best
+
+
+def _incoming_probe_best_match(
+    bands: DataFrame,
+    shingled: DataFrame,
+    key_cols: list,
+    threshold: float,
+    incoming_pct: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared incoming-vs-existing probe pipeline behind BOTH incoming
+    near-dup tiers (dedup_incoming_minhash on xxhash band_hash keys,
+    dedup_incoming_minhash_md5 on md5 band_key strings): md5 'inc'
+    slice split, optional hot-bucket excision (width measured over
+    both slices), incoming x existing candidate equi-join on
+    ``key_cols``, exact shingle-Jaccard verification, and the
+    best-match window (highest jaccard, lowest existing doc_id).
+    One implementation so a cap or tie-break fix can never apply to
+    one tier and silently miss the other."""
+    from .sampling import _bucket
+
+    bands = bands.withColumn("bucket", _bucket(F.col("doc_id"), "inc"))
     if max_bucket_size is not None:
-        # same hot-band excision as the production tier (measured over
-        # both slices); default None = the graded oracle semantics
         wide = (
-            bands.groupBy("band", "band_key")
+            bands.groupBy(*key_cols)
             .agg(F.count("*").alias("width"))
             .filter(F.col("width") > max_bucket_size)
-            .select("band", "band_key")
+            .select(*key_cols)
         )
-        bands = bands.join(wide, ["band", "band_key"], "left_anti")
+        bands = bands.join(wide, key_cols, "left_anti")
     cut = 100 - incoming_pct
     inc = bands.filter(F.col("bucket") >= cut).select(
-        F.col("doc_id").alias("doc_new"), "band", "band_key"
+        F.col("doc_id").alias("doc_new"), *key_cols
     )
     ref = bands.filter(F.col("bucket") < cut).select(
-        F.col("doc_id").alias("doc_ref"), "band", "band_key"
+        F.col("doc_id").alias("doc_ref"), *key_cols
     )
     candidates = (
-        inc.join(ref, ["band", "band_key"])
-        .select("doc_new", "doc_ref")
-        .distinct()
+        inc.join(ref, key_cols).select("doc_new", "doc_ref").distinct()
     )
     verified = (
         candidates.join(
@@ -596,7 +616,7 @@ def dedup_incoming_minhash_md5(
     w = Window.partitionBy("doc_new").orderBy(
         F.col("jaccard").desc(), F.col("doc_ref")
     )
-    best = (
+    return (
         verified.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
@@ -605,8 +625,6 @@ def dedup_incoming_minhash_md5(
             "jaccard",
         )
     )
-    best._cached_deps = [shingled]
-    return best
 
 
 def unpersist_deps(df: DataFrame) -> None:
@@ -1875,8 +1893,6 @@ def dedup_incoming_minhash(
     already catches.  Fan-out bound pinned in
     tests/test_dedup_guards.py.
     """
-    from .sampling import _bucket
-
     docs = read_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -1887,65 +1903,10 @@ def dedup_incoming_minhash(
         )
     )
     sigs = _cache_once(_minhash_signatures(shingled, num_hashes))
-    bands = _band_keys(sigs, num_hashes, band_size).withColumn(
-        "bucket", _bucket(F.col("doc_id"), "inc")
-    )
-    if max_bucket_size is not None:
-        wide = (
-            bands.groupBy("band", "band_hash")
-            .agg(F.count("*").alias("width"))
-            .filter(F.col("width") > max_bucket_size)
-            .select("band", "band_hash")
-        )
-        bands = bands.join(wide, ["band", "band_hash"], "left_anti")
-    cut = 100 - incoming_pct
-    inc = bands.filter(F.col("bucket") >= cut).select(
-        F.col("doc_id").alias("doc_new"), "band", "band_hash"
-    )
-    ref = bands.filter(F.col("bucket") < cut).select(
-        F.col("doc_id").alias("doc_ref"), "band", "band_hash"
-    )
-    candidates = (
-        inc.join(ref, ["band", "band_hash"])
-        .select("doc_new", "doc_ref")
-        .distinct()
-    )
-    verified = (
-        candidates.join(
-            shingled.select(
-                F.col("doc_id").alias("doc_new"),
-                F.col("shingles").alias("sh_new"),
-            ),
-            "doc_new",
-        )
-        .join(
-            shingled.select(
-                F.col("doc_id").alias("doc_ref"),
-                F.col("shingles").alias("sh_ref"),
-            ),
-            "doc_ref",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_new", "sh_ref"))
-                / F.size(F.array_union("sh_new", "sh_ref")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    w = Window.partitionBy("doc_new").orderBy(
-        F.col("jaccard").desc(), F.col("doc_ref")
-    )
-    best = (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("doc_new").alias("doc_id"),
-            F.col("doc_ref").alias("near_dup_of"),
-            "jaccard",
-        )
+    bands = _band_keys(sigs, num_hashes, band_size)
+    best = _incoming_probe_best_match(
+        bands, shingled, ["band", "band_hash"], threshold, incoming_pct,
+        max_bucket_size,
     )
     best._cached_deps = [shingled, sigs]  # see minhash cache contract
     return best

@@ -810,12 +810,24 @@ def streaming_histogram_bins(
     if watermark:
         events = events.withWatermark("ts", watermark)
     joined = events.join(F.broadcast(stats), "event_type")
+    # clamp BOTH sides: the batch tier never sees values outside
+    # [lo, hi] (its lo/hi ARE the min/max), but this tier's edges are
+    # a static prior — later streamed values can undershoot lo, and an
+    # unclamped floor would mint negative bin rows (breaking the
+    # "at most `bins` counter rows per group" state bound and shifting
+    # every read-off quantile).  Underflow lands in bin 0 exactly as
+    # overflow lands in bins-1.
     bin_col = (
         F.when(F.col("width") == 0.0, F.lit(0))
         .otherwise(
-            F.least(
-                F.floor((F.col("value") - F.col("lo")) / F.col("width")),
-                F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.floor(
+                        (F.col("value") - F.col("lo")) / F.col("width")
+                    ),
+                    F.lit(bins - 1),
+                ),
             )
         )
         .cast("long")
@@ -856,16 +868,19 @@ def histogram_readoff(
     # group satisfies cum_before < target <= cum, so max(when(...))
     # selects it — no per-quantile self-join (which would both re-scan
     # the store and trip conflicting-attribute resolution)
+    # collision-safe names: hist_p50 / hist_p95 for the defaults, and
+    # e.g. hist_p12_5 for q=0.125 — int(q*100) would TRUNCATE (0.125 ->
+    # 'hist_p12') and let distinct quantiles collide into one ambiguous
+    # column name
+    names = [f"hist_p{q * 100:g}".replace(".", "_") for q in quantiles]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quantiles produce duplicate column names: {names}")
     aggs = []
-    for q in quantiles:
+    for q, name in zip(quantiles, names):
         target = F.lit(q) * F.col("n_events")
         est = F.col("lo") + F.col("width") * (
             F.col("bin") + (target - F.col("cum_before")) / F.col("c")
         )
         cond = (F.col("cum_before") < target) & (F.col("cum") >= target)
-        aggs.append(
-            F.max(F.when(cond, F.round(est, 4))).alias(
-                f"hist_p{int(q * 100)}"
-            )
-        )
+        aggs.append(F.max(F.when(cond, F.round(est, 4))).alias(name))
     return cum.groupBy("event_type").agg(*aggs)

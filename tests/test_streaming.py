@@ -1089,3 +1089,27 @@ def test_streaming_histogram_matches_batch_estimates(
         .collect()
     }
     assert est == want and len(want) >= 3
+
+
+def test_streaming_histogram_clamps_below_static_lo(spark):
+    """Regression (round-7 review): the streaming tier's edges are a
+    static prior, so streamed values can undershoot lo — they must
+    clamp into bin 0 (as overflow clamps into bins-1), never mint
+    negative bin rows that break the `bins` state bound and shift the
+    read-off."""
+    stats = spark.createDataFrame(
+        [("a", 10.0, 1.0)], "event_type string, lo double, width double"
+    )
+    ev = spark.createDataFrame(
+        [("a", 7.5), ("a", 10.2), ("a", 9999.0)],
+        "event_type string, value double",
+    )
+    rows = {
+        r.bin: r.c
+        for r in st.streaming_histogram_bins(
+            ev.withColumn("ts", F.lit(None).cast("timestamp")),
+            stats,
+            bins=64,
+        ).collect()
+    }
+    assert rows == {0: 2, 63: 1}, rows
