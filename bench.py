@@ -114,10 +114,11 @@ HEADLINE = [
     "user_daily_gapfill",
     "funnel_signup_purchase",
     "cohort_retention",
-    # mid-round-7 additions: the incoming-probe md5 witness and the
-    # SRP ANN probe witness
+    # mid-round-7 additions: the incoming-probe md5 witness, the
+    # SRP ANN probe witness, and BM25 retrieval scoring
     "dedup_incoming_minhash_md5",
     "knn_srp",
+    "bm25_top_docs",
 ]
 
 

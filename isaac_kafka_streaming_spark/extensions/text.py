@@ -1734,6 +1734,148 @@ FROM sparse, UNNEST(range(0, {FEATURE_HASH_DIM})) t(i)
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_N_QUERIES = 5
+BM25_TOP_DOCS = 10
+
+
+def bm25_top_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    n_queries: int = BM25_N_QUERIES,
+    top_docs: int = BM25_TOP_DOCS,
+) -> DataFrame:
+    """X4 — BM25 document ranking (Robertson/Sparck Jones; the Lucene
+    +1 IDF variant): the retrieval-scoring primitive behind
+    quality-targeted data selection ("select training documents most
+    relevant to a trusted query set").  tfidf_top_terms ranks TERMS
+    within a doc; this ranks DOCS for a query term — the inverse,
+    length-normalized direction an actual selection pipeline runs.
+
+    Deterministic, self-contained query set: the corpus's `n_queries`
+    most frequent non-stopword tokens (total occurrences DESC, token
+    ASC) — at scale the query set is the trusted benchmark's terms,
+    shipped as a broadcast dim exactly like this one.  For each query
+    term, the top `top_docs` documents by
+    idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), ranked on the
+    ROUNDED score (6 dp) with doc_id tie-break so an ulp of ln()
+    divergence can never reorder the cutoff (the pmi_top_pairs
+    discipline; ln itself is cross-engine-stable at 6 dp, proven by
+    the PMI entry's hash checks since round 6).
+
+    Scale shape: one token explode feeds tf, dl, df and the query
+    pick; tf/dl/df are map-side-combinable aggregates; N/avgdl are a
+    broadcast 1-row scalar; the scoring join touches only the
+    query-term postings (|terms| = n_queries), never the full postings
+    table; the per-term top-k is a window over those postings alone.
+    """
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    df_t = tf.groupBy("w").agg(
+        F.count("*").alias("df"), F.sum("tf").alias("cf")
+    )
+    queries = (
+        df_t.filter(~F.col("w").isin(*_STOPWORDS))
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(n_queries)
+        .select("w", "df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") / F.col("avgdl")
+            )
+        ),
+        6,
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            score.alias("bm25"),
+        )
+    )
+    w_rank = Window.partitionBy("w").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rank") <= top_docs)
+        .select(
+            F.col("w").alias("query_term"), "doc_id", "tf", "bm25", "rank"
+        )
+    )
+
+
+# DuckDB twin for bm25_top_docs — identical aggregate chain, identical
+# operation order inside the score expression, ranked on the ROUNDED
+# score.
+BM25_TOP_DOCS_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT doc_id,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+), tf AS (
+    SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+), df_t AS (
+    SELECT w, COUNT(*) AS df, SUM(tf) AS cf FROM tf GROUP BY w
+), queries AS (
+    SELECT w, df FROM df_t
+    WHERE w NOT IN ({", ".join(f"'{s}'" for s in _STOPWORDS)})
+    ORDER BY cf DESC, w LIMIT {BM25_N_QUERIES}
+), scored AS (
+    SELECT q.w AS query_term, tf.doc_id, CAST(tf.tf AS BIGINT) AS tf,
+           ROUND(
+               LN((n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * (tf.tf * {BM25_K1 + 1.0})
+               / (tf.tf + {BM25_K1}
+                  * ({1.0 - BM25_B} + {BM25_B} * dl.dl / avgdl)),
+               6) AS bm25
+    FROM tf
+    JOIN queries q USING (w)
+    JOIN dl USING (doc_id)
+    CROSS JOIN stats
+)
+SELECT query_term, doc_id, tf, bm25, CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT s.*, ROW_NUMBER() OVER (
+        PARTITION BY query_term ORDER BY bm25 DESC, doc_id) AS rn
+    FROM scored s
+) WHERE rn <= {BM25_TOP_DOCS}
+"""
+
+
 PMI_MIN_COUNT = 5
 PMI_TOP_K = 50
 
@@ -2295,5 +2437,12 @@ def register() -> dict:
             feature_hash_embed_long,
             FEATURE_HASH_EMBED_LONG_ORACLE_SQL,
             "X4/X5 hashing-trick doc vectors (L2-normalized, md5 dims)",
+        ),
+        # --- registered mid-round-7 ---
+        "bm25_top_docs": QueryDef(
+            bm25_top_docs,
+            BM25_TOP_DOCS_ORACLE_SQL,
+            "X4 BM25 document ranking: length-normalized retrieval "
+            "scoring for quality-targeted selection",
         ),
     }

@@ -3170,8 +3170,8 @@ REGISTRY: dict[str, QueryDef] = {
 # _r06, so they stay inside the K=3 freshness span through round 7.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 × 3 =
-# 150 registry entries under perfect disjoint rotation.  At 131 live
-# entries (87% of ceiling; steady-state ≈30 must-checks per
+# 150 registry entries under perfect disjoint rotation.  At 132 live
+# entries (88% of ceiling; steady-state ≈33 must-checks per
 # round) — from round 7 on, prefer DEEPENING existing entries
 # (stronger oracles, streaming twins, property tests) over net-new
 # registrations, and retire-or-merge before exceeding ~140.  Any
@@ -3187,9 +3187,9 @@ REGISTRY: dict[str, QueryDef] = {
 # the expiring cohorts bunch into a 50-wide wave with zero slack.
 # plan_window.py encodes this; use it, don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — registered round 7, no green row yet (must-check) (32:
-    # the 30 round-6-staged entries + the two mid-round-7 witnesses
-    # dedup_incoming_minhash_md5 and knn_srp)
+    # T0 — registered round 7, no green row yet (must-check) (33:
+    # the 30 round-6-staged entries + the mid-round-7 witnesses
+    # dedup_incoming_minhash_md5 and knn_srp + bm25_top_docs)
     "tpch_q8",
     "tpch_q9",
     "tpch_q19",
@@ -3222,13 +3222,14 @@ _DRIVER_CHECK_ORDER = [
     "feature_hash_embed",
     "dedup_incoming_minhash_md5",
     "knn_srp",
-    # T2 — last green r05, expiring (18 of 49; the other 31 are
-    # round-8 must-checks).  tpch_q6 and event_type_counts yielded
-    # their slots to the two witnesses registered mid-round-7
-    # (incoming-probe minhash md5, SRP ANN probe); both stay green
-    # via their r05 rows under K=3 and front the round-8 window.
+    "bm25_top_docs",
+    # T2 — last green r05, expiring (17 of 49; the other 32 are
+    # round-8 must-checks).  tpch_q6, event_type_counts and
+    # question_page_rollup yielded their slots to the three mid-round-7
+    # registrations (incoming-probe minhash md5 witness, SRP ANN probe
+    # witness, BM25 ranking); all three stay green via their r05 rows
+    # under K=3 and front the round-8 window.
     "user_streaks",
-    "question_page_rollup",
     "sliding_weekly_counts",
     "user_notifications",
     "user_event_counts",

@@ -1098,3 +1098,72 @@ def test_feature_hash_embed_parity_and_composition(spark, sf_smoke):
         for r in long_rows
     }
     assert got_long == want_long
+
+
+def test_bm25_hand_computed_and_length_normalization(
+    spark, tmp_path_factory, sf_smoke
+):
+    """BM25 semantics on a hand-computable corpus: (a) exact score for
+    a known (term, doc); (b) length normalization — same tf, longer
+    doc scores LOWER (what raw tf-idf misses); plus oracle parity and
+    rank shape on the driver fixture."""
+    import math
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_TOP_DOCS_ORACLE_SQL,
+        bm25_top_docs,
+    )
+
+    # 'le' and 'la' are stopword-listed (fr markers); use plain tokens.
+    # target term: 'zebra' (tf=1 everywhere), filler keeps docs apart.
+    docs = [
+        (0, "zebra apple"),                       # short doc, tf=1
+        (1, "zebra " + " ".join(f"pad{i}" for i in range(19))),  # long, tf=1
+        (2, "apple banana"),
+        (3, "apple cherry"),
+        (4, "apple date"),
+    ]
+    base = tmp_path_factory.mktemp("bm25")
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(base / "documents.parquet")
+    )
+    rows = bm25_top_docs(spark, str(base), n_queries=2).collect()
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r.query_term, {})[r.doc_id] = r.bm25
+    # query terms by cf: apple (4) then zebra/others (alphabetical at
+    # cf=2... 'zebra' cf=2) — assert the zebra term made the cut
+    assert "zebra" in by_term and "apple" in by_term
+    z = by_term["zebra"]
+    # (b) same tf=1: the 20-token doc scores strictly lower than the
+    # 2-token doc
+    assert z[1] < z[0]
+    # (a) exact value for (zebra, doc 0): N=5, df=2, dl=2,
+    # avgdl=(2+20+2+2+2)/5
+    n_docs, df, tf, dl, avgdl = 5, 2, 1, 2, 28 / 5
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    want = round(
+        idf * (tf * (BM25_K1 + 1.0))
+        / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)),
+        6,
+    )
+    assert z[0] == want
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_smoke}/documents.parquet')"
+    )
+    got = sorted(tuple(r) for r in bm25_top_docs(spark, sf_smoke).collect())
+    oracle = sorted(
+        tuple(r) for r in con.execute(BM25_TOP_DOCS_ORACLE_SQL).fetchall()
+    )
+    assert got == oracle and len(got) == 50
+    ranks = {}
+    for r in got:
+        ranks.setdefault(r[0], []).append(r[4])
+    for term, rs in ranks.items():
+        assert sorted(rs) == list(range(1, 11)), term

@@ -55,6 +55,7 @@ CARTESIAN_OK = {
     "bpe_tokenize_stats",  # composes bpe_learn's scalar tops
     "pmi_top_pairs",  # broadcast 1-row corpus-token-count scalar
     "funnel_signup_purchase",  # four 1-row step-count scalars
+    "bm25_top_docs",  # broadcast 1-row (n_docs, avgdl) stats scalar
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
