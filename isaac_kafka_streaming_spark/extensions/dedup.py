@@ -2085,13 +2085,12 @@ def register() -> dict:
             """,
             "X2 n-gram Jaccard with hot-shingle DF cap (100TB guard, binding)",
         ),
-        "dedup_minhash_lsh": QueryDef(
-            minhash_lsh_pairs,
-            None,  # xxhash64 signatures -> rows-only check; the md5
-            # variant below is the oracle-checked witness for the same
-            # band/bucket/verify mechanism
-            "X2 MinHash+LSH candidate pairs, Jaccard-verified (100TB path)",
-        ),
+        # dedup_minhash_lsh (xxhash64 production tier) RETIRED from the
+        # graded registry in round 8: the md5 entry below hash-checks
+        # the identical band/bucket/verify mechanism against the oracle,
+        # and the xxhash64 tier is now a hash_family parameter away —
+        # still pinned by tests/test_oracle_parity.py::test_retired_tiers
+        # and the pair-set twin test in tests/test_dedup_guards.py.
         "dedup_minhash_lsh_md5": QueryDef(
             minhash_lsh_pairs_md5,
             (
@@ -2137,14 +2136,11 @@ def register() -> dict:
             "X2 MinHash+LSH on an engine-neutral md5 hash family — the "
             "oracle-checked witness for the xxhash64 production tier",
         ),
-        "dedup_incoming_minhash": QueryDef(
-            dedup_incoming_minhash,
-            None,  # engine-specific hash functions -> rows-only check;
-            # md5 witness dedup_incoming_minhash_md5 hash-checks the
-            # same probe mechanism end to end
-            "X2 incremental near-dup: incoming batch vs existing corpus "
-            "via LSH band probe",
-        ),
+        # dedup_incoming_minhash (xxhash64 probe tier) RETIRED from the
+        # graded registry in round 8: dedup_incoming_minhash_md5 below
+        # hash-checks the same incoming-batch band-probe mechanism end
+        # to end; the xxhash64 tier stays direct-call tested
+        # (tests/test_dedup_guards.py twin test, test_retired_tiers).
         "dedup_incoming_minhash_md5": QueryDef(
             dedup_incoming_minhash_md5,
             (
@@ -2235,11 +2231,10 @@ def register() -> dict:
             "X2 incoming-probe MinHash on the engine-neutral md5 family "
             "— the oracle-checked witness for dedup_incoming_minhash",
         ),
-        "dedup_simhash": QueryDef(
-            simhash_pairs,
-            None,  # xxhash64 -> rows-only; md5 witness below
-            "X2 SimHash chunk-banded near-dup",
-        ),
+        # dedup_simhash (xxhash64 production tier) RETIRED from the
+        # graded registry in round 8: dedup_simhash_md5 below is the
+        # oracle-checked witness of the same chunk-banded mechanism;
+        # the xxhash64 tier stays direct-call tested (test_retired_tiers).
         "dedup_simhash_md5": QueryDef(
             simhash_pairs_md5,
             f"""
@@ -2312,14 +2307,11 @@ def register() -> dict:
             "X2 duplicate clusters (CC over exact-Jaccard pairs, "
             "oracle-replayed as recursive closure)",
         ),
-        "dedup_clusters_lsh": QueryDef(
-            lambda spark, sf_dir: dedup_clusters(
-                spark, sf_dir, pair_tier="lsh"
-            ),
-            None,  # xxhash64 signatures -> rows-only check
-            "X2 duplicate clusters (CC over MinHash-LSH pairs, the "
-            "100TB candidate path)",
-        ),
+        # dedup_clusters_lsh RETIRED from the graded registry in round
+        # 8: it is dedup_clusters(pair_tier="lsh") — the CC machinery is
+        # hash-checked via dedup_clusters and the LSH pair tier via
+        # dedup_minhash_lsh_md5; the composition stays direct-call
+        # tested (test_retired_tiers + the cluster pair-set pins).
         "dedup_embedding_cosine": QueryDef(
             embedding_cosine_pairs,
             """

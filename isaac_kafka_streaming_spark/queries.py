@@ -2400,12 +2400,15 @@ REGISTRY: dict[str, QueryDef] = {
         ),
         "exact per-type value quantiles (percentile == quantile_cont)",
     ),
-    "sketch_summaries": QueryDef(
-        _sketch_summaries,
-        None,  # sketch values are implementation-defined; error bounds
-        # vs the exact twins are pinned in tests/test_operators.py
-        "HLL++ distinct users + GK approx percentiles per event type",
-    ),
+    # sketch_summaries RETIRED from the graded registry in round 8
+    # (capacity reclaim, round-7 verdict item 4): its sketch values are
+    # implementation-defined (rows-only under the driver), while its
+    # three hash-checked witnesses (hll_distinct_md5, cms_heavy_hitters,
+    # histogram_quantiles) oracle-replay the same bounded-state
+    # mechanisms.  The operator itself (_sketch_summaries) stays
+    # exercised by tests/test_operators.py::test_sketch_summaries_error_bounds
+    # and the tests/test_plans.py partial-agg guard.  COVERAGE.md
+    # "Retired in round 8" records the full rationale.
     "purchase_asof_signup": QueryDef(
         _purchase_asof_signup,
         oracle.with_views(
@@ -3149,103 +3152,99 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-7 window tiers (plan_window.py output, history through r06):
-#   T0: the 30 entries REGISTERED this round (previously staged —
-#       zero driver rows, must-check): the 8 remaining TPC-H shapes
-#       (completing all 22), HLL/histogram sketch witnesses, gap-fill,
-#       funnel, cohort retention, containment/Bloom/passage-scrub/
-#       source-overlap dedup tiers, priority/temperature sampling,
-#       PQ ANN, and the bigram-LM/CMS/corpus-report/vocab/BPE/
-#       winnowing/PMI/feature-hash text family.
-#   T2: 18 of the 49 entries whose last green row is r05 (they expire
-#       from the K=3 window after round 8 otherwise; the remaining 31
-#       — including tpch_q6 and event_type_counts, which yielded their
-#       slots to the mid-round witnesses — are REQUIRED in the round-8
-#       window; plan_window.py will front them).  Includes
-#       user_streaks and dedup_simhash, which yielded their round-6
-#       slots (round-6 verdict item 3); dedup_simhash is swapped in
-#       for tpch_q1 (the T2 fill is discretionary — any 18-of-49
-#       choice leaves round 8 feasible at 31 required slots).
-# The 79 entries past the window are all green in CORRECTNESS_r05 or
-# _r06, so they stay inside the K=3 freshness span through round 7.
+# Round-8 window tiers (plan_window.py output, history through r07;
+# 126 live entries after the round-8 RETIREMENT of the six rows-only
+# production tiers — dedup_minhash_lsh, dedup_simhash,
+# dedup_incoming_minhash, dedup_clusters_lsh, knn_lsh,
+# sketch_summaries — each shadowed by a registered hash-checked
+# witness of the same mechanism; see COVERAGE.md "Retired in round 8".
+# Every remaining registry entry now carries a DuckDB oracle
+# (tests/test_oracle_parity.py::test_registry_fully_oracle_backed).
+#   T1: the 31 entries whose last green row is r05 — once the r07
+#       window re-greened the round-6 registrations, these are exactly
+#       the entries that fall out of the K=3 freshness span unless
+#       re-checked in round 8 (invariant-REQUIRED; plan_window fronts
+#       them).
+#   T2: 19 of the 46 entries last green in r06 (fill; they expire
+#       after round 9 otherwise — taking the expiring tier first keeps
+#       the must-check load spread at ~30/round instead of bunching
+#       into a 46-wide wave with zero slack).  The remaining 27
+#       r06-green entries front the round-9 window.
+# The 76 parked entries are all green in r06 or r07, inside the K=3
+# freshness span through round 8.
 #
-# CAPACITY NOTE: the K=3 freshness invariant admits at most 50 × 3 =
-# 150 registry entries under perfect disjoint rotation.  At 132 live
-# entries (88% of ceiling; steady-state ≈33 must-checks per
-# round) — from round 7 on, prefer DEEPENING existing entries
-# (stronger oracles, streaming twins, property tests) over net-new
-# registrations, and retire-or-merge before exceeding ~140.  Any
-# future registration must first pass
+# CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
+# 150 registry entries under perfect disjoint rotation.  At 126 live
+# entries (84% of ceiling after the round-8 retirement; steady-state
+# ~30 must-checks per round, ~20 slack slots) — prefer DEEPENING
+# existing entries (stronger oracles, streaming twins, property tests)
+# over net-new registrations, and retire-or-merge before exceeding
+# ~140.  Any future registration must first pass
 # ``python tools/plan_window.py --include-staged`` and the
 # tests/test_staged_registry.py feasibility guard.
-# ROTATION FORECAST (simulated forward through r12 with synthetic
-# green rows and plan_window's tier-aware fill): every future round's
-# must-check set settles at 30 (the expiring third of 130 entries
-# at period 3), leaving ~20 slack slots per round.  The fill
-# DISCIPLINE matters: always take the T2 (expires-next) tier before
-# any fresh entries — a naive fill that rechecks fresh entries lets
-# the expiring cohorts bunch into a 50-wide wave with zero slack.
-# plan_window.py encodes this; use it, don't hand-roll the window.
+#
+# ROTATION FORECAST (the feasibility guard now simulates this
+# mechanically — tests/test_staged_registry.py rolls plan_window.py's
+# tier-aware fill three rounds forward every run): at 126 entries the
+# per-round must-check load settles at ~31/46-ish thirds with ~19
+# slack slots.  The fill DISCIPLINE matters: always take the T2
+# (expires-next) tier before any fresh entries — a naive fill that
+# rechecks fresh entries lets the expiring cohorts bunch into a
+# 50-wide wave with zero slack.  plan_window.py encodes this; use it,
+# don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — registered round 7, no green row yet (must-check) (33:
-    # the 30 round-6-staged entries + the mid-round-7 witnesses
-    # dedup_incoming_minhash_md5 and knn_srp + bm25_top_docs)
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q19",
-    "tpch_q12",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "hll_distinct_md5",
-    "histogram_quantiles",
-    "user_daily_gapfill",
-    "funnel_signup_purchase",
-    "cohort_retention",
-    "contained_documents",
-    "bloom_prefilter",
-    "passage_scrub",
-    "source_overlap_matrix",
-    "priority_sample",
-    "temperature_mixture",
-    "knn_pq",
-    "bigram_perplexity",
-    "cms_heavy_hitters",
-    "corpus_report",
-    "vocab_coverage",
-    "bpe_learn",
-    "bpe_tokenize_stats",
-    "winnow_fingerprints",
-    "pmi_top_pairs",
-    "winnow_probe_incoming",
-    "feature_hash_embed",
-    "dedup_incoming_minhash_md5",
-    "knn_srp",
-    "bm25_top_docs",
-    # T2 — last green r05, expiring (17 of 49; the other 32 are
-    # round-8 must-checks).  tpch_q6, event_type_counts and
-    # question_page_rollup yielded their slots to the three mid-round-7
-    # registrations (incoming-probe minhash md5 witness, SRP ANN probe
-    # witness, BM25 ranking); all three stay green via their r05 rows
-    # under K=3 and front the round-8 window.
-    "user_streaks",
-    "sliding_weekly_counts",
-    "user_notifications",
-    "user_event_counts",
-    "anonymous_events",
-    "user_profiles",
-    "props_k_stats",
-    "question_page_array",
-    "purchasers_without_errors",
-    "daily_role_rollup",
-    "role_type_cube",
-    "tpch_q3",
-    "customers_without_big_orders",
-    "tpch_q5",
-    "orders_with_returns",
-    "user_activity_coverage",
-    "dedup_simhash",
+    # T1 — last green r05 (invariant requires) (31)
+    "event_type_counts",
+    "question_page_rollup",
+    "tpch_q6",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q16",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "media_features",
+    "media_png_features",
+    "media_wav_stats",
+    "media_frame_stats",
+    "overlap_chunk_plan",
+    "soft_dedup_sample",
+    "stratified_topk_sample",
+    "epoch_shuffle",
+    "mixture_plan",
+    "embedding_quantize",
+    "bpe_pair_counts",
+    "char_entropy",
+    "corpus_curation",
+    # T2 — last green r06, expiring next (19 of 46)
+    "daily_event_counts",
+    "daily_role_counts",
+    "daily_role_type_map",
+    "user_snapshot",
+    "enriched_events",
+    "last_seen",
+    "last_seen_map",
+    "value_quantiles",
+    "purchase_asof_signup",
+    "purchases_within_day_of_signup",
+    "question_part_counts",
+    "question_completion",
+    "threshold_achievements",
+    "tpch_q14",
+    "tpch_q18",
+    "session_transcripts",
+    "dedup_incoming",
+    "duplicate_passages",
+    "dedup_ngram_jaccard_capped",
 ]
 
 
@@ -3283,3 +3282,44 @@ def staged_queries() -> dict[str, QueryDef]:
     registrations from here should be rare and must re-run the
     window-feasibility guard first."""
     return {}
+
+
+def retired_tiers() -> dict:
+    """Production tiers RETIRED from the graded registry in round 8 to
+    reclaim rotation capacity (round-7 verdict item 4).  Each was
+    rows-only under the driver (engine-specific xxhash64 hashing /
+    numpy hyperplanes / implementation-defined sketch values) and each
+    mechanism is carried by a registered, hash-checked witness:
+
+      dedup_minhash_lsh      -> dedup_minhash_lsh_md5
+      dedup_simhash          -> dedup_simhash_md5
+      dedup_incoming_minhash -> dedup_incoming_minhash_md5
+      dedup_clusters_lsh     -> dedup_clusters (CC) + dedup_minhash_lsh_md5
+      knn_lsh                -> knn_srp
+      sketch_summaries       -> hll_distinct_md5 + cms_heavy_hitters
+                                + histogram_quantiles
+
+    Nothing was deleted: these remain the recommended 100 TB paths,
+    direct-call tested (tests/test_oracle_parity.py::test_retired_tiers
+    plus their per-module suites), benched (bench.py), and plan-linted
+    (tools/plan_lint.py) every round — they just no longer consume
+    driver-window slots that an oracle-checkable twin already covers.
+    """
+    from .extensions.dedup import (
+        dedup_clusters,
+        dedup_incoming_minhash,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from .extensions.similarity import knn_lsh
+
+    return {
+        "dedup_minhash_lsh": minhash_lsh_pairs,
+        "dedup_simhash": simhash_pairs,
+        "dedup_incoming_minhash": dedup_incoming_minhash,
+        "dedup_clusters_lsh": lambda spark, sf_dir: dedup_clusters(
+            spark, sf_dir, pair_tier="lsh"
+        ),
+        "knn_lsh": knn_lsh,
+        "sketch_summaries": _sketch_summaries,
+    }

@@ -347,11 +347,10 @@ def test_sketch_summaries_error_bounds(spark, sf_smoke):
     error: HLL++ rsd=0.05 (assert 3 sigma = 15%), approx_percentile at
     accuracy=10000 has rank error <= 1/10000 (assert the sketch value
     lies between neighboring exact quantiles with slack)."""
-    from isaac_kafka_streaming_spark.queries import all_queries
+    from isaac_kafka_streaming_spark.queries import _sketch_summaries
 
-    reg = all_queries()
     sk = {r.event_type: r for r in
-          reg["sketch_summaries"].fn(spark, sf_smoke).collect()}
+          _sketch_summaries(spark, sf_smoke).collect()}
     from isaac_kafka_streaming_spark.plans import views as v
     from pyspark.sql import functions as F
 

@@ -175,21 +175,81 @@ def _check_kmeans(rows):
 
 
 _INVARIANTS = {
-    "dedup_minhash_lsh": _check_minhash,
-    "dedup_simhash": _check_simhash,
     "knn_ivf": _check_knn_ivf,
     "dedup_clusters": _check_clusters,
     "kmeans_centroids": _check_kmeans,
 }
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    qd = _REGISTRY[name]
-    df = qd.fn(spark, SF_DIR)
+def test_registry_fully_oracle_backed():
+    """Since the round-8 retirement of the six rows-only production
+    tiers (each shadowed by a registered hash-checked witness of the
+    same mechanism), EVERY graded registry entry must carry a DuckDB
+    oracle — a new rows-only registration needs an explicit witness
+    story, not a silent `sql=None`."""
+    assert _ROWS_ONLY == [], _ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", sorted(_INVARIANTS))
+def test_oracle_entries_semantic_invariants(spark, name):
+    """Belt-and-braces on top of the oracle compare for entries whose
+    SQL twin replays the implementation closely: pin the semantic shape
+    (rank contiguity, canonical-member clusters, centroid dims) that a
+    lockstep bug in BOTH engines could otherwise preserve."""
+    rows = _REGISTRY[name].fn(spark, SF_DIR).collect()
+    assert rows, f"{name}: no rows to check invariants on"
+    _INVARIANTS[name](rows)
+
+
+def _check_incoming_minhash(rows):
+    seen = set()
+    for r in rows:
+        assert r.doc_id != r.near_dup_of
+        assert r.jaccard >= 0.5
+        assert r.doc_id not in seen, "more than one best match per doc"
+        seen.add(r.doc_id)
+
+
+def _check_knn_lsh(rows):
+    per_query = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_query.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+_RETIRED_CHECKS = {
+    "dedup_minhash_lsh": _check_minhash,
+    "dedup_simhash": _check_simhash,
+    "dedup_incoming_minhash": _check_incoming_minhash,
+    "dedup_clusters_lsh": _check_clusters,
+    "knn_lsh": _check_knn_lsh,
+    "sketch_summaries": lambda rows: None,  # error bounds pinned in
+    # tests/test_operators.py::test_sketch_summaries_error_bounds
+}
+
+
+def _retired_tiers():
+    from isaac_kafka_streaming_spark.queries import retired_tiers
+
+    tiers = retired_tiers()
+    assert set(tiers) == set(_RETIRED_CHECKS), set(tiers) ^ set(_RETIRED_CHECKS)
+    return {n: (fn, _RETIRED_CHECKS[n]) for n, fn in tiers.items()}
+
+
+@pytest.mark.parametrize("name", sorted(_retired_tiers()))
+def test_retired_tiers(spark, name):
+    """The six production tiers retired from the graded registry in
+    round 8 (engine-specific hashing / implementation-defined sketch
+    values -> rows-only under the driver; each mechanism is carried by
+    a registered hash-checked witness).  Direct-call pins so the
+    retired tier itself — not just its witness — keeps running and
+    keeps its semantic shape.  sketch_summaries' error bounds are
+    pinned separately in tests/test_operators.py."""
+    fn, check = _retired_tiers()[name]
+    df = fn(spark, SF_DIR)
     rows = df.collect()
     assert len(df.schema.fields) > 0
-    check = _INVARIANTS.get(name)
-    if check is not None:
-        assert rows, f"{name}: no rows to check invariants on"
-        check(rows)
+    assert rows, f"{name}: no rows to check invariants on"
+    check(rows)

@@ -102,7 +102,12 @@ def test_concat_chunk_single_exchange(spark, sf_smoke):
 def test_sketch_summaries_partial_agg_no_expand(spark, sf_smoke):
     """HLL++/GK sketches must partial-aggregate map-side and never fall
     back to the distinct-Expand plan."""
-    plan = _executed_plan(spark, "sketch_summaries", sf_smoke)
+    from isaac_kafka_streaming_spark.queries import _sketch_summaries
+
+    plan = (
+        _sketch_summaries(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "Expand" not in plan
     # executedPlan prints top-down: the partial (map-side) sketch agg
     # must sit BELOW the one exchange
@@ -184,7 +189,12 @@ def test_knn_lsh_corpus_side_not_multiplied(spark, sf_smoke):
     """Multiprobe must stay query-side: the corpus explode feeds the
     join probe side once, and the join build side is the (broadcast)
     query bucket set."""
-    plan = _executed_plan(spark, "knn_lsh", sf_smoke)
+    from isaac_kafka_streaming_spark.extensions.similarity import knn_lsh
+
+    plan = (
+        knn_lsh(spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan, plan
 
 

@@ -272,3 +272,52 @@ def test_knn_srp_witness_recall_and_rescoring(spark, sf_smoke):
         per_query.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in per_query.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_knn_srp_empty_vector_lockstep(spark, tmp_path):
+    """Round-7 advice item: a zero-length embedding must not crash the
+    Spark fold (unguarded, sequence(0, -1) = [0, -1] hits
+    element_at(v, 0) under ANSI mode) and must agree with the DuckDB
+    twin (whose list_dot_product internal-errors on empty lists) —
+    both engines now EXCLUDE empty vectors before any list op.  Pin
+    both end to end on a fixture with one empty vector among real
+    ones."""
+    import duckdb
+    import pandas as pd
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        _knn_srp_oracle_sql,
+        knn_srp,
+    )
+
+    vecs = pd.DataFrame(
+        {
+            "vec_id": [0, 1, 2, 3],
+            "label": ["a", "a", "a", "a"],
+            "embedding": [
+                [1.0, 2.0, 3.0],
+                [],  # the degenerate row
+                [1.0, 2.0, 2.9],
+                [-1.0, -2.0, -3.0],
+            ],
+        }
+    )
+    vecs.to_parquet(tmp_path / "embeddings.parquet")
+
+    got = knn_srp(spark, str(tmp_path), n_queries=2, k=5).collect()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS "
+        f"SELECT * FROM '{tmp_path}/embeddings.parquet'"
+    )
+    want = con.execute(
+        _knn_srp_oracle_sql(n_queries=2, k=5)
+    ).fetchall()
+    con.close()
+
+    got_set = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in got}
+    assert got_set == set(want)
+    # the empty vector appears on neither side of any returned pair
+    assert all(r.query_id != 1 and r.neighbor_id != 1 for r in got)
+    # and the non-degenerate rows still match each other
+    assert any(r.query_id == 0 for r in got)

@@ -53,16 +53,15 @@ def test_staged_entries_all_oracle_backed():
 
 
 def test_round7_registration_complete():
-    """All 30 round-6-staged entries are live, oracle-backed, and front
-    the round-7 driver window (tier T0 — they have no driver rows yet,
-    so every one must be in the first 50 of all_queries())."""
+    """All 30 round-6-staged entries are live and oracle-backed.  (They
+    fronted the round-7 window as tier T0 and went green in
+    CORRECTNESS_r07; from round 8 on they rotate like any other entry,
+    so the in-window pin is retired with the rotation.)"""
     live = all_queries()
     assert len(ROUND7_REGISTERED) == 30
-    window = list(live)[:50]
     for name in ROUND7_REGISTERED:
         assert name in live, f"{name} was staged but never registered"
         assert live[name].sql is not None, name
-        assert name in window, f"{name} registered but not in-window"
 
 
 def test_registered_names_cover_coverage_doc():
@@ -71,6 +70,9 @@ def test_registered_names_cover_coverage_doc():
     doc; the registry runs the code)."""
     text = (REPO / "COVERAGE.md").read_text()
     section = text.split("## Registered in round 7", 1)[1]
+    # bound at the next section heading so later sections (e.g.
+    # "Retired in round 8") can't leak table rows into this check
+    section = section.split("\n## ", 1)[0]
     doc_names = set(re.findall(r"^\| `([a-z0-9_]+)` \|", section, re.M))
     # the doc table lists the public callable for the mixture entry
     expected_doc = (set(ROUND7_REGISTERED) - {"temperature_mixture"}) | {
@@ -79,17 +81,22 @@ def test_registered_names_cover_coverage_doc():
     assert doc_names == expected_doc, sorted(doc_names ^ expected_doc)
 
 
-def test_next_round_window_is_feasible():
-    """Rotation look-ahead guard: assuming the current window goes
-    green next round, the round after must still be able to satisfy
-    the K=3 freshness invariant — entries with no driver row (tier T0,
-    including any future staged registrations) plus entries whose last
-    green would then be more than K-1 rounds back must fit the 50-slot
-    window.  This is the guard that (correctly) failed at round-6 HEAD
-    when 30 staged entries exceeded the capacity of the then-K=2
-    invariant; it now runs every round so over-staging can never ship
-    silently again."""
-    from tests.test_registry import DRIVER_WINDOW, _is_green
+def _load_planner():
+    """Import the tier-aware planner from tools/plan_window.py — the
+    guard below simulates future rounds with the SAME fill rule the
+    builder uses to rotate, so planner and guard can never disagree."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_window", REPO / "tools" / "plan_window.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _correctness_last_green():
+    from tests.test_registry import _is_green
 
     hist = {}
     for p in REPO.glob("CORRECTNESS_r*.json"):
@@ -97,26 +104,75 @@ def test_next_round_window_is_feasible():
         if m:
             hist[int(m.group(1))] = json.loads(p.read_text())
     if not hist:
-        return
-    latest = max(hist)
+        return None, None
     last_green = {}
     for rnd in sorted(hist):
         for name, row in hist[rnd].items():
             if isinstance(row, dict) and _is_green(row):
                 last_green[name] = rnd
+    return last_green, max(hist)
 
+
+def _simulate_rotation(planner, names, last_green, latest, rounds):
+    """Roll the tier-aware rotation forward `rounds` rounds; raises
+    ValueError at the first round whose required tiers exceed the
+    window."""
+    lg = dict(last_green)
+    for r in range(latest + 1, latest + 1 + rounds):
+        for n in planner.plan_window(names, lg, r - 1):
+            lg[n] = r
+    return lg
+
+
+def test_next_round_window_is_feasible():
+    """Rotation look-ahead guard, ROTATION-AWARE since round 8: roll
+    the registry three rounds forward using the planner's own
+    tier-aware fill (tools/plan_window.py) and assert every simulated
+    round's required tiers (never-checked + invariant-expiring) fit the
+    50-slot window.  This catches true capacity overruns — the round-6
+    over-staging failure this guard was born from — while staying green
+    across the inter-round gap where the driver drops a new
+    CORRECTNESS_r{N}.json AFTER the round's final commit: the committed
+    _DRIVER_CHECK_ORDER necessarily lags that file, but the planner
+    rotation the builder applies at next round start is what the
+    simulation uses, so a post-commit drop can no longer strand HEAD
+    red (the round-7 verdict's top defect)."""
+    planner = _load_planner()
+    last_green, latest = _correctness_last_green()
+    if last_green is None:
+        return
+    names = list(all_queries()) + [
+        n for n in staged_queries() if n not in all_queries()
+    ]
+    try:
+        _simulate_rotation(planner, names, last_green, latest, rounds=3)
+    except ValueError as e:
+        raise AssertionError(str(e)) from e
+
+
+def test_feasibility_survives_post_commit_correctness_drop():
+    """Regression fixture for the exact round-7 red-HEAD shape: a NEW
+    CORRECTNESS file greening precisely the committed window lands
+    after the final commit.  The rotation-aware guard must stay
+    feasible from that state too — i.e. the guard's verdict cannot
+    depend on _DRIVER_CHECK_ORDER having been rotated for a file that
+    did not exist at commit time."""
+    from tests.test_registry import DRIVER_WINDOW
+
+    planner = _load_planner()
+    last_green, latest = _correctness_last_green()
+    if last_green is None:
+        return
     live = all_queries()
-    # assume the current window goes green in round latest+1
-    simulated = latest + 1
-    for name in list(live)[:DRIVER_WINDOW]:
-        last_green[name] = simulated
-
-    t0 = [n for n in list(live) + list(staged_queries())
-          if n not in last_green]
-    t1 = [n for n, lg in last_green.items()
-          if n in live and lg <= simulated - 2]
-    assert len(t0) + len(t1) <= DRIVER_WINDOW, (
-        f"round-{simulated + 1} window infeasible: "
-        f"{len(t0)} never-checked + {len(t1)} invariant-required "
-        f"> {DRIVER_WINDOW}"
-    )
+    names = list(live) + [n for n in staged_queries() if n not in live]
+    # synthetic post-commit drop: the driver just re-greened the
+    # currently committed window at round latest+1
+    lg = dict(last_green)
+    for n in list(live)[:DRIVER_WINDOW]:
+        lg[n] = latest + 1
+    try:
+        _simulate_rotation(planner, names, lg, latest + 1, rounds=3)
+    except ValueError as e:
+        raise AssertionError(
+            f"guard red after a simulated post-commit drop: {e}"
+        ) from e

@@ -293,10 +293,19 @@ PICKS = {
 def main() -> None:
     spark = get_spark("plans")
     spark.sparkContext.setLogLevel("ERROR")
-    from isaac_kafka_streaming_spark.queries import staged_queries
+    from isaac_kafka_streaming_spark.queries import (
+        retired_tiers,
+        staged_queries,
+    )
+
+    class _Fn:
+        def __init__(self, fn):
+            self.fn = fn
 
     reg = dict(all_queries())
     reg.update(staged_queries())
+    # round-8-retired production tiers keep their plan docs
+    reg.update({n: _Fn(f) for n, f in retired_tiers().items()})
     fmt = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
     )

@@ -91,13 +91,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    entries = dict(all_queries())
-    entries.update(staged_queries())
+    from isaac_kafka_streaming_spark.queries import retired_tiers
+
+    entries = {n: qd.fn for n, qd in all_queries().items()}
+    entries.update({n: qd.fn for n, qd in staged_queries().items()})
+    # round-8-retired production tiers stay in the lint sweep
+    entries.update(retired_tiers())
     violations: list[str] = []
-    for name, qd in entries.items():
+    for name, fn in entries.items():
         try:
             plan = (
-                qd.fn(spark, sf_dir)
+                fn(spark, sf_dir)
                 ._jdf.queryExecution()
                 .executedPlan()
                 .toString()

@@ -45,6 +45,60 @@ def _load_is_green():
     return mod._is_green
 
 
+def last_green_history(hist: dict[int, dict], is_green) -> dict[str, int]:
+    """name -> latest round with a green driver row."""
+    last_green: dict[str, int] = {}
+    for rnd in sorted(hist):
+        for name, row in hist[rnd].items():
+            if isinstance(row, dict) and is_green(row):
+                last_green[name] = rnd
+    return last_green
+
+
+def compute_tiers(
+    names: list[str], last_green: dict[str, int], latest: int
+) -> dict[str, list[str]]:
+    """The tier-aware rotation rule, as a pure function shared by the
+    CLI below AND the look-ahead feasibility guard in
+    tests/test_staged_registry.py (the guard simulates FUTURE rounds
+    with this exact fill, so a CORRECTNESS file landing after the
+    final commit of a round can never strand HEAD red — the planner
+    would rotate, and the guard knows it)."""
+    tiers: dict[str, list[str]] = {"T0": [], "T1": [], "T2": [], "T3": []}
+    for n in names:
+        lg = last_green.get(n)
+        if lg is None:
+            tiers["T0"].append(n)
+        elif lg <= latest - 2:
+            tiers["T1"].append(n)
+        elif lg == latest - 1:
+            tiers["T2"].append(n)
+        else:
+            tiers["T3"].append(n)
+    # within T3, least-recently-verified first is moot (all == latest);
+    # keep registry order for stability
+    return tiers
+
+
+def plan_window(
+    names: list[str], last_green: dict[str, int], latest: int
+) -> list[str]:
+    """The planned next-round window: tiers in priority order, truncated
+    to WINDOW slots.  Raises if the required tiers (T0+T1) alone exceed
+    the window — the infeasible case the guard exists to catch."""
+    tiers = compute_tiers(names, last_green, latest)
+    must = len(tiers["T0"]) + len(tiers["T1"])
+    if must > WINDOW:
+        raise ValueError(
+            f"window infeasible: {len(tiers['T0'])} never-checked + "
+            f"{len(tiers['T1'])} invariant-required > {WINDOW}"
+        )
+    plan: list[str] = []
+    for tier in ("T0", "T1", "T2", "T3"):
+        plan += tiers[tier][: WINDOW - len(plan)]
+    return plan
+
+
 def main() -> int:
     include_staged = "--include-staged" in sys.argv
 
@@ -64,29 +118,13 @@ def main() -> int:
         return 1
     latest = max(hist)
 
-    last_green: dict[str, int] = {}
-    for rnd in sorted(hist):
-        for name, row in hist[rnd].items():
-            if isinstance(row, dict) and is_green(row):
-                last_green[name] = rnd
+    last_green = last_green_history(hist, is_green)
 
     names = list(all_queries())
     if include_staged:
         names += [n for n in staged_queries() if n not in names]
 
-    tiers: dict[str, list[str]] = {"T0": [], "T1": [], "T2": [], "T3": []}
-    for n in names:
-        lg = last_green.get(n)
-        if lg is None:
-            tiers["T0"].append(n)
-        elif lg <= latest - 2:
-            tiers["T1"].append(n)
-        elif lg == latest - 1:
-            tiers["T2"].append(n)
-        else:
-            tiers["T3"].append(n)
-    # within T3, least-recently-verified first is moot (all == latest);
-    # keep registry order for stability
+    tiers = compute_tiers(names, last_green, latest)
     must = len(tiers["T0"]) + len(tiers["T1"])
     if must > WINDOW:
         print(
