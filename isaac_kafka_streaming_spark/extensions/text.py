@@ -246,6 +246,51 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_keep_expr(text_col) -> "F.Column":
+    """text_quality's keep/drop gate as a pure per-row column
+    expression: n_tokens >= 5 and rounded avg token length in [2, 15]
+    (same 4-dp round as the text_quality output column, so the two
+    forms can never disagree at the gate boundary).  Shared by
+    corpus_report and the streaming card twin
+    (streaming.topology.streaming_canonical_texts); equality with
+    text_quality's keep column is pinned in tests/test_text_extras.py.
+    """
+    tokens = _tokens(text_col)
+    n_tokens = F.size(tokens).cast("long")
+    avg_token_len = F.round(
+        F.aggregate(tokens, F.lit(0.0), lambda acc, t: acc + F.length(t))
+        / F.greatest(n_tokens, F.lit(1)),
+        4,
+    )
+    return (
+        (n_tokens >= 5) & (avg_token_len >= 2) & (avg_token_len <= 15)
+    )
+
+
+def card_projection(docs: DataFrame) -> DataFrame:
+    """Per-document projection feeding the corpus card — one map-side
+    pass producing everything the (lang, source) rollups need: sizes,
+    the normalized dedup hash, the split bucket (corpus_split's md5
+    scheme) and the quality keep flag.  Batch corpus_report and its
+    streaming twin share this projection so the card semantics cannot
+    drift between the two forms."""
+    from .sampling import _bucket
+
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        norm_hash.alias("text_hash"),
+        _bucket(F.col("doc_id")),
+        quality_keep_expr(F.col("text")).alias("keep_quality"),
+    )
+
+
 def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset card, per (lang, source) — the summary table a training
     corpus ships with: volume (docs, chars, tokens), duplication
@@ -266,27 +311,10 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     CORPUS_REPORT_ORACLE_SQL below is parity-tested now
     (tests/test_text_extras.py)."""
-    docs = read_table(spark, sf_dir, "documents")
-    from .sampling import _bucket
-
-    norm_hash = F.sha2(
-        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
-    )
-    quality = text_quality(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("keep_quality")
-    )
-    base = (
-        docs.select(
-            "doc_id",
-            "lang",
-            "source",
-            "n_chars",
-            F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-            norm_hash.alias("text_hash"),
-            _bucket(F.col("doc_id")),
-        )
-        .join(quality, "doc_id")
-    )
+    # round 8: keep_quality is inlined via quality_keep_expr (same gate,
+    # pinned equal to text_quality's keep column) instead of a doc_id
+    # self-join against text_quality — one documents scan instead of two
+    base = card_projection(read_table(spark, sf_dir, "documents"))
     per_doc = base.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -1831,6 +1859,43 @@ def bm25_top_docs(
             F.col("w").alias("query_term"), "doc_id", "tf", "bm25", "rank"
         )
     )
+
+
+def bm25_query_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = BM25_N_QUERIES,
+) -> DataFrame:
+    """The STATIC side of streaming BM25 scoring: the query-term
+    dimension (term, its document frequency) carrying the corpus
+    scalars (n_docs, avgdl) on every row — built offline from the
+    corpus with exactly bm25_top_docs' term pick (total occurrences
+    DESC, term ASC over non-stopwords) and aggregate chain, so the
+    streaming scorer reproduces the batch scores bit-for-bit.
+
+    At 100 TB this is the trusted benchmark's term list plus two
+    corpus statistics — a few-KB broadcast dim refreshed by a periodic
+    batch job, the same artifact-lifecycle as the IVF centroid index
+    (similarity.build_ivf_index) and the eval anchor index
+    (dedup.eval_anchor_index)."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    queries = (
+        tf.groupBy("w")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .filter(~F.col("w").isin(*_STOPWORDS))
+        .orderBy(F.col("cf").desc(), F.col("w"))
+        .limit(n_queries)
+        .select("w", "df")
+    )
+    return queries.crossJoin(F.broadcast(stats))
 
 
 # DuckDB twin for bm25_top_docs — identical aggregate chain, identical

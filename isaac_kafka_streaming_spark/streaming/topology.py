@@ -884,3 +884,148 @@ def histogram_readoff(
         cond = (F.col("cum_before") < target) & (F.col("cum") >= target)
         aggs.append(F.max(F.when(cond, F.round(est, 4))).alias(name))
     return cum.groupBy("event_type").agg(*aggs)
+
+
+def streaming_bm25_score(
+    docs_stream: DataFrame,
+    query_index: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Streaming form of BM25 retrieval scoring (batch twin:
+    extensions.text.bm25_top_docs' scored tier): the query-term index
+    — (w, df) plus the corpus scalars (n_docs, avgdl), built offline
+    by text.bm25_query_index — is the small STATIC broadcast side, and
+    every ARRIVING document is scored against it before entering the
+    corpus, the same sides-flipped production shape as
+    streaming_decontaminate ("score new data against the trusted
+    benchmark terms at ingest").
+
+    Entirely stateless — tf is a per-row higher-order-function count
+    over the doc's own token array (no explode→groupBy, so no
+    aggregation state), dl is the doc's own length, and the static
+    side rides a broadcast — so it runs append-mode with zero state
+    store.  Per arriving document the work is O(|terms| x dl).  Emits
+    (query_term, doc_id, tf, bm25) with EXACTLY the batch scores:
+    parity with bm25_top_docs' surviving rows is pinned in
+    tests/test_streaming.py (the global top-k rank itself stays a
+    batch/read-time concern — a streaming global top-k would need a
+    complete-mode sort over all history).
+    """
+    from ..extensions.text import _tokens
+
+    base = docs_stream.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    ).withColumn("dl", F.size("tokens").cast("long"))
+    scored = base.crossJoin(F.broadcast(query_index)).withColumn(
+        "tf",
+        F.size(
+            F.filter(F.col("tokens"), lambda t: t == F.col("w"))
+        ).cast("long"),
+    ).filter(F.col("tf") > 0)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    score = F.round(
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return scored.select(
+        F.col("w").alias("query_term"),
+        "doc_id",
+        "tf",
+        score.alias("bm25"),
+    )
+
+
+def streaming_corpus_volume(docs_stream: DataFrame) -> DataFrame:
+    """Streaming half 1 of the per-(lang, source) dataset card (batch
+    twin: extensions.text.corpus_report): the purely algebraic volume
+    and split-distribution columns as ONE update-mode aggregate —
+    docs, chars, tokens, and the train/val/test md5-bucket counts.
+    State is one row per (lang, source).  The per-doc projection is
+    text.card_projection, shared with the batch card so the semantics
+    cannot drift."""
+    from ..extensions.text import card_projection
+
+    return card_projection(docs_stream).groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.when(F.col("bucket") < 5, 1)).alias("n_test"),
+        F.count(
+            F.when((F.col("bucket") >= 5) & (F.col("bucket") < 10), 1)
+        ).alias("n_val"),
+        F.count(F.when(F.col("bucket") >= 10, 1)).alias("n_train"),
+    )
+
+
+def streaming_canonical_texts(docs_stream: DataFrame) -> DataFrame:
+    """Streaming half 2 of the dataset card: the dedup tier as an
+    update-mode aggregate keyed by (lang, source, text_hash) — copy
+    count plus the CANONICAL copy's quality flag via min_by(.., doc_id),
+    so the kept-copy decision is arrival-order-INDEPENDENT (a
+    dropDuplicates form would keep the first arrival, which only
+    matches the batch card's min-doc_id canonical when ingest happens
+    to be doc_id-ordered).  State is one row per distinct normalized
+    text per (lang, source) — the same bound as the batch two-level
+    distinct.  The card's second-level rollup (n_unique_texts, n_kept)
+    happens at read time in corpus_report_from_stores, because an
+    update-mode streaming aggregate cannot feed a second aggregate
+    (the documented streaming_last_seen two-level split)."""
+    from ..extensions.text import card_projection
+
+    return (
+        card_projection(docs_stream)
+        .groupBy("lang", "source", "text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.expr("min_by(keep_quality, doc_id)").alias(
+                "canonical_quality"
+            ),
+        )
+    )
+
+
+def corpus_report_from_stores(
+    volume: DataFrame, canonical: DataFrame
+) -> DataFrame:
+    """Read-time composition of the two streaming card stores into the
+    EXACT corpus_report card (same 11 columns, same dup_rate rounding)
+    — the same store+read-off split as histogram_readoff and the
+    cohort retention matrix.  Batch parity is pinned in
+    tests/test_streaming.py."""
+    dedup = canonical.groupBy("lang", "source").agg(
+        F.count("*").alias("n_unique_texts"),
+        F.count(F.when(F.col("canonical_quality"), 1)).alias("n_kept"),
+    )
+    return (
+        volume.join(dedup, ["lang", "source"])
+        .withColumn(
+            "dup_rate",
+            F.round(
+                1.0 - F.col("n_unique_texts") / F.col("n_docs"), 6
+            ),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_unique_texts",
+            "dup_rate",
+            "n_kept",
+            "n_train",
+            "n_val",
+            "n_test",
+        )
+    )

@@ -404,3 +404,17 @@ def test_vocab_coverage_shuffle_mode_drops_broadcast(spark, sf_smoke):
     assert shuffled.count("BroadcastHashJoin") < default.count(
         "BroadcastHashJoin"
     )
+
+
+def test_corpus_report_two_scans_no_doc_join(spark, sf_smoke):
+    """The round-8 dejoin: keep_quality is an inline projection, not a
+    doc_id self-join against text_quality — the card must cost exactly
+    its two rollup branches (per_doc + by_hash), each one documents
+    scan, joined per (lang, source) via broadcast."""
+    plan = _formatted(spark, "corpus_report", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "documents.parquet" in l and "Location" in l
+    ]
+    assert len(scans) == 2, f"documents scanned {len(scans)}x"
+    assert "SortMergeJoin" not in plan

@@ -1113,3 +1113,116 @@ def test_streaming_histogram_clamps_below_static_lo(spark):
         ).collect()
     }
     assert rows == {0: 2, 63: 1}, rows
+
+
+def _two_batch_docs_stream(spark, sf_smoke, tmp_path_factory, name):
+    """documents split into two doc_id-halved parquet files consumed
+    one per micro-batch (the dedup-twin fixture shape)."""
+    import glob
+    import os
+    import shutil
+
+    docs = read_table(spark, sf_smoke, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    flat = tmp_path_factory.mktemp(name)
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+
+
+def test_streaming_bm25_score_parity(spark, sf_smoke, tmp_path_factory):
+    """X4 streaming twin: documents scored at ingest against the
+    static query-term index must carry EXACTLY the batch scores — the
+    read-time top-k over the streaming store reproduces bm25_top_docs
+    bit-for-bit (score, tf, rank), and the store itself is one row per
+    (term, doc) with tf > 0."""
+    from pyspark.sql import Window
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        bm25_query_index,
+        bm25_top_docs,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_bm25_score,
+    )
+
+    index = bm25_query_index(spark, sf_smoke)
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "bm25_stream"
+    )
+    store = run_to_memory(
+        streaming_bm25_score(stream, index),
+        "x4_stream_bm25",
+        output_mode="append",
+    )
+    rows = store.collect()
+    # stateless append: one row per (term, doc) hit, no dupes
+    assert len({(r.query_term, r.doc_id) for r in rows}) == len(rows)
+    assert len(rows) > 0
+
+    # read-time top-k over the store == the batch ranking, exactly
+    w = Window.partitionBy("query_term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    got = {
+        (r.query_term, r.doc_id, r.tf, r.bm25, r.rank)
+        for r in store.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("rank") <= 10)
+        .collect()
+    }
+    want = {
+        (r.query_term, r.doc_id, r.tf, r.bm25, r.rank)
+        for r in bm25_top_docs(spark, sf_smoke).collect()
+    }
+    assert got == want
+
+
+def test_streaming_corpus_report_parity(spark, sf_smoke, tmp_path_factory):
+    """X4 streaming twin: the two card stores (algebraic volume rollup
+    + canonical-text dedup state) composed at read time must equal the
+    batch corpus_report card exactly — including n_kept, whose
+    min_by(doc_id) canonical pick is arrival-order-independent by
+    construction."""
+    from isaac_kafka_streaming_spark.extensions.text import corpus_report
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        corpus_report_from_stores,
+        run_to_memory,
+        streaming_canonical_texts,
+        streaming_corpus_volume,
+    )
+
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "card_stream"
+    )
+    volume = run_to_memory(
+        streaming_corpus_volume(stream),
+        "x4_card_volume",
+        output_mode="complete",
+    )
+    stream2 = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "card_stream2"
+    )
+    canonical = run_to_memory(
+        streaming_canonical_texts(stream2),
+        "x4_card_canonical",
+        output_mode="complete",
+    )
+    got = {
+        tuple(r) for r in corpus_report_from_stores(volume, canonical).collect()
+    }
+    want = {tuple(r) for r in corpus_report(spark, sf_smoke).collect()}
+    assert got == want

@@ -1167,3 +1167,26 @@ def test_bm25_hand_computed_and_length_normalization(
         ranks.setdefault(r[0], []).append(r[4])
     for term, rs in ranks.items():
         assert sorted(rs) == list(range(1, 11)), term
+
+
+def test_quality_keep_expr_matches_text_quality(spark, sf_smoke):
+    """quality_keep_expr (the shared per-row gate corpus_report and the
+    streaming card twin inline) must agree with text_quality's keep
+    column on every document — the single-source-of-truth pin for the
+    round-8 dejoin of corpus_report."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        quality_keep_expr,
+        text_quality,
+    )
+    from isaac_kafka_streaming_spark.io import read_table
+
+    inline = {
+        r.doc_id: r.keep
+        for r in read_table(spark, sf_smoke, "documents")
+        .select("doc_id", quality_keep_expr(F.col("text")).alias("keep"))
+        .collect()
+    }
+    via_tq = {r.doc_id: r.keep for r in text_quality(spark, sf_smoke).collect()}
+    assert inline == via_tq
