@@ -2087,10 +2087,11 @@ def register() -> dict:
         ),
         # dedup_minhash_lsh (xxhash64 production tier) RETIRED from the
         # graded registry in round 8: the md5 entry below hash-checks
-        # the identical band/bucket/verify mechanism against the oracle,
-        # and the xxhash64 tier is now a hash_family parameter away —
-        # still pinned by tests/test_oracle_parity.py::test_retired_tiers
-        # and the pair-set twin test in tests/test_dedup_guards.py.
+        # the identical band/bucket/verify mechanism against the oracle
+        # (minhash_lsh_pairs_md5 differs from minhash_lsh_pairs only in
+        # the signature hash family); the xxhash64 tier stays pinned by
+        # tests/test_oracle_parity.py::test_retired_tiers and the
+        # pair-set twin test in tests/test_dedup_guards.py.
         "dedup_minhash_lsh_md5": QueryDef(
             minhash_lsh_pairs_md5,
             (

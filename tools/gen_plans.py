@@ -228,10 +228,22 @@ PICKS = {
         "exact verdict join runs only on the incoming slice."
     ),
     "corpus_report": (
-        "Dataset card: one document scan -> per-(lang, source) "
-        "volume/dup/keep/split summary; distinct-text and "
-        "canonical-keep are the two-level form (no COUNT DISTINCT "
-        "expand)."
+        "Dataset card: two documents scans (per_doc + by_hash rollup "
+        "branches; round 8 inlined the quality gate, dropping the "
+        "third scan + doc_id self-join), joined per (lang, source) "
+        "via broadcast; distinct-text and canonical-keep are the "
+        "two-level form (no COUNT DISTINCT expand)."
+    ),
+    "bm25_top_docs": (
+        "BM25 ranking: one token explode feeds tf/dl/df, all "
+        "partial-aggregated; the scoring join touches only the "
+        "query-term postings (queries + corpus scalars broadcast); "
+        "per-term top-k windows over those postings alone."
+    ),
+    "knn_srp": (
+        "SRP ANN witness: sign buckets are a map-side fold, the probe "
+        "is a broadcast equi-join on bucket, rescoring exact — the "
+        "corpus side is never multiplied."
     ),
     # round-6-proper staged additions (registered round 7)
     "tpch_q2": (
