@@ -1126,36 +1126,49 @@ def source_overlap_matrix(
     shows WHERE duplicated material flows between feeds — the check
     run before mixing two crawls or licensing a new corpus slice.
 
-    Scale shape: distinct (source, passage) is one exchange; the pair
-    space is a self-equi-join on passage whose fan-out per key is
-    bounded by `max_sources_per_passage`^2 by an explicit cap
-    (passages syndicated to more sources than the cap are
-    everywhere-boilerplate — dropped from the matrix and from the
-    per-source sizes, so the Jaccard stays internally consistent over
-    the capped passage space; the cap is the same hot-key discipline
-    as ngram_jaccard's max_shingle_df).  Per-source sizes broadcast
-    into the final projection."""
+    Scale shape (round-8 form): distinct (source, passage) is one
+    exchange, then ONE passage-keyed aggregation collects each
+    passage's source set — the pair space is an in-array combination
+    over that set (<= `max_sources_per_passage`^2/2 structs per
+    passage, generated JVM-side), never a self-join, so the cap bounds
+    an array instead of policing join fan-out (passages syndicated to
+    more sources than the cap are everywhere-boilerplate — dropped
+    from the matrix and from the per-source sizes, so the Jaccard
+    stays internally consistent over the capped passage space; the cap
+    is the same hot-key discipline as ngram_jaccard's max_shingle_df).
+    Per-source sizes broadcast into the final projection."""
     docs = read_table(spark, sf_dir, "documents")
     sp = docs.select(
         "source",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("passage"),
     ).distinct()
-    spk = (
-        sp.join(
-            sp.groupBy("passage").agg(F.count("*").alias("n_src")),
-            "passage",
-        )
-        .filter(F.col("n_src") <= max_sources_per_passage)
-        .select("source", "passage")
+    # ONE passage-keyed aggregation yields the source set per passage;
+    # the cap check (set size), the per-source sizes (explode back) and
+    # the pair space (in-array combination, <= cap^2/2 structs per
+    # passage, JVM-side) all derive from it.  Round 8 replaced the
+    # df-count join-back + passage self-join formulation — two more
+    # passage-wide shuffles and a join whose fan-out the cap had to
+    # police — with this grouped form; the cap now bounds an array
+    # instead of a join, and the output is unchanged (hash-checked).
+    grouped = (
+        sp.groupBy("passage")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") <= max_sources_per_passage)
     )
-    sizes = spk.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_passages")
+    sizes = (
+        grouped.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_passages"))
     )
-    a = spk.select("passage", F.col("source").alias("source_a"))
-    b = spk.select("passage", F.col("source").alias("source_b"))
+    pair_expr = F.expr(
+        "flatten(transform(srcs, (x, i) -> transform("
+        "slice(srcs, i + 2, size(srcs)), "
+        "y -> struct(x AS source_a, y AS source_b))))"
+    )
     pairs = (
-        a.join(b, "passage")
-        .filter(F.col("source_a") < F.col("source_b"))
+        grouped.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.source_a", "p.source_b")
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
