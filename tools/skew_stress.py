@@ -39,10 +39,23 @@ BOILERPLATE = (
 UNCAPPED = 1_000_000_000
 
 
-def build_skewed(src_dir: str, out_dir: str, clique_mod: int = 50) -> None:
+def build_skewed(
+    src_dir: str,
+    out_dir: str,
+    clique_mod: int = 50,
+    n_sources: int | None = None,
+) -> None:
     """clique_mod controls the exact-boilerplate clique share (1/mod of
     all docs): 50 -> 2% (the default heavy tail), 10 -> 10% (the
-    pathological wall, --heavy)."""
+    pathological wall, --heavy).  n_sources (``--sources N``) relabels
+    sources as doc_id % N synthetic feeds — the syndication regime
+    where the per-passage source cap actually binds (sources >> cap)."""
+    src_expr = (
+        "d.source || '_' || CAST(r.rep AS VARCHAR)"
+        if n_sources is None
+        else f"'feed_' || CAST((d.doc_id * 10 + r.rep) % {n_sources} "
+             f"AS VARCHAR)"
+    )
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute(
@@ -52,7 +65,7 @@ def build_skewed(src_dir: str, out_dir: str, clique_mod: int = 50) -> None:
             base AS (
                 SELECT d.doc_id * 10 + r.rep AS doc_id,
                        d.text, d.lang,
-                       d.source || '_' || CAST(r.rep AS VARCHAR) AS source
+                       {src_expr} AS source
                 FROM '{src_dir}/documents.parquet' d CROSS JOIN r
             ),
             skewed AS (
@@ -93,11 +106,19 @@ def time_once(fn, *args, **kwargs) -> tuple[float, int]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    heavy = "--heavy" in argv
+    n_sources = None
+    if "--sources" in argv:
+        i = argv.index("--sources")
+        n_sources = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.1"
-    heavy = "--heavy" in sys.argv
     out = os.environ.get("SKEW_DIR", "/tmp/skewdata")
-    build_skewed(src, out, clique_mod=10 if heavy else 50)
+    build_skewed(
+        src, out, clique_mod=10 if heavy else 50, n_sources=n_sources
+    )
 
     from isaac_kafka_streaming_spark.extensions.dedup import (
         contained_documents,
