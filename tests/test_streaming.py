@@ -1226,3 +1226,103 @@ def test_streaming_corpus_report_parity(spark, sf_smoke, tmp_path_factory):
     }
     want = {tuple(r) for r in corpus_report(spark, sf_smoke).collect()}
     assert got == want
+
+
+def test_streaming_ingest_gate_chain(spark, sf_smoke, tmp_path_factory):
+    """Composition of the stateless ingest gates in ONE streaming DAG:
+    arriving docs -> exact-dup gate against the corpus hash index
+    (stream-static broadcast) -> BM25 scoring against the trusted term
+    index (stream-static broadcast).  Injected exact copies of corpus
+    docs must be dropped by the gate before scoring, and the surviving
+    rows must equal the same chain applied in batch — the whole
+    pipeline is pure transformations, so the identical code runs on
+    both engines' DataFrames.
+    """
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.sampling import _bucket
+    from isaac_kafka_streaming_spark.extensions.text import bm25_query_index
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_bm25_score,
+        streaming_dedup_incoming,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    bucketed = docs.select("doc_id", "text", _bucket(F.col("doc_id"), "inc"))
+    existing = bucketed.filter(F.col("bucket") < 90)
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    # three exact copies of existing docs under fresh ids — the leak
+    # the gate must stop
+    dup_ids = [max_id + 1, max_id + 2, max_id + 3]
+    from pyspark.sql import Window
+
+    dups = (
+        existing.orderBy("doc_id")
+        .limit(3)
+        .select("text")
+        .withColumn("rn", F.row_number().over(Window.orderBy("text")))
+        .select((F.lit(max_id) + F.col("rn")).alias("doc_id"), "text")
+    )
+    incoming = (
+        bucketed.filter(F.col("bucket") >= 90)
+        .select("doc_id", "text")
+        .unionByName(dups)
+    )
+    corpus_index = (
+        existing.withColumn(
+            "text_hash",
+            F.sha2(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                256,
+            ),
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("dup_of"))
+    )
+    query_index = bm25_query_index(spark, sf_smoke)
+
+    def chain(df):
+        gated = (
+            streaming_dedup_incoming(df, corpus_index)
+            .filter(F.col("is_new"))
+            .select("doc_id", "text")
+        )
+        return streaming_bm25_score(gated, query_index)
+
+    flat = tmp_path_factory.mktemp("ingest_chain")
+    mid = incoming.approxQuantile("doc_id", [0.5], 0.0)[0]
+    for i, part in enumerate(
+        [
+            incoming.filter(F.col("doc_id") <= mid),
+            incoming.filter(F.col("doc_id") > mid),
+        ]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+
+    got = {
+        (r.query_term, r.doc_id, r.tf, r.bm25)
+        for r in run_to_memory(
+            chain(stream), "ingest_chain", output_mode="append"
+        ).collect()
+    }
+    want = {
+        (r.query_term, r.doc_id, r.tf, r.bm25)
+        for r in chain(incoming).collect()
+    }
+    assert got == want and want
+    assert not any(d in dup_ids for _, d, _, _ in got), (
+        "an exact corpus duplicate leaked through the ingest gate"
+    )
