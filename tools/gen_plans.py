@@ -290,9 +290,11 @@ PICKS = {
         "map-side."
     ),
     "source_overlap_matrix": (
-        "Cross-source matrix: distinct (source, passage) once; the "
-        "self-join fan-out per passage is capped; per-source sizes "
-        "broadcast into the Jaccard projection."
+        "Cross-source matrix (round-8 grouped form): distinct "
+        "(source, passage) once, then ONE passage-keyed collect_set — "
+        "pairs are an in-array combination bounded by the source cap, "
+        "never a self-join; per-source sizes broadcast into the "
+        "Jaccard projection."
     ),
     "pmi_top_pairs": (
         "PMI collocations: one bigram explode + vocab-bounded "
