@@ -302,3 +302,133 @@ def funnel_process(
         )
 
     return process
+
+
+PRIORITY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("prio_rank", T.LongType()),
+        T.StructField("priority", T.DoubleType()),
+        T.StructField("est_weight", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+PRIORITY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_ids", T.ArrayType(T.LongType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("qs", T.ArrayType(T.DoubleType())),
+        T.StructField("seen", T.LongType()),
+    ]
+)
+
+
+def _round_half_up(x: float, scale: int = 4) -> float:
+    """Spark's F.round semantics on doubles (BigDecimal.valueOf ->
+    HALF_UP on the shortest decimal repr) — python's round() is
+    banker's and WOULD diverge on .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def priority_sample_stream(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Streaming form of sampling.priority_sample — a bounded weighted
+    reservoir per stratum (Duffield-Lund-Thorup priority sampling):
+    per-lang state holds the k+1 largest priorities seen so far, each
+    arriving micro-batch merges its documents in, and every batch
+    emits the stratum's CURRENT top-k with the running threshold tau
+    and Horvitz-Thompson est_weight.  State is k+1 rows per stratum —
+    fixed regardless of stream length, the defining property of
+    priority sampling at ingest.
+
+    EXACT batch parity, not approximate: the priority q = w * 2^24 /
+    u_int uses the same identity-hash u as the batch form (computed
+    JVM-side in the pre-state projection with the identical md5/conv
+    expressions), so the reservoir's fixed point over any arrival
+    order equals priority_sample's output bit-for-bit — merging a
+    top-(k+1) set is order-independent.  `version` (rows seen so far
+    per stratum) is monotone; readers take each stratum's max-version
+    emission as the current sample (the same store+read-off discipline
+    as streaming_last_seen).  Rounding uses BigDecimal-HALF_UP
+    semantics to match F.round exactly.
+
+    Input: any DataFrame/stream with (doc_id, lang, n_chars).
+    """
+    from pyspark.sql import functions as F
+
+    u_int = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        ((F.col("n_chars") * F.lit(float(1 << 24))) / u_int).alias("q"),
+    )
+
+    def process(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (lang,) = key
+        if state.exists:
+            doc_ids, weights, qs, seen = state.get
+            rows = list(zip(list(doc_ids), list(weights), list(qs)))
+        else:
+            rows, seen = [], 0
+        for pdf in pdfs:
+            for d, w, q in zip(pdf["doc_id"], pdf["n_chars"], pdf["q"]):
+                rows.append((int(d), int(w), float(q)))
+                seen += 1
+        # reservoir = k+1 largest by (q desc, doc_id asc); the merge is
+        # associative/commutative, so arrival order cannot matter
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        rows = rows[: k + 1]
+        state.update(
+            (
+                [r[0] for r in rows],
+                [r[1] for r in rows],
+                [r[2] for r in rows],
+                seen,
+            )
+        )
+        tau = rows[k][2] if len(rows) == k + 1 else 0.0
+        top = rows[:k]
+        yield pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in top],
+                "lang": [lang] * len(top),
+                "weight": [r[1] for r in top],
+                "prio_rank": list(range(1, len(top) + 1)),
+                "priority": [_round_half_up(r[2]) for r in top],
+                "est_weight": [
+                    _round_half_up(max(float(r[1]), tau)) for r in top
+                ],
+                "version": [seen] * len(top),
+            }
+        )
+
+    return keyed.groupBy("lang").applyInPandasWithState(
+        process,
+        outputStructType=PRIORITY_OUTPUT_SCHEMA,
+        stateStructType=PRIORITY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1326,3 +1326,55 @@ def test_streaming_ingest_gate_chain(spark, sf_smoke, tmp_path_factory):
     assert not any(d in dup_ids for _, d, _, _ in got), (
         "an exact corpus duplicate leaked through the ingest gate"
     )
+
+
+def test_priority_sample_stream_parity(spark, sf_smoke, tmp_path_factory):
+    """The streaming weighted reservoir's final emission per stratum
+    must equal batch priority_sample BIT-FOR-BIT — same deterministic
+    priorities, same tau, same HALF_UP rounding — because merging a
+    top-(k+1) set is arrival-order-independent.  Also pins the
+    mid-stream contract: version is monotone and each emission holds
+    at most k rows per stratum."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        priority_sample,
+    )
+    from isaac_kafka_streaming_spark.streaming.state import (
+        priority_sample_stream,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    docs = read_table(spark, sf_smoke, "documents")
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "prio_stream"
+    )
+    emitted = run_to_memory(
+        priority_sample_stream(stream.select("doc_id", "lang", "n_chars")),
+        "x_prio_reservoir",
+        output_mode="update",
+    ).collect()
+
+    final_version = {}
+    for r in emitted:
+        final_version[r.lang] = max(final_version.get(r.lang, 0), r.version)
+    per_lang_batch = {}
+    for r in emitted:
+        per_lang_batch.setdefault((r.lang, r.version), []).append(r)
+    for (lang, v), rows in per_lang_batch.items():
+        assert len(rows) <= 20, f"{lang}@{v}: reservoir emitted > k rows"
+
+    got = {
+        (r.doc_id, r.lang, r.weight, r.prio_rank, r.priority, r.est_weight)
+        for r in emitted
+        if r.version == final_version[r.lang]
+    }
+    want = {
+        (r.doc_id, r.lang, r.weight, r.prio_rank, r.priority, r.est_weight)
+        for r in priority_sample(spark, sf_smoke).collect()
+    }
+    assert got == want and want
+    # every stratum's final version equals its total corpus size
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert final_version == sizes
