@@ -326,6 +326,17 @@ PRIORITY_STATE_SCHEMA = T.StructType(
 )
 
 
+def _reservoir_merge(rows: list, k: int) -> list:
+    """The priority reservoir's merge: keep the k+1 largest
+    (doc_id, weight, q) rows by (q desc, doc_id asc).  Associative and
+    commutative — merge(merge(A) + B) == merge(A + B) for any
+    partition of the input — which is WHY the streaming reservoir's
+    fixed point is arrival-order-independent and equals the batch
+    top-(k+1); pinned by a hypothesis property test."""
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    return rows[: k + 1]
+
+
 def _round_half_up(x: float, scale: int = 4) -> float:
     """Spark's F.round semantics on doubles (BigDecimal.valueOf ->
     HALF_UP on the shortest decimal repr) — python's round() is
@@ -397,10 +408,7 @@ def priority_sample_stream(docs: DataFrame, k: int = 20) -> DataFrame:
             for d, w, q in zip(pdf["doc_id"], pdf["n_chars"], pdf["q"]):
                 rows.append((int(d), int(w), float(q)))
                 seen += 1
-        # reservoir = k+1 largest by (q desc, doc_id asc); the merge is
-        # associative/commutative, so arrival order cannot matter
-        rows.sort(key=lambda r: (-r[2], r[0]))
-        rows = rows[: k + 1]
+        rows = _reservoir_merge(rows, k)
         state.update(
             (
                 [r[0] for r in rows],

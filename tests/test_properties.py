@@ -452,3 +452,44 @@ def test_funnel_state_machine_equals_reference_chain(events, cut_points):
     )
     assert got == want
     assert last["step_reached"].iloc[0] == sum(v is not None for v in want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),
+            st.integers(min_value=1, max_value=10**4),
+            st.floats(
+                min_value=1e-6,
+                max_value=1e12,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        max_size=60,
+        # doc_id is a key: duplicate ids with equal priorities would
+        # make the (q, doc_id) tie-break genuinely ambiguous, which no
+        # real corpus exhibits
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=60),
+)
+def test_priority_reservoir_merge_is_order_independent(rows, k, cut):
+    """streaming.state._reservoir_merge is associative/commutative:
+    folding any prefix first, then merging the rest, equals one merge
+    over everything — the algebraic fact that makes the streaming
+    priority reservoir's fixed point equal the batch top-(k+1) under
+    ANY arrival order / micro-batch split."""
+    from isaac_kafka_streaming_spark.streaming.state import _reservoir_merge
+
+    cut = min(cut, len(rows))
+    incremental = _reservoir_merge(
+        _reservoir_merge(list(rows[:cut]), k) + list(rows[cut:]), k
+    )
+    oneshot = _reservoir_merge(list(rows), k)
+    assert incremental == oneshot
+    reversed_fold = _reservoir_merge(
+        _reservoir_merge(list(rows[cut:]), k) + list(rows[:cut]), k
+    )
+    assert reversed_fold == oneshot
