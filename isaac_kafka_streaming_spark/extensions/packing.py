@@ -171,6 +171,85 @@ def overlap_chunk_plan(
     )
 
 
+def pack_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    ctx: int = CTX_TOKENS,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """No-split sample packing (instruction-tuning style): whole
+    documents greedily packed into ``ctx``-token bins so no document
+    straddles a boundary — the third member of the packing family
+    (concat_chunk_plan splits at boundaries for pretraining;
+    overlap_chunk_plan windows within documents for RAG; this one
+    preserves document integrity for SFT-style training).
+
+    Algorithm: first-fit-decreasing WITHIN each shard — docs sorted by
+    (n_tokens desc, doc_id), each placed in the first open bin with
+    room, else a new bin.  FFD is inherently sequential, so the scale
+    shape is shard-parallel exactness: the md5 shard bucketing bounds
+    each sequential problem at |corpus| / n_shards docs and the
+    Arrow-batched applyInPandas packs every shard independently —
+    first-fit ACROSS a 100 TB corpus would serialize the world for a
+    few bins of savings.  Deterministic: bin ids are (shard, local bin
+    in creation order); identity-keyed sharding means appended corpora
+    repack only their own shard.
+
+    Documents longer than ctx get a bin of their own, flagged
+    ``oversize`` (the caller truncates or routes them to
+    concat_chunk_plan).  NOT registered for driver grading: FFD's
+    bin state is sequential and has no tractable SQL replay (the
+    registry is 100% oracle-backed by policy since round 8) — the
+    invariants (capacity, determinism, any-fit bin-count bounds,
+    hand-computed small cases) are pinned in tests/test_packing.py.
+    """
+    import pandas as pd
+
+    base = _sharded(
+        read_table(spark, sf_dir, "documents"),
+        n_shards,
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).select("doc_id", "shard", "n_tokens")
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        fills: list[int] = []  # actual tokens per bin, creation order
+        closed: set[int] = set()  # oversize bins never accept others
+        bins, oversize = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > ctx:
+                fills.append(n)
+                closed.add(len(fills) - 1)
+                bins.append(len(fills) - 1)
+                oversize.append(True)
+                continue
+            for b, f in enumerate(fills):
+                if b not in closed and f + n <= ctx:
+                    fills[b] = f + n
+                    bins.append(b)
+                    break
+            else:
+                fills.append(n)
+                bins.append(len(fills) - 1)
+            oversize.append(False)
+        out = pdf.copy()
+        out["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
+        out["oversize"] = pd.Series(oversize, index=pdf.index)
+        out["bin_fill"] = out["bin"].map(lambda b: fills[b]).astype("int64")
+        return out[
+            ["doc_id", "shard", "n_tokens", "bin", "bin_fill", "oversize"]
+        ]
+
+    schema = (
+        "doc_id long, shard long, n_tokens long, bin long, "
+        "bin_fill long, oversize boolean"
+    )
+    return base.groupBy("shard").applyInPandas(pack, schema)
+
+
 def register() -> dict:
     from ..queries import QueryDef
 

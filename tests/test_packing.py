@@ -87,3 +87,76 @@ def test_overlap_chunks_long_doc(spark, tmp_path_factory):
 
     with pytest.raises(ValueError, match="stride"):
         overlap_chunk_plan(spark, str(base), chunk_tokens=64, stride=65)
+
+
+def test_pack_samples_invariants(spark, sf_smoke):
+    """FFD no-split packing: capacity respected, documents intact (one
+    bin each), oversize flagged into solo bins, bin_fill consistent,
+    and the any-fit bin-count guarantee per shard (after setting the
+    oversize solo bins aside: at most one open bin can be under half
+    full, so bins <= 2*ceil(tokens/ctx) and >= ceil(tokens/ctx))."""
+    from isaac_kafka_streaming_spark.extensions.packing import pack_samples
+
+    CTX = 128
+    rows = pack_samples(spark, sf_smoke, ctx=CTX).collect()
+    assert rows
+    fills: dict = {}
+    for r in rows:
+        fills.setdefault((r.shard, r.bin), []).append(r)
+    for (shard, b), members in fills.items():
+        tok = sum(r.n_tokens for r in members)
+        assert all(r.bin_fill == tok for r in members), (shard, b)
+        if any(r.oversize for r in members):
+            assert len(members) == 1, "oversize doc shares a bin"
+            assert members[0].n_tokens > CTX
+        else:
+            assert tok <= CTX, f"bin {(shard, b)} over capacity: {tok}"
+    # per-shard any-fit bounds over the non-oversize docs
+    per_shard: dict = {}
+    for r in rows:
+        if not r.oversize:
+            per_shard.setdefault(r.shard, []).append(r)
+    import math
+
+    for shard, members in per_shard.items():
+        tokens = sum(r.n_tokens for r in members)
+        n_bins = len({r.bin for r in members})
+        lo = math.ceil(tokens / CTX) if tokens else 0
+        assert lo <= n_bins <= max(2 * lo, 1), (shard, tokens, n_bins)
+    # determinism
+    again = pack_samples(spark, sf_smoke, ctx=CTX).collect()
+    assert {(r.doc_id, r.bin) for r in again} == {
+        (r.doc_id, r.bin) for r in rows
+    }
+
+
+def test_pack_samples_hand_case(spark, tmp_path):
+    """Hand-computed FFD on one shard: docs of 100/90/50/30/20/10
+    tokens at ctx=128 pack as [100+20], [90+30], [50+10] (+ a 200-token
+    oversize solo bin) — first-fit-decreasing order, not next-fit."""
+    import pandas as pd
+
+    from isaac_kafka_streaming_spark.extensions.packing import pack_samples
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    sizes = {1: 100, 2: 90, 3: 50, 4: 30, 5: 20, 6: 10, 7: 200}
+    pd.DataFrame(
+        {
+            "doc_id": list(sizes),
+            "text": [words(n, f"d{d}w") for d, n in sizes.items()],
+            "lang": ["en"] * len(sizes),
+            "source": ["s"] * len(sizes),
+            "n_chars": [1] * len(sizes),
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    rows = pack_samples(spark, str(tmp_path), ctx=128, n_shards=1).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert by_doc[7].oversize and by_doc[7].bin_fill == 200
+    groups = {}
+    for r in rows:
+        if not r.oversize:
+            groups.setdefault(r.bin, set()).add(r.doc_id)
+    assert sorted(groups.values(), key=min) == [{1, 5}, {2, 4}, {3, 6}]
