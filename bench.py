@@ -119,6 +119,8 @@ HEADLINE = [
     "dedup_incoming_minhash_md5",
     "knn_srp",
     "bm25_top_docs",
+    # round 8 addition: the length-bucketed batching padding-waste card
+    "length_bucket_plan",
 ]
 
 

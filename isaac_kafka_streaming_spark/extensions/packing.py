@@ -250,6 +250,85 @@ def pack_samples(
     return base.groupBy("shard").applyInPandas(pack, schema)
 
 
+LENGTH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucket_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    buckets: tuple = LENGTH_BUCKETS,
+) -> DataFrame:
+    """Length-bucketed batching plan — the padding-waste card for the
+    batching strategy pack_samples/concat_chunk replace: assign every
+    document to the smallest power-of-two bucket holding its token
+    count, and report per bucket how many pad tokens that batching
+    layout burns (padded = n_docs * bucket_len vs real tokens).  The
+    standard pre-LLM-training decision table: compare waste_pct rows
+    against a packing plan's ~0 to justify packing, or pick bucket
+    edges for a bucketed dataloader.
+
+    Buckets are a FIXED conditional ladder (no log2 floats — an ulp of
+    libm disagreement at an exact power of two would flip a boundary
+    doc between engines); docs longer than the largest bucket land in
+    the bucket_len = -1 overflow row with zero padding (they are
+    routed to chunking, not padded).  Scale shape: one scan, one
+    map-side projection, one tiny aggregate (|buckets|+1 rows) —
+    nothing else.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    n = F.size(_tokens(F.col("text"))).cast("long")
+    bucket = F.lit(-1).cast("long")
+    for b in sorted(buckets, reverse=True):
+        bucket = F.when(n <= b, F.lit(b).cast("long")).otherwise(bucket)
+    agg = (
+        docs.select(n.alias("n_tokens"), bucket.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    padded = F.when(
+        F.col("bucket_len") > 0, F.col("n_docs") * F.col("bucket_len")
+    ).otherwise(F.col("total_tokens"))
+    return agg.select(
+        "bucket_len",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.round(
+            1.0 - F.col("total_tokens") / padded.cast("double"), 6
+        ).alias("waste_pct"),
+    )
+
+
+def _length_bucket_oracle_sql(buckets: tuple = LENGTH_BUCKETS) -> str:
+    ladder = "CASE "
+    for b in sorted(buckets):
+        ladder += f"WHEN n_tokens <= {b} THEN {b} "
+    ladder += "ELSE -1 END"
+    return f"""
+    WITH t AS (
+        SELECT len(list_filter(regexp_split_to_array(lower(text),
+                   '[^a-z0-9]+'), x -> x <> '')) AS n_tokens
+        FROM documents
+    ), b AS (
+        SELECT CAST({ladder} AS BIGINT) AS bucket_len, n_tokens FROM t
+    ), a AS (
+        SELECT bucket_len, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM b GROUP BY 1
+    )
+    SELECT bucket_len, n_docs, total_tokens,
+           CAST(CASE WHEN bucket_len > 0 THEN n_docs * bucket_len
+                ELSE total_tokens END AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - total_tokens / CAST(CASE WHEN bucket_len > 0
+                THEN n_docs * bucket_len ELSE total_tokens END AS DOUBLE),
+                6) AS waste_pct
+    FROM a
+    """
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -333,5 +412,10 @@ def register() -> dict:
             FROM o
             """,
             "GPT-style concat-and-chunk token packing plan",
+        ),
+        "length_bucket_plan": QueryDef(
+            length_bucket_plan,
+            _length_bucket_oracle_sql(),
+            "length-bucketed batching padding-waste card (round 8)",
         ),
     }

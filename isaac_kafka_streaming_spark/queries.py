@@ -3154,6 +3154,7 @@ REGISTRY: dict[str, QueryDef] = {
 #
 # Round-8 window tiers (plan_window.py output, history through r07;
 # 126 live entries after the round-8 RETIREMENT of the six rows-only
+# (127 after the mid-round length_bucket_plan registration)
 # production tiers — dedup_minhash_lsh, dedup_simhash,
 # dedup_incoming_minhash, dedup_clusters_lsh, knn_lsh,
 # sketch_summaries — each shadowed by a registered hash-checked
@@ -3165,7 +3166,9 @@ REGISTRY: dict[str, QueryDef] = {
 #       the entries that fall out of the K=3 freshness span unless
 #       re-checked in round 8 (invariant-REQUIRED; plan_window fronts
 #       them).
-#   T2: 19 of the 46 entries last green in r06 (fill; they expire
+#   T2: 18 of the 46 entries last green in r06 (19 at round start;
+#       dedup_ngram_jaccard_capped yielded its slot to the mid-round
+#       length_bucket_plan registration) (fill; they expire
 #       after round 9 otherwise — taking the expiring tier first keeps
 #       the must-check load spread at ~30/round instead of bunching
 #       into a 46-wide wave with zero slack).  The remaining 27
@@ -3174,7 +3177,7 @@ REGISTRY: dict[str, QueryDef] = {
 # freshness span through round 8.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
-# 150 registry entries under perfect disjoint rotation.  At 126 live
+# 150 registry entries under perfect disjoint rotation.  At 127 live
 # entries (84% of ceiling after the round-8 retirement; steady-state
 # ~30 must-checks per round, ~20 slack slots) — prefer DEEPENING
 # existing entries (stronger oracles, streaming twins, property tests)
@@ -3185,7 +3188,7 @@ REGISTRY: dict[str, QueryDef] = {
 #
 # ROTATION FORECAST (the feasibility guard now simulates this
 # mechanically — tests/test_staged_registry.py rolls plan_window.py's
-# tier-aware fill three rounds forward every run): at 126 entries the
+# tier-aware fill three rounds forward every run): at 127 entries the
 # per-round must-check load settles at ~31/46-ish thirds with ~19
 # slack slots.  The fill DISCIPLINE matters: always take the T2
 # (expires-next) tier before any fresh entries — a naive fill that
@@ -3193,6 +3196,13 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — registered mid-round-8, no driver row yet (must-check):
+    # the length-bucketed batching padding-waste card.  Takes the slot
+    # of T2-fill entry dedup_ngram_jaccard_capped, which stays green
+    # via its r06 row through round 8 and fronts the round-9 window as
+    # tier T1 (the same mid-round swap discipline as round 7's
+    # witnesses; feasibility re-proven by the planner-simulating guard).
+    "length_bucket_plan",
     # T1 — last green r05 (invariant requires) (31)
     "event_type_counts",
     "question_page_rollup",
@@ -3244,7 +3254,6 @@ _DRIVER_CHECK_ORDER = [
     "session_transcripts",
     "dedup_incoming",
     "duplicate_passages",
-    "dedup_ngram_jaccard_capped",
 ]
 
 

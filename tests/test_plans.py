@@ -418,3 +418,12 @@ def test_corpus_report_two_scans_no_doc_join(spark, sf_smoke):
     ]
     assert len(scans) == 2, f"documents scanned {len(scans)}x"
     assert "SortMergeJoin" not in plan
+
+
+def test_length_bucket_single_scan_partial_agg(spark, sf_smoke):
+    """The padding-waste card is one scan + a map-side bucket ladder +
+    one tiny two-phase aggregate — no joins, no extra exchanges."""
+    plan = _executed_plan(spark, "length_bucket_plan", sf_smoke)
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
