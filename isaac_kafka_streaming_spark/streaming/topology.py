@@ -1029,3 +1029,47 @@ def corpus_report_from_stores(
             "n_test",
         )
     )
+
+
+def streaming_length_buckets(docs_stream: DataFrame) -> DataFrame:
+    """Streaming form of packing.length_bucket_plan's bucket rollup:
+    the power-of-two ladder is a map-side projection (shared constants
+    with the batch card), the per-bucket doc/token counts one
+    update-mode aggregate — state is |buckets|+1 rows total.  The
+    waste columns derive at read time from the store
+    (length_bucket_readoff), the usual two-level split."""
+    from ..extensions.text import _tokens
+    from ..extensions.packing import LENGTH_BUCKETS
+
+    n = F.size(_tokens(F.col("text"))).cast("long")
+    bucket = F.lit(-1).cast("long")
+    for b in sorted(LENGTH_BUCKETS, reverse=True):
+        bucket = F.when(n <= b, F.lit(b).cast("long")).otherwise(bucket)
+    return (
+        docs_stream.select(
+            n.alias("n_tokens"), bucket.alias("bucket_len")
+        )
+        .groupBy("bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+def length_bucket_readoff(store: DataFrame) -> DataFrame:
+    """Read-time waste columns over the streaming bucket store —
+    identical expressions to the batch card, so store + read-off ==
+    length_bucket_plan exactly."""
+    padded = F.when(
+        F.col("bucket_len") > 0, F.col("n_docs") * F.col("bucket_len")
+    ).otherwise(F.col("total_tokens"))
+    return store.select(
+        "bucket_len",
+        "n_docs",
+        "total_tokens",
+        padded.cast("long").alias("padded_tokens"),
+        F.round(
+            1.0 - F.col("total_tokens") / padded.cast("double"), 6
+        ).alias("waste_pct"),
+    )

@@ -1378,3 +1378,28 @@ def test_priority_sample_stream_parity(spark, sf_smoke, tmp_path_factory):
         for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
     }
     assert final_version == sizes
+
+
+def test_streaming_length_buckets_parity(spark, sf_smoke, tmp_path_factory):
+    """The streamed bucket store plus read-off equals the batch
+    padding-waste card exactly."""
+    from isaac_kafka_streaming_spark.extensions.packing import (
+        length_bucket_plan,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        length_bucket_readoff,
+        run_to_memory,
+        streaming_length_buckets,
+    )
+
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "lenbucket_stream"
+    )
+    store = run_to_memory(
+        streaming_length_buckets(stream),
+        "x_len_buckets",
+        output_mode="complete",
+    )
+    got = {tuple(r) for r in length_bucket_readoff(store).collect()}
+    want = {tuple(r) for r in length_bucket_plan(spark, sf_smoke).collect()}
+    assert got == want and want
