@@ -161,7 +161,8 @@ def main() -> None:
     fns = {name: qd.fn for name, qd in registry.items()}
     # tiers retired from the graded registry in round 8 stay benched by
     # direct call, so the perf series (and the round-1 subtotal vs
-    # BASELINE.md, which includes dedup_minhash_lsh + dedup_simhash)
+    # BASELINE.md — _r1_set() includes the retired dedup_minhash_lsh;
+    # dedup_simhash is benched but sits outside that subtotal)
     # remains comparable across rounds
     from isaac_kafka_streaming_spark.queries import retired_tiers
 

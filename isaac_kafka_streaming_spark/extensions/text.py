@@ -329,7 +329,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_hash = base.groupBy("lang", "source", "text_hash").agg(
         F.count("*").alias("n_copies"),
         # the canonical copy is min doc_id per hash; it passes the keep
-        # gate iff ITS quality flag is true — max_by picks that flag
+        # gate iff ITS quality flag is true — min_by picks that flag
         F.expr("min_by(keep_quality, doc_id)").alias("canonical_quality"),
     )
     dedup = by_hash.groupBy("lang", "source").agg(

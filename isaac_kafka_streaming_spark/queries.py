@@ -3173,8 +3173,9 @@ REGISTRY: dict[str, QueryDef] = {
 #       the must-check load spread at ~30/round instead of bunching
 #       into a 46-wide wave with zero slack).  The remaining 27
 #       r06-green entries front the round-9 window.
-# The 76 parked entries are all green in r06 or r07, inside the K=3
-# freshness span through round 8.
+# The 77 parked entries (after the mid-round length_bucket_plan swap)
+# are all green in r06 or r07, inside the K=3 freshness span through
+# round 8.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 127 live
@@ -3235,7 +3236,8 @@ _DRIVER_CHECK_ORDER = [
     "bpe_pair_counts",
     "char_entropy",
     "corpus_curation",
-    # T2 — last green r06, expiring next (19 of 46)
+    # T2 — last green r06, expiring next (18 of 46; was 19 until
+    # dedup_ngram_jaccard_capped yielded its slot mid-round)
     "daily_event_counts",
     "daily_role_counts",
     "daily_role_type_map",

@@ -13,8 +13,11 @@ Builds a deterministic ~10x skewed documents table from sf0.1:
     pathological clique: every such doc's rarest shingle has df ~1000,
     the shape the hot-anchor cap excises).
 
-Then times each capped operator twice — caps at their shipped defaults
-vs caps effectively off — and prints a table for SCALE_DESIGN.md.
+Then times each capped operator twice — cap set to 64 vs cap
+effectively off — and prints a table for SCALE_DESIGN.md.  (64 is the
+shipped default for the source/fingerprint caps; contained_documents'
+GRADED entry runs with max_anchor_df=None — cap off is its default
+semantics, and the 64 run shows what engaging the guard buys.)
 
 Usage: cd /tmp && python /root/repo/tools/skew_stress.py [sf_dir]
 """
