@@ -171,6 +171,36 @@ def overlap_chunk_plan(
     )
 
 
+def _ffd_pack(sizes: list, ctx: int) -> tuple:
+    """The first-fit-decreasing core as a pure function over an
+    already-(size desc)-sorted sequence: returns (bins, oversize,
+    fills) where bins[i] is the bin index of sizes[i] in creation
+    order.  Separated from the Arrow wrapper so the packing laws
+    (capacity, any-fit bin bound, oversize isolation) are
+    hypothesis-testable without Spark."""
+    fills: list[int] = []  # actual tokens per bin, creation order
+    closed: set[int] = set()  # oversize bins never accept others
+    bins, oversize = [], []
+    for n in sizes:
+        n = int(n)
+        if n > ctx:
+            fills.append(n)
+            closed.add(len(fills) - 1)
+            bins.append(len(fills) - 1)
+            oversize.append(True)
+            continue
+        for b, f in enumerate(fills):
+            if b not in closed and f + n <= ctx:
+                fills[b] = f + n
+                bins.append(b)
+                break
+        else:
+            fills.append(n)
+            bins.append(len(fills) - 1)
+        oversize.append(False)
+    return bins, oversize, fills
+
+
 def pack_samples(
     spark: SparkSession,
     sf_dir: str,
@@ -215,26 +245,7 @@ def pack_samples(
         pdf = pdf.sort_values(
             ["n_tokens", "doc_id"], ascending=[False, True]
         )
-        fills: list[int] = []  # actual tokens per bin, creation order
-        closed: set[int] = set()  # oversize bins never accept others
-        bins, oversize = [], []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if n > ctx:
-                fills.append(n)
-                closed.add(len(fills) - 1)
-                bins.append(len(fills) - 1)
-                oversize.append(True)
-                continue
-            for b, f in enumerate(fills):
-                if b not in closed and f + n <= ctx:
-                    fills[b] = f + n
-                    bins.append(b)
-                    break
-            else:
-                fills.append(n)
-                bins.append(len(fills) - 1)
-            oversize.append(False)
+        bins, oversize, fills = _ffd_pack(list(pdf["n_tokens"]), ctx)
         out = pdf.copy()
         out["bin"] = pd.Series(bins, index=pdf.index, dtype="int64")
         out["oversize"] = pd.Series(oversize, index=pdf.index)

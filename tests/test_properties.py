@@ -493,3 +493,47 @@ def test_priority_reservoir_merge_is_order_independent(rows, k, cut):
         _reservoir_merge(list(rows[cut:]), k) + list(rows[:cut]), k
     )
     assert reversed_fold == oneshot
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=400), max_size=80),
+    st.integers(min_value=1, max_value=256),
+)
+def test_ffd_pack_laws(sizes, ctx):
+    """packing._ffd_pack over any size multiset: every doc in exactly
+    one bin, no non-oversize bin over capacity, oversize docs isolated
+    in solo bins, fills consistent, and the any-fit guarantee — at
+    most one non-oversize bin at most half full, hence
+    bins <= max(2*ceil(tokens/ctx), 1)."""
+    import math
+
+    from isaac_kafka_streaming_spark.extensions.packing import _ffd_pack
+
+    sizes = sorted(sizes, reverse=True)  # the wrapper's FFD order
+    bins, oversize, fills = _ffd_pack(sizes, ctx)
+    assert len(bins) == len(oversize) == len(sizes)
+    by_bin = {}
+    for i, b in enumerate(bins):
+        by_bin.setdefault(b, []).append(i)
+    for b, members in by_bin.items():
+        tok = sum(sizes[i] for i in members)
+        assert fills[b] == tok
+        if any(oversize[i] for i in members):
+            assert len(members) == 1
+            assert sizes[members[0]] > ctx
+        else:
+            assert tok <= ctx
+    normal_bins = [
+        b for b in by_bin
+        if not any(oversize[i] for i in by_bin[b])
+    ]
+    # any-fit: two bins both <= ctx/2 full cannot coexist (the second's
+    # contents would have fit the first)
+    light = [b for b in normal_bins if 2 * fills[b] <= ctx]
+    assert len(light) <= 1 or all(fills[b] == 0 for b in light), (
+        fills, light,
+    )
+    tokens = sum(s for s in sizes if s <= ctx)
+    if tokens:
+        lo = math.ceil(tokens / ctx)
+        assert lo <= len(normal_bins) <= max(2 * lo, 1)
