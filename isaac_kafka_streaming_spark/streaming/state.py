@@ -440,3 +440,107 @@ def priority_sample_stream(docs: DataFrame, k: int = 20) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PACK_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shard", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("bin", T.LongType()),
+        T.StructField("oversize", T.BooleanType()),
+    ]
+)
+
+PACK_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bin", T.LongType()),
+        T.StructField("fill", T.LongType()),
+    ]
+)
+
+
+def pack_stream_next_fit(
+    docs: DataFrame, ctx: int = 128, n_shards: int = 16
+) -> DataFrame:
+    """Online no-split sample packing at ingest — the streaming
+    counterpart of packing.pack_samples: per-shard GroupState holds
+    just (current bin id, current fill), and each arriving document
+    either joins the open bin or closes it and opens the next
+    (next-fit).  Emits (doc_id, shard, bin, n_tokens, oversize) in
+    append mode; state is TWO longs per shard regardless of stream
+    length.
+
+    Semantics are deliberately NOT batch-FFD-equal: an online packer
+    cannot resort history, so bins differ from pack_samples' FFD by
+    design — what holds instead are the packing LAWS (pinned in
+    tests/test_streaming.py): capacity is never exceeded, oversize
+    docs (> ctx tokens) get a closed solo bin, bin ids are monotone
+    per shard, and next-fit's classic 2x-OPT bound caps the bin count.
+    Within a micro-batch, documents pack in doc_id order (arrival
+    order inside a batch is partition-nondeterministic; the sort makes
+    replays reproducible).  Input: (doc_id, text) stream; sharding is
+    the same identity md5 as the batch packers.
+    """
+    from pyspark.sql import functions as F
+
+    from ..extensions.packing import _sharded
+    from ..extensions.text import _tokens
+
+    base = _sharded(
+        docs, n_shards,
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).select("doc_id", "shard", "n_tokens")
+
+    def process(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        b, fill = state.get if state.exists else (0, 0)
+        items = sorted(
+            (int(d), int(n))
+            for pdf in pdfs
+            for d, n in zip(pdf["doc_id"], pdf["n_tokens"])
+        )
+        out = {"doc_id": [], "n_tokens": [], "bin": [], "oversize": []}
+        for d, n in items:
+            if n > ctx:
+                # solo closed bin: advance past the open bin only if it
+                # holds anything, park the oversize doc, reopen fresh
+                if fill > 0:
+                    b += 1
+                out["doc_id"].append(d)
+                out["n_tokens"].append(n)
+                out["bin"].append(b)
+                out["oversize"].append(True)
+                b, fill = b + 1, 0
+                continue
+            if fill + n > ctx:
+                b, fill = b + 1, n
+            else:
+                fill += n
+            out["doc_id"].append(d)
+            out["n_tokens"].append(n)
+            out["bin"].append(b)
+            out["oversize"].append(False)
+        state.update((b, fill))
+        if out["doc_id"]:
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "shard": [shard] * len(out["doc_id"]),
+                    "n_tokens": out["n_tokens"],
+                    "bin": out["bin"],
+                    "oversize": out["oversize"],
+                }
+            )
+
+    return base.groupBy("shard").applyInPandasWithState(
+        process,
+        outputStructType=PACK_OUTPUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

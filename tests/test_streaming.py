@@ -1403,3 +1403,62 @@ def test_streaming_length_buckets_parity(spark, sf_smoke, tmp_path_factory):
     got = {tuple(r) for r in length_bucket_readoff(store).collect()}
     want = {tuple(r) for r in length_bucket_plan(spark, sf_smoke).collect()}
     assert got == want and want
+
+
+def test_pack_stream_next_fit_laws(spark, sf_smoke, tmp_path_factory):
+    """Online ingest packing: across a two-batch stream, every doc gets
+    exactly one bin, non-oversize bins never exceed ctx, oversize docs
+    sit alone in closed bins, and the per-shard bin count respects the
+    next-fit bound (2x the token lower bound, plus one potential
+    early-close per oversize doc).  Deterministic across reruns."""
+    import math
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        pack_stream_next_fit,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    CTX = 128
+
+    def run(name):
+        stream = _two_batch_docs_stream(
+            spark, sf_smoke, tmp_path_factory, name
+        ).select("doc_id", "text")
+        return run_to_memory(
+            pack_stream_next_fit(stream, ctx=CTX),
+            name, output_mode="append",
+        ).collect()
+
+    rows = run("packstream_a")
+    docs = read_table(spark, sf_smoke, "documents")
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+
+    per_bin: dict = {}
+    for r in rows:
+        per_bin.setdefault((r.shard, r.bin), []).append(r)
+    for (shard, b), members in per_bin.items():
+        if any(r.oversize for r in members):
+            assert len(members) == 1, f"oversize shares bin {(shard, b)}"
+            assert members[0].n_tokens > CTX
+        else:
+            tok = sum(r.n_tokens for r in members)
+            assert tok <= CTX, f"bin {(shard, b)} over capacity: {tok}"
+
+    per_shard: dict = {}
+    for r in rows:
+        per_shard.setdefault(r.shard, []).append(r)
+    for shard, members in per_shard.items():
+        normal = [r for r in members if not r.oversize]
+        n_over = sum(1 for r in members if r.oversize)
+        tokens = sum(r.n_tokens for r in normal)
+        n_bins = len({r.bin for r in normal})
+        lo = math.ceil(tokens / CTX) if tokens else 0
+        assert n_bins <= max(2 * lo, 1) + n_over, (
+            shard, tokens, n_bins, n_over,
+        )
+
+    again = run("packstream_b")
+    assert {(r.doc_id, r.shard, r.bin) for r in again} == {
+        (r.doc_id, r.shard, r.bin) for r in rows
+    }
