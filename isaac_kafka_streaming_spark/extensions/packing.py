@@ -171,6 +171,17 @@ def overlap_chunk_plan(
     )
 
 
+def tokenized_shards(docs: DataFrame, n_shards: int) -> DataFrame:
+    """(doc_id, shard, n_tokens) — the shard/token projection shared by
+    the batch packers AND the streaming next-fit packer, so the two
+    sides can never hash or tokenize differently."""
+    return _sharded(
+        docs,
+        n_shards,
+        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    ).select("doc_id", "shard", "n_tokens")
+
+
 def _ffd_pack(sizes: list, ctx: int) -> tuple:
     """The first-fit-decreasing core as a pure function over an
     already-(size desc)-sorted sequence: returns (bins, oversize,
@@ -235,11 +246,7 @@ def pack_samples(
     """
     import pandas as pd
 
-    base = _sharded(
-        read_table(spark, sf_dir, "documents"),
-        n_shards,
-        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).select("doc_id", "shard", "n_tokens")
+    base = tokenized_shards(read_table(spark, sf_dir, "documents"), n_shards)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(

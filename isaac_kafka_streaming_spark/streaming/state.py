@@ -456,6 +456,7 @@ PACK_STATE_SCHEMA = T.StructType(
     [
         T.StructField("bin", T.LongType()),
         T.StructField("fill", T.LongType()),
+        T.StructField("n_in_bin", T.LongType()),
     ]
 )
 
@@ -475,22 +476,19 @@ def pack_stream_next_fit(
     cannot resort history, so bins differ from pack_samples' FFD by
     design — what holds instead are the packing LAWS (pinned in
     tests/test_streaming.py): capacity is never exceeded, oversize
-    docs (> ctx tokens) get a closed solo bin, bin ids are monotone
-    per shard, and next-fit's classic 2x-OPT bound caps the bin count.
-    Within a micro-batch, documents pack in doc_id order (arrival
-    order inside a batch is partition-nondeterministic; the sort makes
-    replays reproducible).  Input: (doc_id, text) stream; sharding is
-    the same identity md5 as the batch packers.
+    docs (> ctx tokens) get a closed solo bin (state tracks bin
+    OCCUPANCY, not just fill — a zero-token doc occupies the open bin
+    without filling it, and must still force the close), bin ids are
+    monotone per shard, and next-fit's classic 2x-OPT bound caps the
+    bin count.  Within a micro-batch, documents pack in doc_id order
+    (arrival order inside a batch is partition-nondeterministic; the
+    sort makes replays reproducible).  Input: (doc_id, text) stream;
+    the shard/token projection is packing.tokenized_shards, shared
+    with the batch packers so the two can never hash differently.
     """
-    from pyspark.sql import functions as F
+    from ..extensions.packing import tokenized_shards
 
-    from ..extensions.packing import _sharded
-    from ..extensions.text import _tokens
-
-    base = _sharded(
-        docs, n_shards,
-        F.size(_tokens(F.col("text"))).cast("long").alias("n_tokens"),
-    ).select("doc_id", "shard", "n_tokens")
+    base = tokenized_shards(docs, n_shards)
 
     def process(
         key: Tuple,
@@ -498,7 +496,7 @@ def pack_stream_next_fit(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (shard,) = key
-        b, fill = state.get if state.exists else (0, 0)
+        b, fill, n_in_bin = state.get if state.exists else (0, 0, 0)
         items = sorted(
             (int(d), int(n))
             for pdf in pdfs
@@ -507,25 +505,27 @@ def pack_stream_next_fit(
         out = {"doc_id": [], "n_tokens": [], "bin": [], "oversize": []}
         for d, n in items:
             if n > ctx:
-                # solo closed bin: advance past the open bin only if it
-                # holds anything, park the oversize doc, reopen fresh
-                if fill > 0:
+                # solo closed bin: advance past the open bin if it has
+                # ANY member (occupancy, not fill — a zero-token doc
+                # occupies without filling), park the oversize doc,
+                # reopen fresh
+                if n_in_bin > 0:
                     b += 1
                 out["doc_id"].append(d)
                 out["n_tokens"].append(n)
                 out["bin"].append(b)
                 out["oversize"].append(True)
-                b, fill = b + 1, 0
+                b, fill, n_in_bin = b + 1, 0, 0
                 continue
             if fill + n > ctx:
-                b, fill = b + 1, n
+                b, fill, n_in_bin = b + 1, n, 1
             else:
-                fill += n
+                fill, n_in_bin = fill + n, n_in_bin + 1
             out["doc_id"].append(d)
             out["n_tokens"].append(n)
             out["bin"].append(b)
             out["oversize"].append(False)
-        state.update((b, fill))
+        state.update((b, fill, n_in_bin))
         if out["doc_id"]:
             yield pd.DataFrame(
                 {

@@ -1462,3 +1462,46 @@ def test_pack_stream_next_fit_laws(spark, sf_smoke, tmp_path_factory):
     assert {(r.doc_id, r.shard, r.bin) for r in again} == {
         (r.doc_id, r.shard, r.bin) for r in rows
     }
+
+
+def test_pack_stream_oversize_never_shares_with_empty_doc(
+    spark, tmp_path_factory
+):
+    """Regression (round-8 review): a zero-token document occupies the
+    open bin without filling it; an oversize doc arriving next must
+    STILL get a solo bin — the close decision tracks occupancy, not
+    fill."""
+    import pandas as pd
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        pack_stream_next_fit,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    flat = tmp_path_factory.mktemp("pack_zero_over")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "   ",  # zero tokens, occupies bin 0
+                " ".join(f"w{i}" for i in range(300)),  # oversize
+                "a few small words here",  # normal, fresh bin
+            ],
+        }
+    ).to_parquet(flat / "000.parquet")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(flat))
+    )
+    rows = {
+        r.doc_id: r
+        for r in run_to_memory(
+            pack_stream_next_fit(stream, ctx=128, n_shards=1),
+            "pack_zero_over",
+            output_mode="append",
+        ).collect()
+    }
+    assert rows[1].n_tokens == 0 and not rows[1].oversize
+    assert rows[2].oversize
+    assert rows[2].bin != rows[1].bin, "oversize shared the occupied bin"
+    assert rows[3].bin != rows[2].bin, "normal doc joined a closed bin"
