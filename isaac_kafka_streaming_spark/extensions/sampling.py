@@ -200,15 +200,32 @@ def decontaminate_exact(
     docs = read_table(spark, sf_dir, "documents")
     from .dedup import _shingles, _tokens
 
+    # round 8: split computed INLINE (same md5 bucket expression as
+    # split_assignment) instead of joining split_assignment(docs) back
+    # on doc_id — that was a corpus-wide self-join adding a shuffle and
+    # doubling every downstream scan of this lineage (10 documents
+    # scans measured; 5 after).  Same dejoin as corpus_report's
+    # keep_quality; split parity with split_assignment is pinned in
+    # tests/test_sampling_staged.py.
+    split = (
+        F.when(F.col("bucket") < 5, F.lit("test"))
+        .when(F.col("bucket") < 10, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
     base = (
-        docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
+        docs.select(
+            "doc_id",
+            _tokens(F.col("text")).alias("tokens"),
+            _bucket(F.col("doc_id")),
+        )
         .withColumn(
             "norm_text",
             F.concat(
                 F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")
             ),
         )
-        .join(split_assignment(docs).select("doc_id", "split"), "doc_id")
+        .withColumn("split", split)
+        .drop("bucket")
     )
     sh = base.filter(F.size("tokens") >= n).select(
         "doc_id",
