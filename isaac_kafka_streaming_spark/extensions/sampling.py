@@ -50,6 +50,26 @@ def split_assignment(docs: DataFrame) -> DataFrame:
     )
 
 
+def with_split(docs: DataFrame) -> DataFrame:
+    """All of ``docs``' columns plus the identity-keyed split label as
+    a PURE PROJECTION — the round-8 replacement for the old
+    `docs.join(split_assignment(docs), "doc_id")` composition, which
+    was a corpus-wide self-join against a projection of the same table
+    (an extra shuffle, and it doubled every downstream scan of the
+    lineage).  Same md5 bucket expression as split_assignment;
+    equality is pinned in tests/test_sampling_staged.py."""
+    split = (
+        F.when(F.col("bucket") < 5, F.lit("test"))
+        .when(F.col("bucket") < 10, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        docs.select("*", _bucket(F.col("doc_id")))
+        .withColumn("split", split)
+        .drop("bucket")
+    )
+
+
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment over the documents table (graded
     shape: identity + lang/source strata + bucket + split), still a
@@ -90,8 +110,8 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
-    hashed = docs.select("doc_id", norm_hash.alias("text_hash")).join(
-        split_assignment(docs).select("doc_id", "split"), "doc_id"
+    hashed = with_split(docs).select(
+        "doc_id", norm_hash.alias("text_hash"), "split"
     )
     train = hashed.filter(F.col("split") == "train").groupBy("text_hash").agg(
         F.min("doc_id").alias("train_doc_id")
@@ -130,10 +150,11 @@ def ngram_contamination(
     from .dedup import _shingles
     from .text import _tokens
 
-    sh = docs.select(
+    sh = with_split(docs).select(
         "doc_id",
+        "split",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle"),
-    ).join(split_assignment(docs).select("doc_id", "split"), "doc_id")
+    )
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -200,32 +221,16 @@ def decontaminate_exact(
     docs = read_table(spark, sf_dir, "documents")
     from .dedup import _shingles, _tokens
 
-    # round 8: split computed INLINE (same md5 bucket expression as
-    # split_assignment) instead of joining split_assignment(docs) back
-    # on doc_id — that was a corpus-wide self-join adding a shuffle and
-    # doubling every downstream scan of this lineage (10 documents
-    # scans measured; 5 after).  Same dejoin as corpus_report's
-    # keep_quality; split parity with split_assignment is pinned in
-    # tests/test_sampling_staged.py.
-    split = (
-        F.when(F.col("bucket") < 5, F.lit("test"))
-        .when(F.col("bucket") < 10, F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
-    base = (
-        docs.select(
-            "doc_id",
-            _tokens(F.col("text")).alias("tokens"),
-            _bucket(F.col("doc_id")),
-        )
+    # round 8: split via the shared with_split projection (no
+    # self-join; 10 documents scans -> 5 — see with_split's docstring)
+    base = with_split(
+        docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
         .withColumn(
             "norm_text",
             F.concat(
                 F.lit(" "), F.concat_ws(" ", F.col("tokens")), F.lit(" ")
             ),
         )
-        .withColumn("split", split)
-        .drop("bucket")
     )
     sh = base.filter(F.size("tokens") >= n).select(
         "doc_id",

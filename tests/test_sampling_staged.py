@@ -103,29 +103,20 @@ def test_priority_sample_horvitz_thompson_unbiased(spark, sf_smoke):
 
 
 def test_decontaminate_inline_split_matches_split_assignment(spark, sf_smoke):
-    """The round-8 dejoin: decontaminate_exact computes the split
-    label inline with the same md5 bucket expression split_assignment
-    uses — pin the two equal on every document so the expressions can
-    never drift."""
-    from pyspark.sql import functions as F
-
+    """The round-8 dejoin: the contamination checks compute the split
+    label via the with_split projection instead of joining
+    split_assignment back on doc_id — pin the two equal on every
+    document so the expressions can never drift."""
     from isaac_kafka_streaming_spark.extensions.sampling import (
-        _bucket,
         split_assignment,
+        with_split,
     )
     from isaac_kafka_streaming_spark.io import read_table
 
     docs = read_table(spark, sf_smoke, "documents")
-    inline_split = (
-        F.when(F.col("bucket") < 5, F.lit("test"))
-        .when(F.col("bucket") < 10, F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
     inline = {
         r.doc_id: r.split
-        for r in docs.select("doc_id", _bucket(F.col("doc_id")))
-        .withColumn("split", inline_split)
-        .collect()
+        for r in with_split(docs).select("doc_id", "split").collect()
     }
     via_fn = {r.doc_id: r.split for r in split_assignment(docs).collect()}
     assert inline == via_fn
