@@ -308,11 +308,19 @@ def temperature_mixture_plan(
     from .dedup import _tokens
 
     docs = read_table(spark, sf_dir, "documents")
-    per_lang = docs.select(
-        "lang", F.size(_tokens(F.col("text"))).alias("n")
-    ).groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n").cast("long").alias("n_tokens"),
+    # .cache(): the scalar chain below (totals -> wsum -> budget ->
+    # final projection) otherwise re-executes this lineage — the ONE
+    # corpus-scale stage, a full token-count pass — once per derived
+    # scalar (8 documents scans measured before the round-8 cache; 1
+    # after).  The cached frame is |langs| rows.
+    per_lang = (
+        docs.select("lang", F.size(_tokens(F.col("text"))).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+        .cache()
     )
     totals = per_lang.select(
         F.sum("n_tokens").alias("total_tokens")

@@ -219,14 +219,30 @@ def histogram_quantile_estimates(ev: DataFrame, bins: int = 64) -> DataFrame:
     """Core of _histogram_quantiles over any (event_type, value) frame —
     exposed separately so hypothesis can drive it with generated value
     distributions (tests/test_properties.py)."""
-    stats = ev.groupBy("event_type").agg(
-        F.min("value").alias("lo"),
-        F.max("value").alias("hi"),
-        F.count("*").alias("n_events"),
+    # ONE stats pass: min/max/count AND the exact percentiles that
+    # ride along for observable error share a single aggregation (they
+    # are all per-type aggregates over the same frame); .cache() on the
+    # |types|-row result so the binning pass, the two read-offs and the
+    # final projection never re-execute the corpus lineage (6 events
+    # scans measured before the round-8 fusion+cache; 2 after — the
+    # docstring's intended shape).
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            F.count("*").alias("n_events"),
+            F.round(F.expr("percentile(value, 0.5D)"), 4).alias("exact_p50"),
+            F.round(F.expr("percentile(value, 0.95D)"), 4).alias("exact_p95"),
+        )
+        .cache()
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(bins))
     binned = (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(
+            F.broadcast(stats.select("event_type", "lo", "hi", "n_events")),
+            "event_type",
+        )
         .withColumn("width", width)
         .withColumn(
             "bin",
@@ -251,8 +267,12 @@ def histogram_quantile_estimates(ev: DataFrame, bins: int = 64) -> DataFrame:
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = counts.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
-        "cum_before", F.col("cum") - F.col("c")
+    # cached: both pick() read-offs share one materialization of the
+    # bin table (at most bins x |types| rows)
+    cum = (
+        counts.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("cum_before", F.col("cum") - F.col("c"))
+        .cache()
     )
 
     def pick(q: float, name: str) -> DataFrame:
@@ -265,15 +285,14 @@ def histogram_quantile_estimates(ev: DataFrame, bins: int = 64) -> DataFrame:
             (F.col("cum_before") < target) & (F.col("cum") >= target)
         ).select("event_type", F.round(est, 4).alias(name))
 
-    exact = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.5D)"), 4).alias("exact_p50"),
-        F.round(F.expr("percentile(value, 0.95D)"), 4).alias("exact_p95"),
-    )
     return (
         stats.select("event_type", "n_events")
         .join(pick(0.5, "hist_p50"), "event_type")
         .join(pick(0.95, "hist_p95"), "event_type")
-        .join(exact, "event_type")
+        .join(
+            stats.select("event_type", "exact_p50", "exact_p95"),
+            "event_type",
+        )
     )
 
 
