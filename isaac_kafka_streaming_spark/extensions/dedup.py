@@ -1573,6 +1573,12 @@ def dedup_semantic(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__ccos").desc(), F.col("cell_id")
     )
+    # .cache(): both sides of the within-cell self-join consume this
+    # frame — uncached, the broadcast-centroid argmax (and the
+    # embeddings scan under it) executes twice (6 scans measured; 1
+    # after).  Same discipline as minhash's signature cache: the
+    # materialization is the corpus-with-assignment, spilling to disk
+    # at scale, vs re-running the n_cells-way scoring pass per side.
     assigned = (
         corpus.join(F.broadcast(centroids), how="cross")
         .withColumn("__ccos", ccos)
@@ -1585,6 +1591,7 @@ def dedup_semantic(
             "cell_id",
             F.round(F.col("__ccos"), 6).alias("centroid_cos"),
         )
+        .cache()
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
