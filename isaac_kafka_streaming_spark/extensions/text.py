@@ -724,9 +724,16 @@ def bigram_perplexity(
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
     unigrams = toks.select("doc_id", F.explode("tokens").alias("w"))
-    uni_counts = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
-    vocab = unigrams.select(
-        F.count_distinct("w").alias("v")
+    # .cache() on the vocab-bounded histogram; |V| is one row per
+    # distinct unigram, so the vocab scalar derives from it instead of
+    # re-running the corpus explode with a count_distinct (round 8:
+    # 4 documents scans -> 3; the remaining three are the unigram
+    # explode and the two bigram passes, each corpus-scale by nature)
+    uni_counts = (
+        unigrams.groupBy("w").agg(F.count("*").alias("cw")).cache()
+    )
+    vocab = uni_counts.agg(
+        F.count("*").alias("v")
     )  # 1-row scalar, broadcast below
     bigrams = toks.filter(F.size("tokens") >= 2).select(
         "doc_id",
@@ -1815,8 +1822,13 @@ def bm25_top_docs(
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
-    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # .cache() on the postings: dl, df/cf, the query pick and the
+    # scoring join all derive from tf — uncached, each re-executed the
+    # corpus explode (4 documents scans measured; 1 after).  dl is
+    # sum(tf) per doc (identical to counting the raw explode — every
+    # occurrence is in exactly one (doc, term) group).
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -1977,8 +1989,13 @@ def pmi_top_pairs(
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(_tokens(F.col("text")).alias("tokens"))
     unigrams = toks.select(F.explode("tokens").alias("w"))
-    uni = unigrams.groupBy("w").agg(F.count("*").alias("cw"))
-    total = unigrams.agg(F.count("*").alias("n_tokens"))
+    # .cache() + derive the corpus token count from the histogram
+    # (sum of per-word counts == the raw explode count): round 8,
+    # 4 documents scans -> 2 (unigram + bigram passes, both
+    # corpus-scale by nature; uni is vocab-bounded and feeds two
+    # broadcast sides plus the scalar)
+    uni = unigrams.groupBy("w").agg(F.count("*").alias("cw")).cache()
+    total = uni.agg(F.sum("cw").alias("n_tokens"))
     bigrams = toks.filter(F.size("tokens") >= 2).select(
         F.explode(
             F.transform(

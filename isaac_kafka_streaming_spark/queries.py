@@ -2092,6 +2092,14 @@ def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("user_id")
                 .agg(F.min("ts").alias(f"t{i}"))
             )
+        # .cache(): each step frame is consumed TWICE — by the next
+        # step's join and by its own count scalar — so uncached, step
+        # i's whole chain (and every pruned events scan under it)
+        # re-executes once per descendant: 10 events scans measured
+        # for 4 steps before the round-8 cache, 4 after (one per step,
+        # each predicate-pruned to its event type).  The cached frame
+        # is one row per user who reached the step.
+        cur = cur.cache()
         counts.append(cur.agg(F.count("*").alias(f"n{i}")))
         prev = cur
     row = counts[0]
