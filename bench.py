@@ -119,8 +119,11 @@ HEADLINE = [
     "dedup_incoming_minhash_md5",
     "knn_srp",
     "bm25_top_docs",
-    # round 8 addition: the length-bucketed batching padding-waste card
+    # round 8 additions: the length-bucketed batching padding-waste
+    # card, then the two trusted-slice selection methods
     "length_bucket_plan",
+    "dsir_select",
+    "nb_quality_score",
 ]
 
 

@@ -718,6 +718,197 @@ def epoch_shuffle(
     )
 
 
+DSIR_BUCKETS = 256
+DSIR_K = 100
+DSIR_ALPHA = 1.0
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_select(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    k: int = DSIR_K,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): select the k raw documents whose hashed-n-gram distribution
+    best matches a trusted target distribution — the
+    distribution-matching alternative to the classifier-based
+    selection of text.nb_quality_score (the two methods DCLM-style
+    curation benchmarks against each other, on the same target slice).
+
+    Features are unigrams + adjacent bigrams hashed into `n_buckets`
+    md5 buckets (the hashing IS the method's dimensionality bound —
+    collisions are part of the estimator, not a defect).  The target
+    distribution is estimated from the corpus's `en` slice, the raw
+    distribution from the whole corpus; both add-α smoothed over the
+    B-bucket feature space.  Per doc, the log importance weight is
+    Σ_b tf_d(b)·(ln p_target(b) − ln p_raw(b)); resampling is
+    Gumbel-top-k — sel_key = logw + g with g = −ln(−ln(u)) — which
+    draws k docs without replacement with probability ∝ exp(logw).
+    The uniform u derives from a 24-bit md5 slice of doc_id (the
+    priority_sample discipline), so u is engine-exact; the two ln's
+    on top are single-chain libm calls, and the ranking compares the
+    6-dp-ROUNDED key with a doc_id tie-break so an ulp can never flip
+    the cutoff (the bm25/pmi discipline).
+
+    Scale shape: one corpus explode collapsed into the cached
+    per-(doc, bucket) histogram; the bucket model is ≤ B rows (a
+    broadcast); scoring joins the histogram to the model on the bucket
+    key; selection is a global top-k (TakeOrdered — per-partition
+    heads merged on the driver, no global sort).  Docs with zero
+    features stay candidates at logw = 0 via the left join (pure
+    Gumbel — i.e. uniform — among themselves)."""
+    from .text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = _tokens(F.col("text"))
+    n_bi = F.greatest(F.size(tokens) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tokens, 1, n_bi),
+        F.slice(tokens, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    base = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        F.concat(tokens, bigrams).alias("feats"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ds:"), F.col("feat"))), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    tfb = (
+        base.select(
+            "doc_id", "is_target", F.explode("feats").alias("feat")
+        )
+        .select("doc_id", "is_target", bucket.alias("bucket"))
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count("*").alias("c"))
+        .cache()
+    )
+    bucket_counts = tfb.groupBy("bucket").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_target"), F.col("c"))), F.lit(0)
+        ).alias("ct"),
+        F.sum("c").alias("cr"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    lr = bucket_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("ct") + F.lit(alpha))
+                / (F.col("tt") + F.lit(alpha) * F.lit(n_buckets))
+            )
+            - F.log(
+                (F.col("cr") + F.lit(alpha))
+                / (F.col("tr") + F.lit(alpha) * F.lit(n_buckets))
+            )
+        ).alias("lr"),
+    )
+    logw = (
+        tfb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("lr")).alias("logw"))
+    )
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dg:"), F.col("doc_id").cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u_int + 1) / F.lit(float((1 << 24) + 1))
+    gumbel = -F.log(-F.log(u))
+    cand = (
+        base.select(
+            "doc_id", "lang", F.size("feats").cast("long").alias("n_feats")
+        )
+        .join(logw, "doc_id", "left")
+        .withColumn("logw", F.coalesce(F.col("logw"), F.lit(0.0)))
+        .withColumn("sel_key", F.round(F.col("logw") + gumbel, 6))
+    )
+    return (
+        cand.orderBy(F.col("sel_key").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "lang",
+            "n_feats",
+            F.round("logw", 6).alias("log_weight"),
+            "sel_key",
+        )
+    )
+
+
+DSIR_SELECT_ORACLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id, lang,
+           list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '') AS tokens
+    FROM documents
+), f AS (
+    SELECT doc_id, lang, lang = '{DSIR_TARGET_LANG}' AS is_target,
+           list_concat(tokens,
+               list_transform(list_zip(tokens[1:len(tokens)-1],
+                                       tokens[2:len(tokens)]),
+                   z -> z[1] || ' ' || z[2])) AS feats
+    FROM d
+), e AS (
+    SELECT doc_id, is_target, UNNEST(feats) AS feat FROM f
+), tfb AS (
+    SELECT doc_id, is_target,
+           CAST('0x' || substr(md5('ds:' || feat), 1, 6) AS BIGINT)
+               % {DSIR_BUCKETS} AS bucket,
+           COUNT(*) AS c
+    FROM e GROUP BY 1, 2, 3
+), bc AS (
+    SELECT bucket,
+           COALESCE(SUM(CASE WHEN is_target THEN c END), 0) AS ct,
+           SUM(c) AS cr
+    FROM tfb GROUP BY bucket
+), tot AS (
+    SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc
+), lr AS (
+    SELECT bucket,
+           LN((ct + {DSIR_ALPHA}) / (tt + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+           - LN((cr + {DSIR_ALPHA}) / (tr + {DSIR_ALPHA} * {DSIR_BUCKETS}))
+               AS lr
+    FROM bc CROSS JOIN tot
+), lw AS (
+    SELECT tfb.doc_id, SUM(tfb.c * lr.lr) AS logw
+    FROM tfb JOIN lr USING (bucket) GROUP BY tfb.doc_id
+), cand AS (
+    SELECT f.doc_id, f.lang,
+           CAST(len(f.feats) AS BIGINT) AS n_feats,
+           COALESCE(lw.logw, 0.0) AS logw,
+           ROUND(COALESCE(lw.logw, 0.0)
+                 - LN(-LN((CAST('0x' || substr(md5('dg:' ||
+                       CAST(f.doc_id AS VARCHAR)), 1, 6) AS BIGINT) + 1)
+                     / {float((1 << 24) + 1)})), 6) AS sel_key
+    FROM f LEFT JOIN lw ON lw.doc_id = f.doc_id
+)
+SELECT doc_id, lang, n_feats,
+       ROUND(logw, 6) AS log_weight, sel_key
+FROM cand
+ORDER BY sel_key DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -1011,5 +1202,12 @@ def register() -> dict:
             temperature_mixture_plan,
             TEMPERATURE_MIXTURE_ORACLE_SQL,
             "temperature-reweighted source mixture plan",
+        ),
+        # --- registered mid-round-8 ---
+        "dsir_select": QueryDef(
+            dsir_select,
+            DSIR_SELECT_ORACLE_SQL,
+            "DSIR importance resampling: hashed-n-gram distribution "
+            "matching against the trusted slice, Gumbel-top-k draw",
         ),
     }

@@ -2110,6 +2110,223 @@ def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_chars") > 0)
 
 
+NB_ALPHA = 1.0
+NB_TARGET_LANG = "en"
+
+
+def nb_quality_score(
+    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+) -> DataFrame:
+    """X4 — learned quality classifier, closed-form multinomial Naive
+    Bayes: the "train a cheap text classifier to recognize the trusted
+    distribution, then score the raw corpus with it" step of modern
+    curation pipelines (the fastText-classifier selection baseline of
+    DCLM/FineWeb-style curation).  The trusted slice here is the
+    corpus's `en` documents (at production scale: Wikipedia/books/
+    benchmark text, shipped as labels exactly like this); training is
+    the closed-form count ratio, so the whole train+infer cycle is two
+    aggregation levels and one vocab-keyed equi-join — no gradient
+    loop, no Python.  (The heuristic quality gate is NOT usable as the
+    seed label on this corpus — it keeps 100% of documents at every
+    SF, a one-class degenerate; the lang label actually splits.)
+
+    Model: per-token weight = ln p(w|target) - ln p(w|rest) with add-α
+    smoothing over the corpus vocabulary V (occurrence counts, the
+    multinomial event model); per-doc logit = class-prior ratio
+    ln((n_pos+α)/(n_neg+α)) + Σ_w tf_{d,w}·weight_w.  Output carries
+    the seed label next to the classifier's verdict, so the result IS
+    the confusion readout; nb_keep is derived from the ROUNDED logit
+    (6 dp) in both engines, so an ulp of ln() can never flip the
+    decision boundary between Spark and the oracle.  (On the driver's
+    synthetic corpus all langs draw from ONE shared vocabulary, so the
+    classes are non-separable by construction and logits sit near the
+    prior — the honest readout; real separation is demonstrated on a
+    constructed two-distribution corpus in tests/test_text_extras.py.)
+
+    Scale shape: one corpus explode collapsed immediately into the
+    cached per-(doc, token) tf histogram; token/class counts and the
+    vocab scalar derive from tf (map-side combinable, bounded by |V|
+    at the second level); scoring is tf ⋈ weights on the token key —
+    a vocab-bounded build side (broadcastable while the model fits,
+    shuffle equi-join with AQE beyond that — the same knob as
+    vocab_coverage's guarded join mode).  Docs with zero tokens keep
+    the prior-only logit via the left join."""
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("tokens"),
+        (F.col("lang") == NB_TARGET_LANG).alias("keep"),
+    )
+    tok = labeled.select("doc_id", "keep", F.explode("tokens").alias("w"))
+    # keep is functionally dependent on doc_id — grouping on it too
+    # costs nothing and lets every class-conditional count derive from
+    # this one cached histogram instead of re-running the explode
+    tf = (
+        tok.groupBy("doc_id", "keep", "w")
+        .agg(F.count("*").alias("tf"))
+        .cache()
+    )
+    tok_counts = tf.groupBy("w").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("keep"), F.col("tf"))), F.lit(0)
+        ).alias("cpos"),
+        F.coalesce(
+            F.sum(F.when(~F.col("keep"), F.col("tf"))), F.lit(0)
+        ).alias("cneg"),
+    )
+    totals = tok_counts.agg(
+        F.sum("cpos").alias("tpos"),
+        F.sum("cneg").alias("tneg"),
+        F.count("*").alias("v"),
+    )
+    # narrow per-doc head (id, token count, label) cached once: the
+    # prior aggregate AND the final projection read it, instead of
+    # each re-scanning the corpus (3 documents scans -> 2, pinned in
+    # tests/test_plans.py — the round-8 cache-the-bounded-frame
+    # discipline; ~17 bytes/doc, spillable)
+    head = labeled.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "keep",
+    ).cache()
+    priors = head.agg(
+        F.count(F.when(F.col("keep"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_neg"),
+    )
+    weights = tok_counts.crossJoin(F.broadcast(totals)).select(
+        "w",
+        (
+            F.log(
+                (F.col("cpos") + F.lit(alpha))
+                / (F.col("tpos") + F.lit(alpha) * F.col("v"))
+            )
+            - F.log(
+                (F.col("cneg") + F.lit(alpha))
+                / (F.col("tneg") + F.lit(alpha) * F.col("v"))
+            )
+        ).alias("weight"),
+    )
+    term_sums = (
+        tf.join(weights, "w")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("weight")).alias("token_llr"))
+    )
+    prior = F.log(
+        (F.col("n_pos") + F.lit(alpha)) / (F.col("n_neg") + F.lit(alpha))
+    )
+    logit = F.round(
+        prior + F.coalesce(F.col("token_llr"), F.lit(0.0)), 6
+    )
+    return (
+        head.join(term_sums, "doc_id", "left")
+        .crossJoin(F.broadcast(priors))
+        .withColumn("nb_logit", logit)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("keep").alias("target_label"),
+            "nb_logit",
+            (F.col("nb_logit") > 0).alias("nb_keep"),
+        )
+    )
+
+
+def nb_weight_model(
+    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+) -> DataFrame:
+    """The STATIC side of streaming NB scoring: the trained classifier
+    as a ONE-ROW artifact — map<token, weight> plus the prior — built
+    offline with exactly nb_quality_score's closed-form counts, so the
+    streaming scorer reproduces the batch logits (at 6 dp; the fold
+    accumulates in token order, the batch sum in shuffle order — both
+    engines round before any decision).  At 100 TB this is the model
+    file every classifier deployment ships anyway: |V| map entries on
+    one broadcast row, refreshed by a periodic training batch — the
+    same artifact lifecycle as bm25_query_index and the IVF centroid
+    index."""
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("tokens"),
+        (F.col("lang") == NB_TARGET_LANG).alias("keep"),
+    )
+    tok = labeled.select("keep", F.explode("tokens").alias("w"))
+    tok_counts = tok.groupBy("w").agg(
+        F.count(F.when(F.col("keep"), 1)).alias("cpos"),
+        F.count(F.when(~F.col("keep"), 1)).alias("cneg"),
+    )
+    totals = tok_counts.agg(
+        F.sum("cpos").alias("tpos"),
+        F.sum("cneg").alias("tneg"),
+        F.count("*").alias("v"),
+    )
+    priors = labeled.agg(
+        F.log(
+            (F.count(F.when(F.col("keep"), 1)) + F.lit(alpha))
+            / (F.count(F.when(~F.col("keep"), 1)) + F.lit(alpha))
+        ).alias("prior")
+    )
+    weight = F.log(
+        (F.col("cpos") + F.lit(alpha))
+        / (F.col("tpos") + F.lit(alpha) * F.col("v"))
+    ) - F.log(
+        (F.col("cneg") + F.lit(alpha))
+        / (F.col("tneg") + F.lit(alpha) * F.col("v"))
+    )
+    wmap = (
+        tok_counts.crossJoin(F.broadcast(totals))
+        .select("w", weight.alias("weight"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "weight"))
+            ).alias("wmap")
+        )
+    )
+    return wmap.crossJoin(F.broadcast(priors))
+
+
+NB_QUALITY_ORACLE_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '') AS tokens,
+           lang = '{NB_TARGET_LANG}' AS keep
+    FROM documents
+), tok AS (
+    SELECT doc_id, keep, UNNEST(tokens) AS w FROM d
+), tf AS (
+    SELECT doc_id, keep, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+), tc AS (
+    SELECT w,
+           COALESCE(SUM(CASE WHEN keep THEN tf END), 0) AS cpos,
+           COALESCE(SUM(CASE WHEN NOT keep THEN tf END), 0) AS cneg
+    FROM tf GROUP BY w
+), tot AS (
+    SELECT SUM(cpos) AS tpos, SUM(cneg) AS tneg, COUNT(*) AS v FROM tc
+), pri AS (
+    SELECT COUNT(CASE WHEN keep THEN 1 END) AS n_pos,
+           COUNT(CASE WHEN NOT keep THEN 1 END) AS n_neg
+    FROM d
+), wt AS (
+    SELECT w,
+           LN((cpos + {NB_ALPHA}) / (tpos + {NB_ALPHA} * v))
+           - LN((cneg + {NB_ALPHA}) / (tneg + {NB_ALPHA} * v)) AS weight
+    FROM tc CROSS JOIN tot
+), ts AS (
+    SELECT tf.doc_id, SUM(tf.tf * wt.weight) AS token_llr
+    FROM tf JOIN wt USING (w) GROUP BY tf.doc_id
+)
+SELECT d.doc_id, CAST(len(d.tokens) AS BIGINT) AS n_tokens,
+       d.keep AS target_label,
+       ROUND(LN((n_pos + {NB_ALPHA}) / (n_neg + {NB_ALPHA}))
+             + COALESCE(ts.token_llr, 0.0), 6) AS nb_logit,
+       ROUND(LN((n_pos + {NB_ALPHA}) / (n_neg + {NB_ALPHA}))
+             + COALESCE(ts.token_llr, 0.0), 6) > 0 AS nb_keep
+FROM d LEFT JOIN ts ON ts.doc_id = d.doc_id
+CROSS JOIN pri
+"""
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -2535,5 +2752,12 @@ def register() -> dict:
             BM25_TOP_DOCS_ORACLE_SQL,
             "X4 BM25 document ranking: length-normalized retrieval "
             "scoring for quality-targeted selection",
+        ),
+        # --- registered mid-round-8 ---
+        "nb_quality_score": QueryDef(
+            nb_quality_score,
+            NB_QUALITY_ORACLE_SQL,
+            "X4 learned quality classifier: closed-form Naive Bayes "
+            "trained on trusted-slice seed labels",
         ),
     }

@@ -946,6 +946,47 @@ def streaming_bm25_score(
     )
 
 
+def streaming_nb_score(
+    docs_stream: DataFrame, weight_model: DataFrame
+) -> DataFrame:
+    """Streaming form of the learned quality classifier (batch twin:
+    extensions.text.nb_quality_score): the trained Naive Bayes model —
+    ONE row holding map<token, weight> plus the class-prior ratio,
+    built offline by text.nb_weight_model — is the static broadcast
+    side, and every ARRIVING document is scored at ingest, the same
+    model-artifact shape as streaming_bm25_score's query index.
+
+    Entirely stateless: the logit is a per-row higher-order fold over
+    the doc's own token array with a map lookup per token (unseen
+    tokens contribute 0 — the standard ignore-OOV NB inference), so it
+    runs append-mode with zero state store.  The fold accumulates in
+    token order while the batch form sums in shuffle order; both round
+    to 6 dp before the keep decision, and exact parity on the driver
+    fixture is pinned in tests/test_streaming.py."""
+    from ..extensions.text import _tokens
+
+    base = docs_stream.select(
+        "doc_id", _tokens(F.col("text")).alias("tokens")
+    )
+    scored = base.crossJoin(F.broadcast(weight_model))
+    logit = F.round(
+        F.col("prior")
+        + F.aggregate(
+            F.col("tokens"),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(F.col("wmap"), t), F.lit(0.0)),
+        ),
+        6,
+    )
+    return scored.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        logit.alias("nb_logit"),
+        (logit > 0).alias("nb_keep"),
+    )
+
+
 def streaming_corpus_volume(docs_stream: DataFrame) -> DataFrame:
     """Streaming half 1 of the per-(lang, source) dataset card (batch
     twin: extensions.text.corpus_report): the purely algebraic volume

@@ -427,3 +427,38 @@ def test_length_bucket_single_scan_partial_agg(spark, sf_smoke):
     assert plan.count("Exchange") == 1, plan
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_nb_quality_two_scans_vocab_join_jvm(spark, sf_smoke):
+    """The closed-form NB classifier costs exactly two corpus scans
+    (the token explode feeding the cached tf histogram, and the cached
+    narrow head frame), its only real join fan-in is the vocab-keyed
+    weights join plus 1-row broadcast scalars — no cartesian blowup —
+    and every aggregate is two-phase (map-side combinable)."""
+    plan = _formatted(spark, "nb_quality_score", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "documents.parquet" in l and "Location" in l
+    ]
+    assert len(scans) == 2, f"documents scanned {len(scans)}x"
+    exe = _executed_plan(spark, "nb_quality_score", sf_smoke)
+    assert "CartesianProduct" not in exe
+    assert exe.count("HashAggregate") >= 2
+
+
+def test_dsir_takeordered_broadcast_model_two_scans(spark, sf_smoke):
+    """DSIR's selection must be TakeOrdered (per-partition heads merged
+    on the driver — never a global Sort+Exchange), the <=B-row bucket
+    model must ride a broadcast into the scoring join, and the whole
+    pipeline costs two corpus scans (feature explode -> cached
+    histogram, candidate frame)."""
+    exe = _executed_plan(spark, "dsir_select", sf_smoke)
+    assert "TakeOrdered" in exe, "global selection lost its top-k form"
+    assert "BroadcastHashJoin" in exe, "bucket model join not broadcast"
+    assert "CartesianProduct" not in exe
+    plan = _formatted(spark, "dsir_select", sf_smoke)
+    scans = [
+        l for l in plan.splitlines()
+        if "documents.parquet" in l and "Location" in l
+    ]
+    assert len(scans) == 2, f"documents scanned {len(scans)}x"

@@ -120,3 +120,130 @@ def test_decontaminate_inline_split_matches_split_assignment(spark, sf_smoke):
     }
     via_fn = {r.doc_id: r.split for r in split_assignment(docs).collect()}
     assert inline == via_fn
+
+
+def test_dsir_python_replica_and_enrichment(spark, tmp_path_factory):
+    """DSIR importance resampling vs an independent pure-python replica
+    (a THIRD engine next to Spark and the DuckDB oracle) on a
+    two-distribution hand corpus, plus the semantic invariant the
+    method exists for: docs written in the target slice's vocabulary
+    carry strictly higher log importance weights than docs written in
+    the off-target vocabulary."""
+    import hashlib
+    import math
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        DSIR_ALPHA,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        dsir_select,
+    )
+
+    # 4 en docs from vocab A, 4 de docs from vocab B, and two "raw"
+    # fr docs — one written in vocab A (target-like), one in vocab B
+    docs = [
+        (0, "alpha beta alpha gamma", "en"),
+        (1, "beta gamma alpha beta", "en"),
+        (2, "gamma alpha beta alpha", "en"),
+        (3, "alpha alpha beta gamma", "en"),
+        (4, "xray yankee zulu xray", "de"),
+        (5, "zulu xray yankee zulu", "de"),
+        (6, "yankee zulu xray xray", "de"),
+        (7, "xray zulu zulu yankee", "de"),
+        (8, "alpha beta gamma alpha", "fr"),  # target-like raw doc
+        (9, "zulu xray yankee zulu", "de" if False else "fr"),  # off-target raw doc
+        (10, "", "fr"),  # zero features
+    ]
+    base = tmp_path_factory.mktemp("dsir")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(base / "documents.parquet"))
+
+    k = len(docs)  # select everything: the full weight surface
+    got = {
+        r.doc_id: r
+        for r in dsir_select(spark, str(base), k=k).collect()
+    }
+    assert len(got) == len(docs)
+
+    # --- pure-python replica ---
+    def tokens(t):
+        import re
+
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def feats(t):
+        ts = tokens(t)
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    def bucket(f):
+        return (
+            int(hashlib.md5(f"ds:{f}".encode()).hexdigest()[:6], 16)
+            % DSIR_BUCKETS
+        )
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text, lang in docs:
+        h: dict[int, int] = {}
+        for f in feats(text):
+            b = bucket(f)
+            h[b] = h.get(b, 0) + 1
+        per_doc[doc_id] = h
+        for b, c in h.items():
+            cr[b] = cr.get(b, 0) + c
+            if lang == DSIR_TARGET_LANG:
+                ct[b] = ct.get(b, 0) + c
+    tt, tr = sum(ct.values()), sum(cr.values())
+    a, B = DSIR_ALPHA, DSIR_BUCKETS
+
+    def lr(b):
+        return math.log((ct.get(b, 0) + a) / (tt + a * B)) - math.log(
+            (cr[b] + a) / (tr + a * B)
+        )
+
+    for doc_id, text, lang in docs:
+        logw = sum(c * lr(b) for b, c in per_doc[doc_id].items())
+        u = (
+            int(
+                hashlib.md5(f"dg:{doc_id}".encode()).hexdigest()[:6], 16
+            )
+            + 1
+        ) / float((1 << 24) + 1)
+        g = -math.log(-math.log(u))
+        assert got[doc_id].log_weight == round(logw, 6), doc_id
+        assert got[doc_id].sel_key == round(logw + g, 6), doc_id
+        assert got[doc_id].n_feats == len(feats(text)), doc_id
+
+    # --- semantic invariant: the target-like raw doc outweighs the
+    # off-target raw doc (absolute signs are NOT an invariant — with
+    # B=256 the add-α smoothing dominates a hand-sized corpus and
+    # shifts every weight down; only the ordering is the method's
+    # promise); zero-feature doc sits at exactly 0 ---
+    assert got[8].log_weight > got[9].log_weight
+    assert got[10].n_feats == 0 and got[10].log_weight == 0.0
+
+
+def test_dsir_selection_is_top_k_of_full_surface(spark, tmp_path_factory):
+    """The k-selection must be exactly the k largest (sel_key, -doc_id)
+    of the full candidate surface — i.e. Gumbel-top-k, not a
+    partition-local approximation."""
+    from isaac_kafka_streaming_spark.extensions.sampling import dsir_select
+
+    docs = [
+        (i, f"tok{i % 7} tok{(i * 3) % 7} tok{(i * 5) % 7}",
+         ["en", "de", "fr"][i % 3])
+        for i in range(60)
+    ]
+    base = tmp_path_factory.mktemp("dsir_topk")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(base / "documents.parquet"))
+    full = dsir_select(spark, str(base), k=60).collect()
+    want = {
+        r.doc_id
+        for r in sorted(full, key=lambda r: (-r.sel_key, r.doc_id))[:10]
+    }
+    got = {r.doc_id for r in dsir_select(spark, str(base), k=10).collect()}
+    assert got == want

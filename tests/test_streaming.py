@@ -1505,3 +1505,39 @@ def test_pack_stream_oversize_never_shares_with_empty_doc(
     assert rows[2].oversize
     assert rows[2].bin != rows[1].bin, "oversize shared the occupied bin"
     assert rows[3].bin != rows[2].bin, "normal doc joined a closed bin"
+
+
+def test_streaming_nb_score_parity(spark, sf_smoke, tmp_path_factory):
+    """X4 streaming twin: arriving documents scored at ingest against
+    the one-row broadcast NB model artifact (map<token, weight> +
+    prior) must carry exactly the batch classifier's logits and keep
+    decisions — both forms round to 6 dp before comparing or deciding,
+    so the fold-order/shuffle-order summation difference cannot
+    surface.  Stateless append mode: one row per arriving doc."""
+    from isaac_kafka_streaming_spark.extensions.text import (
+        nb_quality_score,
+        nb_weight_model,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_nb_score,
+    )
+
+    model = nb_weight_model(spark, sf_smoke)
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "nb_stream"
+    )
+    store = run_to_memory(
+        streaming_nb_score(stream, model),
+        "x4_stream_nb",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.nb_logit, r.nb_keep)
+        for r in store.collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.nb_logit, r.nb_keep)
+        for r in nb_quality_score(spark, sf_smoke).collect()
+    }
+    assert got == want

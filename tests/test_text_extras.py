@@ -1190,3 +1190,85 @@ def test_quality_keep_expr_matches_text_quality(spark, sf_smoke):
     }
     via_tq = {r.doc_id: r.keep for r in text_quality(spark, sf_smoke).collect()}
     assert inline == via_tq
+
+
+def test_nb_quality_hand_computed_and_separation(spark, tmp_path_factory):
+    """Naive Bayes classifier semantics on a hand-computable two-
+    distribution corpus (the separation the driver's shared-vocab
+    synthetic corpus cannot show): (a) exact closed-form logits;
+    (b) perfect train-set separation when the classes are lexically
+    disjoint; (c) the zero-token doc scores the bare prior; plus
+    oracle parity on the same corpus."""
+    import math
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        NB_QUALITY_ORACLE_SQL,
+        nb_quality_score,
+    )
+
+    docs = [
+        (0, "good clean", "en"),
+        (1, "good prose", "en"),
+        (2, "spam junk", "de"),
+        (3, "spam spam", "de"),
+        (4, "", "de"),  # zero tokens -> prior-only logit
+    ]
+    base = tmp_path_factory.mktemp("nbq")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(base / "documents.parquet"))
+    got = {
+        r.doc_id: r for r in nb_quality_score(spark, str(base)).collect()
+    }
+    # closed form (alpha=1): V=5, tpos=4 (good x2, clean, prose),
+    # tneg=4 (spam x3, junk), n_pos=2, n_neg=3 -> prior = ln(3/4)
+    prior = math.log(3 / 4)
+    w = {
+        # w: ln((cpos+1)/(4+5)) - ln((cneg+1)/(4+5))
+        "good": math.log(3 / 9) - math.log(1 / 9),
+        "clean": math.log(2 / 9) - math.log(1 / 9),
+        "prose": math.log(2 / 9) - math.log(1 / 9),
+        "spam": math.log(1 / 9) - math.log(4 / 9),
+        "junk": math.log(1 / 9) - math.log(2 / 9),
+    }
+    assert got[0].nb_logit == round(prior + w["good"] + w["clean"], 6)
+    assert got[3].nb_logit == round(prior + 2 * w["spam"], 6)
+    # (c) zero-token doc: bare prior, counted in n_neg, not dropped
+    assert got[4].n_tokens == 0
+    assert got[4].nb_logit == round(prior, 6)
+    # (b) separation: every target doc keeps, every non-target drops
+    assert [got[i].nb_keep for i in range(5)] == [
+        True,
+        True,
+        False,
+        False,
+        False,
+    ]
+    assert [got[i].target_label for i in range(5)] == [
+        True,
+        True,
+        False,
+        False,
+        False,
+    ]
+    # oracle parity on the hand corpus (the graded sweep only covers
+    # the driver fixture)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    want = {
+        int(r[0]): r
+        for r in con.execute(NB_QUALITY_ORACLE_SQL).fetchall()
+    }
+    con.close()
+    for i in range(5):
+        assert (
+            got[i].n_tokens,
+            got[i].target_label,
+            got[i].nb_logit,
+            got[i].nb_keep,
+        ) == (want[i][1], want[i][2], want[i][3], want[i][4]), i

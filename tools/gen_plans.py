@@ -245,6 +245,18 @@ PICKS = {
         "is a broadcast equi-join on bucket, rescoring exact — the "
         "corpus side is never multiplied."
     ),
+    "nb_quality_score": (
+        "Closed-form NB classifier: two documents scans (token "
+        "explode -> cached tf histogram; cached narrow head frame), "
+        "class counts and vocab scalar derive from tf; scoring is the "
+        "vocab-keyed weights equi-join plus 1-row broadcast scalars."
+    ),
+    "dsir_select": (
+        "DSIR importance resampling: one feature explode collapsed "
+        "into the cached per-(doc, bucket) histogram, <=B-row bucket "
+        "model broadcast into the scoring join, selection is "
+        "TakeOrdered (per-partition heads, no global sort)."
+    ),
     # round-6-proper staged additions (registered round 7)
     "tpch_q2": (
         "Correlated-min supplier: the lineitem offers aggregate is the "

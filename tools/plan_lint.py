@@ -56,6 +56,8 @@ CARTESIAN_OK = {
     "pmi_top_pairs",  # broadcast 1-row corpus-token-count scalar
     "funnel_signup_purchase",  # four 1-row step-count scalars
     "bm25_top_docs",  # broadcast 1-row (n_docs, avgdl) stats scalar
+    "nb_quality_score",  # two 1-row scalars (class totals, priors)
+    "dsir_select",  # broadcast 1-row (tt, tr) totals scalar
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
