@@ -724,6 +724,58 @@ DSIR_ALPHA = 1.0
 DSIR_TARGET_LANG = "en"
 
 
+def dsir_feats(text_col) -> "F.Column":
+    """DSIR's hashed-feature inputs as a per-row array: unigrams plus
+    adjacent bigrams ("w1 w2").  Shared by the batch selector and the
+    streaming ingest scorer so the feature definition cannot drift.
+    The slice length is clamped at 0 so a zero-token doc yields an
+    empty array (the knn_srp empty-sequence discipline — an unguarded
+    sequence(1, size-1) would go descending)."""
+    from .text import _tokens
+
+    tokens = _tokens(text_col)
+    n_bi = F.greatest(F.size(tokens) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tokens, 1, n_bi),
+        F.slice(tokens, 2, n_bi),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(tokens, bigrams)
+
+
+def dsir_bucket_expr(feat_col, n_buckets: int = DSIR_BUCKETS) -> "F.Column":
+    """Engine-neutral feature -> bucket assignment: 24-bit md5 slice
+    mod B (salt 'ds:'), identical in the DuckDB oracle and the
+    python replica test."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ds:"), feat_col)), 1, 6
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+
+
+def dsir_gumbel(doc_id_col) -> "F.Column":
+    """The resampling noise: g = -ln(-ln(u)) with u an engine-exact
+    24-bit md5 slice of the doc identity (salt 'dg:'), mapped into
+    (0, 1)."""
+    u_int = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("dg:"), doc_id_col.cast("string"))),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (u_int + 1) / F.lit(float((1 << 24) + 1))
+    return -F.log(-F.log(u))
+
+
 def dsir_select(
     spark: SparkSession,
     sf_dir: str,
@@ -760,37 +812,22 @@ def dsir_select(
     heads merged on the driver, no global sort).  Docs with zero
     features stay candidates at logw = 0 via the left join (pure
     Gumbel — i.e. uniform — among themselves)."""
-    from .text import _tokens
-
     docs = read_table(spark, sf_dir, "documents")
-    tokens = _tokens(F.col("text"))
-    n_bi = F.greatest(F.size(tokens) - 1, F.lit(0))
-    bigrams = F.zip_with(
-        F.slice(tokens, 1, n_bi),
-        F.slice(tokens, 2, n_bi),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
     base = docs.select(
         "doc_id",
         "lang",
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
-        F.concat(tokens, bigrams).alias("feats"),
-    )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ds:"), F.col("feat"))), 1, 6
-            ),
-            16,
-            10,
-        ).cast("long")
-        % n_buckets
+        dsir_feats(F.col("text")).alias("feats"),
     )
     tfb = (
         base.select(
             "doc_id", "is_target", F.explode("feats").alias("feat")
         )
-        .select("doc_id", "is_target", bucket.alias("bucket"))
+        .select(
+            "doc_id",
+            "is_target",
+            dsir_bucket_expr(F.col("feat"), n_buckets).alias("bucket"),
+        )
         .groupBy("doc_id", "is_target", "bucket")
         .agg(F.count("*").alias("c"))
         .cache()
@@ -822,24 +859,16 @@ def dsir_select(
         .groupBy("doc_id")
         .agg(F.sum(F.col("c") * F.col("lr")).alias("logw"))
     )
-    u_int = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("dg:"), F.col("doc_id").cast("string"))),
-            1,
-            6,
-        ),
-        16,
-        10,
-    ).cast("long")
-    u = (u_int + 1) / F.lit(float((1 << 24) + 1))
-    gumbel = -F.log(-F.log(u))
     cand = (
         base.select(
             "doc_id", "lang", F.size("feats").cast("long").alias("n_feats")
         )
         .join(logw, "doc_id", "left")
         .withColumn("logw", F.coalesce(F.col("logw"), F.lit(0.0)))
-        .withColumn("sel_key", F.round(F.col("logw") + gumbel, 6))
+        .withColumn(
+            "sel_key",
+            F.round(F.col("logw") + dsir_gumbel(F.col("doc_id")), 6),
+        )
     )
     return (
         cand.orderBy(F.col("sel_key").desc(), "doc_id")
@@ -851,6 +880,69 @@ def dsir_select(
             F.round("logw", 6).alias("log_weight"),
             "sel_key",
         )
+    )
+
+
+def dsir_bucket_model(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = DSIR_BUCKETS,
+    alpha: float = DSIR_ALPHA,
+) -> DataFrame:
+    """The STATIC side of streaming DSIR scoring: the bucket log-ratio
+    model as a ONE-ROW artifact — map<bucket, lr> plus lr_default, the
+    smoothed log-ratio of a bucket never seen in the training corpus
+    (ln(α/(tt+αB)) − ln(α/(tr+αB)); the batch selector never needs it
+    because every corpus doc's buckets are in the raw counts by
+    construction, but an ARRIVING doc can hash into a fresh bucket).
+    Built offline with exactly dsir_select's count chain, so the
+    streaming scorer reproduces the batch log weights (at 6 dp).  At
+    100 TB this is ≤B map entries on one broadcast row, refreshed by a
+    periodic batch job — the same artifact lifecycle as
+    nb_weight_model and bm25_query_index."""
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
+        dsir_feats(F.col("text")).alias("feats"),
+    )
+    bc = (
+        base.select("is_target", F.explode("feats").alias("feat"))
+        .select(
+            "is_target",
+            dsir_bucket_expr(F.col("feat"), n_buckets).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.count(F.when(F.col("is_target"), 1)), F.lit(0)
+            ).alias("ct"),
+            F.count("*").alias("cr"),
+        )
+    )
+    totals = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
+    lr = F.log(
+        (F.col("ct") + F.lit(alpha))
+        / (F.col("tt") + F.lit(alpha) * F.lit(n_buckets))
+    ) - F.log(
+        (F.col("cr") + F.lit(alpha))
+        / (F.col("tr") + F.lit(alpha) * F.lit(n_buckets))
+    )
+    lr_default = F.log(
+        F.lit(alpha) / (F.col("tt") + F.lit(alpha) * F.lit(n_buckets))
+    ) - F.log(
+        F.lit(alpha) / (F.col("tr") + F.lit(alpha) * F.lit(n_buckets))
+    )
+    lrmap = (
+        bc.crossJoin(F.broadcast(totals))
+        .select("bucket", lr.alias("lr"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("bucket", "lr"))
+            ).alias("lrmap")
+        )
+    )
+    return lrmap.crossJoin(
+        F.broadcast(totals.select(lr_default.alias("lr_default")))
     )
 
 

@@ -2115,7 +2115,10 @@ NB_TARGET_LANG = "en"
 
 
 def nb_quality_score(
-    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = NB_ALPHA,
+    target_lang: str = NB_TARGET_LANG,
 ) -> DataFrame:
     """X4 — learned quality classifier, closed-form multinomial Naive
     Bayes: the "train a cheap text classifier to recognize the trusted
@@ -2155,7 +2158,7 @@ def nb_quality_score(
     labeled = docs.select(
         "doc_id",
         _tokens(F.col("text")).alias("tokens"),
-        (F.col("lang") == NB_TARGET_LANG).alias("keep"),
+        (F.col("lang") == target_lang).alias("keep"),
     )
     tok = labeled.select("doc_id", "keep", F.explode("tokens").alias("w"))
     # keep is functionally dependent on doc_id — grouping on it too

@@ -987,6 +987,53 @@ def streaming_nb_score(
     )
 
 
+def streaming_dsir_score(
+    docs_stream: DataFrame, bucket_model: DataFrame
+) -> DataFrame:
+    """Streaming form of DSIR scoring (batch twin:
+    extensions.sampling.dsir_select's candidate surface): every
+    ARRIVING document gets its log importance weight and Gumbel
+    selection key at ingest, scored against the one-row broadcast
+    bucket model built offline by sampling.dsir_bucket_model — the
+    production shape where a selection service tags incoming data
+    with target-likeness and a downstream read-time top-k (or a
+    threshold) picks the batch.
+
+    Entirely stateless: the log weight is a per-row higher-order fold
+    over the doc's own feature array — bucket each feature with the
+    shared md5 expression, look it up in the broadcast map, fall back
+    to the model's smoothed lr_default for buckets the training
+    corpus never produced.  Append mode, zero state store.  Exact
+    parity with the batch candidate surface (log_weight, sel_key at
+    6 dp) is pinned in tests/test_streaming.py."""
+    from ..extensions.sampling import (
+        dsir_bucket_expr,
+        dsir_feats,
+        dsir_gumbel,
+    )
+
+    base = docs_stream.select(
+        "doc_id", "lang", dsir_feats(F.col("text")).alias("feats")
+    )
+    scored = base.crossJoin(F.broadcast(bucket_model))
+    logw = F.aggregate(
+        F.col("feats"),
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.coalesce(
+            F.element_at(F.col("lrmap"), dsir_bucket_expr(f)),
+            F.col("lr_default"),
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.size("feats").cast("long").alias("n_feats"),
+        F.round(logw, 6).alias("log_weight"),
+        F.round(logw + dsir_gumbel(F.col("doc_id")), 6).alias("sel_key"),
+    )
+
+
 def streaming_corpus_volume(docs_stream: DataFrame) -> DataFrame:
     """Streaming half 1 of the per-(lang, source) dataset card (batch
     twin: extensions.text.corpus_report): the purely algebraic volume

@@ -247,3 +247,24 @@ def test_dsir_selection_is_top_k_of_full_surface(spark, tmp_path_factory):
     }
     got = {r.doc_id for r in dsir_select(spark, str(base), k=10).collect()}
     assert got == want
+
+
+def test_dsir_all_target_corpus_weights_vanish(spark, tmp_path_factory):
+    """When target == raw (every doc is in the target slice), the
+    importance ratio is identically 1, so every log weight must be
+    EXACTLY 0.0 and selection degenerates to the pure Gumbel draw —
+    the algebraic null the smoothing must preserve (ct == cr and
+    tt == tr cancel bucket by bucket)."""
+    from isaac_kafka_streaming_spark.extensions.sampling import dsir_select
+
+    docs = [
+        (i, f"word{i} word{(i * 2) % 5} tail{i % 3}", "en")
+        for i in range(20)
+    ]
+    base = tmp_path_factory.mktemp("dsir_null")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(base / "documents.parquet"))
+    rows = dsir_select(spark, str(base), k=20).collect()
+    assert len(rows) == 20
+    assert all(r.log_weight == 0.0 for r in rows)

@@ -1541,3 +1541,40 @@ def test_streaming_nb_score_parity(spark, sf_smoke, tmp_path_factory):
         for r in nb_quality_score(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_streaming_dsir_score_parity(spark, sf_smoke, tmp_path_factory):
+    """Sampling streaming twin: arriving documents scored at ingest
+    against the one-row broadcast DSIR bucket model must carry exactly
+    the batch candidate surface's log weights and Gumbel selection
+    keys (both at 6 dp) — so a read-time top-k over the streaming
+    store IS the batch selection.  Stateless append mode."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        dsir_bucket_model,
+        dsir_select,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_dsir_score,
+    )
+
+    model = dsir_bucket_model(spark, sf_smoke)
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "dsir_stream"
+    )
+    store = run_to_memory(
+        streaming_dsir_score(stream, model),
+        "dsir_stream_store",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.lang, r.n_feats, r.log_weight, r.sel_key)
+        for r in store.collect()
+    }
+    n = len(got)
+    want = {
+        r.doc_id: (r.lang, r.n_feats, r.log_weight, r.sel_key)
+        for r in dsir_select(spark, sf_smoke, k=n).collect()
+    }
+    assert len(want) == n  # k=n returns the full candidate surface
+    assert got == want

@@ -1272,3 +1272,35 @@ def test_nb_quality_hand_computed_and_separation(spark, tmp_path_factory):
             got[i].nb_logit,
             got[i].nb_keep,
         ) == (want[i][1], want[i][2], want[i][3], want[i][4]), i
+
+
+def test_nb_label_flip_antisymmetry(spark, tmp_path_factory):
+    """Closed-form NB is exactly antisymmetric in the class labels:
+    swapping target and rest swaps (cpos, tpos, n_pos) with
+    (cneg, tneg, n_neg), so every weight, the prior, and therefore
+    every logit flips sign — a whole-pipeline algebraic pin no
+    single hand case can give."""
+    from isaac_kafka_streaming_spark.extensions.text import nb_quality_score
+
+    docs = [
+        (0, "alpha beta alpha", "en"),
+        (1, "beta gamma", "en"),
+        (2, "gamma delta delta", "de"),
+        (3, "alpha delta", "de"),
+        (4, "", "de"),
+    ]
+    base = tmp_path_factory.mktemp("nbflip")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string"
+    ).write.parquet(str(base / "documents.parquet"))
+    en = {
+        r.doc_id: r
+        for r in nb_quality_score(spark, str(base), target_lang="en").collect()
+    }
+    de = {
+        r.doc_id: r
+        for r in nb_quality_score(spark, str(base), target_lang="de").collect()
+    }
+    for i in range(5):
+        assert de[i].nb_logit == -en[i].nb_logit, i
+        assert de[i].target_label != en[i].target_label, i
