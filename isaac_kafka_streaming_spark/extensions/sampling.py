@@ -1001,6 +1001,214 @@ LIMIT {DSIR_K}
 """
 
 
+DOREMI_ETA = 1.0
+DOREMI_ALPHA = 1.0
+DOREMI_TARGET_LANG = "en"
+
+
+def doremi_mixture_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    eta: float = DOREMI_ETA,
+    alpha: float = DOREMI_ALPHA,
+) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023) — the third
+    published mixing method, completing the family: mixture_plan is
+    hand-written target shares, temperature_mixture derives shares
+    from size alone, and this derives them from LOSS: domains whose
+    text the trusted-slice reference model finds hard (high excess
+    loss) get upweighted, the Group-DRO intuition collapsed to its
+    closed one-step form so the whole computation is two corpus
+    passes and oracle-checkable.
+
+    Per `source` domain d, with add-α smoothed UNIGRAM LMs standing in
+    for the paper's proxy/reference transformers (the cheap-model
+    substitution every engine-side pipeline makes — same trusted-slice
+    framing as nb_quality_score / dsir_select, reference = the `en`
+    slice corpus-wide):
+
+      H_ref(d)  = cross-entropy of domain text under the reference LM
+                = ln(N_ref + αV) − (Σ_w c_dw·ln(c_ref,w + α)) / N_d
+      H_self(d) = the domain's own-LM entropy — its achievable floor
+                = ln(N_d + αV) − (Σ_w c_dw·ln(c_dw + α)) / N_d
+      excess(d) = max(H_ref − H_self, 0)   (≈ KL(p_d ‖ p_ref))
+      target_share ∝ nat_share · e^(η·excess)  — the one-step
+      multiplicative-weights DRO update from the natural mixture.
+
+    Budget and keep_frac then follow mixture_plan exactly
+    (B = min_d tokens_d/share_d, no upsampling).
+
+    Scale shape: ONE corpus-scale token explode collapsing into the
+    cached (source, word) histogram (c + the trusted-slice count c_t
+    in the same pass); the reference LM, vocab size V and both
+    entropy sums all derive from that |domains|×|V|-bounded frame
+    (the dw⋈ref join keys on word — vocab-bounded, never corpus
+    rows); plus one column-pruned count-only pass for n_docs.  The
+    scalar chain (totals → wsum → budget) rides the cached
+    |domains|-row frame, the bpe/temperature discipline.  Entropies
+    are normalized by N_d before the 6-dp round, so the cross-engine
+    summation-order noise on the Σ c·ln(·) terms sits orders below
+    the rounding grain (the char_entropy argument)."""
+    from .text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    # .cache(): the histogram is re-read by ref (word-level roll-up),
+    # the dw⋈ref entropy aggregation, and the vocab/ref scalars —
+    # uncached, each would re-run the corpus explode.
+    dw = (
+        docs.select(
+            "source",
+            "lang",
+            F.explode(_tokens(F.col("text"))).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(
+            F.count("*").alias("c"),
+            F.count(
+                F.when(F.col("lang") == DOREMI_TARGET_LANG, 1)
+            ).alias("c_t"),
+        )
+        .cache()
+    )
+    ref = dw.groupBy("w").agg(F.sum("c_t").alias("c_ref"))
+    scal = ref.agg(
+        F.sum("c_ref").alias("n_ref"), F.count("*").alias("v")
+    )
+    ent = (
+        dw.join(ref, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.log(F.col("c") + alpha)).alias("a_self"),
+            F.sum(F.col("c") * F.log(F.col("c_ref") + alpha)).alias(
+                "a_ref"
+            ),
+        )
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # .cache(): |domains| rows; the scalar chain below re-reads it
+    per_dom = (
+        ent.join(F.broadcast(n_docs), "source")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (
+                F.log(F.col("n_ref") + F.lit(alpha) * F.col("v"))
+                - F.col("a_ref") / F.col("n_tokens")
+            ).alias("h_ref"),
+            (
+                F.log(F.col("n_tokens") + F.lit(alpha) * F.col("v"))
+                - F.col("a_self") / F.col("n_tokens")
+            ).alias("h_self"),
+        )
+        .withColumn(
+            "excess",
+            F.greatest(F.col("h_ref") - F.col("h_self"), F.lit(0.0)),
+        )
+        .cache()
+    )
+    tot = per_dom.select(F.sum("n_tokens").alias("total_tokens"))
+    weighted = (
+        per_dom.crossJoin(F.broadcast(tot))
+        .withColumn("nat_share", F.col("n_tokens") / F.col("total_tokens"))
+        .withColumn(
+            "uw", F.col("nat_share") * F.exp(F.lit(eta) * F.col("excess"))
+        )
+    )
+    wsum = weighted.select(F.sum("uw").alias("wsum"))
+    planned = weighted.crossJoin(F.broadcast(wsum)).withColumn(
+        "target_share", F.col("uw") / F.col("wsum")
+    )
+    budget = planned.select(
+        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
+    )
+    return (
+        planned.crossJoin(F.broadcast(budget))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("nat_share", 6).alias("nat_share"),
+            F.round("h_ref", 6).alias("h_ref"),
+            F.round("h_self", 6).alias("h_self"),
+            F.round("excess", 6).alias("excess"),
+            F.round("target_share", 6).alias("target_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("target_share")
+                    * F.col("budget")
+                    / F.col("n_tokens"),
+                ),
+                6,
+            ).alias("keep_frac"),
+            F.round(F.col("target_share") * F.col("budget"), 2).alias(
+                "expected_tokens"
+            ),
+        )
+    )
+
+
+DOREMI_MIXTURE_ORACLE_SQL = f"""
+WITH tok AS (
+    SELECT source, lang,
+           UNNEST(list_filter(regexp_split_to_array(lower(text),
+               '[^a-z0-9]+'), t -> t <> '')) AS w
+    FROM documents
+), dw AS (
+    SELECT source, w, COUNT(*) AS c,
+           COUNT(*) FILTER (WHERE lang = '{DOREMI_TARGET_LANG}') AS c_t
+    FROM tok GROUP BY 1, 2
+), ref AS (
+    SELECT w, SUM(c_t) AS c_ref FROM dw GROUP BY 1
+), scal AS (
+    SELECT SUM(c_ref) AS n_ref, COUNT(*) AS v FROM ref
+), ent AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           SUM(c * LN(c + {DOREMI_ALPHA})) AS a_self,
+           SUM(c * LN(c_ref + {DOREMI_ALPHA})) AS a_ref
+    FROM dw JOIN ref USING (w) GROUP BY 1
+), nd AS (
+    SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), per_dom AS (
+    SELECT source, n_docs, n_tokens,
+           LN(n_ref + {DOREMI_ALPHA} * v) - a_ref / n_tokens AS h_ref,
+           LN(n_tokens + {DOREMI_ALPHA} * v) - a_self / n_tokens
+               AS h_self,
+           GREATEST(
+               (LN(n_ref + {DOREMI_ALPHA} * v) - a_ref / n_tokens)
+               - (LN(n_tokens + {DOREMI_ALPHA} * v) - a_self / n_tokens),
+               0.0) AS excess
+    FROM ent JOIN nd USING (source) CROSS JOIN scal
+), t AS (
+    SELECT SUM(n_tokens) AS total_tokens FROM per_dom
+), weighted AS (
+    SELECT *, n_tokens / total_tokens AS nat_share,
+           (n_tokens / total_tokens) * EXP({DOREMI_ETA} * excess) AS uw
+    FROM per_dom CROSS JOIN t
+), ws AS (
+    SELECT SUM(uw) AS wsum FROM weighted
+), planned AS (
+    SELECT *, uw / wsum AS target_share FROM weighted CROSS JOIN ws
+), b AS (
+    SELECT MIN(n_tokens / target_share) AS budget FROM planned
+)
+SELECT source, n_docs, n_tokens,
+       ROUND(nat_share, 6) AS nat_share,
+       ROUND(h_ref, 6) AS h_ref,
+       ROUND(h_self, 6) AS h_self,
+       ROUND(excess, 6) AS excess,
+       ROUND(target_share, 6) AS target_share,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                   target_share * budget / n_tokens), 6) AS keep_frac,
+       ROUND(target_share * budget, 2) AS expected_tokens
+FROM planned CROSS JOIN b
+"""
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -1301,5 +1509,11 @@ def register() -> dict:
             DSIR_SELECT_ORACLE_SQL,
             "DSIR importance resampling: hashed-n-gram distribution "
             "matching against the trusted slice, Gumbel-top-k draw",
+        ),
+        "doremi_mixture": QueryDef(
+            doremi_mixture_plan,
+            DOREMI_MIXTURE_ORACLE_SQL,
+            "DoReMi one-step excess-loss domain reweighting over "
+            "source domains vs the trusted-slice reference LM",
         ),
     }

@@ -268,3 +268,75 @@ def test_dsir_all_target_corpus_weights_vanish(spark, tmp_path_factory):
     rows = dsir_select(spark, str(base), k=20).collect()
     assert len(rows) == 20
     assert all(r.log_weight == 0.0 for r in rows)
+
+
+def test_doremi_reference_domain_excess_is_exactly_zero(
+    spark, tmp_path_factory
+):
+    """When one domain IS the trusted slice (all its docs are `en` and
+    no other domain has `en` text... here: a single domain holding the
+    whole corpus, all en), the reference LM and the domain's own LM
+    are the SAME smoothed counts — c_ref == c and N_ref == N_d — so
+    H_ref == H_self term by term and the excess is EXACTLY 0.0, the
+    target share 1.0, and the plan keeps the domain whole.  Pins that
+    the smoothing terms cancel when they must (the DSIR all-target
+    null, in entropy form)."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        doremi_mixture_plan,
+    )
+
+    docs = [
+        (i, f"alpha beta w{i % 4} gamma", "en", "web")
+        for i in range(12)
+    ]
+    base = tmp_path_factory.mktemp("doremi_null")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(base / "documents.parquet"))
+    rows = doremi_mixture_plan(spark, str(base)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.h_ref, r.excess, r.nat_share, r.target_share) == (
+        r.h_self,
+        0.0,
+        1.0,
+        1.0,
+    )
+    assert (r.keep_frac, r.expected_tokens) == (1.0, float(r.n_tokens))
+
+
+def test_doremi_upweights_the_divergent_domain(spark, tmp_path_factory):
+    """Two domains: A's docs ARE the en reference slice (so its excess
+    is exactly 0 — reference == own LM), B's vocabulary is disjoint
+    from the reference (maximal divergence).  DoReMi must upweight B:
+    excess_B > 0, B's target share strictly exceeds its natural
+    share, A's strictly shrinks, shares still sum to 1, and the
+    budget/keep semantics hold (binding domain kept whole, no
+    keep_frac above 1)."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        doremi_mixture_plan,
+    )
+
+    docs = [
+        (i, f"alpha beta gamma d{i % 3}", "en", "trusted")
+        for i in range(8)
+    ] + [
+        (100 + i, f"xray yankee zulu q{i % 3}", "de", "wild")
+        for i in range(8)
+    ]
+    base = tmp_path_factory.mktemp("doremi_dir")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(base / "documents.parquet"))
+    got = {
+        r.source: r for r in doremi_mixture_plan(spark, str(base)).collect()
+    }
+    a, b = got["trusted"], got["wild"]
+    assert a.excess == 0.0 and a.h_ref == a.h_self
+    assert b.excess > 0.0 and b.h_ref > b.h_self
+    assert b.target_share > b.nat_share
+    assert a.target_share < a.nat_share
+    assert abs(a.target_share + b.target_share - 1.0) < 2e-6
+    # equal-size domains, B upweighted -> A's keep shrinks, B binds
+    assert b.keep_frac == 1.0 and a.keep_frac < 1.0
+    assert a.expected_tokens <= a.n_tokens

@@ -58,6 +58,7 @@ CARTESIAN_OK = {
     "bm25_top_docs",  # broadcast 1-row (n_docs, avgdl) stats scalar
     "nb_quality_score",  # two 1-row scalars (class totals, priors)
     "dsir_select",  # broadcast 1-row (tt, tr) totals scalar
+    "doremi_mixture",  # broadcast 1-row (n_ref, v) + totals scalars
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
