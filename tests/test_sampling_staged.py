@@ -340,3 +340,38 @@ def test_doremi_upweights_the_divergent_domain(spark, tmp_path_factory):
     # equal-size domains, B upweighted -> A's keep shrinks, B binds
     assert b.keep_frac == 1.0 and a.keep_frac < 1.0
     assert a.expected_tokens <= a.n_tokens
+
+
+def test_mixing_family_degenerates_to_natural_mixture(
+    spark, tmp_path_factory
+):
+    """Cross-family law: both parameterized mixing methods collapse to
+    the NATURAL mixture at their identity settings — temperature
+    alpha=1 (p^1 is p) and DoReMi eta=0 (e^0 kills the excess term) —
+    with every target share equal to the natural share at the rounding
+    grain and every keep_frac 1.0 (uniform shares make every domain
+    binding).  Pins that the two reweighting mechanisms are pure
+    perturbations of the same base plan."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        doremi_mixture_plan,
+        temperature_mixture_plan,
+    )
+
+    docs = [
+        (i, f"tok{i % 7} tok{i % 3} common word{i % 5}",
+         ["en", "de", "es"][i % 3], f"s{i % 4}")
+        for i in range(24)
+    ]
+    base = tmp_path_factory.mktemp("mix_identity")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(str(base / "documents.parquet"))
+    for rows in (
+        temperature_mixture_plan(spark, str(base), alpha=1.0).collect(),
+        doremi_mixture_plan(spark, str(base), eta=0.0).collect(),
+    ):
+        assert len(rows) > 1
+        for r in rows:
+            assert abs(r.target_share - r.nat_share) <= 2e-6, r
+            assert r.keep_frac == 1.0, r
+            assert r.expected_tokens == float(r.n_tokens), r
