@@ -257,6 +257,13 @@ PICKS = {
         "model broadcast into the scoring join, selection is "
         "TakeOrdered (per-partition heads, no global sort)."
     ),
+    "doremi_mixture": (
+        "DoReMi domain reweighting: one token explode collapsed into "
+        "the cached (source, word) histogram; reference LM, vocab "
+        "scalar and both entropy sums derive from it (the dw-ref join "
+        "keys on word, vocab-bounded); the scalar chain rides the "
+        "cached |domains|-row frame."
+    ),
     # round-6-proper staged additions (registered round 7)
     "tpch_q2": (
         "Correlated-min supplier: the lineitem offers aggregate is the "
