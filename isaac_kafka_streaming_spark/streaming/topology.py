@@ -946,6 +946,43 @@ def streaming_bm25_score(
     )
 
 
+def _nb_logit_col(tokens_col) -> "F.Column":
+    """The NB inference fold, 6-dp rounded: prior + Σ weight-map
+    lookups over the doc's own tokens (unseen tokens contribute 0 —
+    standard ignore-OOV NB).  Expects the one-row weight model's
+    `wmap`/`prior` columns in scope.  Shared by streaming_nb_score
+    and streaming_selection_scores so the inference cannot drift."""
+    return F.round(
+        F.col("prior")
+        + F.aggregate(
+            tokens_col,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(F.element_at(F.col("wmap"), t), F.lit(0.0)),
+        ),
+        6,
+    )
+
+
+def _dsir_logw_col(feats_col) -> "F.Column":
+    """The DSIR scoring fold (UNrounded — callers round the surfaced
+    values): Σ bucket log-ratio lookups over the doc's own feature
+    array, falling back to the model's smoothed lr_default for
+    buckets the training corpus never produced.  Expects the one-row
+    bucket model's `lrmap`/`lr_default` columns in scope."""
+    from ..extensions.sampling import dsir_bucket_expr
+
+    return F.aggregate(
+        feats_col,
+        F.lit(0.0),
+        lambda acc, f: acc
+        + F.coalesce(
+            F.element_at(F.col("lrmap"), dsir_bucket_expr(f)),
+            F.col("lr_default"),
+        ),
+    )
+
+
 def streaming_nb_score(
     docs_stream: DataFrame, weight_model: DataFrame
 ) -> DataFrame:
@@ -969,16 +1006,7 @@ def streaming_nb_score(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     )
     scored = base.crossJoin(F.broadcast(weight_model))
-    logit = F.round(
-        F.col("prior")
-        + F.aggregate(
-            F.col("tokens"),
-            F.lit(0.0),
-            lambda acc, t: acc
-            + F.coalesce(F.element_at(F.col("wmap"), t), F.lit(0.0)),
-        ),
-        6,
-    )
+    logit = _nb_logit_col(F.col("tokens"))
     return scored.select(
         "doc_id",
         F.size("tokens").cast("long").alias("n_tokens"),
@@ -1006,29 +1034,61 @@ def streaming_dsir_score(
     corpus never produced.  Append mode, zero state store.  Exact
     parity with the batch candidate surface (log_weight, sel_key at
     6 dp) is pinned in tests/test_streaming.py."""
-    from ..extensions.sampling import (
-        dsir_bucket_expr,
-        dsir_feats,
-        dsir_gumbel,
-    )
+    from ..extensions.sampling import dsir_feats, dsir_gumbel
 
     base = docs_stream.select(
         "doc_id", "lang", dsir_feats(F.col("text")).alias("feats")
     )
     scored = base.crossJoin(F.broadcast(bucket_model))
-    logw = F.aggregate(
-        F.col("feats"),
-        F.lit(0.0),
-        lambda acc, f: acc
-        + F.coalesce(
-            F.element_at(F.col("lrmap"), dsir_bucket_expr(f)),
-            F.col("lr_default"),
-        ),
-    )
+    logw = _dsir_logw_col(F.col("feats"))
     return scored.select(
         "doc_id",
         "lang",
         F.size("feats").cast("long").alias("n_feats"),
+        F.round(logw, 6).alias("log_weight"),
+        F.round(logw + dsir_gumbel(F.col("doc_id")), 6).alias("sel_key"),
+    )
+
+
+def streaming_selection_scores(
+    docs_stream: DataFrame,
+    weight_model: DataFrame,
+    bucket_model: DataFrame,
+) -> DataFrame:
+    """BOTH published selection signals in ONE ingest pass: every
+    arriving document tagged with the NB quality logit/keep AND the
+    DSIR importance weight/Gumbel selection key, scored against the
+    two one-row broadcast model artifacts (text.nb_weight_model,
+    sampling.dsir_bucket_model) — the production shape where a single
+    selection service annotates incoming data once and downstream
+    consumers pick their method at read time.
+
+    Pure composition of the two stateless scorers' shared fold
+    expressions (_nb_logit_col / _dsir_logw_col) over one projection
+    of the doc — the token array and the feature array derive from
+    the same tokenize, so the pass reads each arriving doc once.
+    Append mode, zero state; exact parity with BOTH batch surfaces is
+    pinned in tests/test_streaming.py."""
+    from ..extensions.sampling import dsir_feats, dsir_gumbel
+    from ..extensions.text import _tokens
+
+    base = docs_stream.select(
+        "doc_id",
+        "lang",
+        _tokens(F.col("text")).alias("tokens"),
+        dsir_feats(F.col("text")).alias("feats"),
+    )
+    scored = base.crossJoin(F.broadcast(weight_model)).crossJoin(
+        F.broadcast(bucket_model)
+    )
+    logit = _nb_logit_col(F.col("tokens"))
+    logw = _dsir_logw_col(F.col("feats"))
+    return scored.select(
+        "doc_id",
+        "lang",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        logit.alias("nb_logit"),
+        (logit > 0).alias("nb_keep"),
         F.round(logw, 6).alias("log_weight"),
         F.round(logw + dsir_gumbel(F.col("doc_id")), 6).alias("sel_key"),
     )

@@ -1578,3 +1578,55 @@ def test_streaming_dsir_score_parity(spark, sf_smoke, tmp_path_factory):
     }
     assert len(want) == n  # k=n returns the full candidate surface
     assert got == want
+
+
+def test_streaming_selection_scores_parity(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The one-pass combined ingest scorer must reproduce BOTH batch
+    selection surfaces simultaneously: per doc, the NB logit/keep of
+    nb_quality_score and the DSIR log_weight/sel_key of dsir_select's
+    full candidate surface, all at the same 6-dp grain — so a single
+    streaming annotation pass serves whichever selection method a
+    downstream consumer picks."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        dsir_bucket_model,
+        dsir_select,
+    )
+    from isaac_kafka_streaming_spark.extensions.text import (
+        nb_quality_score,
+        nb_weight_model,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_selection_scores,
+    )
+
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "sel_scores"
+    )
+    store = run_to_memory(
+        streaming_selection_scores(
+            stream,
+            nb_weight_model(spark, sf_smoke),
+            dsir_bucket_model(spark, sf_smoke),
+        ),
+        "sel_scores_store",
+        output_mode="append",
+    )
+    got = {
+        r.doc_id: (r.nb_logit, r.nb_keep, r.log_weight, r.sel_key)
+        for r in store.collect()
+    }
+    n = len(got)
+    nb = {
+        r.doc_id: (r.nb_logit, r.nb_keep)
+        for r in nb_quality_score(spark, sf_smoke).collect()
+    }
+    ds = {
+        r.doc_id: (r.log_weight, r.sel_key)
+        for r in dsir_select(spark, sf_smoke, k=n).collect()
+    }
+    assert len(nb) == n and len(ds) == n
+    want = {d: nb[d] + ds[d] for d in nb}
+    assert got == want
