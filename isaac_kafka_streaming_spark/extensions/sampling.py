@@ -1151,6 +1151,57 @@ def doremi_mixture_plan(
     )
 
 
+def doremi_ref_model(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = DOREMI_ALPHA,
+) -> DataFrame:
+    """The STATIC side of streaming domain-drift monitoring: the
+    trusted-slice reference LM as a ONE-ROW artifact — map<word,
+    ln(c_ref+α)> over words the reference slice actually contains,
+    plus the entropy offset h0 = ln(N_ref + αV) and ln_alpha, the
+    smoothed log-count an arriving doc's never-seen word contributes
+    (words IN the corpus vocab but absent from the slice hit the same
+    value via the map-miss default, so dropping c_ref == 0 entries
+    keeps the map no bigger than the slice vocab without changing any
+    score).  V is pinned at build time to the whole-corpus vocab,
+    exactly doremi_mixture_plan's scalar, so the streaming monitor's
+    h_ref converges to the batch plan's.  Same artifact lifecycle as
+    nb_weight_model / dsir_bucket_model."""
+    from .text import _tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(
+                F.when(F.col("lang") == DOREMI_TARGET_LANG, 1)
+            ).alias("c_ref")
+        )
+    )
+    scal = wc.agg(F.sum("c_ref").alias("n_ref"), F.count("*").alias("v"))
+    lnmap = (
+        wc.filter(F.col("c_ref") > 0)
+        .select("w", F.log(F.col("c_ref") + F.lit(alpha)).alias("lnc"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "lnc"))
+            ).alias("lnmap")
+        )
+    )
+    return lnmap.crossJoin(
+        F.broadcast(
+            scal.select(
+                F.log(
+                    F.col("n_ref") + F.lit(alpha) * F.col("v")
+                ).alias("h0"),
+                F.log(F.lit(alpha)).alias("ln_alpha"),
+            )
+        )
+    )
+
+
 DOREMI_MIXTURE_ORACLE_SQL = f"""
 WITH tok AS (
     SELECT source, lang,

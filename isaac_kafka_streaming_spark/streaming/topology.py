@@ -1094,6 +1094,61 @@ def streaming_selection_scores(
     )
 
 
+def streaming_domain_xent(
+    docs_stream: DataFrame, ref_model: DataFrame
+) -> DataFrame:
+    """Domain-drift monitor (batch twin: the h_ref column of
+    extensions.sampling.doremi_mixture_plan): per-`source` running
+    cross-entropy of arriving text under the broadcast trusted-slice
+    reference LM (sampling.doremi_ref_model).  A domain whose h_ref
+    trends up is drifting away from the target distribution — the
+    live signal that the offline DoReMi replan (batch-only by
+    design) is due.
+
+    Bounded state by construction: the per-doc fold collapses each
+    arriving document to (source, n, Σ ln-lookups) BEFORE the
+    aggregation, so the update-mode state is two running sums per
+    domain — never token- or vocab-wide.  H_ref = h0 − Σ/N is a pure
+    read-off of the state; after the full corpus has streamed, it
+    equals the batch plan's h_ref at the 6-dp grain (pinned in
+    tests/test_streaming.py; both engines sum the same ln terms in
+    different orders, noise ~1e-12 against a 5e-7 grain)."""
+    from ..extensions.text import _tokens
+
+    base = docs_stream.select(
+        "source", _tokens(F.col("text")).alias("tokens")
+    )
+    per_doc = base.crossJoin(F.broadcast(ref_model)).select(
+        "source",
+        F.size("tokens").cast("long").alias("n"),
+        F.aggregate(
+            F.col("tokens"),
+            F.lit(0.0),
+            lambda acc, t: acc
+            + F.coalesce(
+                F.element_at(F.col("lnmap"), t), F.col("ln_alpha")
+            ),
+        ).alias("s"),
+        F.col("h0"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum("s").alias("s"),
+            F.max("h0").alias("h0"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("h0") - F.col("s") / F.col("n_tokens"), 6
+            ).alias("h_ref"),
+        )
+    )
+
+
 def streaming_corpus_volume(docs_stream: DataFrame) -> DataFrame:
     """Streaming half 1 of the per-(lang, source) dataset card (batch
     twin: extensions.text.corpus_report): the purely algebraic volume

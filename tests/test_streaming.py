@@ -1630,3 +1630,41 @@ def test_streaming_selection_scores_parity(
     assert len(nb) == n and len(ds) == n
     want = {d: nb[d] + ds[d] for d in nb}
     assert got == want
+
+
+def test_streaming_domain_xent_parity(spark, sf_smoke, tmp_path_factory):
+    """Drift-monitor twin: after the whole corpus has streamed
+    through, each domain's running cross-entropy under the broadcast
+    reference LM must equal the h_ref column of the batch DoReMi plan
+    (same token counts, same 6-dp grain) — the live readout converges
+    to exactly the number the offline replan would compute."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        doremi_mixture_plan,
+        doremi_ref_model,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_domain_xent,
+    )
+
+    model = doremi_ref_model(spark, sf_smoke)
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "domain_xent"
+    )
+    store = run_to_memory(
+        streaming_domain_xent(stream, model),
+        "domain_xent_store",
+        output_mode="update",
+    )
+    # update mode re-emits a domain each batch; keep the last version
+    rows = store.collect()
+    got = {}
+    for r in rows:
+        prev = got.get(r.source)
+        if prev is None or r.n_tokens >= prev[0]:
+            got[r.source] = (r.n_tokens, r.h_ref)
+    want = {
+        r.source: (r.n_tokens, r.h_ref)
+        for r in doremi_mixture_plan(spark, sf_smoke).collect()
+    }
+    assert got == want and want
