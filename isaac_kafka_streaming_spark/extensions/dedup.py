@@ -1531,6 +1531,44 @@ def embedding_srp_pairs(
     )
 
 
+def _cell_assignment(corpus: DataFrame, n_cells: int) -> DataFrame:
+    """Shared coarse-quantizer assignment for the embedding-space
+    curation pair (dedup_semantic / prototype_prune): the first
+    ``n_cells`` vectors serve as deterministic centroids (knn_ivf's
+    contract — at scale these come from the shipped kmeans_centroids
+    trainer, run offline), centroids broadcast, assignment is a
+    map-side argmax.  Returns the CACHED corpus-with-assignment frame
+    (vec_id, v, norm, cell_id, centroid_cos rounded to 6 dp): every
+    consumer reads it at least twice — uncached, the n_cells-way
+    scoring pass (and the embeddings scan under it) re-executes per
+    consumer (6 scans measured before the round-8 cache; 1 after)."""
+    from .similarity import _dot
+
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell_id")
+    )
+    return (
+        corpus.join(F.broadcast(centroids), how="cross")
+        .withColumn("__ccos", ccos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "vec_id",
+            "v",
+            "norm",
+            "cell_id",
+            F.round(F.col("__ccos"), 6).alias("centroid_cos"),
+        )
+        .cache()
+    )
+
+
 def dedup_semantic(
     spark: SparkSession,
     sf_dir: str,
@@ -1564,35 +1602,7 @@ def dedup_semantic(
     from .similarity import _corpus, _dot
 
     corpus = _corpus(spark, sf_dir)
-    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"),
-        F.col("v").alias("cv"),
-        F.col("norm").alias("cnorm"),
-    )
-    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__ccos").desc(), F.col("cell_id")
-    )
-    # .cache(): both sides of the within-cell self-join consume this
-    # frame — uncached, the broadcast-centroid argmax (and the
-    # embeddings scan under it) executes twice (6 scans measured; 1
-    # after).  Same discipline as minhash's signature cache: the
-    # materialization is the corpus-with-assignment, spilling to disk
-    # at scale, vs re-running the n_cells-way scoring pass per side.
-    assigned = (
-        corpus.join(F.broadcast(centroids), how="cross")
-        .withColumn("__ccos", ccos)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select(
-            "vec_id",
-            "v",
-            "norm",
-            "cell_id",
-            F.round(F.col("__ccos"), 6).alias("centroid_cos"),
-        )
-        .cache()
-    )
+    assigned = _cell_assignment(corpus, n_cells)
     a = assigned.alias("a")
     b = assigned.alias("b")
     pcos = F.round(
@@ -1613,6 +1623,51 @@ def dedup_semantic(
         assigned.select("vec_id", "cell_id", "centroid_cos")
         .join(dups, "vec_id", "left")
         .withColumn("kept", F.col("dup_of").isNull())
+    )
+
+
+def prototype_prune(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = 16,
+    prune_frac: float = 0.25,
+) -> DataFrame:
+    """SSL-prototype pruning (Sorscher et al. 2022) — the OTHER half
+    of the D4 curation recipe (Tirumala et al. 2023: SemDeDup +
+    prototype pruning): within each embedding cluster, drop the most
+    PROTOTYPICAL fraction — the vectors closest to their centroid,
+    which carry the least marginal information once the cluster mode
+    is represented — and keep the diverse tail.  With dedup_semantic
+    (which drops near-identical cellmates) this completes D4 on the
+    shared deterministic coarse quantizer.
+
+    Per cell: rank by rounded centroid cosine DESC (vec_id
+    tie-break — fully deterministic on both engines), prune ranks
+    1..floor(prune_frac · cell_n).  Output: one row per vector —
+    (vec_id, cell_id, centroid_cos, cell_rank, cell_n, pruned).
+
+    Scale shape: assignment is dedup_semantic's broadcast argmax
+    (shared, cached); the only shuffle is the per-cell window,
+    bounded by cell granularity exactly like the within-cell join —
+    n_cells is the knob that keeps cells executor-sized, and an
+    oversized cell sub-blocks the same way."""
+    from .similarity import _corpus
+
+    corpus = _corpus(spark, sf_dir)
+    assigned = _cell_assignment(corpus, n_cells)
+    wr = Window.partitionBy("cell_id").orderBy(
+        F.col("centroid_cos").desc(), "vec_id"
+    )
+    wc = Window.partitionBy("cell_id")
+    return (
+        assigned.select("vec_id", "cell_id", "centroid_cos")
+        .withColumn("cell_rank", F.row_number().over(wr).cast("long"))
+        .withColumn("cell_n", F.count("*").over(wc))
+        .withColumn(
+            "pruned",
+            F.col("cell_rank")
+            <= F.floor(F.lit(prune_frac) * F.col("cell_n")),
+        )
     )
 
 
@@ -2388,6 +2443,46 @@ def register() -> dict:
             FROM a1 LEFT JOIN dup USING (vec_id)
             """,
             "X2 SemDeDup: within-k-means-cell embedding near-dup drop",
+        ),
+        "prototype_prune": QueryDef(
+            prototype_prune,
+            """
+            WITH e AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS norm
+                FROM embeddings
+            ), c AS (
+                SELECT vec_id AS cell_id, v AS cv, norm AS cnorm
+                FROM e WHERE vec_id < 16
+            ), asg AS (
+                SELECT e.vec_id, c.cell_id,
+                       list_dot_product(e.v, c.cv) / (e.norm * c.cnorm)
+                           AS ccos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY list_dot_product(e.v, c.cv)
+                                    / (e.norm * c.cnorm) DESC, c.cell_id
+                       ) AS rn
+                FROM e CROSS JOIN c
+            ), a1 AS (
+                SELECT vec_id, cell_id, ROUND(ccos, 6) AS centroid_cos
+                FROM asg WHERE rn = 1
+            ), ranked AS (
+                SELECT vec_id, cell_id, centroid_cos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cell_id
+                           ORDER BY centroid_cos DESC, vec_id
+                       ) AS cell_rank,
+                       COUNT(*) OVER (PARTITION BY cell_id) AS cell_n
+                FROM a1
+            )
+            SELECT vec_id, cell_id, centroid_cos, cell_rank, cell_n,
+                   cell_rank <= FLOOR(0.25 * cell_n) AS pruned
+            FROM ranked
+            """,
+            "D4's SSL-prototype pruning: drop the most prototypical "
+            "fraction per embedding cell, keep the diverse tail",
         ),
         "dedup_embedding_srp": QueryDef(
             embedding_srp_pairs,

@@ -460,6 +460,60 @@ def test_dedup_semantic_planted_duplicates(spark, tmp_path_factory):
     assert got[18].kept is True and got[18].dup_of is None
 
 
+def test_prototype_prune_laws(spark, tmp_path_factory):
+    """D4's pruning half obeys its defining laws on a planted fixture:
+    per cell EXACTLY floor(prune_frac * cell_n) rows are pruned; every
+    pruned row is at least as prototypical (rounded centroid cosine)
+    as every kept cellmate; prune_frac=0 prunes nothing; and the
+    centroid vector itself — maximally prototypical at cosine 1 — is
+    always among the pruned when anything is."""
+    import math
+
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        prototype_prune,
+    )
+
+    dim = 16
+    rows = []
+    for i in range(16):  # centroids: one-hot e_i
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v, 0))
+    # cell 3 gets a graded prototypicality ladder: e_3 + eps*e_4
+    # (eps < 1 keeps the argmax on centroid 3 — at eps = 1 the tie
+    # breaks to cell 3 but beyond it cell 4 wins)
+    for j, eps in enumerate([0.1, 0.25, 0.4, 0.55, 0.7, 0.85]):
+        v = [0.0] * dim
+        v[3] = 1.0
+        v[4] = eps
+        rows.append((16 + j, v, 0))
+    base = tmp_path_factory.mktemp("proto_prune")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(base / "embeddings.parquet"))
+
+    got = prototype_prune(spark, str(base)).collect()
+    assert len(got) == 22
+    by_cell = {}
+    for r in got:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    for cell, rs in by_cell.items():
+        n = len(rs)
+        assert all(r.cell_n == n for r in rs)
+        pruned = [r for r in rs if r.pruned]
+        kept = [r for r in rs if not r.pruned]
+        assert len(pruned) == math.floor(0.25 * n), cell
+        if pruned and kept:
+            assert min(r.centroid_cos for r in pruned) >= max(
+                r.centroid_cos for r in kept
+            ), cell
+    cell3 = by_cell[3]
+    assert len(cell3) == 7  # centroid + the 6-rung ladder
+    assert {r.vec_id for r in cell3 if r.pruned} == {3}  # floor(7/4)=1
+    none_pruned = prototype_prune(spark, str(base), prune_frac=0.0).collect()
+    assert not any(r.pruned for r in none_pruned)
+
+
 # -- dedup_clusters pair-tier equivalence ----------------------------------
 
 

@@ -45,6 +45,7 @@ CARTESIAN_OK = {
     "kmeans_centroids",  # broadcast centroid assignment pass
     "embedding_centroids",
     "dedup_semantic",  # broadcast centroid pass (plan-guarded)
+    "prototype_prune",  # same broadcast centroid assignment pass
     "knn_ivf",  # broadcast centroid pass
     "knn_lsh",  # broadcast hyperplane constants
     "bigram_perplexity",  # broadcast 1-row vocab scalar
