@@ -255,6 +255,18 @@ def test_dedup_semantic_broadcast_centroids_no_cartesian_pairs(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan  # the broadcast centroid pass
 
 
+def test_prototype_prune_windows_stay_cell_partitioned(spark, sf_smoke):
+    """D4's pruning half shares the broadcast centroid assignment (the
+    one legitimate nested-loop); the per-cell rank/count must run as a
+    cell_id-hash-partitioned window — rangepartitioning here would
+    mean the rank degenerated to a global sort."""
+    plan = _executed_plan(spark, "prototype_prune", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the broadcast centroid pass
+    assert "rangepartitioning" not in plan
+    assert "hashpartitioning(cell_id" in plan
+
+
 def test_staged_round7_ops_all_equi_joins(spark, sf_smoke):
     """The round-7-staged operators must already hold the scale
     discipline: no cartesian/nested-loop except broadcast 1-row
