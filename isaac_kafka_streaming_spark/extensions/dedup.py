@@ -1531,17 +1531,22 @@ def embedding_srp_pairs(
     )
 
 
-def _cell_assignment(corpus: DataFrame, n_cells: int) -> DataFrame:
+def _cell_assignment(
+    corpus: DataFrame, n_cells: int, cache: bool = True
+) -> DataFrame:
     """Shared coarse-quantizer assignment for the embedding-space
     curation pair (dedup_semantic / prototype_prune): the first
     ``n_cells`` vectors serve as deterministic centroids (knn_ivf's
     contract — at scale these come from the shipped kmeans_centroids
     trainer, run offline), centroids broadcast, assignment is a
-    map-side argmax.  Returns the CACHED corpus-with-assignment frame
-    (vec_id, v, norm, cell_id, centroid_cos rounded to 6 dp): every
-    consumer reads it at least twice — uncached, the n_cells-way
-    scoring pass (and the embeddings scan under it) re-executes per
-    consumer (6 scans measured before the round-8 cache; 1 after)."""
+    map-side argmax.  Returns the corpus-with-assignment frame
+    (vec_id, v, norm, cell_id, centroid_cos rounded to 6 dp), CACHED
+    by default because dedup_semantic's within-cell self-join reads
+    it twice — uncached, the n_cells-way scoring pass (and the
+    embeddings scan under it) re-executes per side (6 scans measured
+    before the round-8 cache; 1 after).  Pass ``cache=False`` from a
+    single-read consumer (prototype_prune's window chain) where the
+    materialization would buy nothing."""
     from .similarity import _dot
 
     centroids = corpus.filter(F.col("vec_id") < n_cells).select(
@@ -1553,7 +1558,7 @@ def _cell_assignment(corpus: DataFrame, n_cells: int) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("__ccos").desc(), F.col("cell_id")
     )
-    return (
+    out = (
         corpus.join(F.broadcast(centroids), how="cross")
         .withColumn("__ccos", ccos)
         .withColumn("__r", F.row_number().over(w))
@@ -1565,8 +1570,8 @@ def _cell_assignment(corpus: DataFrame, n_cells: int) -> DataFrame:
             "cell_id",
             F.round(F.col("__ccos"), 6).alias("centroid_cos"),
         )
-        .cache()
     )
+    return out.cache() if cache else out
 
 
 def dedup_semantic(
@@ -1654,7 +1659,7 @@ def prototype_prune(
     from .similarity import _corpus
 
     corpus = _corpus(spark, sf_dir)
-    assigned = _cell_assignment(corpus, n_cells)
+    assigned = _cell_assignment(corpus, n_cells, cache=False)
     wr = Window.partitionBy("cell_id").orderBy(
         F.col("centroid_cos").desc(), "vec_id"
     )

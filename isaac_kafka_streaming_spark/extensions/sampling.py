@@ -743,10 +743,12 @@ def dsir_feats(text_col) -> "F.Column":
     return F.concat(tokens, bigrams)
 
 
-def dsir_bucket_expr(feat_col, n_buckets: int = DSIR_BUCKETS) -> "F.Column":
+def dsir_bucket_expr(feat_col, n_buckets=DSIR_BUCKETS) -> "F.Column":
     """Engine-neutral feature -> bucket assignment: 24-bit md5 slice
     mod B (salt 'ds:'), identical in the DuckDB oracle and the
-    python replica test."""
+    python replica test.  ``n_buckets`` may be an int or a Column —
+    the streaming scorer passes the model row's own n_buckets so a
+    non-default model can never silently disagree with the fold."""
     return (
         F.conv(
             F.substring(
@@ -896,15 +898,21 @@ def dsir_bucket_model(
     because every corpus doc's buckets are in the raw counts by
     construction, but an ARRIVING doc can hash into a fresh bucket).
     Built offline with exactly dsir_select's count chain, so the
-    streaming scorer reproduces the batch log weights (at 6 dp).  At
-    100 TB this is ≤B map entries on one broadcast row, refreshed by a
-    periodic batch job — the same artifact lifecycle as
-    nb_weight_model and bm25_query_index."""
+    streaming scorer reproduces the batch log weights (at 6 dp).  The
+    row also carries n_buckets itself: the scorer's fold buckets with
+    the MODEL's modulus, so a non-default build cannot silently
+    diverge from the batch surface.  At 100 TB this is ≤B map entries
+    on one broadcast row, refreshed by a periodic batch job — the
+    same artifact lifecycle as nb_weight_model and bm25_query_index."""
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select(
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
         dsir_feats(F.col("text")).alias("feats"),
     )
+    # .cache(): the totals scalar, the lrmap roll-up and the
+    # lr_default broadcast all branch off this frame — uncached, the
+    # corpus feature explode re-executes per branch (the dsir_select
+    # tfb discipline).  The cached frame is <=B rows.
     bc = (
         base.select("is_target", F.explode("feats").alias("feat"))
         .select(
@@ -918,6 +926,7 @@ def dsir_bucket_model(
             ).alias("ct"),
             F.count("*").alias("cr"),
         )
+        .cache()
     )
     totals = bc.agg(F.sum("ct").alias("tt"), F.sum("cr").alias("tr"))
     lr = F.log(
@@ -943,7 +952,7 @@ def dsir_bucket_model(
     )
     return lrmap.crossJoin(
         F.broadcast(totals.select(lr_default.alias("lr_default")))
-    )
+    ).withColumn("n_buckets", F.lit(n_buckets))
 
 
 DSIR_SELECT_ORACLE_SQL = f"""
@@ -1171,6 +1180,9 @@ def doremi_ref_model(
     from .text import _tokens
 
     docs = read_table(spark, sf_dir, "documents")
+    # .cache(): both the lnmap roll-up and the (n_ref, v) scalar
+    # branch off this frame — uncached, the corpus token explode
+    # re-executes per branch.  The cached frame is |vocab| rows.
     wc = (
         docs.select("lang", F.explode(_tokens(F.col("text"))).alias("w"))
         .groupBy("w")
@@ -1179,6 +1191,7 @@ def doremi_ref_model(
                 F.when(F.col("lang") == DOREMI_TARGET_LANG, 1)
             ).alias("c_ref")
         )
+        .cache()
     )
     scal = wc.agg(F.sum("c_ref").alias("n_ref"), F.count("*").alias("v"))
     lnmap = (

@@ -2235,7 +2235,10 @@ def nb_quality_score(
 
 
 def nb_weight_model(
-    spark: SparkSession, sf_dir: str, alpha: float = NB_ALPHA
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = NB_ALPHA,
+    target_lang: str = NB_TARGET_LANG,
 ) -> DataFrame:
     """The STATIC side of streaming NB scoring: the trained classifier
     as a ONE-ROW artifact — map<token, weight> plus the prior — built
@@ -2251,7 +2254,7 @@ def nb_weight_model(
     labeled = docs.select(
         "doc_id",
         _tokens(F.col("text")).alias("tokens"),
-        (F.col("lang") == NB_TARGET_LANG).alias("keep"),
+        (F.col("lang") == target_lang).alias("keep"),
     )
     tok = labeled.select("keep", F.explode("tokens").alias("w"))
     tok_counts = tok.groupBy("w").agg(

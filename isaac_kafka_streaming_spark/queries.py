@@ -3156,7 +3156,7 @@ REGISTRY: dict[str, QueryDef] = {
 # entries per round (observed across CORRECTNESS_r01..r06), so the
 # iteration order of the registry (131 entries in round 8: 132 after
 # the round-7 registrations, minus the six round-8 retirements, plus
-# the three round-8 mid-round registrations)
+# the five round-8 mid-round registrations)
 # decides which entries get a fresh driver row each round.  This list is
 # an explicit least-recently-verified rotation generated by
 # ``python tools/plan_window.py``: every registry entry must either be
@@ -3281,10 +3281,10 @@ _DRIVER_CHECK_ORDER = [
     "bpe_pair_counts",
     "char_entropy",
     "corpus_curation",
-    # T2 — last green r06, expiring next (15 of 46; was 19 until
-    # the four mid-round registrations took fill slots —
-    # session_transcripts yielded the fourth to doremi_mixture and
-    # fronts the round-9 window)
+    # T2 — last green r06, expiring next (14 of 46; was 19 until
+    # five mid-round registrations took fill slots —
+    # session_transcripts yielded one to doremi_mixture, tpch_q18
+    # one to prototype_prune; both front the round-9 window)
     "daily_event_counts",
     "daily_role_counts",
     "daily_role_type_map",

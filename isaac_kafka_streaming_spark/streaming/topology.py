@@ -969,7 +969,9 @@ def _dsir_logw_col(feats_col) -> "F.Column":
     values): Σ bucket log-ratio lookups over the doc's own feature
     array, falling back to the model's smoothed lr_default for
     buckets the training corpus never produced.  Expects the one-row
-    bucket model's `lrmap`/`lr_default` columns in scope."""
+    bucket model's `lrmap`/`lr_default`/`n_buckets` columns in scope
+    — bucketing uses the MODEL's modulus, so a non-default
+    dsir_bucket_model can never silently disagree with the fold."""
     from ..extensions.sampling import dsir_bucket_expr
 
     return F.aggregate(
@@ -977,7 +979,9 @@ def _dsir_logw_col(feats_col) -> "F.Column":
         F.lit(0.0),
         lambda acc, f: acc
         + F.coalesce(
-            F.element_at(F.col("lrmap"), dsir_bucket_expr(f)),
+            F.element_at(
+                F.col("lrmap"), dsir_bucket_expr(f, F.col("n_buckets"))
+            ),
             F.col("lr_default"),
         ),
     )

@@ -1668,3 +1668,67 @@ def test_streaming_domain_xent_parity(spark, sf_smoke, tmp_path_factory):
         for r in doremi_mixture_plan(spark, sf_smoke).collect()
     }
     assert got == want and want
+
+
+def test_streaming_scorers_honor_nondefault_model_params(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The model artifacts carry their own parameters: a 64-bucket
+    DSIR model must make the streaming fold bucket mod 64 (the model
+    row's n_buckets, not the module default), and a de-target NB
+    model must reproduce nb_quality_score(target_lang='de') — the
+    parametrization-drift class the shared-expression factoring
+    exists to prevent."""
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        dsir_bucket_model,
+        dsir_select,
+    )
+    from isaac_kafka_streaming_spark.extensions.text import (
+        nb_quality_score,
+        nb_weight_model,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        run_to_memory,
+        streaming_dsir_score,
+        streaming_nb_score,
+    )
+
+    ds_model = dsir_bucket_model(spark, sf_smoke, n_buckets=64)
+    nb_model = nb_weight_model(spark, sf_smoke, target_lang="de")
+    stream = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "nondefault_models"
+    )
+    ds_store = run_to_memory(
+        streaming_dsir_score(stream, ds_model),
+        "nondefault_ds_store",
+        output_mode="append",
+    )
+    got_ds = {
+        r.doc_id: (r.log_weight, r.sel_key) for r in ds_store.collect()
+    }
+    want_ds = {
+        r.doc_id: (r.log_weight, r.sel_key)
+        for r in dsir_select(
+            spark, sf_smoke, k=len(got_ds), n_buckets=64
+        ).collect()
+    }
+    assert got_ds == want_ds and got_ds
+
+    stream2 = _two_batch_docs_stream(
+        spark, sf_smoke, tmp_path_factory, "nondefault_nb"
+    )
+    nb_store = run_to_memory(
+        streaming_nb_score(stream2, nb_model),
+        "nondefault_nb_store",
+        output_mode="append",
+    )
+    got_nb = {
+        r.doc_id: (r.nb_logit, r.nb_keep) for r in nb_store.collect()
+    }
+    want_nb = {
+        r.doc_id: (r.nb_logit, r.nb_keep)
+        for r in nb_quality_score(
+            spark, sf_smoke, target_lang="de"
+        ).collect()
+    }
+    assert got_nb == want_nb and got_nb
