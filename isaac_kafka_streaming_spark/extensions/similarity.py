@@ -777,65 +777,95 @@ def knn_pq(
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dim = 64  # embeddings fixture dimension (TESTDATA.md)
-    dsub = dim // m
-    sub = (
-        emb.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("sub_id"),
-                            F.slice("v", i * dsub + 1, dsub).alias("sv"),
-                        )
-                        for i in range(m)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("vec_id", "s.sub_id", "s.sv")
-        # cached, not checkpointed: every Lloyd iteration, the final
-        # encode, and the query projection re-read this N*m-row frame.
-        # Same-session A/B at sf0.1: cache 4.64 s vs uncached 4.98 s vs
-        # localCheckpoint 5.0+ s (the eager barrier costs more than the
-        # re-scans it saves at local scale; at real scale the saved
-        # re-scans are corpus-sized and cache wins outright).  Released
-        # by unpersist_deps(result) per the dedup cache contract.
-        .cache()
+    # cached, not checkpointed: every Lloyd iteration, the final
+    # encode, and the query projection re-read this N*m-row frame.
+    # Same-session A/B at sf0.1: cache 4.64 s vs uncached 4.98 s vs
+    # localCheckpoint 5.0+ s (the eager barrier costs more than the
+    # re-scans it saves at local scale; at real scale the saved
+    # re-scans are corpus-sized and cache wins outright).  Released
+    # by unpersist_deps(result) per the dedup cache contract.
+    sub = _pq_subvectors(emb, m).cache()
+    cb = _pq_train(sub, ksub, iters)
+    codes = _pq_assign(sub, cb).select("vec_id", "sub_id", "code_id")
+    sub_queries = sub.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_id",
+        F.col("sv").alias("qsv"),
+    )
+    out = _pq_probe(codes, cb, sub_queries, emb, n_queries, k, m, shortlist)
+    out._cached_deps = [sub]  # released via dedup.unpersist_deps
+    return out
+
+
+def _pq_l2(a: str, b: str):
+    """|a|^2 - 2 a.b + |b|^2 in this exact order: each dot is a
+    sequential fold that matches DuckDB's list_dot_product
+    bit-for-bit, and the combining ops are identical on both engines
+    (cf. _kmeans_oracle_sql)."""
+    return (
+        _dot(F.col(a), F.col(a))
+        - 2 * _dot(F.col(a), F.col(b))
+        + _dot(F.col(b), F.col(b))
     )
 
-    def l2(a: str, b: str):
-        # |a|^2 - 2 a.b + |b|^2 in this exact order: each dot is a
-        # sequential fold that matches DuckDB's list_dot_product
-        # bit-for-bit, and the combining ops are identical on both
-        # engines (cf. _kmeans_oracle_sql).
-        return (
-            _dot(F.col(a), F.col(a))
-            - 2 * _dot(F.col(a), F.col(b))
-            + _dot(F.col(b), F.col(b))
-        )
 
-    cb = sub.filter(F.col("vec_id") < ksub).select(
-        "sub_id", F.col("vec_id").alias("code_id"), F.col("sv").alias("cv")
-    ).localCheckpoint()
+def _pq_subvectors(emb: DataFrame, m: int, dim: int = 64) -> DataFrame:
+    """Split (vec_id, v) into the m contiguous subvector rows
+    (vec_id, sub_id, sv) — literal slices exploded from one
+    projection.  dim 64 is the embeddings fixture dimension
+    (TESTDATA.md)."""
+    dsub = dim // m
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("sub_id"),
+                        F.slice("v", i * dsub + 1, dsub).alias("sv"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub_id", "s.sv")
+
+
+def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Encode: per (vec_id, sub_id), the L2-argmin code with code_id
+    tie-break against the broadcast codebook."""
     w_asg = Window.partitionBy("vec_id", "sub_id").orderBy(
         F.col("__d"), F.col("code_id")
     )
+    return (
+        sub.join(F.broadcast(codebook), "sub_id")
+        .withColumn("__d", _pq_l2("sv", "cv"))
+        .withColumn("__r", F.row_number().over(w_asg))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "sub_id", "code_id", "sv")
+    )
 
-    def assign(codebook: DataFrame) -> DataFrame:
-        return (
-            sub.join(F.broadcast(codebook), "sub_id")
-            .withColumn("__d", l2("sv", "cv"))
-            .withColumn("__r", F.row_number().over(w_asg))
-            .filter(F.col("__r") == 1)
-            .select("vec_id", "sub_id", "code_id", "sv")
+
+def _pq_train(sub: DataFrame, ksub: int, iters: int) -> DataFrame:
+    """Fixed-iteration Lloyd over every subspace at once, grouped by
+    sub_id (init: first ksub vectors' subvectors), localCheckpoint
+    per round exactly like kmeans_centroids.  Returns the final
+    codebook (sub_id, code_id, cv)."""
+    cb = (
+        sub.filter(F.col("vec_id") < ksub)
+        .select(
+            "sub_id",
+            F.col("vec_id").alias("code_id"),
+            F.col("sv").alias("cv"),
         )
-
+        .localCheckpoint()
+    )
     for _ in range(iters):
         means = (
-            assign(cb)
-            .select("sub_id", "code_id", F.posexplode("sv").alias("pos", "val"))
+            _pq_assign(sub, cb)
+            .select(
+                "sub_id", "code_id", F.posexplode("sv").alias("pos", "val")
+            )
             .groupBy("sub_id", "code_id", "pos")
             .agg(F.avg("val").alias("mval"))
         )
@@ -849,16 +879,27 @@ def knn_pq(
             )
             .localCheckpoint()
         )
+    return cb
 
-    codes = assign(cb).select("vec_id", "sub_id", "code_id")
-    queries = sub.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        "sub_id",
-        F.col("sv").alias("qsv"),
-    )
+
+def _pq_probe(
+    codes: DataFrame,
+    cb: DataFrame,
+    sub_queries: DataFrame,
+    emb: DataFrame,
+    n_queries: int,
+    k: int,
+    m: int,
+    shortlist: int,
+) -> DataFrame:
+    """ADC + shortlist + exact re-rank (knn_pq steps 4-5) over an
+    encoded code table — the probe half shared by the in-query tier
+    and the materialized-index path.  ``sub_queries``: (query_id,
+    sub_id, qsv); ``emb``: (vec_id, v) float vectors for the exact
+    re-rank only."""
     tab = (
-        queries.join(F.broadcast(cb), "sub_id")
-        .withColumn("pd", l2("qsv", "cv"))
+        sub_queries.join(F.broadcast(cb), "sub_id")
+        .withColumn("pd", _pq_l2("qsv", "cv"))
         .select("query_id", "sub_id", "code_id", "pd")
     )
     parts = codes.join(
@@ -895,12 +936,12 @@ def knn_pq(
             "neighbor_id",
         )
         .join(F.broadcast(qfull), "query_id")
-        .withColumn("__l2", l2("qv", "nv"))
+        .withColumn("__l2", _pq_l2("qv", "nv"))
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("__l2"), F.col("neighbor_id")
     )
-    out = (
+    return (
         rescored.withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
         .filter(F.col("rank") <= k)
         .select(
@@ -910,8 +951,86 @@ def knn_pq(
             "rank",
         )
     )
-    out._cached_deps = [sub]  # released via dedup.unpersist_deps
-    return out
+
+
+def build_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> None:
+    """Materialize the PQ index: the trained codebooks and the m-byte
+    code table written as parquet artifacts — the amortization path
+    knn_pq's docstring promises, now wired end-to-end.  At 100 TB the
+    Lloyd training runs ONCE offline here; every probe afterwards
+    reads `codes` (m small ints per corpus vector — the 64x-compressed
+    stand-in for the float corpus) and the tiny `codebooks`, never
+    retraining and never scanning corpus floats except for its own
+    shortlist re-rank.  Same artifact lifecycle as build_ivf_index."""
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = _pq_subvectors(emb, m).cache()
+    try:
+        cb = _pq_train(sub, ksub, iters)
+        cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+        _pq_assign(sub, cb).select(
+            "vec_id", "sub_id", "code_id"
+        ).write.mode("overwrite").parquet(f"{index_path}/codes")
+    finally:
+        sub.unpersist()
+
+
+def append_to_pq_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> None:
+    """Incrementally maintain the materialized PQ index: encode the
+    incoming batch against the FROZEN codebooks and append to the code
+    table — no retrain, no touch of resident codes (the ops-side twin
+    of append_to_ivf_index; codebook drift is handled by periodic
+    offline rebuilds, not on the ingest path).
+
+    ``new_vectors``: (vec_id, embedding array<float|double>)."""
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    m = cb.select("sub_id").distinct().count()
+    emb = new_vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    _pq_assign(_pq_subvectors(emb, m), cb).select(
+        "vec_id", "sub_id", "code_id"
+    ).write.mode("append").parquet(f"{index_path}/codes")
+
+
+def knn_pq_indexed(
+    spark: SparkSession,
+    index_path: str,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+    shortlist: int = 100,
+) -> DataFrame:
+    """Probe the materialized PQ index: ADC against the stored code
+    table + codebooks, exact re-rank of the shortlist against the
+    float corpus.  With the same training parameters this reproduces
+    knn_pq's output exactly (pinned in tests/test_scale_paths.py) —
+    the only work a probe repeats is its own distance table and
+    shortlist fetch."""
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    m = cb.select("sub_id").distinct().count()
+    codes = spark.read.parquet(f"{index_path}/codes")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub_queries = _pq_subvectors(
+        emb.filter(F.col("vec_id") < n_queries), m
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "sub_id",
+        F.col("sv").alias("qsv"),
+    )
+    return _pq_probe(codes, cb, sub_queries, emb, n_queries, k, m, shortlist)
 
 
 def _pq_oracle_sql(

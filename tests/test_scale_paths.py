@@ -267,3 +267,70 @@ def test_ivf_index_incremental_append(spark, sf_smoke, tmp_path_factory):
     )
     top = knn_ivf_indexed(spark, path, q, k=1, nprobe=1).collect()
     assert top and top[0].neighbor_id == 1 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_pq_index_probe_reproduces_in_query_tier(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The materialized-PQ path is the amortization knn_pq's docstring
+    promises: training runs once in build_pq_index, and a probe of the
+    stored codes + codebooks must reproduce the in-query tier's output
+    EXACTLY (same Lloyd init/iterations, same ADC, same re-rank)."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        build_pq_index,
+        knn_pq,
+        knn_pq_indexed,
+    )
+
+    path = str(tmp_path_factory.mktemp("pq") / "index")
+    build_pq_index(spark, sf_smoke, path)
+    got = sorted(
+        tuple(r) for r in knn_pq_indexed(spark, path, sf_smoke).collect()
+    )
+    want = sorted(tuple(r) for r in knn_pq(spark, sf_smoke).collect())
+    assert got == want and got
+
+
+def test_pq_index_append_matches_frozen_codebook_encode(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Appending a batch encodes it against the FROZEN codebooks — the
+    resulting code table must equal re-encoding the whole corpus with
+    those same codebooks (no retrain on the ingest path), and carry
+    m rows per vector."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        _pq_assign,
+        _pq_subvectors,
+        append_to_pq_index,
+        build_pq_index,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    half = emb.count() // 2
+    base = tmp_path_factory.mktemp("pq_append")
+    emb.filter(F.col("vec_id") < half).write.parquet(
+        str(base / "embeddings.parquet")
+    )
+    path = str(base / "index")
+    build_pq_index(spark, str(base), path)
+    append_to_pq_index(
+        spark,
+        path,
+        emb.filter(F.col("vec_id") >= half).select("vec_id", "embedding"),
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == emb.count() * 8
+    cb = spark.read.parquet(f"{path}/codebooks")
+    full = _pq_assign(
+        _pq_subvectors(
+            emb.select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("v"),
+            ),
+            8,
+        ),
+        cb,
+    ).select("vec_id", "sub_id", "code_id")
+    assert sorted(map(tuple, codes.collect())) == sorted(
+        map(tuple, full.collect())
+    )
