@@ -184,14 +184,8 @@ def build_ivf_index(
         )
     else:
         raise ValueError(f"unknown centroid_source {centroid_source!r}")
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("cell_id"))
-    assigned = (
-        corpus.join(F.broadcast(centroids), how="cross")
-        .withColumn("__c", cos)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "label", "v", "norm", "cell_id")
+    assigned = _nearest_cell(corpus, centroids).select(
+        "vec_id", "label", "v", "norm", "cell_id"
     )
     assigned.write.partitionBy("cell_id").mode("overwrite").parquet(
         f"{index_path}/cells"
@@ -223,24 +217,12 @@ def append_to_ivf_index(
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(F.col("__c").desc(), F.col("cell_id"))
-    assigned = (
-        incoming.join(
-            F.broadcast(
-                centroids.select(
-                    "cell_id",
-                    F.col("v").alias("cv"),
-                    F.col("norm").alias("cnorm"),
-                )
-            ),
-            how="cross",
-        )
-        .withColumn("__c", cos)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "label", "v", "norm", "cell_id")
-    )
+    assigned = _nearest_cell(
+        incoming,
+        centroids.select(
+            "cell_id", F.col("v").alias("cv"), F.col("norm").alias("cnorm")
+        ),
+    ).select("vec_id", "label", "v", "norm", "cell_id")
     assigned.write.partitionBy("cell_id").mode("append").parquet(
         f"{index_path}/cells"
     )
@@ -809,14 +791,17 @@ def _pq_l2(a: str, b: str):
     )
 
 
-def _pq_subvectors(emb: DataFrame, m: int, dim: int = 64) -> DataFrame:
-    """Split (vec_id, v) into the m contiguous subvector rows
-    (vec_id, sub_id, sv) — literal slices exploded from one
+def _pq_subvectors(
+    emb: DataFrame, m: int, dim: int = 64, id_cols: tuple = ("vec_id",)
+) -> DataFrame:
+    """Split (*id_cols, v) into the m contiguous subvector rows
+    (*id_cols, sub_id, sv) — literal slices exploded from one
     projection.  dim 64 is the embeddings fixture dimension
-    (TESTDATA.md)."""
+    (TESTDATA.md).  ``id_cols`` passes through unchanged (the IVF-PQ
+    probe keys residual queries by (query_id, cell_id))."""
     dsub = dim // m
     return emb.select(
-        "vec_id",
+        *id_cols,
         F.explode(
             F.array(
                 *[
@@ -828,7 +813,7 @@ def _pq_subvectors(emb: DataFrame, m: int, dim: int = 64) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("vec_id", "s.sub_id", "s.sv")
+    ).select(*id_cols, "s.sub_id", "s.sv")
 
 
 def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
@@ -905,6 +890,26 @@ def _pq_probe(
     parts = codes.join(
         F.broadcast(tab), ["sub_id", "code_id"]
     ).filter(F.col("vec_id") != F.col("query_id"))
+    qfull = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    return _pq_topk(parts, qfull, emb, m, shortlist, k)
+
+
+def _pq_topk(
+    parts: DataFrame,
+    qfull: DataFrame,
+    emb: DataFrame,
+    m: int,
+    shortlist: int,
+    k: int,
+) -> DataFrame:
+    """ADC reduction + shortlist + exact re-rank shared by the flat-PQ
+    probes and the IVF-PQ probe.  ``parts``: the code table joined to
+    the query distance table — (query_id, vec_id, sub_id, pd), one row
+    per probed (query, neighbor, subspace); ``qfull``: (query_id, qv)
+    float queries for the re-rank; ``emb``: (vec_id, v) float corpus
+    fetched only for shortlist rows."""
     # fixed-order reduction over the m per-subspace distances
     pivoted = parts.groupBy(
         "query_id", F.col("vec_id").alias("neighbor_id")
@@ -925,9 +930,6 @@ def _pq_probe(
         .withColumn("__sr", F.row_number().over(w_short))
         .filter(F.col("__sr") <= shortlist)
         .select("query_id", "neighbor_id")
-    )
-    qfull = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     rescored = (
         cands.join(
@@ -1031,6 +1033,193 @@ def knn_pq_indexed(
         F.col("sv").alias("qsv"),
     )
     return _pq_probe(codes, cb, sub_queries, emb, n_queries, k, m, shortlist)
+
+
+def _nearest_cell(df: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Coarse quantizer assignment: per vec_id, the cosine-argmax cell
+    with cell_id tie-break against the broadcast centroids — the same
+    rule build_ivf_index and append_to_ivf_index apply.  ``df``:
+    (vec_id, v, norm, ...); ``centroids``: (cell_id, cv, cnorm).
+    Output: the input columns + cell_id + cv (the winning centroid,
+    kept so callers can form residuals without a re-join)."""
+    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__c").desc(), F.col("cell_id")
+    )
+    return (
+        df.join(F.broadcast(centroids), how="cross")
+        .withColumn("__c", cos)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__c", "__r", "cnorm")
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_path: str,
+    n_cells: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> None:
+    """Materialize the composite IVF-PQ index — the FAISS-IVFADC
+    layout (Jegou et al. 2011), the production 100 TB ANN artifact
+    combining this module's two halves: the coarse IVF quantizer
+    prunes which PARTITIONS a probe reads, and within the probed
+    cells the m-byte PQ codes stand in for the float corpus.
+
+    Build (offline, once): assign every vector to its cosine-nearest
+    coarse centroid (first n_cells vectors, same convention as
+    build_ivf_index's first_n tier — the kmeans trainer plugs in the
+    same way it does there), PQ-encode the RESIDUAL v - centroid
+    (residual encoding is what makes the composite beat flat PQ: the
+    residual distribution is centered, so ksub codes cover it far
+    tighter), and write three artifacts: `centroids` (tiny),
+    `codebooks` (m x ksub rows), and `codes` partitioned by cell_id —
+    so a probe's cell list is static partition pruning at the scan,
+    exactly like the plain IVF index, but each pruned partition is
+    m bytes per vector instead of the float row.
+    """
+    corpus = _corpus(spark, sf_dir).select("vec_id", "v", "norm")
+    centroids = corpus.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    # one coarse-assignment pass feeds the residual subvectors (read
+    # once per Lloyd round + final encode) and the vec->cell map; the
+    # cache releases in the finally (offline build, bounded session)
+    assigned = (
+        _nearest_cell(corpus, centroids)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+        )
+        .cache()
+    )
+    try:
+        sub = _pq_subvectors(assigned.select("vec_id", "v"), m)
+        cb = _pq_train(sub, ksub, iters)
+        cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
+        centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
+        _pq_assign(sub, cb).select("vec_id", "sub_id", "code_id").join(
+            assigned.select("vec_id", "cell_id"), "vec_id"
+        ).write.partitionBy("cell_id").mode("overwrite").parquet(
+            f"{index_path}/codes"
+        )
+    finally:
+        assigned.unpersist()
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession, index_path: str, new_vectors: DataFrame
+) -> None:
+    """Incrementally maintain the IVF-PQ index: coarse-assign the
+    incoming batch against the FROZEN centroids, PQ-encode its
+    residuals against the FROZEN codebooks, and append into the cell
+    partitions — no retrain, no touch of resident codes, writing only
+    the affected `cell_id=N/` directories (the same ingest contract as
+    append_to_ivf_index + append_to_pq_index composed).
+
+    ``new_vectors``: (vec_id, embedding array<float|double>)."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    m = cb.select("sub_id").distinct().count()
+    incoming = new_vectors.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    resid = _nearest_cell(incoming, centroids).select(
+        "vec_id",
+        "cell_id",
+        F.zip_with("v", "cv", lambda a, b: a - b).alias("v"),
+    )
+    _pq_assign(_pq_subvectors(resid.select("vec_id", "v"), m), cb).select(
+        "vec_id", "sub_id", "code_id"
+    ).join(resid.select("vec_id", "cell_id"), "vec_id").write.partitionBy(
+        "cell_id"
+    ).mode("append").parquet(f"{index_path}/codes")
+
+
+def knn_ivfpq_indexed(
+    spark: SparkSession,
+    index_path: str,
+    sf_dir: str,
+    queries_df: DataFrame | None = None,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probe the materialized IVF-PQ index: rank the coarse centroids
+    per query, read ONLY the nprobe best cells' code partitions
+    (static partition pruning via the collected cell-id IN-list, the
+    knn_ivf_indexed recipe), ADC each probed cell's codes against the
+    query's RESIDUAL distance table for that cell, then exact-rerank
+    the shortlist against the float corpus.  Per (query, cell) the
+    residual q - centroid differs, so the distance table is keyed by
+    (query_id, cell_id) — still tiny: n_queries x nprobe x m x ksub
+    rows, broadcast.
+
+    Output matches knn_pq: (query_id, neighbor_id, l2_dist, rank),
+    rank 1..k by EXACT distance (candidate generation is approximate,
+    returned distances are exact — the module-wide rescoring
+    contract).  ``queries_df``: optional (query_id, qv array<double>)
+    — defaults to corpus vectors vec_id < n_queries."""
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    cb = spark.read.parquet(f"{index_path}/codebooks")
+    m = cb.select("sub_id").distinct().count()
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    if queries_df is None:
+        queries_df = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+    queries = queries_df.withColumn(
+        "qnorm", F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    ccos = _dot(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("cell_id")
+    )
+    probes = (
+        queries.join(F.broadcast(centroids), how="cross")
+        .withColumn("__c", ccos)
+        .withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "cell_id", "cv")
+    )
+    # tiny |queries| x nprobe collect -> literal IN-list -> static
+    # partition pruning at the codes scan (cf. knn_ivf_indexed)
+    cells = sorted(
+        {r.cell_id for r in probes.select("cell_id").distinct().collect()}
+    )
+    codes = spark.read.parquet(f"{index_path}/codes").filter(
+        F.col("cell_id").isin(cells)
+    )
+    sub_q = _pq_subvectors(
+        probes.select(
+            "query_id",
+            "cell_id",
+            F.zip_with("qv", "cv", lambda a, b: a - b).alias("v"),
+        ),
+        m,
+        id_cols=("query_id", "cell_id"),
+    )
+    tab = (
+        sub_q.join(F.broadcast(cb), "sub_id")
+        .withColumn("pd", _pq_l2("sv", "cv"))
+        .select("query_id", "cell_id", "sub_id", "code_id", "pd")
+    )
+    parts = codes.join(
+        F.broadcast(tab), ["cell_id", "sub_id", "code_id"]
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    return _pq_topk(
+        parts, queries.select("query_id", "qv"), emb, m, shortlist, k
+    )
 
 
 def _pq_oracle_sql(

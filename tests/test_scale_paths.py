@@ -334,3 +334,122 @@ def test_pq_index_append_matches_frozen_codebook_encode(
     assert sorted(map(tuple, codes.collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@pytest.fixture(scope="module")
+def ivfpq_index(spark, sf_smoke, tmp_path_factory):
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    build_ivfpq_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    return path
+
+
+def test_ivfpq_probe_prunes_partitions_and_ranks(
+    spark, sf_smoke, ivfpq_index
+):
+    """The composite index keeps the plain-IVF physical contract: a
+    probe's cell list lands as a PartitionFilter on the CODES scan, so
+    unprobed cells' code partitions are never read — and each probed
+    partition is m bytes per vector, not the float row."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        knn_ivfpq_indexed,
+    )
+
+    result = knn_ivfpq_indexed(
+        spark, ivfpq_index, sf_smoke, n_queries=1, k=3, nprobe=2
+    )
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "cell_id" in ln
+    ]
+    assert pf_lines, f"cell filter not a partition filter:\n{plan}"
+    assert {r.rank for r in result.collect()} == {1, 2, 3}
+
+
+def test_ivfpq_probe_degenerates_to_exact_and_recall_floor(
+    spark, sf_smoke, ivfpq_index
+):
+    """Approximation comes ONLY from cell pruning + the ADC shortlist:
+    probing every cell with shortlist >= |corpus| must reproduce the
+    exact L2 top-k (candidate generation covers everything, the
+    re-rank is exact); at realistic knobs (half the cells, small
+    shortlist) recall clears a floor."""
+    import numpy as np
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        knn_ivfpq_indexed,
+    )
+
+    rows = read_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    vecs = {r.vec_id: np.array(r.v) for r in rows}
+    exact = set()
+    for q in range(5):
+        dists = sorted(
+            (float(np.sum((vecs[q] - v) ** 2)), nid)
+            for nid, v in vecs.items()
+            if nid != q
+        )
+        exact |= {(q, nid) for _, nid in dists[:5]}
+
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivfpq_indexed(
+            spark, ivfpq_index, sf_smoke,
+            n_queries=5, k=5, nprobe=N_CELLS, shortlist=10**6,
+        ).collect()
+    }
+    assert full == exact
+
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_ivfpq_indexed(
+            spark, ivfpq_index, sf_smoke,
+            n_queries=5, k=5, nprobe=N_CELLS // 2, shortlist=50,
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below floor"
+
+
+def test_ivfpq_append_planted_neighbor(spark, sf_smoke, tmp_path_factory):
+    """Ingest contract: append encodes against the FROZEN centroids +
+    codebooks and lands in the right cell partition — a probe of the
+    grown corpus finds a planted duplicate at exact distance zero
+    without any rebuild."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    base = tmp_path_factory.mktemp("ivfpq_append")
+    path = str(base / "index")
+    build_ivfpq_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    planted = emb.filter(F.col("vec_id") == 1).select(
+        F.lit(max_id + 1).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    append_to_ivfpq_index(
+        spark, path, planted.select("vec_id", "embedding")
+    )
+    # the grown corpus store (floats for the exact re-rank) grows with
+    # the ingest, exactly as the index does
+    emb.unionByName(planted).write.parquet(
+        str(base / "grown" / "embeddings.parquet")
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    top = knn_ivfpq_indexed(
+        spark, path, str(base / "grown"), queries_df=q, k=1, nprobe=1
+    ).collect()
+    assert top and top[0].neighbor_id == max_id + 1
+    assert top[0].l2_dist == 0.0 and top[0].rank == 1
