@@ -1,15 +1,25 @@
 """X3 — similarity search over the `embeddings` table.
 
-Two tiers:
+The tier ladder, correctness baseline -> 100 TB artifact:
   - brute-force cosine top-k: the correctness baseline (SQL-checkable
     against DuckDB list_dot_product).  Query side is tiny -> broadcast;
     the corpus is scanned once, scores are JVM-side higher-order-function
     expressions (no Python), top-k via window rank.
-  - IVF (inverted-file) top-k: the 100 TB path — corpus is assigned to
-    deterministic coarse centroids once (a partition-pruning index);
+  - IVF (inverted-file) top-k: corpus assigned to coarse centroids;
     each query probes only its nprobe nearest cells, so the scan is
-    |corpus| * nprobe / ncells instead of |corpus| per query.
-    Rows-only check (approximation), with recall measured in tests.
+    |corpus| * nprobe / ncells instead of |corpus| per query.  The
+    materialized form (build_ivf_index) makes cell_id the physical
+    partitioning key -> probes are static partition pruning.
+  - hyperplane-LSH / SRP: bucket equi-join replaces the cross join;
+    exact rescoring on every returned pair.
+  - int8 / PQ quantization: scan bandwidth cut 4x / to m bytes per
+    vector (ADC shortlist + exact re-rank); build_pq_index amortizes
+    the codebook training offline.
+  - IVF-PQ composite (build_ivfpq_index): the FAISS-IVFADC layout —
+    residual PQ codes partitioned by coarse cell; a probe partition-
+    prunes to nprobe cells of m-byte codes and touches float rows only
+    for its shortlist.  Approximation confined to pruning+shortlist
+    (exhaustive probe == exact L2, pinned in tests/test_scale_paths.py).
 
 Dot products are computed in double precision from the float32 inputs —
 sequential fold on both engines, so the oracle comparison is exact.

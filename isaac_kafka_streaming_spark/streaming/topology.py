@@ -1280,3 +1280,57 @@ def length_bucket_readoff(store: DataFrame) -> DataFrame:
             1.0 - F.col("total_tokens") / padded.cast("double"), 6
         ).alias("waste_pct"),
     )
+
+
+def index_ingest_batch_writer(index_path: str, append_fn):
+    """Per-batch writer for streaming ANN-index ingest, with ENFORCED
+    replay idempotence: a high-watermark marker under the index records
+    the last applied batch_id, and a re-delivered micro-batch
+    (foreachBatch replays after failure/restart) is skipped instead of
+    double-appending codes — the index-artifact analogue of
+    jdbc_idempotent_batch_writer's staging+MERGE.  Batches of one
+    streaming query apply in ascending batch_id order, so a single
+    integer watermark suffices.  The marker is a driver-side file write
+    here (local index paths); at real scale it is the same pattern as a
+    conditional put / rename on the object store.
+
+    ``append_fn``: one of the batch ingest paths —
+    similarity.append_to_ivf_index / append_to_pq_index /
+    append_to_ivfpq_index — so stream and batch ingest share ONE
+    encode-and-append implementation.
+    """
+    import os
+
+    wm_path = os.path.join(index_path, "_ingest_watermark")
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(wm_path):
+            with open(wm_path) as fh:
+                if batch_id <= int(fh.read().strip()):
+                    return  # replayed batch: already applied
+        append_fn(batch_df.sparkSession, index_path, batch_df)
+        with open(wm_path, "w") as fh:
+            fh.write(str(batch_id))
+
+    return _write
+
+
+def streaming_index_ingest(
+    vec_stream: DataFrame,
+    index_path: str,
+    append_fn,
+    checkpoint: Optional[str] = None,
+):
+    """Streaming ingest into a materialized ANN index: each arriving
+    micro-batch of (vec_id, embedding[, label]) vectors is encoded
+    against the FROZEN index artifacts (centroids/codebooks) and
+    appended into the affected partitions only — foreachBatch delegates
+    to the batch append path, so the streaming twin is definitionally
+    parity-exact with batch ingest (and pinned so in
+    tests/test_scale_paths.py).  Returns the StreamingQuery."""
+    writer = vec_stream.writeStream.foreachBatch(
+        index_ingest_batch_writer(index_path, append_fn)
+    ).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -453,3 +453,92 @@ def test_ivfpq_append_planted_neighbor(spark, sf_smoke, tmp_path_factory):
     ).collect()
     assert top and top[0].neighbor_id == max_id + 1
     assert top[0].l2_dist == 0.0 and top[0].rank == 1
+
+
+def test_streaming_index_ingest_and_replay_idempotence(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Streaming ANN-index ingest: micro-batches of arriving vectors
+    are encoded against the frozen artifacts via the SAME batch append
+    path (foreachBatch delegation), a probe of the grown corpus finds a
+    planted duplicate at distance zero, and a REPLAYED batch (the
+    foreachBatch failure/restart contract) appends nothing twice."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        index_ingest_batch_writer,
+        streaming_index_ingest,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    n0 = emb.count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    base = tmp_path_factory.mktemp("ivfpq_stream")
+    path = str(base / "index")
+    build_ivfpq_index(spark, sf_smoke, path, n_cells=N_CELLS)
+
+    # two single-file micro-batches: copies of vec 2 and 3, then of
+    # vec 1 (the planted duplicate the probe must find)
+    flat = base / "vecs"
+    flat.mkdir()
+    incoming = emb.select("vec_id", "embedding")
+    for i, src_ids in enumerate([(2, 3), (1,)]):
+        part = (
+            incoming.filter(F.col("vec_id").isin(list(src_ids)))
+            .withColumn(
+                "vec_id", (F.col("vec_id") + F.lit(max_id + 1)).cast("long")
+            )
+        )
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    q = streaming_index_ingest(
+        stream, path, append_to_ivfpq_index, checkpoint=str(base / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.count() == (n0 + 3) * 8  # m=8 rows per vector
+
+    # replayed batch: re-delivering the last batch_id must be a no-op
+    last_batch = incoming.filter(F.col("vec_id") == 1).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(max_id + 1)).cast("long")
+    )
+    writer = index_ingest_batch_writer(path, append_to_ivfpq_index)
+    writer(last_batch, 1)
+    assert spark.read.parquet(f"{path}/codes").count() == (n0 + 3) * 8
+
+    # the grown float corpus store (for the exact re-rank) and a probe:
+    # the streamed duplicate of vec 1 sits at exact distance zero
+    grown = emb.unionByName(
+        emb.filter(F.col("vec_id").isin([1, 2, 3])).withColumn(
+            "vec_id", (F.col("vec_id") + F.lit(max_id + 1)).cast("long")
+        )
+    )
+    grown.write.parquet(str(base / "grown" / "embeddings.parquet"))
+    qdf = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    top = knn_ivfpq_indexed(
+        spark, path, str(base / "grown"), queries_df=qdf, k=1, nprobe=1
+    ).collect()
+    assert top and top[0].neighbor_id == max_id + 2
+    assert top[0].l2_dist == 0.0 and top[0].rank == 1
