@@ -3180,125 +3180,96 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-8 window tiers (plan_window.py output, history through r07;
-# 126 live entries after the round-8 RETIREMENT of the six rows-only
-# (131 after the mid-round registrations: length_bucket_plan, then
-# dsir_select + nb_quality_score — the two trusted-slice selection
-# methods — then doremi_mixture, the loss-derived third mixing
-# plan, and prototype_prune, D4's second half)
-# production tiers — dedup_minhash_lsh, dedup_simhash,
-# dedup_incoming_minhash, dedup_clusters_lsh, knn_lsh,
-# sketch_summaries — each shadowed by a registered hash-checked
-# witness of the same mechanism; see COVERAGE.md "Retired in round 8".
-# Every remaining registry entry now carries a DuckDB oracle
-# (tests/test_oracle_parity.py::test_registry_fully_oracle_backed).
-#   T1: the 31 entries whose last green row is r05 — once the r07
-#       window re-greened the round-6 registrations, these are exactly
-#       the entries that fall out of the K=3 freshness span unless
-#       re-checked in round 8 (invariant-REQUIRED; plan_window fronts
-#       them).
-#   T2: 14 of the 46 entries last green in r06 (19 at round start;
-#       dedup_ngram_jaccard_capped, dedup_incoming,
-#       duplicate_passages, session_transcripts and tpch_q18
-#       yielded their slots to the five mid-round
-#       registrations) (fill; they expire
-#       after round 9 otherwise — taking the expiring tier first keeps
-#       the must-check load spread at ~30/round instead of bunching
-#       into a 46-wide wave with zero slack).  The remaining 32
-#       r06-green entries front the round-9 window.
-# The 81 parked entries (after the mid-round swaps)
-# are all green in r06 or r07, inside the K=3 freshness span through
-# round 8.
+# Round-9 window tiers (plan_window.py output, history through r08;
+# 131 live entries, unchanged from round-8 end: no retirements or
+# registrations at round-9 start).  The round-8 window (its five
+# mid-round T0 registrations, the 31 r05-stale must-checks, and the
+# 14 expiring-r06 fill entries) is fully green in CORRECTNESS_r08.json
+# (50/50 hash-checked), so the live freshness distribution entering
+# round 9 is {r08: 50, r07: 49, r06: 32}.
+#   T1: the 32 entries whose last green row is r06 — they fall out of
+#       the K=3 freshness span unless re-checked in round 9
+#       (invariant-REQUIRED; plan_window fronts them).
+#   T2: 18 of the 49 entries last green in r07 (fill; they expire
+#       after round 10 otherwise — taking the expiring tier first
+#       keeps the must-check load spread at ~30/round instead of
+#       bunching into a 49-wide wave with zero slack).  The remaining
+#       31 r07-green entries front the round-10 window.
+# The 81 parked entries are all green in r07 or r08, inside the K=3
+# freshness span through round 9.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 131 live
-# entries (87% of ceiling after the round-8 retirement + mid-round
-# registrations; steady-state
-# ~30 must-checks per round, ~20 slack slots) — prefer DEEPENING
-# existing entries (stronger oracles, streaming twins, property tests)
-# over net-new registrations, and retire-or-merge before exceeding
-# ~140.  Any future registration must first pass
+# entries (87% of ceiling; steady-state ~31 must-checks per round,
+# ~19 slack slots) — prefer DEEPENING existing entries (stronger
+# oracles, streaming twins, property tests) over net-new
+# registrations, and retire-or-merge before exceeding ~140.  Any
+# future registration must first pass
 # ``python tools/plan_window.py --include-staged`` and the
 # tests/test_staged_registry.py feasibility guard.
 #
-# ROTATION FORECAST (the feasibility guard now simulates this
+# ROTATION FORECAST (the feasibility guard simulates this
 # mechanically — tests/test_staged_registry.py rolls plan_window.py's
 # tier-aware fill three rounds forward every run): at 131 entries the
-# per-round must-check load settles at ~31/46-ish thirds with ~19
+# per-round must-check load settles at ~31/49/32-ish thirds with ~19
 # slack slots.  The fill DISCIPLINE matters: always take the T2
 # (expires-next) tier before any fresh entries — a naive fill that
 # rechecks fresh entries lets the expiring cohorts bunch into a
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — registered mid-round-8, no driver row yet (must-check):
-    # the length-bucketed batching padding-waste card, then the two
-    # trusted-slice selection operators (DSIR importance resampling
-    # and the closed-form NB classifier — the two published selection
-    # methods, graded side by side), then doremi_mixture (the
-    # loss-derived third mixing plan) and prototype_prune (D4's
-    # SSL-prototype half).  Each takes the slot of a
-    # T2-fill entry (dedup_ngram_jaccard_capped, then dedup_incoming,
-    # duplicate_passages, session_transcripts and tpch_q18), which
-    # stay green via their r06 rows through
-    # round 8 and front the round-9 window as tier T1 (the same
-    # mid-round swap discipline as round 7's witnesses; feasibility
-    # re-proven by the planner-simulating guard).
-    "length_bucket_plan",
-    "dsir_select",
-    "nb_quality_score",
-    "doremi_mixture",
-    "prototype_prune",
-    # T1 — last green r05 (invariant requires) (31)
-    "event_type_counts",
-    "question_page_rollup",
-    "tpch_q6",
-    "tpch_q1",
-    "revenue_by_nation",
-    "top_orders_per_segment",
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
-    "tpch_q16",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "media_features",
-    "media_png_features",
-    "media_wav_stats",
-    "media_frame_stats",
-    "overlap_chunk_plan",
-    "soft_dedup_sample",
-    "stratified_topk_sample",
-    "epoch_shuffle",
-    "mixture_plan",
-    "embedding_quantize",
-    "bpe_pair_counts",
-    "char_entropy",
-    "corpus_curation",
-    # T2 — last green r06, expiring next (14 of 46; was 19 until
-    # five mid-round registrations took fill slots —
-    # session_transcripts yielded one to doremi_mixture, tpch_q18
-    # one to prototype_prune; both front the round-9 window)
-    "daily_event_counts",
-    "daily_role_counts",
-    "daily_role_type_map",
-    "user_snapshot",
-    "enriched_events",
-    "last_seen",
-    "last_seen_map",
-    "value_quantiles",
-    "purchase_asof_signup",
-    "purchases_within_day_of_signup",
-    "question_part_counts",
-    "question_completion",
-    "threshold_achievements",
-    "tpch_q14",
+    # T1 — last green <= r6 (invariant requires) (32)
+    "tpch_q18",
+    "session_transcripts",
+    "dedup_incoming",
+    "duplicate_passages",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_clusters",
+    "dedup_semantic",
+    "dedup_embedding_srp",
+    "corpus_shards",
+    "concat_chunk_plan",
+    "corpus_split",
+    "split_contamination",
+    "ngram_contamination",
+    "decontaminate_exact",
+    "stratified_sample",
+    "embedding_centroids",
+    "knn_bruteforce",
+    "knn_ivf",
+    "kmeans_centroids",
+    "knn_quantized",
+    "embedding_label_stats",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "corpus_keep_list",
+    "repetition_metrics",
+    "pii_scrub",
+    "lang_source_rollup",
+    # T2 — last green r7 (expires after next round) (18 of 49)
+    "user_streaks",
+    "sliding_weekly_counts",
+    "user_notifications",
+    "user_event_counts",
+    "anonymous_events",
+    "user_profiles",
+    "props_k_stats",
+    "question_page_array",
+    "purchasers_without_errors",
+    "daily_role_rollup",
+    "role_type_cube",
+    "tpch_q3",
+    "customers_without_big_orders",
+    "tpch_q5",
+    "orders_with_returns",
+    "user_activity_coverage",
+    "tpch_q8",
+    "tpch_q9",
 ]
 
 
