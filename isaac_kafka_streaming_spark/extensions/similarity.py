@@ -247,7 +247,11 @@ def knn_ivf_indexed(
 ) -> DataFrame:
     """Probe the materialized IVF index: per query, rank centroids,
     scan only the nprobe best cells (partition-pruned), brute-force
-    within them.  queries_df: (query_id, qv, qnorm)."""
+    within them.  queries_df: (query_id, qv, qnorm) — query_id SHARES
+    the corpus vec_id namespace by contract (self-matches are
+    excluded), so callers probing with external queries must pick ids
+    outside the corpus range (cf. knn_ivfpq_indexed, whose external
+    queries_df path skips the self-exclusion instead)."""
     centroids = spark.read.parquet(f"{index_path}/centroids")
     ccos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     wq = Window.partitionBy("query_id").orderBy(
@@ -1028,7 +1032,14 @@ def knn_pq_indexed(
     float corpus.  With the same training parameters this reproduces
     knn_pq's output exactly (pinned in tests/test_scale_paths.py) —
     the only work a probe repeats is its own distance table and
-    shortlist fetch."""
+    shortlist fetch.
+
+    FLOAT-STORE LOCKSTEP CONTRACT (shared with knn_ivfpq_indexed, see
+    its docstring): the exact re-rank joins shortlist candidates
+    against ``sf_dir``'s embeddings table, so vectors appended to the
+    code table must land in that float store too before they are
+    probe-visible — orphan codes consume shortlist slots and are then
+    dropped by the re-rank join."""
     cb = spark.read.parquet(f"{index_path}/codebooks")
     m = cb.select("sub_id").distinct().count()
     codes = spark.read.parquet(f"{index_path}/codes")
@@ -1177,13 +1188,28 @@ def knn_ivfpq_indexed(
     rank 1..k by EXACT distance (candidate generation is approximate,
     returned distances are exact — the module-wide rescoring
     contract).  ``queries_df``: optional (query_id, qv array<double>)
-    — defaults to corpus vectors vec_id < n_queries."""
+    in an id namespace of the CALLER's choosing — defaults to corpus
+    vectors vec_id < n_queries.  The self-exclusion filter
+    (vec_id != query_id) applies ONLY on the default corpus-derived
+    path: external queries keep every corpus vector as a candidate,
+    even on id collision.
+
+    FLOAT-STORE LOCKSTEP CONTRACT: the exact re-rank joins shortlist
+    candidates against ``sf_dir``'s embeddings table, so every vector
+    appended to the index (append_to_ivfpq_index / streaming ingest)
+    must also land in that float store before it is probe-visible — a
+    code row with no float twin consumes a shortlist slot and is then
+    dropped by the re-rank join, degrading (possibly shrinking below
+    k) the result until the store catches up.  This is the standard
+    ANN-serving contract (codes compress the store, they don't replace
+    it); the ingest tests grow both sides together."""
     centroids = spark.read.parquet(f"{index_path}/centroids")
     cb = spark.read.parquet(f"{index_path}/codebooks")
     m = cb.select("sub_id").distinct().count()
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    self_exclude = queries_df is None
     if queries_df is None:
         queries_df = emb.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -1224,9 +1250,9 @@ def knn_ivfpq_indexed(
         .withColumn("pd", _pq_l2("sv", "cv"))
         .select("query_id", "cell_id", "sub_id", "code_id", "pd")
     )
-    parts = codes.join(
-        F.broadcast(tab), ["cell_id", "sub_id", "code_id"]
-    ).filter(F.col("vec_id") != F.col("query_id"))
+    parts = codes.join(F.broadcast(tab), ["cell_id", "sub_id", "code_id"])
+    if self_exclude:  # only when queries share the corpus id namespace
+        parts = parts.filter(F.col("vec_id") != F.col("query_id"))
     return _pq_topk(
         parts, queries.select("query_id", "qv"), emb, m, shortlist, k
     )

@@ -1284,33 +1284,96 @@ def length_bucket_readoff(store: DataFrame) -> DataFrame:
 
 def index_ingest_batch_writer(index_path: str, append_fn):
     """Per-batch writer for streaming ANN-index ingest, with ENFORCED
-    replay idempotence: a high-watermark marker under the index records
-    the last applied batch_id, and a re-delivered micro-batch
-    (foreachBatch replays after failure/restart) is skipped instead of
-    double-appending codes — the index-artifact analogue of
+    replay idempotence under BOTH clean replays and mid-batch crashes:
+    a high-watermark marker under the index records the last applied
+    batch_id, and an inflight manifest makes a half-appended batch
+    recoverable — the index-artifact analogue of
     jdbc_idempotent_batch_writer's staging+MERGE.  Batches of one
     streaming query apply in ascending batch_id order, so a single
-    integer watermark suffices.  The marker is a driver-side file write
-    here (local index paths); at real scale it is the same pattern as a
-    conditional put / rename on the object store.
+    integer watermark suffices.
+
+    Commit protocol per batch (local-FS stand-in; at real scale the
+    same shape is a conditional put of a commit-log record on the
+    object store):
+
+    1. ``batch_id <= watermark`` → already committed: drop any stale
+       manifest (a crash landed between watermark write and manifest
+       delete) and skip.
+    2. If an inflight manifest with ``batch_id > watermark`` exists, a
+       prior attempt crashed mid-append: delete every file under
+       ``codes/`` NOT in its pre-append snapshot (the orphaned partial
+       append) before retrying.
+    3. Write the manifest — a snapshot of every committed file under
+       ``codes/`` — BEFORE appending, then run ``append_fn``.
+    4. Advance the watermark (atomic tmp+rename), THEN remove the
+       manifest.
+
+    A crash at any point replays into a consistent state: before the
+    manifest nothing was appended; between manifest and watermark the
+    orphan sweep removes the partial append before re-appending; after
+    the watermark the batch is committed and only the stale manifest is
+    dropped.
 
     ``append_fn``: one of the batch ingest paths —
     similarity.append_to_ivf_index / append_to_pq_index /
     append_to_ivfpq_index — so stream and batch ingest share ONE
     encode-and-append implementation.
     """
+    import json
     import os
 
     wm_path = os.path.join(index_path, "_ingest_watermark")
+    mf_path = os.path.join(index_path, "_ingest_inflight")
+    codes_dir = os.path.join(index_path, "codes")
+
+    def _watermark() -> int:
+        if not os.path.exists(wm_path):
+            return -1
+        with open(wm_path) as fh:
+            return int(fh.read().strip())
+
+    def _snapshot() -> list:
+        files = []
+        for root, _dirs, names in os.walk(codes_dir):
+            for name in names:
+                files.append(
+                    os.path.relpath(os.path.join(root, name), codes_dir)
+                )
+        return sorted(files)
+
+    def _sweep_orphans(committed: set) -> None:
+        for root, dirs, names in os.walk(codes_dir, topdown=False):
+            for name in names:
+                full = os.path.join(root, name)
+                if os.path.relpath(full, codes_dir) not in committed:
+                    os.remove(full)
+            for d in dirs:
+                full = os.path.join(root, d)
+                if not os.listdir(full):
+                    os.rmdir(full)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        if os.path.exists(wm_path):
-            with open(wm_path) as fh:
-                if batch_id <= int(fh.read().strip()):
-                    return  # replayed batch: already applied
+        wm = _watermark()
+        if batch_id <= wm:
+            if os.path.exists(mf_path):
+                os.remove(mf_path)  # crash landed after the watermark
+            return  # replayed batch: already committed
+        if os.path.exists(mf_path):
+            with open(mf_path) as fh:
+                manifest = json.load(fh)
+            if manifest["batch_id"] > wm:  # crashed mid-append
+                _sweep_orphans(set(manifest["files"]))
+            os.remove(mf_path)
+        tmp = mf_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch_id": batch_id, "files": _snapshot()}, fh)
+        os.replace(tmp, mf_path)
         append_fn(batch_df.sparkSession, index_path, batch_df)
-        with open(wm_path, "w") as fh:
+        tmp = wm_path + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(batch_id))
+        os.replace(tmp, wm_path)
+        os.remove(mf_path)
 
     return _write
 

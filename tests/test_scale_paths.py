@@ -444,15 +444,20 @@ def test_ivfpq_append_planted_neighbor(spark, sf_smoke, tmp_path_factory):
     emb.unionByName(planted).write.parquet(
         str(base / "grown" / "embeddings.parquet")
     )
+    # external query in its OWN id namespace (round-8 advice item: no
+    # self-exclusion on caller-supplied queries, so an id collision
+    # with a corpus vec_id can't silently drop a candidate) — both
+    # distance-zero twins, the original vec 1 and the planted copy,
+    # must come back
     q = emb.filter(F.col("vec_id") == 1).select(
-        F.col("vec_id").alias("query_id"),
+        F.lit(-1).cast("long").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     top = knn_ivfpq_indexed(
-        spark, path, str(base / "grown"), queries_df=q, k=1, nprobe=1
+        spark, path, str(base / "grown"), queries_df=q, k=2, nprobe=1
     ).collect()
-    assert top and top[0].neighbor_id == max_id + 1
-    assert top[0].l2_dist == 0.0 and top[0].rank == 1
+    assert {r.neighbor_id for r in top} == {1, max_id + 1}
+    assert all(r.l2_dist == 0.0 for r in top)
 
 
 def test_streaming_index_ingest_and_replay_idempotence(
@@ -533,12 +538,81 @@ def test_streaming_index_ingest_and_replay_idempotence(
         )
     )
     grown.write.parquet(str(base / "grown" / "embeddings.parquet"))
+    # external-namespace query (no self-exclusion on caller-supplied
+    # queries): the original vec 1 AND its streamed copy both sit at
+    # exact distance zero
     qdf = emb.filter(F.col("vec_id") == 1).select(
-        F.col("vec_id").alias("query_id"),
+        F.lit(-1).cast("long").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qv"),
     )
     top = knn_ivfpq_indexed(
-        spark, path, str(base / "grown"), queries_df=qdf, k=1, nprobe=1
+        spark, path, str(base / "grown"), queries_df=qdf, k=2, nprobe=1
     ).collect()
-    assert top and top[0].neighbor_id == max_id + 2
-    assert top[0].l2_dist == 0.0 and top[0].rank == 1
+    assert {r.neighbor_id for r in top} == {1, max_id + 2}
+    assert all(r.l2_dist == 0.0 for r in top)
+
+
+def test_index_ingest_crash_replay_no_double_append(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Mid-batch crash recovery (round-8 advice item): the ingest
+    writer's inflight manifest makes a batch that appended codes but
+    never reached its watermark write recoverable — the replay sweeps
+    the orphaned files and re-applies the batch exactly once, instead
+    of double-appending.  A stale manifest left by a crash AFTER the
+    watermark write is dropped without touching committed files."""
+    import json
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        index_ingest_batch_writer,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    n0 = emb.count()
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    path = str(tmp_path_factory.mktemp("ivfpq_crash") / "index")
+    build_ivfpq_index(spark, sf_smoke, path, n_cells=N_CELLS)
+
+    batch = emb.filter(F.col("vec_id") == 1).select(
+        (F.col("vec_id") + F.lit(max_id + 1)).cast("long").alias("vec_id"),
+        "embedding",
+    )
+
+    # crash AFTER the append completed, BEFORE the watermark write:
+    # the worst point in the old protocol (replay double-appended)
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_append(session, p, df):
+        append_to_ivfpq_index(session, p, df)
+        raise Boom()
+
+    writer = index_ingest_batch_writer(path, crashing_append)
+    with pytest.raises(Boom):
+        writer(batch, 0)
+    assert os.path.exists(f"{path}/_ingest_inflight")
+    assert not os.path.exists(f"{path}/_ingest_watermark")
+    assert spark.read.parquet(f"{path}/codes").count() == (n0 + 1) * 8
+
+    # replay with the real append path: the orphaned half-append is
+    # swept first, so the final code table holds the batch ONCE
+    writer = index_ingest_batch_writer(path, append_to_ivfpq_index)
+    writer(batch, 0)
+    assert spark.read.parquet(f"{path}/codes").count() == (n0 + 1) * 8
+    assert not os.path.exists(f"{path}/_ingest_inflight")
+    with open(f"{path}/_ingest_watermark") as fh:
+        assert int(fh.read()) == 0
+
+    # stale manifest from a crash between watermark write and manifest
+    # delete: the next (replayed) delivery drops it WITHOUT sweeping —
+    # the batch's files are committed and must survive
+    with open(f"{path}/_ingest_inflight", "w") as fh:
+        json.dump({"batch_id": 0, "files": []}, fh)
+    writer(batch, 0)
+    assert not os.path.exists(f"{path}/_ingest_inflight")
+    assert spark.read.parquet(f"{path}/codes").count() == (n0 + 1) * 8
