@@ -124,6 +124,13 @@ HEADLINE = [
     "length_bucket_plan",
     "dsir_select",
     "nb_quality_score",
+    # late-round-8 registrations that missed the r8 bench window
+    "doremi_mixture",
+    "prototype_prune",
+    # round 9 additions: the iterative-graph tier and the NB
+    # classifier's keep-budget operating card
+    "pagerank_pages",
+    "selection_budget_curve",
 ]
 
 

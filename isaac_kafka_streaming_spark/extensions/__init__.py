@@ -7,9 +7,17 @@ from __future__ import annotations
 
 
 def register() -> dict:
-    from . import dedup, multimodal, packing, sampling, similarity, text
+    from . import (
+        dedup,
+        graph,
+        multimodal,
+        packing,
+        sampling,
+        similarity,
+        text,
+    )
 
     reg: dict = {}
-    for mod in (dedup, multimodal, packing, sampling, similarity, text):
+    for mod in (dedup, graph, multimodal, packing, sampling, similarity, text):
         reg.update(mod.register())
     return reg

@@ -1,0 +1,222 @@
+"""Graph analytics over the event stream: PageRank on the page-
+transition graph.
+
+The reference's event domain (isaac-kafka-streaming's LoggedEvent
+payloads carry question/page ids in the JSON `props`; cf. reference
+LEL.java and the P2/O6 question-page pipelines built from the same
+field) induces a natural directed graph: per user, consecutive events
+are page transitions, and the transition-count-weighted graph is the
+classic "which pages are central in user journeys" structure.  This
+module adds the canonical iterative graph algorithm over it — damped
+PageRank with uniform dangling-mass redistribution (Page et al. 1999,
+the standard formulation) — as a FIXED-ITERATION relational program,
+the same discipline as the kmeans trainer (similarity.kmeans_centroids)
+and the BPE trainer (text.bpe_learn): a bounded number of rounds, each
+round pure DataFrame joins + aggregations, the whole computation
+replayable as unrolled CTEs by the DuckDB oracle.
+
+Scale shape (100 TB): the heavy pass is the EDGE AGGREGATION — one
+window (lag/lead per user, the sessionize shuffle shape) plus one
+(src, dst) groupBy over the event log; everything after operates on
+the |V|-node / |V|^2-bounded-edge aggregates, which for a page catalog
+are dims, not facts.  Each PageRank round is an equi-join of the rank
+vector against the edge list co-partitioned on the node key plus one
+map-side-combinable sum — the Pregel/GraphX message-passing step
+expressed relationally; at page-catalog sizes the rank vector is
+broadcastable and rounds are broadcast joins.  Both frames are
+localCheckpoint-ed (edges once, ranks per round) so the lazy plan
+never accretes across iterations — the connected-components loop's
+discipline (dedup.py large-star/small-star).
+
+Lockstep determinism: every iteration rounds the rank vector to 12 dp
+in BOTH engines before it feeds the next round, so shuffle-order float
+drift (sum order differs between Spark and DuckDB) can never compound
+across iterations; the published result rounds to 6 dp.  Literals
+(0.85 damping, 0.15 teleport) parse to identical doubles in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 5
+_ROUND_ITER = 12  # per-round rank rounding (engine-lockstep)
+_ROUND_OUT = 6  # published rank rounding
+
+
+def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events with the page id parsed from the JSON props payload —
+    the props_k_stats parse (F1/F12), kept LONG for the node key."""
+    return (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .filter(F.col("k").isNotNull())
+    )
+
+
+def page_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weighted directed page-transition graph: per user ordered
+    by (ts, event_id), each consecutive pair of DISTINCT pages is one
+    src -> dst transition; weight = transition count.  One window +
+    one groupBy over the event log — the corpus-sized pass; the
+    output is bounded by |V|^2 (page-catalog-sized, a dim)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = _page_events(spark, sf_dir).select(
+        F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+
+
+def pagerank_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Damped PageRank over the page-transition graph, ``iters`` fixed
+    rounds from a uniform start.  Per round, for every node v:
+
+        pr'(v) = (1-d)/n  +  d * ( Σ_{(u,v) ∈ E} pr(u) * w(u,v)/outw(u)
+                                   + dangling/n )
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges, redistributed uniformly (the standard stochastic-matrix
+    completion).  Output: every node with its 6-dp rank and the dense
+    1..|V| ordering — (page_id, pagerank, rank)."""
+    edges = page_transition_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        _page_events(spark, sf_dir)
+        .select(F.col("k").alias("page_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # |V|: page-catalog-sized, drives only literals
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # out-weight riding on the node frame: dangling test is a null
+    # check instead of a per-round anti-join
+    ranked_nodes = nodes.join(
+        outw, nodes.page_id == outw.src, "left"
+    ).select("page_id", "ow").localCheckpoint()
+
+    pr = ranked_nodes.select(
+        "page_id", "ow", F.round(F.lit(1.0 / n), _ROUND_ITER).alias("pr")
+    )
+    teleport = (1.0 - damping) / n
+    for _ in range(iters):
+        dangling = pr.filter(F.col("ow").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            pr.join(edges, pr.page_id == edges.src)
+            .groupBy(F.col("dst").alias("page_id"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
+        )
+        pr = (
+            ranked_nodes.join(contrib, "page_id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "page_id",
+                "ow",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("c"), F.lit(0.0))
+                        + F.col("dang") / F.lit(float(n))
+                    ),
+                    _ROUND_ITER,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    w_rank = Window.orderBy(F.col("pagerank").desc(), F.col("page_id"))
+    return (
+        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("pagerank"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+    )
+
+
+def _pagerank_oracle_sql(
+    damping: float = PAGERANK_DAMPING, iters: int = PAGERANK_ITERS
+) -> str:
+    """Unrolled-CTE DuckDB replay of pagerank_pages — the kmeans /
+    bpe_learn oracle recipe: one contrib+dangling CTE pair per round,
+    12-dp rounding of the rank vector between rounds, 6-dp publish."""
+    parts = [
+        """ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+), seq AS (
+    SELECT k AS src,
+           LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev
+), e AS (
+    SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM seq WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), outw AS (
+    SELECT src, SUM(w) AS ow FROM e GROUP BY src
+), rn AS (
+    SELECT page_id, ow
+    FROM (SELECT DISTINCT k AS page_id FROM ev)
+    LEFT JOIN outw ON page_id = src
+), nn AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM rn
+), pr0 AS (
+    SELECT page_id, ow, ROUND(1.0 / n, 12) AS pr FROM rn CROSS JOIN nn
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""dang{i} AS (
+    SELECT COALESCE(SUM(pr), 0.0) AS dang FROM pr{i} WHERE ow IS NULL
+), c{i} AS (
+    SELECT e.dst AS page_id, SUM(p.pr * e.w / o.ow) AS c
+    FROM pr{i} p JOIN e ON p.page_id = e.src JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+), pr{i + 1} AS (
+    SELECT rn.page_id, rn.ow,
+           ROUND({1.0 - damping!r} / n + {damping!r} *
+                 (COALESCE(c.c, 0.0) + dang / n), 12) AS pr
+    FROM rn CROSS JOIN nn CROSS JOIN dang{i}
+    LEFT JOIN c{i} c ON c.page_id = rn.page_id
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT page_id, ROUND(pr, 6) AS pagerank,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, page_id)
+            AS BIGINT) AS rank
+FROM pr{iters}
+"""
+
+
+PAGERANK_ORACLE_SQL = _pagerank_oracle_sql()
+
+
+def register() -> dict:
+    from ..queries import QueryDef
+
+    return {
+        "pagerank_pages": QueryDef(
+            pagerank_pages,
+            PAGERANK_ORACLE_SQL,
+            "iterative graph analytics: damped PageRank over the "
+            "page-transition graph, 5 unrolled rounds",
+        ),
+    }

