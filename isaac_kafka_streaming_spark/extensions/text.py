@@ -2336,6 +2336,42 @@ CROSS JOIN pri
 SELECTION_BUDGETS = tuple(range(10, 101, 10))
 
 
+def _budget_thresholds(scored: DataFrame) -> DataFrame:
+    """The 10-row (budget_pct, logit_threshold) frame from ONE exact
+    percentile aggregate over the scored corpus — shared by the graded
+    batch curve and selection_budget_thresholds (the offline artifact
+    the streaming budget counters broadcast)."""
+    probs = ", ".join(
+        f"{(100 - b) / 100.0!r}D" for b in SELECTION_BUDGETS
+    )
+    return (
+        scored.agg(
+            F.expr(f"percentile(nb_logit, array({probs}))").alias("q")
+        )
+        .select(F.posexplode("q").alias("pos", "thr"))
+        .select(
+            ((F.col("pos") + 1) * 10).cast("bigint").alias("budget_pct"),
+            F.round("thr", 6).alias("logit_threshold"),
+        )
+    )
+
+
+def selection_budget_thresholds(
+    spark: SparkSession,
+    sf_dir: str,
+    alpha: float = NB_ALPHA,
+    target_lang: str = NB_TARGET_LANG,
+) -> DataFrame:
+    """The offline threshold artifact for the streaming budget
+    counters: the same 10 exact-percentile logit cut-points the graded
+    batch curve uses, built from a corpus snapshot — the model-file
+    lifecycle of nb_weight_model / bm25_query_index (periodic batch
+    refresh, broadcast to the stream)."""
+    return _budget_thresholds(
+        nb_quality_score(spark, sf_dir, alpha, target_lang)
+    )
+
+
 def selection_budget_curve(
     spark: SparkSession,
     sf_dir: str,
@@ -2366,19 +2402,7 @@ def selection_budget_curve(
     the honest tie-inflation a fixed-threshold deployment actually
     exhibits."""
     scored = nb_quality_score(spark, sf_dir, alpha, target_lang).cache()
-    probs = ", ".join(
-        f"{(100 - b) / 100.0!r}D" for b in SELECTION_BUDGETS
-    )
-    th = (
-        scored.agg(
-            F.expr(f"percentile(nb_logit, array({probs}))").alias("q")
-        )
-        .select(F.posexplode("q").alias("pos", "thr"))
-        .select(
-            ((F.col("pos") + 1) * 10).cast("bigint").alias("budget_pct"),
-            F.round("thr", 6).alias("logit_threshold"),
-        )
-    )
+    th = _budget_thresholds(scored)
     totals = scored.agg(
         F.count(F.when(F.col("target_label"), 1)).alias("np")
     )

@@ -544,3 +544,87 @@ def pack_stream_next_fit(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PAGE_TRANSITION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("src", T.LongType()),
+        T.StructField("dst", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+PAGE_TRANSITION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_k", T.LongType()),
+    ]
+)
+
+
+def page_transition_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming half of the PageRank pipeline (batch twin:
+    extensions.graph.page_transition_edges): a per-user GroupState
+    machine holds the LAST page seen, so consecutive-event transitions
+    pair up across micro-batch boundaries exactly as the batch lag
+    window pairs them — each batch emits its per-(src, dst) transition
+    counts (append mode), the downstream edge store sums them, and
+    PageRank itself is the read-time / periodic recompute over the
+    store (graph.pagerank_from_graph — the two-level split every
+    post-aggregate pass uses; ranking is iterative and belongs in the
+    periodic batch, the stream maintains the graph).
+
+    Within a batch, a user's rows sort by (ts, event_id) — the batch
+    window's exact order; across batches the contract is event-time-
+    ordered arrival per user (the streak/funnel machines' documented
+    micro-batch contract).  Same-page repeats advance the state but
+    emit nothing, matching the batch dst != src filter.
+
+    Input columns: (user_id, ts, event_id, props JSON) — the page id
+    parses from props exactly like the batch side."""
+    import pyspark.sql.functions as F
+
+    def process(
+        key: Tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            _last_ts, _last_eid, last_k = state.get
+        else:
+            _last_ts, _last_eid, last_k = None, None, None
+        rows = sorted(
+            (int(ts.value // 1_000), int(eid), int(k))
+            for pdf in pdfs
+            for ts, eid, k in zip(pdf["ts"], pdf["event_id"], pdf["k"])
+        )
+        counts: dict = {}
+        for ts_us, eid, k in rows:
+            if last_k is not None and k != last_k:
+                counts[(last_k, k)] = counts.get((last_k, k), 0) + 1
+            last_k, _last_ts, _last_eid = k, ts_us, eid
+        if last_k is not None:
+            state.update((_last_ts, _last_eid, last_k))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "src": [s for s, _ in counts],
+                    "dst": [d for _, d in counts],
+                    "n": list(counts.values()),
+                }
+            )
+
+    parsed = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).filter(F.col("k").isNotNull())
+    return parsed.groupBy("user_id").applyInPandasWithState(
+        process,
+        outputStructType=PAGE_TRANSITION_OUTPUT_SCHEMA,
+        stateStructType=PAGE_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1397,3 +1397,99 @@ def streaming_index_ingest(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def streaming_page_catalog(events: DataFrame) -> DataFrame:
+    """The node-set half of the streaming PageRank pipeline: first-seen
+    page ids from the event stream (dropDuplicates state = one row per
+    page, page-catalog-bounded).  Together with the edge store from
+    state.page_transition_state_stream this feeds
+    graph.pagerank_from_stores — the periodic rank recompute."""
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("long").alias("page_id")
+        )
+        .filter(F.col("page_id").isNotNull())
+        .dropDuplicates(["page_id"])
+    )
+
+
+def streaming_budget_counters(
+    docs_stream: DataFrame,
+    weight_model: DataFrame,
+    thresholds: DataFrame,
+    target_lang: str = "en",
+) -> DataFrame:
+    """Streaming half of the selection-budget curve (batch twin:
+    extensions.text.selection_budget_curve): every ARRIVING document
+    is NB-scored against the one-row broadcast model (the
+    streaming_nb_score fold, 6-dp-rounded) and bucketed against the
+    broadcast 10-row threshold artifact
+    (text.selection_budget_thresholds, built offline like
+    nb_weight_model) via the same >= membership join; the update-mode
+    store holds one counter row per budget — docs kept, tokens kept,
+    trusted-label positives kept.  Capture/precision ratios derive at
+    read time (budget_curve_readoff) from this store plus the
+    positives total, the usual two-level split.  With the artifact and
+    the stream drawn from the same corpus the read-off reproduces the
+    graded batch curve exactly (pinned in tests/test_streaming.py)."""
+    from ..extensions.text import _tokens
+
+    base = docs_stream.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("tokens"),
+        (F.col("lang") == target_lang).alias("target_label"),
+    )
+    logit = _nb_logit_col(F.col("tokens"))
+    scored = base.crossJoin(F.broadcast(weight_model)).select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "target_label",
+        logit.alias("nb_logit"),
+    )
+    return (
+        scored.join(
+            F.broadcast(thresholds),
+            scored.nb_logit >= thresholds.logit_threshold,
+        )
+        .groupBy("budget_pct", "logit_threshold")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
+            F.count(F.when(F.col("target_label"), 1)).alias("n_pos_kept"),
+        )
+    )
+
+
+def streaming_label_totals(
+    docs_stream: DataFrame, target_lang: str = "en"
+) -> DataFrame:
+    """The 1-row trusted-label total the budget read-off denominates
+    capture by — a global update-mode count over the same stream."""
+    return docs_stream.agg(
+        F.count(
+            F.when(F.col("lang") == target_lang, 1)
+        ).alias("np")
+    )
+
+
+def budget_curve_readoff(
+    counters_store: DataFrame, totals_store: DataFrame
+) -> DataFrame:
+    """Read-time ratios over the streamed budget stores — identical
+    expressions to the batch curve's final projection, so store +
+    read-off == selection_budget_curve exactly."""
+    return counters_store.crossJoin(F.broadcast(totals_store)).select(
+        "budget_pct",
+        "logit_threshold",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.round(
+            F.col("n_pos_kept")
+            / F.nullif(F.col("np"), F.lit(0)).cast("double"),
+            6,
+        ).alias("pos_capture"),
+        F.round(
+            F.col("n_pos_kept") / F.col("n_docs_kept").cast("double"), 6
+        ).alias("keep_precision"),
+    )

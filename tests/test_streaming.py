@@ -1732,3 +1732,128 @@ def test_streaming_scorers_honor_nondefault_model_params(
         ).collect()
     }
     assert got_nb == want_nb and got_nb
+
+
+def test_streaming_pagerank_pipeline_parity(spark, sf_smoke, tmp_path_factory):
+    """The streaming PageRank pipeline — per-user GroupState transition
+    machine + first-seen page catalog + read-time rank recompute —
+    reproduces BOTH halves of the graded batch entry exactly: the edge
+    store equals page_transition_edges and pagerank_from_stores equals
+    pagerank_pages bit-for-bit (6-dp ranks, dense ordering)."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        page_transition_edges,
+        pagerank_from_stores,
+        pagerank_pages,
+    )
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_state_stream,
+    )
+
+    # two time-ordered micro-batches (split at the ts median, so every
+    # user's earlier events arrive in the earlier batch — the state
+    # machine's documented event-time-ordered arrival contract)
+    base = tmp_path_factory.mktemp("pr_stream")
+    ev = read_table(spark, sf_smoke, "events")
+    mid = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    mid_ts = F.timestamp_micros(F.lit(int(mid)))
+    flat = base / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= mid_ts), ev.filter(F.col("ts") > mid_ts)]
+    ):
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = st.stream_events(spark, str(flat), max_files_per_trigger=1)
+    transitions = st.run_to_memory(
+        page_transition_state_stream(stream), "pr_transitions",
+        output_mode="append",
+    )
+    edges_store = transitions.groupBy("src", "dst").agg(
+        F.sum("n").alias("n")
+    )
+    want_edges = page_transition_edges(spark, sf_smoke)
+    assert _rows(edges_store, "src", "dst", "n") == {
+        (r.src, r.dst, int(r.w)) for r in want_edges.collect()
+    }
+
+    stream2 = st.stream_events(spark, str(flat), max_files_per_trigger=1)
+    catalog = st.run_to_memory(
+        st.streaming_page_catalog(stream2), "pr_catalog",
+        output_mode="append",
+    )
+    got_pr = pagerank_from_stores(catalog, edges_store)
+    want_pr = pagerank_pages(spark, sf_smoke)
+    assert _rows(got_pr, "page_id", "pagerank", "rank") == _rows(
+        want_pr, "page_id", "pagerank", "rank"
+    )
+
+
+def test_streaming_budget_counters_parity(spark, sf_smoke, tmp_path_factory):
+    """Streamed budget counters + read-time ratios reproduce the graded
+    batch selection_budget_curve exactly when the broadcast threshold
+    artifact and the stream cover the same corpus — the two-level
+    split's full-circle check for the selection sweep."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.text import (
+        nb_weight_model,
+        selection_budget_curve,
+        selection_budget_thresholds,
+    )
+    base = tmp_path_factory.mktemp("budget_stream")
+    docs = read_table(spark, sf_smoke, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    flat = base / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= mid), docs.filter(F.col("doc_id") > mid)]
+    ):
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    wm = nb_weight_model(spark, sf_smoke)
+    th = selection_budget_thresholds(spark, sf_smoke)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    counters = st.run_to_memory(
+        st.streaming_budget_counters(stream, wm, th),
+        "budget_counters",
+        output_mode="complete",
+    )
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    totals = st.run_to_memory(
+        st.streaming_label_totals(stream2), "budget_totals",
+        output_mode="complete",
+    )
+    got = st.budget_curve_readoff(counters, totals)
+    want = selection_budget_curve(spark, sf_smoke)
+    cols = (
+        "budget_pct", "logit_threshold", "n_docs_kept", "n_tokens_kept",
+        "pos_capture", "keep_precision",
+    )
+    assert _rows(got, *cols) == _rows(want, *cols)
