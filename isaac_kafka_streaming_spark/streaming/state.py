@@ -563,27 +563,11 @@ PAGE_TRANSITION_STATE_SCHEMA = T.StructType(
 )
 
 
-def page_transition_state_stream(events: DataFrame) -> DataFrame:
-    """Streaming half of the PageRank pipeline (batch twin:
-    extensions.graph.page_transition_edges): a per-user GroupState
-    machine holds the LAST page seen, so consecutive-event transitions
-    pair up across micro-batch boundaries exactly as the batch lag
-    window pairs them — each batch emits its per-(src, dst) transition
-    counts (append mode), the downstream edge store sums them, and
-    PageRank itself is the read-time / periodic recompute over the
-    store (graph.pagerank_from_graph — the two-level split every
-    post-aggregate pass uses; ranking is iterative and belongs in the
-    periodic batch, the stream maintains the graph).
-
-    Within a batch, a user's rows sort by (ts, event_id) — the batch
-    window's exact order; across batches the contract is event-time-
-    ordered arrival per user (the streak/funnel machines' documented
-    micro-batch contract).  Same-page repeats advance the state but
-    emit nothing, matching the batch dst != src filter.
-
-    Input columns: (user_id, ts, event_id, props JSON) — the page id
-    parses from props exactly like the batch side."""
-    import pyspark.sql.functions as F
+def page_transition_process():
+    """The page-transition state-transition function, exposed at module
+    level so tests can drive it directly (hypothesis batch-split
+    invariance, the funnel_process pattern) and executors can pickle it
+    without capturing a DataFrame."""
 
     def process(
         key: Tuple,
@@ -615,6 +599,31 @@ def page_transition_state_stream(events: DataFrame) -> DataFrame:
                 }
             )
 
+    return process
+
+
+def page_transition_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming half of the PageRank pipeline (batch twin:
+    extensions.graph.page_transition_edges): a per-user GroupState
+    machine holds the LAST page seen, so consecutive-event transitions
+    pair up across micro-batch boundaries exactly as the batch lag
+    window pairs them — each batch emits its per-(src, dst) transition
+    counts (append mode), the downstream edge store sums them, and
+    PageRank itself is the read-time / periodic recompute over the
+    store (graph.pagerank_from_graph — the two-level split every
+    post-aggregate pass uses; ranking is iterative and belongs in the
+    periodic batch, the stream maintains the graph).
+
+    Within a batch, a user's rows sort by (ts, event_id) — the batch
+    window's exact order; across batches the contract is event-time-
+    ordered arrival per user (the streak/funnel machines' documented
+    micro-batch contract).  Same-page repeats advance the state but
+    emit nothing, matching the batch dst != src filter.
+
+    Input columns: (user_id, ts, event_id, props JSON) — the page id
+    parses from props exactly like the batch side."""
+    import pyspark.sql.functions as F
+
     parsed = events.select(
         "user_id",
         "ts",
@@ -622,7 +631,7 @@ def page_transition_state_stream(events: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k").cast("long").alias("k"),
     ).filter(F.col("k").isNotNull())
     return parsed.groupBy("user_id").applyInPandasWithState(
-        process,
+        page_transition_process(),
         outputStructType=PAGE_TRANSITION_OUTPUT_SCHEMA,
         stateStructType=PAGE_TRANSITION_STATE_SCHEMA,
         outputMode="append",

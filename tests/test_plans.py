@@ -474,3 +474,30 @@ def test_dsir_takeordered_broadcast_model_two_scans(spark, sf_smoke):
         if "documents.parquet" in l and "Location" in l
     ]
     assert len(scans) == 2, f"documents scanned {len(scans)}x"
+
+
+def test_budget_curve_no_global_sort_broadcast_thresholds(spark, sf_smoke):
+    """selection_budget_curve's design claim: membership via a
+    broadcast 10-row threshold join, NOT a corpus-wide NTILE/global
+    sort (the anti-pattern at 100 TB).  No rangepartitioning anywhere;
+    the non-equi threshold join is a BroadcastNestedLoopJoin; no
+    Python eval nodes."""
+    plan = _executed_plan(spark, "selection_budget_curve", sf_smoke)
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_pagerank_edge_pass_shapes(spark, sf_smoke):
+    """pagerank_pages: the rank iteration runs over localCheckpoint-ed
+    page-catalog-sized frames (they surface as in-memory scans, so the
+    final plan holds NO corpus re-scan of events), the per-round
+    contribution join is an equi-join (SortMergeJoin/Hash, never
+    cartesian on the edge side), and no Python eval nodes appear."""
+    plan = _executed_plan(spark, "pagerank_pages", sf_smoke)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the iteration consumes checkpointed RDD scans, not fresh
+    # events.parquet scans — the corpus pass ran exactly once, before
+    # the checkpoint
+    assert "events.parquet" not in plan

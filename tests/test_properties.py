@@ -537,3 +537,61 @@ def test_ffd_pack_laws(sizes, ctx):
     if tokens:
         lo = math.ceil(tokens / ctx)
         assert lo <= len(normal_bins) <= max(2 * lo, 1)
+
+
+transition_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),  # page id (small: repeats)
+        st.integers(min_value=0, max_value=10**6),  # ts offset seconds
+    ),
+    max_size=40,
+)
+
+
+@given(transition_events_strategy, st.lists(st.integers(0, 39), max_size=4))
+@_settings
+def test_page_transition_machine_is_batch_split_invariant(events, cut_points):
+    """Cross-batch exactness of the page-transition state machine: ANY
+    in-order split of ANY page-visit sequence through process() yields
+    exactly the batch lag-window edge counts — consecutive DISTINCT
+    pages paired once each, same-page repeats silent, pairs spanning
+    batch boundaries counted via the carried last-page state."""
+    import pandas as pd
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_process,
+    )
+
+    # event_id breaks ts ties, exactly like the batch window's order
+    timed = sorted(
+        (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off), i, k)
+        for i, (k, off) in enumerate(events)
+    )
+    cuts = sorted({c for c in cut_points if c < len(timed)})
+    batches, prev = [], 0
+    for c in cuts + [len(timed)]:
+        if c > prev:
+            batches.append(timed[prev:c])
+            prev = c
+
+    state = _FakeGroupState()
+    process = page_transition_process()
+    got: dict = {}
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": [pd.Timestamp(ts) for ts, _, _ in batch],
+                "event_id": [eid for _, eid, _ in batch],
+                "k": [k for _, _, k in batch],
+            }
+        )
+        for out in process((7,), iter([pdf]), state):
+            for s, d, n in zip(out["src"], out["dst"], out["n"]):
+                got[(int(s), int(d))] = got.get((int(s), int(d)), 0) + int(n)
+
+    want: dict = {}
+    seq = [k for _, _, k in timed]
+    for a, b in zip(seq, seq[1:]):
+        if a != b:
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want

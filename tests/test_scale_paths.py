@@ -616,3 +616,23 @@ def test_index_ingest_crash_replay_no_double_append(
     writer(batch, 0)
     assert not os.path.exists(f"{path}/_ingest_inflight")
     assert spark.read.parquet(f"{path}/codes").count() == (n0 + 1) * 8
+
+    # PARTIAL append (crash mid-write): a half-written orphan file —
+    # even in a brand-new cell partition directory — is swept before
+    # the retry, so garbage can never poison the code table
+    batch2 = emb.filter(F.col("vec_id") == 2).select(
+        (F.col("vec_id") + F.lit(max_id + 1)).cast("long").alias("vec_id"),
+        "embedding",
+    )
+    def partial_append(session, p, df):
+        os.makedirs(f"{p}/codes/cell_id=999", exist_ok=True)
+        with open(f"{p}/codes/cell_id=999/part-orphan.parquet", "wb") as fh:
+            fh.write(b"\x00garbage")  # torn write, not valid parquet
+        raise Boom()
+
+    with pytest.raises(Boom):
+        index_ingest_batch_writer(path, partial_append)(batch2, 1)
+    assert os.path.exists(f"{path}/codes/cell_id=999/part-orphan.parquet")
+    writer(batch2, 1)
+    assert not os.path.exists(f"{path}/codes/cell_id=999")
+    assert spark.read.parquet(f"{path}/codes").count() == (n0 + 2) * 8
