@@ -320,6 +320,19 @@ PICKS = {
         "aggregates; the corpus token count is a 1-row broadcast "
         "scalar; top-k is TakeOrdered on the ROUNDED pmi."
     ),
+    "pagerank_pages": (
+        "Iterative graph tier: ONE corpus pass (per-user lag window + "
+        "edge groupBy) before the checkpoint; five contribution "
+        "rounds over page-catalog-bounded checkpointed frames — "
+        "equi-joins on the node key + 1-row broadcast dangling "
+        "scalars; no events re-scan in the final plan."
+    ),
+    "selection_budget_curve": (
+        "Keep-budget sweep WITHOUT a global sort: thresholds from one "
+        "exact percentile aggregate, membership via a broadcast "
+        "10-row non-equi join, one partial-aggregable rollup; no "
+        "rangepartitioning anywhere."
+    ),
 }
 
 
