@@ -130,6 +130,7 @@ HEADLINE = [
     # round 9 additions: the iterative-graph tier and the NB
     # classifier's keep-budget operating card
     "pagerank_pages",
+    "pagerank_personalized",
     "selection_budget_curve",
 ]
 

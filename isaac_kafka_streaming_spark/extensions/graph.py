@@ -232,6 +232,12 @@ def register() -> dict:
             "iterative graph analytics: damped PageRank over the "
             "page-transition graph, 5 unrolled rounds",
         ),
+        "pagerank_personalized": QueryDef(
+            pagerank_personalized,
+            PPR_ORACLE_SQL,
+            "seed-biased PageRank from the purchase-page slice: "
+            "graph-side relevance expansion, 5 unrolled rounds",
+        ),
     }
 
 
@@ -257,3 +263,190 @@ def pagerank_from_stores(
         damping,
         iters,
     )
+
+
+PPR_N_SEEDS = 10
+
+
+def _purchase_seeds(
+    spark: SparkSession, sf_dir: str, n_seeds: int = PPR_N_SEEDS
+) -> DataFrame:
+    """The seed set for personalized PageRank: the ``n_seeds`` pages
+    with the most purchase events (count DESC, page_id tie-break) —
+    the conversion-densest slice a relevance expansion starts from.
+    A fixed-size top-k stays selective at EVERY data scale, unlike a
+    value threshold the growing event log would saturate."""
+    counted = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.col("k").alias("page_id"))
+        .agg(F.count("*").alias("n_purch"))
+    )
+    w = Window.orderBy(F.col("n_purch").desc(), F.col("page_id"))
+    return (
+        counted.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_seeds)
+        .select("page_id")
+    )
+
+
+def pagerank_personalized(
+    spark: SparkSession,
+    sf_dir: str,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Personalized PageRank from the top-10 purchase-page seed set —
+    the seed-biased variant selection pipelines use for relevance
+    EXPANSION (start from a trusted/target slice, diffuse relevance
+    over the interaction graph, harvest the high-mass neighborhood;
+    the graph-side analogue of what DSIR/NB do with token
+    distributions).  Identical iteration to pagerank_pages except the
+    teleport distribution: instead of uniform 1/n, restarts (and
+    dangling mass) land uniformly on the |S| seed pages —
+
+        pr'(v) = [v ∈ S] · ( (1-d)/|S| + d·dangling/|S| )
+                 + d · Σ_{(u,v) ∈ E} pr(u) · w(u,v)/outw(u)
+
+    so rank mass measures proximity to the seed slice; pages
+    unreachable from any seed stay at exactly 0.  Same scale shape,
+    lockstep rounding, and unrolled-CTE oracle as the uniform tier.
+    Output: (page_id, ppr, rank) over the full catalog."""
+    edges = page_transition_edges(spark, sf_dir).localCheckpoint()
+    seeds = _purchase_seeds(spark, sf_dir)
+    nodes = _page_events(spark, sf_dir).select(
+        F.col("k").alias("page_id")
+    ).distinct()
+    s = seeds.count()  # |S|: seed-slice-sized, drives only literals
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ranked_nodes = (
+        nodes.join(outw, nodes.page_id == outw.src, "left")
+        .join(
+            seeds.withColumn("is_seed", F.lit(True)), "page_id", "left"
+        )
+        .select(
+            "page_id",
+            "ow",
+            F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+        )
+        .localCheckpoint()
+    )
+
+    pr = ranked_nodes.select(
+        "page_id",
+        "ow",
+        "is_seed",
+        F.when(
+            F.col("is_seed"), F.round(F.lit(1.0 / s), _ROUND_ITER)
+        ).otherwise(F.lit(0.0)).alias("pr"),
+    )
+    for _ in range(iters):
+        dangling = pr.filter(F.col("ow").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
+        )
+        contrib = (
+            pr.join(edges, pr.page_id == edges.src)
+            .groupBy(F.col("dst").alias("page_id"))
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
+        )
+        seed_term = F.lit((1.0 - damping) / s) + F.lit(damping) * (
+            F.col("dang") / F.lit(float(s))
+        )
+        pr = (
+            ranked_nodes.join(contrib, "page_id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "page_id",
+                "ow",
+                "is_seed",
+                F.round(
+                    F.when(F.col("is_seed"), seed_term).otherwise(
+                        F.lit(0.0)
+                    )
+                    + F.lit(damping)
+                    * F.coalesce(F.col("c"), F.lit(0.0)),
+                    _ROUND_ITER,
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    w_rank = Window.orderBy(F.col("ppr").desc(), F.col("page_id"))
+    return (
+        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("ppr"))
+        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+    )
+
+
+def _ppr_oracle_sql(
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+    n_seeds: int = PPR_N_SEEDS,
+) -> str:
+    """Unrolled-CTE DuckDB replay of pagerank_personalized — the
+    uniform tier's skeleton plus the top-k seed CTE and |S| literal."""
+    parts = [
+        f"""ev AS (
+    SELECT user_id, ts, event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+), seq AS (
+    SELECT k AS src,
+           LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev
+), e AS (
+    SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM seq WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), outw AS (
+    SELECT src, SUM(w) AS ow FROM e GROUP BY src
+), seeds AS (
+    SELECT page_id FROM (
+        SELECT k AS page_id, COUNT(*) AS n_purch
+        FROM ev WHERE event_type = 'purchase' GROUP BY k
+    ) QUALIFY ROW_NUMBER() OVER (
+        ORDER BY n_purch DESC, page_id
+    ) <= {n_seeds}
+), rn AS (
+    SELECT n.page_id, o.ow, s.page_id IS NOT NULL AS is_seed
+    FROM (SELECT DISTINCT k AS page_id FROM ev) n
+    LEFT JOIN outw o ON n.page_id = o.src
+    LEFT JOIN seeds s ON n.page_id = s.page_id
+), ss AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS s FROM seeds
+), pr0 AS (
+    SELECT page_id, ow, is_seed,
+           CASE WHEN is_seed THEN ROUND(1.0 / s, 12) ELSE 0.0 END AS pr
+    FROM rn CROSS JOIN ss
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""dang{i} AS (
+    SELECT COALESCE(SUM(pr), 0.0) AS dang FROM pr{i} WHERE ow IS NULL
+), c{i} AS (
+    SELECT e.dst AS page_id, SUM(p.pr * e.w / o.ow) AS c
+    FROM pr{i} p JOIN e ON p.page_id = e.src JOIN outw o ON o.src = e.src
+    GROUP BY e.dst
+), pr{i + 1} AS (
+    SELECT rn.page_id, rn.ow, rn.is_seed,
+           ROUND(CASE WHEN rn.is_seed
+                      THEN {1.0 - damping!r} / s
+                           + {damping!r} * (dang / s)
+                      ELSE 0.0 END
+                 + {damping!r} * COALESCE(c.c, 0.0), 12) AS pr
+    FROM rn CROSS JOIN ss CROSS JOIN dang{i}
+    LEFT JOIN c{i} c ON c.page_id = rn.page_id
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT page_id, ROUND(pr, 6) AS ppr,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(pr, 6) DESC, page_id)
+            AS BIGINT) AS rank
+FROM pr{iters}
+"""
+
+
+PPR_ORACLE_SQL = _ppr_oracle_sql()

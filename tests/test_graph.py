@@ -99,3 +99,29 @@ def test_selection_budget_curve_operating_laws(spark, sf_smoke):
     # thresholds decrease as the budget loosens
     th = [r.logit_threshold for r in rows]
     assert th == sorted(th, reverse=True)
+
+
+def test_personalized_pagerank_seed_bias_laws(spark, sf_smoke):
+    """PPR's defining laws vs the uniform tier: rank mass still sums
+    to ~1, every seed page holds at least the teleport floor
+    (1-d)/|S| (restarts land only on seeds), and total seed-set mass
+    strictly exceeds the uniform tier's mass on the same pages (the
+    bias the variant exists to buy)."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        PAGERANK_DAMPING,
+        PPR_N_SEEDS,
+        _purchase_seeds,
+        pagerank_pages,
+        pagerank_personalized,
+    )
+
+    seeds = {r.page_id for r in _purchase_seeds(spark, sf_smoke).collect()}
+    assert len(seeds) == PPR_N_SEEDS
+    ppr = {r.page_id: r.ppr for r in pagerank_personalized(spark, sf_smoke).collect()}
+    uni = {r.page_id: r.pagerank for r in pagerank_pages(spark, sf_smoke).collect()}
+    assert set(ppr) == set(uni)
+    total = sum(ppr.values())
+    assert abs(total - 1.0) < 1e-4, f"rank mass drifted: {total}"
+    floor = (1.0 - PAGERANK_DAMPING) / len(seeds) - 1e-6
+    assert all(ppr[s] >= floor for s in seeds)
+    assert sum(ppr[s] for s in seeds) > sum(uni[s] for s in seeds)

@@ -61,6 +61,7 @@ CARTESIAN_OK = {
     "dsir_select",  # broadcast 1-row (tt, tr) totals scalar
     "doremi_mixture",  # broadcast 1-row (n_ref, v) + totals scalars
     "pagerank_pages",  # broadcast 1-row dangling-mass scalar per round
+    "pagerank_personalized",  # same 1-row dangling scalar per round
     "selection_budget_curve",  # broadcast 10-row threshold frame
     #   (non-equi >= join) + 1-row positives-total scalar
 }
