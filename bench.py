@@ -131,6 +131,7 @@ HEADLINE = [
     # classifier's keep-budget operating card
     "pagerank_pages",
     "pagerank_personalized",
+    "label_propagation",
     "selection_budget_curve",
 ]
 

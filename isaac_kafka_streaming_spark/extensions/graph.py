@@ -238,6 +238,12 @@ def register() -> dict:
             "seed-biased PageRank from the purchase-page slice: "
             "graph-side relevance expansion, 5 unrolled rounds",
         ),
+        "label_propagation": QueryDef(
+            label_propagation_pages,
+            LP_ORACLE_SQL,
+            "deterministic synchronous label propagation: community "
+            "detection over the page graph, 4 unrolled rounds",
+        ),
     }
 
 
@@ -450,3 +456,141 @@ FROM pr{iters}
 
 
 PPR_ORACLE_SQL = _ppr_oracle_sql()
+
+
+LP_ITERS = 4
+
+
+def label_propagation_pages(
+    spark: SparkSession, sf_dir: str, iters: int = LP_ITERS
+) -> DataFrame:
+    """Community detection over the page-transition graph: SYNCHRONOUS
+    label propagation (Raghavan et al. 2007), made fully deterministic
+    — each node starts labeled with its own id; each round every node
+    adopts the label carrying the maximum total incident edge weight
+    among its neighbors (undirected view: w(u,v) + w(v,u)), ties
+    broken by the SMALLEST label; isolated nodes keep their label.
+    ``iters`` fixed synchronous rounds — the third member of the graph
+    family (CC finds exact components, PageRank ranks within them,
+    LP finds the soft community structure curation pipelines use for
+    topic/domain discovery).
+
+    Relational shape per round: neighbor-label weight = one equi-join
+    of the label vector against the undirected edge list + one
+    (node, label) sum + one per-node argmax window — all over
+    page-catalog-bounded frames, `localCheckpoint` per round (the
+    PageRank discipline).  No floats anywhere (weights are integral),
+    so Spark and the unrolled-CTE DuckDB oracle agree bit-for-bit with
+    no rounding at all.  Output: (page_id, community, community_size),
+    community = the surviving label."""
+    edges = page_transition_edges(spark, sf_dir)
+    und = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        _page_events(spark, sf_dir)
+        .select(F.col("k").alias("page_id"))
+        .distinct()
+        .localCheckpoint()
+    )
+    lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
+    w_best = Window.partitionBy("page_id").orderBy(
+        F.col("s").desc(), F.col("nlbl")
+    )
+    for _ in range(iters):
+        votes = (
+            lbl.join(und, lbl.page_id == und.src)
+            .groupBy(F.col("dst").alias("page_id"), F.col("lbl").alias("nlbl"))
+            .agg(F.sum("w").alias("s"))
+        )
+        best = (
+            votes.withColumn("__r", F.row_number().over(w_best))
+            .filter(F.col("__r") == 1)
+            .select("page_id", F.col("nlbl").alias("best_lbl"))
+        )
+        lbl = (
+            nodes.join(lbl, "page_id")
+            .join(best, "page_id", "left")
+            .select(
+                "page_id",
+                F.coalesce(F.col("best_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    sizes = lbl.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("community_size")
+    )
+    return (
+        lbl.select("page_id", F.col("lbl").alias("community"))
+        .join(sizes, "community")
+        .select("page_id", "community", "community_size")
+    )
+
+
+def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
+    """Unrolled-CTE DuckDB replay of label_propagation_pages — one
+    votes+argmax CTE pair per synchronous round; integer weights, so
+    no rounding is needed anywhere."""
+    parts = [
+        """ev AS (
+    SELECT user_id, ts, event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+), seq AS (
+    SELECT k AS src,
+           LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev
+), e AS (
+    SELECT src, dst, COUNT(*) AS w
+    FROM seq WHERE dst IS NOT NULL AND dst <> src GROUP BY 1, 2
+), und AS (
+    SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+        SELECT src, dst, w FROM e
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e
+    ) GROUP BY src, dst
+), nodes AS (
+    SELECT DISTINCT k AS page_id FROM ev
+), lbl0 AS (
+    SELECT page_id, page_id AS lbl FROM nodes
+)"""
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""votes{i} AS (
+    SELECT und.dst AS page_id, l.lbl AS nlbl, SUM(und.w) AS s
+    FROM lbl{i} l JOIN und ON l.page_id = und.src
+    GROUP BY und.dst, l.lbl
+), best{i} AS (
+    SELECT page_id, nlbl AS best_lbl FROM votes{i}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY page_id ORDER BY s DESC, nlbl
+    ) = 1
+), lbl{i + 1} AS (
+    SELECT n.page_id, COALESCE(b.best_lbl, l.lbl) AS lbl
+    FROM nodes n
+    JOIN lbl{i} l ON n.page_id = l.page_id
+    LEFT JOIN best{i} b ON n.page_id = b.page_id
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT l.page_id, l.lbl AS community,
+       CAST(COUNT(*) OVER (PARTITION BY l.lbl) AS BIGINT)
+           AS community_size
+FROM lbl{iters} l
+"""
+
+
+LP_ORACLE_SQL = _lp_oracle_sql()

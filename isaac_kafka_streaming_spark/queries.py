@@ -3181,34 +3181,35 @@ REGISTRY: dict[str, QueryDef] = {
 # always assumed.
 #
 # Round-9 window tiers (plan_window.py output, history through r08;
-# 134 live entries after the three mid-round-9 registrations:
-# pagerank_pages — the iterative graph tier, unrolled like kmeans —
-# pagerank_personalized — its seed-biased relevance-expansion sibling
-# — and selection_budget_curve, the NB classifier's keep-budget
+# 135 live entries after the four mid-round-9 registrations: the
+# graph family (pagerank_pages — the iterative tier, unrolled like
+# kmeans — pagerank_personalized, its seed-biased relevance-expansion
+# sibling, and label_propagation, deterministic community detection)
+# plus selection_budget_curve, the NB classifier's keep-budget
 # operating card).  The round-8 window is fully green in
 # CORRECTNESS_r08.json (50/50 hash-checked), so the live freshness
 # distribution entering round 9 is {r08: 50, r07: 49, r06: 32} plus
 # the two never-checked newcomers.
-#   T0: the 3 mid-round registrations, no driver row yet
+#   T0: the 4 mid-round registrations, no driver row yet
 #       (must-check); each takes the slot of a T2-fill entry
-#       (tpch_q8, tpch_q9, user_activity_coverage — all r07-green,
-#       they front the round-10 window; the round-7/8 mid-round swap
-#       discipline).
+#       (tpch_q8, tpch_q9, user_activity_coverage, orders_with_returns
+#       — all r07-green, they front the round-10 window; the
+#       round-7/8 mid-round swap discipline).
 #   T1: the 32 entries whose last green row is r06 — they fall out of
 #       the K=3 freshness span unless re-checked in round 9
 #       (invariant-REQUIRED; plan_window fronts them).
-#   T2: 15 of the 49 entries last green in r07 (fill; they expire
+#   T2: 14 of the 49 entries last green in r07 (fill; they expire
 #       after round 10 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~30/round instead of
 #       bunching into a 49-wide wave with zero slack).  The remaining
-#       34 r07-green entries front the round-10 window.
-# The 84 parked entries are all green in r07 or r08, inside the K=3
+#       35 r07-green entries front the round-10 window.
+# The 85 parked entries are all green in r07 or r08, inside the K=3
 # freshness span through round 9.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
-# 150 registry entries under perfect disjoint rotation.  At 134 live
-# entries (89% of ceiling; steady-state ~34 must-checks per round,
-# ~16 slack slots) — prefer DEEPENING existing entries (stronger
+# 150 registry entries under perfect disjoint rotation.  At 135 live
+# entries (90% of ceiling; steady-state ~34 must-checks per round,
+# ~16 slack slots) — registration STOPS here for round 9 — prefer DEEPENING existing entries (stronger
 # oracles, streaming twins, property tests) over net-new
 # registrations, and retire-or-merge before exceeding ~140.  Any
 # future registration must first pass
@@ -3217,18 +3218,19 @@ REGISTRY: dict[str, QueryDef] = {
 #
 # ROTATION FORECAST (the feasibility guard simulates this
 # mechanically — tests/test_staged_registry.py rolls plan_window.py's
-# tier-aware fill three rounds forward every run): at 134 entries the
-# per-round must-check load settles at ~34/50/34-ish thirds with ~16
+# tier-aware fill three rounds forward every run): at 135 entries the
+# per-round must-check load settles at ~35/50/35-ish thirds with ~15
 # slack slots.  The fill DISCIPLINE matters: always take the T2
 # (expires-next) tier before any fresh entries — a naive fill that
 # rechecks fresh entries lets the expiring cohorts bunch into a
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (3)
+    # T0 — no green row yet (must-check) (4)
     "pagerank_pages",
     "selection_budget_curve",
     "pagerank_personalized",
+    "label_propagation",
     # T1 — last green <= r6 (invariant requires) (32)
     "tpch_q18",
     "session_transcripts",
@@ -3262,7 +3264,7 @@ _DRIVER_CHECK_ORDER = [
     "repetition_metrics",
     "pii_scrub",
     "lang_source_rollup",
-    # T2 — last green r7 (expires after next round) (15 of 49)
+    # T2 — last green r7 (expires after next round) (14 of 49)
     "user_streaks",
     "sliding_weekly_counts",
     "user_notifications",
@@ -3277,7 +3279,6 @@ _DRIVER_CHECK_ORDER = [
     "tpch_q3",
     "customers_without_big_orders",
     "tpch_q5",
-    "orders_with_returns",
 ]
 
 

@@ -125,3 +125,47 @@ def test_personalized_pagerank_seed_bias_laws(spark, sf_smoke):
     floor = (1.0 - PAGERANK_DAMPING) / len(seeds) - 1e-6
     assert all(ppr[s] >= floor for s in seeds)
     assert sum(ppr[s] for s in seeds) > sum(uni[s] for s in seeds)
+
+
+def test_label_propagation_matches_independent_python_replay(spark, sf_smoke):
+    """The synchronous-LP spec — undirected summed weights, argmax
+    with min-label tie-break, isolated nodes frozen — replayed in
+    plain Python over the collected edge list reproduces every final
+    label and community size exactly (integer weights: no float
+    tolerance anywhere)."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        LP_ITERS,
+        label_propagation_pages,
+        page_transition_edges,
+    )
+
+    got = {
+        r.page_id: (r.community, r.community_size)
+        for r in label_propagation_pages(spark, sf_smoke).collect()
+    }
+    nodes = sorted(got)
+    und: dict = {}
+    for r in page_transition_edges(spark, sf_smoke).collect():
+        und[(r.src, r.dst)] = und.get((r.src, r.dst), 0) + int(r.w)
+        und[(r.dst, r.src)] = und.get((r.dst, r.src), 0) + int(r.w)
+    lbl = {v: v for v in nodes}
+    for _ in range(LP_ITERS):
+        votes: dict = {}
+        for (u, v), w in und.items():
+            key = (v, lbl[u])
+            votes[key] = votes.get(key, 0) + w
+        new = {}
+        for v in nodes:
+            cand = [
+                (-s, nl) for (vv, nl), s in votes.items() if vv == v
+            ]
+            new[v] = min(cand)[1] if cand else lbl[v]
+        lbl = new
+    sizes: dict = {}
+    for v in nodes:
+        sizes[lbl[v]] = sizes.get(lbl[v], 0) + 1
+    assert {v: got[v][0] for v in nodes} == lbl
+    assert {v: got[v][1] for v in nodes} == {v: sizes[lbl[v]] for v in nodes}
+    # labels are node ids; at least one nontrivial community formed
+    assert set(lbl.values()) <= set(nodes)
+    assert max(sizes.values()) >= 2

@@ -494,10 +494,11 @@ def test_pagerank_edge_pass_shapes(spark, sf_smoke):
     final plan holds NO corpus re-scan of events), the per-round
     contribution join is an equi-join (SortMergeJoin/Hash, never
     cartesian on the edge side), and no Python eval nodes appear."""
-    plan = _executed_plan(spark, "pagerank_pages", sf_smoke)
-    assert "EvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    # the iteration consumes checkpointed RDD scans, not fresh
-    # events.parquet scans — the corpus pass ran exactly once, before
-    # the checkpoint
-    assert "events.parquet" not in plan
+    for name in ("pagerank_pages", "pagerank_personalized"):
+        plan = _executed_plan(spark, name, sf_smoke)
+        assert "EvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the iteration consumes checkpointed RDD scans, not fresh
+        # events.parquet scans — the corpus pass ran exactly once,
+        # before the checkpoint
+        assert "events.parquet" not in plan, name
