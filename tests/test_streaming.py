@@ -1798,6 +1798,32 @@ def test_streaming_pagerank_pipeline_parity(spark, sf_smoke, tmp_path_factory):
         want_pr, "page_id", "pagerank", "rank"
     )
 
+    # the other two family members recompute from the SAME stores:
+    # personalized PageRank additionally needs the streamed
+    # purchase-count store for its seed top-k, LP needs nothing new
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        label_propagation_pages,
+        lp_from_stores,
+        pagerank_personalized,
+        ppr_from_stores,
+    )
+
+    stream3 = st.stream_events(spark, str(flat), max_files_per_trigger=1)
+    purch = st.run_to_memory(
+        st.streaming_purchase_page_counts(stream3), "pr_purch",
+        output_mode="complete",
+    )
+    got_ppr = ppr_from_stores(catalog, edges_store, purch)
+    want_ppr = pagerank_personalized(spark, sf_smoke)
+    assert _rows(got_ppr, "page_id", "ppr", "rank") == _rows(
+        want_ppr, "page_id", "ppr", "rank"
+    )
+    got_lp = lp_from_stores(catalog, edges_store)
+    want_lp = label_propagation_pages(spark, sf_smoke)
+    assert _rows(got_lp, "page_id", "community", "community_size") == _rows(
+        want_lp, "page_id", "community", "community_size"
+    )
+
 
 def test_streaming_budget_counters_parity(spark, sf_smoke, tmp_path_factory):
     """Streamed budget counters + read-time ratios reproduce the graded
