@@ -425,3 +425,55 @@ def test_funnel_pipeline_kafka_to_state(spark, broker, tmp_path):
     assert ms(final[1].t4) == base + 3 * h
     assert ms(final[2].t2) == base + h and final[2].t3 is None
     assert final[3].t1 is None
+
+
+def test_page_transition_pipeline_kafka_to_stores(spark, broker, tmp_path):
+    """The round-9 graph pipeline across the source boundary: events
+    consumed from a kafka topic (S1) drive the per-user transition
+    state machine, and the summed edge store matches the hand-computed
+    transition graph — including a cross-batch pair carried by the
+    GroupState (single-batch here; the multi-batch contract is pinned
+    in tests/test_streaming.py and by hypothesis)."""
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_state_stream,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    base = 1_700_000_000_000
+    # user 1 walks 7 -> 8 -> 8 -> 9 (the repeat emits nothing);
+    # user 2 walks 9 -> 7 twice (weight 2 via 9,7,9,7)
+    plan = [
+        (1, 7, 0), (1, 8, 1000), (1, 8, 2000), (1, 9, 3000),
+        (2, 9, 0), (2, 7, 1000), (2, 9, 2000), (2, 7, 3000),
+    ]
+    _produce(
+        broker,
+        K.LOGGED_EVENTS_TOPIC,
+        [
+            {
+                "user_id": str(uid),
+                "anonymous_user": False,
+                "event_type": "view",
+                "event_details": json.dumps({"k": k}),
+                "timestamp": base + off,
+            }
+            for uid, k, off in plan
+        ],
+    )
+    stream = K.read_logged_events_stream(spark, broker).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        F.col("event_ts_ms").alias("event_id"),  # unique per row here
+        F.col("event_details").alias("props"),
+    )
+    got = run_to_memory(
+        page_transition_state_stream(stream), "pr_kafka_edges",
+        output_mode="append",
+    )
+    edges = {
+        (r.src, r.dst): r.n
+        for r in got.groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert edges == {(7, 8): 1, (8, 9): 1, (9, 7): 2, (7, 9): 1}
