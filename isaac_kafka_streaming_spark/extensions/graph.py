@@ -679,3 +679,31 @@ def lp_from_stores(
         ),
         iters,
     )
+
+
+def append_transitions_to_graph_store(
+    spark: SparkSession, store_path: str, batch_df: DataFrame
+) -> None:
+    """Batch append path for the MATERIALIZED graph store: per-batch
+    (src, dst, n) transition deltas land as an append-only parquet log
+    under ``store_path``/edges; the read-time sum
+    (edges_from_graph_store) folds the log into the edge store, so
+    appends never rewrite resident data — the same artifact lifecycle
+    as the ANN-index ingest, and shared with streaming ingest through
+    topology.index_ingest_batch_writer(data_subdir="edges"), whose
+    manifest commit protocol makes replays and mid-batch crashes
+    exactly-once for THIS artifact too."""
+    batch_df.select(
+        "src", "dst", F.col("n").cast("long").alias("n")
+    ).write.mode("append").parquet(f"{store_path}/edges")
+
+
+def edges_from_graph_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """Fold the append-only delta log into the edge store: one sum per
+    (src, dst) — the read-time half of the materialized graph store,
+    feeding the *_from_stores recomputes."""
+    return (
+        spark.read.parquet(f"{store_path}/edges")
+        .groupBy("src", "dst")
+        .agg(F.sum("n").alias("n"))
+    )

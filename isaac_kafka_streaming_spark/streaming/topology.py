@@ -1282,7 +1282,9 @@ def length_bucket_readoff(store: DataFrame) -> DataFrame:
     )
 
 
-def index_ingest_batch_writer(index_path: str, append_fn):
+def index_ingest_batch_writer(
+    index_path: str, append_fn, data_subdir: str = "codes"
+):
     """Per-batch writer for streaming ANN-index ingest, with ENFORCED
     replay idempotence under BOTH clean replays and mid-batch crashes:
     a high-watermark marker under the index records the last applied
@@ -1316,15 +1318,18 @@ def index_ingest_batch_writer(index_path: str, append_fn):
 
     ``append_fn``: one of the batch ingest paths —
     similarity.append_to_ivf_index / append_to_pq_index /
-    append_to_ivfpq_index — so stream and batch ingest share ONE
-    encode-and-append implementation.
+    append_to_ivfpq_index, or graph.append_transitions_to_graph_store
+    — so stream and batch ingest share ONE encode-and-append
+    implementation.  ``data_subdir``: the artifact directory the
+    protocol guards (codes for the ANN indexes, edges for the graph
+    store) — the commit log is artifact-agnostic.
     """
     import json
     import os
 
     wm_path = os.path.join(index_path, "_ingest_watermark")
     mf_path = os.path.join(index_path, "_ingest_inflight")
-    codes_dir = os.path.join(index_path, "codes")
+    codes_dir = os.path.join(index_path, data_subdir)
 
     def _watermark() -> int:
         if not os.path.exists(wm_path):
@@ -1353,6 +1358,9 @@ def index_ingest_batch_writer(index_path: str, append_fn):
                     os.rmdir(full)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        # the ANN builds create index_path; a delta-log artifact
+        # (graph store) may start from nothing
+        os.makedirs(index_path, exist_ok=True)
         wm = _watermark()
         if batch_id <= wm:
             if os.path.exists(mf_path):

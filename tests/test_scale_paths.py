@@ -636,3 +636,88 @@ def test_index_ingest_crash_replay_no_double_append(
     writer(batch2, 1)
     assert not os.path.exists(f"{path}/codes/cell_id=999")
     assert spark.read.parquet(f"{path}/codes").count() == (n0 + 2) * 8
+
+
+def test_graph_store_ingest_shares_the_commit_protocol(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The manifest-protocol ingest writer is artifact-agnostic: the
+    transition state machine's per-batch deltas stream into the
+    materialized graph store through the SAME writer
+    (data_subdir="edges"), a replayed batch appends nothing twice, and
+    the folded store equals the batch edge aggregation exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Row
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        append_transitions_to_graph_store,
+        edges_from_graph_store,
+        page_transition_edges,
+    )
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_state_stream,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        index_ingest_batch_writer,
+    )
+
+    base = tmp_path_factory.mktemp("graph_store")
+    store = str(base / "store")
+    ev = read_table(spark, sf_smoke, "events")
+    mid = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    mid_ts = F.timestamp_micros(F.lit(int(mid)))
+    flat = base / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= mid_ts), ev.filter(F.col("ts") > mid_ts)]
+    ):
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    from isaac_kafka_streaming_spark.streaming.topology import stream_events
+
+    stream = stream_events(spark, str(flat), max_files_per_trigger=1)
+    q = (
+        page_transition_state_stream(stream)
+        .writeStream.foreachBatch(
+            index_ingest_batch_writer(
+                store, append_transitions_to_graph_store,
+                data_subdir="edges",
+            )
+        )
+        .outputMode("append")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    want = {
+        (r.src, r.dst): int(r.w)
+        for r in page_transition_edges(spark, sf_smoke).collect()
+    }
+    got = {
+        (r.src, r.dst): r.n
+        for r in edges_from_graph_store(spark, store).collect()
+    }
+    assert got == want
+
+    # replayed last batch: the watermark makes it a no-op
+    writer = index_ingest_batch_writer(
+        store, append_transitions_to_graph_store, data_subdir="edges"
+    )
+    writer(spark.createDataFrame([Row(src=1, dst=2, n=99)]), 0)
+    got2 = {
+        (r.src, r.dst): r.n
+        for r in edges_from_graph_store(spark, store).collect()
+    }
+    assert got2 == want
