@@ -1,5 +1,6 @@
-"""Graph analytics over the event stream: PageRank on the page-
-transition graph.
+"""Graph analytics over the event stream: PageRank, personalized
+PageRank, and label propagation on the page-transition graph, plus
+the streamed-store recomputes and the materialized delta-log store.
 
 The reference's event domain (isaac-kafka-streaming's LoggedEvent
 payloads carry question/page ids in the JSON `props`; cf. reference
@@ -33,7 +34,17 @@ in BOTH engines before it feeds the next round, so shuffle-order float
 drift (sum order differs between Spark and DuckDB) can never compound
 across iterations; the published result rounds to 6 dp.  Literals
 (0.85 damping, 0.15 teleport) parse to identical doubles in both
-engines.
+engines.  Label propagation needs none of this — its weights are
+integral, so no rounding exists anywhere in either engine.
+
+Family layout: the graded entries (pagerank_pages,
+pagerank_personalized, label_propagation) build the graph from the
+event log; the *_from_graph iterations are the shared cores; the
+*_from_stores read-offs recompute from the STREAMED stores (GroupState
+transition machine + page catalog + purchase counters in
+streaming/{state,topology}.py); append_transitions_to_graph_store /
+edges_from_graph_store materialize the graph as an append-only delta
+log under the ANN indexes' manifest commit protocol.
 """
 
 from __future__ import annotations

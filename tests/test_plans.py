@@ -494,7 +494,9 @@ def test_pagerank_edge_pass_shapes(spark, sf_smoke):
     final plan holds NO corpus re-scan of events), the per-round
     contribution join is an equi-join (SortMergeJoin/Hash, never
     cartesian on the edge side), and no Python eval nodes appear."""
-    for name in ("pagerank_pages", "pagerank_personalized"):
+    for name in (
+        "pagerank_pages", "pagerank_personalized", "label_propagation"
+    ):
         plan = _executed_plan(spark, name, sf_smoke)
         assert "EvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
