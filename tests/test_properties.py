@@ -595,3 +595,74 @@ def test_page_transition_machine_is_batch_split_invariant(events, cut_points):
         if a != b:
             want[(a, b)] = want.get((a, b), 0) + 1
     assert got == want
+
+
+graph_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),  # src
+        st.integers(min_value=0, max_value=6),  # dst
+        st.integers(min_value=1, max_value=9),  # weight
+    ),
+    max_size=25,
+)
+
+
+@given(graph_strategy, st.lists(st.integers(0, 6), max_size=3))
+@_settings
+def test_pagerank_core_equals_python_replay_on_generated_graphs(
+    spark, raw_edges, extra_nodes
+):
+    """pagerank_from_graph on ARBITRARY generated graphs — self-loops
+    dropped, parallel edges summed, isolated/dangling nodes included —
+    equals the plain-Python replay of the spec bit-for-bit.  Covers
+    the degenerate shapes the event-log tests can't reach: all-dangling
+    graphs (empty edge list), single nodes, fully disconnected sets."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        PAGERANK_DAMPING,
+        PAGERANK_ITERS,
+        pagerank_from_graph,
+    )
+
+    edges: dict = {}
+    for s_, d_, w_ in raw_edges:
+        if s_ != d_:
+            edges[(s_, d_)] = edges.get((s_, d_), 0) + w_
+    nodes = sorted(
+        {v for e in edges for v in e} | set(extra_nodes) | {0}
+    )
+    n = len(nodes)
+    nodes_df = spark.createDataFrame(
+        [(v,) for v in nodes], "page_id long"
+    )
+    if edges:
+        edges_df = spark.createDataFrame(
+            [(s_, d_, float(w_)) for (s_, d_), w_ in edges.items()],
+            "src long, dst long, w double",
+        )
+    else:
+        edges_df = spark.createDataFrame(
+            [], "src long, dst long, w double"
+        )
+    got = {
+        r.page_id: (r.pagerank, r.rank)
+        for r in pagerank_from_graph(nodes_df, edges_df).collect()
+    }
+
+    outw: dict = {}
+    for (s_, _), w_ in edges.items():
+        outw[s_] = outw.get(s_, 0.0) + w_
+    pr = {v: round(1.0 / n, 12) for v in nodes}
+    d = PAGERANK_DAMPING
+    for _ in range(PAGERANK_ITERS):
+        dang = sum(pr[v] for v in nodes if v not in outw)
+        contrib = {v: 0.0 for v in nodes}
+        for (s_, d_), w_ in edges.items():
+            contrib[d_] += pr[s_] * w_ / outw[s_]
+        pr = {
+            v: round((1.0 - d) / n + d * (contrib[v] + dang / n), 12)
+            for v in nodes
+        }
+    expect = {v: round(pr[v], 6) for v in nodes}
+    order = sorted(nodes, key=lambda v: (-expect[v], v))
+    ranks = {v: i + 1 for i, v in enumerate(order)}
+    assert got == {v: (expect[v], ranks[v]) for v in nodes}
