@@ -3180,31 +3180,23 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-9 window tiers (plan_window.py output, history through r08;
-# 135 live entries after the four mid-round-9 registrations: the
-# graph family (pagerank_pages — the iterative tier, unrolled like
-# kmeans — pagerank_personalized, its seed-biased relevance-expansion
-# sibling, and label_propagation, deterministic community detection)
-# plus selection_budget_curve, the NB classifier's keep-budget
-# operating card).  The round-8 window is fully green in
-# CORRECTNESS_r08.json (50/50 hash-checked), so the live freshness
-# distribution entering round 9 is {r08: 50, r07: 49, r06: 32} plus
-# the two never-checked newcomers.
-#   T0: the 4 mid-round registrations, no driver row yet
-#       (must-check); each takes the slot of a T2-fill entry
-#       (tpch_q8, tpch_q9, user_activity_coverage, orders_with_returns
-#       — all r07-green, they front the round-10 window; the
-#       round-7/8 mid-round swap discipline).
-#   T1: the 32 entries whose last green row is r06 — they fall out of
-#       the K=3 freshness span unless re-checked in round 9
-#       (invariant-REQUIRED; plan_window fronts them).
-#   T2: 14 of the 49 entries last green in r07 (fill; they expire
-#       after round 10 otherwise — taking the expiring tier first
-#       keeps the must-check load spread at ~30/round instead of
-#       bunching into a 49-wide wave with zero slack).  The remaining
-#       35 r07-green entries front the round-10 window.
-# The 85 parked entries are all green in r07 or r08, inside the K=3
-# freshness span through round 9.
+# Round-10 window tiers (plan_window.py output, history through r09;
+# 135 live entries — no mid-round-10 registrations yet).  The round-9
+# window went fully green in CORRECTNESS_r09.json (50/50
+# hash-checked), so the live freshness distribution entering round 10
+# is {r09: 50, r08: 50, r07: 35}.
+#   T1: the 35 entries whose last green row is r07 — they fall out of
+#       the K=3 freshness span unless re-checked in round 10
+#       (invariant-REQUIRED; plan_window fronts them).  These are
+#       exactly the four T2 fills deferred from round 9 (tpch_q8,
+#       tpch_q9, user_activity_coverage, orders_with_returns) plus the
+#       31 other r07-green entries.
+#   T2: 15 of the 50 entries last green in r08 (fill; they expire
+#       after round 11 otherwise — taking the expiring tier first
+#       keeps the must-check load spread at ~35/round).  The remaining
+#       35 r08-green entries front the round-11 window.
+# The 85 parked entries are all green in r08 or r09, inside the K=3
+# freshness span through round 10.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3226,59 +3218,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (4)
-    "pagerank_pages",
-    "selection_budget_curve",
-    "pagerank_personalized",
-    "label_propagation",
-    # T1 — last green <= r6 (invariant requires) (32)
-    "tpch_q18",
-    "session_transcripts",
-    "dedup_incoming",
-    "duplicate_passages",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "dedup_clusters",
-    "dedup_semantic",
-    "dedup_embedding_srp",
-    "corpus_shards",
-    "concat_chunk_plan",
-    "corpus_split",
-    "split_contamination",
-    "ngram_contamination",
-    "decontaminate_exact",
-    "stratified_sample",
-    "embedding_centroids",
-    "knn_bruteforce",
-    "knn_ivf",
-    "kmeans_centroids",
-    "knn_quantized",
-    "embedding_label_stats",
-    "token_counts",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprints",
-    "tfidf_top_terms",
-    "corpus_keep_list",
-    "repetition_metrics",
-    "pii_scrub",
-    "lang_source_rollup",
-    # T2 — last green r7 (expires after next round) (14 of 49)
-    "user_streaks",
-    "sliding_weekly_counts",
-    "user_notifications",
-    "user_event_counts",
-    "anonymous_events",
-    "user_profiles",
-    "props_k_stats",
-    "question_page_array",
-    "purchasers_without_errors",
-    "daily_role_rollup",
-    "role_type_cube",
-    "tpch_q3",
-    "customers_without_big_orders",
-    "tpch_q5",
+    # T1 — last green <= r7 (invariant requires) (35)
+    "orders_with_returns",
+    "user_activity_coverage",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q19",
+    "tpch_q12",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "hll_distinct_md5",
+    "histogram_quantiles",
+    "user_daily_gapfill",
+    "funnel_signup_purchase",
+    "cohort_retention",
+    "dedup_incoming_minhash_md5",
+    "contained_documents",
+    "bloom_prefilter",
+    "passage_scrub",
+    "source_overlap_matrix",
+    "priority_sample",
+    "temperature_mixture",
+    "knn_pq",
+    "knn_srp",
+    "bigram_perplexity",
+    "cms_heavy_hitters",
+    "corpus_report",
+    "vocab_coverage",
+    "bpe_learn",
+    "bpe_tokenize_stats",
+    "winnow_fingerprints",
+    "pmi_top_pairs",
+    "winnow_probe_incoming",
+    "feature_hash_embed",
+    "bm25_top_docs",
+    # T2 — last green r8 (expires after next round) (15 of 50)
+    "event_type_counts",
+    "daily_event_counts",
+    "daily_role_counts",
+    "daily_role_type_map",
+    "user_snapshot",
+    "enriched_events",
+    "last_seen",
+    "last_seen_map",
+    "value_quantiles",
+    "purchase_asof_signup",
+    "purchases_within_day_of_signup",
+    "question_part_counts",
+    "question_page_rollup",
+    "question_completion",
+    "threshold_achievements",
 ]
 
 

@@ -40,6 +40,24 @@ def get_spark(app_name: str = "isaac-kafka-streaming-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Python workers must import this package when deserializing
+        # applyInPandas/pandas_udf closures.  The driver finds it via
+        # sys.path (conftest/caller cwd), but worker processes only see
+        # PYTHONPATH — export the repo root so the suite passes no
+        # matter where pytest is invoked from (round-9 verdict item 3).
+        # On a real cluster this is replaced by --py-files/pip-installed
+        # images; harmless there since the path just won't exist.
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.pathsep.join(
+                p
+                for p in (
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    os.environ.get("PYTHONPATH", ""),
+                )
+                if p
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -152,11 +152,20 @@ def test_next_round_window_is_feasible():
 
 def test_feasibility_survives_post_commit_correctness_drop():
     """Regression fixture for the exact round-7 red-HEAD shape: a NEW
-    CORRECTNESS file greening precisely the committed window lands
-    after the final commit.  The rotation-aware guard must stay
-    feasible from that state too — i.e. the guard's verdict cannot
-    depend on _DRIVER_CHECK_ORDER having been rotated for a file that
-    did not exist at commit time."""
+    CORRECTNESS file lands after a round's final commit.  The
+    rotation-aware guard must stay feasible from that state too — i.e.
+    the guard's verdict cannot depend on _DRIVER_CHECK_ORDER having
+    been rotated for a file that did not exist at commit time.
+
+    ROTATION-AWARE since round 10: the synthetic drop greens the
+    window the PLANNER would have produced for round latest+1 (which
+    is what the builder commits at the start of every round, per the
+    round-8 discipline), not whatever window happens to be committed.
+    The round-9 verdict caught the non-rotation-aware version of this
+    fixture greening a stale window twice, which expires two 50-entry
+    cohorts in the same simulated round — a state no real rotation can
+    reach, and one that turned every inter-round gap into a red
+    working tree."""
     from tests.test_registry import DRIVER_WINDOW
 
     planner = _load_planner()
@@ -165,10 +174,13 @@ def test_feasibility_survives_post_commit_correctness_drop():
         return
     live = all_queries()
     names = list(live) + [n for n in staged_queries() if n not in live]
-    # synthetic post-commit drop: the driver just re-greened the
-    # currently committed window at round latest+1
+    # synthetic post-commit drop: the driver just greened the planned
+    # round-(latest+1) window — the builder always applies plan_window
+    # before the driver runs, so this is the only reachable shape
+    planned = planner.plan_window(names, last_green, latest)
+    assert len(planned) <= DRIVER_WINDOW
     lg = dict(last_green)
-    for n in list(live)[:DRIVER_WINDOW]:
+    for n in planned:
         lg[n] = latest + 1
     try:
         _simulate_rotation(planner, names, lg, latest + 1, rounds=3)
