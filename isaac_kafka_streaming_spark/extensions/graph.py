@@ -31,11 +31,17 @@ discipline (dedup.py large-star/small-star).
 
 Lockstep determinism: every iteration rounds the rank vector to 12 dp
 in BOTH engines before it feeds the next round, so shuffle-order float
-drift (sum order differs between Spark and DuckDB) can never compound
+drift (sum order differs between Spark and DuckDB) cannot compound
 across iterations; the published result rounds to 6 dp.  Literals
 (0.85 damping, 0.15 teleport) parse to identical doubles in both
-engines.  Label propagation needs none of this — its weights are
-integral, so no rounding exists anywhere in either engine.
+engines.  Residual boundary-tie caveat: Spark's F.round is exact
+BigDecimal HALF_UP while DuckDB ROUND on DOUBLE is float-scaled, so a
+per-round sum sitting within an ulp of a .5 rounding boundary could in
+principle round differently and feed one flipped 12th digit forward;
+parity is verified empirically (driver rows + sf0.01/sf0.1 sweeps),
+not guaranteed by construction.  Label propagation needs none of this
+— its weights are integral, so no rounding exists anywhere in either
+engine.
 
 Family layout: the graded entries (pagerank_pages,
 pagerank_personalized, label_propagation) build the graph from the
@@ -129,6 +135,14 @@ def pagerank_from_graph(
     edges = edges.localCheckpoint()
     nodes = nodes.localCheckpoint()
     n = nodes.count()  # |V|: page-catalog-sized, drives only literals
+    if n == 0:
+        # 1.0/n below would raise ZeroDivisionError with a confusing
+        # traceback; an empty graph has a well-defined empty ranking.
+        return nodes.select(
+            F.col("page_id"),
+            F.lit(0.0).alias("pagerank"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # out-weight riding on the node frame: dangling test is a null
     # check instead of a per-round anti-join
@@ -183,9 +197,10 @@ def _pagerank_oracle_sql(
     parts = [
         """ev AS (
     SELECT user_id, ts, event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+          IS NOT NULL
 ), seq AS (
     SELECT k AS src,
            LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
@@ -353,9 +368,18 @@ def ppr_from_graph(
     """The seed-biased iteration over an arbitrary graph — shared by
     the graded batch entry and the streaming read-time composition
     (ppr_from_stores), so both rank EXACTLY the same way.  ``seeds``:
-    (page_id) subset of nodes."""
+    (page_id) subset of nodes; must be NON-EMPTY — restart mass has
+    nowhere to land otherwise (the matching DuckDB oracle divides by
+    |S| too), so an empty seed set is rejected loudly rather than
+    surfacing as a mid-plan ZeroDivisionError."""
     edges = edges.localCheckpoint()
     s = seeds.count()  # |S|: seed-slice-sized, drives only literals
+    if s == 0:
+        raise ValueError(
+            "ppr_from_graph: empty seed set — personalized PageRank "
+            "needs at least one seed page (no purchase events carried "
+            "a parseable props.k?)"
+        )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranked_nodes = (
         nodes.join(outw, nodes.page_id == outw.src, "left")
@@ -425,9 +449,10 @@ def _ppr_oracle_sql(
     parts = [
         f"""ev AS (
     SELECT user_id, ts, event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+          IS NOT NULL
 ), seq AS (
     SELECT k AS src,
            LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
@@ -585,9 +610,10 @@ def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
     parts = [
         """ev AS (
     SELECT user_id, ts, event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+          IS NOT NULL
 ), seq AS (
     SELECT k AS src,
            LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst

@@ -244,14 +244,20 @@ def knn_ivf_indexed(
     queries_df: DataFrame,
     k: int = 5,
     nprobe: int = 4,
+    self_exclude: bool = True,
 ) -> DataFrame:
     """Probe the materialized IVF index: per query, rank centroids,
     scan only the nprobe best cells (partition-pruned), brute-force
-    within them.  queries_df: (query_id, qv, qnorm) — query_id SHARES
-    the corpus vec_id namespace by contract (self-matches are
-    excluded), so callers probing with external queries must pick ids
-    outside the corpus range (cf. knn_ivfpq_indexed, whose external
-    queries_df path skips the self-exclusion instead)."""
+    within them.  queries_df: (query_id, qv, qnorm).
+
+    ID-NAMESPACE CONTRACT (family-wide, cf. knn_ivfpq_indexed):
+    self-matches are excluded only when query ids share the corpus
+    vec_id namespace.  Here queries are always caller-supplied, so the
+    caller declares the namespace: the default ``self_exclude=True``
+    is for corpus-derived queries; pass ``self_exclude=False`` when
+    probing with EXTERNAL queries so an accidental id collision cannot
+    silently drop a legitimate neighbor (knn_ivfpq_indexed applies the
+    same rule automatically — external queries_df skips exclusion)."""
     centroids = spark.read.parquet(f"{index_path}/centroids")
     ccos = _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm"))
     wq = Window.partitionBy("query_id").orderBy(
@@ -276,10 +282,11 @@ def knn_ivf_indexed(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
+    joined = corpus.join(F.broadcast(probes), on="cell_id")
+    if self_exclude:  # only when queries share the corpus id namespace
+        joined = joined.filter(F.col("vec_id") != F.col("query_id"))
     return (
-        corpus.join(F.broadcast(probes), on="cell_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
+        joined.select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(cos, 6).alias("cosine"),
@@ -1033,6 +1040,12 @@ def knn_pq_indexed(
     knn_pq's output exactly (pinned in tests/test_scale_paths.py) —
     the only work a probe repeats is its own distance table and
     shortlist fetch.
+
+    ID-NAMESPACE CONTRACT: queries here are always corpus-derived
+    (vec_id < n_queries), so self-exclusion inside _pq_probe is always
+    correct; there is no external-queries path on this probe — use
+    knn_ivfpq_indexed(queries_df=...) for external query vectors (it
+    skips self-exclusion on that path, the family-wide rule).
 
     FLOAT-STORE LOCKSTEP CONTRACT (shared with knn_ivfpq_indexed, see
     its docstring): the exact re-rank joins shortlist candidates

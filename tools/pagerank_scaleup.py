@@ -5,10 +5,12 @@ The scale claim (extensions/graph.py docstring, SCALE_DESIGN.md): the
 ONLY cost that grows with the corpus is the edge aggregation (lag
 window + groupBy); the five rank rounds run over page-catalog-bounded
 frames and their cost is flat.  This script times both halves on the
-sf0.1 events table unioned to 1x / 4x / 10x (ts-shifted copies so the
-window work is real, not degenerate duplicates) and prints one line
-per multiple — evidence for the measured-scale-up section of
-SCALE_DESIGN.md.
+sf0.1 events table unioned to 1x / 4x / 10x (USER-shifted copies —
+each copy offsets user_id/event_id, so the per-user lag window gets
+real distinct partitions to sort rather than degenerate duplicate
+rows; timestamps are left unchanged, which is fine because the window
+partitions by user) and prints one line per multiple — evidence for
+the measured-scale-up section of SCALE_DESIGN.md.
 
 Usage: cd /tmp && python /root/repo/tools/pagerank_scaleup.py [sf_dir]
 """
