@@ -1177,6 +1177,38 @@ def append_to_ivfpq_index(
     ).mode("append").parquet(f"{index_path}/codes")
 
 
+def compact_index_codes(
+    spark: SparkSession,
+    index_path: str,
+    data_subdir: str = "codes",
+    partitioned: bool = True,
+    target_files: int = 1,
+) -> dict:
+    """Compact an ANN index's append-grown vector/code table under the
+    shared manifest commit protocol (topology.compact_store).  Rows
+    are immutable here — no aggregation fold, identity rewrite — so
+    probes return bit-identical results before and after; what shrinks
+    is the FILE count: every streamed micro-batch appends a file set
+    per touched cell partition, and at sustained ingest the scan's
+    file-listing/open overhead grows without bound (the round-9
+    verdict's append-only-store lifecycle gap).
+
+    ``data_subdir``/``partitioned`` per layout: IVF-PQ and flat PQ use
+    "codes" (partitioned / flat respectively); the plain IVF index
+    stores float rows under "cells" (partitioned).  ``partitioned``
+    keeps the cell_id=N/ directory layout so probe-time static
+    partition pruning is unchanged."""
+    from ..streaming.topology import compact_store
+
+    return compact_store(
+        spark,
+        index_path,
+        data_subdir=data_subdir,
+        partition_by=("cell_id",) if partitioned else (),
+        target_files=target_files,
+    )
+
+
 def knn_ivfpq_indexed(
     spark: SparkSession,
     index_path: str,

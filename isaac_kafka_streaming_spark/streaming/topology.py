@@ -1331,37 +1331,11 @@ def index_ingest_batch_writer(
     mf_path = os.path.join(index_path, "_ingest_inflight")
     codes_dir = os.path.join(index_path, data_subdir)
 
-    def _watermark() -> int:
-        if not os.path.exists(wm_path):
-            return -1
-        with open(wm_path) as fh:
-            return int(fh.read().strip())
-
-    def _snapshot() -> list:
-        files = []
-        for root, _dirs, names in os.walk(codes_dir):
-            for name in names:
-                files.append(
-                    os.path.relpath(os.path.join(root, name), codes_dir)
-                )
-        return sorted(files)
-
-    def _sweep_orphans(committed: set) -> None:
-        for root, dirs, names in os.walk(codes_dir, topdown=False):
-            for name in names:
-                full = os.path.join(root, name)
-                if os.path.relpath(full, codes_dir) not in committed:
-                    os.remove(full)
-            for d in dirs:
-                full = os.path.join(root, d)
-                if not os.listdir(full):
-                    os.rmdir(full)
-
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         # the ANN builds create index_path; a delta-log artifact
         # (graph store) may start from nothing
         os.makedirs(index_path, exist_ok=True)
-        wm = _watermark()
+        wm = _read_watermark(wm_path)
         if batch_id <= wm:
             if os.path.exists(mf_path):
                 os.remove(mf_path)  # crash landed after the watermark
@@ -1370,11 +1344,13 @@ def index_ingest_batch_writer(
             with open(mf_path) as fh:
                 manifest = json.load(fh)
             if manifest["batch_id"] > wm:  # crashed mid-append
-                _sweep_orphans(set(manifest["files"]))
+                _sweep_store_orphans(codes_dir, set(manifest["files"]))
             os.remove(mf_path)
         tmp = mf_path + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"batch_id": batch_id, "files": _snapshot()}, fh)
+            json.dump(
+                {"batch_id": batch_id, "files": _store_files(codes_dir)}, fh
+            )
         os.replace(tmp, mf_path)
         append_fn(batch_df.sparkSession, index_path, batch_df)
         tmp = wm_path + ".tmp"
@@ -1384,6 +1360,192 @@ def index_ingest_batch_writer(
         os.remove(mf_path)
 
     return _write
+
+
+def _read_watermark(wm_path: str) -> int:
+    import os
+
+    if not os.path.exists(wm_path):
+        return -1
+    with open(wm_path) as fh:
+        return int(fh.read().strip())
+
+
+def _store_files(data_dir: str) -> list:
+    """Sorted relative paths of every file under an artifact dir —
+    the commit protocols' file-set snapshot."""
+    import os
+
+    files = []
+    for root, _dirs, names in os.walk(data_dir):
+        for name in names:
+            files.append(
+                os.path.relpath(os.path.join(root, name), data_dir)
+            )
+    return sorted(files)
+
+
+def _sweep_store_orphans(data_dir: str, committed: set) -> None:
+    """Delete every file under ``data_dir`` not in the committed
+    snapshot, pruning emptied partition directories."""
+    import os
+
+    for root, dirs, names in os.walk(data_dir, topdown=False):
+        for name in names:
+            full = os.path.join(root, name)
+            if os.path.relpath(full, data_dir) not in committed:
+                os.remove(full)
+        for d in dirs:
+            full = os.path.join(root, d)
+            if not os.listdir(full):
+                os.rmdir(full)
+
+
+def _compact_paths(store_path: str, data_subdir: str) -> tuple:
+    import os
+
+    return (
+        os.path.join(store_path, data_subdir),
+        os.path.join(store_path, f"_compact_inflight_{data_subdir}"),
+        os.path.join(store_path, f"_compact_staging_{data_subdir}"),
+    )
+
+
+def _finish_compaction(store_path: str, data_subdir: str) -> None:
+    """Complete a committed compaction (inflight manifest present):
+    move every staged output into the artifact dir, delete the folded
+    input files, prune emptied dirs, drop staging + manifest.  Every
+    step is idempotent, so a crash anywhere inside is recovered by
+    simply running this again."""
+    import json
+    import os
+    import shutil
+
+    data_dir, mf_path, staging = _compact_paths(store_path, data_subdir)
+    with open(mf_path) as fh:
+        manifest = json.load(fh)
+    for src_rel, dst_rel in manifest["moves"]:
+        src = os.path.join(staging, src_rel)
+        dst = os.path.join(data_dir, dst_rel)
+        if os.path.exists(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
+        elif not os.path.exists(dst):
+            raise RuntimeError(
+                f"compaction lost {dst_rel}: neither staged nor moved"
+            )
+    committed = {dst for _src, dst in manifest["moves"]}
+    for rel in manifest["inputs"]:
+        full = os.path.join(data_dir, rel)
+        if rel not in committed and os.path.exists(full):
+            os.remove(full)
+    for root, _dirs, _names in os.walk(data_dir, topdown=False):
+        if root != data_dir and not os.listdir(root):
+            os.rmdir(root)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(mf_path)
+
+
+def recover_compaction(store_path: str, data_subdir: str = "edges") -> None:
+    """Crash recovery for compact_store, safe to call any time:
+    a committed-but-unfinished compaction (manifest on disk) is
+    completed; an uncommitted one (staging dir, no manifest) is
+    discarded — the artifact dir still holds every input, so dropping
+    the half-written staging output loses nothing."""
+    import os
+    import shutil
+
+    _data_dir, mf_path, staging = _compact_paths(store_path, data_subdir)
+    if os.path.exists(mf_path):
+        _finish_compaction(store_path, data_subdir)
+    elif os.path.isdir(staging):
+        shutil.rmtree(staging)
+
+
+def compact_store(
+    spark: SparkSession,
+    store_path: str,
+    data_subdir: str = "edges",
+    fold_fn=None,
+    partition_by: tuple = (),
+    target_files: int = 1,
+) -> dict:
+    """Compact an append-only store artifact: fold the delta log into
+    a snapshot, swap it in, truncate the log — closing the one 100 TB
+    lifecycle gap of the ingest protocol (append-only stores otherwise
+    accrete one file per micro-batch FOREVER, and every read-time fold
+    rescans the whole log).  Works on any artifact the ingest writer
+    feeds: the graph edge log (``fold_fn`` sums per (src, dst) — see
+    graph.compact_graph_store) and the ANN code tables (identity fold,
+    ``partition_by=("cell_id",)`` keeps the partition-pruned layout —
+    see similarity.compact_index_codes).
+
+    Commit protocol (same local-FS stand-in discipline as
+    index_ingest_batch_writer; at real scale both are conditional
+    commit-log swaps on the object store):
+
+    1. Recover any crashed prior compaction (recover_compaction) and
+       any crashed mid-batch ingest.  The ingest recovery MUST run
+       first: a crashed ingest's inflight manifest snapshots the
+       pre-append file set, and compacting before its orphan sweep
+       would let the batch's replay delete the compacted files as
+       "orphans".  After the sweep the replay re-appends from the
+       compacted state exactly once.
+    2. Snapshot the input file set; fold it with Spark into a staging
+       dir OUTSIDE the artifact dir (a crash here leaves the store
+       untouched — staging is garbage, swept by the next recovery).
+    3. Write the compaction manifest {inputs, moves} (tmp+rename) —
+       THE commit point.
+    4. Finish: move staged files in, delete inputs, drop staging +
+       manifest (idempotent; a crash anywhere replays via
+       recover_compaction).
+
+    The watermark is untouched, so ingest replay semantics survive
+    compaction unchanged.  Files appended after the snapshot are NOT
+    deleted (only recorded inputs are), though the job is meant to run
+    quiesced — mid-finish readers can see input+output coexist, the
+    documented local-FS-stand-in limitation.  Returns
+    {input_files, output_files, skipped}."""
+    import json
+    import os
+
+    data_dir, mf_path, staging = _compact_paths(store_path, data_subdir)
+    recover_compaction(store_path, data_subdir)
+    ingest_mf = os.path.join(store_path, "_ingest_inflight")
+    if os.path.exists(ingest_mf):
+        with open(ingest_mf) as fh:
+            manifest = json.load(fh)
+        wm = _read_watermark(os.path.join(store_path, "_ingest_watermark"))
+        if manifest["batch_id"] > wm:  # crashed mid-append
+            _sweep_store_orphans(data_dir, set(manifest["files"]))
+        os.remove(ingest_mf)
+    inputs = _store_files(data_dir)
+    if not inputs:
+        return {"input_files": 0, "output_files": 0, "skipped": True}
+    df = spark.read.parquet(data_dir)
+    folded = fold_fn(df) if fold_fn is not None else df
+    writer = folded.coalesce(target_files).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    moves = []
+    for rel in _store_files(staging):
+        base = os.path.basename(rel)
+        if base.startswith(("_", ".")) or base.endswith(".crc"):
+            continue  # _SUCCESS / checksum sidecars stay behind
+        moves.append([rel, rel])
+    if {dst for _src, dst in moves} & set(inputs):
+        raise RuntimeError("compaction target collides with an input file")
+    tmp = mf_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"inputs": inputs, "moves": moves}, fh)
+    os.replace(tmp, mf_path)  # <- commit point
+    _finish_compaction(store_path, data_subdir)
+    return {
+        "input_files": len(inputs),
+        "output_files": len(moves),
+        "skipped": False,
+    }
 
 
 def streaming_index_ingest(

@@ -721,3 +721,246 @@ def test_graph_store_ingest_shares_the_commit_protocol(
         for r in edges_from_graph_store(spark, store).collect()
     }
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# Compaction of the append-only stores (round-10: the delta-log
+# lifecycle gap — appends land one file set per micro-batch forever;
+# compact_store folds the log into a snapshot under the same manifest
+# commit protocol, exactly-once under crashes at any point).
+# ---------------------------------------------------------------------------
+
+
+def _graph_readoff(spark, store):
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        edges_from_graph_store,
+    )
+
+    return {
+        (r.src, r.dst): r.n
+        for r in edges_from_graph_store(spark, store).collect()
+    }
+
+
+def _edge_writer(store):
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        append_transitions_to_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        index_ingest_batch_writer,
+    )
+
+    return index_ingest_batch_writer(
+        store, append_transitions_to_graph_store, data_subdir="edges"
+    )
+
+
+def _edge_batch(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame([Row(src=s, dst=d, n=n) for s, d, n in rows])
+
+
+def test_graph_store_compaction_preserves_readoff(spark, tmp_path_factory):
+    """Fold-log -> snapshot -> truncate: edges_from_graph_store is
+    bit-identical before/after (the fold IS the read-time sum, exact
+    long arithmetic), the delta-log file count drops, the ingest
+    watermark survives, and post-compaction appends keep working."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import _store_files
+
+    store = str(tmp_path_factory.mktemp("graph_compact") / "store")
+    writer = _edge_writer(store)
+    writer(_edge_batch(spark, [(1, 2, 3), (2, 3, 1)]), 0)
+    writer(_edge_batch(spark, [(1, 2, 2), (3, 1, 5)]), 1)
+    writer(_edge_batch(spark, [(2, 3, 4)]), 2)
+
+    before = _graph_readoff(spark, store)
+    assert before == {(1, 2): 5, (2, 3): 5, (3, 1): 5}
+    files_before = len(_store_files(f"{store}/edges"))
+
+    stats = compact_graph_store(spark, store)
+    assert not stats["skipped"]
+    assert stats["input_files"] == files_before
+    assert _graph_readoff(spark, store) == before
+    assert len(_store_files(f"{store}/edges")) < files_before
+
+    # watermark untouched: replaying batch 2 is still a no-op, and a
+    # NEW batch appends on top of the snapshot
+    writer(_edge_batch(spark, [(9, 9, 99)]), 2)
+    assert _graph_readoff(spark, store) == before
+    writer(_edge_batch(spark, [(1, 2, 1)]), 3)
+    assert _graph_readoff(spark, store) == {
+        (1, 2): 6, (2, 3): 5, (3, 1): 5,
+    }
+    # idempotent: compacting the compacted store changes nothing
+    compact_graph_store(spark, store)
+    assert _graph_readoff(spark, store) == {
+        (1, 2): 6, (2, 3): 5, (3, 1): 5,
+    }
+
+
+def test_compaction_crash_replay_is_exactly_once(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Crashes on BOTH sides of the commit point recover exactly-once:
+    before the manifest lands the staging dir is garbage (swept, store
+    untouched); after it lands the finish replays to completion — even
+    from a half-moved state."""
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    store = str(tmp_path_factory.mktemp("graph_crash") / "store")
+    writer = _edge_writer(store)
+    writer(_edge_batch(spark, [(1, 2, 3), (2, 3, 1)]), 0)
+    writer(_edge_batch(spark, [(1, 2, 2)]), 1)
+    want = {(1, 2): 5, (2, 3): 1}
+    assert _graph_readoff(spark, store) == want
+
+    # crash BEFORE the commit point: a half-written staging dir and no
+    # manifest — recovery discards staging, the store is untouched
+    staging = f"{store}/_compact_staging_edges"
+    os.makedirs(staging)
+    with open(f"{staging}/part-torn.parquet", "wb") as fh:
+        fh.write(b"\x00torn")
+    topology.recover_compaction(store, "edges")
+    assert not os.path.isdir(staging)
+    assert _graph_readoff(spark, store) == want
+
+    # crash AT the commit point: manifest written, nothing moved yet
+    class Boom(RuntimeError):
+        pass
+
+    def boom(*a, **k):
+        raise Boom()
+
+    monkeypatch.setattr(topology, "_finish_compaction", boom)
+    with pytest.raises(Boom):
+        compact_graph_store(spark, store)
+    monkeypatch.undo()
+    mf = f"{store}/_compact_inflight_edges"
+    assert os.path.exists(mf)
+
+    # simulate a crash MID-finish too: hand-apply the first move, then
+    # recover — moves must be idempotent (src gone, dst present -> skip)
+    import json
+
+    with open(mf) as fh:
+        manifest = json.load(fh)
+    src_rel, dst_rel = manifest["moves"][0]
+    dst = f"{store}/edges/{dst_rel}"
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    os.replace(f"{staging}/{src_rel}", dst)
+
+    topology.recover_compaction(store, "edges")
+    assert not os.path.exists(mf)
+    assert not os.path.isdir(staging)
+    assert _graph_readoff(spark, store) == want
+
+    # a compaction after recovery is a clean fold of the snapshot
+    stats = compact_graph_store(spark, store)
+    assert not stats["skipped"]
+    assert _graph_readoff(spark, store) == want
+
+
+def test_crashed_ingest_recovered_before_compaction(
+    spark, tmp_path_factory
+):
+    """The ordering hazard: a crashed mid-batch ingest leaves an
+    inflight manifest snapshotting the PRE-append file set; compacting
+    without recovering it first would let the batch's replay sweep the
+    compacted snapshot as an 'orphan'.  compact_store performs the
+    ingest recovery itself, so the replay lands the batch exactly once
+    ON TOP of the compacted store."""
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        append_transitions_to_graph_store,
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        index_ingest_batch_writer,
+    )
+
+    store = str(tmp_path_factory.mktemp("graph_ingest_crash") / "store")
+    writer = _edge_writer(store)
+    writer(_edge_batch(spark, [(1, 2, 3)]), 0)
+
+    class Boom(RuntimeError):
+        pass
+
+    def crashing_append(session, p, df):
+        append_transitions_to_graph_store(session, p, df)
+        raise Boom()
+
+    batch = _edge_batch(spark, [(1, 2, 4), (5, 6, 7)])
+    with pytest.raises(Boom):
+        index_ingest_batch_writer(
+            store, crashing_append, data_subdir="edges"
+        )(batch, 1)
+    assert os.path.exists(f"{store}/_ingest_inflight")
+
+    # compaction sweeps the half-appended batch, folds only batch 0
+    compact_graph_store(spark, store)
+    assert not os.path.exists(f"{store}/_ingest_inflight")
+    assert _graph_readoff(spark, store) == {(1, 2): 3}
+
+    # the stream replays batch 1 (watermark still 0): applied ONCE
+    writer(batch, 1)
+    assert _graph_readoff(spark, store) == {(1, 2): 7, (5, 6): 7}
+
+
+def test_ivfpq_codes_compaction_probe_identical(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Identity compaction of the IVF-PQ code table: probe results are
+    bit-identical, the cell_id=N/ partition layout (and with it the
+    probe's static partition pruning) survives, and per-cell file
+    counts drop after append-heavy ingest."""
+    import glob
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        compact_index_codes,
+        knn_ivfpq_indexed,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import _store_files
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    path = str(tmp_path_factory.mktemp("ivfpq_compact") / "index")
+    build_ivfpq_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    for i in (1, 2):
+        append_to_ivfpq_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") == i).select(
+                (F.col("vec_id") + F.lit(max_id + i)).cast("long")
+                .alias("vec_id"),
+                "embedding",
+            ),
+        )
+
+    before = sorted(
+        tuple(r)
+        for r in knn_ivfpq_indexed(spark, path, sf_smoke, k=3).collect()
+    )
+    files_before = len(_store_files(f"{path}/codes"))
+    cells_before = sorted(glob.glob(f"{path}/codes/cell_id=*"))
+
+    stats = compact_index_codes(spark, path)
+    assert not stats["skipped"]
+    assert len(_store_files(f"{path}/codes")) < files_before
+    assert sorted(glob.glob(f"{path}/codes/cell_id=*")) == cells_before
+    after = sorted(
+        tuple(r)
+        for r in knn_ivfpq_indexed(spark, path, sf_smoke, k=3).collect()
+    )
+    assert after == before
