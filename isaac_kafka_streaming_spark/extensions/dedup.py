@@ -311,37 +311,63 @@ def minhash_lsh_pairs(
     sigs = _cache_once(_minhash_signatures(shingled, num_hashes))
 
     bands = _band_keys(sigs, num_hashes, band_size)
+    verified = _lsh_pairs_verify(
+        bands, shingled, ["band", "band_hash"], threshold, max_bucket_size
+    )
+    verified._cached_deps = [shingled, sigs]  # see cache contract above
+    return verified
 
+
+def _lsh_pairs_verify(
+    bands: DataFrame,
+    shingled: DataFrame,
+    key_cols: list,
+    threshold: float,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared banded-bucket self-join + exact-Jaccard verification
+    behind BOTH full-corpus MinHash tiers (minhash_lsh_pairs on
+    xxhash64 band_hash keys, minhash_lsh_pairs_md5 on md5 band_key
+    strings) — the hash family is the ONLY thing that differs between
+    the tiers, so the bucket join, hot-bucket excision, verification,
+    and output contract live once (the round-9 retire-merge: a cap or
+    tie-break fix can never apply to one tier and silently miss the
+    other, the _incoming_probe_best_match discipline)."""
     if max_bucket_size is not None:
         wide = (
-            bands.groupBy("band", "band_hash")
+            bands.groupBy(*key_cols)
             .agg(F.count("*").alias("width"))
             .filter(F.col("width") > max_bucket_size)
-            .select("band", "band_hash")
+            .select(*key_cols)
         )
-        bands = bands.join(wide, ["band", "band_hash"], "left_anti")
+        bands = bands.join(wide, key_cols, "left_anti")
 
     a = bands.alias("a")
     b = bands.alias("b")
+    join_cond = F.col("a.doc_id") < F.col("b.doc_id")
+    for kc in key_cols:
+        join_cond = (F.col(f"a.{kc}") == F.col(f"b.{kc}")) & join_cond
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        a.join(b, join_cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-
-    sh = shingled
-    verified = (
+    return (
         candidates.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")),
+            shingled.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")),
+            shingled.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
             "doc_b",
         )
         .withColumn(
@@ -355,8 +381,6 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    verified._cached_deps = [shingled, sigs]  # see cache contract above
-    return verified
 
 
 def _md5long(col):
@@ -429,6 +453,7 @@ def minhash_lsh_pairs_md5(
     threshold: float = 0.35,
     num_hashes: int = 32,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """X2 — the MinHash/LSH pipeline on an engine-neutral hash family,
     making the WHOLE band/bucket/verify mechanism oracle-checkable.
@@ -449,7 +474,10 @@ def minhash_lsh_pairs_md5(
     Verified output is identical in distribution to the production
     tier's (both emit exactly the candidate pairs whose true Jaccard
     clears the threshold); on driver testdata the two emit the SAME
-    pair set (pinned in tests/test_dedup_guards.py).
+    pair set (pinned in tests/test_dedup_guards.py).  The bucket join
+    + verification pipeline IS the production tier's
+    (_lsh_pairs_verify — retire-merged round 10): only the band-table
+    hash family differs.
     """
     docs = read_table(spark, sf_dir, "documents")
     shingled = _cache_once(
@@ -459,46 +487,8 @@ def minhash_lsh_pairs_md5(
         )
     )
     bands = _md5_band_table(shingled, num_hashes, band_size)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    verified = (
-        candidates.join(
-            shingled.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("shingles").alias("sh_a"),
-            ),
-            "doc_a",
-        )
-        .join(
-            shingled.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("shingles").alias("sh_b"),
-            ),
-            "doc_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    verified = _lsh_pairs_verify(
+        bands, shingled, ["band", "band_key"], threshold, max_bucket_size
     )
     verified._cached_deps = [shingled]
     return verified
@@ -721,7 +711,20 @@ def simhash_pairs(
 
     assembly = " + ".join(_bit(i) for i in range(64))
     sigs = bit_sums.select("doc_id", F.expr(assembly).alias("simhash"))
+    return _simhash_chunk_join(sigs, chunk_bits=16, max_hamming=max_hamming)
 
+
+def _simhash_chunk_join(
+    sigs: DataFrame, chunk_bits: int, max_hamming: int
+) -> DataFrame:
+    """Shared chunk-banding + bucket self-join + Hamming verification
+    behind BOTH SimHash tiers (simhash_pairs' 64-bit xxhash64
+    signatures in 4x16-bit chunks, simhash_pairs_md5's 60-bit md5
+    signatures in 4x15-bit chunks) — the signature hash family is the
+    only difference between the tiers, so the banding and verification
+    live once (the _lsh_pairs_verify retire-merge discipline).
+    ``sigs``: (doc_id, simhash long)."""
+    mask = (1 << chunk_bits) - 1
     chunks = sigs.select(
         "doc_id",
         "simhash",
@@ -730,8 +733,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk_val"),
                     )
                     for c in range(4)
@@ -1689,7 +1692,9 @@ def simhash_pairs_md5(
     Plain per-bit conditional sums, no lane packing: the witness
     optimizes for being obviously the textbook algorithm, not for
     speed — the packed production form is equality-tested against its
-    own unpacked baseline in tests.
+    own unpacked baseline in tests.  The chunk banding + Hamming
+    verification IS the production tier's (_simhash_chunk_join —
+    retire-merged round 10): only the signature hash family differs.
     """
     bits = 60
     docs = read_table(spark, sf_dir, "documents")
@@ -1706,42 +1711,7 @@ def simhash_pairs_md5(
         for i in range(bits)
     )
     sigs = bit_sums.select("doc_id", F.expr(assembly).alias("simhash"))
-    chunks = sigs.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 15)
-                        .bitwiseAND(F.lit(0x7FFF))
-                        .alias("chunk_val"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select("doc_id", "simhash", "ck.chunk", "ck.chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return _simhash_chunk_join(sigs, chunk_bits=15, max_hamming=max_hamming)
 
 
 # -- incremental dedup: new batch against existing corpus ------------------
