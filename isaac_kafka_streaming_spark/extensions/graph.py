@@ -81,14 +81,47 @@ def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def page_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def page_transition_edges(
+    spark: SparkSession, sf_dir: str, split_gap_days: int | None = None
+) -> DataFrame:
     """The weighted directed page-transition graph: per user ordered
     by (ts, event_id), each consecutive pair of DISTINCT pages is one
     src -> dst transition; weight = transition count.  One window +
     one groupBy over the event log — the corpus-sized pass; the
-    output is bounded by |V|^2 (page-catalog-sized, a dim)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = _page_events(spark, sf_dir).select(
+    output is bounded by |V|^2 (page-catalog-sized, a dim).
+
+    ``split_gap_days`` is the hot-user skew mitigation (opt-in; the
+    SCALE_DESIGN round-9 measurement shows the plain window is
+    skew-safe until ONE user's events outgrow a single task's sort
+    budget, tens of millions of rows): when set, the window partitions
+    by (user_id, time bucket of that many days), so a hot user's
+    timeline splits into boundable sub-sessions that sort in parallel.
+    The cost is a bounded undercount — ONLY the single transition
+    straddling each bucket boundary is lost, i.e. at most
+    (#buckets_visited - 1) transitions per user (pinned in
+    tests/test_graph.py) — the same trade the gap-sessionized
+    operators already make at session boundaries."""
+    return transition_edges_from_events(
+        _page_events(spark, sf_dir), split_gap_days
+    )
+
+
+def transition_edges_from_events(
+    page_events: DataFrame, split_gap_days: int | None = None
+) -> DataFrame:
+    """The edge-aggregation core over an arbitrary (user_id, ts,
+    event_id, k) frame — split out so the undercount bound and the
+    skew harness (tools/skew_stress.py) can drive it with synthetic
+    timelines."""
+    part_cols = ["user_id"]
+    if split_gap_days is not None:
+        bucket_us = int(split_gap_days) * 86_400_000_000
+        page_events = page_events.withColumn(
+            "__bucket", F.floor(F.unix_micros("ts") / F.lit(bucket_us))
+        )
+        part_cols.append("__bucket")
+    w = Window.partitionBy(*part_cols).orderBy("ts", "event_id")
+    seq = page_events.select(
         F.col("k").alias("src"), F.lead("k").over(w).alias("dst")
     )
     return (

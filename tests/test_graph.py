@@ -169,3 +169,97 @@ def test_label_propagation_matches_independent_python_replay(spark, sf_smoke):
     # labels are node ids; at least one nontrivial community formed
     assert set(lbl.values()) <= set(nodes)
     assert max(sizes.values()) >= 2
+
+
+def test_split_gap_undercount_bound(spark, sf_smoke):
+    """The hot-user pre-split mitigation loses ONLY boundary-straddling
+    transitions: per (src, dst) the split weight never exceeds the
+    plain weight, and the total undercount is bounded by
+    sum_users(#buckets_visited - 1) — each bucket cut removes at most
+    the one consecutive pair straddling it."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions.graph import _page_events
+
+    gap_days = 7
+    plain = {
+        (r.src, r.dst): r.w
+        for r in page_transition_edges(spark, sf_smoke).collect()
+    }
+    split = {
+        (r.src, r.dst): r.w
+        for r in page_transition_edges(
+            spark, sf_smoke, split_gap_days=gap_days
+        ).collect()
+    }
+    assert set(split) <= set(plain)
+    assert all(split[k] <= plain[k] for k in split)
+    cuts = (
+        _page_events(spark, sf_smoke)
+        .select(
+            "user_id",
+            F.floor(
+                F.unix_micros("ts") / F.lit(gap_days * 86_400_000_000)
+            ).alias("b"),
+        )
+        .groupBy("user_id")
+        .agg((F.count_distinct("b") - 1).alias("cuts"))
+        .agg(F.sum("cuts"))
+        .first()[0]
+    )
+    undercount = sum(plain.values()) - sum(split.values())
+    assert 0 <= undercount <= cuts, (undercount, cuts)
+
+
+def test_split_gap_wide_bucket_is_exact(spark, sf_smoke):
+    """A bucket wider than the data's time span cuts nothing: the
+    split edge list is bit-identical to the plain one (the mitigation
+    degrades to a no-op instead of perturbing weights)."""
+    plain = sorted(
+        tuple(r) for r in page_transition_edges(spark, sf_smoke).collect()
+    )
+    wide = sorted(
+        tuple(r)
+        for r in page_transition_edges(
+            spark, sf_smoke, split_gap_days=400_000  # ~1000 years
+        ).collect()
+    )
+    assert wide == plain
+
+
+def test_split_gap_synthetic_boundary(spark):
+    """Synthetic two-day timeline: exactly the one cross-boundary
+    transition disappears, everything else is preserved."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        transition_edges_from_events,
+    )
+
+    def ts(day, hour):
+        return datetime.datetime(
+            2024, 1, day, hour, tzinfo=datetime.timezone.utc
+        )
+
+    rows = [
+        # day 1: 10 -> 20 -> 30; day 2: 40 -> 50 (cross-boundary
+        # transition 30 -> 40 straddles the midnight cut)
+        Row(user_id=1, ts=ts(1, 8), event_id=1, k=10),
+        Row(user_id=1, ts=ts(1, 9), event_id=2, k=20),
+        Row(user_id=1, ts=ts(1, 10), event_id=3, k=30),
+        Row(user_id=1, ts=ts(2, 8), event_id=4, k=40),
+        Row(user_id=1, ts=ts(2, 9), event_id=5, k=50),
+    ]
+    ev = spark.createDataFrame(rows)
+    plain = {
+        (r.src, r.dst): r.w
+        for r in transition_edges_from_events(ev).collect()
+    }
+    split = {
+        (r.src, r.dst): r.w
+        for r in transition_edges_from_events(ev, split_gap_days=1).collect()
+    }
+    assert plain == {(10, 20): 1, (20, 30): 1, (30, 40): 1, (40, 50): 1}
+    assert split == {(10, 20): 1, (20, 30): 1, (40, 50): 1}

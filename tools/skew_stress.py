@@ -1,9 +1,10 @@
-"""Skew stress harness — MEASURE that the fan-out caps bind where the
-docstrings claim (round-7 verdict item 5: the caps were tested for
-correctness under manufactured skew in tests/test_dedup_guards.py, but
-never timed on a heavy-tail corpus bigger than the graded fixtures).
+"""Skew stress harness — MEASURE that the skew mitigations bind where
+the docstrings claim, across ALL the skew-exposed families in ONE
+table (round-9 verdict item 8 consolidated the dedup-cap, graph-window
+and selection measurements here).
 
-Builds a deterministic ~10x skewed documents table from sf0.1:
+Documents skew (dedup/text/selection rows): a deterministic ~10x
+skewed table from sf0.1 —
   * every source doc replicated 10x (new doc_ids, per-replica source
     labels -> 200 sources), ~50k docs;
   * a fixed ~30-token boilerplate passage appended to 5% of docs (the
@@ -11,13 +12,21 @@ Builds a deterministic ~10x skewed documents table from sf0.1:
     ~2,500 documents across all sources);
   * 2% of docs replaced by EXACT copies of the boilerplate alone (the
     pathological clique: every such doc's rarest shingle has df ~1000,
-    the shape the hot-anchor cap excises).
+    the shape the hot-anchor cap excises);
+plus a same-size UNIFORM twin (no boilerplate) so the selection rows
+compare hot-token vs flat-token corpora at equal volume.
 
-Then times each capped operator twice — cap set to 64 vs cap
-effectively off — and prints a table for SCALE_DESIGN.md.  (64 is the
-shipped default for the source/fingerprint caps; contained_documents'
-GRADED entry runs with max_anchor_df=None — cap off is its default
-semantics, and the 64 run shows what engaging the guard buys.)
+Events skew (graph rows): the sf0.1 events table unioned to 10x
+(user-shifted copies, the pagerank_scaleup recipe) with 50% of ALL
+rows folded onto one user — the hot-user shape whose mitigation is
+page_transition_edges(split_gap_days=...).
+
+Each row times an operator under two variants (cap on/off, split
+on/off, skewed/uniform corpus) and prints one consolidated table for
+SCALE_DESIGN.md's skew section.  (64 is the shipped default for the
+source/fingerprint caps; contained_documents' GRADED entry runs with
+max_anchor_df=None — cap off is its default semantics, and the 64 run
+shows what engaging the guard buys.)
 
 Usage: cd /tmp && python /root/repo/tools/skew_stress.py [sf_dir]
 """
@@ -47,17 +56,31 @@ def build_skewed(
     out_dir: str,
     clique_mod: int = 50,
     n_sources: int | None = None,
+    uniform: bool = False,
 ) -> None:
     """clique_mod controls the exact-boilerplate clique share (1/mod of
     all docs): 50 -> 2% (the default heavy tail), 10 -> 10% (the
     pathological wall, --heavy).  n_sources (``--sources N``) relabels
     sources as doc_id % N synthetic feeds — the syndication regime
-    where the per-passage source cap actually binds (sources >> cap)."""
+    where the per-passage source cap actually binds (sources >> cap).
+    uniform=True skips the boilerplate injection entirely — the
+    equal-volume flat-token control corpus for the selection rows."""
     src_expr = (
         "d.source || '_' || CAST(r.rep AS VARCHAR)"
         if n_sources is None
         else f"'feed_' || CAST((d.doc_id * 10 + r.rep) % {n_sources} "
              f"AS VARCHAR)"
+    )
+    text_expr = (
+        "text"
+        if uniform
+        else f"""CASE
+                     WHEN doc_id % {clique_mod} = 7
+                         THEN '{BOILERPLATE}'
+                     WHEN doc_id % 20 = 3
+                         THEN text || ' {BOILERPLATE}'
+                     ELSE text
+                 END"""
     )
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -72,15 +95,7 @@ def build_skewed(
                 FROM '{src_dir}/documents.parquet' d CROSS JOIN r
             ),
             skewed AS (
-                SELECT doc_id,
-                       CASE
-                           WHEN doc_id % {clique_mod} = 7
-                               THEN '{BOILERPLATE}'
-                           WHEN doc_id % 20 = 3
-                               THEN text || ' {BOILERPLATE}'
-                           ELSE text
-                       END AS text,
-                       lang, source
+                SELECT doc_id, {text_expr} AS text, lang, source
                 FROM base
             )
             SELECT doc_id, text, lang, source,
@@ -98,14 +113,71 @@ def build_skewed(
         FROM '{out_dir}/documents.parquet'
         """
     ).fetchone()
-    print(f"skewed corpus: {n} docs, {hot} boilerplate-suffixed, "
-          f"{clique} exact-boilerplate clique docs")
+    kind = "uniform" if uniform else "skewed"
+    print(f"{kind} corpus: {n} docs, "
+          + ("no boilerplate" if uniform else
+             f"{hot} boilerplate-suffixed, "
+             f"{clique} exact-boilerplate clique docs"))
+
+
+def build_skewed_events(spark, src_dir: str, out_dir: str) -> None:
+    """10x user-shifted copies of the events table with 50% of ALL
+    rows folded onto user 1 — the hot-user regime for the graph edge
+    window (the round-9 measurement's shape, now reproducible here)."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    ev = read_table(spark, src_dir, "events")
+    max_uid, max_eid = ev.agg(
+        F.max("user_id"), F.max("event_id")
+    ).first()
+    copies = None
+    for i in range(10):
+        c = ev.select(
+            (F.col("event_id") + F.lit(i * (max_eid + 1))).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.lit(i * (max_uid + 1))).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        copies = c if copies is None else copies.unionByName(c)
+    folded = copies.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(1).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
+    folded.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    n, hot = (
+        spark.read.parquet(f"{out_dir}/events.parquet")
+        .agg(
+            F.count("*"),
+            F.sum(F.when(F.col("user_id") == 1, 1).otherwise(0)),
+        )
+        .first()
+    )
+    print(f"skewed events: {n} rows, {hot} ({100.0 * hot / n:.0f}%) on "
+          "the hot user")
 
 
 def time_once(fn, *args, **kwargs) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = fn(*args, **kwargs).count()
     return time.perf_counter() - t0, n
+
+
+def time_min2(spark, fn, *args, **kwargs) -> tuple[float, int]:
+    """min-of-2 per variant (the SCALE_DESIGN bracket discipline):
+    single-shot numbers fold first-scan + codegen warm-up into
+    whichever variant happens to run first — measured up to 5x on the
+    graph window — so each variant is timed twice and the min kept."""
+    best, n = time_once(fn, *args, **kwargs)
+    spark.catalog.clearCache()
+    t2, _ = time_once(fn, *args, **kwargs)
+    spark.catalog.clearCache()
+    return min(best, t2), n
 
 
 def main() -> int:
@@ -119,52 +191,82 @@ def main() -> int:
     args = [a for a in argv if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.1"
     out = os.environ.get("SKEW_DIR", "/tmp/skewdata")
+    out_uniform = out + "_uniform"
+    out_events = out + "_events"
     build_skewed(
         src, out, clique_mod=10 if heavy else 50, n_sources=n_sources
     )
+    build_skewed(src, out_uniform, uniform=True)
 
     from isaac_kafka_streaming_spark.extensions.dedup import (
         contained_documents,
         source_overlap_matrix,
     )
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        page_transition_edges,
+    )
+    from isaac_kafka_streaming_spark.extensions.sampling import dsir_select
     from isaac_kafka_streaming_spark.extensions.text import (
+        selection_budget_curve,
         winnow_probe_incoming,
     )
     from isaac_kafka_streaming_spark.session import get_spark
 
     spark = get_spark("skew-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    build_skewed_events(spark, src, out_events)
 
     cases = [
-        # (name, callable, cap-on kwargs, cap-off kwargs)
+        # (name, callable, (label_a, dir_a, kwargs_a),
+        #                   (label_b, dir_b, kwargs_b))
         (
             "contained_documents",
             contained_documents,
-            {"max_anchor_df": 64},
-            {"max_anchor_df": None},
+            ("cap=64", out, {"max_anchor_df": 64}),
+            ("cap=off", out, {"max_anchor_df": None}),
         ),
         (
             "source_overlap_matrix",
             source_overlap_matrix,
-            {"max_sources_per_passage": 64},
-            {"max_sources_per_passage": UNCAPPED},
+            ("cap=64", out, {"max_sources_per_passage": 64}),
+            ("cap=off", out, {"max_sources_per_passage": UNCAPPED}),
         ),
         (
             "winnow_probe_incoming",
             winnow_probe_incoming,
-            {"max_corpus_docs_per_fp": 64},
-            {"max_corpus_docs_per_fp": UNCAPPED},
+            ("cap=64", out, {"max_corpus_docs_per_fp": 64}),
+            ("cap=off", out, {"max_corpus_docs_per_fp": UNCAPPED}),
+        ),
+        # graph: hot-user edge window, pre-split mitigation on vs off
+        (
+            "page_transition_edges",
+            page_transition_edges,
+            ("split=1d", out_events, {"split_gap_days": 1}),
+            ("split=off", out_events, {"split_gap_days": None}),
+        ),
+        # selection: hot-token corpus vs equal-volume uniform control
+        # (no knob — the mitigation is map-side partial aggregation,
+        # so the claim under test is "skew costs ~nothing")
+        (
+            "selection_budget_curve",
+            selection_budget_curve,
+            ("skewed", out, {}),
+            ("uniform", out_uniform, {}),
+        ),
+        (
+            "dsir_select",
+            dsir_select,
+            ("skewed", out, {}),
+            ("uniform", out_uniform, {}),
         ),
     ]
-    print(f"{'operator':<24} {'cap-on s':>9} {'rows':>8} "
-          f"{'cap-off s':>10} {'rows':>9} {'speedup':>8}")
-    for name, fn, on_kw, off_kw in cases:
-        t_on, n_on = time_once(fn, spark, out, **on_kw)
-        spark.catalog.clearCache()
-        t_off, n_off = time_once(fn, spark, out, **off_kw)
-        spark.catalog.clearCache()
-        print(f"{name:<24} {t_on:>9.2f} {n_on:>8} "
-              f"{t_off:>10.2f} {n_off:>9} {t_off / t_on:>7.1f}x")
+    print(f"{'operator':<24} {'variant A':>10} {'s':>7} {'rows':>8} "
+          f"{'variant B':>10} {'s':>7} {'rows':>9} {'B/A':>6}")
+    for name, fn, (lab_a, dir_a, kw_a), (lab_b, dir_b, kw_b) in cases:
+        t_a, n_a = time_min2(spark, fn, spark, dir_a, **kw_a)
+        t_b, n_b = time_min2(spark, fn, spark, dir_b, **kw_b)
+        print(f"{name:<24} {lab_a:>10} {t_a:>7.2f} {n_a:>8} "
+              f"{lab_b:>10} {t_b:>7.2f} {n_b:>9} {t_b / t_a:>5.1f}x")
     spark.stop()
     return 0
 
