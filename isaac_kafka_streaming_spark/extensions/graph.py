@@ -303,6 +303,13 @@ def register() -> dict:
             "deterministic synchronous label propagation: community "
             "detection over the page graph, 4 unrolled rounds",
         ),
+        "page_components": QueryDef(
+            page_components,
+            PAGE_COMPONENTS_ORACLE_SQL,
+            "exact connected components of the page-transition graph "
+            "(large-star/small-star), oracle-replayed as recursive "
+            "closure",
+        ),
     }
 
 
@@ -694,6 +701,104 @@ FROM lbl{iters} l
 
 
 LP_ORACLE_SQL = _lp_oracle_sql()
+
+
+def page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components of the UNDIRECTED page-transition
+    graph — the fourth member of the graph family (CC finds the exact
+    components, PageRank/PPR rank within them, LP finds the soft
+    community structure; LP communities always refine CC components,
+    pinned on planted graphs in tests/test_graph.py).  Reuses the
+    large-star/small-star alternation from the dedup clusterer
+    (dedup.connected_components_star — Kiveris et al. 2014, the
+    O(log^2 n)-round 100 TB shape), over edges from the same single
+    corpus pass as every other family member.
+
+    Deterministic — component id = min reachable page_id — and fully
+    integer, so the DuckDB oracle replays it as a recursive
+    transitive-closure CTE (the dedup_clusters recipe) and the driver
+    hash-checks it.  Output: (page_id, component, component_size);
+    isolated pages (no transitions) are their own singleton
+    components."""
+    nodes = (
+        _page_events(spark, sf_dir)
+        .select(F.col("k").alias("page_id"))
+        .distinct()
+    )
+    return components_from_graph(nodes, page_transition_edges(spark, sf_dir))
+
+
+def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """The CC composition over an arbitrary graph — ``nodes``:
+    (page_id), ``edges``: (src, dst[, w]) directed pairs, traversed
+    undirected — shared by the graded batch entry and the streamed
+    read-time composition (components_from_stores), the family-wide
+    split."""
+    from .dedup import connected_components_star
+
+    comp = connected_components_star(edges, src="src", dst="dst")
+    labeled = nodes.join(comp, nodes.page_id == comp.node, "left").select(
+        "page_id",
+        F.coalesce(F.col("comp"), F.col("page_id")).alias("component"),
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("component_size")
+    )
+    return labeled.join(sizes, "component").select(
+        "page_id", "component", "component_size"
+    )
+
+
+def components_from_stores(
+    pages_store: DataFrame, edges_store: DataFrame
+) -> DataFrame:
+    """Read-time connected components over the streamed graph stores —
+    bit-for-bit page_components on the same events (pinned in
+    tests/test_streaming.py); the stream maintains the graph, the
+    component recompute runs here periodically (the family-wide
+    split)."""
+    return components_from_graph(
+        pages_store.select("page_id"),
+        edges_store.select("src", "dst"),
+    )
+
+
+PAGE_COMPONENTS_ORACLE_SQL = """
+WITH RECURSIVE ev AS (
+    SELECT user_id, ts, event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+          IS NOT NULL
+), seq AS (
+    SELECT k AS src,
+           LEAD(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM ev
+), e AS (
+    SELECT DISTINCT src, dst
+    FROM seq WHERE dst IS NOT NULL AND dst <> src
+), und AS (
+    SELECT src AS a, dst AS b FROM e
+    UNION
+    SELECT dst AS a, src AS b FROM e
+), nodes AS (
+    SELECT DISTINCT k AS page_id FROM ev
+), reach(node, comp) AS (
+    SELECT a, a FROM und
+    UNION
+    SELECT u.a, r.comp
+    FROM und u JOIN reach r ON u.b = r.node
+), m AS (
+    SELECT node, MIN(comp) AS comp FROM reach GROUP BY node
+), lab AS (
+    SELECT n.page_id, COALESCE(m.comp, n.page_id) AS component
+    FROM nodes n LEFT JOIN m ON n.page_id = m.node
+)
+SELECT page_id, component,
+       CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+           AS component_size
+FROM lab
+"""
 
 
 def seeds_from_purchase_store(

@@ -3181,21 +3181,25 @@ REGISTRY: dict[str, QueryDef] = {
 # always assumed.
 #
 # Round-10 window tiers (plan_window.py output, history through r09;
-# 135 live entries — no mid-round-10 registrations yet).  The round-9
-# window went fully green in CORRECTNESS_r09.json (50/50
-# hash-checked), so the live freshness distribution entering round 10
-# is {r09: 50, r08: 50, r07: 35}.
+# 136 live entries after the mid-round-10 registration of
+# page_components — exact CC over the page graph, completing the
+# graph family).  The round-9 window went fully green in
+# CORRECTNESS_r09.json (50/50 hash-checked), so the live freshness
+# distribution entering round 10 is {r09: 50, r08: 50, r07: 35}.
+#   T0: page_components, no driver row yet (must-check); takes the
+#       slot of a T2-fill entry (threshold_achievements — r08-green,
+#       it fronts the round-11 window; the mid-round swap discipline).
 #   T1: the 35 entries whose last green row is r07 — they fall out of
 #       the K=3 freshness span unless re-checked in round 10
 #       (invariant-REQUIRED; plan_window fronts them).  These are
 #       exactly the four T2 fills deferred from round 9 (tpch_q8,
 #       tpch_q9, user_activity_coverage, orders_with_returns) plus the
 #       31 other r07-green entries.
-#   T2: 15 of the 50 entries last green in r08 (fill; they expire
+#   T2: 14 of the 50 entries last green in r08 (fill; they expire
 #       after round 11 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~35/round).  The remaining
-#       35 r08-green entries front the round-11 window.
-# The 85 parked entries are all green in r08 or r09, inside the K=3
+#       36 r08-green entries front the round-11 window.
+# The 86 parked entries are all green in r08 or r09, inside the K=3
 # freshness span through round 10.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
@@ -3218,6 +3222,8 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — no green row yet (must-check) (1)
+    "page_components",
     # T1 — last green <= r7 (invariant requires) (35)
     "orders_with_returns",
     "user_activity_coverage",
@@ -3254,7 +3260,7 @@ _DRIVER_CHECK_ORDER = [
     "winnow_probe_incoming",
     "feature_hash_embed",
     "bm25_top_docs",
-    # T2 — last green r8 (expires after next round) (15 of 50)
+    # T2 — last green r8 (expires after next round) (14 of 50)
     "event_type_counts",
     "daily_event_counts",
     "daily_role_counts",
@@ -3269,7 +3275,6 @@ _DRIVER_CHECK_ORDER = [
     "question_part_counts",
     "question_page_rollup",
     "question_completion",
-    "threshold_achievements",
 ]
 
 

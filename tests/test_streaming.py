@@ -1824,6 +1824,18 @@ def test_streaming_pagerank_pipeline_parity(spark, sf_smoke, tmp_path_factory):
         want_lp, "page_id", "community", "community_size"
     )
 
+    # exact CC, the fourth family member, from the same two stores
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        components_from_stores,
+        page_components,
+    )
+
+    got_cc = components_from_stores(catalog, edges_store)
+    want_cc = page_components(spark, sf_smoke)
+    assert _rows(got_cc, "page_id", "component", "component_size") == _rows(
+        want_cc, "page_id", "component", "component_size"
+    )
+
 
 def test_streaming_budget_counters_parity(spark, sf_smoke, tmp_path_factory):
     """Streamed budget counters + read-time ratios reproduce the graded
