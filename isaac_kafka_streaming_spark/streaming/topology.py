@@ -632,27 +632,96 @@ def foreach_batch_jdbc(
     return writer.start()
 
 
+def idempotent_create_sql(
+    dialect: str, table: str, staging: str, key_cols: list
+) -> list:
+    """First-batch target-table DDL per dialect, as a statement list
+    (pure SQL-text builder, unit-testable without a live database).
+
+    * ``"ansi"`` (Derby-live-tested): clone the staging layout; the
+      PK-or-MERGE contract needs no constraint because the merge
+      itself checks the key.
+    * ``"postgres"``: the upsert is INSERT .. ON CONFLICT, which
+      REQUIRES a unique index on the business key — so the clone is
+      followed by ALTER TABLE .. ADD PRIMARY KEY (matching the
+      reference's PK-on-business-key contract,
+      ThresholdAchievedProcessor.java:81-97)."""
+    create = f"CREATE TABLE {table} AS SELECT * FROM {staging} WITH NO DATA"
+    if dialect == "postgres":
+        keylist = ", ".join(f'"{k}"' for k in key_cols)
+        return [create, f"ALTER TABLE {table} ADD PRIMARY KEY ({keylist})"]
+    return [create]
+
+
+def idempotent_merge_sql(
+    dialect: str,
+    table: str,
+    staging: str,
+    key_cols: list,
+    cols: list,
+    string_keys: set,
+) -> str:
+    """The per-batch atomic insert-if-absent per dialect (pure SQL-text
+    builder, unit-testable without a live database).  ``string_keys``:
+    key columns of string type — under the Derby dialect Spark's JDBC
+    writer lands those as CLOB, which Derby cannot compare, so the ON
+    clause casts them to VARCHAR; Postgres lands them as TEXT and
+    needs no cast."""
+    collist = ", ".join(f'"{c}"' for c in cols)
+    if dialect == "postgres":
+        keylist = ", ".join(f'"{k}"' for k in key_cols)
+        return (
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT {collist} FROM {staging} "
+            f"ON CONFLICT ({keylist}) DO NOTHING"
+        )
+
+    def _key_expr(alias: str, k: str) -> str:
+        if k in string_keys:
+            return f'CAST({alias}."{k}" AS VARCHAR(32672))'
+        return f'{alias}."{k}"'
+
+    on = " AND ".join(
+        f"{_key_expr('t', k)} = {_key_expr('s', k)}" for k in key_cols
+    )
+    vals = ", ".join(f's."{c}"' for c in cols)
+    return (
+        f"MERGE INTO {table} t USING {staging} s ON ({on}) "
+        f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+    )
+
+
 def jdbc_idempotent_batch_writer(
     url: str,
     table: str,
     key_cols: list,
     properties: Optional[dict] = None,
+    dialect: str = "ansi",
 ):
     """Per-batch writer with ENFORCED delivery idempotence (beyond the
     reference, whose processor plain-INSERTs and leans on the PK —
     ThresholdAchievedProcessor.java:81-97): each micro-batch lands in a
     staging table via Spark JDBC, then ONE driver-side atomic
-    ``MERGE .. WHEN NOT MATCHED THEN INSERT`` keyed on the business key
-    moves it into the target.  A re-delivered batch (foreachBatch
-    replays after failure/restart) re-merges and inserts nothing — no
-    PK violation aborting the batch, no duplicate rows.
+    insert-if-absent keyed on the business key moves it into the
+    target.  A re-delivered batch (foreachBatch replays after
+    failure/restart) re-merges and inserts nothing — no PK violation
+    aborting the batch, no duplicate rows.
 
-    The merge statement is ANSI (Derby 10.11+, Postgres 15+; older
-    Postgres would swap in INSERT .. ON CONFLICT DO NOTHING).  At scale
-    the expensive half — shipping the batch — stays parallel in Spark;
-    only the set-based merge runs on the database, which is where it
-    must run to be atomic.
+    ``dialect`` picks the upsert statement (round-9 advice: the claim
+    must be portable, not Derby-shaped):
+      * ``"ansi"`` — ``MERGE .. WHEN NOT MATCHED THEN INSERT``
+        (Derby 10.11+, Postgres 15+, SQL Server, Oracle); live-tested
+        against embedded Derby in tests/test_jdbc_roundtrip.py.
+      * ``"postgres"`` — ``INSERT .. ON CONFLICT DO NOTHING``
+        (Postgres 9.5+); first batch also adds the PRIMARY KEY the
+        conflict target requires.  SQL-text pinned in the same tests
+        (no live Postgres in this container).
+    At scale the expensive half — shipping the batch — stays parallel
+    in Spark; only the set-based merge runs on the database, which is
+    where it must run to be atomic.
     """
+    if dialect not in ("ansi", "postgres"):
+        raise ValueError(f"unknown idempotent-sink dialect: {dialect!r}")
     props = properties or {}
     staging = f"{table}_staging"
 
@@ -664,21 +733,14 @@ def jdbc_idempotent_batch_writer(
         batch_df.write.jdbc(url, staging, mode="overwrite", properties=props)
         cols = batch_df.columns
         # Spark's JDBC writer creates QUOTED (case-exact) column names;
-        # unquoted identifiers would case-fold and miss them.  String
-        # keys land as CLOB under the Derby dialect, and Derby cannot
-        # compare CLOBs — cast those key comparisons to VARCHAR.
+        # unquoted identifiers would case-fold and miss them.
         from pyspark.sql.types import StringType
 
-        def _key_expr(alias: str, k: str) -> str:
-            if isinstance(batch_df.schema[k].dataType, StringType):
-                return f'CAST({alias}."{k}" AS VARCHAR(32672))'
-            return f'{alias}."{k}"'
-
-        on = " AND ".join(
-            f"{_key_expr('t', k)} = {_key_expr('s', k)}" for k in key_cols
-        )
-        collist = ", ".join(f'"{c}"' for c in cols)
-        vals = ", ".join(f's."{c}"' for c in cols)
+        string_keys = {
+            k
+            for k in key_cols
+            if isinstance(batch_df.schema[k].dataType, StringType)
+        }
         jvm = batch_df.sparkSession._jvm
         # same connection options as the Spark staging write: load the
         # driver class if given, pass the remaining entries (user,
@@ -705,13 +767,14 @@ def jdbc_idempotent_batch_writer(
                     break
             st = conn.createStatement()
             if not exists:  # first batch: target = empty staging clone
-                st.executeUpdate(
-                    f"CREATE TABLE {table} AS SELECT * FROM {staging} "
-                    "WITH NO DATA"
-                )
+                for ddl in idempotent_create_sql(
+                    dialect, table, staging, key_cols
+                ):
+                    st.executeUpdate(ddl)
             st.executeUpdate(
-                f"MERGE INTO {table} t USING {staging} s ON ({on}) "
-                f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
+                idempotent_merge_sql(
+                    dialect, table, staging, key_cols, cols, string_keys
+                )
             )
             st.close()
         finally:
@@ -728,11 +791,13 @@ def foreach_batch_jdbc_idempotent(
     properties: Optional[dict] = None,
     checkpoint: Optional[str] = None,
     output_mode: str = "append",
+    dialect: str = "ansi",
 ):
     """K3/T9 — streaming JDBC sink with enforced exactly-once delivery
     to the target table (see jdbc_idempotent_batch_writer)."""
     writer = df.writeStream.foreachBatch(
-        jdbc_idempotent_batch_writer(url, table, key_cols, properties)
+        jdbc_idempotent_batch_writer(url, table, key_cols, properties,
+                                     dialect=dialect)
     ).outputMode(output_mode)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

@@ -268,3 +268,52 @@ def test_idempotent_writer_dedupes_within_batch(spark, derby_ok):
         for r in spark.read.jdbc(url, "ach_dup", properties=DERBY_PROPS).collect()
     )
     assert rows == [(1, "A"), (2, "B")]
+
+
+def test_idempotent_sink_dialect_sql_text():
+    """The idempotent sink's per-dialect statements, pinned as SQL text
+    (round-9 advice item 7: the exactly-once claim must be portable,
+    not Derby-shaped).  The ANSI branch is ALSO live-tested against
+    embedded Derby by the replay tests above; no live Postgres exists
+    in this container, so its branch is pinned here: the conflict
+    target must be the business key, the first-batch DDL must create
+    the unique constraint ON CONFLICT requires, and no Derby-only
+    CLOB casts may leak in."""
+    import pytest
+
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        idempotent_create_sql,
+        idempotent_merge_sql,
+        jdbc_idempotent_batch_writer,
+    )
+
+    cols = ["user_id", "achievement_id", "ts"]
+    keys = ["user_id", "achievement_id"]
+    skeys = {"achievement_id"}
+
+    ansi = idempotent_merge_sql("ansi", "tgt", "tgt_staging", keys, cols, skeys)
+    assert ansi.startswith("MERGE INTO tgt t USING tgt_staging s ON")
+    assert 'CAST(t."achievement_id" AS VARCHAR(32672))' in ansi  # CLOB fix
+    assert 't."user_id" = s."user_id"' in ansi
+    assert 'WHEN NOT MATCHED THEN INSERT ("user_id", "achievement_id", "ts")' in ansi
+    assert idempotent_create_sql("ansi", "tgt", "tgt_staging", keys) == [
+        "CREATE TABLE tgt AS SELECT * FROM tgt_staging WITH NO DATA"
+    ]
+
+    pg = idempotent_merge_sql(
+        "postgres", "tgt", "tgt_staging", keys, cols, skeys
+    )
+    assert pg == (
+        'INSERT INTO tgt ("user_id", "achievement_id", "ts") '
+        'SELECT "user_id", "achievement_id", "ts" FROM tgt_staging '
+        'ON CONFLICT ("user_id", "achievement_id") DO NOTHING'
+    )
+    assert "CAST(" not in pg  # the CLOB workaround is Derby-only
+    create = idempotent_create_sql("postgres", "tgt", "tgt_staging", keys)
+    assert create == [
+        "CREATE TABLE tgt AS SELECT * FROM tgt_staging WITH NO DATA",
+        'ALTER TABLE tgt ADD PRIMARY KEY ("user_id", "achievement_id")',
+    ]
+
+    with pytest.raises(ValueError, match="dialect"):
+        jdbc_idempotent_batch_writer("url", "tgt", keys, dialect="mysql")
