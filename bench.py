@@ -133,6 +133,8 @@ HEADLINE = [
     "pagerank_personalized",
     "label_propagation",
     "selection_budget_curve",
+    # round 10 addition: exact CC completing the graph family
+    "page_components",
 ]
 
 

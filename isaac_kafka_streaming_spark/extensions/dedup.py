@@ -2053,14 +2053,16 @@ def register() -> dict:
             """,
             "X2 normalized-hash near-dup",
         ),
-        "dedup_ngram_jaccard": QueryDef(
-            ngram_jaccard_pairs,
-            f"""
-            WITH {jac_ctes}
-            {jac_select}
-            """,
-            "X2 exact n-gram Jaccard pairs (inverted-index join)",
-        ),
+        # dedup_ngram_jaccard (uncapped) RETIRED from the graded
+        # registry in round 10 (the round-9 retire-merge item): it
+        # graded the SAME ngram_jaccard_pairs mechanism as
+        # dedup_ngram_jaccard_capped with only the hot-shingle cap
+        # flipped off, and the uncapped pipeline remains hash-checked
+        # end-to-end INSIDE dedup_clusters' closure oracle (its pair
+        # tier is this function, uncapped).  The tier stays direct-call
+        # tested (test_retired_tiers + the cap-semantics pins in
+        # tests/test_dedup_guards.py) and is still the pair source for
+        # dedup_clusters.
         "duplicate_passages": QueryDef(
             duplicate_passages,
             """

@@ -3329,6 +3329,13 @@ def retired_tiers() -> dict:
       sketch_summaries       -> hll_distinct_md5 + cms_heavy_hitters
                                 + histogram_quantiles
 
+    Round 10 added (the round-9 retire-merge item — same mechanism
+    graded twice with one knob flipped, and the uncapped pipeline is
+    ALSO hash-checked inside dedup_clusters' closure oracle):
+
+      dedup_ngram_jaccard    -> dedup_ngram_jaccard_capped
+                                + dedup_clusters (closure)
+
     Nothing was deleted: these remain the recommended 100 TB paths,
     direct-call tested (tests/test_oracle_parity.py::test_retired_tiers
     plus their per-module suites), benched (bench.py), and plan-linted
@@ -3339,6 +3346,7 @@ def retired_tiers() -> dict:
         dedup_clusters,
         dedup_incoming_minhash,
         minhash_lsh_pairs,
+        ngram_jaccard_pairs,
         simhash_pairs,
     )
     from .extensions.similarity import knn_lsh
@@ -3346,6 +3354,7 @@ def retired_tiers() -> dict:
     return {
         "dedup_minhash_lsh": minhash_lsh_pairs,
         "dedup_simhash": simhash_pairs,
+        "dedup_ngram_jaccard": ngram_jaccard_pairs,
         "dedup_incoming_minhash": dedup_incoming_minhash,
         "dedup_clusters_lsh": lambda spark, sf_dir: dedup_clusters(
             spark, sf_dir, pair_tier="lsh"

@@ -219,9 +219,20 @@ def _check_knn_lsh(rows):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
 
 
+def _check_ngram_jaccard(rows):
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= 0.35
+    assert len({(r.doc_a, r.doc_b) for r in rows}) == len(rows)
+
+
 _RETIRED_CHECKS = {
     "dedup_minhash_lsh": _check_minhash,
     "dedup_simhash": _check_simhash,
+    "dedup_ngram_jaccard": _check_ngram_jaccard,  # retired round 10;
+    # cap semantics + capped-subset pins live in tests/test_dedup_guards.py,
+    # and the uncapped pipeline stays hash-checked inside dedup_clusters'
+    # closure oracle
     "dedup_incoming_minhash": _check_incoming_minhash,
     "dedup_clusters_lsh": _check_clusters,
     "knn_lsh": _check_knn_lsh,
@@ -240,13 +251,15 @@ def _retired_tiers():
 
 @pytest.mark.parametrize("name", sorted(_retired_tiers()))
 def test_retired_tiers(spark, name):
-    """The six production tiers retired from the graded registry in
+    """The production tiers retired from the graded registry — six in
     round 8 (engine-specific hashing / implementation-defined sketch
-    values -> rows-only under the driver; each mechanism is carried by
-    a registered hash-checked witness).  Direct-call pins so the
-    retired tier itself — not just its witness — keeps running and
-    keeps its semantic shape.  sketch_summaries' error bounds are
-    pinned separately in tests/test_operators.py."""
+    values -> rows-only under the driver) plus the uncapped n-gram
+    Jaccard tier in round 10 (same mechanism as its capped twin, and
+    still hash-checked inside dedup_clusters' closure oracle); each
+    mechanism is carried by a registered hash-checked witness.
+    Direct-call pins so the retired tier itself — not just its witness
+    — keeps running and keeps its semantic shape.  sketch_summaries'
+    error bounds are pinned separately in tests/test_operators.py."""
     fn, check = _retired_tiers()[name]
     df = fn(spark, SF_DIR)
     rows = df.collect()

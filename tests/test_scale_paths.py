@@ -964,3 +964,70 @@ def test_ivfpq_codes_compaction_probe_identical(
         for r in knn_ivfpq_indexed(spark, path, sf_smoke, k=3).collect()
     )
     assert after == before
+
+
+def test_compaction_crash_sweep_every_point(spark, tmp_path_factory):
+    """Exhaustive crash-point sweep: abort the compaction FINISH at
+    every filesystem operation index (move 0, move 1, ..., each input
+    delete, the staging cleanup, the manifest removal) and recover —
+    the read-off must equal the pre-compaction fold at EVERY crash
+    point, and a second recovery must be a no-op.  This is the
+    exactly-once claim tested against the full protocol surface, not
+    three hand-picked points."""
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    want = {(1, 2): 5, (2, 3): 1, (3, 1): 9}
+
+    def fresh_store(tag):
+        store = str(tmp_path_factory.mktemp(f"crash_sweep_{tag}") / "s")
+        writer = _edge_writer(store)
+        writer(_edge_batch(spark, [(1, 2, 3), (2, 3, 1)]), 0)
+        writer(_edge_batch(spark, [(1, 2, 2), (3, 1, 9)]), 1)
+        return store
+
+    class Boom(RuntimeError):
+        pass
+
+    point = 0
+    while True:
+        store = fresh_store(point)
+        budget = [point]
+        real_replace, real_remove = os.replace, os.remove
+
+        def counting(fn):
+            def inner(*a, **k):
+                # only meter ops inside the store (Spark's own tmp
+                # renames during the staging write must not count)
+                if any(isinstance(x, str) and store in x for x in a):
+                    if budget[0] == 0:
+                        raise Boom()
+                    budget[0] -= 1
+                return fn(*a, **k)
+
+            return inner
+
+        os.replace, os.remove = counting(real_replace), counting(real_remove)
+        try:
+            compact_graph_store(spark, store)
+            crashed = False
+        except Boom:
+            crashed = True
+        finally:
+            os.replace, os.remove = real_replace, real_remove
+
+        topology.recover_compaction(store, "edges")
+        assert _graph_readoff(spark, store) == want, f"point {point}"
+        # idempotent: a second recovery from the clean state is a no-op
+        topology.recover_compaction(store, "edges")
+        assert _graph_readoff(spark, store) == want, f"point {point}"
+        assert not os.path.exists(f"{store}/_compact_inflight_edges")
+        assert not os.path.isdir(f"{store}/_compact_staging_edges")
+        if not crashed:
+            break  # budget exceeded the op count: full protocol swept
+        point += 1
+    assert point >= 4  # the sweep actually exercised multiple points
