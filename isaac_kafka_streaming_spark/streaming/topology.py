@@ -1348,7 +1348,11 @@ def length_bucket_readoff(store: DataFrame) -> DataFrame:
 
 
 def index_ingest_batch_writer(
-    index_path: str, append_fn, data_subdir: str = "codes"
+    index_path: str,
+    append_fn,
+    data_subdir: str = "codes",
+    compact_every: Optional[int] = None,
+    compact_kwargs: Optional[dict] = None,
 ):
     """Per-batch writer for streaming ANN-index ingest, with ENFORCED
     replay idempotence under BOTH clean replays and mid-batch crashes:
@@ -1388,6 +1392,16 @@ def index_ingest_batch_writer(
     implementation.  ``data_subdir``: the artifact directory the
     protocol guards (codes for the ANN indexes, edges for the graph
     store) — the commit log is artifact-agnostic.
+
+    ``compact_every``: opt-in in-stream maintenance — after every Nth
+    committed batch, fold the delta log with compact_store
+    (``compact_kwargs`` forwarded: fold_fn for the graph store,
+    partition_by for ANN codes).  Compaction runs strictly AFTER the
+    batch's watermark commit, so a compactor crash never loses a
+    batch; the stream's next delivery heals it (every batch start runs
+    recover_compaction first — a half-finished compaction is the one
+    state in which the data dir double-counts, and ingesting on top of
+    it would snapshot that inconsistency into the batch manifest).
     """
     import json
     import os
@@ -1400,6 +1414,9 @@ def index_ingest_batch_writer(
         # the ANN builds create index_path; a delta-log artifact
         # (graph store) may start from nothing
         os.makedirs(index_path, exist_ok=True)
+        # heal a crashed compactor BEFORE anything reads or snapshots
+        # the data dir (see compact_store's protocol docstring)
+        recover_compaction(index_path, data_subdir)
         wm = _read_watermark(wm_path)
         if batch_id <= wm:
             if os.path.exists(mf_path):
@@ -1423,6 +1440,13 @@ def index_ingest_batch_writer(
             fh.write(str(batch_id))
         os.replace(tmp, wm_path)
         os.remove(mf_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_store(
+                batch_df.sparkSession,
+                index_path,
+                data_subdir=data_subdir,
+                **(compact_kwargs or {}),
+            )
 
     return _write
 
@@ -1618,6 +1642,8 @@ def streaming_index_ingest(
     index_path: str,
     append_fn,
     checkpoint: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    compact_kwargs: Optional[dict] = None,
 ):
     """Streaming ingest into a materialized ANN index: each arriving
     micro-batch of (vec_id, embedding[, label]) vectors is encoded
@@ -1625,9 +1651,16 @@ def streaming_index_ingest(
     appended into the affected partitions only — foreachBatch delegates
     to the batch append path, so the streaming twin is definitionally
     parity-exact with batch ingest (and pinned so in
-    tests/test_scale_paths.py).  Returns the StreamingQuery."""
+    tests/test_scale_paths.py).  ``compact_every``/``compact_kwargs``
+    opt into in-stream delta-log compaction (see
+    index_ingest_batch_writer).  Returns the StreamingQuery."""
     writer = vec_stream.writeStream.foreachBatch(
-        index_ingest_batch_writer(index_path, append_fn)
+        index_ingest_batch_writer(
+            index_path,
+            append_fn,
+            compact_every=compact_every,
+            compact_kwargs=compact_kwargs,
+        )
     ).outputMode("append")
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)

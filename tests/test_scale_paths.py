@@ -1031,3 +1031,65 @@ def test_compaction_crash_sweep_every_point(spark, tmp_path_factory):
             break  # budget exceeded the op count: full protocol swept
         point += 1
     assert point >= 4  # the sweep actually exercised multiple points
+
+
+def test_in_stream_auto_compaction(spark, tmp_path_factory, monkeypatch):
+    """compact_every wires compaction into the ingest writer as
+    post-commit maintenance: the log stays bounded across batches with
+    read-offs exact, a compactor crash loses nothing (the batch's
+    watermark already committed), and the NEXT delivery heals the
+    half-finished compaction before snapshotting the data dir."""
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        append_transitions_to_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    store = str(tmp_path_factory.mktemp("auto_compact") / "store")
+    fold = {
+        "fold_fn": lambda df: df.groupBy("src", "dst").agg(
+            F.sum("n").alias("n")
+        )
+    }
+    writer = topology.index_ingest_batch_writer(
+        store,
+        append_transitions_to_graph_store,
+        data_subdir="edges",
+        compact_every=2,
+        compact_kwargs=fold,
+    )
+    writer(_edge_batch(spark, [(1, 2, 3)]), 0)
+    writer(_edge_batch(spark, [(1, 2, 2), (2, 3, 1)]), 1)  # compacts
+    writer(_edge_batch(spark, [(3, 1, 4)]), 2)
+    writer(_edge_batch(spark, [(1, 2, 1)]), 3)  # compacts
+    assert _graph_readoff(spark, store) == {
+        (1, 2): 6, (2, 3): 1, (3, 1): 4,
+    }
+    # two compactions folded four appends: the log is a single
+    # snapshot's files plus nothing stale
+    files = topology._store_files(f"{store}/edges")
+    assert len([f for f in files if f.endswith(".parquet")]) <= 2
+
+    # compactor crashes mid-finish after batch 5 commits ...
+    class Boom(RuntimeError):
+        pass
+
+    def boom(*a, **k):
+        raise Boom()
+
+    monkeypatch.setattr(topology, "_finish_compaction", boom)
+    with pytest.raises(Boom):
+        writer(_edge_batch(spark, [(9, 8, 7)]), 4)
+        writer(_edge_batch(spark, [(9, 8, 1)]), 5)  # commit, then crash
+    monkeypatch.undo()
+    assert os.path.exists(f"{store}/_compact_inflight_edges")
+    with open(f"{store}/_ingest_watermark") as fh:
+        assert int(fh.read()) == 5  # the batch itself committed
+
+    # ... and the next delivery heals it before appending
+    writer(_edge_batch(spark, [(9, 8, 2)]), 6)
+    assert not os.path.exists(f"{store}/_compact_inflight_edges")
+    assert _graph_readoff(spark, store) == {
+        (1, 2): 6, (2, 3): 1, (3, 1): 4, (9, 8): 10,
+    }
