@@ -736,10 +736,19 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     split."""
     from .dedup import connected_components_star
 
+    # family-wide discipline: the corpus pass materializes ONCE into
+    # catalog-sized checkpoints; everything after (star rounds, the
+    # size rollup's self-reference) consumes those, never the event
+    # log (pinned by the no-rescan plan guard in tests/test_plans.py)
+    nodes = nodes.localCheckpoint()
     comp = connected_components_star(edges, src="src", dst="dst")
-    labeled = nodes.join(comp, nodes.page_id == comp.node, "left").select(
-        "page_id",
-        F.coalesce(F.col("comp"), F.col("page_id")).alias("component"),
+    labeled = (
+        nodes.join(comp, nodes.page_id == comp.node, "left")
+        .select(
+            "page_id",
+            F.coalesce(F.col("comp"), F.col("page_id")).alias("component"),
+        )
+        .localCheckpoint()
     )
     sizes = labeled.groupBy("component").agg(
         F.count("*").alias("component_size")

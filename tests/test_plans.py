@@ -495,7 +495,8 @@ def test_pagerank_edge_pass_shapes(spark, sf_smoke):
     contribution join is an equi-join (SortMergeJoin/Hash, never
     cartesian on the edge side), and no Python eval nodes appear."""
     for name in (
-        "pagerank_pages", "pagerank_personalized", "label_propagation"
+        "pagerank_pages", "pagerank_personalized", "label_propagation",
+        "page_components",
     ):
         plan = _executed_plan(spark, name, sf_smoke)
         assert "EvalPython" not in plan, name

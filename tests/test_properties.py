@@ -666,3 +666,68 @@ def test_pagerank_core_equals_python_replay_on_generated_graphs(
     order = sorted(nodes, key=lambda v: (-expect[v], v))
     ranks = {v: i + 1 for i, v in enumerate(order)}
     assert got == {v: (expect[v], ranks[v]) for v in nodes}
+
+
+graph_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user_id
+        st.integers(min_value=0, max_value=260_000),  # offset seconds (~3 days)
+        st.integers(min_value=1, max_value=4),  # page id k
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(triples=graph_events_strategy)
+@_settings
+def test_transition_edges_split_matches_python_replay(spark, triples):
+    """transition_edges_from_events, plain AND split, against an exact
+    plain-Python replay on generated timelines: the split variant must
+    equal the replay that cuts each user's ordered sequence at every
+    bucket boundary — i.e. the undercount is EXACTLY the boundary-
+    straddling transitions, not merely bounded by them."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        transition_edges_from_events,
+    )
+
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (uid, i, epoch + dt.timedelta(seconds=off), k)
+        for i, (uid, off, k) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, k long"
+    )
+    gap_days = 1
+    bucket_us = gap_days * 86_400_000_000
+
+    def replay(split):
+        by_user = {}
+        for uid, eid, ts, k in rows:
+            by_user.setdefault(uid, []).append((ts, eid, k))
+        edges = {}
+        for seq in by_user.values():
+            seq.sort()
+            for (ts_a, _ea, ka), (ts_b, _eb, kb) in zip(seq, seq[1:]):
+                if split:
+                    us_a = int(
+                        (ts_a - epoch).total_seconds() * 1_000_000
+                    ) + int(epoch.timestamp() * 1_000_000)
+                    us_b = int(
+                        (ts_b - epoch).total_seconds() * 1_000_000
+                    ) + int(epoch.timestamp() * 1_000_000)
+                    if us_a // bucket_us != us_b // bucket_us:
+                        continue  # the boundary-straddling transition
+                if ka != kb:
+                    edges[(ka, kb)] = edges.get((ka, kb), 0) + 1
+        return edges
+
+    for split_gap in (None, gap_days):
+        got = {
+            (r.src, r.dst): int(r.w)
+            for r in transition_edges_from_events(
+                df, split_gap_days=split_gap
+            ).collect()
+        }
+        assert got == replay(split_gap is not None), f"split={split_gap}"
