@@ -1093,3 +1093,72 @@ def test_in_stream_auto_compaction(spark, tmp_path_factory, monkeypatch):
     assert _graph_readoff(spark, store) == {
         (1, 2): 6, (2, 3): 1, (3, 1): 4, (9, 8): 10,
     }
+
+
+def test_ivf_indexed_external_query_namespace(spark, sf_smoke, ivf_index):
+    """The id-namespace contract knob (round-9 advice): with
+    self_exclude=False, a query whose id collides with a corpus vec_id
+    still receives that vector as a candidate — its own embedding must
+    come back as the exact-match rank-1 neighbor (cosine 1.0), where
+    the default corpus-namespace path would silently drop it."""
+    q = _queries(spark, sf_smoke, n=1)  # query_id 0 == corpus vec_id 0
+    default = knn_ivf_indexed(spark, ivf_index, q, k=3, nprobe=2).collect()
+    assert all(r.neighbor_id != 0 for r in default)
+    external = knn_ivf_indexed(
+        spark, ivf_index, q, k=3, nprobe=2, self_exclude=False
+    ).collect()
+    top = next(r for r in external if r.rank == 1)
+    assert top.neighbor_id == 0 and top.cosine == 1.0
+    # aside from the self row, the two rankings agree
+    assert [r.neighbor_id for r in sorted(default, key=lambda r: r.rank)][
+        :2
+    ] == [r.neighbor_id for r in sorted(external, key=lambda r: r.rank) if
+          r.neighbor_id != 0][:2]
+
+
+def test_ivf_cells_compaction_probe_identical(
+    spark, sf_smoke, tmp_path_factory
+):
+    """compact_index_codes on the plain IVF index's float-row store
+    (data_subdir='cells'): probe results bit-identical, partition
+    layout preserved, file count reduced after appends."""
+    import glob
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+        compact_index_codes,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import _store_files
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    path = str(tmp_path_factory.mktemp("ivf_cells_compact") / "index")
+    build_ivf_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    for i in (1, 2):
+        append_to_ivf_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") == i).select(
+                (F.col("vec_id") + F.lit(max_id + i)).cast("long")
+                .alias("vec_id"),
+                "label",
+                "embedding",
+            ),
+        )
+    q = _queries(spark, sf_smoke, n=3)
+    before = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    files_before = len(_store_files(f"{path}/cells"))
+    cells_before = sorted(glob.glob(f"{path}/cells/cell_id=*"))
+
+    stats = compact_index_codes(spark, path, data_subdir="cells")
+    assert not stats["skipped"]
+    assert len(_store_files(f"{path}/cells")) < files_before
+    assert sorted(glob.glob(f"{path}/cells/cell_id=*")) == cells_before
+    after = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    assert after == before
