@@ -1613,9 +1613,17 @@ def compact_store(
         return {"input_files": 0, "output_files": 0, "skipped": True}
     df = spark.read.parquet(data_dir)
     folded = fold_fn(df) if fold_fn is not None else df
-    writer = folded.coalesce(target_files).write.mode("overwrite")
     if partition_by:
-        writer = writer.partitionBy(*partition_by)
+        # hash-cluster rows by the partition key so the rewrite runs
+        # one parallel task per hash bucket and each partition dir
+        # receives ONE file per task that holds its key — coalesce(1)
+        # here would serialize a billion-row code table through a
+        # single writer (target_files is a per-dir cap only for the
+        # unpartitioned layout)
+        folded = folded.repartition(*[F.col(c) for c in partition_by])
+        writer = folded.write.mode("overwrite").partitionBy(*partition_by)
+    else:
+        writer = folded.coalesce(target_files).write.mode("overwrite")
     writer.parquet(staging)
     moves = []
     for rel in _store_files(staging):

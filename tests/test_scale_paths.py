@@ -1162,3 +1162,34 @@ def test_ivf_cells_compaction_probe_identical(
         for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
     )
     assert after == before
+
+
+def test_compaction_preserves_post_snapshot_appends(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Only the RECORDED inputs are deleted at finish: a file that
+    lands in the data dir between the snapshot and the finish (a
+    not-quite-quiesced ingest) survives compaction and stays in the
+    fold."""
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    store = str(tmp_path_factory.mktemp("post_snap") / "store")
+    writer = _edge_writer(store)
+    writer(_edge_batch(spark, [(1, 2, 3)]), 0)
+
+    real_finish = topology._finish_compaction
+
+    def append_then_finish(store_path, data_subdir):
+        # a late batch lands AFTER the snapshot, BEFORE the finish
+        _edge_batch(spark, [(7, 8, 9)]).write.mode("append").parquet(
+            f"{store_path}/edges"
+        )
+        return real_finish(store_path, data_subdir)
+
+    monkeypatch.setattr(topology, "_finish_compaction", append_then_finish)
+    compact_graph_store(spark, store)
+    monkeypatch.undo()
+    assert _graph_readoff(spark, store) == {(1, 2): 3, (7, 8): 9}
