@@ -333,6 +333,14 @@ PICKS = {
         "10-row non-equi join, one partial-aggregable rollup; no "
         "rangepartitioning anywhere."
     ),
+    "page_components": (
+        "Exact CC (large-star/small-star): the same single corpus "
+        "pass as the rest of the graph family, then star rounds over "
+        "checkpointed edge sets — the final plan folds checkpointed "
+        "RDD scans only, no events re-scan (caught-by-guard in round "
+        "10), and the size rollup self-joins the checkpointed label "
+        "frame, not the log."
+    ),
 }
 
 
