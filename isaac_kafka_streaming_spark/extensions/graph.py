@@ -733,7 +733,15 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     (page_id), ``edges``: (src, dst[, w]) directed pairs, traversed
     undirected — shared by the graded batch entry and the streamed
     read-time composition (components_from_stores), the family-wide
-    split."""
+    split.
+
+    Scale note on the star rounds' per-node collect_set: for the
+    near-dup graphs the dedup clusterer feeds it, neighborhood width
+    is bounded by the upstream LSH caps; HERE the bound is |V| itself
+    (a hub page can neighbor the whole catalog), which is fine while
+    the page catalog is dim-sized — if |V| ever became corpus-like,
+    the large-star round's hub rows would need the same degree-capped
+    treatment as the dedup band buckets."""
     from .dedup import connected_components_star
 
     # family-wide discipline: the corpus pass materializes ONCE into
