@@ -3,11 +3,14 @@ judge check, in one command, with one summary line per gate.
 
     cd /tmp && python /root/repo/tools/verify_all.py [sf_dir]
 
-Runs, in order (each in this same process):
+Runs, in order (each in its own process):
   1. registry-shape tests (window rotation invariants — pure checks)
-  2. live-registry oracle parity sweep (driver-exact compare)
-  3. staged-registry sweep (same compare, staged_queries())
-  4. whole-surface plan lint (cartesian / Python-eval / global-sort)
+  2. entry smoke: __spark_entry__.entry() on a BARE session from a
+     neutral cwd — the driver's t1 check verbatim (catches conf or
+     path dependencies the tuned test session would mask)
+  3. live-registry oracle parity sweep (driver-exact compare)
+  4. staged-registry sweep (same compare, staged_queries())
+  5. whole-surface plan lint (cartesian / Python-eval / global-sort)
 
 Exit 0 iff every gate is clean.  The heavy pytest suite and bench are
 NOT included — run those separately (`python -m pytest tests/ -x -q`,
@@ -46,6 +49,22 @@ def main() -> int:
          str(REPO / "tests/test_staged_registry.py"), "-q"],
         " passed",
     )
+    entry_smoke = f"""
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", {str(REPO / '__spark_entry__.py')!r})
+mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+n = len(mod.entry(spark).collect())
+qs, osql = mod.queries(), mod.oracle_sql()
+assert n >= 0 and len(qs) >= len(osql) > 0
+print(f"entry ok: {{n}} rows, {{len(qs)}} queries, {{len(osql)}} oracles")
+"""
+    run("entry-smoke", [sys.executable, "-c", entry_smoke], "entry ok")
     run(
         "live-parity",
         [sys.executable, str(REPO / "tools/parity_sweep.py"), sf_dir],
