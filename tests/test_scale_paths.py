@@ -1193,3 +1193,111 @@ def test_compaction_preserves_post_snapshot_appends(
     compact_graph_store(spark, store)
     monkeypatch.undo()
     assert _graph_readoff(spark, store) == {(1, 2): 3, (7, 8): 9}
+
+
+def test_store_protocol_random_interleavings(spark, tmp_path_factory):
+    """Model-based chaos pin for the combined ingest + compaction
+    protocol: random protocol-legal interleavings of {append, stale
+    replay, crash-mid-append, compact, crash-mid-compaction} must
+    always fold to the plain Python model (each batch applied exactly
+    once, compaction invisible).  Hypothesis drives the schedule; the
+    executor enforces only what a real stream enforces (a crashed
+    batch is re-delivered with the same id before any later batch)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    class Boom(RuntimeError):
+        pass
+
+    @given(
+        ops=st.lists(
+            st.sampled_from(
+                ["append", "replay", "crash_append", "compact",
+                 "crash_compact"]
+            ),
+            min_size=1,
+            max_size=7,
+        )
+    )
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(ops):
+        store = str(
+            tmp_path_factory.mktemp("proto_chaos") / "store"
+        )
+        writer = _edge_writer(store)
+        model: dict = {}
+        next_id = 0
+        pending = None  # (rows, batch_id) crashed and awaiting redelivery
+
+        def apply_model(rows):
+            for s, d, n in rows:
+                model[(s, d)] = model.get((s, d), 0) + n
+
+        for i, op in enumerate(ops):
+            rows = [(i % 4 + 1, (i + 1) % 4 + 10, i + 1), (2, 3, 1)]
+            if op == "append":
+                if pending is not None:
+                    rows, bid = pending
+                    pending = None
+                else:
+                    bid, next_id = next_id, next_id + 1
+                writer(_edge_batch(spark, rows), bid)
+                apply_model(rows)
+            elif op == "replay" and next_id > 0 and pending is None:
+                # stale re-delivery of a COMMITTED id, different payload:
+                # the watermark must drop it
+                writer(_edge_batch(spark, [(9, 9, 99)]), next_id - 1)
+            elif op == "crash_append" and pending is None:
+                bid, next_id = next_id, next_id + 1
+
+                def crashing(session, p, df):
+                    from isaac_kafka_streaming_spark.extensions.graph import (
+                        append_transitions_to_graph_store as real,
+                    )
+                    real(session, p, df)
+                    raise Boom()
+
+                cw = topology.index_ingest_batch_writer(
+                    store, crashing, data_subdir="edges"
+                )
+                try:
+                    cw(_edge_batch(spark, rows), bid)
+                except Boom:
+                    pass
+                pending = (rows, bid)
+            elif op == "compact":
+                compact_graph_store(spark, store)
+            elif op == "crash_compact":
+                real_finish = topology._finish_compaction
+                topology._finish_compaction = lambda *a, **k: (
+                    (_ for _ in ()).throw(Boom())
+                )
+                try:
+                    compact_graph_store(spark, store)
+                except Boom:
+                    pass
+                finally:
+                    topology._finish_compaction = real_finish
+
+        # drain: the stream re-delivers any crashed batch, recovery heals
+        # any half-finished compaction
+        if pending is not None:
+            rows, bid = pending
+            writer(_edge_batch(spark, rows), bid)
+            apply_model(rows)
+        topology.recover_compaction(store, "edges")
+        if not topology._store_files(f"{store}/edges"):
+            assert model == {}, ops  # nothing ever committed
+        else:
+            assert _graph_readoff(spark, store) == model, ops
+
+    run()
