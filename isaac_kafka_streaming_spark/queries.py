@@ -2658,7 +2658,7 @@ REGISTRY: dict[str, QueryDef] = {
         _props_k_stats,
         oracle.with_views(
             """
-            SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10
+            SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10
                        AS k_bucket,
                    COUNT(*) AS n_events,
                    ROUND(AVG(value), 4) AS avg_value
