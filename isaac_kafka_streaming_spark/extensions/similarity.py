@@ -1467,6 +1467,85 @@ FROM mean{iters - 1}
     )
 
 
+def mmr_rerank(
+    neighbors: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein 1998) of any ANN tier's candidate shortlist: per query,
+    greedily pick k candidates maximizing
+
+        lam * cos(q, d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    — the standard diversity-aware selection step retrieval and
+    training-data subset pipelines run AFTER candidate generation
+    (lam=1 reduces to plain relevance order).
+
+    Spark shape: this is the textbook per-query candidate rerank —
+    distributed over QUERIES, greedy and local within one query's
+    shortlist — so it runs as one applyInPandas grouped map over
+    (query, candidate-vector) rows.  The greedy loop is O(k * n^2) on
+    an n<=shortlist candidate set (tiny by construction); nothing
+    corpus-sized ever reaches Python.  Library tier (not registry-
+    graded: iterative argmax is not SQL-expressible; equality vs a
+    plain-Python replay plus the lam=1 degeneracy are pinned in
+    tests/test_similarity.py).
+
+    ``neighbors``: (query_id, neighbor_id, ...) from any knn tier;
+    ``vectors``: (vec_id, v array<double>); ``queries``:
+    (query_id, qv array<double>).  Output: (query_id, neighbor_id,
+    mmr, rank) — mmr rounded to 6 dp, rank 1..k per query in pick
+    order, neighbor_id ascending on exact ties."""
+    cand = neighbors.select("query_id", "neighbor_id").join(
+        vectors.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        ),
+        "neighbor_id",
+    ).join(
+        F.broadcast(queries.select("query_id", "qv")), "query_id"
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        V = np.stack(pdf["nv"].to_numpy())
+        q = np.asarray(pdf["qv"].iloc[0], dtype=float)
+        ids = pdf["neighbor_id"].to_numpy()
+        norms = np.linalg.norm(V, axis=1)
+        rel = (V @ q) / (norms * np.linalg.norm(q))
+        sims = (V @ V.T) / np.outer(norms, norms)
+        chosen: list = []
+        out_ids, out_scores = [], []
+        avail = set(range(len(ids)))
+        for _ in range(min(k, len(ids))):
+            best = None
+            for i in avail:
+                div = max((sims[i][j] for j in chosen), default=0.0)
+                s = lam * rel[i] - (1.0 - lam) * div
+                key = (round(float(s), 9), -int(ids[i]))
+                if best is None or key > best[0]:
+                    best = (key, i, s)
+            _key, i, s = best
+            chosen.append(i)
+            avail.remove(i)
+            out_ids.append(int(ids[i]))
+            out_scores.append(round(float(s), 6))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "neighbor_id": out_ids,
+                "mmr": out_scores,
+                "rank": np.arange(1, len(out_ids) + 1, dtype="int64"),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(
+        _greedy,
+        schema="query_id long, neighbor_id long, mmr double, rank long",
+    )
+
+
 def register() -> dict:
     from ..queries import QueryDef
 

@@ -321,3 +321,95 @@ def test_knn_srp_empty_vector_lockstep(spark, tmp_path):
     assert all(r.query_id != 1 and r.neighbor_id != 1 for r in got)
     # and the non-degenerate rows still match each other
     assert any(r.query_id == 0 for r in got)
+
+
+def test_mmr_rerank_matches_python_replay_and_degenerates(spark, sf_smoke):
+    """MMR rerank vs an independent plain-Python greedy replay on the
+    real smoke shortlists (bit-equal ids/ranks/6-dp scores); lam=1
+    degenerates to plain relevance order (= the knn ranking restricted
+    to the shortlist); and with a duplicated top candidate present,
+    lam=0.5 must NOT pick both copies back-to-back (the diversity term
+    works)."""
+    import numpy as np
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        _corpus,
+        knn_bruteforce,
+        mmr_rerank,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = _corpus(spark, sf_smoke)
+    vectors = corpus.select("vec_id", "v")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    shortlist = knn_bruteforce(spark, sf_smoke, n_queries=3, k=10)
+
+    k, lam = 5, 0.7
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.mmr)
+        for r in mmr_rerank(shortlist, vectors, queries, k, lam).collect()
+    }
+
+    vecs = {r.vec_id: np.array(r.v) for r in vectors.collect()}
+    short = {}
+    for r in shortlist.collect():
+        short.setdefault(r.query_id, []).append(r.neighbor_id)
+    want = {}
+    for qid, cands in short.items():
+        q = vecs[qid]
+
+        def cos(a, b):
+            return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        chosen = []
+        for rank in range(1, min(k, len(cands)) + 1):
+            best = None
+            for c in cands:
+                if c in chosen:
+                    continue
+                div = max((cos(vecs[c], vecs[s]) for s in chosen),
+                          default=0.0)
+                s = lam * cos(q, vecs[c]) - (1 - lam) * div
+                key = (round(s, 9), -c)
+                if best is None or key > best[0]:
+                    best = (key, c, s)
+            chosen.append(best[1])
+            want[(qid, rank)] = (best[1], round(best[2], 6))
+    assert got == want
+
+    # lam=1: pure relevance — same order as the knn shortlist itself
+    flat = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in mmr_rerank(shortlist, vectors, queries, k, 1.0).collect()
+    }
+    knn_order = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in shortlist.filter(F.col("rank") <= k).collect()
+    }
+    assert flat == knn_order
+
+    # diversity binds: duplicate the rank-1 neighbor of query 0 under a
+    # fresh id; at lam=0.5 the copy must not follow its twin at rank 2
+    dup_of = knn_order[(0, 1)]
+    dup_id = 10_000
+    vectors_dup = vectors.unionByName(
+        vectors.filter(F.col("vec_id") == dup_of).select(
+            F.lit(dup_id).cast("long").alias("vec_id"), "v"
+        )
+    )
+    q0 = queries.filter(F.col("query_id") == 0)
+    shortlist_dup = shortlist.filter(F.col("query_id") == 0).select(
+        "query_id", "neighbor_id"
+    ).unionByName(
+        spark.createDataFrame([(0, dup_id)], "query_id long, neighbor_id long")
+    )
+    ranked = {
+        r.rank: r.neighbor_id
+        for r in mmr_rerank(
+            shortlist_dup, vectors_dup, q0, k, 0.5
+        ).collect()
+    }
+    first_two = {ranked[1], ranked[2]}
+    assert first_two != {dup_of, dup_id}, ranked
