@@ -100,7 +100,10 @@ def page_transition_edges(
     straddling each bucket boundary is lost, i.e. at most
     (#buckets_visited - 1) transitions per user (pinned in
     tests/test_graph.py) — the same trade the gap-sessionized
-    operators already make at session boundaries."""
+    operators already make at session boundaries.  The STREAMED edge
+    store (state.page_transition_state_stream) implements the
+    default split=None semantics; enable the split on both sides (or
+    neither) if bit-for-bit batch/stream parity matters under it."""
     return transition_edges_from_events(
         _page_events(spark, sf_dir), split_gap_days
     )
