@@ -3180,27 +3180,22 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-10 window tiers (plan_window.py output, history through r09;
-# 136 live entries after the mid-round-10 registration of
-# page_components — exact CC over the page graph, completing the
-# graph family).  The round-9 window went fully green in
-# CORRECTNESS_r09.json (50/50 hash-checked), so the live freshness
-# distribution entering round 10 is {r09: 50, r08: 50, r07: 35}.
-#   T0: page_components, no driver row yet (must-check); takes the
-#       slot of a T2-fill entry (threshold_achievements — r08-green,
-#       it fronts the round-11 window; the mid-round swap discipline).
-#   T1: the 35 entries whose last green row is r07 — they fall out of
-#       the K=3 freshness span unless re-checked in round 10
-#       (invariant-REQUIRED; plan_window fronts them).  These are
-#       exactly the four T2 fills deferred from round 9 (tpch_q8,
-#       tpch_q9, user_activity_coverage, orders_with_returns) plus the
-#       31 other r07-green entries.
-#   T2: 14 of the 50 entries last green in r08 (fill; they expire
-#       after round 11 otherwise — taking the expiring tier first
+# Round-11 window tiers (plan_window.py output, history through r10;
+# 135 live entries).  The round-10 window went fully green in
+# CORRECTNESS_r10.json (50/50 hash-checked), so the live freshness
+# distribution entering round 11 is {r10: 50, r09: 50, r08: 35}.
+#   T1: the 35 entries whose last green row is r08 — they fall out of
+#       the K=3 freshness span unless re-checked in round 11
+#       (invariant-REQUIRED; plan_window fronts them).  Includes
+#       threshold_achievements (the entry whose T2 slot page_components
+#       took mid-round-10) plus the dedup/media/sampling/curation
+#       cohorts last checked in r08.
+#   T2: 15 of the 50 entries last green in r09 (fill; they expire
+#       after round 12 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~35/round).  The remaining
-#       36 r08-green entries front the round-11 window.
-# The 86 parked entries are all green in r08 or r09, inside the K=3
-# freshness span through round 10.
+#       35 r09-green entries front the round-12 window.
+# The 85 parked entries are all green in r09 or r10, inside the K=3
+# freshness span through round 11.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3222,59 +3217,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (1)
-    "page_components",
-    # T1 — last green <= r7 (invariant requires) (35)
-    "orders_with_returns",
-    "user_activity_coverage",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q19",
-    "tpch_q12",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "hll_distinct_md5",
-    "histogram_quantiles",
-    "user_daily_gapfill",
-    "funnel_signup_purchase",
-    "cohort_retention",
-    "dedup_incoming_minhash_md5",
-    "contained_documents",
-    "bloom_prefilter",
-    "passage_scrub",
-    "source_overlap_matrix",
-    "priority_sample",
-    "temperature_mixture",
-    "knn_pq",
-    "knn_srp",
-    "bigram_perplexity",
-    "cms_heavy_hitters",
-    "corpus_report",
-    "vocab_coverage",
-    "bpe_learn",
-    "bpe_tokenize_stats",
-    "winnow_fingerprints",
-    "pmi_top_pairs",
-    "winnow_probe_incoming",
-    "feature_hash_embed",
-    "bm25_top_docs",
-    # T2 — last green r8 (expires after next round) (14 of 50)
-    "event_type_counts",
-    "daily_event_counts",
-    "daily_role_counts",
-    "daily_role_type_map",
-    "user_snapshot",
-    "enriched_events",
-    "last_seen",
-    "last_seen_map",
-    "value_quantiles",
-    "purchase_asof_signup",
-    "purchases_within_day_of_signup",
-    "question_part_counts",
-    "question_page_rollup",
-    "question_completion",
+    # T1 — last green <= r8 (invariant requires) (35)
+    "threshold_achievements",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q16",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_embedding_cosine",
+    "prototype_prune",
+    "media_features",
+    "media_png_features",
+    "media_wav_stats",
+    "media_frame_stats",
+    "overlap_chunk_plan",
+    "length_bucket_plan",
+    "soft_dedup_sample",
+    "stratified_topk_sample",
+    "epoch_shuffle",
+    "mixture_plan",
+    "dsir_select",
+    "doremi_mixture",
+    "embedding_quantize",
+    "bpe_pair_counts",
+    "char_entropy",
+    "corpus_curation",
+    "nb_quality_score",
+    # T2 — last green r9 (expires after next round) (15 of 50)
+    "user_streaks",
+    "sliding_weekly_counts",
+    "user_notifications",
+    "user_event_counts",
+    "anonymous_events",
+    "user_profiles",
+    "props_k_stats",
+    "question_page_array",
+    "purchasers_without_errors",
+    "daily_role_rollup",
+    "role_type_cube",
+    "tpch_q3",
+    "customers_without_big_orders",
+    "tpch_q5",
+    "tpch_q18",
 ]
 
 
