@@ -815,17 +815,23 @@ def connected_components(
 def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al. 2014, alg. 2): every node links
     its LARGER neighbors to the minimum of its closed neighborhood.
-    Emitted per symmetric orientation, so one groupBy(u) sees Γ(u)."""
+
+    Implemented as groupBy-min + join-back — NOT collect_set + explode —
+    so no row ever materializes a whole neighborhood: a hub node with a
+    100k-degree neighborhood contributes 100k O(1)-width rows to a
+    shuffle join (which AQE skew-split handles) instead of one 100k-wide
+    array row (which nothing handles).  The symmetric orientation means
+    one groupBy(u) sees Γ(u)."""
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    return (
+    mins = (
         sym.groupBy("a")
-        .agg(F.collect_set("b").alias("nbrs"), F.min("b").alias("mb"))
-        .select(
-            F.col("a").alias("u"),
-            F.least(F.col("mb"), F.col("a")).alias("m"),
-            F.explode(F.filter("nbrs", lambda v: v > F.col("a"))).alias("v"),
-        )
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -833,20 +839,21 @@ def _large_star(e: DataFrame) -> DataFrame:
 
 def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round (alg. 3): orient edges larger->smaller; every
-    node links its smaller neighbors (and itself) to their minimum."""
+    node links its smaller neighbors (and itself) to their minimum.
+
+    Same groupBy-min + join-back shape as ``_large_star`` (O(1) row
+    width; the oriented edges all have b < a, so the closed-neighborhood
+    minimum is just min(b))."""
     oriented = e.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    linked = oriented.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_link = mins.select(F.col("a"), F.col("m").alias("b"))
     return (
-        oriented.groupBy("a")
-        .agg(F.collect_set("b").alias("nbrs"), F.min("b").alias("m"))
-        .select(
-            F.explode(
-                F.array_union(F.col("nbrs"), F.array(F.col("a")))
-            ).alias("v"),
-            F.col("m"),
-        )
-        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        linked.union(self_link)
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -865,10 +872,11 @@ def connected_components_star(
     per-key width after a large-star round is bounded by the
     neighborhood minimum's degree, which small-star immediately
     collapses — the skew a long chain or hub builds up is dismantled a
-    round later rather than re-joined every round.  collect_set per node
-    is safe at scale for near-dup graphs (neighborhoods are candidate
-    lists already bounded by the LSH band/bucket caps upstream); the
-    guarded caps keep any row under max_bucket_size entries.
+    round later rather than re-joined every round.  Both star rounds are
+    groupBy-min + join-back (no collect_set), so per-ROW width is O(1)
+    regardless of degree: safe not just on LSH-capped dedup graphs but
+    on |V|-bounded neighborhoods like the page graph
+    (graph.page_components), where a hub page's degree is unbounded.
     Genuinely iterative -> no SQL oracle (rows-only check).
     """
     e = (

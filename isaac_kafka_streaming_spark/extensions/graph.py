@@ -738,13 +738,12 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     read-time composition (components_from_stores), the family-wide
     split.
 
-    Scale note on the star rounds' per-node collect_set: for the
-    near-dup graphs the dedup clusterer feeds it, neighborhood width
-    is bounded by the upstream LSH caps; HERE the bound is |V| itself
-    (a hub page can neighbor the whole catalog), which is fine while
-    the page catalog is dim-sized — if |V| ever became corpus-like,
-    the large-star round's hub rows would need the same degree-capped
-    treatment as the dedup band buckets."""
+    Scale note: the star rounds are groupBy-min + join-back (no
+    collect_set since round 11), so per-row width is O(1) even though
+    neighborhood width here is bounded by |V| itself (a hub page can
+    neighbor the whole catalog) — a hub's degree lands as join-key
+    skew, which AQE skew-split handles, not as one catalog-wide array
+    row."""
     from .dedup import connected_components_star
 
     # family-wide discipline: the corpus pass materializes ONCE into

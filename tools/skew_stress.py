@@ -162,6 +162,35 @@ def build_skewed_events(spark, src_dir: str, out_dir: str) -> None:
           "the hot user")
 
 
+def build_hub_edges(spark, out_dir: str, n_edges: int, n_hubs: int) -> None:
+    """A star-forest edge set: ``n_edges`` edges striped over ``n_hubs``
+    hub nodes (hub i = node i, leaves numbered from n_hubs up).  With
+    n_hubs=1 it is ONE 100k-degree hub — the row-width cliff shape the
+    round-11 star-round rewrite (groupBy-min + join-back, no
+    collect_set) exists to survive; with n_hubs=100 the same edge
+    volume spreads to 1k-degree hubs.  Equal ratio A≈B is the claim
+    under test: per-row width no longer scales with degree."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(n_edges).select(
+        (F.col("id") % n_hubs).alias("doc_a"),
+        (F.col("id") + n_hubs).alias("doc_b"),
+    )
+    edges.write.mode("overwrite").parquet(f"{out_dir}/edges.parquet")
+    print(f"hub edges: {n_edges} edges over {n_hubs} hub(s) "
+          f"(max degree {n_edges // n_hubs})")
+
+
+def _cc_star_edges(spark, edge_dir: str):
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        connected_components_star,
+    )
+
+    return connected_components_star(
+        spark.read.parquet(f"{edge_dir}/edges.parquet")
+    )
+
+
 def time_once(fn, *args, **kwargs) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = fn(*args, **kwargs).count()
@@ -215,6 +244,9 @@ def main() -> int:
     spark = get_spark("skew-stress")
     spark.sparkContext.setLogLevel("ERROR")
     build_skewed_events(spark, src, out_events)
+    out_hub, out_hubs = out + "_hub1", out + "_hub100"
+    build_hub_edges(spark, out_hub, n_edges=100_000, n_hubs=1)
+    build_hub_edges(spark, out_hubs, n_edges=100_000, n_hubs=100)
 
     cases = [
         # (name, callable, (label_a, dir_a, kwargs_a),
@@ -258,6 +290,14 @@ def main() -> int:
             dsir_select,
             ("skewed", out, {}),
             ("uniform", out_uniform, {}),
+        ),
+        # CC star rounds: one 100k-degree hub vs the same 100k edges
+        # spread over 100 hubs — A≈B iff per-row width is degree-free
+        (
+            "cc_star_hub",
+            _cc_star_edges,
+            ("hub=100kx1", out_hub, {}),
+            ("hub=1kx100", out_hubs, {}),
         ),
     ]
     print(f"{'operator':<24} {'variant A':>10} {'s':>7} {'rows':>8} "
