@@ -1489,17 +1489,22 @@ def mmr_rerank(
     shortlist — so it runs as one applyInPandas grouped map over
     (query, candidate-vector) rows.  The greedy loop is O(k * n^2) on
     an n<=shortlist candidate set (tiny by construction); nothing
-    corpus-sized ever reaches Python.  Library tier (not registry-
-    graded: iterative argmax is not SQL-expressible; equality vs a
-    plain-Python replay plus the lam=1 degeneracy are pinned in
-    tests/test_similarity.py).
+    corpus-sized ever reaches Python.  Registry-graded via
+    ``mmr_top_diverse`` below: fixed k means the greedy loop unrolls
+    into k per-round argmax CTEs (``_mmr_oracle_sql`` — the
+    kmeans_centroids/bpe_learn discipline); equality vs a plain-Python
+    replay plus the lam=1 degeneracy are also pinned in
+    tests/test_similarity.py.
 
-    ``neighbors``: (query_id, neighbor_id, ...) from any knn tier;
-    ``vectors``: (vec_id, v array<double>); ``queries``:
-    (query_id, qv array<double>).  Output: (query_id, neighbor_id,
-    mmr, rank) — mmr rounded to 6 dp, rank 1..k per query in pick
-    order, neighbor_id ascending on exact ties."""
-    cand = neighbors.select("query_id", "neighbor_id").join(
+    ``neighbors``: (query_id, neighbor_id, ...) from any knn tier —
+    de-duplicated here, so a shortlist that lists the same candidate
+    twice cannot occupy two ranks; ``vectors``: (vec_id, v
+    array<double>); ``queries``: (query_id, qv array<double>).
+    Output: (query_id, neighbor_id, mmr, rank) — mmr rounded to 6 dp
+    (also the argmax comparison precision, so the oracle's ROUND is
+    bit-comparable), rank 1..k per query in pick order, neighbor_id
+    ascending on exact ties."""
+    cand = neighbors.select("query_id", "neighbor_id").distinct().join(
         vectors.select(
             F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
         ),
@@ -1523,7 +1528,7 @@ def mmr_rerank(
             for i in avail:
                 div = max((sims[i][j] for j in chosen), default=0.0)
                 s = lam * rel[i] - (1.0 - lam) * div
-                key = (round(float(s), 9), -int(ids[i]))
+                key = (round(float(s), 6), -int(ids[i]))
                 if best is None or key > best[0]:
                     best = (key, i, s)
             _key, i, s = best
@@ -1546,6 +1551,114 @@ def mmr_rerank(
     )
 
 
+def mmr_top_diverse(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    shortlist: int = 20,
+    k: int = 5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Graded MMR entry: brute-force top-``shortlist`` candidates for
+    the first ``n_queries`` query vectors (the knn_bruteforce recipe —
+    ranked by 6-dp cosine with id tie-break, so shortlist MEMBERSHIP is
+    engine-portable), diversity-reranked by ``mmr_rerank`` to k=5.
+
+    Deterministic end-to-end: every cross-engine comparison (shortlist
+    rank, per-round argmax, output score) happens on 6-dp-rounded
+    doubles with neighbor_id tie-breaks, so the DuckDB oracle
+    (``_mmr_oracle_sql`` — the greedy loop unrolled into k argmax CTE
+    rounds) hash-matches the applyInPandas greedy."""
+    corpus = _corpus(spark, sf_dir)
+    vectors = corpus.select("vec_id", "v")
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cands = knn_bruteforce(spark, sf_dir, n_queries=n_queries, k=shortlist)
+    return mmr_rerank(cands, vectors, queries, k=k, lam=lam)
+
+
+def _mmr_oracle_sql(
+    n_queries: int = 10, shortlist: int = 20, k: int = 5, lam: float = 0.7
+) -> str:
+    """DuckDB replay of mmr_top_diverse: the fixed-k greedy loop
+    unrolled into k argmax rounds (the kmeans_centroids / bpe_learn
+    oracle discipline).  Round 1 is pure relevance; round r computes
+    each remaining candidate's diversity penalty as MAX(sim) over the
+    r-1 already-picked rows and takes the (ROUND(s,6) DESC, neighbor_id)
+    argmax — exactly mmr_rerank's comparison key.  The lam / (1-lam)
+    coefficients are emitted via repr() so the SQL literal parses to
+    the bit-identical double Python computes (1.0 - 0.7 is NOT 0.3 in
+    binary)."""
+    w, om = repr(float(lam)), repr(1.0 - float(lam))
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_dot_product(embedding::DOUBLE[],
+                                     embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, norm AS qnorm
+        FROM e WHERE vec_id < {n_queries}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.v AS nv,
+               e.norm AS nnorm,
+               list_dot_product(qv, v) / (qnorm * norm) AS rel
+        FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ), shortlist AS (
+        SELECT query_id, neighbor_id, nv, nnorm, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY ROUND(rel, 6) DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {shortlist}
+    ), sims AS (
+        SELECT a.query_id, a.neighbor_id AS i, b.neighbor_id AS j,
+               list_dot_product(a.nv, b.nv) / (a.nnorm * b.nnorm) AS sim
+        FROM shortlist a JOIN shortlist b
+          ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ), r1 AS (
+        SELECT query_id, neighbor_id, s FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS rn
+            FROM (SELECT query_id, neighbor_id,
+                         ROUND(CAST({w} AS DOUBLE) * rel, 6) AS s
+                  FROM shortlist)
+        ) WHERE rn = 1
+    )"""
+    for r in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM r{i}" for i in range(1, r)
+        )
+        sql += f""", s{r} AS (
+        {prev}
+    ), p{r} AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               ROUND(CAST({w} AS DOUBLE) * sl.rel
+                     - CAST({om} AS DOUBLE) * MAX(sm.sim), 6) AS s
+        FROM shortlist sl
+        JOIN sims sm ON sm.query_id = sl.query_id
+                    AND sm.i = sl.neighbor_id
+        JOIN s{r} sel ON sel.query_id = sm.query_id
+                     AND sel.neighbor_id = sm.j
+        WHERE NOT EXISTS (SELECT 1 FROM s{r} x
+                          WHERE x.query_id = sl.query_id
+                            AND x.neighbor_id = sl.neighbor_id)
+        GROUP BY sl.query_id, sl.neighbor_id, sl.rel
+    ), r{r} AS (
+        SELECT query_id, neighbor_id, s FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY s DESC, neighbor_id) AS rn
+            FROM p{r}
+        ) WHERE rn = 1
+    )"""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, s AS mmr, "
+        f"CAST({r} AS BIGINT) AS rank FROM r{r}"
+        for r in range(1, k + 1)
+    )
+    return sql + "\n    " + finals
+
+
 def register() -> dict:
     from ..queries import QueryDef
 
@@ -1559,6 +1672,12 @@ def register() -> dict:
             GROUP BY label, i
             """,
             "X3 per-label centroid (k-means update step, relational)",
+        ),
+        "mmr_rerank": QueryDef(
+            mmr_top_diverse,
+            _mmr_oracle_sql(),
+            "X3 MMR diversity rerank of the brute-force shortlist "
+            "(k-unrolled argmax oracle)",
         ),
         "knn_bruteforce": QueryDef(
             knn_bruteforce,

@@ -3190,11 +3190,12 @@ REGISTRY: dict[str, QueryDef] = {
 #       threshold_achievements (the entry whose T2 slot page_components
 #       took mid-round-10) plus the dedup/media/sampling/curation
 #       cohorts last checked in r08.
-#   T2: 15 of the 50 entries last green in r09 (fill; they expire
+#   T2: 14 of the 50 entries last green in r09 (fill; they expire
 #       after round 12 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~35/round).  The remaining
-#       35 r09-green entries front the round-12 window.
-# The 85 parked entries are all green in r09 or r10, inside the K=3
+#       36 r09-green entries front the round-12 window (tpch_q18
+#       yielded its fill slot to the mid-round mmr_rerank T0).
+# The 86 parked entries are all green in r09 or r10, inside the K=3
 # freshness span through round 11.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
@@ -3217,6 +3218,10 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — no green row yet (must-check) (1): registered mid-round-11;
+    # takes the slot of a T2-fill entry (tpch_q18 — r09-green, it
+    # fronts the round-12 window; the mid-round swap discipline)
+    "mmr_rerank",
     # T1 — last green <= r8 (invariant requires) (35)
     "threshold_achievements",
     "tpch_q6",
@@ -3253,7 +3258,7 @@ _DRIVER_CHECK_ORDER = [
     "char_entropy",
     "corpus_curation",
     "nb_quality_score",
-    # T2 — last green r9 (expires after next round) (15 of 50)
+    # T2 — last green r9 (expires after next round) (14 of 50)
     "user_streaks",
     "sliding_weekly_counts",
     "user_notifications",
@@ -3268,7 +3273,6 @@ _DRIVER_CHECK_ORDER = [
     "tpch_q3",
     "customers_without_big_orders",
     "tpch_q5",
-    "tpch_q18",
 ]
 
 

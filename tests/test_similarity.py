@@ -372,7 +372,7 @@ def test_mmr_rerank_matches_python_replay_and_degenerates(spark, sf_smoke):
                 div = max((cos(vecs[c], vecs[s]) for s in chosen),
                           default=0.0)
                 s = lam * cos(q, vecs[c]) - (1 - lam) * div
-                key = (round(s, 9), -c)
+                key = (round(s, 6), -c)
                 if best is None or key > best[0]:
                     best = (key, c, s)
             chosen.append(best[1])

@@ -42,6 +42,7 @@ CARTESIAN_OK = {
     "corpus_curation",  # composes keep-list's scalar
     "knn_quantized",  # declared broadcast brute-force-over-codes tier
     "knn_bruteforce",  # broadcast queries x corpus IS the baseline tier
+    "mmr_rerank",  # composes knn_bruteforce's broadcast baseline shortlist
     "kmeans_centroids",  # broadcast centroid assignment pass
     "embedding_centroids",
     "dedup_semantic",  # broadcast centroid pass (plan-guarded)
@@ -72,6 +73,7 @@ PYTHON_OK = {
     "media_png_features",
     "media_wav_stats",
     "knn_lsh",  # vectorized numpy key pandas_udf (adjudicated r5)
+    "mmr_rerank",  # per-query greedy over a <=shortlist frame (r10/r11)
 }
 # Queries that deliberately produce a global order:
 RANGE_OK = {
