@@ -66,6 +66,47 @@ _ROUND_ITER = 12  # per-round rank rounding (engine-lockstep)
 _ROUND_OUT = 6  # published rank rounding
 
 
+def _ranked_total_order(
+    df: DataFrame, order_cols: list, out_cols: list, rank_alias: str = "rank"
+) -> DataFrame:
+    """Range-partitioned global row_number — the partition-safe form of
+    ``Window.orderBy(<total order>)``, which would funnel every row
+    through ONE task.  Shape: range-partition on the sort keys (so
+    partition i's keys all precede partition i+1's), row_number WITHIN
+    each partition, then offset by the cumulative counts of the
+    partitions before it.  The only single-partition step left is the
+    offsets window over the per-partition COUNTS frame — rows =
+    #shuffle-partitions, never |V|.
+
+    ``order_cols`` must be a TOTAL order (unique tie-break column) or
+    ranks are nondeterministic across runs.  The localCheckpoint pins
+    the range partitioning so the counts subtree and the output subtree
+    read identical partition ids (two re-executions of a sampled range
+    exchange are not guaranteed to draw the same boundaries)."""
+    part = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = part.withColumn(
+        "__lr",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        part.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
+        .select("__pid", "__off")
+    )
+    return local.join(F.broadcast(offsets), "__pid").select(
+        *out_cols,
+        (F.col("__off") + F.col("__lr")).cast("bigint").alias(rank_alias),
+    )
+
+
 def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with the page id parsed from the JSON props payload —
     the props_k_stats parse (F1/F12), kept LONG for the node key."""
@@ -217,10 +258,10 @@ def pagerank_from_graph(
             )
             .localCheckpoint()
         )
-    w_rank = Window.orderBy(F.col("pagerank").desc(), F.col("page_id"))
-    return (
-        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("pagerank"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+    return _ranked_total_order(
+        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("pagerank")),
+        [F.col("pagerank").desc(), F.col("page_id")],
+        ["page_id", "pagerank"],
     )
 
 
@@ -359,10 +400,11 @@ def _purchase_seeds(
         .groupBy(F.col("k").alias("page_id"))
         .agg(F.count("*").alias("n_purch"))
     )
-    w = Window.orderBy(F.col("n_purch").desc(), F.col("page_id"))
+    # orderBy + limit plans as TakeOrderedAndProject — a distributed
+    # per-partition top-k merged on the driver, never a global sort
     return (
-        counted.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_seeds)
+        counted.orderBy(F.col("n_purch").desc(), F.col("page_id"))
+        .limit(n_seeds)
         .select("page_id")
     )
 
@@ -475,10 +517,10 @@ def ppr_from_graph(
             )
             .localCheckpoint()
         )
-    w_rank = Window.orderBy(F.col("ppr").desc(), F.col("page_id"))
-    return (
-        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("ppr"))
-        .withColumn("rank", F.row_number().over(w_rank).cast("bigint"))
+    return _ranked_total_order(
+        pr.select("page_id", F.round("pr", _ROUND_OUT).alias("ppr")),
+        [F.col("ppr").desc(), F.col("page_id")],
+        ["page_id", "ppr"],
     )
 
 
@@ -826,10 +868,9 @@ def seeds_from_purchase_store(
     """Read-time seed selection over the STREAMED purchase-count store
     (topology.streaming_purchase_page_counts): the same top-k rule as
     the batch _purchase_seeds — count DESC, page_id tie-break."""
-    w = Window.orderBy(F.col("n_purch").desc(), F.col("page_id"))
     return (
-        purchase_counts.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n_seeds)
+        purchase_counts.orderBy(F.col("n_purch").desc(), F.col("page_id"))
+        .limit(n_seeds)
         .select("page_id")
     )
 

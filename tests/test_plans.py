@@ -505,3 +505,42 @@ def test_pagerank_edge_pass_shapes(spark, sf_smoke):
         # events.parquet scans — the corpus pass ran exactly once,
         # before the checkpoint
         assert "events.parquet" not in plan, name
+
+
+def test_graph_final_ranks_partition_safe(spark, sf_smoke):
+    """The graph family's published 1..|V| ranks are partition-safe
+    (round-11): the row_number window is PARTITIONED on the range-
+    partition id (graph._ranked_total_order), and the only single-task
+    sort left in the plan feeds the per-partition-counts offsets window
+    — keyed on __pid over #shuffle-partitions rows, never the |V| rank
+    vector.  The seed top-k plans as TakeOrderedAndProject (distributed
+    per-partition top-k), not a global sort + filter."""
+    import re
+
+    for name, key in (
+        ("pagerank_pages", "pagerank"),
+        ("pagerank_personalized", "ppr"),
+    ):
+        plan = _executed_plan(spark, name, sf_smoke)
+        # the published row_number is partitioned, never a global window
+        assert re.search(
+            r"row_number\(\) windowspecdefinition\(__pid", plan
+        ), name
+        # every Sort feeding a SinglePartition exchange sorts __pid only
+        for m in re.finditer(
+            r"Sort \[([^\]]*)\][^\n]*\n[^\n]*Exchange SinglePartition",
+            plan,
+        ):
+            keys = m.group(1)
+            assert key not in keys and "n_purch" not in keys, (name, keys)
+
+    from isaac_kafka_streaming_spark.extensions.graph import _purchase_seeds
+
+    seeds_plan = (
+        _purchase_seeds(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in seeds_plan
+    assert "Exchange SinglePartition" not in seeds_plan
