@@ -109,14 +109,23 @@ def _ranked_total_order(
 
 def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events with the page id parsed from the JSON props payload —
-    the props_k_stats parse (F1/F12), kept LONG for the node key."""
+    the props_k_stats parse (F1/F12), kept LONG for the node key.
+
+    try_cast, not cast: on the driver's bare ANSI session a plain cast
+    THROWS on any malformed props.k, and the DuckDB oracles' TRY_CAST
+    is null-on-garbage — try_cast matches that on every integer,
+    decimal ('12.5' -> NULL both sides) and garbage string.  Known
+    residual (round-10 advice, documented not fixed): scientific
+    notation — DuckDB TRY_CAST('1e3' AS BIGINT) = 1000 while Spark
+    try_cast gives NULL; the generator emits plain integer strings, so
+    neither arm sees it on real data."""
     return (
         read_table(spark, sf_dir, "events")
         .select(
             "user_id",
             "ts",
             "event_id",
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .filter(F.col("k").isNotNull())
     )
@@ -395,7 +404,7 @@ def _purchase_seeds(
     counted = (
         read_table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "purchase")
-        .select(F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .select(F.get_json_object("props", "$.k").try_cast("long").alias("k"))
         .filter(F.col("k").isNotNull())
         .groupBy(F.col("k").alias("page_id"))
         .agg(F.count("*").alias("n_purch"))
@@ -938,7 +947,16 @@ def edges_from_graph_store(spark: SparkSession, store_path: str) -> DataFrame:
     (src, dst) — the read-time half of the materialized graph store,
     feeding the *_from_stores recomputes.  Run compact_graph_store
     periodically so this fold reads a bounded snapshot instead of an
-    ever-growing log."""
+    ever-growing log.
+
+    Heals a crashed compactor first (recover_compaction): a compaction
+    that died after its commit point leaves the data dir with staged
+    output moved in but inputs not yet deleted, and a pure reader that
+    scanned that state would double-count rows until the next ingest
+    batch happened to recover it."""
+    from ..streaming.topology import recover_compaction
+
+    recover_compaction(store_path, "edges")
     return (
         spark.read.parquet(f"{store_path}/edges")
         .groupBy("src", "dst")

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
+from ..streaming.topology import recover_compaction
 
 
 def _dot(x, y):
@@ -275,6 +276,9 @@ def knn_ivf_indexed(
     cells = sorted(
         {r.cell_id for r in probes.select("cell_id").distinct().collect()}
     )
+    # heal a crashed compactor before scanning: post-commit crash state
+    # (staged files moved in, inputs not yet deleted) double-counts rows
+    recover_compaction(index_path, "cells")
     corpus = spark.read.parquet(f"{index_path}/cells").filter(
         F.col("cell_id").isin(cells)
     )
@@ -1055,6 +1059,8 @@ def knn_pq_indexed(
     dropped by the re-rank join."""
     cb = spark.read.parquet(f"{index_path}/codebooks")
     m = cb.select("sub_id").distinct().count()
+    # heal a crashed compactor before scanning (cf. knn_ivf_indexed)
+    recover_compaction(index_path, "codes")
     codes = spark.read.parquet(f"{index_path}/codes")
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -1278,6 +1284,8 @@ def knn_ivfpq_indexed(
     cells = sorted(
         {r.cell_id for r in probes.select("cell_id").distinct().collect()}
     )
+    # heal a crashed compactor before scanning (cf. knn_ivf_indexed)
+    recover_compaction(index_path, "codes")
     codes = spark.read.parquet(f"{index_path}/codes").filter(
         F.col("cell_id").isin(cells)
     )

@@ -705,9 +705,14 @@ def _user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1/F12 — JSON payload field access: stats per props.k bucket."""
+    """F1/F12 — JSON payload field access: stats per props.k bucket.
+
+    try_cast mirrors the oracle's TRY_CAST (null on garbage AND on
+    decimal strings, where an ANSI cast would throw); the one residual
+    is scientific notation ('1e3': DuckDB 1000, Spark NULL), absent
+    from the generated data — see graph._page_events."""
     ev = views.registered_events(spark, sf_dir)
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return (
         ev.withColumn("k_bucket", k % 10)
         .groupBy("k_bucket")

@@ -628,7 +628,7 @@ def page_transition_state_stream(events: DataFrame) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     ).filter(F.col("k").isNotNull())
     return parsed.groupBy("user_id").applyInPandasWithState(
         page_transition_process(),

@@ -16,6 +16,7 @@ Graded checks compare final state, not emission traces.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -632,6 +633,15 @@ def foreach_batch_jdbc(
     return writer.start()
 
 
+# Table identifiers flow UNQUOTED into the idempotent-sink SQL (and
+# into Spark's staging write) so every statement case-folds the same
+# way per dialect; that is only safe for plain identifiers, so the
+# writer validates names against this before any SQL is built.
+_SAFE_SQL_IDENT = re.compile(
+    r"^[A-Za-z][A-Za-z0-9_]*(\.[A-Za-z][A-Za-z0-9_]*)?$"
+)
+
+
 def idempotent_create_sql(
     dialect: str, table: str, staging: str, key_cols: list
 ) -> list:
@@ -722,6 +732,16 @@ def jdbc_idempotent_batch_writer(
     """
     if dialect not in ("ansi", "postgres"):
         raise ValueError(f"unknown idempotent-sink dialect: {dialect!r}")
+    # the table name (and the staging name derived from it) is
+    # interpolated unquoted into DDL/MERGE text AND into Spark's
+    # staging write — refuse anything but a plain (optionally
+    # schema-qualified) identifier, so caller input can neither inject
+    # SQL nor case-fold differently between the two paths
+    if not _SAFE_SQL_IDENT.match(table):
+        raise ValueError(
+            f"idempotent sink table name {table!r} is not a plain SQL "
+            "identifier ([A-Za-z][A-Za-z0-9_]*, optional schema prefix)"
+        )
     props = properties or {}
     staging = f"{table}_staging"
 
@@ -1352,6 +1372,7 @@ def index_ingest_batch_writer(
     append_fn,
     data_subdir: str = "codes",
     compact_every: Optional[int] = None,
+    compact_min_files: Optional[int] = None,
     compact_kwargs: Optional[dict] = None,
 ):
     """Per-batch writer for streaming ANN-index ingest, with ENFORCED
@@ -1393,10 +1414,16 @@ def index_ingest_batch_writer(
     protocol guards (codes for the ANN indexes, edges for the graph
     store) — the commit log is artifact-agnostic.
 
-    ``compact_every``: opt-in in-stream maintenance — after every Nth
-    committed batch, fold the delta log with compact_store
-    (``compact_kwargs`` forwarded: fold_fn for the graph store,
-    partition_by for ANN codes).  Compaction runs strictly AFTER the
+    ``compact_every`` / ``compact_min_files``: opt-in in-stream
+    maintenance — fold the delta log with compact_store after every
+    Nth committed batch, and/or whenever the data dir's FILE count
+    reaches ``compact_min_files`` after a commit.  The file-count
+    trigger is the one that tracks the actual cost curve: the
+    read-fold's overhead is bound by file count, not batch count
+    (SCALE_DESIGN round-10 table), and variable-size batches can land
+    many files each.  (``compact_kwargs`` forwarded: fold_fn for the
+    graph store; partition_by self-defaults from the dir layout.)
+    Compaction runs strictly AFTER the
     batch's watermark commit, so a compactor crash never loses a
     batch; the stream's next delivery heals it (every batch start runs
     recover_compaction first — a half-finished compaction is the one
@@ -1440,7 +1467,10 @@ def index_ingest_batch_writer(
             fh.write(str(batch_id))
         os.replace(tmp, wm_path)
         os.remove(mf_path)
-        if compact_every and (batch_id + 1) % compact_every == 0:
+        due = bool(compact_every) and (batch_id + 1) % compact_every == 0
+        if not due and compact_min_files:
+            due = len(_store_files(codes_dir)) >= compact_min_files
+        if due:
             compact_store(
                 batch_df.sparkSession,
                 index_path,
@@ -1488,6 +1518,28 @@ def _sweep_store_orphans(data_dir: str, committed: set) -> None:
             full = os.path.join(root, d)
             if not os.listdir(full):
                 os.rmdir(full)
+
+
+def _detect_partition_layout(data_dir: str) -> tuple:
+    """Infer the ``key=value`` partition-column chain from a data dir's
+    directory structure (Hive layout), walking one representative
+    branch per level — how compact_store defaults ``partition_by`` so
+    a rewrite can never silently flatten a partitioned store."""
+    import os
+
+    keys = []
+    probe = data_dir
+    while os.path.isdir(probe):
+        subs = [
+            d
+            for d in os.listdir(probe)
+            if "=" in d and os.path.isdir(os.path.join(probe, d))
+        ]
+        if not subs:
+            break
+        keys.append(subs[0].split("=", 1)[0])
+        probe = os.path.join(probe, subs[0])
+    return tuple(keys)
 
 
 def _compact_paths(store_path: str, data_subdir: str) -> tuple:
@@ -1556,7 +1608,7 @@ def compact_store(
     store_path: str,
     data_subdir: str = "edges",
     fold_fn=None,
-    partition_by: tuple = (),
+    partition_by: Optional[tuple] = None,
     target_files: int = 1,
 ) -> dict:
     """Compact an append-only store artifact: fold the delta log into
@@ -1568,6 +1620,13 @@ def compact_store(
     graph.compact_graph_store) and the ANN code tables (identity fold,
     ``partition_by=("cell_id",)`` keeps the partition-pruned layout —
     see similarity.compact_index_codes).
+
+    ``partition_by=None`` (the default) AUTO-DETECTS the layout from
+    the data dir's ``key=value`` directory structure, so a caller that
+    forgets to forward it (e.g. in-stream auto-compaction without
+    compact_kwargs) cannot silently flatten a cell_id=N/ layout and
+    lose probe-time static partition pruning; pass ``()`` to force an
+    unpartitioned rewrite.
 
     Commit protocol (same local-FS stand-in discipline as
     index_ingest_batch_writer; at real scale both are conditional
@@ -1593,7 +1652,13 @@ def compact_store(
     compaction unchanged.  Files appended after the snapshot are NOT
     deleted (only recorded inputs are), though the job is meant to run
     quiesced — mid-finish readers can see input+output coexist, the
-    documented local-FS-stand-in limitation.  Returns
+    documented local-FS-stand-in limitation.  A compactor that CRASHES
+    past the commit point leaves that same double-counting state
+    PERSISTENTLY (manifest on disk, staged files moved in, inputs not
+    yet deleted) — which is why every reader of a compactable dir
+    (edges_from_graph_store, the three indexed ANN probes) calls
+    recover_compaction before scanning, in addition to the
+    ingest-writer healing at batch start.  Returns
     {input_files, output_files, skipped}."""
     import json
     import os
@@ -1611,6 +1676,8 @@ def compact_store(
     inputs = _store_files(data_dir)
     if not inputs:
         return {"input_files": 0, "output_files": 0, "skipped": True}
+    if partition_by is None:
+        partition_by = _detect_partition_layout(data_dir)
     df = spark.read.parquet(data_dir)
     folded = fold_fn(df) if fold_fn is not None else df
     if partition_by:
@@ -1683,7 +1750,7 @@ def streaming_page_catalog(events: DataFrame) -> DataFrame:
     graph.pagerank_from_stores — the periodic rank recompute."""
     return (
         events.select(
-            F.get_json_object("props", "$.k").cast("long").alias("page_id")
+            F.get_json_object("props", "$.k").try_cast("long").alias("page_id")
         )
         .filter(F.col("page_id").isNotNull())
         .dropDuplicates(["page_id"])
@@ -1780,7 +1847,7 @@ def streaming_purchase_page_counts(events: DataFrame) -> DataFrame:
     return (
         events.filter(F.col("event_type") == "purchase")
         .select(
-            F.get_json_object("props", "$.k").cast("long").alias("page_id")
+            F.get_json_object("props", "$.k").try_cast("long").alias("page_id")
         )
         .filter(F.col("page_id").isNotNull())
         .groupBy("page_id")

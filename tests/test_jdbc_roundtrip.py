@@ -317,3 +317,14 @@ def test_idempotent_sink_dialect_sql_text():
 
     with pytest.raises(ValueError, match="dialect"):
         jdbc_idempotent_batch_writer("url", "tgt", keys, dialect="mysql")
+
+    # table names are interpolated unquoted into DDL/MERGE text: only
+    # plain (optionally schema-qualified) identifiers may pass — a name
+    # that would inject SQL or case-fold inconsistently is refused
+    # up-front, before any statement is built (round-10 advice)
+    for bad in ('tgt"; DROP TABLE x; --', "tgt table", "1tgt", 'Tg"t',
+                "tgt;x", "a.b.c"):
+        with pytest.raises(ValueError, match="identifier"):
+            jdbc_idempotent_batch_writer("url", bad, keys)
+    for ok in ("tgt", "TGT_2", "app.achievements"):
+        jdbc_idempotent_batch_writer("url", ok, keys)  # builds fine

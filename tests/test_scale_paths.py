@@ -1301,3 +1301,158 @@ def test_store_protocol_random_interleavings(spark, tmp_path_factory):
             assert _graph_readoff(spark, store) == model, ops
 
     run()
+
+
+def _crash_past_commit_point(spark, store, data_subdir, compact_fn, monkeypatch):
+    """Drive a compaction to its WORST persistent crash state: manifest
+    committed, every staged file already moved into the data dir,
+    inputs NOT yet deleted — a raw scan of the dir now double-counts.
+    Returns the inflight-manifest path (still on disk)."""
+    import json
+    import os
+
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    def boom(*a, **k):
+        raise RuntimeError("crash past commit point")
+
+    monkeypatch.setattr(topology, "_finish_compaction", boom)
+    with pytest.raises(RuntimeError):
+        compact_fn()
+    monkeypatch.undo()
+    mf = f"{store}/_compact_inflight_{data_subdir}"
+    assert os.path.exists(mf)
+    with open(mf) as fh:
+        manifest = json.load(fh)
+    for src_rel, dst_rel in manifest["moves"]:
+        dst = f"{store}/{data_subdir}/{dst_rel}"
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(f"{store}/_compact_staging_{data_subdir}/{src_rel}", dst)
+    return mf
+
+
+def test_pure_readers_heal_post_commit_compaction_crash(
+    spark, sf_smoke, tmp_path_factory, monkeypatch
+):
+    """A compactor that dies AFTER the commit point leaves the data dir
+    double-counting PERSISTENTLY (snapshot moved in, inputs not yet
+    deleted).  Pure readers must heal it before scanning — both
+    edges_from_graph_store (the read-time fold would silently return
+    inflated sums) and the indexed ANN probes (duplicate candidate
+    rows) call recover_compaction first."""
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        compact_graph_store,
+    )
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        compact_index_codes,
+    )
+
+    # graph edge store: fold must not double-count
+    store = str(tmp_path_factory.mktemp("reader_heal") / "store")
+    writer = _edge_writer(store)
+    writer(_edge_batch(spark, [(1, 2, 3), (2, 3, 1)]), 0)
+    writer(_edge_batch(spark, [(1, 2, 2)]), 1)
+    want = {(1, 2): 5, (2, 3): 1}
+    mf = _crash_past_commit_point(
+        spark, store, "edges",
+        lambda: compact_graph_store(spark, store), monkeypatch,
+    )
+    # the raw dir now holds inputs + snapshot; the READER must heal
+    assert _graph_readoff(spark, store) == want
+    assert not os.path.exists(mf)
+
+    # IVF cells store: probe must not see duplicate candidate rows
+    path = str(tmp_path_factory.mktemp("reader_heal") / "index")
+    build_ivf_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    q = _queries(spark, sf_smoke, n=3)
+    before = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    mf = _crash_past_commit_point(
+        spark, path, "cells",
+        lambda: compact_index_codes(spark, path, data_subdir="cells"),
+        monkeypatch,
+    )
+    after = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    assert after == before
+    assert not os.path.exists(mf)
+
+
+def test_file_count_compaction_trigger_and_layout_autodetect(
+    spark, sf_smoke, tmp_path_factory
+):
+    """compact_min_files triggers on the data dir's FILE count — the
+    quantity the measured cost curve is actually bound by — so
+    variable-size batches compact when the log is big, not on an
+    arbitrary batch cadence; and in-stream compaction of a PARTITIONED
+    store with NO compact_kwargs auto-detects the cell_id=N/ layout
+    instead of silently flattening it (losing probe-time static
+    partition pruning)."""
+    import glob
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    path = str(tmp_path_factory.mktemp("fc_trigger") / "index")
+    build_ivf_index(spark, sf_smoke, path, n_cells=N_CELLS)
+    cells_before = sorted(glob.glob(f"{path}/cells/cell_id=*"))
+    q = _queries(spark, sf_smoke, n=3)
+    threshold = len(topology._store_files(f"{path}/cells")) + 3
+
+    # no compact_kwargs: partition_by must self-default from the layout
+    writer = topology.index_ingest_batch_writer(
+        path,
+        append_to_ivf_index,
+        data_subdir="cells",
+        compact_min_files=threshold,
+    )
+
+    def batch(i, n):
+        return emb.filter(F.col("vec_id") < n).select(
+            (F.col("vec_id") + F.lit(max_id + 1 + 100 * i)).cast("long")
+            .alias("vec_id"),
+            "label",
+            "embedding",
+        )
+
+    # control twin: identical appends, no compaction configured
+    control = str(tmp_path_factory.mktemp("fc_trigger") / "control")
+    build_ivf_index(spark, sf_smoke, control, n_cells=N_CELLS)
+    control_writer = topology.index_ingest_batch_writer(
+        control, append_to_ivf_index, data_subdir="cells"
+    )
+
+    # small batch stays under the threshold: no compaction
+    writer(batch(0, 1), 0)
+    control_writer(batch(0, 1), 0)
+    assert len(topology._store_files(f"{path}/cells")) >= threshold - 2
+    # a WIDE batch crosses the file threshold: compaction fires even
+    # though no batch cadence was configured
+    writer(batch(1, 8), 1)
+    control_writer(batch(1, 8), 1)
+    files_after = topology._store_files(f"{path}/cells")
+    assert len(files_after) < threshold
+    assert len(files_after) < len(topology._store_files(f"{control}/cells"))
+    # the cell_id=N/ layout survived the kwargs-less rewrite
+    assert sorted(glob.glob(f"{path}/cells/cell_id=*")) == cells_before
+    assert all(f.split("/")[0].startswith("cell_id=") for f in files_after)
+    # probes bit-identical to the never-compacted twin
+    compacted = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2).collect()
+    )
+    uncompacted = sorted(
+        tuple(r)
+        for r in knn_ivf_indexed(spark, control, q, k=3, nprobe=2).collect()
+    )
+    assert compacted == uncompacted
