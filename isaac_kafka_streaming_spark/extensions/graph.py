@@ -151,9 +151,11 @@ def page_transition_edges(
     (#buckets_visited - 1) transitions per user (pinned in
     tests/test_graph.py) — the same trade the gap-sessionized
     operators already make at session boundaries.  The STREAMED edge
-    store (state.page_transition_state_stream) implements the
-    default split=None semantics; enable the split on both sides (or
-    neither) if bit-for-bit batch/stream parity matters under it."""
+    store (state.page_transition_state_stream) takes the same knob —
+    its GroupState machine skips the emission when a pair straddles a
+    bucket boundary — so batch/stream parity is bit-for-bit with the
+    split enabled on both sides (or neither); pinned in
+    tests/test_streaming.py."""
     return transition_edges_from_events(
         _page_events(spark, sf_dir), split_gap_days
     )

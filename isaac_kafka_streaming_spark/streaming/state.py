@@ -563,11 +563,24 @@ PAGE_TRANSITION_STATE_SCHEMA = T.StructType(
 )
 
 
-def page_transition_process():
+def page_transition_process(split_gap_days: "int | None" = None):
     """The page-transition state-transition function, exposed at module
     level so tests can drive it directly (hypothesis batch-split
     invariance, the funnel_process pattern) and executors can pickle it
-    without capturing a DataFrame."""
+    without capturing a DataFrame.
+
+    ``split_gap_days`` mirrors the batch knob
+    (graph.page_transition_edges): when set, a transition whose two
+    events fall in different ``split_gap_days``-day time buckets is
+    DROPPED (the batch window partitions by (user, bucket), so the
+    straddling pair never forms there either) — the state machine still
+    advances, it just skips the emission at the bucket boundary.
+    Enable on both sides or neither for bit-for-bit parity."""
+    bucket_us = (
+        None
+        if split_gap_days is None
+        else int(split_gap_days) * 86_400_000_000
+    )
 
     def process(
         key: Tuple,
@@ -575,9 +588,9 @@ def page_transition_process():
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            _last_ts, _last_eid, last_k = state.get
+            last_ts, _last_eid, last_k = state.get
         else:
-            _last_ts, _last_eid, last_k = None, None, None
+            last_ts, _last_eid, last_k = None, None, None
         rows = sorted(
             (int(ts.value // 1_000), int(eid), int(k))
             for pdf in pdfs
@@ -585,11 +598,15 @@ def page_transition_process():
         )
         counts: dict = {}
         for ts_us, eid, k in rows:
-            if last_k is not None and k != last_k:
+            same_bucket = bucket_us is None or (
+                last_ts is not None
+                and ts_us // bucket_us == last_ts // bucket_us
+            )
+            if last_k is not None and k != last_k and same_bucket:
                 counts[(last_k, k)] = counts.get((last_k, k), 0) + 1
-            last_k, _last_ts, _last_eid = k, ts_us, eid
+            last_k, last_ts, _last_eid = k, ts_us, eid
         if last_k is not None:
-            state.update((_last_ts, _last_eid, last_k))
+            state.update((last_ts, _last_eid, last_k))
         if counts:
             yield pd.DataFrame(
                 {
@@ -602,7 +619,9 @@ def page_transition_process():
     return process
 
 
-def page_transition_state_stream(events: DataFrame) -> DataFrame:
+def page_transition_state_stream(
+    events: DataFrame, split_gap_days: "int | None" = None
+) -> DataFrame:
     """Streaming half of the PageRank pipeline (batch twin:
     extensions.graph.page_transition_edges): a per-user GroupState
     machine holds the LAST page seen, so consecutive-event transitions
@@ -621,7 +640,10 @@ def page_transition_state_stream(events: DataFrame) -> DataFrame:
     emit nothing, matching the batch dst != src filter.
 
     Input columns: (user_id, ts, event_id, props JSON) — the page id
-    parses from props exactly like the batch side."""
+    parses from props exactly like the batch side.  ``split_gap_days``
+    forwards to the state machine so the hot-user pre-split knob holds
+    bit-for-bit batch/stream parity when enabled on both sides (see
+    page_transition_process)."""
     import pyspark.sql.functions as F
 
     parsed = events.select(
@@ -631,7 +653,7 @@ def page_transition_state_stream(events: DataFrame) -> DataFrame:
         F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     ).filter(F.col("k").isNotNull())
     return parsed.groupBy("user_id").applyInPandasWithState(
-        page_transition_process(),
+        page_transition_process(split_gap_days),
         outputStructType=PAGE_TRANSITION_OUTPUT_SCHEMA,
         stateStructType=PAGE_TRANSITION_STATE_SCHEMA,
         outputMode="append",

@@ -1895,3 +1895,67 @@ def test_streaming_budget_counters_parity(spark, sf_smoke, tmp_path_factory):
         "pos_capture", "keep_precision",
     )
     assert _rows(got, *cols) == _rows(want, *cols)
+
+
+def test_streamed_edge_store_split_gap_parity(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The hot-user pre-split knob holds bit-for-bit batch/stream
+    parity (round-11): with split_gap_days=1 on BOTH sides, the
+    GroupState machine drops exactly the transitions the batch
+    window's (user, day-bucket) partitioning never forms — and the
+    knob demonstrably binds (strictly fewer transitions than the
+    unsplit graph on the same events)."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        page_transition_edges,
+    )
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_state_stream,
+    )
+
+    base = tmp_path_factory.mktemp("pr_split_stream")
+    ev = read_table(spark, sf_smoke, "events")
+    mid = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )[0]
+    mid_ts = F.timestamp_micros(F.lit(int(mid)))
+    flat = base / "flat"
+    flat.mkdir()
+    for i, part in enumerate(
+        [ev.filter(F.col("ts") <= mid_ts), ev.filter(F.col("ts") > mid_ts)]
+    ):
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = st.stream_events(spark, str(flat), max_files_per_trigger=1)
+    transitions = st.run_to_memory(
+        page_transition_state_stream(stream, split_gap_days=1),
+        "pr_transitions_split",
+        output_mode="append",
+    )
+    edges_store = transitions.groupBy("src", "dst").agg(
+        F.sum("n").alias("n")
+    )
+    want = {
+        (r.src, r.dst, int(r.w))
+        for r in page_transition_edges(
+            spark, sf_smoke, split_gap_days=1
+        ).collect()
+    }
+    assert _rows(edges_store, "src", "dst", "n") == want and want
+
+    # the split bound: the unsplit graph has strictly more transitions
+    # (the boundary-straddling pairs this knob trades away)
+    n_split = sum(n for _s, _d, n in want)
+    n_unsplit = sum(
+        int(r.w) for r in page_transition_edges(spark, sf_smoke).collect()
+    )
+    assert n_split < n_unsplit
