@@ -135,6 +135,10 @@ HEADLINE = [
     "selection_budget_curve",
     # round 10 addition: exact CC completing the graph family
     "page_components",
+    # round 11 additions: the MMR diversity rerank and the real
+    # baseline-JPEG decode path
+    "mmr_rerank",
+    "media_jpeg_features",
 ]
 
 

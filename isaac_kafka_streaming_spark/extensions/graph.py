@@ -66,45 +66,9 @@ _ROUND_ITER = 12  # per-round rank rounding (engine-lockstep)
 _ROUND_OUT = 6  # published rank rounding
 
 
-def _ranked_total_order(
-    df: DataFrame, order_cols: list, out_cols: list, rank_alias: str = "rank"
-) -> DataFrame:
-    """Range-partitioned global row_number — the partition-safe form of
-    ``Window.orderBy(<total order>)``, which would funnel every row
-    through ONE task.  Shape: range-partition on the sort keys (so
-    partition i's keys all precede partition i+1's), row_number WITHIN
-    each partition, then offset by the cumulative counts of the
-    partitions before it.  The only single-partition step left is the
-    offsets window over the per-partition COUNTS frame — rows =
-    #shuffle-partitions, never |V|.
-
-    ``order_cols`` must be a TOTAL order (unique tie-break column) or
-    ranks are nondeterministic across runs.  The localCheckpoint pins
-    the range partitioning so the counts subtree and the output subtree
-    read identical partition ids (two re-executions of a sampled range
-    exchange are not guaranteed to draw the same boundaries)."""
-    part = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    local = part.withColumn(
-        "__lr",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
-    )
-    w_off = Window.orderBy("__pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        part.groupBy("__pid")
-        .agg(F.count("*").alias("__n"))
-        .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
-        .select("__pid", "__off")
-    )
-    return local.join(F.broadcast(offsets), "__pid").select(
-        *out_cols,
-        (F.col("__off") + F.col("__lr")).cast("bigint").alias(rank_alias),
-    )
+# the partition-safe 1..|V| rank the family's published orderings use
+# (round 11; shared implementation + design notes in operators/ordered)
+from ..operators.ordered import ranked_total_order as _ranked_total_order
 
 
 def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -948,11 +948,15 @@ def vocab_coverage(
     reaches the target, deterministically.
 
     Scale shape: the ONLY windowed frame is the token-frequency table
-    — bounded by |vocab|, never by corpus size — so its global sort is
-    a deliberate, bounded rangepartitioning (allow-listed in
-    tools/plan_lint.py); the corpus-sized stages are one explode, one
-    map-side-combinable count, and a left-join of the vocab back onto
-    the token stream.  Zero-token docs drop, matching the oracle.
+    — bounded by |vocab|, never by corpus size — and since round 11
+    even that cumulative sum is range-PARTITIONED
+    (operators.ordered.cumsum_total_order), because this function's
+    own 100 TB note puts the vocab at O(millions) of tokens: large
+    enough that a single-task sort is the same hazard class the
+    vocab_join knob exists for.  The corpus-sized stages are one
+    explode, one map-side-combinable count, and a left-join of the
+    vocab back onto the token stream.  Zero-token docs drop, matching
+    the oracle.
 
     ``vocab_join`` picks the join strategy for that last step.
     "broadcast" (default, the graded/fixture path) pins the vocab to
@@ -966,7 +970,7 @@ def vocab_coverage(
     vocab.  Both modes produce identical rows (pinned in
     tests/test_text_extras.py); the bound is documented in
     SCALE_DESIGN.md."""
-    from pyspark.sql import Window
+    from ..operators.ordered import cumsum_total_order
 
     docs = read_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -974,13 +978,9 @@ def vocab_coverage(
     )
     counts = tok.groupBy("w").agg(F.count("*").alias("cw"))
     total = counts.agg(F.sum("cw").alias("tot"))
-    w_rank = (
-        Window.orderBy(F.col("cw").desc(), F.col("w"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     vocab = (
-        counts.withColumn(
-            "cum_before", F.coalesce(F.sum("cw").over(w_rank), F.lit(0))
+        cumsum_total_order(
+            counts, [F.col("cw").desc(), F.col("w")], "cw", "cum_before"
         )
         .crossJoin(F.broadcast(total))
         .filter(F.col("cum_before") < coverage * F.col("tot"))

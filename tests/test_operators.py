@@ -408,3 +408,49 @@ def test_sessionize_skew_cap(spark):
     assert sorted(
         map(tuple, sessionize(df, gap_seconds=60, max_events_per_user=500).collect())
     ) == sorted(map(tuple, uncapped.collect()))
+
+
+def test_total_order_primitives_match_single_window(spark):
+    """ranked_total_order / cumsum_total_order (operators.ordered) are
+    drop-in partition-safe forms of the no-partition window: identical
+    output to Window.orderBy on a frame spanning many range partitions,
+    including duplicate sort values disambiguated by the tie-break."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+        ranked_total_order,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("v"),  # heavy duplicate sort values
+    )
+    order = [F.col("v").desc(), F.col("id")]
+
+    got_rank = {
+        (r.id, r.rank)
+        for r in ranked_total_order(df, order, ["id", "v"]).collect()
+    }
+    w = Window.orderBy(*order)
+    want_rank = {
+        (r.id, r.rank)
+        for r in df.withColumn(
+            "rank", F.row_number().over(w).cast("bigint")
+        ).collect()
+    }
+    assert got_rank == want_rank
+
+    got_cum = {
+        (r.id, r.c)
+        for r in cumsum_total_order(df, order, "v", "c").collect()
+    }
+    w_cum = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_cum = {
+        (r.id, r.c)
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w_cum), F.lit(0))
+        ).collect()
+    }
+    assert got_cum == want_cum

@@ -79,9 +79,32 @@ PYTHON_OK = {
 # Queries that deliberately produce a global order:
 RANGE_OK = {
     "value_quantiles",  # exact percentile sorts per group internally
-    "vocab_coverage",  # global sort of the token-frequency table only
-    #   — the windowed frame is bounded by |vocab|, never corpus size
 }
+# Sort keys allowed to feed an Exchange SinglePartition (the round-11
+# single-task-sort detector): a sort on __pid is the offsets window of
+# graph._ranked_total_order, whose frame is the per-partition COUNTS
+# (#shuffle-partitions rows, never data-sized).  Every other
+# single-partition sort is a latent 100 TB bottleneck unless the query
+# is in SINGLETON_SORT_OK with a bounded-frame reason.
+SINGLETON_SORT_KEYS_OK = ("__pid",)
+SINGLETON_SORT_OK: set = set()  # populated below per adjudication
+
+
+def _singleton_sorts(plan: str) -> list:
+    """Sort-key lists of every Sort whose input is an Exchange
+    SinglePartition — the single-task global sort a no-partition
+    Window.orderBy silently plans (rangepartitioning is a different
+    node and is caught separately).  Matches the executed-plan
+    toString layout: the Exchange prints directly below its Sort."""
+    import re
+
+    return [
+        m.group(1)
+        for m in re.finditer(
+            r"Sort \[([^\]]*)\][^\n]*\n[^\n]*Exchange SinglePartition",
+            plan,
+        )
+    ]
 
 
 def main() -> int:
@@ -131,6 +154,12 @@ def main() -> int:
             violations.append(f"{name}: row-level Python eval node")
         if "rangepartitioning" in plan and name not in RANGE_OK:
             violations.append(f"{name}: rangepartitioning (global sort)")
+        if name not in SINGLETON_SORT_OK:
+            for keys in _singleton_sorts(plan):
+                if not any(k in keys for k in SINGLETON_SORT_KEYS_OK):
+                    violations.append(
+                        f"{name}: single-partition sort on [{keys}]"
+                    )
 
     for v in violations:
         print(f"VIOLATION {v}")
