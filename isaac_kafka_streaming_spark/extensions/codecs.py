@@ -861,3 +861,28 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
             out[o + 1] = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
             out[o + 2] = clamp8(lum + 1.772 * cb)
     return width, height, 3, bytes(out)
+
+
+def resize_nearest(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int,
+    target_w: int,
+    target_h: int,
+) -> bytes:
+    """Nearest-neighbor resample of a raster sample buffer — the
+    deterministic, codec-free core the resize operator runs between a
+    real decode and a real (PNG) re-encode.  Source pixel for output
+    (x, y) is (x * width // target_w, y * height // target_h)."""
+    out = bytearray(target_w * target_h * channels)
+    for y in range(target_h):
+        sy = y * height // target_h
+        srow = sy * width * channels
+        orow = y * target_w * channels
+        for x in range(target_w):
+            sx = x * width // target_w
+            s = srow + sx * channels
+            o = orow + x * channels
+            out[o : o + channels] = pixels[s : s + channels]
+    return bytes(out)

@@ -336,31 +336,66 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 def resize_images(
     media: DataFrame, target_w: int, target_h: int, fake: bool = False
 ) -> DataFrame:
-    """Resize stub: passes blobs through mapInPandas preserving the
-    media schema with updated metadata.  Real implementation plugs a
-    codec into `_resize_one`."""
+    """Resize over mapInPandas, preserving the media schema.
 
-    def _resize_one(blob: bytes) -> bytes:
+    REAL for PNG and baseline-JPEG blobs (round 11): stdlib decode,
+    nearest-neighbor resample (codecs.resize_nearest), PNG re-encode —
+    lossless and deterministic on the way out regardless of the input
+    format, which is why the output mime is image/png for both.  Other
+    blobs fall back to the deterministic fake (truncate to w*h) when
+    `fake=True` and raise otherwise."""
+    _ship_codecs_by_value()
+    from .codecs import (
+        JPEG_MAGIC,
+        PNG_MAGIC,
+        jpeg_decode,
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
+
+    def _resize_one(blob: bytes) -> tuple[bytes, str]:
+        blob = bytes(blob)
+        if blob[:8] == PNG_MAGIC or blob[:3] == JPEG_MAGIC:
+            decode = png_decode if blob[:8] == PNG_MAGIC else jpeg_decode
+            w, h, ch, px = decode(blob)
+            if ch == 4:  # drop alpha for the re-encode (RGB color type)
+                px = bytes(
+                    px[i]
+                    for i in range(len(px))
+                    if i % 4 != 3
+                )
+                ch = 3
+            resized = resize_nearest(px, w, h, ch, target_w, target_h)
+            color_type = 0 if ch == 1 else 2
+            return (
+                png_encode(resized, target_w, target_h, color_type),
+                "image/png",
+            )
         if not fake:
             raise NotImplementedError(
-                "image resize requires an image codec; use fake=True"
+                "image resize decodes PNG/baseline JPEG only without an "
+                "external codec; use fake=True for other blobs"
             )
         # deterministic fake: truncate/pad the blob to min(len, w*h)
         n = min(len(blob), target_w * target_h)
-        return blob[:n]
+        return blob[:n], "application/octet-stream"
 
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [_resize_one(b) for b in pdf["blob"]]
+            resized = [_resize_one(b) for b in pdf["blob"]]
+            blobs = [b for b, _m in resized]
             meta = [
                 {
                     "n_bytes": len(b),
-                    "mime": m["mime"] if isinstance(m, dict) else m.mime,
+                    "mime": mime
+                    if mime != "application/octet-stream"
+                    else (m["mime"] if isinstance(m, dict) else m.mime),
                     "source": m["source"] if isinstance(m, dict) else m.source,
                 }
-                for b, m in zip(blobs, pdf["meta"])
+                for (b, mime), m in zip(resized, pdf["meta"])
             ]
             yield pd.DataFrame(
                 {

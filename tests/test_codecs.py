@@ -402,3 +402,22 @@ def test_jpeg_rejects_out_of_scope():
         jpeg_decode(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         jpeg_encode(bytes(10), 8, 8)  # buffer/dims mismatch
+
+
+def test_resize_nearest_samples_correctly():
+    """Nearest-neighbor core: exact source-pixel selection for up- and
+    down-scale, greyscale and RGB."""
+    from isaac_kafka_streaming_spark.extensions.codecs import resize_nearest
+
+    # 2x2 grey quadrants -> 4x4: each quadrant replicates 2x2
+    src = bytes([10, 20, 30, 40])
+    up = resize_nearest(src, 2, 2, 1, 4, 4)
+    assert up == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    # 4x4 -> 2x2 picks the top-left of each quadrant
+    down = resize_nearest(up, 4, 4, 1, 2, 2)
+    assert down == src
+    # RGB pixels move as units
+    rgb = bytes([1, 2, 3, 4, 5, 6])
+    assert resize_nearest(rgb, 2, 1, 3, 1, 1) == bytes([1, 2, 3])
