@@ -325,7 +325,22 @@ PICKS = {
         "edge groupBy) before the checkpoint; five contribution "
         "rounds over page-catalog-bounded checkpointed frames — "
         "equi-joins on the node key + 1-row broadcast dangling "
-        "scalars; no events re-scan in the final plan."
+        "scalars; no events re-scan in the final plan.  The published "
+        "1..|V| rank is range-PARTITIONED (round 11): the row_number "
+        "window is keyed on __pid and the only single-partition sort "
+        "left feeds the per-partition-counts offsets frame."
+    ),
+    "mmr_rerank": (
+        "MMR diversity rerank: brute-force shortlist (the declared "
+        "broadcast queries-x-corpus baseline tier), then ONE "
+        "applyInPandas greedy per query over a <=20-row candidate "
+        "frame — nothing corpus-sized reaches Python."
+    ),
+    "media_jpeg_features": (
+        "REAL baseline-JPEG decode: binary blobs flow through two "
+        "Arrow mapInPandas stages (encode adapter, decode+features) "
+        "with the blob column dropped on output; no shuffle of pixel "
+        "bytes, no relational Python eval."
     ),
     "selection_budget_curve": (
         "Keep-budget sweep WITHOUT a global sort: thresholds from one "
