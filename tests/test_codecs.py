@@ -473,3 +473,42 @@ def test_jpeg_roundtrip_property(data):
         # a regression to garbled entropy coding blows past it instantly
         mean_err = sum(abs(a - b) for a, b in zip(img, px)) / len(px)
         assert mean_err < 40
+
+
+def test_jpeg_dct_fast_path_matches_reference():
+    """The numpy matrix DCTs are pinned against the pure-Python
+    reference loops (the no-numpy fallback) to 1e-9 on random blocks,
+    and a full encode/decode round-trip under the fallback matches the
+    fast path's output within a few levels per pixel (an ulp-flipped
+    quantization decision amplifies by the quant step on dequantize, so
+    bit-identity across paths is deliberately NOT claimed)."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions import codecs as C
+
+    if C._np is None:
+        pytest.skip("numpy not available; only the reference path exists")
+    rng = random.Random(7)
+    for _ in range(10):
+        block = [float(rng.randint(-128, 127)) for _ in range(64)]
+        coef = [float(rng.randint(-300, 300)) for _ in range(64)]
+        fast_f, fast_i = C._fdct(block), C._idct(coef)
+        np_mod = C._np
+        C._np = None
+        try:
+            ref_f, ref_i = C._fdct(block), C._idct(coef)
+        finally:
+            C._np = np_mod
+        assert max(abs(a - b) for a, b in zip(fast_f, ref_f)) < 1e-9
+        assert max(abs(a - b) for a, b in zip(fast_i, ref_i)) < 1e-9
+
+    img = bytes((x * 7 + y * 3) % 256 for y in range(16) for x in range(16))
+    fast_rt = C.jpeg_decode(C.jpeg_encode(img, 16, 16))[3]
+    np_mod = C._np
+    C._np = None
+    try:
+        ref_rt = C.jpeg_decode(C.jpeg_encode(img, 16, 16))[3]
+    finally:
+        C._np = np_mod
+    diffs = [abs(a - b) for a, b in zip(fast_rt, ref_rt)]
+    assert max(diffs) <= 8 and sum(diffs) / len(diffs) < 1.0
