@@ -1456,3 +1456,97 @@ def test_file_count_compaction_trigger_and_layout_autodetect(
         for r in knn_ivf_indexed(spark, control, q, k=3, nprobe=2).collect()
     )
     assert compacted == uncompacted
+
+
+def test_partitioned_compaction_crash_sweep_every_point(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The exhaustive crash-point sweep, repeated for the PARTITIONED
+    (cell_id=N/) layout that round-11's layout auto-detect rewrites:
+    abort the finish at every filesystem op inside the store and
+    recover — the (vec_id, cell_id) multiset AND the directory layout
+    must survive every crash point, with recovery idempotent."""
+    import glob
+    import os
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+        compact_index_codes,
+    )
+    from isaac_kafka_streaming_spark.streaming import topology
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+
+    def fresh_index(tag):
+        path = str(
+            tmp_path_factory.mktemp(f"pcrash_{tag}") / "index"
+        )
+        build_ivf_index(spark, sf_smoke, path, n_cells=N_CELLS)
+        append_to_ivf_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") < 2).select(
+                (F.col("vec_id") + F.lit(max_id + 1)).cast("long")
+                .alias("vec_id"),
+                "label",
+                "embedding",
+            ),
+        )
+        return path
+
+    def readoff(path):
+        rows = sorted(
+            (r.vec_id, r.cell_id)
+            for r in spark.read.parquet(f"{path}/cells")
+            .select("vec_id", "cell_id")
+            .collect()
+        )
+        cells = sorted(
+            os.path.basename(p)
+            for p in glob.glob(f"{path}/cells/cell_id=*")
+        )
+        return rows, cells
+
+    want = readoff(fresh_index("ref"))
+
+    class Boom(RuntimeError):
+        pass
+
+    point, swept = 0, 0
+    while True:
+        path = fresh_index(point)
+        budget = [point]
+        real_replace, real_remove = os.replace, os.remove
+
+        def counting(fn):
+            def inner(*a, **k):
+                if any(isinstance(x, str) and path in x for x in a):
+                    if budget[0] == 0:
+                        raise Boom()
+                    budget[0] -= 1
+                return fn(*a, **k)
+
+            return inner
+
+        os.replace, os.remove = counting(real_replace), counting(real_remove)
+        try:
+            # no compact_kwargs: the layout auto-detect must kick in
+            compact_index_codes(spark, path, data_subdir="cells")
+            crashed = False
+        except Boom:
+            crashed = True
+        finally:
+            os.replace, os.remove = real_replace, real_remove
+
+        topology.recover_compaction(path, "cells")
+        assert readoff(path) == want, f"point {point}"
+        topology.recover_compaction(path, "cells")
+        assert readoff(path) == want, f"point {point}"
+        assert not os.path.exists(f"{path}/_compact_inflight_cells")
+        assert not os.path.isdir(f"{path}/_compact_staging_cells")
+        swept = point
+        if not crashed:
+            break
+        point += 1
+    assert swept >= 4
