@@ -54,13 +54,30 @@ def ranked_total_order(
     df: DataFrame, order_cols: list, out_cols: list, rank_alias: str = "rank"
 ) -> DataFrame:
     """Dense 1..N row_number over a total order, range-partitioned:
-    local row_number per partition + cumulative-count offsets."""
-    part = _range_pinned(df, order_cols)
-    local = part.withColumn(
-        "__lr",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols)),
+    local row index per partition + cumulative-count offsets.
+
+    The local index comes from sortWithinPartitions +
+    monotonically_increasing_id — NOT a __pid-partitioned window —
+    because the window form would re-shuffle the whole frame on __pid
+    (hashpartitioning) just to number rows that are ALREADY clustered
+    and sorted by the range exchange.  The id's documented layout
+    (partition id in the upper bits, in-partition record index in the
+    lower 33) yields both __pid and the 0-based local index without
+    moving a row; the checkpoint pins partition contents and stored
+    order, so the id assignment is deterministic for both consumers."""
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
     )
-    offsets = _offsets(part, F.count("*"))
+    local = (
+        part.withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+        .withColumn(
+            "__lr", (F.col("__mid").bitwiseAND((1 << 33) - 1)) + 1
+        )
+    )
+    offsets = _offsets(local, F.count("*"))
     return local.join(F.broadcast(offsets), "__pid").select(
         *out_cols,
         (F.col("__off") + F.col("__lr")).cast("bigint").alias(rank_alias),

@@ -522,9 +522,13 @@ def test_graph_final_ranks_partition_safe(spark, sf_smoke):
         ("pagerank_personalized", "ppr"),
     ):
         plan = _executed_plan(spark, name, sf_smoke)
-        # the published row_number is partitioned, never a global window
-        assert re.search(
-            r"row_number\(\) windowspecdefinition\(__pid", plan
+        # the published rank derives from monotonically_increasing_id
+        # over the range-sorted checkpoint — no window over the |V|
+        # frame at all (a row_number window would re-shuffle it on
+        # __pid just to number already-clustered rows)
+        assert "monotonically_increasing_id" in plan, name
+        assert not re.search(
+            rf"row_number\(\) windowspecdefinition\([^)]*{key}", plan
         ), name
         # every Sort feeding a SinglePartition exchange sorts __pid only
         for m in re.finditer(
