@@ -326,9 +326,11 @@ PICKS = {
         "rounds over page-catalog-bounded checkpointed frames — "
         "equi-joins on the node key + 1-row broadcast dangling "
         "scalars; no events re-scan in the final plan.  The published "
-        "1..|V| rank is range-PARTITIONED (round 11): the row_number "
-        "window is keyed on __pid and the only single-partition sort "
-        "left feeds the per-partition-counts offsets frame."
+        "1..|V| rank is range-PARTITIONED (round 11): local indexes "
+        "come from monotonically_increasing_id over the range-sorted "
+        "checkpoint (no window over the |V| frame at all), and the "
+        "only single-partition sort left feeds the "
+        "per-partition-counts offsets frame."
     ),
     "mmr_rerank": (
         "MMR diversity rerank: brute-force shortlist (the declared "
