@@ -454,3 +454,36 @@ def test_total_order_primitives_match_single_window(spark):
         ).collect()
     }
     assert got_cum == want_cum
+
+
+def test_total_order_primitives_edge_cases(spark):
+    """Edge shapes for operators.ordered: empty frame, single row, and
+    a frame where every sort value ties (rank order then falls entirely
+    to the tie-break column)."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+        ranked_total_order,
+    )
+
+    empty = spark.range(0).select(F.col("id"), F.lit(0).alias("v"))
+    order = [F.col("v").desc(), F.col("id")]
+    assert ranked_total_order(empty, order, ["id", "v"]).count() == 0
+    assert cumsum_total_order(empty, order, "v", "c").count() == 0
+
+    one = spark.range(1).select(F.col("id"), F.lit(7).alias("v"))
+    (row,) = ranked_total_order(one, order, ["id", "v"]).collect()
+    assert (row.id, row.v, row.rank) == (0, 7, 1)
+    (row,) = cumsum_total_order(one, order, "v", "c").collect()
+    assert (row.id, row.v, row.c) == (0, 7, 0)
+
+    ties = spark.range(500).select(F.col("id"), F.lit(3).alias("v"))
+    ranked = {
+        r.id: r.rank for r in ranked_total_order(ties, order, ["id"]).collect()
+    }
+    assert ranked == {i: i + 1 for i in range(500)}  # pure tie-break order
+    cums = {
+        r.id: r.c for r in cumsum_total_order(ties, order, "v", "c").collect()
+    }
+    assert cums == {i: 3 * i for i in range(500)}
