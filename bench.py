@@ -136,9 +136,10 @@ HEADLINE = [
     # round 10 addition: exact CC completing the graph family
     "page_components",
     # round 11 additions: the MMR diversity rerank and the real
-    # baseline-JPEG decode path
+    # baseline-JPEG decode + animated-GIF frame-sampling paths
     "mmr_rerank",
     "media_jpeg_features",
+    "media_gif_frames",
 ]
 
 

@@ -4,11 +4,12 @@ The container ships no image/audio libraries (PIL, cv2, soundfile), so
 "real decode" here means real *formats* decoded with real *parsers*
 built on the stdlib: PNG via zlib/struct (signature, chunked layout,
 CRC validation, inflate, all five scanline filters), WAV via the
-`wave` module, and baseline JPEG via a T.81 sequential-DCT
-Huffman decoder/encoder pair (see the JPEG section below).  These
-are complete for the subset they declare — 8-bit-depth non-interlaced
-greyscale/RGB/RGBA PNG, PCM WAV, baseline greyscale/YCbCr JPEG — and
-raise on anything else rather than guessing.
+`wave` module, baseline JPEG via a T.81 sequential-DCT Huffman
+decoder/encoder pair, and animated GIF via an LZW decoder/encoder
+pair (see the JPEG and GIF sections below).  These are complete for
+the subset they declare — 8-bit-depth non-interlaced greyscale/RGB/RGBA
+PNG, PCM WAV, baseline greyscale/YCbCr JPEG, non-interlaced GIF87a/89a
+— and raise on anything else rather than guessing.
 
 Everything is a pure bytes->values function with no Spark imports, so
 the Arrow workers that run them inside mapInPandas need nothing but
@@ -919,3 +920,215 @@ def resize_nearest(
             o = orow + x * channels
             out[o : o + channels] = pixels[s : s + channels]
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF (GIF89a, LZW entropy coding) — the real format behind
+# the frame-sampling operator.  Same contract as PNG/JPEG/WAV above:
+# real container, real parser, stdlib only.  Scope (declared):
+#   * decode: GIF87a/89a, global/local color tables, full- and
+#     sub-rect frames composited with disposal methods 0/1 (draw over)
+#     and 2 (restore background), transparency honored; interlaced
+#     frames raise ValueError (out of scope, not silently wrong).
+#     Frames return as GREYSCALE rasters (ITU-R 601 luma of the
+#     palette entry, rounded) — the feature-extraction contract.
+#   * encode: full-frame greyscale animation over the 256-entry
+#     identity-grey palette; LZW output uses literal codes with
+#     periodic CLEARs (valid, compression-free — the encoder exists to
+#     make real test/pipeline fixtures, not to win size contests).
+# ---------------------------------------------------------------------------
+
+GIF_MAGICS = (b"GIF89a", b"GIF87a")
+
+
+def gif_encode(frames: list, width: int, height: int, delay_cs: int = 10) -> bytes:
+    """Encode full-frame greyscale rasters as a real animated GIF89a."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame size does not match dimensions")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)  # GCT present, 8-bit, 256 entries
+    out += b"\x00\x00"  # bg index, aspect
+    for i in range(256):  # identity greyscale palette
+        out += bytes((i, i, i))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for f in frames:
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+        out.append(8)  # LZW min code size
+        # literal-code LZW: 9-bit codes, CLEAR every 254 literals so the
+        # dictionary never grows past 9 bits — valid, uncompressed
+        bits = bytearray()
+        acc = nbits = 0
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits  # LSB-first packing
+            nbits += 9
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(256)  # CLEAR
+        for i, px in enumerate(f):
+            put(px)
+            if (i + 1) % 254 == 0:
+                put(256)
+        put(257)  # END
+        if nbits:
+            bits.append(acc & 0xFF)
+        for i in range(0, len(bits), 255):
+            chunk = bits[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0x00)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+class _GifBits:
+    """LSB-first variable-width code reader over LZW sub-block data."""
+
+    def __init__(self, data):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, width):
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated GIF LZW stream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << width) - 1)
+        self.acc >>= width
+        self.nbits -= width
+        return v
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytearray:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    bits = _GifBits(data)
+    table: list = []
+    width = mcs + 1
+    prev = None
+    while len(out) < n_pixels:
+        code = bits.read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def gif_decode(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode an animated GIF: (width, height, n_frames, frames) where
+    each frame is the full composited canvas as greyscale bytes."""
+    if blob[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF: bad signature")
+    width, height = struct.unpack_from("<HH", blob, 6)
+    packed, bg = blob[10], blob[11]
+    pos = 13
+
+    def read_palette(p, flag_byte):
+        if not flag_byte & 0x80:
+            return None, p
+        n = 2 << (flag_byte & 0x07)
+        pal = [
+            round(
+                0.299 * blob[p + 3 * i]
+                + 0.587 * blob[p + 3 * i + 1]
+                + 0.114 * blob[p + 3 * i + 2]
+            )
+            for i in range(n)
+        ]
+        return pal, p + 3 * n
+
+    gct, pos = read_palette(pos, packed)
+    canvas = bytearray([gct[bg] if gct else 0]) * (width * height)
+    frames: list = []
+    transparent = None
+    disposal = 0
+    while True:
+        if pos >= len(blob):
+            raise ValueError("truncated GIF: no trailer")
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = blob[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = blob[pos]
+                flags = blob[pos + 1]
+                disposal = (flags >> 2) & 0x07
+                transparent = blob[pos + 4] if flags & 1 else None
+                pos += size + 1
+            while blob[pos]:  # skip (remaining) sub-blocks
+                pos += blob[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02X}")
+        left, top, fw, fh = struct.unpack_from("<HHHH", blob, pos + 1)
+        fpacked = blob[pos + 9]
+        pos += 10
+        if fpacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        lct, pos = read_palette(pos, fpacked)
+        pal = lct or gct
+        if pal is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = blob[pos]
+        pos += 1
+        data = bytearray()
+        while blob[pos]:
+            n = blob[pos]
+            data += blob[pos + 1 : pos + 1 + n]
+            pos += n + 1
+        pos += 1
+        idx = _gif_lzw_decode(mcs, bytes(data), fw * fh)
+        if len(idx) < fw * fh:
+            raise ValueError("GIF frame pixel data short")
+        for y in range(fh):
+            row = (top + y) * width + left
+            frow = y * fw
+            for x in range(fw):
+                px = idx[frow + x]
+                if px != transparent:
+                    canvas[row + x] = pal[px]
+        frames.append(bytes(canvas))
+        if disposal == 2:  # restore background in the frame rect
+            bgv = gct[bg] if gct else 0
+            for y in range(fh):
+                row = (top + y) * width + left
+                for x in range(fw):
+                    canvas[row + x] = bgv
+        disposal, transparent = 0, None
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return width, height, len(frames), frames

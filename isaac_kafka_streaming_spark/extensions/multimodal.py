@@ -17,7 +17,10 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     on the magic bytes.  The graded queries `media_png_features` /
     `media_jpeg_features` / `media_wav_stats` run these paths
     end-to-end over real encoded bytes, oracle-checked.
-  * Progressive JPEG and video remain STUBS: they raise
+  * Frame sampling is REAL for animated GIF (codecs.gif_decode: LZW,
+    sub-rect compositing, disposal, transparency) — graded as
+    `media_gif_frames`, every sampled frame byte-exact vs the oracle.
+  * Progressive JPEG and non-GIF video remain STUBS: they raise
     NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —
@@ -174,6 +177,41 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
                         {
                             "n_bytes": len(raw),
                             "mime": "image/jpeg",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def documents_as_gif_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL two-frame animated GIF —
+    4x4 greyscale frames whose pixels are the two halves of the sha256
+    digest of its text.  GIF is lossless over the identity-grey
+    palette, so every sampled frame is byte-exact against the digest —
+    which keeps the frame-sampling features pure SQL functions of
+    sha256(text) for the oracle."""
+    _ship_codecs_by_value()
+    from .codecs import gif_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                rows.append(
+                    (
+                        doc_id,
+                        "video",
+                        gif_encode([digest[:16], digest[16:]], 4, 4),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "image/gif",
                             "source": "digest",
                         },
                     )
@@ -410,18 +448,39 @@ def resize_images(
 
 
 def sample_frames(
-    media: DataFrame, every_n_bytes: int = 4096, fake: bool = False
+    media: DataFrame,
+    every_n_bytes: int = 4096,
+    fake: bool = False,
+    every_n_frames: int = 1,
 ) -> DataFrame:
-    """Frame-sampling stub (video -> frames): 1->N row expansion through
-    mapInPandas, the shape a real ffmpeg-backed sampler would have."""
+    """Frame sampling (video -> frames): 1->N row expansion through
+    mapInPandas.
+
+    REAL for animated GIF blobs (round 11): the stdlib LZW decoder
+    (codecs.gif_decode) composites the animation and every
+    ``every_n_frames``-th canvas becomes one output row — frame_no is
+    the ORIGINAL frame index, the standard frame-sampling contract.
+    Other blobs fall back to the deterministic byte-slice fake when
+    `fake=True` (one row per ``every_n_bytes`` slice) and raise
+    otherwise — mp4 et al. need a codec this container doesn't ship."""
+    _ship_codecs_by_value()
+    from .codecs import GIF_MAGICS, gif_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frame_nos, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if bytes(blob[:6]) in GIF_MAGICS:
+                    _w, _h, n, decoded = gif_decode(bytes(blob))
+                    for i in range(0, n, every_n_frames):
+                        ids.append(mid)
+                        frame_nos.append(i)
+                        frames.append(decoded[i])
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "frame sampling requires a video codec; use fake=True"
+                        "frame sampling decodes animated GIF only without "
+                        "an external codec; use fake=True for other blobs"
                     )
                 for i, off in enumerate(range(0, len(blob), every_n_bytes)):
                     ids.append(mid)
@@ -489,6 +548,25 @@ def media_jpeg_features(spark, sf_dir: str) -> DataFrame:
         documents_as_jpeg_media(docs), hash_mode="hex"
     )
     return feats.withColumn("brightness", F.round("brightness", 6))
+
+
+def media_gif_frames(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL animated-video frame sampling on a graded path:
+    documents rendered as genuine two-frame GIF89a animations (LZW
+    entropy coding, frames = the digest halves), sampled by the stdlib
+    GIF decoder; every frame's full pixel payload is oracle-checked as
+    a sha256(text) hex substring — frame sampling is no longer a
+    fake-only operator."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_gif_media(docs))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
 
 
 def media_wav_stats(spark, sf_dir: str) -> DataFrame:
@@ -602,6 +680,28 @@ def register() -> dict:
             FROM v
             """,
             "X5 REAL baseline-JPEG decode (stdlib Huffman+IDCT) via "
+            "mapInPandas",
+        ),
+        "media_gif_frames": QueryDef(
+            media_gif_frames,
+            # GIF is lossless: each sampled 4x4 frame is byte-exact one
+            # half of the sha256 digest, so frame_hex is a hex substring
+            """
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            )
+            SELECT media_id, CAST(0 AS INTEGER) AS frame_no,
+                   CAST(16 AS BIGINT) AS frame_bytes,
+                   substr(hash, 1, 32) AS frame_hex
+            FROM h
+            UNION ALL
+            SELECT media_id, CAST(1 AS INTEGER) AS frame_no,
+                   CAST(16 AS BIGINT) AS frame_bytes,
+                   substr(hash, 33, 32) AS frame_hex
+            FROM h
+            """,
+            "X5 REAL animated-GIF frame sampling (stdlib LZW) via "
             "mapInPandas",
         ),
         "media_wav_stats": QueryDef(

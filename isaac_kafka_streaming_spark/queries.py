@@ -3195,12 +3195,13 @@ REGISTRY: dict[str, QueryDef] = {
 #       threshold_achievements (the entry whose T2 slot page_components
 #       took mid-round-10) plus the dedup/media/sampling/curation
 #       cohorts last checked in r08.
-#   T2: 13 of the 50 entries last green in r09 (fill; they expire
+#   T2: 12 of the 50 entries last green in r09 (fill; they expire
 #       after round 12 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~35/round).  The remaining
-#       37 r09-green entries front the round-12 window (tpch_q18 and
-#       tpch_q5 yielded their fill slots to the mid-round T0s:
-#       mmr_rerank, media_jpeg_features).
+#       38 r09-green entries front the round-12 window (tpch_q18,
+#       tpch_q5 and customers_without_big_orders yielded their fill
+#       slots to the mid-round T0s: mmr_rerank, media_jpeg_features,
+#       media_gif_frames).
 # The 86 parked entries are all green in r09 or r10, inside the K=3
 # freshness span through round 11.
 #
@@ -3224,11 +3225,13 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (2): registered mid-round-11;
-    # they take the slots of two T2-fill entries (tpch_q18, tpch_q5 —
-    # r09-green, they front the round-12 window; the swap discipline)
+    # T0 — no green row yet (must-check) (3): registered mid-round-11;
+    # they take the slots of three T2-fill entries (tpch_q18, tpch_q5,
+    # customers_without_big_orders — r09-green, they front the
+    # round-12 window; the swap discipline)
     "mmr_rerank",
     "media_jpeg_features",
+    "media_gif_frames",
     # T1 — last green <= r8 (invariant requires) (35)
     "threshold_achievements",
     "tpch_q6",
@@ -3265,7 +3268,7 @@ _DRIVER_CHECK_ORDER = [
     "char_entropy",
     "corpus_curation",
     "nb_quality_score",
-    # T2 — last green r9 (expires after next round) (13 of 50)
+    # T2 — last green r9 (expires after next round) (12 of 50)
     "user_streaks",
     "sliding_weekly_counts",
     "user_notifications",
@@ -3278,7 +3281,6 @@ _DRIVER_CHECK_ORDER = [
     "daily_role_rollup",
     "role_type_cube",
     "tpch_q3",
-    "customers_without_big_orders",
 ]
 
 

@@ -72,6 +72,7 @@ PYTHON_OK = {
     "media_frame_stats",
     "media_png_features",
     "media_jpeg_features",
+    "media_gif_frames",
     "media_wav_stats",
     "knn_lsh",  # vectorized numpy key pandas_udf (adjudicated r5)
     "mmr_rerank",  # per-query greedy over a <=shortlist frame (r10/r11)
