@@ -338,6 +338,12 @@ PICKS = {
         "applyInPandas greedy per query over a <=20-row candidate "
         "frame — nothing corpus-sized reaches Python."
     ),
+    "media_gif_frames": (
+        "REAL animated-GIF frame sampling: one Arrow mapInPandas "
+        "encode adapter, one 1->N frame-expansion stage (stdlib LZW "
+        "decode + compositing), scalar features only on the output — "
+        "no shuffle of pixel bytes."
+    ),
     "media_jpeg_features": (
         "REAL baseline-JPEG decode: binary blobs flow through two "
         "Arrow mapInPandas stages (encode adapter, decode+features) "
