@@ -612,3 +612,29 @@ def test_gif_rejects_out_of_scope():
     blob[idx + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         gif_decode(bytes(blob))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    n_frames=st.integers(min_value=1, max_value=4),
+    data=st.data(),
+)
+def test_gif_roundtrip_property(w, h, n_frames, data):
+    """GIF is lossless over the identity palette: encode . decode is
+    the identity for arbitrary frame stacks, dims and frame counts."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)
+            )
+        )
+        for _ in range(n_frames)
+    ]
+    assert gif_decode(gif_encode(frames, w, h)) == (w, h, n_frames, frames)
