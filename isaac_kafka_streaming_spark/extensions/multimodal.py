@@ -281,7 +281,14 @@ def extract_image_features(
     if hash_mode not in ("sha256", "hex"):
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
     _ship_codecs_by_value()
-    from .codecs import JPEG_MAGIC, PNG_MAGIC, jpeg_decode, png_decode
+    from .codecs import (
+        GIF_MAGICS,
+        JPEG_MAGIC,
+        PNG_MAGIC,
+        gif_decode,
+        jpeg_decode,
+        png_decode,
+    )
 
     def decode_one(blob: bytes) -> tuple[int, int, float, bytes]:
         if bytes(blob[:8]) == PNG_MAGIC:
@@ -290,6 +297,11 @@ def extract_image_features(
         if bytes(blob[:3]) == JPEG_MAGIC:
             w, h, _channels, pixels = jpeg_decode(bytes(blob))
             return w, h, (sum(pixels) / len(pixels)) / 255.0, pixels
+        if bytes(blob[:6]) in GIF_MAGICS:
+            # an animated GIF is also an image: features of frame 0
+            w, h, _n, frames = gif_decode(bytes(blob))
+            first = frames[0]
+            return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:
             raise NotImplementedError(
                 "only PNG and baseline JPEG decode without an external "

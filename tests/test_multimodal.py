@@ -123,3 +123,26 @@ def test_resize_real_png_and_jpeg(spark, sf_smoke):
             assert len(px) == 12 * 5 * ch
             assert row.meta.mime == "image/png"
             assert row.meta.n_bytes == len(row.blob)
+
+
+def test_gif_sampling_stride_and_image_features(spark, sf_smoke):
+    """The every_n_frames knob samples frame 0, 2, ... of the original
+    indices; and extract_image_features treats a GIF blob as an image
+    (frame-0 features) instead of raising."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(4)
+    media = mm.documents_as_gif_media(docs)
+
+    strided = mm.sample_frames(media, every_n_frames=2).collect()
+    assert {r.frame_no for r in strided} == {0}  # 2 frames -> keep 0 only
+    assert len(strided) == 4
+
+    feats = {r.media_id: r for r in mm.extract_image_features(media).collect()}
+    for d in docs.collect():
+        digest = hashlib.sha256(d.text.encode()).digest()
+        f = feats[d.doc_id]
+        assert (f.width, f.height, f.n_bytes) == (4, 4, 16)
+        assert f.content_hash == hashlib.sha256(digest[:16]).hexdigest()
