@@ -3185,25 +3185,22 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-11 window tiers (plan_window.py output, history through r10;
-# 135 live entries).  The round-10 window went fully green in
-# CORRECTNESS_r10.json (50/50 hash-checked), so the live freshness
-# distribution entering round 11 is {r10: 50, r09: 50, r08: 35}.
-#   T1: the 35 entries whose last green row is r08 — they fall out of
-#       the K=3 freshness span unless re-checked in round 11
+# Round-12 window tiers (plan_window.py output, history through r11;
+# 138 live entries).  The round-11 window went fully green in
+# CORRECTNESS_r11.json (50/50 hash-checked), so the live freshness
+# distribution entering round 12 is {r11: 50, r10: 50, r09: 38}.
+#   T1: the 38 entries whose last green row is r09 — they fall out of
+#       the K=3 freshness span unless re-checked in round 12
 #       (invariant-REQUIRED; plan_window fronts them).  Includes
-#       threshold_achievements (the entry whose T2 slot page_components
-#       took mid-round-10) plus the dedup/media/sampling/curation
-#       cohorts last checked in r08.
-#   T2: 12 of the 50 entries last green in r09 (fill; they expire
-#       after round 12 otherwise — taking the expiring tier first
-#       keeps the must-check load spread at ~35/round).  The remaining
-#       38 r09-green entries front the round-12 window (tpch_q18,
-#       tpch_q5 and customers_without_big_orders yielded their fill
-#       slots to the mid-round T0s: mmr_rerank, media_jpeg_features,
-#       media_gif_frames).
-# The 86 parked entries are all green in r09 or r10, inside the K=3
-# freshness span through round 11.
+#       tpch_q18, tpch_q5 and customers_without_big_orders (which
+#       yielded their round-11 fill slots to the mid-round T0s) plus
+#       the dedup-cluster/graph/knn/text-curation cohorts last checked
+#       in r09.
+#   T2: 12 of the 50 entries last green in r10 (fill; they expire
+#       after round 13 otherwise — taking the expiring tier first
+#       keeps the must-check load spread at ~38/round).
+# The 88 parked entries are all green in r10 or r11, inside the K=3
+# freshness span through round 12.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3225,62 +3222,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (3): registered mid-round-11;
-    # they take the slots of three T2-fill entries (tpch_q18, tpch_q5,
-    # customers_without_big_orders — r09-green, they front the
-    # round-12 window; the swap discipline)
-    "mmr_rerank",
-    "media_jpeg_features",
-    "media_gif_frames",
-    # T1 — last green <= r8 (invariant requires) (35)
-    "threshold_achievements",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q1",
-    "revenue_by_nation",
-    "top_orders_per_segment",
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
-    "tpch_q16",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_embedding_cosine",
-    "prototype_prune",
-    "media_features",
-    "media_png_features",
-    "media_wav_stats",
-    "media_frame_stats",
-    "overlap_chunk_plan",
-    "length_bucket_plan",
-    "soft_dedup_sample",
-    "stratified_topk_sample",
-    "epoch_shuffle",
-    "mixture_plan",
-    "dsir_select",
-    "doremi_mixture",
-    "embedding_quantize",
-    "bpe_pair_counts",
-    "char_entropy",
-    "corpus_curation",
-    "nb_quality_score",
-    # T2 — last green r9 (expires after next round) (12 of 50)
-    "user_streaks",
-    "sliding_weekly_counts",
-    "user_notifications",
-    "user_event_counts",
-    "anonymous_events",
-    "user_profiles",
-    "props_k_stats",
-    "question_page_array",
-    "purchasers_without_errors",
-    "daily_role_rollup",
-    "role_type_cube",
-    "tpch_q3",
+    # T1 — last green <= r9 (invariant requires) (38)
+    "customers_without_big_orders",
+    "tpch_q5",
+    "tpch_q18",
+    "session_transcripts",
+    "dedup_incoming",
+    "duplicate_passages",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_clusters",
+    "dedup_semantic",
+    "dedup_embedding_srp",
+    "pagerank_pages",
+    "pagerank_personalized",
+    "label_propagation",
+    "corpus_shards",
+    "concat_chunk_plan",
+    "corpus_split",
+    "split_contamination",
+    "ngram_contamination",
+    "decontaminate_exact",
+    "stratified_sample",
+    "embedding_centroids",
+    "knn_bruteforce",
+    "knn_ivf",
+    "kmeans_centroids",
+    "knn_quantized",
+    "embedding_label_stats",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "corpus_keep_list",
+    "repetition_metrics",
+    "pii_scrub",
+    "lang_source_rollup",
+    "selection_budget_curve",
+    # T2 — last green r10 (expires after next round) (12 of 50)
+    "event_type_counts",
+    "daily_event_counts",
+    "daily_role_counts",
+    "daily_role_type_map",
+    "user_snapshot",
+    "enriched_events",
+    "last_seen",
+    "last_seen_map",
+    "value_quantiles",
+    "purchase_asof_signup",
+    "purchases_within_day_of_signup",
+    "question_part_counts",
 ]
 
 
