@@ -25,14 +25,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Helper columns the two primitives inject.  Callers must not already
+#: use these names — a silent clobber would produce wrong ranks/sums,
+#: so both entry points check and raise instead (module contract:
+#: preconditions are CHECKED, not assumed).
+_HELPER_COLS = ("__mid", "__pid", "__lr", "__lc", "__off", "__n")
 
 
-def _range_pinned(df: DataFrame, order_cols: list) -> DataFrame:
-    return (
-        df.repartitionByRange(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
+def _assert_no_helper_collision(df: DataFrame, fn: str) -> None:
+    clash = [c for c in df.columns if c in _HELPER_COLS]
+    if clash:
+        raise ValueError(
+            f"{fn}: input columns {clash} collide with internal helper "
+            f"columns {_HELPER_COLS}; rename them before calling"
+        )
 
 
 def _offsets(part: DataFrame, agg_col) -> DataFrame:
@@ -65,6 +73,7 @@ def ranked_total_order(
     lower 33) yields both __pid and the 0-based local index without
     moving a row; the checkpoint pins partition contents and stored
     order, so the id assignment is deterministic for both consumers."""
+    _assert_no_helper_collision(df, "ranked_total_order")
     part = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -95,18 +104,52 @@ def cumsum_total_order(
     prefix by default — the "cumulative count of everything strictly
     before me" shape), range-partitioned: local prefix sums per
     partition + cumulative partition-total offsets.  Keeps every input
-    column and appends ``alias``."""
+    column and appends ``alias``.
+
+    The local prefix sum comes from ONE Arrow pass over each
+    already-sorted range partition (numpy cumsum per batch + a scalar
+    carry across batches) — NOT a ``Window.partitionBy("__pid")``,
+    which would plan an Exchange hashpartitioning(__pid) and re-shuffle
+    the whole frame the range exchange just clustered (the round-11
+    shape this rewrite sheds, mirroring ranked_total_order).  MapInPandas
+    preserves partitioning and the checkpoint-pinned row order, so the
+    scan is deterministic; it is also the module's one declared Python
+    boundary — batched, vectorized, linear, zero shuffle.  NULL values
+    contribute 0 to the running sum (the window-sum null-skipping
+    semantics the previous implementation had via coalesce)."""
+    _assert_no_helper_collision(df, "cumsum_total_order")
     cols = df.columns
-    part = _range_pinned(df, order_cols)
-    hi = 0 if inclusive else -1
-    w_local = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, hi)
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint()
     )
-    local = part.withColumn("__lc", F.sum(value_col).over(w_local))
-    offsets = _offsets(part, F.sum(value_col))
-    return local.join(F.broadcast(offsets), "__pid").select(
+    local = part.withColumn(
+        "__pid",
+        F.shiftright(F.monotonically_increasing_id(), 33).cast("int"),
+    )
+    # sum() widens the value type exactly as the window form did
+    # (int*→long, float*→double, decimal→widened decimal)
+    sum_type = part.select(F.sum(value_col).alias("__lc")).schema[0].dataType
+    scan_schema = T.StructType(
+        local.schema.fields + [T.StructField("__lc", sum_type, True)]
+    )
+    want_float = isinstance(sum_type, (T.DoubleType, T.FloatType))
+
+    def _scan(batches):
+        carry = 0.0 if want_float else 0
+        for pdf in batches:
+            v = pdf[value_col].fillna(0).to_numpy()
+            if not want_float:
+                v = v.astype("int64", copy=False)
+            run = v.cumsum()
+            pdf = pdf.assign(__lc=carry + (run if inclusive else run - v))
+            carry += run[-1] if len(run) else 0
+            yield pdf
+
+    scanned = local.mapInPandas(_scan, schema=scan_schema)
+    offsets = _offsets(local, F.sum(value_col))
+    return scanned.join(F.broadcast(offsets), "__pid").select(
         *cols,
-        (F.col("__off") + F.coalesce(F.col("__lc"), F.lit(0))).alias(alias),
+        (F.col("__off") + F.col("__lc")).alias(alias),
     )

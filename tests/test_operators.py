@@ -487,3 +487,95 @@ def test_total_order_primitives_edge_cases(spark):
         r.id: r.c for r in cumsum_total_order(ties, order, "v", "c").collect()
     }
     assert cums == {i: 3 * i for i in range(500)}
+
+def test_cumsum_total_order_inclusive_nulls_floats(spark):
+    """Round-12 Arrow-scan rewrite of cumsum_total_order: inclusive
+    mode, NULL values (contribute 0, like the window-sum + coalesce
+    form it replaced), and float inputs (sum widens to double) all
+    match the no-partition window reference."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+    )
+
+    df = spark.range(800).select(
+        F.col("id"),
+        F.when(F.col("id") % 11 == 0, None)
+        .otherwise(F.col("id") % 37)
+        .alias("v"),
+    )
+    order = [F.col("v").desc_nulls_last(), F.col("id")]
+    w = Window.orderBy(*order)
+
+    got_inc = {
+        (r.id, r.c)
+        for r in cumsum_total_order(df, order, "v", "c", inclusive=True).collect()
+    }
+    w_inc = w.rowsBetween(Window.unboundedPreceding, 0)
+    want_inc = {
+        (r.id, r.c)
+        for r in df.withColumn(
+            "c", F.coalesce(F.sum("v").over(w_inc), F.lit(0))
+        ).collect()
+    }
+    assert got_inc == want_inc
+
+    fdf = df.withColumn("v", (F.col("v") / 4.0))
+    out = cumsum_total_order(fdf, order, "v", "c")
+    assert dict(out.dtypes)["c"] == "double"
+    got_f = {(r.id, round(r.c, 9)) for r in out.collect()}
+    w_ex = w.rowsBetween(Window.unboundedPreceding, -1)
+    want_f = {
+        (r.id, round(r.c, 9))
+        for r in fdf.withColumn(
+            "c", F.coalesce(F.sum("v").over(w_ex), F.lit(0.0))
+        ).collect()
+    }
+    assert got_f == want_f
+
+
+def test_total_order_helper_column_collision_raises(spark):
+    """An input frame already carrying one of the injected helper
+    columns (__pid etc.) must raise, not silently clobber-and-corrupt."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+        ranked_total_order,
+    )
+
+    df = spark.range(10).select(F.col("id"), F.lit(1).alias("__pid"))
+    with pytest.raises(ValueError, match="__pid"):
+        ranked_total_order(df, [F.col("id")], ["id"])
+    with pytest.raises(ValueError, match="__pid"):
+        cumsum_total_order(df, [F.col("id")], "__pid", "c")
+
+
+def test_cumsum_total_order_plan_has_no_full_frame_reshuffle(spark):
+    """The round-12 rewrite's whole point: the Arrow scan branch reads
+    the range-pinned frame directly — no Exchange between MapInPandas
+    and the checkpointed scan.  The only __pid exchange left is the
+    partition-summary aggregate (partial_sum upstream => ~#partitions
+    rows move, not the frame)."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    out = cumsum_total_order(df, [F.col("v"), F.col("id")], "v", "c")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_branch = plan.split("MapInPandas", 1)[1].split("Scan ExistingRDD", 1)[0]
+    assert "Exchange" not in scan_branch
+    pid_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(__pid" in ln
+    ]
+    assert len(pid_exchanges) == 1
+    below = plan.split("Exchange hashpartitioning(__pid", 1)[1]
+    assert "partial_sum" in below.splitlines()[1]
