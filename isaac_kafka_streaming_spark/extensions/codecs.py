@@ -739,7 +739,25 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     replication chroma upsampling).  Supports sampling factors in
     {1, 2}, restart intervals, multi-table DQT/DHT segments; skips
     APPn/COM.  Progressive (SOF2) and arithmetic-coded streams raise
-    NotImplementedError; every other malformation raises ValueError."""
+    NotImplementedError; every other malformation raises ValueError —
+    ENFORCED at this boundary: the internal exception types malformed
+    input can surface (a stray RSTn escaping as _RestartMarker, a
+    truncated stream's IndexError, a missing-table KeyError, a short
+    segment's struct.error) are all re-raised as ValueError here, so
+    callers never see decoder internals."""
+    try:
+        return _jpeg_decode_impl(blob)
+    except _RestartMarker as exc:
+        raise ValueError(
+            "malformed JPEG: restart marker outside restart cadence"
+        ) from exc
+    except (IndexError, KeyError, StopIteration, struct.error) as exc:
+        raise ValueError(
+            f"malformed JPEG: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     if blob[:3] != JPEG_MAGIC:
         raise ValueError("not a JPEG: bad SOI signature")
     qtabs: dict = {}
@@ -929,7 +947,9 @@ def resize_nearest(
 #   * decode: GIF87a/89a, global/local color tables, full- and
 #     sub-rect frames composited with disposal methods 0/1 (draw over)
 #     and 2 (restore background), transparency honored; interlaced
-#     frames raise ValueError (out of scope, not silently wrong).
+#     frames and disposal 3 (restore-to-previous) raise ValueError
+#     (out of scope, not silently wrong), as do oversize frame rects
+#     and palette-index overflows (malformed, never composited).
 #     Frames return as GREYSCALE rasters (ITU-R 601 luma of the
 #     palette entry, rounded) — the feature-extraction contract.
 #   * encode: full-frame greyscale animation over the 256-entry
@@ -1014,21 +1034,30 @@ class _GifBits:
 
 def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytearray:
     clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh_table():
+        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+
     out = bytearray()
     bits = _GifBits(data)
-    table: list = []
+    # spec does NOT require a leading CLEAR: a stream may open with a
+    # literal code, so the table starts initialized (a CLEAR merely
+    # resets it)
+    table: list = fresh_table()
     width = mcs + 1
     prev = None
     while len(out) < n_pixels:
         code = bits.read(width)
         if code == clear:
-            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            table = fresh_table()
             width = mcs + 1
             prev = None
             continue
         if code == end:
             break
         if prev is None:
+            if code >= len(table):
+                raise ValueError("invalid GIF LZW code")
             entry = table[code]
         elif code < len(table):
             entry = table[code]
@@ -1047,7 +1076,22 @@ def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytearray:
 
 def gif_decode(blob: bytes) -> tuple[int, int, int, list]:
     """Decode an animated GIF: (width, height, n_frames, frames) where
-    each frame is the full composited canvas as greyscale bytes."""
+    each frame is the full composited canvas as greyscale bytes.
+
+    Malformed input raises ValueError (enforced at this boundary — a
+    truncated block's IndexError / short descriptor's struct.error
+    never escape raw); out-of-scope features (interlace, disposal
+    method 3 restore-to-previous) raise ValueError explicitly rather
+    than compositing wrong."""
+    try:
+        return _gif_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed GIF: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
     if blob[:6] not in GIF_MAGICS:
         raise ValueError("not a GIF: bad signature")
     width, height = struct.unpack_from("<HH", blob, 6)
@@ -1086,6 +1130,15 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, list]:
                 size = blob[pos]
                 flags = blob[pos + 1]
                 disposal = (flags >> 2) & 0x07
+                if disposal >= 3:
+                    # 3 = restore-to-previous (needs a saved canvas we
+                    # deliberately don't keep), 4-7 undefined: raising
+                    # matches the interlace policy — out of scope must
+                    # fail loudly, never composite wrong
+                    raise ValueError(
+                        f"GIF disposal method {disposal} unsupported "
+                        "(draw-over 0/1 and restore-background 2 only)"
+                    )
                 transparent = blob[pos + 4] if flags & 1 else None
                 pos += size + 1
             while blob[pos]:  # skip (remaining) sub-blocks
@@ -1097,6 +1150,13 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, list]:
         left, top, fw, fh = struct.unpack_from("<HHHH", blob, pos + 1)
         fpacked = blob[pos + 9]
         pos += 10
+        if left + fw > width or top + fh > height:
+            # an oversize rect would silently wrap pixels onto the
+            # next canvas row through the flat-index compositor
+            raise ValueError(
+                f"GIF frame rect {fw}x{fh}@({left},{top}) exceeds "
+                f"{width}x{height} canvas"
+            )
         if fpacked & 0x40:
             raise ValueError("interlaced GIF unsupported")
         lct, pos = read_palette(pos, fpacked)
@@ -1114,6 +1174,14 @@ def gif_decode(blob: bytes) -> tuple[int, int, int, list]:
         idx = _gif_lzw_decode(mcs, bytes(data), fw * fh)
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data short")
+        top_idx = max(
+            (v for v in idx[: fw * fh] if v != transparent), default=0
+        )
+        if top_idx >= len(pal):
+            raise ValueError(
+                f"GIF pixel index {top_idx} exceeds {len(pal)}-entry "
+                "color table"
+            )
         for y in range(fh):
             row = (top + y) * width + left
             frow = y * fw

@@ -638,3 +638,118 @@ def test_gif_roundtrip_property(w, h, n_frames, data):
         for _ in range(n_frames)
     ]
     assert gif_decode(gif_encode(frames, w, h)) == (w, h, n_frames, frames)
+
+def test_jpeg_malformed_input_raises_valueerror_only():
+    """Round-12 advice closure: the docstring's 'every other
+    malformation raises ValueError' is now ENFORCED at the decode
+    boundary — a stray RSTn in entropy data (previously the private
+    _RestartMarker escaped) and a truncated stream (previously
+    IndexError) both surface as ValueError."""
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    grad = bytes((3 * x + 5 * y) % 256 for y in range(16) for x in range(16))
+    blob = jpeg_encode(grad, 16, 16)  # no restart interval declared
+    i = blob.index(b"\xff\xda")
+    (seglen,) = _s.unpack_from(">H", blob, i + 2)
+    entropy = i + 2 + seglen
+
+    stray = blob[:entropy] + b"\xff\xd0" + blob[entropy:]
+    with pytest.raises(ValueError, match="restart marker"):
+        jpeg_decode(stray)
+
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg_decode(blob[: entropy + 2])  # truncated mid-entropy
+
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg_decode(blob[:i])  # truncated mid-header
+
+
+def test_gif_lzw_stream_without_leading_clear():
+    """Spec-legal LZW streams may open with a literal code — the code
+    table must be initialized before the loop, not only on CLEAR."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    base = bytes(range(16))
+    blob = bytearray(gif_encode([base], 4, 4))
+    idx = blob.index(b"\x2c" + _s.pack("<HHHH", 0, 0, 4, 4))
+    head = bytes(blob[: idx + 10])
+
+    bits = bytearray()
+    acc = nbits = 0
+
+    def put(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for p in base:  # literals only: NO leading CLEAR
+        put(p)
+    put(257)  # END
+    if nbits:
+        bits.append(acc & 0xFF)
+    stream = bytes([8, len(bits)]) + bytes(bits) + b"\x00"
+    assert gif_decode(head + stream + b"\x3b") == (4, 4, 1, [base])
+
+
+def test_gif_out_of_scope_and_malformed_raise_valueerror():
+    """Round-12 advice closure: disposal 3 (restore-to-previous) raises
+    instead of compositing wrong; an oversize frame rect raises instead
+    of wrapping rows; a pixel index past the palette raises ValueError
+    (not IndexError); truncation raises ValueError."""
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    base = bytes(range(16))
+
+    # disposal 3 in a graphic-control extension
+    blob = bytearray(gif_encode([base], 4, 4)[:-1])
+    blob += b"\x21\xf9\x04" + bytes([(3 << 2), 0, 0, 0]) + b"\x00\x3b"
+    with pytest.raises(ValueError, match="disposal method 3"):
+        gif_decode(bytes(blob))
+
+    # frame rect past the canvas edge (2x2 at (3,3) on a 4x4 canvas)
+    blob = bytearray(gif_encode([base], 4, 4))
+    idx = blob.index(b"\x2c" + _s.pack("<HHHH", 0, 0, 4, 4))
+    blob[idx + 1 : idx + 9] = _s.pack("<HHHH", 3, 3, 2, 2)
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_decode(bytes(blob))
+
+    # pixel index past a 2-entry palette (hand-built: mcs=2 stream
+    # emitting CLEAR(4), literal 3, literal 0, END(5) in 3-bit codes)
+    hdr = b"GIF89a" + _s.pack("<HH", 2, 1) + bytes([0x80, 0, 0])
+    pal = bytes([0, 0, 0, 255, 255, 255])
+    desc = b"\x2c" + _s.pack("<HHHH", 0, 0, 2, 1) + b"\x00"
+    codes = [4, 3, 0, 5]
+    acc = 0
+    for j, c in enumerate(codes):
+        acc |= c << (3 * j)
+    lzw = bytes([2, 2, acc & 0xFF, (acc >> 8) & 0xFF, 0])
+    with pytest.raises(ValueError, match="color table"):
+        gif_decode(hdr + pal + desc + lzw + b"\x3b")
+
+    # truncation mid-palette surfaces as ValueError, never IndexError
+    full = gif_encode([base], 4, 4)
+    with pytest.raises(ValueError, match="GIF"):
+        gif_decode(full[:100])
