@@ -78,11 +78,12 @@ def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_cast, not cast: on the driver's bare ANSI session a plain cast
     THROWS on any malformed props.k, and the DuckDB oracles' TRY_CAST
     is null-on-garbage — try_cast matches that on every integer,
-    decimal ('12.5' -> NULL both sides) and garbage string.  Known
-    residual (round-10 advice, documented not fixed): scientific
-    notation — DuckDB TRY_CAST('1e3' AS BIGINT) = 1000 while Spark
-    try_cast gives NULL; the generator emits plain integer strings, so
-    neither arm sees it on real data."""
+    decimal ('12.5' -> NULL both sides) and garbage string.  The
+    round-10 scientific-notation residual is CLOSED (round 12): every
+    oracle now gates its cast behind a ^\\s*[+-]?[0-9]+\\s*$ regex so
+    DuckDB's looser coercions ('1e3' -> 1000, '12.5' -> rounds) map to
+    NULL exactly like Spark try_cast; parity over adversarial keys is
+    pinned in tests/test_oracle_quirks.py."""
     return (
         read_table(spark, sf_dir, "events")
         .select(
@@ -249,9 +250,9 @@ def _pagerank_oracle_sql(
     parts = [
         """ev AS (
     SELECT user_id, ts, event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT) AS k
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+    WHERE TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT)
           IS NOT NULL
 ), seq AS (
     SELECT k AS src,
@@ -509,9 +510,9 @@ def _ppr_oracle_sql(
     parts = [
         f"""ev AS (
     SELECT user_id, ts, event_id, event_type,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT) AS k
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+    WHERE TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT)
           IS NOT NULL
 ), seq AS (
     SELECT k AS src,
@@ -670,9 +671,9 @@ def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
     parts = [
         """ev AS (
     SELECT user_id, ts, event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT) AS k
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+    WHERE TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT)
           IS NOT NULL
 ), seq AS (
     SELECT k AS src,
@@ -802,9 +803,9 @@ def components_from_stores(
 PAGE_COMPONENTS_ORACLE_SQL = """
 WITH RECURSIVE ev AS (
     SELECT user_id, ts, event_id,
-           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT) AS k
     FROM events
-    WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+    WHERE TRY_CAST(CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^\\s*[+-]?[0-9]+\\s*$') THEN regexp_extract(json_extract_string(props, '$.k'), '[+-]?[0-9]+') END AS BIGINT)
           IS NOT NULL
 ), seq AS (
     SELECT k AS src,

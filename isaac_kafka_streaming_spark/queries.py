@@ -707,10 +707,12 @@ def _user_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _props_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1/F12 — JSON payload field access: stats per props.k bucket.
 
-    try_cast mirrors the oracle's TRY_CAST (null on garbage AND on
-    decimal strings, where an ANSI cast would throw); the one residual
-    is scientific notation ('1e3': DuckDB 1000, Spark NULL), absent
-    from the generated data — see graph._page_events."""
+    try_cast mirrors the oracle's guarded TRY_CAST exactly: the oracle
+    gates its cast behind a ^\\s*[+-]?[0-9]+\\s*$ regex so DuckDB's
+    looser string->int coercions ('1e3' -> 1000, '12.5' -> 13) map to
+    NULL just like Spark's try_cast — parity no longer depends on the
+    generator staying integer-only (adversarial fixture:
+    tests/test_oracle_quirks.py)."""
     ev = views.registered_events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").try_cast("int")
     return (
@@ -2662,9 +2664,15 @@ REGISTRY: dict[str, QueryDef] = {
     "props_k_stats": QueryDef(
         _props_k_stats,
         oracle.with_views(
-            """
-            SELECT TRY_CAST(json_extract_string(props, '$.k') AS INT) % 10
-                       AS k_bucket,
+            r"""
+            SELECT TRY_CAST(
+                       CASE WHEN regexp_matches(
+                                json_extract_string(props, '$.k'),
+                                '^\s*[+-]?[0-9]+\s*$')
+                            THEN regexp_extract(
+                                json_extract_string(props, '$.k'),
+                                '[+-]?[0-9]+')
+                       END AS INT) % 10 AS k_bucket,
                    COUNT(*) AS n_events,
                    ROUND(AVG(value), 4) AS avg_value
             FROM registered_events GROUP BY 1
