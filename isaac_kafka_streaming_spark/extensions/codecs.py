@@ -1200,3 +1200,226 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
     if not frames:
         raise ValueError("GIF contains no image frames")
     return width, height, len(frames), frames
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG (RIFF 'AVI ' container, one 'vids' stream whose
+# frames are independent baseline JPEGs) — the real video container
+# behind the round-12 frame-sampling entry.  Zero new codec machinery:
+# the container is the RIFF chunk grammar the WAV path already speaks,
+# and every frame payload is the round-11 T.81 baseline-JPEG codec.
+# Same contract as PNG/JPEG/WAV/GIF above: real format, real parser,
+# stdlib only.  Scope (declared, enforced by explicit raises):
+#   * decode: RIFF/'AVI ' with ONE 'vids' stream, MJPG-compressed
+#     ('MJPG'/'mjpg' fccHandler or biCompression); '00dc'/'00db' movi
+#     chunks decoded by jpeg_decode, color frames reduced to ITU-R 601
+#     luma (the GIF frame contract: frames are greyscale rasters).
+#     Any other compression (raw DIB, cvid, ...), audio streams, or
+#     multi-stream files raise NotImplementedError — honestly out of
+#     scope, not silently wrong.  mp4/mkv are NOT RIFF and never reach
+#     this parser.  Malformed input raises ValueError (enforced at the
+#     avi_decode boundary like jpeg_decode/gif_decode).
+#   * encode: greyscale frame stacks; each frame one '00dc' baseline
+#     JPEG (so constant 8x8 blocks at even offsets from 128 round-trip
+#     EXACTLY — the same quality-50 quantizer property the graded JPEG
+#     query is built on), plus a spec-complete hdrl (avih/strh/strf)
+#     and idx1 index so third-party players accept the file.
+# ---------------------------------------------------------------------------
+
+
+def is_avi(blob: bytes) -> bool:
+    """RIFF sniff: 'RIFF'<size>'AVI ' (WAV shares the outer fourcc,
+    so callers must check the form type too — this does both)."""
+    return blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: fourcc + LE size + body + even-size pad byte
+    (the pad is not counted in the size, per the RIFF grammar)."""
+    return fourcc + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) % 2 else b""
+    )
+
+
+def avi_encode(
+    frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode greyscale rasters as a real AVI/MJPEG file."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+    jpegs = [jpeg_encode(bytes(f), width, height) for f in frames]
+    max_jpeg = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,      # dwMicroSecPerFrame
+        max_jpeg * fps,        # dwMaxBytesPerSec
+        0,                     # dwPaddingGranularity
+        0x10,                  # dwFlags: AVIF_HASINDEX
+        len(jpegs),            # dwTotalFrames
+        0,                     # dwInitialFrames
+        1,                     # dwStreams
+        max_jpeg,              # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,            # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIiI4H",
+            0,                 # dwFlags
+            0, 0,              # wPriority, wLanguage
+            0,                 # dwInitialFrames
+            1, fps,            # dwScale / dwRate = frame period
+            0,                 # dwStart
+            len(jpegs),        # dwLength (in frames)
+            max_jpeg,          # dwSuggestedBufferSize
+            -1,                # dwQuality (default)
+            0,                 # dwSampleSize (0: one sample per chunk)
+            0, 0, width, height,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,                    # biSize
+        width,
+        height,
+        1,                     # biPlanes
+        24,                    # biBitCount (MJPG convention)
+        b"MJPG",               # biCompression
+        width * height * 3,    # biSizeImage
+        0, 0, 0, 0,
+    )
+    strl = _riff_chunk(
+        b"LIST",
+        b"strl" + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+    )
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih) + strl)
+
+    movi_body = b"movi"
+    index_entries = []
+    for j in jpegs:
+        # idx1 offsets are relative to the 'movi' fourcc position
+        index_entries.append((len(movi_body) - 4, len(j)))
+        movi_body += _riff_chunk(b"00dc", j)
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<III", 0x10, off + 4, size)
+            for off, size in index_entries
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def avi_decode(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode an AVI/MJPEG: (width, height, n_frames, frames), each
+    frame the full greyscale raster (luma for color JPEGs).
+
+    Malformed input raises ValueError (truncated chunks / short
+    headers never escape as IndexError/struct.error); non-MJPEG
+    compression and multi-stream files raise NotImplementedError."""
+    try:
+        return _avi_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed AVI: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _walk_riff(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_size) for each chunk in
+    data[pos:end], honoring the even-size padding rule."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated RIFF chunk header")
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + size > end:
+            raise ValueError(f"RIFF chunk {fourcc!r} overruns container")
+        yield fourcc, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def _avi_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
+    if not is_avi(blob):
+        raise ValueError("not an AVI: bad RIFF/'AVI ' signature")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(8 + riff_size, len(blob))
+
+    width = height = total = n_streams = None
+    handler = compression = None
+    movi_span = None
+    for fourcc, start, size in _walk_riff(blob, 12, end):
+        if fourcc == b"LIST":
+            kind = blob[start : start + 4]
+            if kind == b"hdrl":
+                for f2, s2, z2 in _walk_riff(blob, start + 4, start + size):
+                    if f2 == b"avih":
+                        if z2 < 40:
+                            raise ValueError("avih header too short")
+                        (_, _, _, _, total, _, n_streams, _, width,
+                         height) = struct.unpack_from("<10I", blob, s2)
+                    elif f2 == b"LIST" and blob[s2 : s2 + 4] == b"strl":
+                        for f3, s3, z3 in _walk_riff(blob, s2 + 4, s2 + z2):
+                            if f3 == b"strh":
+                                if blob[s3 : s3 + 4] != b"vids":
+                                    raise NotImplementedError(
+                                        "non-video AVI streams are out "
+                                        "of scope"
+                                    )
+                                handler = blob[s3 + 4 : s3 + 8]
+                            elif f3 == b"strf":
+                                if z3 >= 20:
+                                    compression = blob[s3 + 16 : s3 + 20]
+            elif kind == b"movi":
+                movi_span = (start + 4, start + size)
+    if width is None:
+        raise ValueError("AVI has no avih header")
+    if n_streams != 1:
+        raise NotImplementedError(
+            f"{n_streams}-stream AVI is out of scope (single 'vids' only)"
+        )
+    mjpg = (b"MJPG", b"mjpg")
+    if handler not in mjpg and compression not in mjpg:
+        raise NotImplementedError(
+            f"AVI compression {compression!r} is out of scope (MJPG only)"
+        )
+    if movi_span is None:
+        raise ValueError("AVI has no movi list")
+
+    frames: list = []
+    for fourcc, start, size in _walk_riff(blob, *movi_span):
+        if fourcc[2:] not in (b"dc", b"db"):
+            continue  # non-video chunks (e.g. padding 'JUNK') skipped
+        w, h, ch, px = jpeg_decode(bytes(blob[start : start + size]))
+        if (w, h) != (width, height):
+            raise ValueError(
+                f"frame {len(frames)} is {w}x{h}, header says "
+                f"{width}x{height}"
+            )
+        if ch == 3:  # ITU-R 601 luma, the GIF greyscale-frame contract
+            px = bytes(
+                min(
+                    255,
+                    round(
+                        0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
+                    ),
+                )
+                for i in range(0, len(px), 3)
+            )
+        frames.append(px)
+    if not frames:
+        raise ValueError("AVI movi list contains no video frames")
+    if total is not None and total != len(frames):
+        raise ValueError(
+            f"AVI header declares {total} frames, movi carries {len(frames)}"
+        )
+    return width, height, len(frames), frames

@@ -19,8 +19,11 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     end-to-end over real encoded bytes, oracle-checked.
   * Frame sampling is REAL for animated GIF (codecs.gif_decode: LZW,
     sub-rect compositing, disposal, transparency) — graded as
-    `media_gif_frames`, every sampled frame byte-exact vs the oracle.
-  * Progressive JPEG and non-GIF video remain STUBS: they raise
+    `media_gif_frames`, every sampled frame byte-exact vs the oracle —
+    and (round 12) for AVI/MJPEG video containers (codecs.avi_decode:
+    RIFF chunk walk + the T.81 JPEG decoder per frame) — graded as
+    `media_avi_frames`, every frame's 256-pixel payload byte-exact.
+  * Progressive JPEG and non-RIFF video (mp4/mkv) remain STUBS: they raise
     NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —
@@ -212,6 +215,53 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
                         {
                             "n_bytes": len(raw),
                             "mime": "image/gif",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def documents_as_avi_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL two-frame AVI/MJPEG video —
+    16x16 greyscale frames, each four constant 8x8 blocks whose values
+    derive from sha256 digest bytes (frame 0: bytes 0-3, frame 1:
+    bytes 4-7) as 64 + 2*(byte % 64), the construction that round-trips
+    the quality-50 JPEG quantizer EXACTLY.  So a genuine RIFF container
+    holding genuine T.81 streams decodes to frames that stay pure SQL
+    functions of sha256(text) for the oracle."""
+    _ship_codecs_by_value()
+    from .codecs import avi_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                frames = []
+                for fi in range(2):
+                    img = bytearray(256)
+                    for bi in range(4):
+                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
+                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+                        for y in range(8):
+                            row = (oy + y) * 16 + ox
+                            for x in range(8):
+                                img[row + x] = v
+                    frames.append(bytes(img))
+                rows.append(
+                    (
+                        doc_id,
+                        "video",
+                        avi_encode(frames, 16, 16),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "video/x-msvideo",
                             "source": "digest",
                         },
                     )
@@ -468,22 +518,28 @@ def sample_frames(
     """Frame sampling (video -> frames): 1->N row expansion through
     mapInPandas.
 
-    REAL for animated GIF blobs (round 11): the stdlib LZW decoder
-    (codecs.gif_decode) composites the animation and every
-    ``every_n_frames``-th canvas becomes one output row — frame_no is
-    the ORIGINAL frame index, the standard frame-sampling contract.
-    Other blobs fall back to the deterministic byte-slice fake when
+    REAL for animated GIF blobs (round 11) and AVI/MJPEG videos
+    (round 12): the stdlib decoders (codecs.gif_decode /
+    codecs.avi_decode — LZW compositing; RIFF walk + per-frame T.81
+    Huffman) produce the full greyscale canvas per frame, and every
+    ``every_n_frames``-th one becomes an output row — frame_no is the
+    ORIGINAL frame index, the standard frame-sampling contract.  Other
+    blobs fall back to the deterministic byte-slice fake when
     `fake=True` (one row per ``every_n_bytes`` slice) and raise
     otherwise — mp4 et al. need a codec this container doesn't ship."""
     _ship_codecs_by_value()
-    from .codecs import GIF_MAGICS, gif_decode
+    from .codecs import GIF_MAGICS, avi_decode, gif_decode, is_avi
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, frame_nos, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                decoded = None
                 if bytes(blob[:6]) in GIF_MAGICS:
                     _w, _h, n, decoded = gif_decode(bytes(blob))
+                elif is_avi(bytes(blob[:12])):
+                    _w, _h, n, decoded = avi_decode(bytes(blob))
+                if decoded is not None:
                     for i in range(0, n, every_n_frames):
                         ids.append(mid)
                         frame_nos.append(i)
@@ -491,8 +547,9 @@ def sample_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "frame sampling decodes animated GIF only without "
-                        "an external codec; use fake=True for other blobs"
+                        "frame sampling decodes animated GIF and AVI/MJPEG "
+                        "only without an external codec; use fake=True for "
+                        "other blobs"
                     )
                 for i, off in enumerate(range(0, len(blob), every_n_bytes)):
                     ids.append(mid)
@@ -573,6 +630,26 @@ def media_gif_frames(spark, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     frames = sample_frames(documents_as_gif_media(docs))
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+def media_avi_frames(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL video-container frame sampling on a graded path:
+    documents rendered as genuine two-frame AVI/MJPEG files (RIFF
+    container walked by codecs.avi_decode, each frame an independent
+    T.81 baseline JPEG), sampled by the stdlib decoders; every frame's
+    full 256-pixel payload is oracle-checked against DuckDB rebuilding
+    it from sha256(text) — video frame sampling now runs a real
+    multi-codec container, not just GIF."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_avi_media(docs))
     return frames.select(
         "media_id",
         "frame_no",
@@ -715,6 +792,47 @@ def register() -> dict:
             """,
             "X5 REAL animated-GIF frame sampling (stdlib LZW) via "
             "mapInPandas",
+        ),
+        "media_avi_frames": QueryDef(
+            media_avi_frames,
+            # each frame is four constant 8x8 blocks that survive the
+            # quality-50 quantizer exactly (the media_jpeg_features
+            # construction), so the oracle rebuilds each 256-pixel
+            # frame's hex from sha256(text): frame f uses digest bytes
+            # 4f..4f+3 as v0..v3; rows 0-7 = (v0 x8)(v1 x8), rows 8-15
+            # = (v2 x8)(v3 x8)
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            ), v AS (
+                SELECT media_id,
+                       {", ".join(
+                           f"64 + 2 * ({_hexbyte(2 * j + 1)} % 64) AS v{j}"
+                           for j in range(8)
+                       )}
+                FROM h
+            )
+            SELECT media_id, CAST(0 AS INTEGER) AS frame_no,
+                   CAST(256 AS BIGINT) AS frame_bytes,
+                   repeat(repeat(lower(to_hex(v0)), 8)
+                          || repeat(lower(to_hex(v1)), 8), 8)
+                   || repeat(repeat(lower(to_hex(v2)), 8)
+                             || repeat(lower(to_hex(v3)), 8), 8)
+                       AS frame_hex
+            FROM v
+            UNION ALL
+            SELECT media_id, CAST(1 AS INTEGER) AS frame_no,
+                   CAST(256 AS BIGINT) AS frame_bytes,
+                   repeat(repeat(lower(to_hex(v4)), 8)
+                          || repeat(lower(to_hex(v5)), 8), 8)
+                   || repeat(repeat(lower(to_hex(v6)), 8)
+                             || repeat(lower(to_hex(v7)), 8), 8)
+                       AS frame_hex
+            FROM v
+            """,
+            "X5 REAL AVI/MJPEG video frame sampling (RIFF walk + stdlib "
+            "T.81 per frame) via mapInPandas",
         ),
         "media_wav_stats": QueryDef(
             media_wav_stats,

