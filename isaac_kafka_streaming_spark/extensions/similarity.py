@@ -1559,6 +1559,49 @@ def mmr_rerank(
     )
 
 
+def mmr_rerank_indexed(
+    spark: SparkSession,
+    index_path: str,
+    queries_df: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    nprobe: int = 4,
+    lam: float = 0.7,
+    self_exclude: bool = True,
+) -> DataFrame:
+    """Read-time MMR over a materialized (or STREAM-ingested) IVF
+    store: probe the index for each query's ``shortlist`` candidates
+    (partition-pruned, compaction-healing — knn_ivf_indexed), then
+    diversity-rerank with mmr_rerank.  The `*_from_stores` discipline:
+    because streaming ingest delegates to the batch append path
+    (streaming_index_ingest -> append_to_ivf_index), a store grown by
+    the stream and a store grown by batch appends produce BIT-FOR-BIT
+    identical reranks — pinned in tests/test_streaming.py.
+
+    ``queries_df``: (query_id, qv array<double>, qnorm) — the probe
+    signature; mmr_rerank reuses (query_id, qv) from the same frame.
+    Candidate vectors are read back from the probed store's own cell
+    partitions (unique vec_ids by the ingest idempotence contract), so
+    nothing corpus-sized beyond the probe's pruned scan is touched."""
+    cands = knn_ivf_indexed(
+        spark,
+        index_path,
+        queries_df,
+        k=shortlist,
+        nprobe=nprobe,
+        self_exclude=self_exclude,
+    )
+    recover_compaction(index_path, "cells")
+    vectors = spark.read.parquet(f"{index_path}/cells").select("vec_id", "v")
+    return mmr_rerank(
+        cands,
+        vectors,
+        queries_df.select("query_id", "qv"),
+        k=k,
+        lam=lam,
+    )
+
+
 def mmr_top_diverse(
     spark: SparkSession,
     sf_dir: str,

@@ -1959,3 +1959,97 @@ def test_streamed_edge_store_split_gap_parity(
         int(r.w) for r in page_transition_edges(spark, sf_smoke).collect()
     )
     assert n_split < n_unsplit
+
+
+def test_streamed_store_mmr_rerank_parity(spark, sf_smoke, tmp_path_factory):
+    """Round-12: MMR as a read-time rerank over a STREAM-ingested ANN
+    store (the *_from_stores discipline).  Two IVF stores grown from
+    the same base index — one by streaming_index_ingest micro-batches,
+    one by direct batch appends — must produce BIT-FOR-BIT identical
+    mmr_rerank_indexed output, and the shortlist must actually contain
+    the streamed vectors (a planted duplicate of each query ranks at
+    cosine 1.0, so MMR rank 1 is the duplicate)."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        mmr_rerank_indexed,
+    )
+    from isaac_kafka_streaming_spark.streaming.topology import (
+        streaming_index_ingest,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    base = tmp_path_factory.mktemp("mmr_stream")
+    batch_ix, stream_ix = str(base / "ix_batch"), str(base / "ix_stream")
+    build_ivf_index(spark, sf_smoke, batch_ix, n_cells=8)
+    shutil.copytree(batch_ix, stream_ix)
+
+    # incoming vectors: duplicates of vecs 1-3 under new ids, split
+    # into two single-file micro-batches
+    incoming = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        (F.col("vec_id") + F.lit(max_id + 1)).cast("long").alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    flat = base / "vecs"
+    flat.mkdir()
+    for i, ids in enumerate([(max_id + 2, max_id + 3), (max_id + 4,)]):
+        part = incoming.filter(F.col("vec_id").isin(list(ids)))
+        tmp = str(base / f"tmp{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        dst = flat / f"{i:03d}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+    stream = (
+        spark.readStream.schema(incoming.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    q = streaming_index_ingest(
+        stream, stream_ix, append_to_ivf_index, checkpoint=str(base / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    append_to_ivf_index(spark, batch_ix, incoming)
+
+    queries = emb.filter(F.col("vec_id").isin([1, 2, 3])).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    queries = queries.withColumn(
+        "qnorm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("qv", "qv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+    )
+
+    def rerank(path):
+        return sorted(
+            tuple(r)
+            for r in mmr_rerank_indexed(
+                spark, path, queries, k=4, shortlist=10, nprobe=3
+            ).collect()
+        )
+
+    got_stream, got_batch = rerank(stream_ix), rerank(batch_ix)
+    assert got_stream == got_batch  # bit-for-bit store parity
+    by_query = {}
+    for qid, nid, mmr, rank in got_stream:
+        by_query.setdefault(qid, []).append((rank, nid, mmr))
+    assert set(by_query) == {1, 2, 3}
+    for qid, rows in by_query.items():
+        assert len(rows) == 4
+        # the streamed duplicate (cosine 1.0 with its query) wins rank 1
+        top = min(rows)
+        assert top[1] == qid + max_id + 1

@@ -247,6 +247,14 @@ def main() -> int:
     out_hub, out_hubs = out + "_hub1", out + "_hub100"
     build_hub_edges(spark, out_hub, n_edges=100_000, n_hubs=1)
     build_hub_edges(spark, out_hubs, n_edges=100_000, n_hubs=100)
+    # round-12: the 10x-degree escalation — a SINGLE 1M-degree hub,
+    # the shape where a collect_set row would be a ~10 MB+ single
+    # record (outright OOM territory at executor defaults); with the
+    # groupBy-min + join-back star rounds it is just 1M more O(1)-width
+    # rows, so the claim is ratio ≈ 1x vs the same edges spread 1000x
+    out_hub1m, out_hubs1m = out + "_hub1m", out + "_hub1k1m"
+    build_hub_edges(spark, out_hub1m, n_edges=1_000_000, n_hubs=1)
+    build_hub_edges(spark, out_hubs1m, n_edges=1_000_000, n_hubs=1000)
 
     cases = [
         # (name, callable, (label_a, dir_a, kwargs_a),
@@ -298,6 +306,12 @@ def main() -> int:
             _cc_star_edges,
             ("hub=100kx1", out_hub, {}),
             ("hub=1kx100", out_hubs, {}),
+        ),
+        (
+            "cc_star_hub_1m",
+            _cc_star_edges,
+            ("hub=1Mx1", out_hub1m, {}),
+            ("hub=1kx1k", out_hubs1m, {}),
         ),
     ]
     print(f"{'operator':<24} {'variant A':>10} {'s':>7} {'rows':>8} "
