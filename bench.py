@@ -140,6 +140,8 @@ HEADLINE = [
     "mmr_rerank",
     "media_jpeg_features",
     "media_gif_frames",
+    # round 12 addition: the real AVI/MJPEG video-container path
+    "media_avi_frames",
 ]
 
 

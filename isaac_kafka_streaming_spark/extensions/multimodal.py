@@ -335,7 +335,9 @@ def extract_image_features(
         GIF_MAGICS,
         JPEG_MAGIC,
         PNG_MAGIC,
+        avi_decode,
         gif_decode,
+        is_avi,
         jpeg_decode,
         png_decode,
     )
@@ -350,6 +352,11 @@ def extract_image_features(
         if bytes(blob[:6]) in GIF_MAGICS:
             # an animated GIF is also an image: features of frame 0
             w, h, _n, frames = gif_decode(bytes(blob))
+            first = frames[0]
+            return w, h, (sum(first) / len(first)) / 255.0, first
+        if is_avi(bytes(blob[:12])):
+            # an AVI/MJPEG video is also an image: features of frame 0
+            w, h, _n, frames = avi_decode(bytes(blob))
             first = frames[0]
             return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:

@@ -146,3 +146,46 @@ def test_gif_sampling_stride_and_image_features(spark, sf_smoke):
         f = feats[d.doc_id]
         assert (f.width, f.height, f.n_bytes) == (4, 4, 16)
         assert f.content_hash == hashlib.sha256(digest[:16]).hexdigest()
+
+
+def test_avi_sampling_stride_and_image_features(spark, sf_smoke):
+    """Round-12 AVI twin of the GIF test: the every_n_frames knob
+    samples original frame indices; extract_image_features treats an
+    AVI blob as an image (frame-0 features) instead of raising; and
+    each sampled frame equals the digest-derived constant-block raster
+    exactly (the quality-50 even-offset construction)."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(4)
+    media = mm.documents_as_avi_media(docs)
+
+    strided = mm.sample_frames(media, every_n_frames=2).collect()
+    assert {r.frame_no for r in strided} == {0}  # 2 frames -> keep 0 only
+    assert len(strided) == 4
+
+    def expect_frame(digest, fi):
+        img = bytearray(256)
+        for bi in range(4):
+            v = 64 + 2 * (digest[4 * fi + bi] % 64)
+            oy, ox = (bi // 2) * 8, (bi % 2) * 8
+            for y in range(8):
+                for x in range(8):
+                    img[(oy + y) * 16 + ox + x] = v
+        return bytes(img)
+
+    frames = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(media).collect()
+    }
+    feats = {r.media_id: r for r in mm.extract_image_features(media).collect()}
+    for d in docs.collect():
+        digest = hashlib.sha256(d.text.encode()).digest()
+        for fi in range(2):
+            assert frames[(d.doc_id, fi)] == expect_frame(digest, fi)
+        f = feats[d.doc_id]
+        f0 = expect_frame(digest, 0)
+        assert (f.width, f.height, f.n_bytes) == (16, 16, 256)
+        assert f.content_hash == hashlib.sha256(f0).hexdigest()
+        assert abs(f.brightness - (sum(f0) / 256) / 255.0) < 1e-9
