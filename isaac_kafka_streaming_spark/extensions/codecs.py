@@ -180,9 +180,11 @@ def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
 # and WAV codecs above.  Scope (declared, enforced by explicit raises):
 #   * decode: baseline SOF0, 8-bit, greyscale or 3-component YCbCr with
 #     sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0),
-#     restart intervals, multi-table DQT/DHT, APPn/COM skipped.
-#     Progressive (SOF2) and arithmetic coding raise NotImplementedError
-#     — honestly out of scope, not silently wrong.
+#     restart intervals, multi-table DQT/DHT, APPn/COM skipped; PLUS
+#     (round 12) greyscale progressive SOF2 with full spectral
+#     selection + successive approximation.  Color progressive and
+#     arithmetic coding raise NotImplementedError — honestly out of
+#     scope, not silently wrong.
 #   * encode: greyscale or RGB input; 4:4:4 or (color) 4:2:0; the
 #     Annex-K quality-50 quantization tables and standard Huffman
 #     tables (written into the stream, so decode never assumes them).
@@ -738,8 +740,11 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     streams, interleaved RGB for 3-component YCbCr (JFIF conversion,
     replication chroma upsampling).  Supports sampling factors in
     {1, 2}, restart intervals, multi-table DQT/DHT segments; skips
-    APPn/COM.  Progressive (SOF2) and arithmetic-coded streams raise
-    NotImplementedError; every other malformation raises ValueError —
+    APPn/COM.  GREYSCALE progressive (SOF2) streams decode too (round
+    12: full spectral selection + successive approximation —
+    `_jpeg_decode_progressive_impl`); color progressive and
+    arithmetic-coded streams raise NotImplementedError; every other
+    malformation raises ValueError —
     ENFORCED at this boundary: the internal exception types malformed
     input can surface (a stray RSTn escaping as _RestartMarker, a
     truncated stream's IndexError, a missing-table KeyError, a short
@@ -773,9 +778,11 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("no scan data before EOI")
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+        if marker == 0xC2:  # SOF2 -> the progressive decoder (round 12)
+            return _jpeg_decode_progressive_impl(blob)
+        if marker in (0xC6, 0xCA, 0xCE):
             raise NotImplementedError(
-                "progressive JPEG is out of scope (baseline SOF0 only)"
+                "differential/arithmetic progressive JPEG is out of scope"
             )
         if marker in (0xC9, 0xCB, 0xCD, 0xCF, 0xC8):
             raise NotImplementedError(
@@ -913,6 +920,408 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             out[o + 1] = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
             out[o + 2] = clamp8(lum + 1.772 * cb)
     return width, height, 3, bytes(out)
+
+
+# -- Progressive JPEG (SOF2), round 12 --------------------------------------
+#
+# Scope (declared, enforced): GREYSCALE (1-component) progressive
+# streams with full spectral selection AND successive approximation —
+# the T.81 G.1/G.2 coding model: DC first scan at reduced precision,
+# DC refinement bits, AC band scans, AC refinement scans with EOB-run
+# coding and correction bits.  Color progressive (interleaved DC MCU
+# structure) and restart intervals in progressive scans remain out of
+# scope and raise NotImplementedError; malformed input raises
+# ValueError via the jpeg_decode boundary.  The encoder emits a
+# fixed six-scan script (DC Al=1, DC refine, AC 1-5 Al=1, AC 6-63
+# Al=1, AC 1-5 refine, AC 6-63 refine) — every feature the decoder
+# implements is exercised by its own fixtures, and both paths quantize
+# identically to the baseline codec, so progressive and baseline
+# encodings of the same image decode to IDENTICAL samples (pinned in
+# tests/test_codecs.py).
+
+
+def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
+    """Encode greyscale samples as a real progressive JPEG (SOF2)."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    plane = [float(p) for p in pixels]
+    bx_n = (width + 7) // 8
+    by_n = (height + 7) // 8
+
+    # quantized coefficient blocks, zig-zag order (same quantizer as
+    # the baseline encoder — the cross-codec equality anchor)
+    blocks = []
+    for by in range(by_n):
+        for bx in range(bx_n):
+            coef = _fdct(_plane_block(plane, width, height, bx, by))
+            blocks.append(
+                [_quantize(coef[_ZZ[i]], _Q_LUM[_ZZ[i]]) for i in range(64)]
+            )
+
+    dc_codes = _huff_codes(*_H_DC_LUM)
+    ac_codes = _huff_codes(*_H_AC_LUM)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    segment(b"\xff\xdb", b"\x00" + bytes(_Q_LUM[_ZZ[i]] for i in range(64)))
+    segment(
+        b"\xff\xc2",
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    segment(b"\xff\xc4", b"\x00" + bytes(_H_DC_LUM[0]) + bytes(_H_DC_LUM[1]))
+    segment(b"\xff\xc4", b"\x10" + bytes(_H_AC_LUM[0]) + bytes(_H_AC_LUM[1]))
+
+    def sos(ss, se, ah, al, entropy):
+        segment(b"\xff\xda", bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        out.extend(entropy)
+
+    # scan 1: DC first, Al=1 (DPCM over arithmetic-shifted DC)
+    w = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        approx = blk[0] >> 1
+        s, bits = _magnitude(approx - pred)
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(bits, s)
+        pred = approx
+    sos(0, 0, 0, 1, w.flush())
+
+    # scan 2: DC refinement — one raw bit per block
+    w = _BitWriter()
+    for blk in blocks:
+        w.write(blk[0] & 1, 1)
+    sos(0, 0, 1, 0, w.flush())
+
+    def ac_first(ss, se, al):
+        w = _BitWriter()
+        for blk in blocks:
+            k = ss
+            last = ss - 1
+            for j in range(se, ss - 1, -1):
+                if abs(blk[j]) >> al:
+                    last = j
+                    break
+            run = 0
+            while k <= last:
+                v = blk[k]
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                sv = t if v > 0 else -t
+                s, bits = _magnitude(sv)
+                code, length = ac_codes[(run << 4) | s]
+                w.write(code, length)
+                w.write(bits, s)
+                run = 0
+                k += 1
+            if last != se:
+                code, length = ac_codes[0x00]  # EOB (run of exactly 1)
+                w.write(code, length)
+        return w.flush()
+
+    def ac_refine(ss, se, al):
+        p_hi = al + 1  # prior scans encoded abs(v) >> (al + 1)
+        w = _BitWriter()
+        for blk in blocks:
+            absv = [abs(blk[j]) >> al for j in range(ss, se + 1)]
+            last = ss - 1
+            for j in range(se, ss - 1, -1):
+                if absv[j - ss] == 1:
+                    last = j
+                    break
+            run = 0
+            corrections: list = []
+            k = ss
+            while k <= last:
+                t = absv[k - ss]
+                if t == 0:
+                    run += 1
+                    k += 1
+                    continue
+                if (abs(blk[k]) >> p_hi) != 0:
+                    # already significant: queue its correction bit
+                    corrections.append(t & 1)
+                    k += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    for b in corrections:
+                        w.write(b, 1)
+                    corrections = []
+                    run -= 16
+                code, length = ac_codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if blk[k] > 0 else 0, 1)
+                for b in corrections:
+                    w.write(b, 1)
+                corrections = []
+                run = 0
+                k += 1
+            # tail: correction bits for already-significant coefficients
+            # past the last newly-significant one
+            while k <= se:
+                if (abs(blk[k]) >> p_hi) != 0:
+                    corrections.append(absv[k - ss] & 1)
+                k += 1
+            if last != se or corrections:
+                code, length = ac_codes[0x00]  # EOB run of 1
+                w.write(code, length)
+                for b in corrections:
+                    w.write(b, 1)
+        return w.flush()
+
+    sos(1, 5, 0, 1, ac_first(1, 5, 1))
+    sos(6, 63, 0, 1, ac_first(6, 63, 1))
+    sos(1, 5, 1, 0, ac_refine(1, 5, 0))
+    sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Multi-scan SOF2 decode: accumulate quantized coefficients across
+    scans, then dequantize + IDCT once at EOI."""
+    qtabs: dict = {}
+    huff: dict = {}
+    width = height = 0
+    tq = None
+    blocks: list = []
+    bx_n = by_n = 0
+    eobrun = 0
+    pos = 2
+    while True:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI — a stream may stop after any scan
+            break
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2 : pos + seglen]
+        end = pos + seglen
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                tab = [0] * 64
+                for j in range(64):
+                    tab[_ZZ[j]] = body[i + 1 + j]
+                qtabs[tid] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                huff[(tclass, tid)] = _huff_decode_table(
+                    bits, list(body[i + 17 : i + 17 + nvals])
+                )
+                i += 17 + nvals
+        elif marker == 0xC2:
+            precision, height, width, nc = struct.unpack_from(">BHHB", body)
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if nc != 1:
+                raise NotImplementedError(
+                    "color progressive JPEG is out of scope (greyscale "
+                    "SOF2 only; interleaved progressive DC scans need "
+                    "the MCU structure this decoder does not carry)"
+                )
+            tq = body[8]
+            bx_n = (width + 7) // 8
+            by_n = (height + 7) // 8
+            blocks = [[0] * 64 for _ in range(bx_n * by_n)]
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals in progressive scans are out of scope"
+            )
+        elif marker == 0xDA:
+            if not blocks:
+                raise ValueError("SOS before SOF2 header")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "multi-component progressive scans are out of scope"
+                )
+            tables = body[2]
+            ss, se, ahal = body[3], body[4], body[5]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if ss > se or se > 63:
+                raise ValueError("bad spectral band")
+            reader = _BitReader(blob, end)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                _prog_dc_scan(reader, blocks, huff, tables >> 4, ah, al)
+            else:
+                eobrun = _prog_ac_scan(
+                    reader, blocks, huff, tables & 0x0F, ss, se, ah, al, 0
+                )
+                if eobrun:
+                    raise ValueError(
+                        "EOB run extends past the scan's last block"
+                    )
+            # skip to the next marker (flush partial byte)
+            p = reader.pos
+            while blob[p] != 0xFF or blob[p + 1] == 0x00:
+                p += 1
+            pos = p
+            continue
+        elif 0xE0 <= marker <= 0xEF or marker == 0xFE:
+            pass
+        else:
+            raise ValueError(
+                f"unsupported marker 0xFF{marker:02X} in progressive stream"
+            )
+        pos = end
+    if not blocks:
+        raise ValueError("progressive stream has no SOF2 header")
+    if tq not in qtabs:
+        raise ValueError("missing quantization table")
+    qtab = qtabs[tq]
+
+    out = bytearray(width * height)
+    for bi, blk in enumerate(blocks):
+        coef = [0.0] * 64
+        for i in range(64):
+            coef[_ZZ[i]] = blk[i] * qtab[_ZZ[i]]
+        px = _idct(coef)
+        bx, by = bi % bx_n, bi // bx_n
+        for y in range(8):
+            sy = by * 8 + y
+            if sy >= height:
+                break
+            row = sy * width
+            for x in range(8):
+                sx = bx * 8 + x
+                if sx >= width:
+                    break
+                v = math.floor(px[y * 8 + x] + 128.0 + 0.5)
+                out[row + sx] = 0 if v < 0 else (255 if v > 255 else v)
+    return width, height, 1, bytes(out)
+
+
+def _read_symbol(reader, table):
+    code, length = 0, 0
+    while True:
+        code = (code << 1) | reader.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+        if length > 16:
+            raise ValueError("invalid Huffman stream")
+
+
+def _prog_dc_scan(reader, blocks, huff, tid, ah, al):
+    """DC scan over every block: first scan (Ah=0) is DPCM at reduced
+    precision; refinement appends one raw bit at position Al."""
+    if ah == 0:
+        table = huff[(0, tid)]
+        pred = 0
+        for blk in blocks:
+            s = _read_symbol(reader, table)
+            pred += _extend(reader.bits(s), s) if s else 0
+            blk[0] = pred << al
+    else:
+        bit = 1 << al
+        for blk in blocks:
+            if reader.bit():
+                blk[0] |= bit
+
+
+def _prog_ac_scan(reader, blocks, huff, tid, ss, se, ah, al, eobrun):
+    """AC band scan over every block (non-interleaved, 1 component).
+    First scans (Ah=0) place new coefficients at precision Al with
+    EOB-run skipping; refinement scans (Ah=1) add one correction bit to
+    every already-nonzero coefficient traversed and mark newly
+    significant ones (T.81 G.2 / the libjpeg decode_mcu_AC_* model).
+    Returns the EOB run carried into the next scan's blocks (always
+    drained within one scan in practice, but kept explicit)."""
+    table = huff[(1, tid)]
+    p1 = 1 << al
+    if ah == 0:
+        for blk in blocks:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _read_symbol(reader, table)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC run overflows spectral band")
+                # block arrays are ZIG-ZAG ordered (the scan order);
+                # the final dequantize maps through _ZZ once
+                blk[k] = _extend(reader.bits(s), s) * p1
+                k += 1
+        return eobrun
+
+    m1 = -p1
+
+    def correct(blk, z):
+        c = blk[z]
+        if reader.bit() and (c & p1) == 0:
+            blk[z] = c + (p1 if c >= 0 else m1)
+
+    for blk in blocks:
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _read_symbol(reader, table)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad magnitude in AC refinement")
+                    val = p1 if reader.bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(blk, k)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            # EOB-covered band tail: already-nonzero coefficients still
+            # carry correction bits
+            while k <= se:
+                if blk[k] != 0:
+                    correct(blk, k)
+                k += 1
+            eobrun -= 1
+    return eobrun
 
 
 def resize_nearest(

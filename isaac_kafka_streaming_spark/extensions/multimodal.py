@@ -23,7 +23,10 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     and (round 12) for AVI/MJPEG video containers (codecs.avi_decode:
     RIFF chunk walk + the T.81 JPEG decoder per frame) — graded as
     `media_avi_frames`, every frame's 256-pixel payload byte-exact.
-  * Progressive JPEG and non-RIFF video (mp4/mkv) remain STUBS: they raise
+  * Greyscale progressive JPEG (SOF2, spectral selection + successive
+    approximation) decodes FOR REAL as of round 12 through the same
+    jpeg_decode entry point.
+  * Color progressive JPEG and non-RIFF video (mp4/mkv) remain STUBS: they raise
     NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —
@@ -361,9 +364,10 @@ def extract_image_features(
             return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:
             raise NotImplementedError(
-                "only PNG and baseline JPEG decode without an external "
-                "codec (PIL/opencv); run with fake=True for the "
-                "deterministic test decoder"
+                "only PNG, JPEG (baseline + greyscale progressive), GIF "
+                "and AVI/MJPEG decode without an external codec "
+                "(PIL/opencv); run with fake=True for the deterministic "
+                "test decoder"
             )
         digest = hashlib.sha256(blob).digest()
         return (

@@ -384,8 +384,11 @@ def test_jpeg_color_roundtrip_444_and_420():
 
 
 def test_jpeg_rejects_out_of_scope():
-    """Progressive is an HONEST NotImplementedError (flip SOF0->SOF2 in
-    a real stream); garbage and non-JPEG bytes are ValueError."""
+    """Out-of-scope markers are HONEST NotImplementedError; a baseline
+    stream merely RELABELED SOF0->SOF2 is malformed-as-progressive
+    (greyscale SOF2 decodes for real since round 12 — but a baseline
+    SOS scan script is invalid progressive: Ss=0 with Se=63); garbage
+    and non-JPEG bytes are ValueError."""
     import pytest
 
     from isaac_kafka_streaming_spark.extensions.codecs import (
@@ -395,9 +398,12 @@ def test_jpeg_rejects_out_of_scope():
 
     blob = jpeg_encode(bytes([130] * 64), 8, 8)
     i = blob.index(b"\xff\xc0")
-    progressive = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
-    with pytest.raises(NotImplementedError, match="progressive"):
-        jpeg_decode(progressive)
+    relabeled = blob[:i] + b"\xff\xc2" + blob[i + 2 :]
+    with pytest.raises(ValueError, match="Se=0"):
+        jpeg_decode(relabeled)
+    arithmetic = blob[:i] + b"\xff\xc9" + blob[i + 2 :]
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_decode(arithmetic)
     with pytest.raises(ValueError, match="SOI"):
         jpeg_decode(b"\x00\x01\x02")
     with pytest.raises(ValueError):
@@ -860,3 +866,216 @@ def test_avi_roundtrip_property(n_frames, data):
         for _ in range(n_frames)
     ]
     assert avi_decode(avi_encode(frames, 16, 16)) == (16, 16, n_frames, frames)
+
+def test_progressive_jpeg_equals_baseline_decode():
+    """Round-12 progressive (SOF2) decoder: both encoders share one
+    quantizer, so progressive and baseline encodings of the SAME image
+    must decode to IDENTICAL samples — across random dims, gradients,
+    hard edges and saturation."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(2026)
+    cases = [
+        (bytes((3 * x + 5 * y) % 256 for y in range(32) for x in range(32)), 32, 32),
+        (bytes(64 * [0] + 64 * [255] + 64 * [0] + 64 * [255]), 16, 16),
+        (bytes(256 * [255]), 16, 16),
+    ]
+    for _ in range(12):
+        w, h = rng.randrange(1, 40), rng.randrange(1, 40)
+        cases.append(
+            (bytes(rng.randrange(256) for _ in range(w * h)), w, h)
+        )
+    for data, w, h in cases:
+        base = jpeg_decode(jpeg_encode(data, w, h))
+        prog = jpeg_decode(jpeg_encode_progressive(data, w, h))
+        assert base == prog
+
+
+def test_progressive_jpeg_const_blocks_exact_and_prefix_decodable():
+    """The digest construction (constant even-offset blocks) is exact
+    through the progressive pipeline too — all its energy is DC, so a
+    PREFIX of the stream cut after the two DC scans already decodes to
+    the exact image (progressive's defining property)."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    img = _const_block_frame([100, 102, 200, 64])
+    blob = jpeg_encode_progressive(img, 16, 16)
+    assert jpeg_decode(blob) == (16, 16, 1, img)
+
+    # cut after scan 2: offsets of the 3rd SOS marker (entropy data is
+    # FF-stuffed, so a raw FFDA can only be a real marker)
+    sos_offsets = []
+    i = 0
+    while True:
+        i = blob.find(b"\xff\xda", i)
+        if i < 0:
+            break
+        sos_offsets.append(i)
+        i += 2
+    assert len(sos_offsets) == 6
+    prefix = blob[: sos_offsets[2]] + b"\xff\xd9"
+    assert jpeg_decode(prefix) == (16, 16, 1, img)
+
+
+def test_progressive_jpeg_out_of_scope_and_malformed():
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    img = bytes(range(256))
+    blob = jpeg_encode_progressive(img, 16, 16)
+
+    # color progressive: patch the SOF2 component count
+    sof = blob.index(b"\xff\xc2")
+    bad = bytearray(blob)
+    bad[sof + 4 + 5] = 3  # nc byte inside SOF2 payload
+    with pytest.raises(NotImplementedError, match="color progressive"):
+        jpeg_decode(bytes(bad))
+
+    # truncation inside a scan surfaces as ValueError
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg_decode(blob[: len(blob) // 2])
+
+    # a DRI segment in a progressive stream is declared out of scope
+    with_dri = blob[: sof] + b"\xff\xdd\x00\x04\x00\x08" + blob[sof:]
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg_decode(with_dri)
+
+
+def _custom_dht(tclass, tid, symbols):
+    """DHT segment assigning 1..n-bit canonical codes to `symbols` —
+    for hand-built streams exercising EOBn codes the Annex-K tables
+    cannot express."""
+    import struct as _s
+
+    bits = [0] * 16
+    for i, _ in enumerate(symbols):
+        bits[i] = 1  # one symbol per length: code i is i zeros + a one
+    body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(symbols)
+    return b"\xff\xc4" + _s.pack(">H", len(body) + 2) + body
+
+
+def test_progressive_jpeg_multiblock_eob_runs():
+    """EOBRUN > 1 (the path the Annex-K tables cannot emit): hand-built
+    two-block streams with a custom AC table containing the EOB1 symbol
+    0x10.  First-scan form: EOB1 covers both blocks' bands (all AC stay
+    zero -> decodes DC-flat).  Refinement form: EOB1 covers both blocks
+    while their already-significant coefficients absorb correction bits."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions import codecs as C
+
+    # canonical 1-symbol-per-length table: symbols get codes 0, 10,
+    # 110... (leading zeros then a one) — decode via _huff_decode_table
+    # mirrors _custom_dht's assignment
+    def headers(w, h):
+        out = bytearray(b"\xff\xd8")
+        q = bytes([1] * 64)  # flat qtab=1: coefficients pass through
+        out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + q
+        out += (
+            b"\xff\xc2"
+            + _s.pack(">H", 11)
+            + _s.pack(">BHHB", 8, h, w, 1)
+            + bytes([1, 0x11, 0])
+        )
+        out += _custom_dht(0, 0, [0, 2])      # DC: categories 0 and 2
+        # AC: EOB1='0', (1,1)='10', (0,1)='110', EOB0='1110'
+        out += _custom_dht(1, 0, [0x10, 0x11, 0x01, 0x00])
+        return out
+
+    def sos(ss, se, ah, al, payload_bits):
+        bits = "".join(payload_bits)
+        pad = (-len(bits)) % 8
+        data = int(bits + "1" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+        # FF-stuff
+        stuffed = bytearray()
+        for b in data:
+            stuffed.append(b)
+            if b == 0xFF:
+                stuffed.append(0)
+        return (
+            b"\xff\xda"
+            + _s.pack(">H", 8)
+            + bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+            + bytes(stuffed)
+        )
+
+    dc_cat0 = "0"          # DC category 0 (diff 0)
+    # --- first-scan EOBRUN: 16x8 canvas, 2 blocks, DC=0, AC scan emits
+    # EOB1 once (code '0' for symbol 0x10) + 1 extra bit '0' ->
+    # eobrun = 2^1 - 1 + 0 = 1: covers this block + the next
+    blob = headers(16, 8)
+    blob += sos(0, 0, 0, 0, [dc_cat0, dc_cat0])
+    blob += sos(1, 63, 0, 0, ["0", "0"])  # symbol 0x10, extrabit 0
+    blob += b"\xff\xd9"
+    w, h, c, px = C.jpeg_decode(bytes(blob))
+    assert (w, h, c) == (16, 8, 1)
+    assert px == bytes([128] * 128)  # DC 0 -> flat mid-grey
+
+    # --- refinement EOBRUN with correction bits: make coef k=1 nonzero
+    # in both blocks at Al=1 (AC first scan: symbol (0,1)='110', sign
+    # bit; value ±1 <<1 = ±2), then refine at Al=0 with EOB1 covering
+    # both blocks; each block's nonzero coef absorbs one correction bit
+    # (block0: bit 1 -> 2+1=3; block1: bit 0 -> -2 stays)
+    blob = headers(16, 8)
+    blob += sos(0, 0, 0, 0, [dc_cat0, dc_cat0])
+    # per block: sym(0,1)+sign placing coef k=1, then EOB0 ('1110')
+    # ending only this block's band (blk0 +1 -> +2 at Al=1; blk1 -1 ->
+    # -2)
+    blob += sos(1, 63, 0, 1, ["110", "1", "1110", "110", "0", "1110"])
+    blob += sos(1, 63, 1, 0, ["0", "0", "1", "0"])
+    # refine: EOB1 (code '0') + extrabit '0' -> eobrun=2 covers both
+    # blocks; correction bits: blk0 coef -> '1', blk1 coef -> '0'
+    blob += b"\xff\xd9"
+    w, h, c, px = C.jpeg_decode(bytes(blob))
+    assert (w, h, c) == (16, 8, 1)
+    # expected: block0 has zigzag k=1 coef = 3, block1 = -2 (qtab 1)
+    def expect_block(k1):
+        coef = [0.0] * 64
+        coef[C._ZZ[1]] = float(k1)
+        px8 = C._idct(coef)
+        import math
+        return [
+            max(0, min(255, math.floor(v + 128.0 + 0.5))) for v in px8
+        ]
+
+    b0, b1 = expect_block(3), expect_block(-2)
+    got0 = [px[y * 16 + x] for y in range(8) for x in range(8)]
+    got1 = [px[y * 16 + 8 + x] for y in range(8) for x in range(8)]
+    assert got0 == b0 and got1 == b1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    data=st.data(),
+)
+def test_progressive_equals_baseline_property(w, h, data):
+    """Property form of the cross-codec anchor: for ANY image, the
+    progressive and baseline encoders quantize identically, so their
+    decodes are byte-equal."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h))
+    )
+    assert jpeg_decode(jpeg_encode_progressive(pixels, w, h)) == jpeg_decode(
+        jpeg_encode(pixels, w, h)
+    )
