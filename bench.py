@@ -140,8 +140,10 @@ HEADLINE = [
     "mmr_rerank",
     "media_jpeg_features",
     "media_gif_frames",
-    # round 12 addition: the real AVI/MJPEG video-container path
+    # round 12 additions: the real AVI/MJPEG video-container path and
+    # the progressive-JPEG decode path
     "media_avi_frames",
+    "media_pjpeg_features",
 ]
 
 

@@ -229,6 +229,50 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_pjpeg_media(docs: DataFrame) -> DataFrame:
+    """Adapter: the media_jpeg_features digest-block image, but encoded
+    as a real PROGRESSIVE JPEG (SOF2, six-scan script: DC at Al=1 + DC
+    refinement + two AC band scans + their refinements).  Constant
+    even-offset blocks are exact through the shared quantizer, so the
+    progressive decode pipeline stays a pure SQL function of
+    sha256(text) — the same oracle as the baseline entry, which is the
+    point: two genuinely different coding models, one answer."""
+    _ship_codecs_by_value()
+    from .codecs import jpeg_encode_progressive
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                img = bytearray(256)
+                for bi in range(4):
+                    v = 64 + 2 * (digest[bi] % 64)
+                    oy, ox = (bi // 2) * 8, (bi % 2) * 8
+                    for y in range(8):
+                        row = (oy + y) * 16 + ox
+                        for x in range(8):
+                            img[row + x] = v
+                rows.append(
+                    (
+                        doc_id,
+                        "image",
+                        jpeg_encode_progressive(bytes(img), 16, 16),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "image/jpeg",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_avi_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL two-frame AVI/MJPEG video —
     16x16 greyscale frames, each four constant 8x8 blocks whose values
@@ -649,6 +693,23 @@ def media_gif_frames(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def media_pjpeg_features(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL progressive-JPEG decode on a graded path: the
+    media_jpeg_features image re-encoded as a six-scan SOF2 stream
+    (spectral selection + successive approximation), decoded by the
+    round-12 multi-scan decoder through the same jpeg_decode entry
+    point, features oracle-checked against DuckDB recomputing pixels
+    from sha256(text) — the identical oracle as the baseline entry,
+    pinning that both coding models reconstruct the same image."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_image_features(
+        documents_as_pjpeg_media(docs), hash_mode="hex"
+    )
+    return feats.withColumn("brightness", F.round("brightness", 6))
+
+
 def media_avi_frames(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL video-container frame sampling on a graded path:
     documents rendered as genuine two-frame AVI/MJPEG files (RIFF
@@ -705,6 +766,37 @@ def register() -> dict:
             f" + (position(substr(hash, {pos + 1}, 1) IN '0123456789abcdef') - 1))"
         )
 
+    # shared by the baseline AND progressive JPEG entries — the four
+    # 8x8 block values v_i = 64 + 2*(digest byte_i % 64) survive both
+    # coding models' shared quantizer exactly, so one oracle rebuilds
+    # the decoded 256-pixel payload (hex) and its mean from sha256(text)
+    # alone: rows 0-7 are (v0 x8)(v1 x8), rows 8-15 are (v2 x8)(v3 x8)
+    jpeg_features_oracle = f"""
+        WITH h AS (
+            SELECT doc_id AS media_id, sha256(text) AS hash
+            FROM documents
+        ), v AS (
+            SELECT media_id,
+                   {", ".join(
+                       f"64 + 2 * ({_hexbyte(2 * j + 1)} % 64) AS v{j}"
+                       for j in range(4)
+                   )}
+            FROM h
+        )
+        SELECT media_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               CAST(256 AS BIGINT) AS n_bytes,
+               repeat(repeat(lower(to_hex(v0)), 8)
+                      || repeat(lower(to_hex(v1)), 8), 8)
+               || repeat(repeat(lower(to_hex(v2)), 8)
+                         || repeat(lower(to_hex(v3)), 8), 8)
+                   AS content_hash,
+               ROUND((v0 + v1 + v2 + v3) / 4.0 / 255.0, 6)
+                   AS brightness
+        FROM v
+        """
+
     return {
         "media_features": QueryDef(
             media_features,
@@ -749,38 +841,15 @@ def register() -> dict:
         ),
         "media_jpeg_features": QueryDef(
             media_jpeg_features,
-            # the four 8x8 block values v_i = 64 + 2*(digest byte_i % 64)
-            # survive quantization exactly, so the oracle rebuilds the
-            # decoded 256-pixel payload (hex) and its mean from
-            # sha256(text) alone: rows 0-7 are (v0 x8)(v1 x8), rows
-            # 8-15 are (v2 x8)(v3 x8)
-            f"""
-            WITH h AS (
-                SELECT doc_id AS media_id, sha256(text) AS hash
-                FROM documents
-            ), v AS (
-                SELECT media_id,
-                       {", ".join(
-                           f"64 + 2 * ({_hexbyte(2 * j + 1)} % 64) AS v{j}"
-                           for j in range(4)
-                       )}
-                FROM h
-            )
-            SELECT media_id,
-                   CAST(16 AS INTEGER) AS width,
-                   CAST(16 AS INTEGER) AS height,
-                   CAST(256 AS BIGINT) AS n_bytes,
-                   repeat(repeat(lower(to_hex(v0)), 8)
-                          || repeat(lower(to_hex(v1)), 8), 8)
-                   || repeat(repeat(lower(to_hex(v2)), 8)
-                             || repeat(lower(to_hex(v3)), 8), 8)
-                       AS content_hash,
-                   ROUND((v0 + v1 + v2 + v3) / 4.0 / 255.0, 6)
-                       AS brightness
-            FROM v
-            """,
+            jpeg_features_oracle,
             "X5 REAL baseline-JPEG decode (stdlib Huffman+IDCT) via "
             "mapInPandas",
+        ),
+        "media_pjpeg_features": QueryDef(
+            media_pjpeg_features,
+            jpeg_features_oracle,
+            "X5 REAL progressive-JPEG decode (SOF2 spectral selection + "
+            "successive approximation) via mapInPandas",
         ),
         "media_gif_frames": QueryDef(
             media_gif_frames,

@@ -3204,12 +3204,13 @@ REGISTRY: dict[str, QueryDef] = {
 #       yielded their round-11 fill slots to the mid-round T0s) plus
 #       the dedup-cluster/graph/knn/text-curation cohorts last checked
 #       in r09.
-#   T2: 11 of the 50 entries last green in r10 (fill; they expire
+#   T2: 10 of the 50 entries last green in r10 (fill; they expire
 #       after round 13 otherwise — taking the expiring tier first
 #       keeps the must-check load spread at ~38/round).
-#       question_part_counts yielded its fill slot to the mid-round T0
-#       media_avi_frames (the swap discipline); it fronts round 13.
-# The 89 parked entries are all green in r10 or r11, inside the K=3
+#       question_part_counts and purchases_within_day_of_signup yielded
+#       their fill slots to the mid-round T0s media_avi_frames and
+#       media_pjpeg_features (the swap discipline); they front round 13.
+# The 90 parked entries are all green in r10 or r11, inside the K=3
 # freshness span through round 12.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
@@ -3232,10 +3233,12 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (1): registered mid-round-12;
-    # takes the slot of the last T2-fill entry (question_part_counts —
-    # r10-green, it fronts the round-13 window; the swap discipline)
+    # T0 — no green row yet (must-check) (2): registered mid-round-12;
+    # they take the slots of the last two T2-fill entries
+    # (question_part_counts, purchases_within_day_of_signup — r10-green,
+    # they front the round-13 window; the swap discipline)
     "media_avi_frames",
+    "media_pjpeg_features",
     # T1 — last green <= r9 (invariant requires) (38)
     "customers_without_big_orders",
     "tpch_q5",
@@ -3286,7 +3289,6 @@ _DRIVER_CHECK_ORDER = [
     "last_seen_map",
     "value_quantiles",
     "purchase_asof_signup",
-    "purchases_within_day_of_signup",
 ]
 
 
