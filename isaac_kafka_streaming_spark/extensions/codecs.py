@@ -1033,7 +1033,13 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
         return w.flush()
 
     def ac_refine(ss, se, al):
-        p_hi = al + 1  # prior scans encoded abs(v) >> (al + 1)
+        # t = abs >> al classifies every coefficient: 0 = zero history
+        # (counts toward the run), 1 = newly significant this scan,
+        # >1 = already significant (sends one correction bit).  The
+        # ZRL flush must happen at EVERY nonzero coefficient (both
+        # kinds) so correction bits stay positionally interleaved with
+        # the zero-run skips exactly as the decoder consumes them —
+        # the libjpeg encode_mcu_AC_refine structure.
         w = _BitWriter()
         for blk in blocks:
             absv = [abs(blk[j]) >> al for j in range(ss, se + 1)]
@@ -1044,6 +1050,17 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
                     break
             run = 0
             corrections: list = []
+
+            def flush_zrl():
+                nonlocal run, corrections
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    for b in corrections:
+                        w.write(b, 1)
+                    corrections = []
+                    run -= 16
+
             k = ss
             while k <= last:
                 t = absv[k - ss]
@@ -1051,18 +1068,12 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
                     run += 1
                     k += 1
                     continue
-                if (abs(blk[k]) >> p_hi) != 0:
+                flush_zrl()
+                if t > 1:
                     # already significant: queue its correction bit
                     corrections.append(t & 1)
                     k += 1
                     continue
-                while run >= 16:
-                    code, length = ac_codes[0xF0]
-                    w.write(code, length)
-                    for b in corrections:
-                        w.write(b, 1)
-                    corrections = []
-                    run -= 16
                 code, length = ac_codes[(run << 4) | 1]
                 w.write(code, length)
                 w.write(1 if blk[k] > 0 else 0, 1)
@@ -1074,7 +1085,7 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
             # tail: correction bits for already-significant coefficients
             # past the last newly-significant one
             while k <= se:
-                if (abs(blk[k]) >> p_hi) != 0:
+                if absv[k - ss] > 1:
                     corrections.append(absv[k - ss] & 1)
                 k += 1
             if last != se or corrections:
@@ -1354,11 +1365,12 @@ def resize_nearest(
 # the frame-sampling operator.  Same contract as PNG/JPEG/WAV above:
 # real container, real parser, stdlib only.  Scope (declared):
 #   * decode: GIF87a/89a, global/local color tables, full- and
-#     sub-rect frames composited with disposal methods 0/1 (draw over)
-#     and 2 (restore background), transparency honored; interlaced
-#     frames and disposal 3 (restore-to-previous) raise ValueError
-#     (out of scope, not silently wrong), as do oversize frame rects
-#     and palette-index overflows (malformed, never composited).
+#     sub-rect frames composited with ALL FOUR disposal methods (0/1
+#     draw over, 2 restore background, 3 restore-to-previous via a
+#     saved canvas — round 12) and 4-pass INTERLACED frames (round 12),
+#     transparency honored; undefined disposal values 4-7, oversize
+#     frame rects and palette-index overflows raise ValueError
+#     (malformed, never composited).
 #     Frames return as GREYSCALE rasters (ITU-R 601 luma of the
 #     palette entry, rounded) — the feature-extraction contract.
 #   * encode: full-frame greyscale animation over the 256-entry
@@ -1539,14 +1551,14 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
                 size = blob[pos]
                 flags = blob[pos + 1]
                 disposal = (flags >> 2) & 0x07
-                if disposal >= 3:
-                    # 3 = restore-to-previous (needs a saved canvas we
-                    # deliberately don't keep), 4-7 undefined: raising
-                    # matches the interlace policy — out of scope must
-                    # fail loudly, never composite wrong
+                if disposal > 3:
+                    # 4-7 are undefined by the spec: fail loudly,
+                    # never composite wrong (the interlace policy,
+                    # round-12 advice; 3 = restore-to-previous is
+                    # IMPLEMENTED below via a saved canvas)
                     raise ValueError(
-                        f"GIF disposal method {disposal} unsupported "
-                        "(draw-over 0/1 and restore-background 2 only)"
+                        f"GIF disposal method {disposal} is undefined "
+                        "(0-3 only)"
                     )
                 transparent = blob[pos + 4] if flags & 1 else None
                 pos += size + 1
@@ -1566,8 +1578,7 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
                 f"GIF frame rect {fw}x{fh}@({left},{top}) exceeds "
                 f"{width}x{height} canvas"
             )
-        if fpacked & 0x40:
-            raise ValueError("interlaced GIF unsupported")
+        interlaced = bool(fpacked & 0x40)
         lct, pos = read_palette(pos, fpacked)
         pal = lct or gct
         if pal is None:
@@ -1583,6 +1594,18 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
         idx = _gif_lzw_decode(mcs, bytes(data), fw * fh)
         if len(idx) < fw * fh:
             raise ValueError("GIF frame pixel data short")
+        if interlaced:
+            # 4-pass row interleave (GIF89a appendix E): decoded rows
+            # arrive pass-ordered; remap them to their display rows
+            deint = bytearray(fw * fh)
+            src_row = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, fh, step):
+                    deint[y * fw : (y + 1) * fw] = idx[
+                        src_row * fw : (src_row + 1) * fw
+                    ]
+                    src_row += 1
+            idx = deint
         top_idx = max(
             (v for v in idx[: fw * fh] if v != transparent), default=0
         )
@@ -1591,6 +1614,7 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
                 f"GIF pixel index {top_idx} exceeds {len(pal)}-entry "
                 "color table"
             )
+        saved = bytes(canvas) if disposal == 3 else None
         for y in range(fh):
             row = (top + y) * width + left
             frow = y * fw
@@ -1605,6 +1629,8 @@ def _gif_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
                 row = (top + y) * width + left
                 for x in range(fw):
                     canvas[row + x] = bgv
+        elif disposal == 3:  # restore-to-previous (round 12)
+            canvas = bytearray(saved)
         disposal, transparent = 0, None
     if not frames:
         raise ValueError("GIF contains no image frames")

@@ -597,8 +597,6 @@ def test_gif_subrect_disposal_and_transparency():
 
 
 def test_gif_rejects_out_of_scope():
-    import struct
-
     import pytest
 
     from isaac_kafka_streaming_spark.extensions.codecs import (
@@ -610,14 +608,36 @@ def test_gif_rejects_out_of_scope():
         gif_decode(b"NOPE")
     with pytest.raises(ValueError):
         gif_encode([b"\x00" * 10], 4, 4)  # size mismatch
-    # flip the interlace bit on a real stream (locate the image
-    # descriptor by its full signature — a bare 0x2C also occurs
-    # inside the greyscale palette)
-    blob = bytearray(gif_encode([bytes(16)], 4, 4))
-    idx = blob.index(b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4))
-    blob[idx + 9] |= 0x40
-    with pytest.raises(ValueError, match="interlaced"):
+    # undefined disposal values 4-7 are malformed, not composited
+    base = bytes(range(16))
+    blob = bytearray(gif_encode([base], 4, 4)[:-1])
+    blob += b"\x21\xf9\x04" + bytes([(5 << 2), 0, 0, 0]) + b"\x00\x3b"
+    with pytest.raises(ValueError, match="undefined"):
         gif_decode(bytes(blob))
+
+
+def test_gif_interlaced_frame_deinterlaces():
+    """Round-12: interlaced frames decode for real.  Flip the interlace
+    bit on an encoder stream whose rows were pre-PERMUTED into 4-pass
+    order — the decoder must put them back into display order."""
+    import struct
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    # 8 rows of 8, row y filled with value 10*y: display-order target
+    target = bytes(v for y in range(8) for v in [10 * y] * 8)
+    # pass order for height 8: rows 0, 4, 2, 6, 1, 3, 5, 7
+    pass_rows = [0, 4, 2, 6, 1, 3, 5, 7]
+    stored = bytes(v for y in pass_rows for v in [10 * y] * 8)
+    blob = bytearray(gif_encode([stored], 8, 8))
+    idx = blob.index(b"\x2c" + struct.pack("<HHHH", 0, 0, 8, 8))
+    blob[idx + 9] |= 0x40  # interlace flag
+    w, h, n, frames = gif_decode(bytes(blob))
+    assert (w, h, n) == (8, 8, 1)
+    assert frames[0] == target
 
 
 @settings(max_examples=25, deadline=None)
@@ -713,9 +733,61 @@ def test_gif_lzw_stream_without_leading_clear():
     assert gif_decode(head + stream + b"\x3b") == (4, 4, 1, [base])
 
 
+def test_gif_disposal_restore_to_previous():
+    """Round-12: disposal 3 composites for real — the frame shows over
+    the prior canvas, then the canvas reverts before the next frame
+    (which must NOT see the disposal-3 frame's pixels)."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        gif_decode,
+        gif_encode,
+    )
+
+    base = bytes(range(16))
+    blob = bytearray(gif_encode([base], 4, 4)[:-1])  # drop trailer
+    # frame 2: GCE disposal 3, full-frame constant 200
+    blob += b"\x21\xf9\x04" + bytes([(3 << 2), 0, 0, 0]) + b"\x00"
+    blob += b"\x2c" + _s.pack("<HHHH", 0, 0, 4, 4) + b"\x00"
+
+    def lzw_literals(pixels):
+        bits = bytearray()
+        acc = nbits = 0
+
+        def put(code):
+            nonlocal acc, nbits
+            acc |= code << nbits
+            nbits += 9
+            while nbits >= 8:
+                bits.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+
+        put(256)
+        for p in pixels:
+            put(p)
+        put(257)
+        if nbits:
+            bits.append(acc & 0xFF)
+        return bytes([8]) + bytes([len(bits)]) + bytes(bits) + b"\x00"
+
+    blob += lzw_literals([200] * 16)
+    # frame 3: single changed pixel at (0,0) = 77, draw-over
+    blob += b"\x2c" + _s.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+    blob += lzw_literals([77])
+    blob += b"\x3b"
+
+    w, h, n, frames = gif_decode(bytes(blob))
+    assert (w, h, n) == (4, 4, 3)
+    assert frames[0] == base
+    assert frames[1] == bytes([200] * 16)  # disposal-3 frame displays
+    want3 = bytearray(base)  # ...then the canvas reverted to frame 0
+    want3[0] = 77
+    assert frames[2] == bytes(want3)
+
+
 def test_gif_out_of_scope_and_malformed_raise_valueerror():
-    """Round-12 advice closure: disposal 3 (restore-to-previous) raises
-    instead of compositing wrong; an oversize frame rect raises instead
+    """Round-12 advice closure: an oversize frame rect raises instead
     of wrapping rows; a pixel index past the palette raises ValueError
     (not IndexError); truncation raises ValueError."""
     import struct as _s
@@ -728,12 +800,6 @@ def test_gif_out_of_scope_and_malformed_raise_valueerror():
     )
 
     base = bytes(range(16))
-
-    # disposal 3 in a graphic-control extension
-    blob = bytearray(gif_encode([base], 4, 4)[:-1])
-    blob += b"\x21\xf9\x04" + bytes([(3 << 2), 0, 0, 0]) + b"\x00\x3b"
-    with pytest.raises(ValueError, match="disposal method 3"):
-        gif_decode(bytes(blob))
 
     # frame rect past the canvas edge (2x2 at (3,3) on a 4x4 canvas)
     blob = bytearray(gif_encode([base], 4, 4))
