@@ -493,16 +493,22 @@ def resize_images(
 ) -> DataFrame:
     """Resize over mapInPandas, preserving the media schema.
 
-    REAL for PNG and baseline-JPEG blobs (round 11): stdlib decode,
-    nearest-neighbor resample (codecs.resize_nearest), PNG re-encode —
-    lossless and deterministic on the way out regardless of the input
-    format, which is why the output mime is image/png for both.  Other
-    blobs fall back to the deterministic fake (truncate to w*h) when
-    `fake=True` and raise otherwise."""
+    REAL for PNG and JPEG blobs (round 11; both baseline and greyscale
+    progressive via the shared jpeg_decode entry point) and, round 12,
+    for GIF/AVI videos (frame 0, the image-features dispatch): stdlib
+    decode, nearest-neighbor resample (codecs.resize_nearest), PNG
+    re-encode — lossless and deterministic on the way out regardless
+    of the input format, which is why the output mime is image/png for
+    all of them.  Other blobs fall back to the deterministic fake
+    (truncate to w*h) when `fake=True` and raise otherwise."""
     _ship_codecs_by_value()
     from .codecs import (
+        GIF_MAGICS,
         JPEG_MAGIC,
         PNG_MAGIC,
+        avi_decode,
+        gif_decode,
+        is_avi,
         jpeg_decode,
         png_decode,
         png_encode,
@@ -511,8 +517,16 @@ def resize_images(
 
     def _resize_one(blob: bytes) -> tuple[bytes, str]:
         blob = bytes(blob)
-        if blob[:8] == PNG_MAGIC or blob[:3] == JPEG_MAGIC:
-            decode = png_decode if blob[:8] == PNG_MAGIC else jpeg_decode
+        decode = None
+        if blob[:8] == PNG_MAGIC:
+            decode = png_decode
+        elif blob[:3] == JPEG_MAGIC:
+            decode = jpeg_decode
+        elif blob[:6] in GIF_MAGICS or is_avi(blob[:12]):
+            dec = gif_decode if blob[:6] in GIF_MAGICS else avi_decode
+            fw, fh, _n, frames = dec(blob)
+            decode = lambda _b: (fw, fh, 1, frames[0])  # noqa: E731
+        if decode is not None:
             w, h, ch, px = decode(blob)
             if ch == 4:  # drop alpha for the re-encode (RGB color type)
                 px = bytes(
@@ -529,7 +543,7 @@ def resize_images(
             )
         if not fake:
             raise NotImplementedError(
-                "image resize decodes PNG/baseline JPEG only without an "
+                "image resize decodes PNG/JPEG/GIF/AVI only without an "
                 "external codec; use fake=True for other blobs"
             )
         # deterministic fake: truncate/pad the blob to min(len, w*h)

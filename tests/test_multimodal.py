@@ -113,7 +113,13 @@ def test_resize_real_png_and_jpeg(spark, sf_smoke):
     from isaac_kafka_streaming_spark.io import read_table
 
     docs = read_table(spark, sf_smoke, "documents").limit(6)
-    for adapter in (mm.documents_as_png_media, mm.documents_as_jpeg_media):
+    for adapter in (
+        mm.documents_as_png_media,
+        mm.documents_as_jpeg_media,
+        mm.documents_as_pjpeg_media,  # progressive JPEG (round 12)
+        mm.documents_as_gif_media,    # video frame 0 (round 12)
+        mm.documents_as_avi_media,    # video frame 0 (round 12)
+    ):
         resized = mm.resize_images(adapter(docs), 12, 5)
         rows = resized.collect()
         assert len(rows) == 6
