@@ -579,3 +579,43 @@ def test_cumsum_total_order_plan_has_no_full_frame_reshuffle(spark):
     assert len(pid_exchanges) == 1
     below = plan.split("Exchange hashpartitioning(__pid", 1)[1]
     assert "partial_sum" in below.splitlines()[1]
+
+
+def test_cumsum_total_order_multi_batch_carry(spark):
+    """The Arrow scan's scalar carry across batches WITHIN a partition:
+    force partitions to span many Arrow batches (maxRecordsPerBatch
+    far below the partition size) and require exact equality with the
+    no-partition window — the carry bug class (dropped/duplicated
+    batch totals) cannot hide in single-batch fixtures."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "64")  # ~10+ batches per range partition
+    try:
+        df = spark.range(20_000).select(
+            F.col("id"), (F.col("id") % 101).alias("v")
+        )
+        order = [F.col("v").desc(), F.col("id")]
+        got = {
+            (r.id, r.c)
+            for r in cumsum_total_order(df, order, "v", "c").collect()
+        }
+        w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            (r.id, r.c)
+            for r in df.withColumn(
+                "c", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
