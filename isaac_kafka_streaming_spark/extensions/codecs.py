@@ -181,10 +181,10 @@ def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
 #   * decode: baseline SOF0, 8-bit, greyscale or 3-component YCbCr with
 #     sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0),
 #     restart intervals, multi-table DQT/DHT, APPn/COM skipped; PLUS
-#     (round 12) greyscale progressive SOF2 with full spectral
-#     selection + successive approximation.  Color progressive and
-#     arithmetic coding raise NotImplementedError — honestly out of
-#     scope, not silently wrong.
+#     (round 12) progressive SOF2 — greyscale AND 4:4:4 color — with
+#     full spectral selection + successive approximation.  Subsampled
+#     color progressive and arithmetic coding raise
+#     NotImplementedError — honestly out of scope, not silently wrong.
 #   * encode: greyscale or RGB input; 4:4:4 or (color) 4:2:0; the
 #     Annex-K quality-50 quantization tables and standard Huffman
 #     tables (written into the stream, so decode never assumes them).
@@ -740,11 +740,11 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     streams, interleaved RGB for 3-component YCbCr (JFIF conversion,
     replication chroma upsampling).  Supports sampling factors in
     {1, 2}, restart intervals, multi-table DQT/DHT segments; skips
-    APPn/COM.  GREYSCALE progressive (SOF2) streams decode too (round
-    12: full spectral selection + successive approximation —
-    `_jpeg_decode_progressive_impl`); color progressive and
-    arithmetic-coded streams raise NotImplementedError; every other
-    malformation raises ValueError —
+    APPn/COM.  Progressive (SOF2) streams decode too (round 12:
+    greyscale AND 4:4:4 color, full spectral selection + successive
+    approximation — `_jpeg_decode_progressive_impl`); subsampled color
+    progressive and arithmetic-coded streams raise
+    NotImplementedError; every other malformation raises ValueError —
     ENFORCED at this boundary: the internal exception types malformed
     input can surface (a stray RSTn escaping as _RestartMarker, a
     truncated stream's IndexError, a missing-table KeyError, a short
@@ -924,42 +924,61 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
 
 # -- Progressive JPEG (SOF2), round 12 --------------------------------------
 #
-# Scope (declared, enforced): GREYSCALE (1-component) progressive
+# Scope (declared, enforced): greyscale AND 4:4:4-color progressive
 # streams with full spectral selection AND successive approximation —
-# the T.81 G.1/G.2 coding model: DC first scan at reduced precision,
-# DC refinement bits, AC band scans, AC refinement scans with EOB-run
-# coding and correction bits.  Color progressive (interleaved DC MCU
-# structure) and restart intervals in progressive scans remain out of
-# scope and raise NotImplementedError; malformed input raises
-# ValueError via the jpeg_decode boundary.  The encoder emits a
-# fixed six-scan script (DC Al=1, DC refine, AC 1-5 Al=1, AC 6-63
-# Al=1, AC 1-5 refine, AC 6-63 refine) — every feature the decoder
-# implements is exercised by its own fixtures, and both paths quantize
-# identically to the baseline codec, so progressive and baseline
-# encodings of the same image decode to IDENTICAL samples (pinned in
-# tests/test_codecs.py).
+# the T.81 G.1/G.2 coding model: interleaved DC first scan at reduced
+# precision (per-component predictors), DC refinement bits,
+# single-component AC band scans, AC refinement scans with EOB-run
+# coding and correction bits.  SUBSAMPLED color progressive (multi-
+# block-per-MCU DC structure) and restart intervals in progressive
+# scans remain out of scope and raise NotImplementedError; malformed
+# input raises ValueError via the jpeg_decode boundary.  The encoder's
+# greyscale script is six scans (DC Al=1, DC refine, AC 1-5 Al=1, AC
+# 6-63 Al=1, their refinements); color adds per-component AC band +
+# refinement scans — every feature the decoder implements is exercised
+# by its own fixtures, and both paths quantize identically to the
+# baseline codec, so progressive and baseline encodings of the same
+# image decode to IDENTICAL samples (pinned in tests/test_codecs.py).
 
 
-def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
-    """Encode greyscale samples as a real progressive JPEG (SOF2)."""
-    if len(pixels) != width * height:
+def jpeg_encode_progressive(
+    pixels: bytes, width: int, height: int, channels: int = 1
+) -> bytes:
+    """Encode raw samples as a real progressive JPEG (SOF2).
+
+    ``channels``: 1 (greyscale) or 3 (RGB -> YCbCr 4:4:4).  The
+    greyscale script is six scans (DC Al=1, DC refine, two AC bands at
+    Al=1, their refinements); color interleaves all components in the
+    DC scans and emits per-component AC band + refinement scans (AC
+    progressive scans are single-component by spec)."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-    plane = [float(p) for p in pixels]
+    if channels == 1:
+        planes = [[float(p) for p in pixels]]
+    else:
+        planes = list(_rgb_to_ycbcr(pixels, width * height))
     bx_n = (width + 7) // 8
     by_n = (height + 7) // 8
 
-    # quantized coefficient blocks, zig-zag order (same quantizer as
-    # the baseline encoder — the cross-codec equality anchor)
-    blocks = []
-    for by in range(by_n):
-        for bx in range(bx_n):
-            coef = _fdct(_plane_block(plane, width, height, bx, by))
-            blocks.append(
-                [_quantize(coef[_ZZ[i]], _Q_LUM[_ZZ[i]]) for i in range(64)]
-            )
+    # quantized coefficient blocks per component, zig-zag order (same
+    # quantizers as the baseline encoder — the cross-codec equality
+    # anchor)
+    comp_blocks = []
+    for ci, plane in enumerate(planes):
+        qtab = _Q_LUM if ci == 0 else _Q_CHR
+        blocks = []
+        for by in range(by_n):
+            for bx in range(bx_n):
+                coef = _fdct(_plane_block(plane, width, height, bx, by))
+                blocks.append(
+                    [_quantize(coef[_ZZ[i]], qtab[_ZZ[i]]) for i in range(64)]
+                )
+        comp_blocks.append(blocks)
 
-    dc_codes = _huff_codes(*_H_DC_LUM)
-    ac_codes = _huff_codes(*_H_AC_LUM)
+    lum_dc, lum_ac = _huff_codes(*_H_DC_LUM), _huff_codes(*_H_AC_LUM)
+    chr_dc, chr_ac = _huff_codes(*_H_DC_CHR), _huff_codes(*_H_AC_CHR)
 
     out = bytearray(b"\xff\xd8")
 
@@ -969,37 +988,61 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
         out.extend(body)
 
     segment(b"\xff\xdb", b"\x00" + bytes(_Q_LUM[_ZZ[i]] for i in range(64)))
-    segment(
-        b"\xff\xc2",
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
+    if channels == 3:
+        segment(
+            b"\xff\xdb", b"\x01" + bytes(_Q_CHR[_ZZ[i]] for i in range(64))
+        )
+    sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
+    for ci in range(channels):
+        sof.extend(bytes([ci + 1, 0x11, 0 if ci == 0 else 1]))
+    segment(b"\xff\xc2", bytes(sof))
     segment(b"\xff\xc4", b"\x00" + bytes(_H_DC_LUM[0]) + bytes(_H_DC_LUM[1]))
     segment(b"\xff\xc4", b"\x10" + bytes(_H_AC_LUM[0]) + bytes(_H_AC_LUM[1]))
+    if channels == 3:
+        segment(
+            b"\xff\xc4", b"\x01" + bytes(_H_DC_CHR[0]) + bytes(_H_DC_CHR[1])
+        )
+        segment(
+            b"\xff\xc4", b"\x11" + bytes(_H_AC_CHR[0]) + bytes(_H_AC_CHR[1])
+        )
 
-    def sos(ss, se, ah, al, entropy):
-        segment(b"\xff\xda", bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+    def sos(comp_specs, ss, se, ah, al, entropy):
+        body = bytearray([len(comp_specs)])
+        for cid, tbl in comp_specs:
+            body.extend(bytes([cid, tbl]))
+        body.extend(bytes([ss, se, (ah << 4) | al]))
+        segment(b"\xff\xda", bytes(body))
         out.extend(entropy)
 
-    # scan 1: DC first, Al=1 (DPCM over arithmetic-shifted DC)
-    w = _BitWriter()
-    pred = 0
-    for blk in blocks:
-        approx = blk[0] >> 1
-        s, bits = _magnitude(approx - pred)
-        code, length = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(bits, s)
-        pred = approx
-    sos(0, 0, 0, 1, w.flush())
+    dc_specs = [
+        (ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(channels)
+    ]
+    n_blocks = bx_n * by_n
 
-    # scan 2: DC refinement — one raw bit per block
+    # scan 1: DC first, Al=1, all components interleaved (per MCU =
+    # one block per component at 1x1), per-component predictors
     w = _BitWriter()
-    for blk in blocks:
-        w.write(blk[0] & 1, 1)
-    sos(0, 0, 1, 0, w.flush())
+    preds = [0] * channels
+    for b in range(n_blocks):
+        for ci in range(channels):
+            approx = comp_blocks[ci][b][0] >> 1
+            dc_codes = lum_dc if ci == 0 else chr_dc
+            s, bits = _magnitude(approx - preds[ci])
+            code, length = dc_codes[s]
+            w.write(code, length)
+            if s:
+                w.write(bits, s)
+            preds[ci] = approx
+    sos(dc_specs, 0, 0, 0, 1, w.flush())
 
-    def ac_first(ss, se, al):
+    # scan 2: DC refinement — one raw bit per block per component
+    w = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(channels):
+            w.write(comp_blocks[ci][b][0] & 1, 1)
+    sos(dc_specs, 0, 0, 1, 0, w.flush())
+
+    def ac_first(blocks, ac_codes, ss, se, al):
         w = _BitWriter()
         for blk in blocks:
             k = ss
@@ -1032,7 +1075,7 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
                 w.write(code, length)
         return w.flush()
 
-    def ac_refine(ss, se, al):
+    def ac_refine(blocks, ac_codes, ss, se, al):
         # t = abs >> al classifies every coefficient: 0 = zero history
         # (counts toward the run), 1 = newly significant this scan,
         # >1 = already significant (sends one correction bit).  The
@@ -1095,24 +1138,44 @@ def jpeg_encode_progressive(pixels: bytes, width: int, height: int) -> bytes:
                     w.write(b, 1)
         return w.flush()
 
-    sos(1, 5, 0, 1, ac_first(1, 5, 1))
-    sos(6, 63, 0, 1, ac_first(6, 63, 1))
-    sos(1, 5, 1, 0, ac_refine(1, 5, 0))
-    sos(6, 63, 1, 0, ac_refine(6, 63, 0))
+    if channels == 1:
+        spec = [dc_specs[0]]
+        sos(spec, 1, 5, 0, 1, ac_first(comp_blocks[0], lum_ac, 1, 5, 1))
+        sos(spec, 6, 63, 0, 1, ac_first(comp_blocks[0], lum_ac, 6, 63, 1))
+        sos(spec, 1, 5, 1, 0, ac_refine(comp_blocks[0], lum_ac, 1, 5, 0))
+        sos(spec, 6, 63, 1, 0, ac_refine(comp_blocks[0], lum_ac, 6, 63, 0))
+    else:
+        # AC progressive scans are single-component by spec: one band
+        # scan + one refinement per component
+        for ci in range(3):
+            ac_codes = lum_ac if ci == 0 else chr_ac
+            spec = [dc_specs[ci]]
+            sos(
+                spec, 1, 63, 0, 1,
+                ac_first(comp_blocks[ci], ac_codes, 1, 63, 1),
+            )
+        for ci in range(3):
+            ac_codes = lum_ac if ci == 0 else chr_ac
+            spec = [dc_specs[ci]]
+            sos(
+                spec, 1, 63, 1, 0,
+                ac_refine(comp_blocks[ci], ac_codes, 1, 63, 0),
+            )
     out.extend(b"\xff\xd9")
     return bytes(out)
 
 
 def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     """Multi-scan SOF2 decode: accumulate quantized coefficients across
-    scans, then dequantize + IDCT once at EOI."""
+    scans, then dequantize + IDCT once at EOI.  Greyscale or 4:4:4
+    color (all sampling factors 1x1, so an interleaved DC MCU is one
+    block per component and every component shares the block grid);
+    subsampled color progressive stays out of scope."""
     qtabs: dict = {}
     huff: dict = {}
     width = height = 0
-    tq = None
-    blocks: list = []
+    comps: list = []
     bx_n = by_n = 0
-    eobrun = 0
     pos = 2
     while True:
         if blob[pos] != 0xFF:
@@ -1149,30 +1212,43 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, nc = struct.unpack_from(">BHHB", body)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if nc != 1:
-                raise NotImplementedError(
-                    "color progressive JPEG is out of scope (greyscale "
-                    "SOF2 only; interleaved progressive DC scans need "
-                    "the MCU structure this decoder does not carry)"
-                )
-            tq = body[8]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
             bx_n = (width + 7) // 8
             by_n = (height + 7) // 8
-            blocks = [[0] * 64 for _ in range(bx_n * by_n)]
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled color progressive JPEG is out of "
+                        "scope (4:4:4 / 1x1 sampling only)"
+                    )
+                comps.append(
+                    {
+                        "id": cid,
+                        "tq": tq,
+                        "blocks": [[0] * 64 for _ in range(bx_n * by_n)],
+                    }
+                )
         elif marker == 0xDD:
             raise NotImplementedError(
                 "restart intervals in progressive scans are out of scope"
             )
         elif marker == 0xDA:
-            if not blocks:
+            if not comps:
                 raise ValueError("SOS before SOF2 header")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError(
-                    "multi-component progressive scans are out of scope"
+            scan_comps = []
+            for si in range(ns):
+                cid, tables = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(
+                    (c for c in comps if c["id"] == cid), None
                 )
-            tables = body[2]
-            ss, se, ahal = body[3], body[4], body[5]
+                if comp is None:
+                    raise ValueError("SOS names unknown component")
+                scan_comps.append((comp, tables))
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             if ss > se or se > 63:
                 raise ValueError("bad spectral band")
@@ -1180,10 +1256,26 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                _prog_dc_scan(reader, blocks, huff, tables >> 4, ah, al)
+                # interleaved (or single-component) DC: at 1x1 each MCU
+                # is one block per scan component, in scan order
+                _prog_dc_scan_interleaved(reader, scan_comps, huff, ah, al)
             else:
+                if ns != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component (T.81 "
+                        "G.1.1.1.1)"
+                    )
+                comp, tables = scan_comps[0]
                 eobrun = _prog_ac_scan(
-                    reader, blocks, huff, tables & 0x0F, ss, se, ah, al, 0
+                    reader,
+                    comp["blocks"],
+                    huff,
+                    tables & 0x0F,
+                    ss,
+                    se,
+                    ah,
+                    al,
+                    0,
                 )
                 if eobrun:
                     raise ValueError(
@@ -1202,31 +1294,55 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 f"unsupported marker 0xFF{marker:02X} in progressive stream"
             )
         pos = end
-    if not blocks:
+    if not comps:
         raise ValueError("progressive stream has no SOF2 header")
-    if tq not in qtabs:
-        raise ValueError("missing quantization table")
-    qtab = qtabs[tq]
 
-    out = bytearray(width * height)
-    for bi, blk in enumerate(blocks):
-        coef = [0.0] * 64
-        for i in range(64):
-            coef[_ZZ[i]] = blk[i] * qtab[_ZZ[i]]
-        px = _idct(coef)
-        bx, by = bi % bx_n, bi // bx_n
-        for y in range(8):
-            sy = by * 8 + y
-            if sy >= height:
-                break
-            row = sy * width
-            for x in range(8):
-                sx = bx * 8 + x
-                if sx >= width:
-                    break
-                v = math.floor(px[y * 8 + x] + 128.0 + 0.5)
-                out[row + sx] = 0 if v < 0 else (255 if v > 255 else v)
-    return width, height, 1, bytes(out)
+    planes = []
+    pw, ph = bx_n * 8, by_n * 8
+    for comp in comps:
+        if comp["tq"] not in qtabs:
+            raise ValueError("missing quantization table")
+        qtab = qtabs[comp["tq"]]
+        plane = [0.0] * (pw * ph)
+        for bi, blk in enumerate(comp["blocks"]):
+            coef = [0.0] * 64
+            for i in range(64):
+                coef[_ZZ[i]] = blk[i] * qtab[_ZZ[i]]
+            px = _idct(coef)
+            bx, by = bi % bx_n, bi // bx_n
+            for y in range(8):
+                row = (by * 8 + y) * pw + bx * 8
+                bl = y * 8
+                for x in range(8):
+                    plane[row + x] = px[bl + x] + 128.0
+        planes.append(plane)
+
+    def clamp8(v):
+        iv = math.floor(v + 0.5)
+        return 0 if iv < 0 else (255 if iv > 255 else iv)
+
+    if len(comps) == 1:
+        out = bytearray(width * height)
+        for y in range(height):
+            row = y * pw
+            orow = y * width
+            for x in range(width):
+                out[orow + x] = clamp8(planes[0][row + x])
+        return width, height, 1, bytes(out)
+
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        row = y * pw
+        orow = y * width * 3
+        for x in range(width):
+            lum = planes[0][row + x]
+            cb = planes[1][row + x] - 128.0
+            cr = planes[2][row + x] - 128.0
+            o = orow + 3 * x
+            out[o] = clamp8(lum + 1.402 * cr)
+            out[o + 1] = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
+            out[o + 2] = clamp8(lum + 1.772 * cb)
+    return width, height, 3, bytes(out)
 
 
 def _read_symbol(reader, table):
@@ -1240,21 +1356,27 @@ def _read_symbol(reader, table):
             raise ValueError("invalid Huffman stream")
 
 
-def _prog_dc_scan(reader, blocks, huff, tid, ah, al):
-    """DC scan over every block: first scan (Ah=0) is DPCM at reduced
-    precision; refinement appends one raw bit at position Al."""
+def _prog_dc_scan_interleaved(reader, scan_comps, huff, ah, al):
+    """DC scan: first scan (Ah=0) is DPCM at reduced precision with a
+    per-component predictor; refinement appends one raw bit at
+    position Al.  At 1x1 sampling an interleaved MCU is exactly one
+    block per scan component in scan order, so MCU order IS block
+    raster order advanced in lockstep across components."""
+    n_blocks = len(scan_comps[0][0]["blocks"])
     if ah == 0:
-        table = huff[(0, tid)]
-        pred = 0
-        for blk in blocks:
-            s = _read_symbol(reader, table)
-            pred += _extend(reader.bits(s), s) if s else 0
-            blk[0] = pred << al
+        preds = [0] * len(scan_comps)
+        for b in range(n_blocks):
+            for si, (comp, tables) in enumerate(scan_comps):
+                table = huff[(0, tables >> 4)]
+                s = _read_symbol(reader, table)
+                preds[si] += _extend(reader.bits(s), s) if s else 0
+                comp["blocks"][b][0] = preds[si] << al
     else:
         bit = 1 << al
-        for blk in blocks:
-            if reader.bit():
-                blk[0] |= bit
+        for b in range(n_blocks):
+            for comp, _tables in scan_comps:
+                if reader.bit():
+                    comp["blocks"][b][0] |= bit
 
 
 def _prog_ac_scan(reader, blocks, huff, tid, ss, se, ah, al, eobrun):
