@@ -561,6 +561,50 @@ def _encode_block(writer, block, qtab, dc_codes, ac_codes, pred):
     return qz[0]
 
 
+def _jpeg_planes(pixels, width, height, channels, subsample):
+    """Shared plane preparation for the baseline AND progressive
+    encoders (the cross-codec equality anchor depends on both using the
+    exact same level-shifted planes and chroma downsampling):
+    -> (planes, per-plane dims, per-plane (h, v) sampling factors)."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, got {channels}")
+    if subsample not in ("444", "420"):
+        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer does not match dimensions")
+    n = width * height
+    if channels == 1:
+        return [[float(p) for p in pixels]], [(width, height)], [(1, 1)]
+    y, cb, cr = _rgb_to_ycbcr(pixels, n)
+    if subsample == "444":
+        return (
+            [y, cb, cr],
+            [(width, height)] * 3,
+            [(1, 1), (1, 1), (1, 1)],
+        )
+    # 420: 2x2 box-average chroma
+    cw, ch = (width + 1) // 2, (height + 1) // 2
+    cbd, crd = [0.0] * (cw * ch), [0.0] * (cw * ch)
+    for cy in range(ch):
+        for cx in range(cw):
+            acc_b = acc_r = 0.0
+            cnt = 0
+            for dy in range(2):
+                for dx in range(2):
+                    sx, sy = 2 * cx + dx, 2 * cy + dy
+                    if sx < width and sy < height:
+                        acc_b += cb[sy * width + sx]
+                        acc_r += cr[sy * width + sx]
+                        cnt += 1
+            cbd[cy * cw + cx] = acc_b / cnt
+            crd[cy * cw + cx] = acc_r / cnt
+    return (
+        [y, cbd, crd],
+        [(width, height), (cw, ch), (cw, ch)],
+        [(2, 2), (1, 1), (1, 1)],
+    )
+
+
 def jpeg_encode(
     pixels: bytes,
     width: int,
@@ -577,42 +621,9 @@ def jpeg_encode(
     Constant 8x8 blocks take the DC-only fast path end-to-end and
     (for even offsets from 128) round-trip EXACTLY — the property the
     graded digest-block query is built on."""
-    if channels not in (1, 3):
-        raise ValueError(f"channels must be 1 or 3, got {channels}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer does not match dimensions")
-    n = width * height
-    if channels == 1:
-        planes = [[float(p) for p in pixels]]
-        dims = [(width, height)]
-        samp = [(1, 1)]
-    else:
-        y, cb, cr = _rgb_to_ycbcr(pixels, n)
-        if subsample == "444":
-            planes = [y, cb, cr]
-            dims = [(width, height)] * 3
-            samp = [(1, 1), (1, 1), (1, 1)]
-        else:  # 420: 2x2 box-average chroma
-            cw, ch = (width + 1) // 2, (height + 1) // 2
-            cbd, crd = [0.0] * (cw * ch), [0.0] * (cw * ch)
-            for cy in range(ch):
-                for cx in range(cw):
-                    acc_b = acc_r = 0.0
-                    cnt = 0
-                    for dy in range(2):
-                        for dx in range(2):
-                            sx, sy = 2 * cx + dx, 2 * cy + dy
-                            if sx < width and sy < height:
-                                acc_b += cb[sy * width + sx]
-                                acc_r += cr[sy * width + sx]
-                                cnt += 1
-                    cbd[cy * cw + cx] = acc_b / cnt
-                    crd[cy * cw + cx] = acc_r / cnt
-            planes = [y, cbd, crd]
-            dims = [(width, height), (cw, ch), (cw, ch)]
-            samp = [(2, 2), (1, 1), (1, 1)]
+    planes, dims, samp = _jpeg_planes(
+        pixels, width, height, channels, subsample
+    )
     hmax = max(h for h, _v in samp)
     vmax = max(v for _h, v in samp)
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
@@ -741,10 +752,11 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     replication chroma upsampling).  Supports sampling factors in
     {1, 2}, restart intervals, multi-table DQT/DHT segments; skips
     APPn/COM.  Progressive (SOF2) streams decode too (round 12:
-    greyscale AND 4:4:4 color, full spectral selection + successive
-    approximation — `_jpeg_decode_progressive_impl`); subsampled color
-    progressive and arithmetic-coded streams raise
-    NotImplementedError; every other malformation raises ValueError —
+    greyscale and color at every sampling the baseline path supports
+    — 4:4:4 and 4:2:0 — with full spectral selection + successive
+    approximation; `_jpeg_decode_progressive_impl`); arithmetic-coded
+    streams raise NotImplementedError; every other malformation raises
+    ValueError —
     ENFORCED at this boundary: the internal exception types malformed
     input can surface (a stray RSTn escaping as _RestartMarker, a
     truncated stream's IndexError, a missing-table KeyError, a short
@@ -924,58 +936,70 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
 
 # -- Progressive JPEG (SOF2), round 12 --------------------------------------
 #
-# Scope (declared, enforced): greyscale AND 4:4:4-color progressive
-# streams with full spectral selection AND successive approximation —
-# the T.81 G.1/G.2 coding model: interleaved DC first scan at reduced
-# precision (per-component predictors), DC refinement bits,
-# single-component AC band scans, AC refinement scans with EOB-run
-# coding and correction bits.  SUBSAMPLED color progressive (multi-
-# block-per-MCU DC structure) and restart intervals in progressive
-# scans remain out of scope and raise NotImplementedError; malformed
-# input raises ValueError via the jpeg_decode boundary.  The encoder's
-# greyscale script is six scans (DC Al=1, DC refine, AC 1-5 Al=1, AC
-# 6-63 Al=1, their refinements); color adds per-component AC band +
-# refinement scans — every feature the decoder implements is exercised
-# by its own fixtures, and both paths quantize identically to the
-# baseline codec, so progressive and baseline encodings of the same
-# image decode to IDENTICAL samples (pinned in tests/test_codecs.py).
+# Scope (declared, enforced): greyscale and color (4:4:4 AND 4:2:0 —
+# every sampling the baseline path supports) progressive streams with
+# full spectral selection AND successive approximation — the T.81
+# G.1/G.2 coding model: interleaved DC first scan at reduced precision
+# (h x v blocks per component per MCU, per-component predictors), DC
+# refinement bits, single-component AC band scans over each
+# component's own non-interleaved grid (smaller than the MCU-padded
+# storage grid when subsampled — the classic dual-grid subtlety), AC
+# refinement scans with EOB-run coding and correction bits.  Restart
+# intervals in progressive scans remain out of scope and raise
+# NotImplementedError; malformed input raises ValueError via the
+# jpeg_decode boundary.  The encoder's greyscale script is six scans
+# (DC Al=1, DC refine, AC 1-5 Al=1, AC 6-63 Al=1, their refinements);
+# color adds per-component AC band + refinement scans — every feature
+# the decoder implements is exercised by its own fixtures, and both
+# paths quantize identically to the baseline codec, so progressive and
+# baseline encodings of the same image decode to IDENTICAL samples
+# (pinned in tests/test_codecs.py).
 
 
 def jpeg_encode_progressive(
-    pixels: bytes, width: int, height: int, channels: int = 1
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    subsample: str = "444",
 ) -> bytes:
     """Encode raw samples as a real progressive JPEG (SOF2).
 
-    ``channels``: 1 (greyscale) or 3 (RGB -> YCbCr 4:4:4).  The
+    ``channels``: 1 (greyscale) or 3 (RGB -> YCbCr); ``subsample``:
+    "444" or "420" (color only) — the same planes/quantizers as the
+    baseline encoder, which is the cross-codec equality anchor.  The
     greyscale script is six scans (DC Al=1, DC refine, two AC bands at
     Al=1, their refinements); color interleaves all components in the
-    DC scans and emits per-component AC band + refinement scans (AC
-    progressive scans are single-component by spec)."""
-    if channels not in (1, 3):
-        raise ValueError(f"channels must be 1 or 3, got {channels}")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer does not match dimensions")
-    if channels == 1:
-        planes = [[float(p) for p in pixels]]
-    else:
-        planes = list(_rgb_to_ycbcr(pixels, width * height))
-    bx_n = (width + 7) // 8
-    by_n = (height + 7) // 8
+    DC scans (h x v blocks per component per MCU) and emits
+    per-component AC band + refinement scans over each component's own
+    non-interleaved block grid (AC progressive scans are
+    single-component by spec)."""
+    planes, dims, samp = _jpeg_planes(
+        pixels, width, height, channels, subsample
+    )
+    hmax = max(h for h, _v in samp)
+    vmax = max(v for _h, v in samp)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
 
-    # quantized coefficient blocks per component, zig-zag order (same
-    # quantizers as the baseline encoder — the cross-codec equality
-    # anchor)
+    # per component: quantized blocks over the MCU-PADDED grid in
+    # zig-zag order, plus that component's non-interleaved grid dims
     comp_blocks = []
+    grids = []  # (bx_pad, nx, ny) per component
     for ci, plane in enumerate(planes):
+        h, v = samp[ci]
+        pw, ph = dims[ci]
+        bx_pad, by_pad = mcus_x * h, mcus_y * v
         qtab = _Q_LUM if ci == 0 else _Q_CHR
         blocks = []
-        for by in range(by_n):
-            for bx in range(bx_n):
-                coef = _fdct(_plane_block(plane, width, height, bx, by))
+        for by in range(by_pad):
+            for bx in range(bx_pad):
+                coef = _fdct(_plane_block(plane, pw, ph, bx, by))
                 blocks.append(
                     [_quantize(coef[_ZZ[i]], qtab[_ZZ[i]]) for i in range(64)]
                 )
         comp_blocks.append(blocks)
+        grids.append((bx_pad, (pw + 7) // 8, (ph + 7) // 8))
 
     lum_dc, lum_ac = _huff_codes(*_H_DC_LUM), _huff_codes(*_H_AC_LUM)
     chr_dc, chr_ac = _huff_codes(*_H_DC_CHR), _huff_codes(*_H_AC_CHR)
@@ -994,7 +1018,8 @@ def jpeg_encode_progressive(
         )
     sof = bytearray(struct.pack(">BHHB", 8, height, width, channels))
     for ci in range(channels):
-        sof.extend(bytes([ci + 1, 0x11, 0 if ci == 0 else 1]))
+        h, v = samp[ci]
+        sof.extend(bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1]))
     segment(b"\xff\xc2", bytes(sof))
     segment(b"\xff\xc4", b"\x00" + bytes(_H_DC_LUM[0]) + bytes(_H_DC_LUM[1]))
     segment(b"\xff\xc4", b"\x10" + bytes(_H_AC_LUM[0]) + bytes(_H_AC_LUM[1]))
@@ -1017,29 +1042,48 @@ def jpeg_encode_progressive(
     dc_specs = [
         (ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(channels)
     ]
-    n_blocks = bx_n * by_n
 
-    # scan 1: DC first, Al=1, all components interleaved (per MCU =
-    # one block per component at 1x1), per-component predictors
+    def mcu_block_indices():
+        """(ci, padded block index) in interleaved MCU order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in range(channels):
+                    h, v = samp[ci]
+                    bx_pad = grids[ci][0]
+                    for by in range(v):
+                        for bx in range(h):
+                            yield ci, (my * v + by) * bx_pad + (mx * h + bx)
+
+    def band_blocks(ci):
+        """The component's blocks in NON-interleaved row-major order
+        (the grid AC scans cover — smaller than the padded grid when
+        subsampled)."""
+        bx_pad, nx, ny = grids[ci]
+        return [
+            comp_blocks[ci][row * bx_pad + col]
+            for row in range(ny)
+            for col in range(nx)
+        ]
+
+    # scan 1: DC first, Al=1, all components interleaved,
+    # per-component predictors
     w = _BitWriter()
     preds = [0] * channels
-    for b in range(n_blocks):
-        for ci in range(channels):
-            approx = comp_blocks[ci][b][0] >> 1
-            dc_codes = lum_dc if ci == 0 else chr_dc
-            s, bits = _magnitude(approx - preds[ci])
-            code, length = dc_codes[s]
-            w.write(code, length)
-            if s:
-                w.write(bits, s)
-            preds[ci] = approx
+    for ci, b in mcu_block_indices():
+        approx = comp_blocks[ci][b][0] >> 1
+        dc_codes = lum_dc if ci == 0 else chr_dc
+        s, bits = _magnitude(approx - preds[ci])
+        code, length = dc_codes[s]
+        w.write(code, length)
+        if s:
+            w.write(bits, s)
+        preds[ci] = approx
     sos(dc_specs, 0, 0, 0, 1, w.flush())
 
-    # scan 2: DC refinement — one raw bit per block per component
+    # scan 2: DC refinement — one raw bit per block in MCU order
     w = _BitWriter()
-    for b in range(n_blocks):
-        for ci in range(channels):
-            w.write(comp_blocks[ci][b][0] & 1, 1)
+    for ci, b in mcu_block_indices():
+        w.write(comp_blocks[ci][b][0] & 1, 1)
     sos(dc_specs, 0, 0, 1, 0, w.flush())
 
     def ac_first(blocks, ac_codes, ss, se, al):
@@ -1140,26 +1184,28 @@ def jpeg_encode_progressive(
 
     if channels == 1:
         spec = [dc_specs[0]]
-        sos(spec, 1, 5, 0, 1, ac_first(comp_blocks[0], lum_ac, 1, 5, 1))
-        sos(spec, 6, 63, 0, 1, ac_first(comp_blocks[0], lum_ac, 6, 63, 1))
-        sos(spec, 1, 5, 1, 0, ac_refine(comp_blocks[0], lum_ac, 1, 5, 0))
-        sos(spec, 6, 63, 1, 0, ac_refine(comp_blocks[0], lum_ac, 6, 63, 0))
+        blocks0 = band_blocks(0)
+        sos(spec, 1, 5, 0, 1, ac_first(blocks0, lum_ac, 1, 5, 1))
+        sos(spec, 6, 63, 0, 1, ac_first(blocks0, lum_ac, 6, 63, 1))
+        sos(spec, 1, 5, 1, 0, ac_refine(blocks0, lum_ac, 1, 5, 0))
+        sos(spec, 6, 63, 1, 0, ac_refine(blocks0, lum_ac, 6, 63, 0))
     else:
         # AC progressive scans are single-component by spec: one band
-        # scan + one refinement per component
+        # scan + one refinement per component, each over that
+        # component's non-interleaved grid
         for ci in range(3):
             ac_codes = lum_ac if ci == 0 else chr_ac
             spec = [dc_specs[ci]]
             sos(
                 spec, 1, 63, 0, 1,
-                ac_first(comp_blocks[ci], ac_codes, 1, 63, 1),
+                ac_first(band_blocks(ci), ac_codes, 1, 63, 1),
             )
         for ci in range(3):
             ac_codes = lum_ac if ci == 0 else chr_ac
             spec = [dc_specs[ci]]
             sos(
                 spec, 1, 63, 1, 0,
-                ac_refine(comp_blocks[ci], ac_codes, 1, 63, 0),
+                ac_refine(band_blocks(ci), ac_codes, 1, 63, 0),
             )
     out.extend(b"\xff\xd9")
     return bytes(out)
@@ -1214,23 +1260,30 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 raise ValueError("only 8-bit precision supported")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported component count {nc}")
-            bx_n = (width + 7) // 8
-            by_n = (height + 7) // 8
             comps = []
             for ci in range(nc):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if hv != 0x11:
-                    raise NotImplementedError(
-                        "subsampled color progressive JPEG is out of "
-                        "scope (4:4:4 / 1x1 sampling only)"
-                    )
-                comps.append(
-                    {
-                        "id": cid,
-                        "tq": tq,
-                        "blocks": [[0] * 64 for _ in range(bx_n * by_n)],
-                    }
-                )
+                h, v = hv >> 4, hv & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
+                    raise ValueError(f"sampling factor {h}x{v} unsupported")
+                comps.append({"id": cid, "tq": tq, "h": h, "v": v})
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                # blocks live in the MCU-PADDED grid; AC scans cover
+                # only the non-interleaved grid (nx x ny), which is
+                # smaller when the component is subsampled
+                c["bx_pad"] = mcus_x * c["h"]
+                c["by_pad"] = mcus_y * c["v"]
+                cw = (width * c["h"] + hmax - 1) // hmax
+                chh = (height * c["v"] + vmax - 1) // vmax
+                c["nx"], c["ny"] = (cw + 7) // 8, (chh + 7) // 8
+                c["blocks"] = [
+                    [0] * 64 for _ in range(c["bx_pad"] * c["by_pad"])
+                ]
+            bx_n, by_n = mcus_x, mcus_y  # MCU grid for the DC scans
         elif marker == 0xDD:
             raise NotImplementedError(
                 "restart intervals in progressive scans are out of scope"
@@ -1256,9 +1309,9 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             if ss == 0:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
-                # interleaved (or single-component) DC: at 1x1 each MCU
-                # is one block per scan component, in scan order
-                _prog_dc_scan_interleaved(reader, scan_comps, huff, ah, al)
+                _prog_dc_scan_interleaved(
+                    reader, scan_comps, huff, ah, al, bx_n, by_n, ns > 1
+                )
             else:
                 if ns != 1:
                     raise ValueError(
@@ -1268,7 +1321,7 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 comp, tables = scan_comps[0]
                 eobrun = _prog_ac_scan(
                     reader,
-                    comp["blocks"],
+                    _band_block_view(comp),
                     huff,
                     tables & 0x0F,
                     ss,
@@ -1297,47 +1350,56 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     if not comps:
         raise ValueError("progressive stream has no SOF2 header")
 
-    planes = []
-    pw, ph = bx_n * 8, by_n * 8
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     for comp in comps:
         if comp["tq"] not in qtabs:
             raise ValueError("missing quantization table")
         qtab = qtabs[comp["tq"]]
+        pw, ph = comp["bx_pad"] * 8, comp["by_pad"] * 8
         plane = [0.0] * (pw * ph)
         for bi, blk in enumerate(comp["blocks"]):
             coef = [0.0] * 64
             for i in range(64):
                 coef[_ZZ[i]] = blk[i] * qtab[_ZZ[i]]
             px = _idct(coef)
-            bx, by = bi % bx_n, bi // bx_n
+            bx, by = bi % comp["bx_pad"], bi // comp["bx_pad"]
             for y in range(8):
                 row = (by * 8 + y) * pw + bx * 8
                 bl = y * 8
                 for x in range(8):
                     plane[row + x] = px[bl + x] + 128.0
-        planes.append(plane)
+        comp["plane"] = plane
+        comp["pw"] = pw
+
+    def sample(c, x, y):
+        # replication upsampling, exactly the baseline decoder's
+        sx = x * c["h"] // hmax
+        sy = y * c["v"] // vmax
+        return c["plane"][sy * c["pw"] + sx]
 
     def clamp8(v):
         iv = math.floor(v + 0.5)
         return 0 if iv < 0 else (255 if iv > 255 else iv)
 
     if len(comps) == 1:
+        c0 = comps[0]
         out = bytearray(width * height)
         for y in range(height):
-            row = y * pw
+            row = y * c0["pw"]
             orow = y * width
             for x in range(width):
-                out[orow + x] = clamp8(planes[0][row + x])
+                out[orow + x] = clamp8(c0["plane"][row + x])
         return width, height, 1, bytes(out)
 
+    cy, ccb, ccr = comps
     out = bytearray(width * height * 3)
     for y in range(height):
-        row = y * pw
         orow = y * width * 3
         for x in range(width):
-            lum = planes[0][row + x]
-            cb = planes[1][row + x] - 128.0
-            cr = planes[2][row + x] - 128.0
+            lum = sample(cy, x, y)
+            cb = sample(ccb, x, y) - 128.0
+            cr = sample(ccr, x, y) - 128.0
             o = orow + 3 * x
             out[o] = clamp8(lum + 1.402 * cr)
             out[o + 1] = clamp8(lum - 0.344136 * cb - 0.714136 * cr)
@@ -1356,27 +1418,63 @@ def _read_symbol(reader, table):
             raise ValueError("invalid Huffman stream")
 
 
-def _prog_dc_scan_interleaved(reader, scan_comps, huff, ah, al):
+def _band_block_view(comp):
+    """The component's blocks in NON-interleaved row-major order — the
+    grid single-component scans cover, which is smaller than the
+    MCU-padded storage grid when the component is subsampled."""
+    bx_pad = comp["bx_pad"]
+    return [
+        comp["blocks"][row * bx_pad + col]
+        for row in range(comp["ny"])
+        for col in range(comp["nx"])
+    ]
+
+
+def _prog_dc_scan_interleaved(
+    reader, scan_comps, huff, ah, al, mcus_x, mcus_y, interleaved
+):
     """DC scan: first scan (Ah=0) is DPCM at reduced precision with a
     per-component predictor; refinement appends one raw bit at
-    position Al.  At 1x1 sampling an interleaved MCU is exactly one
-    block per scan component in scan order, so MCU order IS block
-    raster order advanced in lockstep across components."""
-    n_blocks = len(scan_comps[0][0]["blocks"])
+    position Al.  Interleaved order is h x v blocks per component per
+    MCU (T.81 A.2.3); a single-component DC scan walks that
+    component's non-interleaved grid instead."""
+    if interleaved:
+        order = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for si, (comp, tables) in enumerate(scan_comps):
+                    h, v, bx_pad = comp["h"], comp["v"], comp["bx_pad"]
+                    for by in range(v):
+                        for bx in range(h):
+                            order.append(
+                                (
+                                    si,
+                                    comp,
+                                    tables,
+                                    (my * v + by) * bx_pad + (mx * h + bx),
+                                )
+                            )
+    else:
+        comp, tables = scan_comps[0]
+        blocks = _band_block_view(comp)
+        order = [(0, comp, tables, None, blk) for blk in blocks]
+
     if ah == 0:
         preds = [0] * len(scan_comps)
-        for b in range(n_blocks):
-            for si, (comp, tables) in enumerate(scan_comps):
-                table = huff[(0, tables >> 4)]
-                s = _read_symbol(reader, table)
-                preds[si] += _extend(reader.bits(s), s) if s else 0
-                comp["blocks"][b][0] = preds[si] << al
+        for item in order:
+            si, comp, tables = item[0], item[1], item[2]
+            blk = comp["blocks"][item[3]] if item[3] is not None else item[4]
+            table = huff[(0, tables >> 4)]
+            s = _read_symbol(reader, table)
+            preds[si] += _extend(reader.bits(s), s) if s else 0
+            blk[0] = preds[si] << al
     else:
         bit = 1 << al
-        for b in range(n_blocks):
-            for comp, _tables in scan_comps:
-                if reader.bit():
-                    comp["blocks"][b][0] |= bit
+        for item in order:
+            comp = item[1]
+            blk = comp["blocks"][item[3]] if item[3] is not None else item[4]
+            if reader.bit():
+                blk[0] |= bit
 
 
 def _prog_ac_scan(reader, blocks, huff, tid, ss, se, ah, al, eobrun):

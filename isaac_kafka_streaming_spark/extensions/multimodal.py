@@ -23,10 +23,10 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     and (round 12) for AVI/MJPEG video containers (codecs.avi_decode:
     RIFF chunk walk + the T.81 JPEG decoder per frame) — graded as
     `media_avi_frames`, every frame's 256-pixel payload byte-exact.
-  * Progressive JPEG (SOF2, greyscale AND 4:4:4 color: spectral
-    selection + successive approximation) decodes FOR REAL as of
-    round 12 through the same jpeg_decode entry point.
-  * Subsampled color progressive JPEG and non-RIFF video (mp4/mkv) remain STUBS: they raise
+  * Progressive JPEG (SOF2 — greyscale, 4:4:4 and 4:2:0 color:
+    spectral selection + successive approximation) decodes FOR REAL
+    as of round 12 through the same jpeg_decode entry point.
+  * Non-RIFF video (mp4/mkv) and arithmetic-coded JPEG remain STUBS: they raise
     NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —

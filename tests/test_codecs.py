@@ -961,13 +961,19 @@ def test_progressive_jpeg_equals_baseline_decode():
         base = jpeg_decode(jpeg_encode(data, w, h))
         prog = jpeg_decode(jpeg_encode_progressive(data, w, h))
         assert base == prog
-    # color (4:4:4): same anchor — shared quantizers, identical decode
+    # color (4:4:4 AND 4:2:0): same anchor — shared planes/quantizers,
+    # identical decode
     for _ in range(8):
         w, h = rng.randrange(1, 25), rng.randrange(1, 25)
         rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
-        base = jpeg_decode(jpeg_encode(rgb, w, h, channels=3))
-        prog = jpeg_decode(jpeg_encode_progressive(rgb, w, h, channels=3))
-        assert base == prog
+        for sub in ("444", "420"):
+            base = jpeg_decode(
+                jpeg_encode(rgb, w, h, channels=3, subsample=sub)
+            )
+            prog = jpeg_decode(
+                jpeg_encode_progressive(rgb, w, h, channels=3, subsample=sub)
+            )
+            assert base == prog
 
 
 def test_progressive_jpeg_const_blocks_exact_and_prefix_decodable():
@@ -1010,14 +1016,14 @@ def test_progressive_jpeg_out_of_scope_and_malformed():
     img = bytes(range(256))
     blob = jpeg_encode_progressive(img, 16, 16)
 
-    # subsampled color progressive: patch a sampling-factor byte in a
-    # COLOR progressive stream's SOF2 (2x2 luma)
+    # out-of-range sampling factor in a color progressive SOF2 (3x3 is
+    # outside even the baseline {1,2} envelope)
     rgb = bytes((i * 3 + c) % 256 for i in range(256) for c in range(3))
     cblob = jpeg_encode_progressive(rgb, 16, 16, channels=3)
     sofc = cblob.index(b"\xff\xc2")
     bad = bytearray(cblob)
-    bad[sofc + 4 + 5 + 2] = 0x22  # comp 1 h/v inside SOF2 payload
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    bad[sofc + 4 + 5 + 2] = 0x33  # comp 1 h/v inside SOF2 payload
+    with pytest.raises(ValueError, match="sampling factor"):
         jpeg_decode(bytes(bad))
 
     sof = blob.index(b"\xff\xc2")
@@ -1139,23 +1145,27 @@ def test_progressive_jpeg_multiblock_eob_runs():
 @given(
     w=st.integers(min_value=1, max_value=20),
     h=st.integers(min_value=1, max_value=20),
-    channels=st.sampled_from([1, 3]),
+    mode=st.sampled_from([(1, "444"), (3, "444"), (3, "420")]),
     data=st.data(),
 )
-def test_progressive_equals_baseline_property(w, h, channels, data):
+def test_progressive_equals_baseline_property(w, h, mode, data):
     """Property form of the cross-codec anchor: for ANY image
-    (greyscale or 4:4:4 color), the progressive and baseline encoders
-    quantize identically, so their decodes are byte-equal."""
+    (greyscale, 4:4:4 or 4:2:0 color), the progressive and baseline
+    encoders share planes and quantizers, so their decodes are
+    byte-equal."""
     from isaac_kafka_streaming_spark.extensions.codecs import (
         jpeg_decode,
         jpeg_encode,
         jpeg_encode_progressive,
     )
 
+    channels, sub = mode
     n = w * h * channels
     pixels = bytes(
         data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
     )
     assert jpeg_decode(
-        jpeg_encode_progressive(pixels, w, h, channels=channels)
-    ) == jpeg_decode(jpeg_encode(pixels, w, h, channels=channels))
+        jpeg_encode_progressive(pixels, w, h, channels=channels, subsample=sub)
+    ) == jpeg_decode(
+        jpeg_encode(pixels, w, h, channels=channels, subsample=sub)
+    )
