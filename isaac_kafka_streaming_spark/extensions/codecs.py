@@ -944,9 +944,9 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
 # refinement bits, single-component AC band scans over each
 # component's own non-interleaved grid (smaller than the MCU-padded
 # storage grid when subsampled — the classic dual-grid subtlety), AC
-# refinement scans with EOB-run coding and correction bits.  Restart
-# intervals in progressive scans remain out of scope and raise
-# NotImplementedError; malformed input raises ValueError via the
+# refinement scans with EOB-run coding and correction bits, and DRI
+# restart cadence in every scan (byte-align onto RSTn, predictor and
+# EOB-run reset).  Malformed input raises ValueError via the
 # jpeg_decode boundary.  The encoder's greyscale script is six scans
 # (DC Al=1, DC refine, AC 1-5 Al=1, AC 6-63 Al=1, their refinements);
 # color adds per-component AC band + refinement scans — every feature
@@ -962,6 +962,7 @@ def jpeg_encode_progressive(
     height: int,
     channels: int = 1,
     subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode raw samples as a real progressive JPEG (SOF2).
 
@@ -973,7 +974,10 @@ def jpeg_encode_progressive(
     DC scans (h x v blocks per component per MCU) and emits
     per-component AC band + refinement scans over each component's own
     non-interleaved block grid (AC progressive scans are
-    single-component by spec)."""
+    single-component by spec).  ``restart_interval`` (in MCUs —
+    blocks, for the non-interleaved AC scans) inserts RSTn markers
+    resetting the DC predictors and byte-aligning every scan, exactly
+    like the baseline encoder's DRI handling."""
     planes, dims, samp = _jpeg_planes(
         pixels, width, height, channels, subsample
     )
@@ -1030,6 +1034,8 @@ def jpeg_encode_progressive(
         segment(
             b"\xff\xc4", b"\x11" + bytes(_H_AC_CHR[0]) + bytes(_H_AC_CHR[1])
         )
+    if restart_interval:
+        segment(b"\xff\xdd", struct.pack(">H", restart_interval))  # DRI
 
     def sos(comp_specs, ss, se, ah, al, entropy):
         body = bytearray([len(comp_specs)])
@@ -1043,16 +1049,34 @@ def jpeg_encode_progressive(
         (ci + 1, 0x00 if ci == 0 else 0x11) for ci in range(channels)
     ]
 
-    def mcu_block_indices():
-        """(ci, padded block index) in interleaved MCU order."""
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                for ci in range(channels):
-                    h, v = samp[ci]
-                    bx_pad = grids[ci][0]
-                    for by in range(v):
-                        for bx in range(h):
-                            yield ci, (my * v + by) * bx_pad + (mx * h + bx)
+    class _ScanWriter:
+        """Per-scan entropy accumulator with restart cadence: after
+        every ``restart_interval`` MCU units the bit stream flushes
+        (1-padded to a byte), an RSTn marker (cycling 0-7) lands in
+        the entropy data, and on_restart fires (DC predictor reset)."""
+
+        def __init__(self, on_restart=None):
+            self.data = bytearray()
+            self.w = _BitWriter()
+            self.mcu = 0
+            self.rst = 0
+            self.on_restart = on_restart
+
+        def boundary(self):
+            if (
+                restart_interval
+                and self.mcu
+                and self.mcu % restart_interval == 0
+            ):
+                self.data += self.w.flush()
+                self.data += bytes([0xFF, 0xD0 + self.rst])
+                self.rst = (self.rst + 1) % 8
+                self.w = _BitWriter()
+                if self.on_restart:
+                    self.on_restart()
+
+        def done(self):
+            return bytes(self.data + self.w.flush())
 
     def band_blocks(ci):
         """The component's blocks in NON-interleaved row-major order
@@ -1066,29 +1090,56 @@ def jpeg_encode_progressive(
         ]
 
     # scan 1: DC first, Al=1, all components interleaved,
-    # per-component predictors
-    w = _BitWriter()
+    # per-component predictors (reset at restarts)
     preds = [0] * channels
-    for ci, b in mcu_block_indices():
-        approx = comp_blocks[ci][b][0] >> 1
-        dc_codes = lum_dc if ci == 0 else chr_dc
-        s, bits = _magnitude(approx - preds[ci])
-        code, length = dc_codes[s]
-        w.write(code, length)
-        if s:
-            w.write(bits, s)
-        preds[ci] = approx
-    sos(dc_specs, 0, 0, 0, 1, w.flush())
+
+    def _reset_preds():
+        for ci in range(channels):
+            preds[ci] = 0
+
+    sw = _ScanWriter(on_restart=_reset_preds)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            sw.boundary()
+            for ci in range(channels):
+                h, v = samp[ci]
+                bx_pad = grids[ci][0]
+                for by in range(v):
+                    for bx in range(h):
+                        b = (my * v + by) * bx_pad + (mx * h + bx)
+                        approx = comp_blocks[ci][b][0] >> 1
+                        dc_codes = lum_dc if ci == 0 else chr_dc
+                        s, bits = _magnitude(approx - preds[ci])
+                        code, length = dc_codes[s]
+                        sw.w.write(code, length)
+                        if s:
+                            sw.w.write(bits, s)
+                        preds[ci] = approx
+            sw.mcu += 1
+    sos(dc_specs, 0, 0, 0, 1, sw.done())
 
     # scan 2: DC refinement — one raw bit per block in MCU order
-    w = _BitWriter()
-    for ci, b in mcu_block_indices():
-        w.write(comp_blocks[ci][b][0] & 1, 1)
-    sos(dc_specs, 0, 0, 1, 0, w.flush())
+    sw = _ScanWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            sw.boundary()
+            for ci, b in (
+                (ci2, (my * samp[ci2][1] + by) * grids[ci2][0]
+                 + (mx * samp[ci2][0] + bx))
+                for ci2 in range(channels)
+                for by in range(samp[ci2][1])
+                for bx in range(samp[ci2][0])
+            ):
+                sw.w.write(comp_blocks[ci][b][0] & 1, 1)
+            sw.mcu += 1
+    sos(dc_specs, 0, 0, 1, 0, sw.done())
 
     def ac_first(blocks, ac_codes, ss, se, al):
-        w = _BitWriter()
+        sw = _ScanWriter()
         for blk in blocks:
+            sw.boundary()
+            w = sw.w
+            sw.mcu += 1
             k = ss
             last = ss - 1
             for j in range(se, ss - 1, -1):
@@ -1117,7 +1168,7 @@ def jpeg_encode_progressive(
             if last != se:
                 code, length = ac_codes[0x00]  # EOB (run of exactly 1)
                 w.write(code, length)
-        return w.flush()
+        return sw.done()
 
     def ac_refine(blocks, ac_codes, ss, se, al):
         # t = abs >> al classifies every coefficient: 0 = zero history
@@ -1127,8 +1178,11 @@ def jpeg_encode_progressive(
         # kinds) so correction bits stay positionally interleaved with
         # the zero-run skips exactly as the decoder consumes them —
         # the libjpeg encode_mcu_AC_refine structure.
-        w = _BitWriter()
+        sw = _ScanWriter()
         for blk in blocks:
+            sw.boundary()
+            w = sw.w
+            sw.mcu += 1
             absv = [abs(blk[j]) >> al for j in range(ss, se + 1)]
             last = ss - 1
             for j in range(se, ss - 1, -1):
@@ -1180,7 +1234,7 @@ def jpeg_encode_progressive(
                 w.write(code, length)
                 for b in corrections:
                     w.write(b, 1)
-        return w.flush()
+        return sw.done()
 
     if channels == 1:
         spec = [dc_specs[0]]
@@ -1213,15 +1267,16 @@ def jpeg_encode_progressive(
 
 def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     """Multi-scan SOF2 decode: accumulate quantized coefficients across
-    scans, then dequantize + IDCT once at EOI.  Greyscale or 4:4:4
-    color (all sampling factors 1x1, so an interleaved DC MCU is one
-    block per component and every component shares the block grid);
-    subsampled color progressive stays out of scope."""
+    scans, then dequantize + IDCT once at EOI.  Greyscale or color at
+    sampling factors in {1, 2} (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0); DRI
+    restart cadence honored in every scan (predictor/EOB-run reset +
+    byte alignment at each RSTn)."""
     qtabs: dict = {}
     huff: dict = {}
     width = height = 0
     comps: list = []
     bx_n = by_n = 0
+    restart_interval = 0
     pos = 2
     while True:
         if blob[pos] != 0xFF:
@@ -1284,10 +1339,8 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                     [0] * 64 for _ in range(c["bx_pad"] * c["by_pad"])
                 ]
             bx_n, by_n = mcus_x, mcus_y  # MCU grid for the DC scans
-        elif marker == 0xDD:
-            raise NotImplementedError(
-                "restart intervals in progressive scans are out of scope"
-            )
+        elif marker == 0xDD:  # DRI — restart cadence for every scan
+            (restart_interval,) = struct.unpack_from(">H", body)
         elif marker == 0xDA:
             if not comps:
                 raise ValueError("SOS before SOF2 header")
@@ -1310,7 +1363,8 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
                 _prog_dc_scan_interleaved(
-                    reader, scan_comps, huff, ah, al, bx_n, by_n, ns > 1
+                    reader, scan_comps, huff, ah, al, bx_n, by_n, ns > 1,
+                    restart_interval,
                 )
             else:
                 if ns != 1:
@@ -1329,6 +1383,7 @@ def _jpeg_decode_progressive_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                     ah,
                     al,
                     0,
+                    restart_interval,
                 )
                 if eobrun:
                     raise ValueError(
@@ -1431,64 +1486,78 @@ def _band_block_view(comp):
 
 
 def _prog_dc_scan_interleaved(
-    reader, scan_comps, huff, ah, al, mcus_x, mcus_y, interleaved
+    reader, scan_comps, huff, ah, al, mcus_x, mcus_y, interleaved,
+    restart_interval=0,
 ):
     """DC scan: first scan (Ah=0) is DPCM at reduced precision with a
     per-component predictor; refinement appends one raw bit at
     position Al.  Interleaved order is h x v blocks per component per
     MCU (T.81 A.2.3); a single-component DC scan walks that
-    component's non-interleaved grid instead."""
+    component's non-interleaved grid instead.  A restart boundary
+    byte-aligns onto an RSTn and resets the predictors."""
+    units = []  # one entry per MCU: list of (si, block)
     if interleaved:
-        order = []
         for my in range(mcus_y):
             for mx in range(mcus_x):
-                for si, (comp, tables) in enumerate(scan_comps):
+                unit = []
+                for si, (comp, _tables) in enumerate(scan_comps):
                     h, v, bx_pad = comp["h"], comp["v"], comp["bx_pad"]
                     for by in range(v):
                         for bx in range(h):
-                            order.append(
+                            unit.append(
                                 (
                                     si,
-                                    comp,
-                                    tables,
-                                    (my * v + by) * bx_pad + (mx * h + bx),
+                                    comp["blocks"][
+                                        (my * v + by) * bx_pad
+                                        + (mx * h + bx)
+                                    ],
                                 )
                             )
+                units.append(unit)
     else:
-        comp, tables = scan_comps[0]
-        blocks = _band_block_view(comp)
-        order = [(0, comp, tables, None, blk) for blk in blocks]
+        comp, _tables = scan_comps[0]
+        units = [[(0, blk)] for blk in _band_block_view(comp)]
 
-    if ah == 0:
-        preds = [0] * len(scan_comps)
-        for item in order:
-            si, comp, tables = item[0], item[1], item[2]
-            blk = comp["blocks"][item[3]] if item[3] is not None else item[4]
-            table = huff[(0, tables >> 4)]
-            s = _read_symbol(reader, table)
-            preds[si] += _extend(reader.bits(s), s) if s else 0
-            blk[0] = preds[si] << al
-    else:
-        bit = 1 << al
-        for item in order:
-            comp = item[1]
-            blk = comp["blocks"][item[3]] if item[3] is not None else item[4]
-            if reader.bit():
+    preds = [0] * len(scan_comps)
+    bit = 1 << al
+    for mi, unit in enumerate(units):
+        if restart_interval and mi and mi % restart_interval == 0:
+            reader.align_to_restart()
+            preds = [0] * len(scan_comps)
+        for si, blk in unit:
+            if ah == 0:
+                table = huff[(0, scan_comps[si][1] >> 4)]
+                s = _read_symbol(reader, table)
+                preds[si] += _extend(reader.bits(s), s) if s else 0
+                blk[0] = preds[si] << al
+            elif reader.bit():
                 blk[0] |= bit
 
 
-def _prog_ac_scan(reader, blocks, huff, tid, ss, se, ah, al, eobrun):
+def _prog_ac_scan(
+    reader, blocks, huff, tid, ss, se, ah, al, eobrun, restart_interval=0
+):
     """AC band scan over every block (non-interleaved, 1 component).
     First scans (Ah=0) place new coefficients at precision Al with
     EOB-run skipping; refinement scans (Ah=1) add one correction bit to
     every already-nonzero coefficient traversed and mark newly
     significant ones (T.81 G.2 / the libjpeg decode_mcu_AC_* model).
-    Returns the EOB run carried into the next scan's blocks (always
-    drained within one scan in practice, but kept explicit)."""
+    A restart boundary byte-aligns onto an RSTn; an EOB run spanning
+    one is malformed (raised).  Returns the EOB run carried into the
+    next scan's blocks (always drained within one scan in practice,
+    but kept explicit)."""
     table = huff[(1, tid)]
     p1 = 1 << al
+
+    def restart_boundary(bi):
+        if restart_interval and bi and bi % restart_interval == 0:
+            if eobrun:
+                raise ValueError("EOB run crosses a restart boundary")
+            reader.align_to_restart()
+
     if ah == 0:
-        for blk in blocks:
+        for bi, blk in enumerate(blocks):
+            restart_boundary(bi)
             if eobrun > 0:
                 eobrun -= 1
                 continue
@@ -1518,7 +1587,8 @@ def _prog_ac_scan(reader, blocks, huff, tid, ss, se, ah, al, eobrun):
         if reader.bit() and (c & p1) == 0:
             blk[z] = c + (p1 if c >= 0 else m1)
 
-    for blk in blocks:
+    for bi, blk in enumerate(blocks):
+        restart_boundary(bi)
         k = ss
         if eobrun == 0:
             while k <= se:

@@ -1032,9 +1032,11 @@ def test_progressive_jpeg_out_of_scope_and_malformed():
     with pytest.raises(ValueError, match="malformed JPEG"):
         jpeg_decode(blob[: len(blob) // 2])
 
-    # a DRI segment in a progressive stream is declared out of scope
-    with_dri = blob[: sof] + b"\xff\xdd\x00\x04\x00\x08" + blob[sof:]
-    with pytest.raises(NotImplementedError, match="restart"):
+    # DRI decodes for real now — but declaring a cadence the entropy
+    # data doesn't honor (no RSTn at MCU 2 of this restart-less
+    # stream) is malformed, not silently misread
+    with_dri = blob[:sof] + b"\xff\xdd\x00\x04\x00\x02" + blob[sof:]
+    with pytest.raises(ValueError, match="RST|malformed"):
         jpeg_decode(with_dri)
 
 
@@ -1169,3 +1171,47 @@ def test_progressive_equals_baseline_property(w, h, mode, data):
     ) == jpeg_decode(
         jpeg_encode(pixels, w, h, channels=channels, subsample=sub)
     )
+
+
+def test_progressive_jpeg_restart_intervals():
+    """DRI in progressive streams: RSTn markers byte-align every scan
+    and reset DC predictors — decode stays byte-identical to the
+    baseline encoding of the same image at every cadence, and a stray
+    restart off-cadence is malformed (ValueError)."""
+    import random
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(77)
+    for _ in range(4):
+        w, h = rng.randrange(9, 33), rng.randrange(9, 33)
+        grey = bytes(rng.randrange(256) for _ in range(w * h))
+        base = jpeg_decode(jpeg_encode(grey, w, h))
+        for ri in (1, 2, 5):
+            prog = jpeg_decode(
+                jpeg_encode_progressive(grey, w, h, restart_interval=ri)
+            )
+            assert prog == base
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        basec = jpeg_decode(jpeg_encode(rgb, w, h, channels=3, subsample="420"))
+        progc = jpeg_decode(
+            jpeg_encode_progressive(
+                rgb, w, h, channels=3, subsample="420", restart_interval=2
+            )
+        )
+        assert progc == basec
+
+    # stray RSTn where no restart is due -> malformed, not decoded wrong
+    blob = jpeg_encode_progressive(bytes(range(256)), 16, 16)
+    i = blob.index(b"\xff\xda")
+    (seglen,) = __import__("struct").unpack_from(">H", blob, i + 2)
+    entropy = i + 2 + seglen
+    stray = blob[:entropy] + b"\xff\xd0" + blob[entropy:]
+    with pytest.raises(ValueError):
+        jpeg_decode(stray)
