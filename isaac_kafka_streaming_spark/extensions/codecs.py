@@ -568,30 +568,35 @@ def _jpeg_planes(pixels, width, height, channels, subsample):
     -> (planes, per-plane dims, per-plane (h, v) sampling factors)."""
     if channels not in (1, 3):
         raise ValueError(f"channels must be 1 or 3, got {channels}")
-    if subsample not in ("444", "420"):
-        raise ValueError(f"subsample must be 444 or 420, got {subsample!r}")
+    factors = {"444": (1, 1), "420": (2, 2), "422": (2, 1), "440": (1, 2)}
+    if subsample not in factors:
+        raise ValueError(
+            f"subsample must be one of {sorted(factors)}, got {subsample!r}"
+        )
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
     n = width * height
     if channels == 1:
         return [[float(p) for p in pixels]], [(width, height)], [(1, 1)]
     y, cb, cr = _rgb_to_ycbcr(pixels, n)
-    if subsample == "444":
+    fh, fv = factors[subsample]
+    if (fh, fv) == (1, 1):
         return (
             [y, cb, cr],
             [(width, height)] * 3,
             [(1, 1), (1, 1), (1, 1)],
         )
-    # 420: 2x2 box-average chroma
-    cw, ch = (width + 1) // 2, (height + 1) // 2
+    # fh x fv box-average chroma (420: 2x2; 422: 2x1; 440: 1x2)
+    cw = (width + fh - 1) // fh
+    ch = (height + fv - 1) // fv
     cbd, crd = [0.0] * (cw * ch), [0.0] * (cw * ch)
     for cy in range(ch):
         for cx in range(cw):
             acc_b = acc_r = 0.0
             cnt = 0
-            for dy in range(2):
-                for dx in range(2):
-                    sx, sy = 2 * cx + dx, 2 * cy + dy
+            for dy in range(fv):
+                for dx in range(fh):
+                    sx, sy = fh * cx + dx, fv * cy + dy
                     if sx < width and sy < height:
                         acc_b += cb[sy * width + sx]
                         acc_r += cr[sy * width + sx]
@@ -601,7 +606,7 @@ def _jpeg_planes(pixels, width, height, channels, subsample):
     return (
         [y, cbd, crd],
         [(width, height), (cw, ch), (cw, ch)],
-        [(2, 2), (1, 1), (1, 1)],
+        [(fh, fv), (1, 1), (1, 1)],
     )
 
 
@@ -616,7 +621,8 @@ def jpeg_encode(
     """Encode raw 8-bit samples as a real baseline JPEG (SOF0, Huffman).
 
     ``channels``: 1 (greyscale) or 3 (RGB, converted to YCbCr here).
-    ``subsample``: "444" or "420" (color only).  Quantization is the
+    ``subsample``: "444", "420", "422" or "440" (color only).
+    Quantization is the
     Annex-K quality-50 pair; all tables are written into the stream.
     Constant 8x8 blocks take the DC-only fast path end-to-end and
     (for even offsets from 128) round-trip EXACTLY — the property the
@@ -967,7 +973,8 @@ def jpeg_encode_progressive(
     """Encode raw samples as a real progressive JPEG (SOF2).
 
     ``channels``: 1 (greyscale) or 3 (RGB -> YCbCr); ``subsample``:
-    "444" or "420" (color only) — the same planes/quantizers as the
+    "444", "420", "422" or "440" (color only) — the same
+    planes/quantizers as the
     baseline encoder, which is the cross-codec equality anchor.  The
     greyscale script is six scans (DC Al=1, DC refine, two AC bands at
     Al=1, their refinements); color interleaves all components in the

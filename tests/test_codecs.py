@@ -1215,3 +1215,39 @@ def test_progressive_jpeg_restart_intervals():
     stray = blob[:entropy] + b"\xff\xd0" + blob[entropy:]
     with pytest.raises(ValueError):
         jpeg_decode(stray)
+
+
+def test_jpeg_422_and_440_sampling_roundtrip_both_codecs():
+    """The decoders always claimed sampling factors in {1,2} (4:2:2 /
+    4:4:0 included) but no encoder exercised them — round 12 adds the
+    subsample modes, so the claim is now tested: real 2x1 / 1x2 SOF
+    sampling bytes in the stream, identical decode between the baseline
+    and progressive codecs (with and without restart intervals)."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(31)
+    for sub, hv in (("422", 0x21), ("440", 0x12)):
+        blob = jpeg_encode(bytes(192), 8, 8, channels=3, subsample=sub)
+        i = blob.index(b"\xff\xc0")
+        assert blob[i + 11] == hv  # luma sampling byte in SOF0
+        for _ in range(4):
+            w, h = rng.randrange(1, 28), rng.randrange(1, 28)
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+            base = jpeg_decode(
+                jpeg_encode(rgb, w, h, channels=3, subsample=sub)
+            )
+            assert base[:3] == (w, h, 3)
+            assert base == jpeg_decode(
+                jpeg_encode_progressive(rgb, w, h, channels=3, subsample=sub)
+            )
+            assert base == jpeg_decode(
+                jpeg_encode_progressive(
+                    rgb, w, h, channels=3, subsample=sub, restart_interval=2
+                )
+            )
