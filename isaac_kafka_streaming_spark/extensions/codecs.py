@@ -2131,27 +2131,361 @@ def _avi_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
     for fourcc, start, size in _walk_riff(blob, *movi_span):
         if fourcc[2:] not in (b"dc", b"db"):
             continue  # non-video chunks (e.g. padding 'JUNK') skipped
-        w, h, ch, px = jpeg_decode(bytes(blob[start : start + size]))
-        if (w, h) != (width, height):
-            raise ValueError(
-                f"frame {len(frames)} is {w}x{h}, header says "
-                f"{width}x{height}"
+        frames.append(
+            _mjpeg_sample_luma(
+                bytes(blob[start : start + size]), width, height, len(frames)
             )
-        if ch == 3:  # ITU-R 601 luma, the GIF greyscale-frame contract
-            px = bytes(
-                min(
-                    255,
-                    round(
-                        0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]
-                    ),
-                )
-                for i in range(0, len(px), 3)
-            )
-        frames.append(px)
+        )
     if not frames:
         raise ValueError("AVI movi list contains no video frames")
     if total is not None and total != len(frames):
         raise ValueError(
             f"AVI header declares {total} frames, movi carries {len(frames)}"
+        )
+    return width, height, len(frames), frames
+
+
+def _mjpeg_sample_luma(data: bytes, width: int, height: int, idx: int) -> bytes:
+    """Decode one Motion-JPEG sample and reduce it to the greyscale
+    frame contract shared by gif/avi/mp4 decode: color JPEGs become
+    ITU-R 601 luma, and the sample's dimensions must match the
+    container header (the frame stack is a single raster shape)."""
+    w, h, ch, px = jpeg_decode(data)
+    if (w, h) != (width, height):
+        raise ValueError(
+            f"frame {idx} is {w}x{h}, header says {width}x{height}"
+        )
+    if ch == 3:
+        px = bytes(
+            min(
+                255,
+                round(0.299 * px[i] + 0.587 * px[i + 1] + 0.114 * px[i + 2]),
+            )
+            for i in range(0, len(px), 3)
+        )
+    return px
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (Motion-JPEG in MP4) — ISO/IEC 14496-12 box grammar,
+# stdlib only.  Scope (declared, enforced by explicit raises):
+#   * decode: ISO-BMFF files with exactly ONE video ('vide' handler)
+#     track whose stsd sample entry is 'jpeg' or 'mjpa' (Motion-JPEG);
+#     samples are located through the REAL sample-table machinery —
+#     stsc chunk runs, stco/co64 chunk offsets, stsz sizes — not just
+#     the single-chunk layout our encoder writes, so third-party
+#     MJPEG MP4s with interleaved audio chunks or 64-bit offsets
+#     decode too.  Non-video tracks are skipped; each sample decodes
+#     via jpeg_decode with color reduced to ITU-R 601 luma (the shared
+#     greyscale frame contract).  H.264/H.265/VP9-class codings
+#     ('avc1', 'hvc1', 'vp09', ...) raise NotImplementedError — the
+#     payload needs an entropy/prediction engine no container parse
+#     can provide; mkv/EBML is not ISO-BMFF and never reaches this
+#     parser.  Malformed input raises ValueError (enforced at the
+#     mp4_decode boundary like avi_decode/gif_decode).
+#   * encode: greyscale frame stacks; one 'jpeg' sample per frame in a
+#     single mdat chunk, plus a spec-complete moov (mvhd/tkhd/mdhd/
+#     hdlr/vmhd/dinf/stbl) so standards-compliant demuxers accept the
+#     file.  Constant 8x8 blocks at even offsets from 128 round-trip
+#     exactly (the same quality-50 quantizer property every graded
+#     media query builds on).
+# ---------------------------------------------------------------------------
+
+
+def is_mp4(blob: bytes) -> bool:
+    """ISO-BMFF sniff: the first box is 'ftyp' (every MP4 our scope
+    cares about leads with it; the size field varies, the type does
+    not)."""
+    return len(blob) >= 12 and blob[4:8] == b"ftyp"
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    """One ISO-BMFF box: 32-bit BE size (including the 8-byte header)
+    + fourcc + body."""
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _fullbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+# unity transformation matrix (16.16 / 2.30 fixed point), per 14496-12
+_MP4_UNITY_MATRIX = struct.pack(
+    ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+)
+
+
+def mp4_encode(
+    frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode greyscale rasters as a real Motion-JPEG MP4 (ISO-BMFF)."""
+    if not frames:
+        raise ValueError("MP4 needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+    jpegs = [jpeg_encode(bytes(f), width, height) for f in frames]
+    n = len(jpegs)
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"mp41")
+    # mdat directly after ftyp; stco points at its payload, so the
+    # chunk offset is known before moov is built (moov goes last)
+    chunk_offset = len(ftyp) + 8
+    mdat = _box(b"mdat", b"".join(jpegs))
+
+    mvhd = _fullbox(
+        b"mvhd",
+        0,
+        0,
+        struct.pack(">4I", 0, 0, fps, n)        # times, timescale, duration
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10                            # reserved
+        + _MP4_UNITY_MATRIX
+        + b"\x00" * 24                            # pre_defined
+        + struct.pack(">I", 2),                   # next_track_ID
+    )
+    tkhd = _fullbox(
+        b"tkhd",
+        0,
+        3,  # track_enabled | track_in_movie
+        struct.pack(">5I", 0, 0, 1, 0, n)         # times, track_ID, duration
+        + b"\x00" * 8                             # reserved
+        + struct.pack(">4H", 0, 0, 0, 0)          # layer, group, volume, rsvd
+        + _MP4_UNITY_MATRIX
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd",
+        0,
+        0,
+        struct.pack(">4I", 0, 0, fps, n) + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = _fullbox(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"VideoHandler\x00",
+    )
+    vmhd = _fullbox(b"vmhd", 0, 1, struct.pack(">4H", 0, 0, 0, 0))
+    dinf = _box(
+        b"dinf",
+        _fullbox(
+            b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b"")
+        ),
+    )
+    compressor = b"\x0bMotion-JPEG".ljust(32, b"\x00")  # Pascal-style name
+    sample_entry = _box(
+        b"jpeg",
+        b"\x00" * 6                               # reserved
+        + struct.pack(">H", 1)                    # data_reference_index
+        + b"\x00" * 16                            # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4                             # reserved
+        + struct.pack(">H", 1)                    # frame_count
+        + compressor
+        + struct.pack(">Hh", 24, -1),             # depth, pre_defined
+    )
+    stsd = _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + sample_entry)
+    stts = _fullbox(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _fullbox(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(j)) for j in jpegs),
+    )
+    stco = _fullbox(b"stco", 0, 0, struct.pack(">II", 1, chunk_offset))
+
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def mp4_decode(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode a Motion-JPEG MP4: (width, height, n_frames, frames),
+    each frame the full greyscale raster (luma for color JPEGs).
+
+    Malformed input raises ValueError (truncated boxes / short sample
+    tables never escape as IndexError/struct.error); non-MJPEG video
+    codings and multi-video-track files raise NotImplementedError."""
+    try:
+        return _mp4_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed MP4: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each ISO-BMFF box in
+    data[pos:end], honoring size==1 (64-bit largesize) and size==0
+    (box extends to the end of the enclosing scope)."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        header = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            header = 16
+        elif size == 0:
+            size = end - pos
+        if size < header or pos + size > end:
+            raise ValueError(f"MP4 box {fourcc!r} overruns container")
+        yield fourcc, pos + header, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, pos: int, end: int, fourcc: bytes):
+    """(body_start, body_end) of the first direct child box named
+    `fourcc`, or None."""
+    for tag, s, e in _walk_boxes(data, pos, end):
+        if tag == fourcc:
+            return s, e
+    return None
+
+
+_MJPEG_SAMPLE_FORMATS = (b"jpeg", b"mjpa")
+
+
+def _mp4_sample_table(blob: bytes, stbl_span) -> tuple[int, int, list]:
+    """Resolve the stbl machinery to (width, height, [(offset, size)])
+    in presentation order: stsd validates the coding and carries the
+    raster dims; stsc maps samples to chunks; stco/co64 places the
+    chunks; stsz sizes each sample (samples are contiguous within a
+    chunk, per 14496-12 8.7.4)."""
+    stsd = _find_box(blob, *stbl_span, b"stsd")
+    if stsd is None:
+        raise ValueError("MP4 stbl has no stsd")
+    s, e = stsd
+    (entry_count,) = struct.unpack_from(">I", blob, s + 4)
+    if entry_count < 1 or s + 16 > e:
+        raise ValueError("MP4 stsd has no sample entry")
+    fmt = blob[s + 12 : s + 16]
+    if fmt not in _MJPEG_SAMPLE_FORMATS:
+        raise NotImplementedError(
+            f"mp4 video coding {fmt!r} is out of scope (Motion-JPEG "
+            "'jpeg'/'mjpa' only — H.264-class payloads need a codec "
+            "this container parser cannot provide)"
+        )
+    entry = s + 8  # first sample entry's box start
+    if entry + 36 > e:
+        raise ValueError("MP4 visual sample entry too short")
+    width, height = struct.unpack_from(">HH", blob, entry + 32)
+
+    stsz = _find_box(blob, *stbl_span, b"stsz")
+    if stsz is None:
+        raise ValueError("MP4 stbl has no stsz")
+    s, e = stsz
+    fixed, count = struct.unpack_from(">II", blob, s + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        if s + 12 + 4 * count > e:
+            raise ValueError("MP4 stsz table truncated")
+        sizes = list(struct.unpack_from(f">{count}I", blob, s + 12))
+
+    co = _find_box(blob, *stbl_span, b"stco")
+    wide = False
+    if co is None:
+        co = _find_box(blob, *stbl_span, b"co64")
+        wide = True
+    if co is None:
+        raise ValueError("MP4 stbl has no stco/co64")
+    s, e = co
+    (n_chunks,) = struct.unpack_from(">I", blob, s + 4)
+    step, code = (8, "Q") if wide else (4, "I")
+    if s + 8 + step * n_chunks > e:
+        raise ValueError("MP4 chunk-offset table truncated")
+    chunk_offsets = list(struct.unpack_from(f">{n_chunks}{code}", blob, s + 8))
+
+    stsc = _find_box(blob, *stbl_span, b"stsc")
+    if stsc is None:
+        raise ValueError("MP4 stbl has no stsc")
+    s, e = stsc
+    (n_runs,) = struct.unpack_from(">I", blob, s + 4)
+    if s + 8 + 12 * n_runs > e:
+        raise ValueError("MP4 stsc table truncated")
+    runs = [
+        struct.unpack_from(">III", blob, s + 8 + 12 * i) for i in range(n_runs)
+    ]
+    if any(r[0] < 1 or r[0] > n_chunks for r in runs) or runs != sorted(
+        runs, key=lambda r: r[0]
+    ):
+        raise ValueError("MP4 stsc first_chunk sequence invalid")
+
+    # expand stsc runs to per-chunk sample counts, then lay samples out
+    # contiguously inside each chunk
+    samples: list = []
+    for ri, (first, per_chunk, _sdi) in enumerate(runs):
+        last = runs[ri + 1][0] - 1 if ri + 1 < len(runs) else n_chunks
+        for ci in range(first - 1, last):
+            off = chunk_offsets[ci]
+            for _ in range(per_chunk):
+                if len(samples) >= len(sizes):
+                    break
+                size = sizes[len(samples)]
+                samples.append((off, size))
+                off += size
+    if len(samples) != len(sizes):
+        raise ValueError(
+            f"MP4 stsc covers {len(samples)} samples, stsz declares "
+            f"{len(sizes)}"
+        )
+    return width, height, samples
+
+
+def _mp4_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
+    if not is_mp4(blob):
+        raise ValueError("not an MP4: first box is not 'ftyp'")
+    moov = _find_box(blob, 0, len(blob), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+
+    video_stbl = None
+    for tag, s, e in _walk_boxes(blob, *moov):
+        if tag != b"trak":
+            continue
+        mdia = _find_box(blob, s, e, b"mdia")
+        if mdia is None:
+            raise ValueError("MP4 trak has no mdia")
+        hdlr = _find_box(blob, *mdia, b"hdlr")
+        if hdlr is None:
+            raise ValueError("MP4 mdia has no hdlr")
+        if blob[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue  # audio/hint/metadata tracks are skipped
+        if video_stbl is not None:
+            raise NotImplementedError(
+                "multi-video-track MP4 is out of scope (single 'vide' only)"
+            )
+        minf = _find_box(blob, *mdia, b"minf")
+        stbl = _find_box(blob, *minf, b"stbl") if minf else None
+        if stbl is None:
+            raise ValueError("MP4 video trak has no minf/stbl")
+        video_stbl = stbl
+    if video_stbl is None:
+        raise ValueError("MP4 has no video track")
+
+    width, height, samples = _mp4_sample_table(blob, video_stbl)
+    if not samples:
+        raise ValueError("MP4 video track has no samples")
+    frames: list = []
+    for off, size in samples:
+        if off + size > len(blob):
+            raise ValueError(
+                f"MP4 sample {len(frames)} at {off}+{size} overruns file"
+            )
+        frames.append(
+            _mjpeg_sample_luma(
+                bytes(blob[off : off + size]), width, height, len(frames)
+            )
         )
     return width, height, len(frames), frames

@@ -22,12 +22,15 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     `media_gif_frames`, every sampled frame byte-exact vs the oracle —
     and (round 12) for AVI/MJPEG video containers (codecs.avi_decode:
     RIFF chunk walk + the T.81 JPEG decoder per frame) — graded as
-    `media_avi_frames`, every frame's 256-pixel payload byte-exact.
+    `media_avi_frames`, every frame's 256-pixel payload byte-exact —
+    and for MP4/MJPEG (codecs.mp4_decode: ISO-BMFF box walk +
+    stsc/stco/stsz sample tables + the same T.81 decoder per sample).
   * Progressive JPEG (SOF2 — greyscale, 4:4:4 and 4:2:0 color:
     spectral selection + successive approximation) decodes FOR REAL
     as of round 12 through the same jpeg_decode entry point.
-  * Non-RIFF video (mp4/mkv) and arithmetic-coded JPEG remain STUBS: they raise
-    NotImplementedError unless `fake=True`, in which case a
+  * Non-MJPEG video payloads (mkv/EBML containers; H.264-class
+    codings inside MP4) and arithmetic-coded JPEG remain STUBS: they
+    raise NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —
     with real data shapes.  Swapping in PIL/ffmpeg later changes only
@@ -320,6 +323,52 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL two-frame MP4/MJPEG video
+    — the SAME digest-derived constant-block frames as
+    documents_as_avi_media, wrapped in an ISO-BMFF container instead
+    of RIFF, so the two adapters are a cross-container parity pair:
+    both must decode to identical rasters (pure SQL functions of
+    sha256(text) for the oracle)."""
+    _ship_codecs_by_value()
+    from .codecs import mp4_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                frames = []
+                for fi in range(2):
+                    img = bytearray(256)
+                    for bi in range(4):
+                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
+                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+                        for y in range(8):
+                            row = (oy + y) * 16 + ox
+                            for x in range(8):
+                                img[row + x] = v
+                    frames.append(bytes(img))
+                rows.append(
+                    (
+                        doc_id,
+                        "video",
+                        mp4_encode(frames, 16, 16),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "video/mp4",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV (8 kHz mono 8-bit PCM)
     whose samples are the sha256 digest bytes of its text — real RIFF
@@ -385,7 +434,9 @@ def extract_image_features(
         avi_decode,
         gif_decode,
         is_avi,
+        is_mp4,
         jpeg_decode,
+        mp4_decode,
         png_decode,
     )
 
@@ -401,15 +452,16 @@ def extract_image_features(
             w, h, _n, frames = gif_decode(bytes(blob))
             first = frames[0]
             return w, h, (sum(first) / len(first)) / 255.0, first
-        if is_avi(bytes(blob[:12])):
-            # an AVI/MJPEG video is also an image: features of frame 0
-            w, h, _n, frames = avi_decode(bytes(blob))
+        if is_avi(bytes(blob[:12])) or is_mp4(bytes(blob[:12])):
+            # an MJPEG video (AVI or MP4) is also an image: frame 0
+            dec = avi_decode if is_avi(bytes(blob[:12])) else mp4_decode
+            w, h, _n, frames = dec(bytes(blob))
             first = frames[0]
             return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:
             raise NotImplementedError(
                 "only PNG, JPEG (baseline + greyscale progressive), GIF "
-                "and AVI/MJPEG decode without an external codec "
+                "and AVI/MP4 Motion-JPEG decode without an external codec "
                 "(PIL/opencv); run with fake=True for the deterministic "
                 "test decoder"
             )
@@ -488,6 +540,122 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_spectral(media: DataFrame) -> DataFrame:
+    """REAL spectral analysis over mapInPandas: WAV blobs parsed with
+    the stdlib `wave` reader, then a genuine numpy real FFT per clip —
+    dominant_bin is the argmax of the magnitude spectrum over the
+    non-DC bins (the mean is removed first, so the 8-bit unsigned
+    offset never wins), dominant_freq_hz = bin * rate / n_samples.
+
+    Supports 8-bit unsigned and 16-bit signed PCM; multi-channel audio
+    is averaged to mono before the transform.  Empty data chunks give
+    (bin 0, 0.0 Hz), not a crash — the extract_audio_features
+    contract."""
+    _ship_codecs_by_value()
+    from .codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
+                width = len(pcm) // (n_frames * n_ch) if n_frames else 1
+                if width == 1:
+                    x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
+                elif width == 2:
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                else:
+                    raise ValueError(
+                        f"unsupported PCM sample width {width} (8/16-bit only)"
+                    )
+                if n_ch > 1:
+                    x = x.reshape(-1, n_ch).mean(axis=1)
+                n = len(x)
+                if n >= 2:
+                    mag = np.abs(np.fft.rfft(x - x.mean()))
+                    dom = int(mag[1:].argmax()) + 1  # skip the DC bin
+                    freq = dom * rate / n
+                else:
+                    dom, freq = 0, 0.0
+                rows.append((mid, rate, n, dom, freq))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "dominant_bin",
+                    "dominant_freq_hz",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+def documents_as_tone_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL WAV carrying a pure sine
+    tone at an exact DFT bin — bin = 1 + digest[0] % 100 of 256
+    samples at 8 kHz, amplitude 100 around the 8-bit midpoint.  A
+    whole-bin sinusoid concentrates ALL its DFT energy in that bin, so
+    the numpy FFT downstream must recover the bin exactly (quantization
+    to 8-bit spreads <1 LSB of broadband noise, orders of magnitude
+    below the tone), which makes the spectrum's argmax a pure SQL
+    function of sha256(text): the analytic oracle for a real FFT."""
+    _ship_codecs_by_value()
+    from .codecs import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, amp = 256, 100.0
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                bin_ = 1 + digest[0] % 100
+                pcm = bytes(
+                    min(
+                        255,
+                        max(
+                            0,
+                            round(128 + amp * math.sin(2 * math.pi * bin_ * t / n)),
+                        ),
+                    )
+                    for t in range(n)
+                )
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        wav_encode(pcm, sample_rate=8000),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "audio/wav",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def resize_images(
     media: DataFrame, target_w: int, target_h: int, fake: bool = False
 ) -> DataFrame:
@@ -509,7 +677,9 @@ def resize_images(
         avi_decode,
         gif_decode,
         is_avi,
+        is_mp4,
         jpeg_decode,
+        mp4_decode,
         png_decode,
         png_encode,
         resize_nearest,
@@ -522,8 +692,12 @@ def resize_images(
             decode = png_decode
         elif blob[:3] == JPEG_MAGIC:
             decode = jpeg_decode
-        elif blob[:6] in GIF_MAGICS or is_avi(blob[:12]):
-            dec = gif_decode if blob[:6] in GIF_MAGICS else avi_decode
+        elif blob[:6] in GIF_MAGICS or is_avi(blob[:12]) or is_mp4(blob[:12]):
+            dec = (
+                gif_decode
+                if blob[:6] in GIF_MAGICS
+                else (avi_decode if is_avi(blob[:12]) else mp4_decode)
+            )
             fw, fh, _n, frames = dec(blob)
             decode = lambda _b: (fw, fh, 1, frames[0])  # noqa: E731
         if decode is not None:
@@ -543,8 +717,8 @@ def resize_images(
             )
         if not fake:
             raise NotImplementedError(
-                "image resize decodes PNG/JPEG/GIF/AVI only without an "
-                "external codec; use fake=True for other blobs"
+                "image resize decodes PNG/JPEG/GIF/AVI/MP4 only without "
+                "an external codec; use fake=True for other blobs"
             )
         # deterministic fake: truncate/pad the blob to min(len, w*h)
         n = min(len(blob), target_w * target_h)
@@ -587,17 +761,25 @@ def sample_frames(
     """Frame sampling (video -> frames): 1->N row expansion through
     mapInPandas.
 
-    REAL for animated GIF blobs (round 11) and AVI/MJPEG videos
-    (round 12): the stdlib decoders (codecs.gif_decode /
-    codecs.avi_decode — LZW compositing; RIFF walk + per-frame T.81
-    Huffman) produce the full greyscale canvas per frame, and every
-    ``every_n_frames``-th one becomes an output row — frame_no is the
-    ORIGINAL frame index, the standard frame-sampling contract.  Other
-    blobs fall back to the deterministic byte-slice fake when
-    `fake=True` (one row per ``every_n_bytes`` slice) and raise
-    otherwise — mp4 et al. need a codec this container doesn't ship."""
+    REAL for animated GIF blobs (round 11) and AVI/MJPEG + MP4/MJPEG
+    videos (round 12): the stdlib decoders (codecs.gif_decode /
+    codecs.avi_decode / codecs.mp4_decode — LZW compositing; RIFF walk
+    or ISO-BMFF sample tables + per-frame T.81 Huffman) produce the
+    full greyscale canvas per frame, and every ``every_n_frames``-th
+    one becomes an output row — frame_no is the ORIGINAL frame index,
+    the standard frame-sampling contract.  Other blobs fall back to
+    the deterministic byte-slice fake when `fake=True` (one row per
+    ``every_n_bytes`` slice) and raise otherwise — mkv/H.264-class
+    payloads need a codec this container doesn't ship."""
     _ship_codecs_by_value()
-    from .codecs import GIF_MAGICS, avi_decode, gif_decode, is_avi
+    from .codecs import (
+        GIF_MAGICS,
+        avi_decode,
+        gif_decode,
+        is_avi,
+        is_mp4,
+        mp4_decode,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -608,6 +790,8 @@ def sample_frames(
                     _w, _h, n, decoded = gif_decode(bytes(blob))
                 elif is_avi(bytes(blob[:12])):
                     _w, _h, n, decoded = avi_decode(bytes(blob))
+                elif is_mp4(bytes(blob[:12])):
+                    _w, _h, n, decoded = mp4_decode(bytes(blob))
                 if decoded is not None:
                     for i in range(0, n, every_n_frames):
                         ids.append(mid)
@@ -616,9 +800,9 @@ def sample_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "frame sampling decodes animated GIF and AVI/MJPEG "
-                        "only without an external codec; use fake=True for "
-                        "other blobs"
+                        "frame sampling decodes animated GIF, AVI/MJPEG "
+                        "and MP4/MJPEG only without an external codec; "
+                        "use fake=True for other blobs"
                     )
                 for i, off in enumerate(range(0, len(blob), every_n_bytes)):
                     ids.append(mid)
@@ -753,6 +937,20 @@ def media_wav_stats(spark, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     stats = extract_audio_features(documents_as_wav_media(docs))
     return stats.withColumn("rms", F.round("rms", 6))
+
+
+def media_tone_spectral(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL FFT on a graded path: documents rendered as genuine
+    8 kHz WAVs carrying a pure sine at DFT bin 1 + digest[0] % 100,
+    decoded by the stdlib `wave` reader and transformed by a genuine
+    numpy rfft; the spectrum argmax must land on the synthesis bin
+    exactly, so DuckDB's oracle computes the whole answer analytically
+    from sha256(text) — a real spectral pipeline graded without the
+    oracle ever running an FFT."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_audio_spectral(documents_as_tone_media(docs))
 
 
 def media_frame_stats(spark, sf_dir: str) -> DataFrame:
@@ -948,6 +1146,28 @@ def register() -> dict:
             FROM h
             """,
             "X5 REAL WAV decode (stdlib wave reader) via mapInPandas",
+        ),
+        "media_tone_spectral": QueryDef(
+            media_tone_spectral,
+            # a whole-bin sinusoid puts all DFT energy in its synthesis
+            # bin, so the FFT argmax is analytic: bin = 1 + digest[0]
+            # % 100, freq = bin * 8000 / 256 = bin * 31.25 Hz (exact in
+            # binary floating point: 31.25 = 125 * 2^-2)
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            )
+            SELECT media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(256 AS BIGINT) AS n_samples,
+                   CAST(1 + {_hexbyte(1)} % 100 AS INTEGER) AS dominant_bin,
+                   CAST((1 + {_hexbyte(1)} % 100) * 31.25 AS DOUBLE)
+                       AS dominant_freq_hz
+            FROM h
+            """,
+            "X5 REAL FFT spectral analysis (numpy rfft over stdlib WAV "
+            "decode) via mapInPandas, analytic whole-bin-tone oracle",
         ),
         "media_frame_stats": QueryDef(
             media_frame_stats,

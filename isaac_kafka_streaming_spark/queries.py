@@ -3233,12 +3233,14 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (2): registered mid-round-12;
-    # they take the slots of the last two T2-fill entries
-    # (question_part_counts, purchases_within_day_of_signup — r10-green,
-    # they front the round-13 window; the swap discipline)
+    # T0 — no green row yet (must-check) (3): registered mid-round-12;
+    # they take the slots of the last three T2-fill entries
+    # (question_part_counts, purchases_within_day_of_signup,
+    # purchase_asof_signup — r10-green, they front the round-13
+    # window; the swap discipline)
     "media_avi_frames",
     "media_pjpeg_features",
+    "media_tone_spectral",
     # T1 — last green <= r9 (invariant requires) (38)
     "customers_without_big_orders",
     "tpch_q5",
@@ -3278,7 +3280,7 @@ _DRIVER_CHECK_ORDER = [
     "pii_scrub",
     "lang_source_rollup",
     "selection_budget_curve",
-    # T2 — last green r10 (expires after next round) (12 of 50)
+    # T2 — last green r10 (expires after next round) (9 of 50)
     "event_type_counts",
     "daily_event_counts",
     "daily_role_counts",
@@ -3288,7 +3290,6 @@ _DRIVER_CHECK_ORDER = [
     "last_seen",
     "last_seen_map",
     "value_quantiles",
-    "purchase_asof_signup",
 ]
 
 

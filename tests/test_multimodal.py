@@ -195,3 +195,143 @@ def test_avi_sampling_stride_and_image_features(spark, sf_smoke):
         assert (f.width, f.height, f.n_bytes) == (16, 16, 256)
         assert f.content_hash == hashlib.sha256(f0).hexdigest()
         assert abs(f.brightness - (sum(f0) / 256) / 255.0) < 1e-9
+
+
+def test_mp4_sampling_and_cross_container_parity(spark, sf_smoke):
+    """Round-12 MP4 twin of the AVI test, plus the cross-container
+    invariant: an ISO-BMFF and a RIFF container of the same
+    digest-derived frames must sample to IDENTICAL rasters, and the
+    MP4 blob goes through frame sampling, image features (frame 0)
+    and real resize without fake mode."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.extensions.codecs import png_decode
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(4)
+    media = mm.documents_as_mp4_media(docs)
+
+    frames_mp4 = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(media).collect()
+    }
+    frames_avi = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(mm.documents_as_avi_media(docs)).collect()
+    }
+    assert frames_mp4 == frames_avi and len(frames_mp4) == 8
+
+    strided = mm.sample_frames(media, every_n_frames=2).collect()
+    assert {r.frame_no for r in strided} == {0}
+    assert len(strided) == 4
+
+    feats = {r.media_id: r for r in mm.extract_image_features(media).collect()}
+    for d in docs.collect():
+        f = feats[d.doc_id]
+        f0 = frames_mp4[(d.doc_id, 0)]
+        assert (f.width, f.height, f.n_bytes) == (16, 16, 256)
+        assert f.content_hash == hashlib.sha256(f0).hexdigest()
+        assert abs(f.brightness - (sum(f0) / 256) / 255.0) < 1e-9
+
+    resized = mm.resize_images(media, 12, 5).collect()
+    assert len(resized) == 4
+    for row in resized:
+        w, h, ch, px = png_decode(bytes(row.blob))
+        assert (w, h, ch) == (12, 5, 1)
+        assert row.meta.mime == "image/png"
+
+
+def test_tone_spectral_fft_recovers_synthesis_bin(spark, sf_smoke):
+    """The graded FFT path end-to-end: every document's tone WAV
+    analyzes to dominant_bin == 1 + digest[0] % 100 and
+    dominant_freq_hz == bin * 31.25 exactly."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(8)
+    media = mm.documents_as_tone_media(docs)
+    got = {r.media_id: r for r in mm.extract_audio_spectral(media).collect()}
+    for d in docs.collect():
+        bin_ = 1 + hashlib.sha256(d.text.encode()).digest()[0] % 100
+        r = got[d.doc_id]
+        assert (r.sample_rate, r.n_samples) == (8000, 256)
+        assert r.dominant_bin == bin_
+        assert r.dominant_freq_hz == bin_ * 31.25
+
+
+def test_audio_spectral_is_a_real_argmax(spark):
+    """The spectral extractor genuinely transforms the signal: with
+    two tones present the STRONGER one wins regardless of order;
+    16-bit stereo decodes through the signed/i2 + channel-mean path;
+    an empty data chunk yields (bin 0, 0 Hz); an unsupported sample
+    width raises."""
+    import math
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import wav_encode
+
+    n = 512
+
+    def tone8(bins_amps):
+        return bytes(
+            min(
+                255,
+                max(
+                    0,
+                    round(
+                        128
+                        + sum(
+                            a * math.sin(2 * math.pi * b * t / n)
+                            for b, a in bins_amps
+                        )
+                    ),
+                ),
+            )
+            for t in range(n)
+        )
+
+    def tone16_stereo(bins_amps):
+        # left carries the signal, right is silence: the channel mean
+        # halves the amplitude but keeps the argmax
+        out = bytearray()
+        for t in range(n):
+            v = round(
+                8000
+                * sum(
+                    a * math.sin(2 * math.pi * b * t / n)
+                    for b, a in bins_amps
+                )
+            )
+            out += _s.pack("<hh", v, 0)
+        return bytes(out)
+
+    rows = [
+        (1, wav_encode(tone8([(10, 80.0), (40, 30.0)]))),
+        (2, wav_encode(tone8([(10, 30.0), (40, 80.0)]))),
+        (3, wav_encode(tone16_stereo([(23, 0.5), (70, 1.0)]), n_channels=2,
+                       sampwidth=2)),
+        (4, wav_encode(b"")),
+    ]
+    media = spark.createDataFrame(
+        [(i, "audio", b, {"n_bytes": len(b), "mime": "audio/wav",
+                          "source": "test"}) for i, b in rows],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in mm.extract_audio_spectral(media).collect()}
+    assert got[1].dominant_bin == 10
+    assert got[2].dominant_bin == 40
+    assert got[3].dominant_bin == 70
+    assert got[3].sample_rate == 8000 and got[3].n_samples == n
+    assert (got[4].dominant_bin, got[4].dominant_freq_hz) == (0, 0.0)
+    assert got[2].dominant_freq_hz == 40 * 8000 / n
+
+    bad = spark.createDataFrame(
+        [(9, "audio", wav_encode(bytes(12), sampwidth=4),
+          {"n_bytes": 12, "mime": "audio/wav", "source": "test"})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="sample width"):
+        mm.extract_audio_spectral(bad).collect()
