@@ -1286,17 +1286,159 @@ def test_mp4_mjpeg_roundtrip_and_avi_parity():
     assert mp4_decode(blob)[3] == avi_decode(avi_encode(frames, 16, 16))[3]
 
 
+def _build_mp4(
+    jpeg_chunks,  # list of lists: jpegs per chunk, in chunk order
+    stsc_runs,  # [(first_chunk, samples_per_chunk, sdi)]
+    use_co64=False,
+    largesize_mdat=False,
+    moov_size_zero=False,
+    audio_trak_first=False,
+    coding=b"jpeg",
+):
+    """Hand-assemble an ISO-BMFF MJPEG file with an arbitrary chunk
+    layout — the adversarial counterpart to mp4_encode's single-chunk
+    output, used to prove the decoder resolves real sample tables."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import _box, _fullbox
+
+    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isom" + b"mp41")
+    n = sum(len(c) for c in jpeg_chunks)
+    payload = b"".join(b"".join(c) for c in jpeg_chunks)
+    mdat_header = 16 if largesize_mdat else 8
+    if largesize_mdat:
+        mdat = (
+            _s.pack(">I", 1)
+            + b"mdat"
+            + _s.pack(">Q", 16 + len(payload))
+            + payload
+        )
+    else:
+        mdat = _box(b"mdat", payload)
+    # chunk offsets are absolute file offsets into mdat's payload
+    offs, pos = [], len(ftyp) + mdat_header
+    for c in jpeg_chunks:
+        offs.append(pos)
+        pos += sum(len(j) for j in c)
+
+    mvhd = _fullbox(
+        b"mvhd",
+        0,
+        0,
+        _s.pack(">4I", 0, 0, 10, n)
+        + _s.pack(">iH", 0x00010000, 0x0100)
+        + b"\x00" * 10
+        + _s.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + _s.pack(">I", 3),
+    )
+    matrix = _s.pack(
+        ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+    )
+    tkhd = _fullbox(
+        b"tkhd",
+        0,
+        3,
+        _s.pack(">5I", 0, 0, 1, 0, n)
+        + b"\x00" * 8
+        + _s.pack(">4H", 0, 0, 0, 0)
+        + matrix
+        + _s.pack(">II", 16 << 16, 16 << 16),
+    )
+    mdhd = _fullbox(
+        b"mdhd", 0, 0, _s.pack(">4I", 0, 0, 10, n) + _s.pack(">HH", 0x55C4, 0)
+    )
+    hdlr = _fullbox(
+        b"hdlr",
+        0,
+        0,
+        _s.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"V\x00",
+    )
+    vmhd = _fullbox(b"vmhd", 0, 1, _s.pack(">4H", 0, 0, 0, 0))
+    dinf = _box(
+        b"dinf",
+        _fullbox(
+            b"dref",
+            0,
+            0,
+            _s.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""),
+        ),
+    )
+    entry = _box(
+        coding,
+        b"\x00" * 6
+        + _s.pack(">H", 1)
+        + b"\x00" * 16
+        + _s.pack(">HH", 16, 16)
+        + _s.pack(">II", 0x00480000, 0x00480000)
+        + b"\x00" * 4
+        + _s.pack(">H", 1)
+        + b"\x00" * 32
+        + _s.pack(">Hh", 24, -1),
+    )
+    stsd = _fullbox(b"stsd", 0, 0, _s.pack(">I", 1) + entry)
+    stts = _fullbox(b"stts", 0, 0, _s.pack(">III", 1, n, 1))
+    stsc = _fullbox(
+        b"stsc",
+        0,
+        0,
+        _s.pack(">I", len(stsc_runs))
+        + b"".join(_s.pack(">III", *r) for r in stsc_runs),
+    )
+    sizes = [len(j) for c in jpeg_chunks for j in c]
+    stsz = _fullbox(
+        b"stsz",
+        0,
+        0,
+        _s.pack(">II", 0, n)
+        + b"".join(_s.pack(">I", z) for z in sizes),
+    )
+    if use_co64:
+        co = _fullbox(
+            b"co64",
+            0,
+            0,
+            _s.pack(">I", len(offs))
+            + b"".join(_s.pack(">Q", o) for o in offs),
+        )
+    else:
+        co = _fullbox(
+            b"stco",
+            0,
+            0,
+            _s.pack(">I", len(offs))
+            + b"".join(_s.pack(">I", o) for o in offs),
+        )
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+
+    traks = trak
+    if audio_trak_first:
+        soun_hdlr = _fullbox(
+            b"hdlr",
+            0,
+            0,
+            _s.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"S\x00",
+        )
+        soun_trak = _box(
+            b"trak", tkhd + _box(b"mdia", mdhd + soun_hdlr)
+        )
+        traks = soun_trak + trak
+    moov = _box(b"moov", mvhd + traks)
+    if moov_size_zero:
+        moov = _s.pack(">I", 0) + moov[4:]
+    return ftyp + mdat + moov
+
+
 def test_mp4_third_party_layouts():
     """The decoder resolves the REAL sample-table machinery, not just
     our encoder's single-chunk layout: multi-run stsc with interleaved
-    chunks, co64 offsets, a 64-bit largesize mdat, a size==0
-    tail moov, and a skipped non-video track all decode to the same
+    chunks, co64 offsets, a 64-bit largesize mdat, a size==0 tail
+    moov, and a skipped non-video track all decode to the same
     frames."""
-    import struct as _s
-
     from isaac_kafka_streaming_spark.extensions.codecs import (
-        _box,
-        _fullbox,
         jpeg_encode,
         mp4_decode,
         mp4_encode,
@@ -1306,164 +1448,72 @@ def test_mp4_third_party_layouts():
     jpegs = [jpeg_encode(f, 16, 16) for f in frames]
     want = mp4_decode(mp4_encode(frames, 16, 16))
 
-    ftyp = _box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isom" + b"mp41")
-
-    def build(
-        jpeg_chunks,  # list of lists: jpegs per chunk, in chunk order
-        stsc_runs,  # [(first_chunk, samples_per_chunk, sdi)]
-        use_co64=False,
-        largesize_mdat=False,
-        moov_size_zero=False,
-        audio_trak_first=False,
-        coding=b"jpeg",
-    ):
-        n = sum(len(c) for c in jpeg_chunks)
-        payload = b"".join(b"".join(c) for c in jpeg_chunks)
-        mdat_header = 16 if largesize_mdat else 8
-        if largesize_mdat:
-            mdat = (
-                _s.pack(">I", 1)
-                + b"mdat"
-                + _s.pack(">Q", 16 + len(payload))
-                + payload
-            )
-        else:
-            mdat = _box(b"mdat", payload)
-        # chunk offsets are absolute file offsets into mdat's payload
-        offs, pos = [], len(ftyp) + mdat_header
-        for c in jpeg_chunks:
-            offs.append(pos)
-            pos += sum(len(j) for j in c)
-
-        mvhd = _fullbox(
-            b"mvhd",
-            0,
-            0,
-            _s.pack(">4I", 0, 0, 10, n)
-            + _s.pack(">iH", 0x00010000, 0x0100)
-            + b"\x00" * 10
-            + _s.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-            + b"\x00" * 24
-            + _s.pack(">I", 3),
-        )
-        matrix = _s.pack(
-            ">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
-        )
-        tkhd = _fullbox(
-            b"tkhd",
-            0,
-            3,
-            _s.pack(">5I", 0, 0, 1, 0, n)
-            + b"\x00" * 8
-            + _s.pack(">4H", 0, 0, 0, 0)
-            + matrix
-            + _s.pack(">II", 16 << 16, 16 << 16),
-        )
-        mdhd = _fullbox(
-            b"mdhd", 0, 0, _s.pack(">4I", 0, 0, 10, n) + _s.pack(">HH", 0x55C4, 0)
-        )
-        hdlr = _fullbox(
-            b"hdlr",
-            0,
-            0,
-            _s.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"V\x00",
-        )
-        vmhd = _fullbox(b"vmhd", 0, 1, _s.pack(">4H", 0, 0, 0, 0))
-        dinf = _box(
-            b"dinf",
-            _fullbox(
-                b"dref",
-                0,
-                0,
-                _s.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""),
-            ),
-        )
-        entry = _box(
-            coding,
-            b"\x00" * 6
-            + _s.pack(">H", 1)
-            + b"\x00" * 16
-            + _s.pack(">HH", 16, 16)
-            + _s.pack(">II", 0x00480000, 0x00480000)
-            + b"\x00" * 4
-            + _s.pack(">H", 1)
-            + b"\x00" * 32
-            + _s.pack(">Hh", 24, -1),
-        )
-        stsd = _fullbox(b"stsd", 0, 0, _s.pack(">I", 1) + entry)
-        stts = _fullbox(b"stts", 0, 0, _s.pack(">III", 1, n, 1))
-        stsc = _fullbox(
-            b"stsc",
-            0,
-            0,
-            _s.pack(">I", len(stsc_runs))
-            + b"".join(_s.pack(">III", *r) for r in stsc_runs),
-        )
-        sizes = [len(j) for c in jpeg_chunks for j in c]
-        stsz = _fullbox(
-            b"stsz",
-            0,
-            0,
-            _s.pack(">II", 0, n)
-            + b"".join(_s.pack(">I", z) for z in sizes),
-        )
-        if use_co64:
-            co = _fullbox(
-                b"co64",
-                0,
-                0,
-                _s.pack(">I", len(offs))
-                + b"".join(_s.pack(">Q", o) for o in offs),
-            )
-        else:
-            co = _fullbox(
-                b"stco",
-                0,
-                0,
-                _s.pack(">I", len(offs))
-                + b"".join(_s.pack(">I", o) for o in offs),
-            )
-        stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
-        minf = _box(b"minf", vmhd + dinf + stbl)
-        mdia = _box(b"mdia", mdhd + hdlr + minf)
-        trak = _box(b"trak", tkhd + mdia)
-
-        traks = trak
-        if audio_trak_first:
-            soun_hdlr = _fullbox(
-                b"hdlr",
-                0,
-                0,
-                _s.pack(">I", 0) + b"soun" + b"\x00" * 12 + b"S\x00",
-            )
-            soun_trak = _box(
-                b"trak", tkhd + _box(b"mdia", mdhd + soun_hdlr)
-            )
-            traks = soun_trak + trak
-        moov = _box(b"moov", mvhd + traks)
-        if moov_size_zero:
-            moov = _s.pack(">I", 0) + moov[4:]
-        return ftyp + mdat + moov
-
     # 1) interleaved multi-chunk layout: chunks of 1,2,1 samples
     layout = [[jpegs[0]], [jpegs[1], jpegs[2]], [jpegs[3]]]
     runs = [(1, 1, 1), (2, 2, 1), (3, 1, 1)]
-    assert mp4_decode(build(layout, runs)) == want
+    assert mp4_decode(_build_mp4(layout, runs)) == want
 
     # 2) co64 chunk offsets
-    assert mp4_decode(build(layout, runs, use_co64=True)) == want
+    assert mp4_decode(_build_mp4(layout, runs, use_co64=True)) == want
 
     # 3) 64-bit largesize mdat
-    assert mp4_decode(build(layout, runs, largesize_mdat=True)) == want
+    assert mp4_decode(_build_mp4(layout, runs, largesize_mdat=True)) == want
 
     # 4) size==0 moov tail box
-    assert mp4_decode(build(layout, runs, moov_size_zero=True)) == want
+    assert mp4_decode(_build_mp4(layout, runs, moov_size_zero=True)) == want
 
     # 5) a non-video track before the video track is skipped
-    assert mp4_decode(build(layout, runs, audio_trak_first=True)) == want
+    assert mp4_decode(_build_mp4(layout, runs, audio_trak_first=True)) == want
 
     # 6) 'mjpa' coding fourcc is accepted too
-    assert mp4_decode(build(layout, runs, coding=b"mjpa")) == want
+    assert mp4_decode(_build_mp4(layout, runs, coding=b"mjpa")) == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+)
+def test_mp4_random_chunk_layout_property(n_frames, data):
+    """ANY partition of the samples into chunks, expressed as minimal
+    stsc runs (adjacent equal counts collapsed, per the spec), decodes
+    identically to the canonical single-chunk encoding — the full
+    stsc expansion logic under adversarial layouts."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_encode,
+        mp4_decode,
+        mp4_encode,
+    )
+
+    frames = [
+        _const_block_frame(
+            [
+                64 + 2 * data.draw(st.integers(min_value=0, max_value=63))
+                for _ in range(4)
+            ]
+        )
+        for _ in range(n_frames)
+    ]
+    jpegs = [jpeg_encode(f, 16, 16) for f in frames]
+    want = mp4_decode(mp4_encode(frames, 16, 16))
+
+    # draw a random composition of n_frames into chunk sizes
+    sizes, left = [], n_frames
+    while left:
+        k = data.draw(st.integers(min_value=1, max_value=left))
+        sizes.append(k)
+        left -= k
+    chunks, pos = [], 0
+    for k in sizes:
+        chunks.append(jpegs[pos : pos + k])
+        pos += k
+    # minimal stsc runs: a new run only where the per-chunk count changes
+    runs = []
+    for ci, k in enumerate(sizes, start=1):
+        if not runs or runs[-1][1] != k:
+            runs.append((ci, k, 1))
+    use_co64 = data.draw(st.booleans())
+    assert mp4_decode(_build_mp4(chunks, runs, use_co64=use_co64)) == want
 
 
 def test_mp4_rejects_malformed_and_out_of_scope():
