@@ -335,3 +335,70 @@ def test_audio_spectral_is_a_real_argmax(spark):
     )
     with pytest.raises(Exception, match="sample width"):
         mm.extract_audio_spectral(bad).collect()
+
+
+def test_multimodal_pipeline_runs_on_a_stream(spark, sf_smoke, tmp_path):
+    """The whole media surface is stateless mapInPandas, so it must
+    compose with Structured Streaming unchanged: documents streamed
+    file-by-file through tone synthesis + WAV decode + numpy FFT (and
+    through GIF frame sampling) produce exactly the batch answer."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.io import read_table
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    docs = read_table(spark, sf_smoke, "documents").limit(12).cache()
+    mid = [r.doc_id for r in docs.select("doc_id").collect()]
+    mid.sort()
+    split = mid[len(mid) // 2]
+
+    flat = tmp_path / "docs_stream"
+    flat.mkdir()
+    for i, part in enumerate(
+        [docs.filter(F.col("doc_id") <= split),
+         docs.filter(F.col("doc_id") > split)]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.copy(src, flat / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+
+    got_spec = run_to_memory(
+        mm.extract_audio_spectral(mm.documents_as_tone_media(stream)),
+        "media_stream_spectral",
+        output_mode="append",
+    ).collect()
+    want_spec = {
+        r.media_id: r
+        for r in mm.extract_audio_spectral(
+            mm.documents_as_tone_media(docs)
+        ).collect()
+    }
+    assert len(got_spec) == len(want_spec) == 12
+    for r in got_spec:
+        w = want_spec[r.media_id]
+        assert (r.dominant_bin, r.dominant_freq_hz) == (
+            w.dominant_bin, w.dominant_freq_hz,
+        )
+
+    got_frames = run_to_memory(
+        mm.sample_frames(mm.documents_as_gif_media(stream)),
+        "media_stream_frames",
+        output_mode="append",
+    ).collect()
+    want_frames = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(mm.documents_as_gif_media(docs)).collect()
+    }
+    assert len(got_frames) == len(want_frames) == 24
+    for r in got_frames:
+        assert bytes(r.frame) == want_frames[(r.media_id, r.frame_no)]
