@@ -605,6 +605,86 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_SPECTRAL_SCHEMA)
 
 
+AUDIO_SPECTROGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("dominant_freq_hz", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_spectrogram(
+    media: DataFrame, frame_len: int = 256, hop: int | None = None
+) -> DataFrame:
+    """STFT over mapInPandas: each WAV becomes one row per analysis
+    frame (1->N expansion, the frame-sampling contract) carrying that
+    frame's dominant FFT bin/frequency and RMS — the windowed twin of
+    extract_audio_spectral, for signals whose content changes over
+    time.  Hann-windowed numpy rfft per frame; ``hop`` defaults to
+    ``frame_len`` (non-overlapping); a trailing partial frame is
+    dropped (the standard STFT framing).  Same PCM scope as the
+    whole-clip path: 8-bit unsigned / 16-bit signed, channel-mean."""
+    if hop is None:
+        hop = frame_len
+    if frame_len < 2 or hop < 1:
+        raise ValueError("frame_len must be >= 2 and hop >= 1")
+    _ship_codecs_by_value()
+    from .codecs import wav_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        window = None  # built lazily so numpy import stays worker-side
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
+                width = len(pcm) // (n_frames * n_ch) if n_frames else 1
+                if width == 1:
+                    x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
+                elif width == 2:
+                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                else:
+                    raise ValueError(
+                        f"unsupported PCM sample width {width} (8/16-bit only)"
+                    )
+                if n_ch > 1:
+                    x = x.reshape(-1, n_ch).mean(axis=1)
+                if window is None or len(window) != frame_len:
+                    window = np.hanning(frame_len)
+                fno = 0
+                for start in range(0, len(x) - frame_len + 1, hop):
+                    seg = x[start : start + frame_len]
+                    seg = (seg - seg.mean()) * window
+                    mag = np.abs(np.fft.rfft(seg))
+                    dom = int(mag[1:].argmax()) + 1
+                    rows.append(
+                        (
+                            mid,
+                            fno,
+                            dom,
+                            dom * rate / frame_len,
+                            float(np.sqrt((seg**2).mean())),
+                        )
+                    )
+                    fno += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "frame_no",
+                    "dominant_bin",
+                    "dominant_freq_hz",
+                    "rms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SPECTROGRAM_SCHEMA)
+
+
 def documents_as_tone_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV carrying a pure sine
     tone at an exact DFT bin — bin = 1 + digest[0] % 100 of 256

@@ -402,3 +402,47 @@ def test_multimodal_pipeline_runs_on_a_stream(spark, sf_smoke, tmp_path):
     assert len(got_frames) == len(want_frames) == 24
     for r in got_frames:
         assert bytes(r.frame) == want_frames[(r.media_id, r.frame_no)]
+
+
+def test_audio_spectrogram_tracks_changing_content(spark):
+    """The STFT path resolves time-varying content a whole-clip FFT
+    cannot: a WAV whose first 256 samples carry bin 10 and next 256
+    carry bin 40 yields frame 0 -> bin 10, frame 1 -> bin 40; a
+    trailing partial frame is dropped; hop < frame_len produces the
+    overlapping frame count; bad framing params raise."""
+    import math
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import wav_encode
+
+    n = 256
+
+    def tone(b, length=n):
+        return [
+            min(255, max(0, round(128 + 90 * math.sin(2 * math.pi * b * t / n))))
+            for t in range(length)
+        ]
+
+    pcm = bytes(tone(10) + tone(40) + tone(7, 100))  # 612 samples
+    media = spark.createDataFrame(
+        [(1, "audio", wav_encode(pcm),
+          {"n_bytes": len(pcm), "mime": "audio/wav", "source": "test"})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+
+    rows = sorted(
+        mm.extract_audio_spectrogram(media, frame_len=256).collect(),
+        key=lambda r: r.frame_no,
+    )
+    assert [r.frame_no for r in rows] == [0, 1]  # partial tail dropped
+    assert rows[0].dominant_bin == 10
+    assert rows[1].dominant_bin == 40
+    assert rows[0].dominant_freq_hz == 10 * 8000 / 256
+    assert all(r.rms > 0 for r in rows)
+
+    overlapped = mm.extract_audio_spectrogram(media, frame_len=256, hop=128)
+    assert overlapped.count() == (612 - 256) // 128 + 1
+
+    with pytest.raises(Exception, match="frame_len"):
+        mm.extract_audio_spectrogram(media, frame_len=1).collect()
