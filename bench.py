@@ -140,10 +140,12 @@ HEADLINE = [
     "mmr_rerank",
     "media_jpeg_features",
     "media_gif_frames",
-    # round 12 additions: the real AVI/MJPEG video-container path and
-    # the progressive-JPEG decode path
+    # round 12 additions: the real AVI/MJPEG video-container path, the
+    # progressive-JPEG decode path, and the numpy-FFT spectral path
     "media_avi_frames",
     "media_pjpeg_features",
+    "media_tone_spectral",
+    "media_stft_bins",
 ]
 
 

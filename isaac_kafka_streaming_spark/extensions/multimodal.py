@@ -736,6 +736,62 @@ def documents_as_tone_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_chirp_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL WAV whose content CHANGES
+    over time — 512 samples, the first 256 a pure sine at DFT bin
+    1 + digest[0] % 100, the next 256 at bin 1 + digest[1] % 100
+    (each a whole bin of its own 256-sample analysis frame).  A
+    whole-clip FFT cannot represent this signal faithfully; the STFT
+    must resolve frame 0 to the first bin and frame 1 to the second,
+    so the windowed path's per-frame argmax stays a pure SQL function
+    of sha256(text) — the analytic oracle for a real spectrogram."""
+    _ship_codecs_by_value()
+    from .codecs import wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        n, amp = 256, 100.0
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                pcm = bytearray()
+                for bi in range(2):
+                    b = 1 + digest[bi] % 100
+                    pcm += bytes(
+                        min(
+                            255,
+                            max(
+                                0,
+                                round(
+                                    128
+                                    + amp * math.sin(2 * math.pi * b * t / n)
+                                ),
+                            ),
+                        )
+                        for t in range(n)
+                    )
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        wav_encode(bytes(pcm), sample_rate=8000),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "audio/wav",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def resize_images(
     media: DataFrame, target_w: int, target_h: int, fake: bool = False
 ) -> DataFrame:
@@ -1033,6 +1089,24 @@ def media_tone_spectral(spark, sf_dir: str) -> DataFrame:
     return extract_audio_spectral(documents_as_tone_media(docs))
 
 
+def media_stft_bins(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL STFT on a graded path: documents rendered as genuine
+    two-tone WAVs (bin changes mid-clip), analyzed by the Hann-windowed
+    numpy spectrogram (extract_audio_spectrogram, frame_len=256); each
+    analysis frame's argmax must land on its own tone's synthesis bin,
+    so DuckDB grades a real windowed FFT analytically from
+    sha256(text) — per-frame rows, the frame-sampling contract."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    spec = extract_audio_spectrogram(
+        documents_as_chirp_media(docs), frame_len=256
+    )
+    return spec.select(
+        "media_id", "frame_no", "dominant_bin", "dominant_freq_hz"
+    )
+
+
 def media_frame_stats(spark, sf_dir: str) -> DataFrame:
     """X5 — video frame-sampling shape (1->N row expansion via
     mapInPandas); emits per-frame byte counts, not the bytes, so the
@@ -1248,6 +1322,33 @@ def register() -> dict:
             """,
             "X5 REAL FFT spectral analysis (numpy rfft over stdlib WAV "
             "decode) via mapInPandas, analytic whole-bin-tone oracle",
+        ),
+        "media_stft_bins": QueryDef(
+            media_stft_bins,
+            # each 256-sample frame carries a whole-bin tone of its
+            # own: frame f's argmax = 1 + digest[f] % 100 analytically
+            # (Hann main lobe peaks at the synthesis bin; quantization
+            # noise is orders of magnitude below the tone)
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            )
+            SELECT media_id, CAST(0 AS INTEGER) AS frame_no,
+                   CAST(1 + {_hexbyte(1)} % 100 AS INTEGER) AS dominant_bin,
+                   CAST((1 + {_hexbyte(1)} % 100) * 31.25 AS DOUBLE)
+                       AS dominant_freq_hz
+            FROM h
+            UNION ALL
+            SELECT media_id, CAST(1 AS INTEGER) AS frame_no,
+                   CAST(1 + {_hexbyte(3)} % 100 AS INTEGER) AS dominant_bin,
+                   CAST((1 + {_hexbyte(3)} % 100) * 31.25 AS DOUBLE)
+                       AS dominant_freq_hz
+            FROM h
+            """,
+            "X5 REAL STFT spectrogram (Hann-windowed numpy rfft per "
+            "frame over stdlib WAV decode) via mapInPandas, analytic "
+            "two-tone oracle",
         ),
         "media_frame_stats": QueryDef(
             media_frame_stats,

@@ -446,3 +446,26 @@ def test_audio_spectrogram_tracks_changing_content(spark):
 
     with pytest.raises(Exception, match="frame_len"):
         mm.extract_audio_spectrogram(media, frame_len=1).collect()
+
+
+def test_chirp_media_stft_recovers_both_bins(spark, sf_smoke):
+    """The graded STFT path end-to-end: every document's two-tone WAV
+    analyzes to frame 0 -> 1 + digest[0] % 100 and frame 1 ->
+    1 + digest[1] % 100, with exact 31.25 Hz/bin frequencies."""
+    import hashlib
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(8)
+    spec = mm.extract_audio_spectrogram(
+        mm.documents_as_chirp_media(docs), frame_len=256
+    )
+    got = {(r.media_id, r.frame_no): r for r in spec.collect()}
+    assert len(got) == 16
+    for d in docs.collect():
+        digest = hashlib.sha256(d.text.encode()).digest()
+        for f in range(2):
+            b = 1 + digest[f] % 100
+            r = got[(d.doc_id, f)]
+            assert r.dominant_bin == b
+            assert r.dominant_freq_hz == b * 31.25
