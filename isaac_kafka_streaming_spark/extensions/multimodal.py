@@ -736,6 +736,91 @@ def documents_as_tone_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+DECOMPRESSED_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+
+def documents_as_compressed(docs: DataFrame) -> DataFrame:
+    """Adapter: each document's text compressed into an opaque binary
+    blob — gzip when sha256(text)[0] is even, raw zlib when odd — so
+    the downstream auto-sniffing decompressor must genuinely dispatch
+    on the magic bytes, and the codec choice stays a pure SQL function
+    of sha256(text) for the oracle.  This is the compressed-corpus
+    ingestion shape (WARC/jsonl.gz shards) a training pipeline reads
+    at the petabyte tier."""
+    import gzip
+    import zlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                if digest[0] % 2 == 0:
+                    blob, mime = gzip.compress(raw, mtime=0), "application/gzip"
+                else:
+                    blob, mime = zlib.compress(raw), "application/zlib"
+                rows.append(
+                    (
+                        doc_id,
+                        "text",
+                        blob,
+                        {"n_bytes": len(raw), "mime": mime, "source": "gzip"},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decompress_text_blobs(media: DataFrame) -> DataFrame:
+    """Compressed-corpus ingestion over mapInPandas: auto-sniff each
+    blob's compression from its magic bytes — gzip (1f 8b), zlib
+    (0x78 CMF with a valid FCHECK) — inflate with the stdlib, and
+    decode UTF-8.  Unknown magics raise ValueError (honest, not
+    silently wrong) and corrupt streams surface as ValueError too,
+    the codec-module malformed-input contract.  Stateless and
+    per-row, so it runs unchanged on streams and costs zero shuffle
+    at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _z
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                b = bytes(blob)
+                try:
+                    if b[:2] == b"\x1f\x8b":
+                        raw, codec = _z.decompress(b, wbits=31), "gzip"
+                    elif b[:1] == b"\x78" and len(b) >= 2 and (
+                        (b[0] << 8 | b[1]) % 31 == 0
+                    ):
+                        raw, codec = _z.decompress(b), "zlib"
+                    else:
+                        raise ValueError(
+                            f"unknown compression magic {b[:2]!r} "
+                            "(gzip/zlib only)"
+                        )
+                except _z.error as exc:
+                    raise ValueError(f"corrupt compressed blob: {exc}") from exc
+                rows.append((mid, raw.decode("utf-8"), len(raw), codec))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "text", "n_bytes", "codec"]
+            )
+
+    return media.mapInPandas(run, schema=DECOMPRESSED_TEXT_SCHEMA)
+
+
 def documents_as_chirp_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV whose content CHANGES
     over time — 512 samples, the first 256 a pure sine at DFT bin
@@ -1089,6 +1174,25 @@ def media_tone_spectral(spark, sf_dir: str) -> DataFrame:
     return extract_audio_spectral(documents_as_tone_media(docs))
 
 
+def compressed_ingest(spark, sf_dir: str) -> DataFrame:
+    """X5 — compressed-corpus ingestion on a graded path: documents
+    gzip- or zlib-compressed per a digest-parity codec choice, then
+    auto-sniffed and inflated by decompress_text_blobs; the oracle
+    checks the round-trip analytically (decompressed md5/length equal
+    the plain text's, codec equals the digest parity) — the
+    jsonl.gz-shard reading shape, graded."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = decompress_text_blobs(documents_as_compressed(docs))
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "codec",
+    )
+
+
 def media_stft_bins(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL STFT on a graded path: documents rendered as genuine
     two-tone WAVs (bin changes mid-clip), analyzed by the Hann-windowed
@@ -1322,6 +1426,21 @@ def register() -> dict:
             """,
             "X5 REAL FFT spectral analysis (numpy rfft over stdlib WAV "
             "decode) via mapInPandas, analytic whole-bin-tone oracle",
+        ),
+        "compressed_ingest": QueryDef(
+            compressed_ingest,
+            f"""
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS text_md5,
+                   CASE WHEN {_hexbyte(1)} % 2 = 0
+                        THEN 'gzip' ELSE 'zlib' END AS codec
+            FROM (
+                SELECT doc_id, text, sha256(text) AS hash FROM documents
+            )
+            """,
+            "X5 compressed-corpus ingestion (gzip/zlib auto-sniff + "
+            "stdlib inflate) via mapInPandas, round-trip oracle",
         ),
         "media_stft_bins": QueryDef(
             media_stft_bins,

@@ -3233,15 +3233,16 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (4): registered mid-round-12;
-    # they take the slots of the last four T2-fill entries
+    # T0 — no green row yet (must-check) (5): registered mid-round-12;
+    # they take the slots of the last five T2-fill entries
     # (question_part_counts, purchases_within_day_of_signup,
-    # purchase_asof_signup, value_quantiles — r10-green, they front
-    # the round-13 window; the swap discipline)
+    # purchase_asof_signup, value_quantiles, last_seen_map —
+    # r10-green, they front the round-13 window; the swap discipline)
     "media_avi_frames",
     "media_pjpeg_features",
     "media_tone_spectral",
     "media_stft_bins",
+    "compressed_ingest",
     # T1 — last green <= r9 (invariant requires) (38)
     "customers_without_big_orders",
     "tpch_q5",
@@ -3281,7 +3282,7 @@ _DRIVER_CHECK_ORDER = [
     "pii_scrub",
     "lang_source_rollup",
     "selection_budget_curve",
-    # T2 — last green r10 (expires after next round) (8 of 50)
+    # T2 — last green r10 (expires after next round) (7 of 50)
     "event_type_counts",
     "daily_event_counts",
     "daily_role_counts",
@@ -3289,7 +3290,6 @@ _DRIVER_CHECK_ORDER = [
     "user_snapshot",
     "enriched_events",
     "last_seen",
-    "last_seen_map",
 ]
 
 

@@ -469,3 +469,55 @@ def test_chirp_media_stft_recovers_both_bins(spark, sf_smoke):
             r = got[(d.doc_id, f)]
             assert r.dominant_bin == b
             assert r.dominant_freq_hz == b * 31.25
+
+
+def test_compressed_ingest_roundtrip_and_rejection(spark, sf_smoke):
+    """The compressed-corpus path: gzip and zlib blobs both auto-sniff
+    and inflate back to the exact text (codec per digest parity, so
+    both branches execute); unknown magic and corrupt streams raise
+    ValueError, never a raw zlib.error."""
+    import gzip as _gz
+    import hashlib
+    import zlib as _z
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(10)
+    out = {
+        r.media_id: r
+        for r in mm.decompress_text_blobs(
+            mm.documents_as_compressed(docs)
+        ).collect()
+    }
+    saw = set()
+    for d in docs.collect():
+        r = out[d.doc_id]
+        parity = hashlib.sha256(d.text.encode()).digest()[0] % 2
+        assert r.text == d.text
+        assert r.n_bytes == len(d.text.encode())
+        assert r.codec == ("gzip" if parity == 0 else "zlib")
+        saw.add(r.codec)
+    assert saw == {"gzip", "zlib"}  # both sniff branches exercised
+
+    def media_of(blob):
+        return spark.createDataFrame(
+            [(1, "text", blob,
+              {"n_bytes": len(blob), "mime": "x", "source": "t"})],
+            schema=mm.MEDIA_SCHEMA,
+        )
+
+    with pytest.raises(Exception, match="unknown compression magic"):
+        mm.decompress_text_blobs(media_of(b"\x00\x01plain")).collect()
+    corrupt = bytearray(_gz.compress(b"hello world", mtime=0))
+    corrupt[-3] ^= 0xFF
+    with pytest.raises(Exception, match="corrupt compressed blob"):
+        mm.decompress_text_blobs(media_of(bytes(corrupt))).collect()
+    # a 0x78 first byte with a bad FCHECK is NOT zlib -> unknown magic
+    with pytest.raises(Exception, match="unknown compression magic"):
+        mm.decompress_text_blobs(media_of(b"\x78\x00junk")).collect()
+    # truncated zlib stream -> corrupt
+    z = _z.compress(b"some text that compresses")
+    with pytest.raises(Exception, match="corrupt compressed blob"):
+        mm.decompress_text_blobs(media_of(z[: len(z) // 2])).collect()
