@@ -146,6 +146,7 @@ HEADLINE = [
     "media_pjpeg_features",
     "media_tone_spectral",
     "media_stft_bins",
+    "compressed_ingest",
 ]
 
 
