@@ -2489,3 +2489,253 @@ def _mp4_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
             )
         )
     return width, height, len(frames), frames
+
+
+# ---------------------------------------------------------------------------
+# Matroska / EBML (Motion-JPEG in MKV) — RFC 8794 EBML structure +
+# the Matroska element vocabulary, stdlib only.  Scope (declared,
+# enforced by explicit raises):
+#   * decode: an EBML document with ONE video track (TrackType 1)
+#     whose CodecID is 'V_MJPEG'; frames are carried in SimpleBlocks
+#     (lacing NONE), each payload an independent JPEG decoded by the
+#     shared _mjpeg_sample_luma core.  Non-MJPEG codecs ('V_MPEG4/
+#     ISO/AVC', 'V_VP9', ...) raise NotImplementedError — the payload
+#     needs a codec no container parse provides; audio/subtitle
+#     tracks are skipped; unknown-size elements and laced blocks
+#     raise NotImplementedError (honest scope).  Malformed input
+#     raises ValueError at the mkv_decode boundary.
+#   * encode: greyscale frame stacks; EBML header + Segment{Info,
+#     Tracks{TrackEntry/Video}, Cluster{SimpleBlock per frame}}, all
+#     sizes explicit, so standards-compliant demuxers accept it.
+# ---------------------------------------------------------------------------
+
+MKV_MAGIC = b"\x1a\x45\xdf\xa3"  # EBML header element ID
+
+# Matroska element IDs (stored with their length-marker bits, as they
+# appear on the wire)
+_MKV_SEGMENT = b"\x18\x53\x80\x67"
+_MKV_INFO = b"\x15\x49\xa9\x66"
+_MKV_TIMESTAMP_SCALE = b"\x2a\xd7\xb1"
+_MKV_TRACKS = b"\x16\x54\xae\x6b"
+_MKV_TRACK_ENTRY = b"\xae"
+_MKV_TRACK_NUMBER = b"\xd7"
+_MKV_TRACK_TYPE = b"\x83"
+_MKV_CODEC_ID = b"\x86"
+_MKV_VIDEO = b"\xe0"
+_MKV_PIXEL_WIDTH = b"\xb0"
+_MKV_PIXEL_HEIGHT = b"\xba"
+_MKV_CLUSTER = b"\x1f\x43\xb6\x75"
+_MKV_CLUSTER_TIMESTAMP = b"\xe7"
+_MKV_SIMPLE_BLOCK = b"\xa3"
+
+
+def is_mkv(blob: bytes) -> bool:
+    return blob[:4] == MKV_MAGIC
+
+
+def _ebml_size(n: int) -> bytes:
+    """Encode a size as an EBML varint (shortest form, marker bit in
+    the first byte)."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:  # all-ones is the unknown-size code
+            out = n | (1 << (7 * length))
+            return out.to_bytes(length, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml(eid: bytes, body: bytes) -> bytes:
+    return eid + _ebml_size(len(body)) + body
+
+
+def _ebml_uint(eid: bytes, v: int) -> bytes:
+    body = v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
+    return _ebml(eid, body)
+
+
+def mkv_encode(
+    frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encode greyscale rasters as a real Matroska/MJPEG file."""
+    if not frames:
+        raise ValueError("MKV needs at least one frame")
+    for f in frames:
+        if len(f) != width * height:
+            raise ValueError("frame buffer does not match dimensions")
+    jpegs = [jpeg_encode(bytes(f), width, height) for f in frames]
+
+    header = _ebml(
+        MKV_MAGIC,
+        _ebml_uint(b"\x42\x86", 1)          # EBMLVersion
+        + _ebml_uint(b"\x42\xf7", 1)        # EBMLReadVersion
+        + _ebml_uint(b"\x42\xf2", 4)        # EBMLMaxIDLength
+        + _ebml_uint(b"\x42\xf3", 8)        # EBMLMaxSizeLength
+        + _ebml(b"\x42\x82", b"matroska")   # DocType
+        + _ebml_uint(b"\x42\x87", 4)        # DocTypeVersion
+        + _ebml_uint(b"\x42\x85", 2),       # DocTypeReadVersion
+    )
+    info = _ebml(
+        _MKV_INFO, _ebml_uint(_MKV_TIMESTAMP_SCALE, 1_000_000)
+    )
+    track = _ebml(
+        _MKV_TRACK_ENTRY,
+        _ebml_uint(_MKV_TRACK_NUMBER, 1)
+        + _ebml_uint(b"\x73\xc5", 1)        # TrackUID
+        + _ebml_uint(_MKV_TRACK_TYPE, 1)    # video
+        + _ebml(_MKV_CODEC_ID, b"V_MJPEG")
+        + _ebml(
+            _MKV_VIDEO,
+            _ebml_uint(_MKV_PIXEL_WIDTH, width)
+            + _ebml_uint(_MKV_PIXEL_HEIGHT, height),
+        ),
+    )
+    tracks = _ebml(_MKV_TRACKS, track)
+    blocks = b""
+    for i, j in enumerate(jpegs):
+        ts_ms = i * 1000 // fps
+        # SimpleBlock: track varint, s16 relative timestamp, flags
+        # (0x80 = keyframe, lacing NONE), payload
+        blocks += _ebml(
+            _MKV_SIMPLE_BLOCK,
+            b"\x81" + struct.pack(">hB", ts_ms, 0x80) + j,
+        )
+    cluster = _ebml(
+        _MKV_CLUSTER, _ebml_uint(_MKV_CLUSTER_TIMESTAMP, 0) + blocks
+    )
+    return header + _ebml(_MKV_SEGMENT, info + tracks + cluster)
+
+
+def mkv_decode(blob: bytes) -> tuple[int, int, int, list]:
+    """Decode a Matroska/MJPEG file: (width, height, n_frames,
+    frames), each frame the full greyscale raster (luma for color
+    JPEGs).
+
+    Malformed input raises ValueError; non-MJPEG codecs, laced
+    blocks, multi-video-track and unknown-size elements raise
+    NotImplementedError."""
+    try:
+        return _mkv_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed MKV: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _read_varint(data: bytes, pos: int, end: int, keep_marker: bool):
+    """Read one EBML varint at pos: (value, next_pos).  Element IDs
+    keep the marker bit (matching the _MKV_* constants); sizes strip
+    it.  The all-ones 'unknown size' code raises NotImplementedError
+    for sizes (out of scope) and ValueError for IDs (reserved)."""
+    if pos >= end:
+        raise ValueError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("invalid EBML varint (>8 bytes)")
+    length = 9 - first.bit_length()
+    if pos + length > end:
+        raise ValueError("truncated EBML varint")
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if keep_marker:
+        return data[pos : pos + length], pos + length
+    val = raw & ~(1 << (7 * length))
+    if val == (1 << (7 * length)) - 1:
+        raise NotImplementedError(
+            "unknown-size EBML elements are out of scope"
+        )
+    return val, pos + length
+
+
+def _walk_ebml(data: bytes, pos: int, end: int):
+    """Yield (element_id_bytes, body_start, body_end) for each EBML
+    element in data[pos:end]."""
+    while pos < end:
+        eid, pos = _read_varint(data, pos, end, keep_marker=True)
+        size, pos = _read_varint(data, pos, end, keep_marker=False)
+        if pos + size > end:
+            raise ValueError(f"EBML element {eid.hex()} overruns container")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _ebml_read_uint(data: bytes, s: int, e: int) -> int:
+    if e - s > 8:
+        raise ValueError("EBML uint too wide")
+    return int.from_bytes(data[s:e], "big")
+
+
+def _mkv_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
+    if not is_mkv(blob):
+        raise ValueError("not an MKV: bad EBML signature")
+    segment = None
+    for eid, s, e in _walk_ebml(blob, 0, len(blob)):
+        if eid == _MKV_SEGMENT:
+            segment = (s, e)
+            break
+    if segment is None:
+        raise ValueError("MKV has no Segment element")
+
+    video_track = width = height = None
+    clusters = []
+    for eid, s, e in _walk_ebml(blob, *segment):
+        if eid == _MKV_TRACKS:
+            for tid, ts, te in _walk_ebml(blob, s, e):
+                if tid != _MKV_TRACK_ENTRY:
+                    continue
+                num = ttype = codec = None
+                vw = vh = None
+                for fid, fs, fe in _walk_ebml(blob, ts, te):
+                    if fid == _MKV_TRACK_NUMBER:
+                        num = _ebml_read_uint(blob, fs, fe)
+                    elif fid == _MKV_TRACK_TYPE:
+                        ttype = _ebml_read_uint(blob, fs, fe)
+                    elif fid == _MKV_CODEC_ID:
+                        codec = blob[fs:fe].rstrip(b"\x00")
+                    elif fid == _MKV_VIDEO:
+                        for vid, vs, ve in _walk_ebml(blob, fs, fe):
+                            if vid == _MKV_PIXEL_WIDTH:
+                                vw = _ebml_read_uint(blob, vs, ve)
+                            elif vid == _MKV_PIXEL_HEIGHT:
+                                vh = _ebml_read_uint(blob, vs, ve)
+                if ttype != 1:
+                    continue  # audio/subtitle tracks are skipped
+                if video_track is not None:
+                    raise NotImplementedError(
+                        "multi-video-track MKV is out of scope "
+                        "(single video track only)"
+                    )
+                if codec != b"V_MJPEG":
+                    raise NotImplementedError(
+                        f"mkv video codec {codec!r} is out of scope "
+                        "(V_MJPEG only — compressed codecs need an "
+                        "entropy engine no container parse provides)"
+                    )
+                if vw is None or vh is None:
+                    raise ValueError("MKV video track lacks pixel dims")
+                video_track, width, height = num, vw, vh
+        elif eid == _MKV_CLUSTER:
+            clusters.append((s, e))
+    if video_track is None:
+        raise ValueError("MKV has no video track")
+
+    frames: list = []
+    for cs, ce in clusters:
+        for eid, s, e in _walk_ebml(blob, cs, ce):
+            if eid != _MKV_SIMPLE_BLOCK:
+                continue
+            track, p = _read_varint(blob, s, e, keep_marker=False)
+            if track != video_track:
+                continue
+            if p + 3 > e:
+                raise ValueError("MKV SimpleBlock header truncated")
+            flags = blob[p + 2]
+            if flags & 0x06:
+                raise NotImplementedError(
+                    "laced MKV blocks are out of scope (lacing NONE only)"
+                )
+            frames.append(
+                _mjpeg_sample_luma(
+                    bytes(blob[p + 3 : e]), width, height, len(frames)
+                )
+            )
+    if not frames:
+        raise ValueError("MKV has no video frames")
+    return width, height, len(frames), frames

@@ -24,13 +24,17 @@ Decode tiers (the container ships no PIL/cv2/ffmpeg):
     RIFF chunk walk + the T.81 JPEG decoder per frame) — graded as
     `media_avi_frames`, every frame's 256-pixel payload byte-exact —
     and for MP4/MJPEG (codecs.mp4_decode: ISO-BMFF box walk +
-    stsc/stco/stsz sample tables + the same T.81 decoder per sample).
+    stsc/stco/stsz sample tables + the same T.81 decoder per sample)
+    and MKV/MJPEG (codecs.mkv_decode: EBML element walk + SimpleBlock
+    payloads through the same decoder core) — every mainstream video
+    CONTAINER now parses for real; only compressed CODINGS are out of
+    scope.
   * Progressive JPEG (SOF2 — greyscale, 4:4:4 and 4:2:0 color:
     spectral selection + successive approximation) decodes FOR REAL
     as of round 12 through the same jpeg_decode entry point.
-  * Non-MJPEG video payloads (mkv/EBML containers; H.264-class
-    codings inside MP4) and arithmetic-coded JPEG remain STUBS: they
-    raise NotImplementedError unless `fake=True`, in which case a
+  * Non-MJPEG video CODINGS (H.264/H.265/VP9-class payloads inside
+    MP4/MKV) and arithmetic-coded JPEG remain STUBS: they raise
+    NotImplementedError unless `fake=True`, in which case a
     deterministic fake decoder (derived from the blob's bytes)
     exercises the full plumbing — schema, batching, partitioning —
     with real data shapes.  Swapping in PIL/ffmpeg later changes only
@@ -369,6 +373,51 @@ def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_mkv_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL two-frame Matroska/MJPEG
+    video — the SAME digest-derived constant-block frames as the AVI
+    and MP4 adapters, wrapped in an EBML container, completing the
+    three-container parity family: one MJPEG core, three container
+    grammars, identical rasters."""
+    _ship_codecs_by_value()
+    from .codecs import mkv_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                frames = []
+                for fi in range(2):
+                    img = bytearray(256)
+                    for bi in range(4):
+                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
+                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
+                        for y in range(8):
+                            row = (oy + y) * 16 + ox
+                            for x in range(8):
+                                img[row + x] = v
+                    frames.append(bytes(img))
+                rows.append(
+                    (
+                        doc_id,
+                        "video",
+                        mkv_encode(frames, 16, 16),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "video/x-matroska",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV (8 kHz mono 8-bit PCM)
     whose samples are the sha256 digest bytes of its text — real RIFF
@@ -434,11 +483,16 @@ def extract_image_features(
         avi_decode,
         gif_decode,
         is_avi,
+        is_mkv,
         is_mp4,
         jpeg_decode,
+        mkv_decode,
         mp4_decode,
         png_decode,
     )
+
+    _video_decoders = [(is_avi, avi_decode), (is_mp4, mp4_decode),
+                       (is_mkv, mkv_decode)]
 
     def decode_one(blob: bytes) -> tuple[int, int, float, bytes]:
         if bytes(blob[:8]) == PNG_MAGIC:
@@ -452,18 +506,18 @@ def extract_image_features(
             w, h, _n, frames = gif_decode(bytes(blob))
             first = frames[0]
             return w, h, (sum(first) / len(first)) / 255.0, first
-        if is_avi(bytes(blob[:12])) or is_mp4(bytes(blob[:12])):
-            # an MJPEG video (AVI or MP4) is also an image: frame 0
-            dec = avi_decode if is_avi(bytes(blob[:12])) else mp4_decode
-            w, h, _n, frames = dec(bytes(blob))
-            first = frames[0]
-            return w, h, (sum(first) / len(first)) / 255.0, first
+        for sniff, dec in _video_decoders:
+            if sniff(bytes(blob[:12])):
+                # an MJPEG video (AVI/MP4/MKV) is also an image: frame 0
+                w, h, _n, frames = dec(bytes(blob))
+                first = frames[0]
+                return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:
             raise NotImplementedError(
                 "only PNG, JPEG (baseline + greyscale progressive), GIF "
-                "and AVI/MP4 Motion-JPEG decode without an external codec "
-                "(PIL/opencv); run with fake=True for the deterministic "
-                "test decoder"
+                "and AVI/MP4/MKV Motion-JPEG decode without an external "
+                "codec (PIL/opencv); run with fake=True for the "
+                "deterministic test decoder"
             )
         digest = hashlib.sha256(blob).digest()
         return (
@@ -898,8 +952,10 @@ def resize_images(
         avi_decode,
         gif_decode,
         is_avi,
+        is_mkv,
         is_mp4,
         jpeg_decode,
+        mkv_decode,
         mp4_decode,
         png_decode,
         png_encode,
@@ -913,11 +969,20 @@ def resize_images(
             decode = png_decode
         elif blob[:3] == JPEG_MAGIC:
             decode = jpeg_decode
-        elif blob[:6] in GIF_MAGICS or is_avi(blob[:12]) or is_mp4(blob[:12]):
+        elif (
+            blob[:6] in GIF_MAGICS
+            or is_avi(blob[:12])
+            or is_mp4(blob[:12])
+            or is_mkv(blob[:12])
+        ):
             dec = (
                 gif_decode
                 if blob[:6] in GIF_MAGICS
-                else (avi_decode if is_avi(blob[:12]) else mp4_decode)
+                else (
+                    avi_decode
+                    if is_avi(blob[:12])
+                    else (mp4_decode if is_mp4(blob[:12]) else mkv_decode)
+                )
             )
             fw, fh, _n, frames = dec(blob)
             decode = lambda _b: (fw, fh, 1, frames[0])  # noqa: E731
@@ -938,8 +1003,8 @@ def resize_images(
             )
         if not fake:
             raise NotImplementedError(
-                "image resize decodes PNG/JPEG/GIF/AVI/MP4 only without "
-                "an external codec; use fake=True for other blobs"
+                "image resize decodes PNG/JPEG/GIF/AVI/MP4/MKV only "
+                "without an external codec; use fake=True for other blobs"
             )
         # deterministic fake: truncate/pad the blob to min(len, w*h)
         n = min(len(blob), target_w * target_h)
@@ -998,7 +1063,9 @@ def sample_frames(
         avi_decode,
         gif_decode,
         is_avi,
+        is_mkv,
         is_mp4,
+        mkv_decode,
         mp4_decode,
     )
 
@@ -1013,6 +1080,8 @@ def sample_frames(
                     _w, _h, n, decoded = avi_decode(bytes(blob))
                 elif is_mp4(bytes(blob[:12])):
                     _w, _h, n, decoded = mp4_decode(bytes(blob))
+                elif is_mkv(bytes(blob[:12])):
+                    _w, _h, n, decoded = mkv_decode(bytes(blob))
                 if decoded is not None:
                     for i in range(0, n, every_n_frames):
                         ids.append(mid)
@@ -1021,9 +1090,9 @@ def sample_frames(
                     continue
                 if not fake:
                     raise NotImplementedError(
-                        "frame sampling decodes animated GIF, AVI/MJPEG "
-                        "and MP4/MJPEG only without an external codec; "
-                        "use fake=True for other blobs"
+                        "frame sampling decodes animated GIF and "
+                        "AVI/MP4/MKV Motion-JPEG only without an external "
+                        "codec; use fake=True for other blobs"
                     )
                 for i, off in enumerate(range(0, len(blob), every_n_bytes)):
                     ids.append(mid)

@@ -1599,3 +1599,168 @@ def test_mp4_roundtrip_property(n_frames, data):
         for _ in range(n_frames)
     ]
     assert mp4_decode(mp4_encode(frames, 16, 16)) == (16, 16, n_frames, frames)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / EBML (Motion-JPEG)
+# ---------------------------------------------------------------------------
+
+
+def test_mkv_mjpeg_roundtrip_and_container_parity():
+    """A real EBML/Matroska container of independent baseline JPEGs
+    decodes back to the exact frame stack, and all three video
+    containers (RIFF, ISO-BMFF, EBML) of the same frames decode to
+    identical rasters — one MJPEG core, three container grammars."""
+    import hashlib as _h
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        avi_decode,
+        avi_encode,
+        is_mkv,
+        mkv_decode,
+        mkv_encode,
+        mp4_decode,
+        mp4_encode,
+    )
+
+    d = _h.sha256(b"round-12-mkv").digest()
+    frames = [
+        _const_block_frame([64 + 2 * (d[4 * f + i] % 64) for i in range(4)])
+        for f in range(4)
+    ]
+    blob = mkv_encode(frames, 16, 16, fps=5)
+    assert is_mkv(blob) and not is_mkv(b"\x00\x00\x00\x20ftypisom")
+    assert mkv_decode(blob) == (16, 16, 4, frames)
+    assert (
+        mkv_decode(blob)[3]
+        == avi_decode(avi_encode(frames, 16, 16))[3]
+        == mp4_decode(mp4_encode(frames, 16, 16))[3]
+    )
+
+
+def test_mkv_rejects_malformed_and_out_of_scope():
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        mkv_decode,
+        mkv_encode,
+    )
+
+    frames = [_const_block_frame([100, 102, 104, 106])]
+    blob = mkv_encode(frames, 16, 16)
+
+    with pytest.raises(ValueError, match="signature"):
+        mkv_decode(b"\x00" * 16)
+    with pytest.raises(ValueError, match="overruns|truncated"):
+        mkv_decode(blob[:-20])
+
+    # a compressed codec ID is out of scope, not silently wrong
+    raw = bytearray(blob)
+    i = raw.index(b"V_MJPEG")
+    raw[i : i + 7] = b"V_MPEG4"  # same length: sizes stay valid
+    with pytest.raises(NotImplementedError, match="V_MPEG4"):
+        mkv_decode(bytes(raw))
+
+    # lacing flags are out of scope — parse to the first SimpleBlock's
+    # flags byte (a bare index() would match 0xa3 inside JPEG entropy)
+    from isaac_kafka_streaming_spark.extensions.codecs import _MKV_CLUSTER
+
+    raw = bytearray(blob)
+    p = raw.index(_MKV_CLUSTER) + len(_MKV_CLUSTER)
+    sl = 9 - raw[p].bit_length()
+    p += sl  # into the cluster body
+    assert raw[p] == 0xE7  # Timestamp element
+    p += 1
+    sl = 9 - raw[p].bit_length()
+    ts_body = int.from_bytes(raw[p : p + sl], "big") & ~(1 << (7 * sl))
+    p += sl + ts_body
+    assert raw[p] == 0xA3  # SimpleBlock
+    p += 1
+    sl = 9 - raw[p].bit_length()
+    p += sl  # into the block body
+    flags_at = p + 1 + 2  # track varint (0x81) + s16 timestamp
+    assert raw[flags_at] == 0x80
+    raw[flags_at] |= 0x02
+    with pytest.raises(NotImplementedError, match="laced"):
+        mkv_decode(bytes(raw))
+
+    # unknown-size elements are out of scope
+    raw = bytearray(blob)
+    seg_at = raw.index(b"\x18\x53\x80\x67")
+    size_len = 9 - raw[seg_at + 4].bit_length()
+    raw[seg_at + 4 : seg_at + 4 + size_len] = b"\x01" + b"\xff" * 7
+    with pytest.raises(NotImplementedError, match="unknown-size"):
+        mkv_decode(bytes(raw))
+
+    with pytest.raises(ValueError, match="at least one"):
+        mkv_encode([], 16, 16)
+    with pytest.raises(ValueError, match="dimensions"):
+        mkv_encode([bytes(10)], 16, 16)
+
+
+def test_mkv_skips_non_video_tracks():
+    """An audio TrackEntry before the video one is skipped, and its
+    SimpleBlocks (different track number) are ignored."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        _MKV_CLUSTER,
+        _MKV_CODEC_ID,
+        _MKV_SEGMENT,
+        _MKV_SIMPLE_BLOCK,
+        _MKV_TRACKS,
+        _MKV_TRACK_ENTRY,
+        _MKV_TRACK_NUMBER,
+        _MKV_TRACK_TYPE,
+        _ebml,
+        _ebml_uint,
+        mkv_decode,
+        mkv_encode,
+    )
+
+    frames = [_const_block_frame([90, 92, 94, 96])]
+    blob = bytearray(mkv_encode(frames, 16, 16))
+
+    audio_entry = _ebml(
+        _MKV_TRACK_ENTRY,
+        _ebml_uint(_MKV_TRACK_NUMBER, 2)
+        + _ebml_uint(_MKV_TRACK_TYPE, 2)  # audio
+        + _ebml(_MKV_CODEC_ID, b"A_PCM/INT/LIT"),
+    )
+    audio_block = _ebml(_MKV_SIMPLE_BLOCK, b"\x82\x00\x00\x80" + b"\x01\x02")
+
+    # splice: grow the Tracks body and the first Cluster body; easiest
+    # is to rebuild the file with the library encoder's parts swapped,
+    # so decode the existing structure and re-emit
+    import struct as _s
+
+    def grow(container_id, extra, insert_at_start):
+        i = blob.index(container_id)
+        p = i + len(container_id)
+        first = blob[p]
+        size_len = 9 - first.bit_length()
+        old = int.from_bytes(blob[p : p + size_len], "big") & ~(
+            1 << (7 * size_len)
+        )
+        new_size = old + len(extra)
+        assert new_size < (1 << (7 * size_len)) - 1  # fits same width
+        blob[p : p + size_len] = (
+            new_size | (1 << (7 * size_len))
+        ).to_bytes(size_len, "big")
+        body_at = p + size_len
+        at = body_at if insert_at_start else body_at + old
+        blob[at:at] = extra
+        return len(extra)
+
+    # NOTE: Segment size must grow by both insertions too
+    seg_at = blob.index(_MKV_SEGMENT)
+    sp = seg_at + len(_MKV_SEGMENT)
+    seg_size_len = 9 - blob[sp].bit_length()
+    seg_old = int.from_bytes(blob[sp : sp + seg_size_len], "big") & ~(
+        1 << (7 * seg_size_len)
+    )
+    grew = grow(_MKV_TRACKS, audio_entry, insert_at_start=True)
+    grew += grow(_MKV_CLUSTER, audio_block, insert_at_start=True)
+    blob[sp : sp + seg_size_len] = (
+        (seg_old + grew) | (1 << (7 * seg_size_len))
+    ).to_bytes(seg_size_len, "big")
+
+    assert mkv_decode(bytes(blob)) == (16, 16, 1, frames)

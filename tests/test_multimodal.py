@@ -119,6 +119,7 @@ def test_resize_real_png_and_jpeg(spark, sf_smoke):
         mm.documents_as_pjpeg_media,  # progressive JPEG (round 12)
         mm.documents_as_gif_media,    # video frame 0 (round 12)
         mm.documents_as_avi_media,    # video frame 0 (round 12)
+        mm.documents_as_mkv_media,    # video frame 0 (round 12, EBML)
     ):
         resized = mm.resize_images(adapter(docs), 12, 5)
         rows = resized.collect()
@@ -199,7 +200,7 @@ def test_avi_sampling_stride_and_image_features(spark, sf_smoke):
 
 def test_mp4_sampling_and_cross_container_parity(spark, sf_smoke):
     """Round-12 MP4 twin of the AVI test, plus the cross-container
-    invariant: an ISO-BMFF and a RIFF container of the same
+    invariant: ISO-BMFF, RIFF and EBML containers of the same
     digest-derived frames must sample to IDENTICAL rasters, and the
     MP4 blob goes through frame sampling, image features (frame 0)
     and real resize without fake mode."""
@@ -219,7 +220,11 @@ def test_mp4_sampling_and_cross_container_parity(spark, sf_smoke):
         (r.media_id, r.frame_no): bytes(r.frame)
         for r in mm.sample_frames(mm.documents_as_avi_media(docs)).collect()
     }
-    assert frames_mp4 == frames_avi and len(frames_mp4) == 8
+    frames_mkv = {
+        (r.media_id, r.frame_no): bytes(r.frame)
+        for r in mm.sample_frames(mm.documents_as_mkv_media(docs)).collect()
+    }
+    assert frames_mp4 == frames_avi == frames_mkv and len(frames_mp4) == 8
 
     strided = mm.sample_frames(media, every_n_frames=2).collect()
     assert {r.frame_no for r in strided} == {0}
