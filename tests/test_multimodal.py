@@ -408,6 +408,20 @@ def test_multimodal_pipeline_runs_on_a_stream(spark, sf_smoke, tmp_path):
     for r in got_frames:
         assert bytes(r.frame) == want_frames[(r.media_id, r.frame_no)]
 
+    # compressed-corpus ingestion on a stream: the gzip/zlib sniff +
+    # inflate round-trips every document's text exactly
+    got_texts = {
+        r.media_id: r
+        for r in run_to_memory(
+            mm.decompress_text_blobs(mm.documents_as_compressed(stream)),
+            "media_stream_decompress",
+            output_mode="append",
+        ).collect()
+    }
+    assert len(got_texts) == 12
+    for d in docs.collect():
+        assert got_texts[d.doc_id].text == d.text
+
 
 def test_audio_spectrogram_tracks_changing_content(spark):
     """The STFT path resolves time-varying content a whole-clip FFT
