@@ -2417,8 +2417,8 @@ def _mp4_sample_table(blob: bytes, stbl_span) -> tuple[int, int, list]:
     runs = [
         struct.unpack_from(">III", blob, s + 8 + 12 * i) for i in range(n_runs)
     ]
-    if any(r[0] < 1 or r[0] > n_chunks for r in runs) or runs != sorted(
-        runs, key=lambda r: r[0]
+    if any(r[0] < 1 or r[0] > n_chunks for r in runs) or any(
+        runs[i][0] >= runs[i + 1][0] for i in range(len(runs) - 1)
     ):
         raise ValueError("MP4 stsc first_chunk sequence invalid")
 

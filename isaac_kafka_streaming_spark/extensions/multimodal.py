@@ -856,8 +856,11 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
                 try:
                     if b[:2] == b"\x1f\x8b":
                         raw, codec = _z.decompress(b, wbits=31), "gzip"
-                    elif b[:1] == b"\x78" and len(b) >= 2 and (
-                        (b[0] << 8 | b[1]) % 31 == 0
+                    elif (
+                        len(b) >= 2
+                        and (b[0] & 0x0F) == 8      # CM = deflate
+                        and (b[0] >> 4) <= 7        # CINFO <= 32K window
+                        and (b[0] << 8 | b[1]) % 31 == 0  # FCHECK
                     ):
                         raw, codec = _z.decompress(b), "zlib"
                     else:

@@ -1764,3 +1764,20 @@ def test_mkv_skips_non_video_tracks():
     ).to_bytes(seg_size_len, "big")
 
     assert mkv_decode(bytes(blob)) == (16, 16, 1, frames)
+
+
+def test_mp4_rejects_duplicate_stsc_first_chunk():
+    """Two stsc runs claiming the same first_chunk would double-assign
+    samples; the decoder rejects the table instead."""
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_encode,
+        mp4_decode,
+    )
+
+    frames = [_const_block_frame([70 + 2 * i] * 4) for i in range(2)]
+    jpegs = [jpeg_encode(f, 16, 16) for f in frames]
+    layout = [[jpegs[0]], [jpegs[1]]]
+    with pytest.raises(ValueError, match="stsc first_chunk"):
+        mp4_decode(_build_mp4(layout, [(1, 1, 1), (1, 1, 1)]))

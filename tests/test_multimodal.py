@@ -540,3 +540,67 @@ def test_compressed_ingest_roundtrip_and_rejection(spark, sf_smoke):
     z = _z.compress(b"some text that compresses")
     with pytest.raises(Exception, match="corrupt compressed blob"):
         mm.decompress_text_blobs(media_of(z[: len(z) // 2])).collect()
+
+
+def test_decompress_accepts_small_window_zlib(spark):
+    """Third-party zlib streams with non-default windows (CMF 0x18,
+    0x48, ...) sniff as zlib too — the check is CM/CINFO/FCHECK, not
+    the literal 0x78 first byte."""
+    import zlib as _z
+
+    blobs = []
+    for i, wbits in enumerate((9, 12, 15)):
+        co = _z.compressobj(wbits=wbits)
+        b = co.compress(f"window {wbits}".encode()) + co.flush()
+        blobs.append((i, "text", b,
+                      {"n_bytes": len(b), "mime": "x", "source": "t"}))
+    media = spark.createDataFrame(blobs, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.decompress_text_blobs(media).collect()}
+    for i, wbits in enumerate((9, 12, 15)):
+        assert got[i].text == f"window {wbits}"
+        assert got[i].codec == "zlib"
+
+
+def test_audio_spectral_randomized_tones(spark):
+    """Seeded randomized sweep of the whole-clip FFT: 24 tones at
+    random whole bins, lengths, rates, widths (8/16-bit) and channel
+    counts all argmax back to their synthesis bin."""
+    import math
+    import random
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import wav_encode
+
+    rng = random.Random(0xC0FFEE)
+    rows, want = [], {}
+    for i in range(24):
+        n = rng.choice([128, 256, 512, 1024])
+        b = rng.randint(1, n // 2 - 1)
+        rate = rng.choice([8000, 16000, 44100])
+        width = rng.choice([1, 2])
+        stereo = rng.choice([False, True]) if width == 2 else False
+        if width == 1:
+            pcm = bytes(
+                min(255, max(0, round(128 + 90 * math.sin(2 * math.pi * b * t / n))))
+                for t in range(n)
+            )
+            blob = wav_encode(pcm, sample_rate=rate)
+        else:
+            out = bytearray()
+            for t in range(n):
+                v = round(9000 * math.sin(2 * math.pi * b * t / n))
+                out += _s.pack("<hh", v, 0) if stereo else _s.pack("<h", v)
+            blob = wav_encode(
+                bytes(out), sample_rate=rate,
+                n_channels=2 if stereo else 1, sampwidth=2,
+            )
+        rows.append((i, "audio", blob,
+                     {"n_bytes": len(blob), "mime": "audio/wav",
+                      "source": "t"}))
+        want[i] = (b, b * rate / n, n)
+    media = spark.createDataFrame(rows, schema=mm.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in mm.extract_audio_spectral(media).collect()}
+    for i, (b, freq, n) in want.items():
+        assert got[i].dominant_bin == b, (i, got[i], b)
+        assert abs(got[i].dominant_freq_hz - freq) < 1e-9
+        assert got[i].n_samples == n
