@@ -1781,3 +1781,28 @@ def test_mp4_rejects_duplicate_stsc_first_chunk():
     layout = [[jpegs[0]], [jpegs[1]]]
     with pytest.raises(ValueError, match="stsc first_chunk"):
         mp4_decode(_build_mp4(layout, [(1, 1, 1), (1, 1, 1)]))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    data=st.data(),
+)
+def test_mkv_roundtrip_property(n_frames, data):
+    """encode . decode is the identity for any stack of constant-block
+    frames (the even-offset construction is exact through JPEG)."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        mkv_decode,
+        mkv_encode,
+    )
+
+    frames = [
+        _const_block_frame(
+            [
+                64 + 2 * data.draw(st.integers(min_value=0, max_value=63))
+                for _ in range(4)
+            ]
+        )
+        for _ in range(n_frames)
+    ]
+    assert mkv_decode(mkv_encode(frames, 16, 16)) == (16, 16, n_frames, frames)
