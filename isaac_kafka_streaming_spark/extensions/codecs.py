@@ -2145,6 +2145,51 @@ def _avi_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
     return width, height, len(frames), frames
 
 
+def digest_block_frames(digest: bytes, n_frames: int = 2) -> list:
+    """The shared graded video-frame construction: frame f is a 16x16
+    greyscale raster of four constant 8x8 blocks whose values derive
+    from digest bytes 4f..4f+3 as 64 + 2*(byte % 64) — even offsets
+    from 128 that round-trip the quality-50 JPEG quantizer EXACTLY.
+    One definition keeps the AVI/MP4/MKV adapters and the DuckDB
+    oracle's analytic rebuild from ever drifting apart."""
+    frames = []
+    for fi in range(n_frames):
+        img = bytearray(256)
+        for bi in range(4):
+            v = 64 + 2 * (digest[4 * fi + bi] % 64)
+            oy, ox = (bi // 2) * 8, (bi % 2) * 8
+            for y in range(8):
+                row = (oy + y) * 16 + ox
+                for x in range(8):
+                    img[row + x] = v
+        frames.append(bytes(img))
+    return frames
+
+
+def pcm_to_mono_f64(pcm: bytes, n_frames: int, n_ch: int):
+    """Decode raw PCM (as returned by wav_decode) to a mono float64
+    numpy array: 8-bit unsigned or 16-bit signed little-endian,
+    multi-channel averaged.  Raises ValueError on other widths.
+
+    The one numpy-importing function in this module — numpy ships
+    wherever the Arrow workers run (it underlies pandas/pyarrow), and
+    importing it lazily keeps every other codec stdlib-pure."""
+    import numpy as np
+
+    width = len(pcm) // (n_frames * n_ch) if n_frames else 1
+    if width == 1:
+        x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
+    elif width == 2:
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported PCM sample width {width} (8/16-bit only)"
+        )
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x
+
+
 def _mjpeg_sample_luma(data: bytes, width: int, height: int, idx: int) -> bytes:
     """Decode one Motion-JPEG sample and reduce it to the greyscale
     frame contract shared by gif/avi/mp4 decode: color JPEGs become
@@ -2387,6 +2432,14 @@ def _mp4_sample_table(blob: bytes, stbl_span) -> tuple[int, int, list]:
     s, e = stsz
     fixed, count = struct.unpack_from(">II", blob, s + 4)
     if fixed:
+        # bound the declared count by what the file could possibly
+        # hold BEFORE materializing anything — a malformed
+        # count=0xFFFFFFFF would otherwise allocate tens of GB here
+        if count * max(fixed, 1) > len(blob):
+            raise ValueError(
+                f"MP4 stsz declares {count} samples of {fixed} bytes, "
+                "exceeding the file size"
+            )
         sizes = [fixed] * count
     else:
         if s + 12 + 4 * count > e:
@@ -2589,19 +2642,30 @@ def mkv_encode(
         ),
     )
     tracks = _ebml(_MKV_TRACKS, track)
+    # SimpleBlock timestamps are SIGNED 16-bit offsets from their
+    # cluster's Timestamp, so long clips must split into clusters —
+    # start a new one whenever the offset would overflow s16
+    clusters = b""
+    cluster_ts = 0
     blocks = b""
     for i, j in enumerate(jpegs):
         ts_ms = i * 1000 // fps
+        if ts_ms - cluster_ts > 0x7FFF:
+            clusters += _ebml(
+                _MKV_CLUSTER,
+                _ebml_uint(_MKV_CLUSTER_TIMESTAMP, cluster_ts) + blocks,
+            )
+            cluster_ts, blocks = ts_ms, b""
         # SimpleBlock: track varint, s16 relative timestamp, flags
         # (0x80 = keyframe, lacing NONE), payload
         blocks += _ebml(
             _MKV_SIMPLE_BLOCK,
-            b"\x81" + struct.pack(">hB", ts_ms, 0x80) + j,
+            b"\x81" + struct.pack(">hB", ts_ms - cluster_ts, 0x80) + j,
         )
-    cluster = _ebml(
-        _MKV_CLUSTER, _ebml_uint(_MKV_CLUSTER_TIMESTAMP, 0) + blocks
+    clusters += _ebml(
+        _MKV_CLUSTER, _ebml_uint(_MKV_CLUSTER_TIMESTAMP, cluster_ts) + blocks
     )
-    return header + _ebml(_MKV_SEGMENT, info + tracks + cluster)
+    return header + _ebml(_MKV_SEGMENT, info + tracks + clusters)
 
 
 def mkv_decode(blob: bytes) -> tuple[int, int, int, list]:
@@ -2620,11 +2684,17 @@ def mkv_decode(blob: bytes) -> tuple[int, int, int, list]:
         ) from exc
 
 
-def _read_varint(data: bytes, pos: int, end: int, keep_marker: bool):
+def _read_varint(
+    data: bytes, pos: int, end: int, keep_marker: bool,
+    allow_all_ones: bool = False,
+):
     """Read one EBML varint at pos: (value, next_pos).  Element IDs
     keep the marker bit (matching the _MKV_* constants); sizes strip
-    it.  The all-ones 'unknown size' code raises NotImplementedError
-    for sizes (out of scope) and ValueError for IDs (reserved)."""
+    it.  The all-ones code means 'unknown size' ONLY for element
+    sizes (NotImplementedError — out of scope); block track numbers
+    reuse the VINT encoding where all-ones is an ordinary value
+    (track 127 as 0xFF is legal), so those reads pass
+    allow_all_ones=True."""
     if pos >= end:
         raise ValueError("truncated EBML varint")
     first = data[pos]
@@ -2637,7 +2707,7 @@ def _read_varint(data: bytes, pos: int, end: int, keep_marker: bool):
     if keep_marker:
         return data[pos : pos + length], pos + length
     val = raw & ~(1 << (7 * length))
-    if val == (1 << (7 * length)) - 1:
+    if val == (1 << (7 * length)) - 1 and not allow_all_ones:
         raise NotImplementedError(
             "unknown-size EBML elements are out of scope"
         )
@@ -2721,7 +2791,9 @@ def _mkv_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
         for eid, s, e in _walk_ebml(blob, cs, ce):
             if eid != _MKV_SIMPLE_BLOCK:
                 continue
-            track, p = _read_varint(blob, s, e, keep_marker=False)
+            track, p = _read_varint(
+                blob, s, e, keep_marker=False, allow_all_ones=True
+            )
             if track != video_track:
                 continue
             if p + 3 > e:

@@ -289,25 +289,14 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
     holding genuine T.81 streams decodes to frames that stay pure SQL
     functions of sha256(text) for the oracle."""
     _ship_codecs_by_value()
-    from .codecs import avi_encode
+    from .codecs import digest_block_frames, avi_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
-                digest = hashlib.sha256(raw).digest()
-                frames = []
-                for fi in range(2):
-                    img = bytearray(256)
-                    for bi in range(4):
-                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
-                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
-                        for y in range(8):
-                            row = (oy + y) * 16 + ox
-                            for x in range(8):
-                                img[row + x] = v
-                    frames.append(bytes(img))
+                frames = digest_block_frames(hashlib.sha256(raw).digest())
                 rows.append(
                     (
                         doc_id,
@@ -335,25 +324,14 @@ def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
     both must decode to identical rasters (pure SQL functions of
     sha256(text) for the oracle)."""
     _ship_codecs_by_value()
-    from .codecs import mp4_encode
+    from .codecs import digest_block_frames, mp4_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
-                digest = hashlib.sha256(raw).digest()
-                frames = []
-                for fi in range(2):
-                    img = bytearray(256)
-                    for bi in range(4):
-                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
-                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
-                        for y in range(8):
-                            row = (oy + y) * 16 + ox
-                            for x in range(8):
-                                img[row + x] = v
-                    frames.append(bytes(img))
+                frames = digest_block_frames(hashlib.sha256(raw).digest())
                 rows.append(
                     (
                         doc_id,
@@ -380,25 +358,14 @@ def documents_as_mkv_media(docs: DataFrame) -> DataFrame:
     three-container parity family: one MJPEG core, three container
     grammars, identical rasters."""
     _ship_codecs_by_value()
-    from .codecs import mkv_encode
+    from .codecs import digest_block_frames, mkv_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
-                digest = hashlib.sha256(raw).digest()
-                frames = []
-                for fi in range(2):
-                    img = bytearray(256)
-                    for bi in range(4):
-                        v = 64 + 2 * (digest[4 * fi + bi] % 64)
-                        oy, ox = (bi // 2) * 8, (bi % 2) * 8
-                        for y in range(8):
-                            row = (oy + y) * 16 + ox
-                            for x in range(8):
-                                img[row + x] = v
-                    frames.append(bytes(img))
+                frames = digest_block_frames(hashlib.sha256(raw).digest())
                 rows.append(
                     (
                         doc_id,
@@ -455,14 +422,17 @@ def extract_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over mapInPandas (Arrow batches).
 
-    PNG and baseline-JPEG blobs (magic-sniffed) take the REAL stdlib
-    decoders — dimensions from the header, brightness as the mean
-    decoded sample, content_hash/n_bytes over the decoded pixel
-    payload (for color JPEG: the interleaved RGB plane).  Other blobs
+    PNG and JPEG blobs (magic-sniffed; baseline AND progressive SOF2
+    at every supported sampling, via the shared jpeg_decode entry
+    point) take the REAL stdlib decoders — dimensions from the header,
+    brightness as the mean decoded sample, content_hash/n_bytes over
+    the decoded pixel payload (for color JPEG: the interleaved RGB
+    plane); GIF/AVI/MP4/MKV videos decode as frame 0.  Other blobs
     fall back to the deterministic fake decoder when `fake=True`
     (payload = the raw blob, so hash/n_bytes keep their raw-bytes
-    semantics) and raise otherwise — progressive JPEG etc. need a
-    codec this container doesn't ship.
+    semantics) and raise otherwise — arithmetic-coded JPEG and
+    compressed video codings need a codec this container doesn't
+    ship.
 
     ``hash_mode``: "sha256" (default) emits sha256(payload) as
     content_hash; "hex" emits the payload itself hex-encoded — used by
@@ -514,8 +484,8 @@ def extract_image_features(
                 return w, h, (sum(first) / len(first)) / 255.0, first
         if not fake:
             raise NotImplementedError(
-                "only PNG, JPEG (baseline + greyscale progressive), GIF "
-                "and AVI/MP4/MKV Motion-JPEG decode without an external "
+                "only PNG, JPEG (baseline + progressive SOF2), GIF and "
+                "AVI/MP4/MKV Motion-JPEG decode without an external "
                 "codec (PIL/opencv); run with fake=True for the "
                 "deterministic test decoder"
             )
@@ -617,7 +587,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     (bin 0, 0.0 Hz), not a crash — the extract_audio_features
     contract."""
     _ship_codecs_by_value()
-    from .codecs import wav_decode
+    from .codecs import pcm_to_mono_f64, wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -626,17 +596,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
-                width = len(pcm) // (n_frames * n_ch) if n_frames else 1
-                if width == 1:
-                    x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
-                elif width == 2:
-                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
-                else:
-                    raise ValueError(
-                        f"unsupported PCM sample width {width} (8/16-bit only)"
-                    )
-                if n_ch > 1:
-                    x = x.reshape(-1, n_ch).mean(axis=1)
+                x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 n = len(x)
                 if n >= 2:
                     mag = np.abs(np.fft.rfft(x - x.mean()))
@@ -686,28 +646,18 @@ def extract_audio_spectrogram(
     if frame_len < 2 or hop < 1:
         raise ValueError("frame_len must be >= 2 and hop >= 1")
     _ship_codecs_by_value()
-    from .codecs import wav_decode
+    from .codecs import pcm_to_mono_f64, wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        window = None  # built lazily so numpy import stays worker-side
+        window = None  # one Hann window per task, reused across rows
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
-                width = len(pcm) // (n_frames * n_ch) if n_frames else 1
-                if width == 1:
-                    x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
-                elif width == 2:
-                    x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
-                else:
-                    raise ValueError(
-                        f"unsupported PCM sample width {width} (8/16-bit only)"
-                    )
-                if n_ch > 1:
-                    x = x.reshape(-1, n_ch).mean(axis=1)
-                if window is None or len(window) != frame_len:
+                x = pcm_to_mono_f64(pcm, n_frames, n_ch)
+                if window is None:
                     window = np.hanning(frame_len)
                 fno = 0
                 for start in range(0, len(x) - frame_len + 1, hop):
@@ -818,15 +768,19 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
                 raw = text.encode("utf-8")
                 digest = hashlib.sha256(raw).digest()
                 if digest[0] % 2 == 0:
-                    blob, mime = gzip.compress(raw, mtime=0), "application/gzip"
+                    blob, mime, codec = (
+                        gzip.compress(raw, mtime=0), "application/gzip", "gzip"
+                    )
                 else:
-                    blob, mime = zlib.compress(raw), "application/zlib"
+                    blob, mime, codec = (
+                        zlib.compress(raw), "application/zlib", "zlib"
+                    )
                 rows.append(
                     (
                         doc_id,
                         "text",
                         blob,
-                        {"n_bytes": len(raw), "mime": mime, "source": "gzip"},
+                        {"n_bytes": len(raw), "mime": mime, "source": codec},
                     )
                 )
             yield pd.DataFrame(
@@ -939,9 +893,9 @@ def resize_images(
 ) -> DataFrame:
     """Resize over mapInPandas, preserving the media schema.
 
-    REAL for PNG and JPEG blobs (round 11; both baseline and greyscale
-    progressive via the shared jpeg_decode entry point) and, round 12,
-    for GIF/AVI videos (frame 0, the image-features dispatch): stdlib
+    REAL for PNG and JPEG blobs (baseline and progressive via the
+    shared jpeg_decode entry point) and, round 12, for GIF/AVI/MP4/MKV
+    videos (frame 0, the image-features dispatch): stdlib
     decode, nearest-neighbor resample (codecs.resize_nearest), PNG
     re-encode — lossless and deterministic on the way out regardless
     of the input format, which is why the output mime is image/png for
@@ -965,6 +919,17 @@ def resize_images(
         resize_nearest,
     )
 
+    _video_decoders = [(is_avi, avi_decode), (is_mp4, mp4_decode),
+                       (is_mkv, mkv_decode)]
+
+    def _first_frame_decoder(blob: bytes):
+        """A video (or animated GIF) is also an image: frame 0."""
+        dec = gif_decode if blob[:6] in GIF_MAGICS else next(
+            d for sniff, d in _video_decoders if sniff(blob[:12])
+        )
+        fw, fh, _n, frames = dec(blob)
+        return fw, fh, 1, frames[0]
+
     def _resize_one(blob: bytes) -> tuple[bytes, str]:
         blob = bytes(blob)
         decode = None
@@ -972,23 +937,10 @@ def resize_images(
             decode = png_decode
         elif blob[:3] == JPEG_MAGIC:
             decode = jpeg_decode
-        elif (
-            blob[:6] in GIF_MAGICS
-            or is_avi(blob[:12])
-            or is_mp4(blob[:12])
-            or is_mkv(blob[:12])
+        elif blob[:6] in GIF_MAGICS or any(
+            sniff(blob[:12]) for sniff, _d in _video_decoders
         ):
-            dec = (
-                gif_decode
-                if blob[:6] in GIF_MAGICS
-                else (
-                    avi_decode
-                    if is_avi(blob[:12])
-                    else (mp4_decode if is_mp4(blob[:12]) else mkv_decode)
-                )
-            )
-            fw, fh, _n, frames = dec(blob)
-            decode = lambda _b: (fw, fh, 1, frames[0])  # noqa: E731
+            decode = _first_frame_decoder
         if decode is not None:
             w, h, ch, px = decode(blob)
             if ch == 4:  # drop alpha for the re-encode (RGB color type)
@@ -1050,16 +1002,17 @@ def sample_frames(
     """Frame sampling (video -> frames): 1->N row expansion through
     mapInPandas.
 
-    REAL for animated GIF blobs (round 11) and AVI/MJPEG + MP4/MJPEG
-    videos (round 12): the stdlib decoders (codecs.gif_decode /
-    codecs.avi_decode / codecs.mp4_decode — LZW compositing; RIFF walk
-    or ISO-BMFF sample tables + per-frame T.81 Huffman) produce the
-    full greyscale canvas per frame, and every ``every_n_frames``-th
-    one becomes an output row — frame_no is the ORIGINAL frame index,
-    the standard frame-sampling contract.  Other blobs fall back to
-    the deterministic byte-slice fake when `fake=True` (one row per
-    ``every_n_bytes`` slice) and raise otherwise — mkv/H.264-class
-    payloads need a codec this container doesn't ship."""
+    REAL for animated GIF blobs (round 11) and all three Motion-JPEG
+    video containers (round 12): the stdlib decoders (codecs.gif_decode
+    / avi_decode / mp4_decode / mkv_decode — LZW compositing; RIFF
+    walk, ISO-BMFF sample tables or EBML elements + per-frame T.81
+    Huffman) produce the full greyscale canvas per frame, and every
+    ``every_n_frames``-th one becomes an output row — frame_no is the
+    ORIGINAL frame index, the standard frame-sampling contract.  Other
+    blobs fall back to the deterministic byte-slice fake when
+    `fake=True` (one row per ``every_n_bytes`` slice) and raise
+    otherwise — H.264-class CODINGS need a codec this container
+    doesn't ship."""
     _ship_codecs_by_value()
     from .codecs import (
         GIF_MAGICS,

@@ -1806,3 +1806,74 @@ def test_mkv_roundtrip_property(n_frames, data):
         for _ in range(n_frames)
     ]
     assert mkv_decode(mkv_encode(frames, 16, 16)) == (16, 16, n_frames, frames)
+
+
+def test_mkv_long_clip_splits_clusters():
+    """SimpleBlock timestamps are s16 offsets from their cluster, so a
+    clip longer than ~32s at fps=10 must split into clusters instead
+    of overflowing struct.pack (the 330-frame regression)."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        MKV_MAGIC,
+        _MKV_CLUSTER,
+        mkv_decode,
+        mkv_encode,
+    )
+
+    frames = [_const_block_frame([64 + 2 * (i % 64)] * 4) for i in range(340)]
+    blob = mkv_encode(frames, 16, 16)  # fps=10 -> 34s: needs 2 clusters
+    assert blob[:4] == MKV_MAGIC
+    assert blob.count(_MKV_CLUSTER) >= 2
+    assert mkv_decode(blob) == (16, 16, 340, frames)
+
+
+def test_mkv_accepts_all_ones_track_number():
+    """Track 127 encodes as the 1-byte VINT 0xFF — all-ones is only
+    the 'unknown size' code for element SIZES, not block track
+    numbers; a valid third-party MKV using it must decode."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        mkv_decode,
+        mkv_encode,
+    )
+
+    from isaac_kafka_streaming_spark.extensions.codecs import _MKV_CLUSTER
+
+    frames = [_const_block_frame([88, 90, 92, 94])]
+    blob = bytearray(mkv_encode(frames, 16, 16))
+    # TrackNumber element: 0xd7 uint body 1 -> rewrite to 127
+    i = blob.index(b"\xd7\x81\x01")  # TrackNumber id, size 1, value 1
+    blob[i + 2] = 127
+    # parse to the first SimpleBlock's track varint (same navigation
+    # as the lacing test: Cluster -> Timestamp -> SimpleBlock)
+    p = blob.index(_MKV_CLUSTER) + len(_MKV_CLUSTER)
+    p += 9 - blob[p].bit_length()  # cluster size varint
+    assert blob[p] == 0xE7
+    p += 1
+    sl = 9 - blob[p].bit_length()
+    ts_body = int.from_bytes(blob[p : p + sl], "big") & ~(1 << (7 * sl))
+    p += sl + ts_body
+    assert blob[p] == 0xA3
+    p += 1
+    p += 9 - blob[p].bit_length()  # block size varint
+    assert blob[p] == 0x81  # track varint (value 1)
+    blob[p] = 0xFF  # track 127 as the all-ones 1-byte VINT
+    assert mkv_decode(bytes(blob)) == (16, 16, 1, frames)
+
+
+def test_mp4_rejects_absurd_fixed_stsz_count():
+    """A malformed stsz declaring 2^32-ish fixed-size samples must be
+    rejected by a bound check BEFORE any allocation happens."""
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        mp4_decode,
+        mp4_encode,
+    )
+
+    frames = [_const_block_frame([100, 102, 104, 106])]
+    raw = bytearray(mp4_encode(frames, 16, 16))
+    k = raw.index(b"stsz") + 4  # fullbox version/flags
+    _s.pack_into(">II", raw, k + 4, 7, 0xFFFFFFFF)  # fixed=7, count=4B
+    with pytest.raises(ValueError, match="exceeding the file size"):
+        mp4_decode(bytes(raw))
