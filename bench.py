@@ -147,6 +147,7 @@ HEADLINE = [
     "media_tone_spectral",
     "media_stft_bins",
     "compressed_ingest",
+    "media_ljpeg_features",
 ]
 
 

@@ -4,9 +4,9 @@ The container ships no image/audio libraries (PIL, cv2, soundfile), so
 "real decode" here means real *formats* decoded with real *parsers*
 built on the stdlib: PNG via zlib/struct (signature, chunked layout,
 CRC validation, inflate, all five scanline filters), WAV via the
-`wave` module, baseline JPEG via a T.81 sequential-DCT Huffman
-decoder/encoder pair, and animated GIF via an LZW decoder/encoder
-pair (see the JPEG and GIF sections below).  These are complete for
+`wave` module, JPEG via T.81 Huffman codecs (sequential DCT,
+progressive, and lossless DPCM), and animated GIF via an LZW
+decoder/encoder pair (see the JPEG and GIF sections below).  These are complete for
 the subset they declare — 8-bit-depth non-interlaced greyscale/RGB/RGBA
 PNG, PCM WAV, baseline greyscale/YCbCr JPEG, non-interlaced GIF87a/89a
 — and raise on anything else rather than guessing.
@@ -182,9 +182,12 @@ def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
 #     sampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0),
 #     restart intervals, multi-table DQT/DHT, APPn/COM skipped; PLUS
 #     (round 12) progressive SOF2 — greyscale AND 4:4:4 color — with
-#     full spectral selection + successive approximation.  Subsampled
-#     color progressive and arithmetic coding raise
-#     NotImplementedError — honestly out of scope, not silently wrong.
+#     full spectral selection + successive approximation; PLUS
+#     (round 12) lossless SOF3 — Huffman DPCM, exact by definition
+#     (its own section at the end of this module).  Subsampled color
+#     progressive, arithmetic coding and differential hierarchies
+#     raise NotImplementedError — honestly out of scope, not silently
+#     wrong.
 #   * encode: greyscale or RGB input; 4:4:4 or (color) 4:2:0; the
 #     Annex-K quality-50 quantization tables and standard Huffman
 #     tables (written into the stream, so decode never assumes them).
@@ -760,7 +763,9 @@ def jpeg_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     APPn/COM.  Progressive (SOF2) streams decode too (round 12:
     greyscale and color at every sampling the baseline path supports
     — 4:4:4 and 4:2:0 — with full spectral selection + successive
-    approximation; `_jpeg_decode_progressive_impl`); arithmetic-coded
+    approximation; `_jpeg_decode_progressive_impl`), and lossless
+    (SOF3) streams decode exactly (round 12, Huffman DPCM;
+    `_jpeg_decode_lossless_impl`); arithmetic-coded and differential
     streams raise NotImplementedError; every other malformation raises
     ValueError —
     ENFORCED at this boundary: the internal exception types malformed
@@ -806,9 +811,11 @@ def _jpeg_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             raise NotImplementedError(
                 "arithmetic-coded JPEG is out of scope (Huffman only)"
             )
-        if marker in (0xC3, 0xC5, 0xC7):
+        if marker == 0xC3:  # SOF3 -> the lossless decoder (round 12)
+            return _jpeg_decode_lossless_impl(blob)
+        if marker in (0xC5, 0xC7):
             raise NotImplementedError(
-                "lossless/differential JPEG is out of scope"
+                "differential JPEG is out of scope"
             )
         (seglen,) = struct.unpack_from(">H", blob, pos)
         body = blob[pos + 2 : pos + seglen]
@@ -2811,3 +2818,179 @@ def _mkv_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
     if not frames:
         raise ValueError("MKV has no video frames")
     return width, height, len(frames), frames
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (ITU-T T.81 Annex H, SOF3) — Huffman-coded DPCM.
+# No DCT, no quantizer: each sample's difference from a neighbor
+# prediction is entropy-coded with the SAME category+magnitude scheme
+# (and the same Huffman/bit-IO machinery) as the baseline DC path, so
+# this coding model is exact by definition for ANY pixel content.
+# Scope: 8-bit precision, single component, predictors 1-7, point
+# transform 0, no restart intervals — others raise (honest, enforced).
+# ---------------------------------------------------------------------------
+
+
+def _lossless_predict(cur, prev, x, predictor):
+    """T.81 H.1.2.1: prediction for sample x of the current row.
+    First row uses Ra (left); the first sample of later rows uses Rb
+    (above); the very first sample of the scan uses 2^(P-1) = 128 and
+    is handled by the caller."""
+    if prev is None:
+        return cur[x - 1]  # Ra along the first line, any selector
+    if x == 0:
+        return prev[0]  # Rb at the start of each later line
+    ra, rb, rc = cur[x - 1], prev[x], prev[x - 1]
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # predictor 7
+
+
+def jpeg_encode_lossless(
+    pixels: bytes, width: int, height: int, predictor: int = 4
+) -> bytes:
+    """Encode raw 8-bit greyscale samples as a real lossless JPEG
+    (SOF3): Huffman-coded prediction differences, bit-exact for any
+    content — no quantizer to survive.  The Huffman table is written
+    into the stream, so decoders never assume it."""
+    if len(pixels) != width * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor {predictor} out of range 1-7")
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker, body):
+        out.extend(marker)
+        out.extend(struct.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    segment(
+        b"\xff\xc3",  # SOF3
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    bits, vals = _H_DC_LUM
+    segment(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))  # DHT
+    segment(b"\xff\xda", bytes([1, 1, 0x00, predictor, 0, 0]))  # SOS
+
+    codes = _huff_codes(*_H_DC_LUM)
+    writer = _BitWriter()
+    prev = None
+    for y in range(height):
+        cur = pixels[y * width : (y + 1) * width]
+        for x in range(width):
+            if y == 0 and x == 0:
+                px = 128  # 2^(P-1)
+            else:
+                px = _lossless_predict(cur, prev, x, predictor)
+            diff = (cur[x] - px) % 65536
+            if diff > 32767:
+                diff -= 65536  # the mod-2^16 signed convention
+            s, extra = _magnitude(diff)
+            writer.write(*codes[s])
+            if s:
+                writer.write(extra, s)
+        prev = cur
+    out.extend(writer.flush())
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
+    """SOF3 decoder, dispatched from jpeg_decode (which owns the
+    malformed-input ValueError boundary)."""
+    huff: dict = {}
+    width = height = None
+    predictor = None
+    pos = 2
+    while True:
+        if blob[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = blob[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("no scan data before EOI")
+        (seglen,) = struct.unpack_from(">H", blob, pos)
+        body = blob[pos + 2 : pos + seglen]
+        end = pos + seglen
+        if marker == 0xC3:
+            precision, height, width, nc = struct.unpack_from(">BHHB", body)
+            if precision != 8:
+                raise NotImplementedError(
+                    f"{precision}-bit lossless JPEG is out of scope "
+                    "(8-bit only)"
+                )
+            if nc != 1:
+                raise NotImplementedError(
+                    "multi-component lossless JPEG is out of scope "
+                    "(greyscale only)"
+                )
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                if tclass == 0:
+                    huff[tid] = _huff_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:
+            (ri,) = struct.unpack_from(">H", body)
+            if ri:
+                raise NotImplementedError(
+                    "restart intervals in lossless JPEG are out of scope"
+                )
+        elif marker == 0xDA:
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError(
+                    "multi-component lossless scans are out of scope"
+                )
+            table_id = body[2] >> 4
+            predictor = body[1 + 2 * ns]
+            point_transform = body[3 + 2 * ns] & 0x0F
+            if not 1 <= predictor <= 7:
+                raise ValueError(f"invalid predictor selector {predictor}")
+            if point_transform:
+                raise NotImplementedError(
+                    "lossless point transform is out of scope (Al=0 only)"
+                )
+            pos = end
+            break
+        pos = end
+    if width is None:
+        raise ValueError("lossless JPEG scan before SOF3 header")
+    if table_id not in huff:
+        raise ValueError("lossless JPEG scan references a missing DHT")
+
+    table = huff[table_id]
+    reader = _BitReader(blob, pos)
+    out = bytearray(width * height)
+    prev = None
+    for y in range(height):
+        cur = bytearray(width)
+        for x in range(width):
+            s = _read_symbol(reader, table)
+            if s == 16:
+                diff = 32768  # T.81 H.1: SSSS=16 carries no extra bits
+            else:
+                diff = _extend(reader.bits(s), s) if s else 0
+            if y == 0 and x == 0:
+                px = 128
+            else:
+                px = _lossless_predict(cur, prev, x, predictor)
+            cur[x] = (px + diff) & 0xFF  # mod-2^16 then 8-bit sample
+        out[y * width : (y + 1) * width] = cur
+        prev = cur
+    return width, height, 1, bytes(out)

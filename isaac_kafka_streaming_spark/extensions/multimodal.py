@@ -156,6 +156,46 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_ljpeg_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL lossless JPEG (SOF3) with
+    the SAME digest-pixel payload and dims as the PNG adapter — DPCM
+    is exact for any content, so no quantizer construction is needed,
+    and the PNG entry's oracle applies verbatim.  The predictor
+    selector varies per document (1 + digest[1] % 7), so the graded
+    path exercises all seven T.81 predictors every run."""
+    _ship_codecs_by_value()
+    from .codecs import jpeg_encode_lossless
+
+    dims = _PNG_DIMS
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                w, h = dims[digest[0] % 4]
+                rows.append(
+                    (
+                        doc_id,
+                        "image",
+                        jpeg_encode_lossless(
+                            digest, w, h, predictor=1 + digest[1] % 7
+                        ),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "image/jpeg",
+                            "source": "digest",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL baseline JPEG — 16x16
     greyscale, four constant 8x8 blocks whose values derive from the
@@ -1102,6 +1142,22 @@ def media_png_features(spark, sf_dir: str) -> DataFrame:
     return feats.withColumn("brightness", F.round("brightness", 6))
 
 
+def media_ljpeg_features(spark, sf_dir: str) -> DataFrame:
+    """X5 — REAL lossless-JPEG decode on a graded path: the PNG
+    entry's digest-pixel image re-encoded as SOF3 Huffman-DPCM (a
+    per-document predictor selector covers all seven T.81 predictors)
+    and decoded through the same jpeg_decode entry point.  The oracle
+    is shared VERBATIM with media_png_features — two genuinely
+    different codings, one exact answer."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    feats = extract_image_features(
+        documents_as_ljpeg_media(docs), hash_mode="hex"
+    )
+    return feats.withColumn("brightness", F.round("brightness", 6))
+
+
 def media_jpeg_features(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL baseline-JPEG decode on a graded path: documents
     rendered as genuine SOF0 JPEGs (four digest-derived constant
@@ -1261,6 +1317,29 @@ def register() -> dict:
             f" + (position(substr(hash, {pos + 1}, 1) IN '0123456789abcdef') - 1))"
         )
 
+    # shared by the PNG AND lossless-JPEG entries: both carry the raw
+    # 32-byte digest as pixels at the digest[0] % 4 layout, and both
+    # codings are exact, so one oracle rebuilds features for either
+    digest_pixels_oracle = f"""
+        WITH h AS (
+            SELECT doc_id AS media_id, sha256(text) AS hash
+            FROM documents
+        )
+        SELECT media_id,
+               CAST(CASE {_hexbyte(1)} % 4
+                    WHEN 0 THEN 4 WHEN 1 THEN 8
+                    WHEN 2 THEN 16 ELSE 32 END AS INTEGER) AS width,
+               CAST(CASE {_hexbyte(1)} % 4
+                    WHEN 0 THEN 8 WHEN 1 THEN 4
+                    WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS height,
+               CAST(32 AS BIGINT) AS n_bytes,
+               hash AS content_hash,
+               ROUND(({
+                   " + ".join(_hexbyte(2 * j + 1) for j in range(32))
+               }) / 32.0 / 255.0, 6) AS brightness
+        FROM h
+        """
+
     # shared by the baseline AND progressive JPEG entries — the four
     # 8x8 block values v_i = 64 + 2*(digest byte_i % 64) survive both
     # coding models' shared quantizer exactly, so one oracle rebuilds
@@ -1313,26 +1392,16 @@ def register() -> dict:
         ),
         "media_png_features": QueryDef(
             media_png_features,
-            f"""
-            WITH h AS (
-                SELECT doc_id AS media_id, sha256(text) AS hash
-                FROM documents
-            )
-            SELECT media_id,
-                   CAST(CASE {_hexbyte(1)} % 4
-                        WHEN 0 THEN 4 WHEN 1 THEN 8
-                        WHEN 2 THEN 16 ELSE 32 END AS INTEGER) AS width,
-                   CAST(CASE {_hexbyte(1)} % 4
-                        WHEN 0 THEN 8 WHEN 1 THEN 4
-                        WHEN 2 THEN 2 ELSE 1 END AS INTEGER) AS height,
-                   CAST(32 AS BIGINT) AS n_bytes,
-                   hash AS content_hash,
-                   ROUND(({
-                       " + ".join(_hexbyte(2 * j + 1) for j in range(32))
-                   }) / 32.0 / 255.0, 6) AS brightness
-            FROM h
-            """,
+            digest_pixels_oracle,
             "X5 REAL PNG decode (stdlib inflate+unfilter) via mapInPandas",
+        ),
+        "media_ljpeg_features": QueryDef(
+            media_ljpeg_features,
+            # shared VERBATIM with media_png_features: same digest
+            # pixels, same dims — lossless JPEG is exact by definition
+            digest_pixels_oracle,
+            "X5 REAL lossless-JPEG decode (SOF3 Huffman-DPCM, all 7 "
+            "predictors) via mapInPandas",
         ),
         "media_jpeg_features": QueryDef(
             media_jpeg_features,

@@ -3233,16 +3233,18 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (5): registered mid-round-12;
-    # they take the slots of the last five T2-fill entries
+    # T0 — no green row yet (must-check) (6): registered mid-round-12;
+    # they take the slots of the last six T2-fill entries
     # (question_part_counts, purchases_within_day_of_signup,
-    # purchase_asof_signup, value_quantiles, last_seen_map —
-    # r10-green, they front the round-13 window; the swap discipline)
+    # purchase_asof_signup, value_quantiles, last_seen_map, last_seen
+    # — r10-green, they front the round-13 window; the swap
+    # discipline)
     "media_avi_frames",
     "media_pjpeg_features",
     "media_tone_spectral",
     "media_stft_bins",
     "compressed_ingest",
+    "media_ljpeg_features",
     # T1 — last green <= r9 (invariant requires) (38)
     "customers_without_big_orders",
     "tpch_q5",
@@ -3282,14 +3284,13 @@ _DRIVER_CHECK_ORDER = [
     "pii_scrub",
     "lang_source_rollup",
     "selection_budget_curve",
-    # T2 — last green r10 (expires after next round) (7 of 50)
+    # T2 — last green r10 (expires after next round) (6 of 50)
     "event_type_counts",
     "daily_event_counts",
     "daily_role_counts",
     "daily_role_type_map",
     "user_snapshot",
     "enriched_events",
-    "last_seen",
 ]
 
 

@@ -1877,3 +1877,121 @@ def test_mp4_rejects_absurd_fixed_stsz_count():
     _s.pack_into(">II", raw, k + 4, 7, 0xFFFFFFFF)  # fixed=7, count=4B
     with pytest.raises(ValueError, match="exceeding the file size"):
         mp4_decode(bytes(raw))
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, Huffman DPCM)
+# ---------------------------------------------------------------------------
+
+
+def test_lossless_jpeg_exact_for_any_content():
+    """SOF3 has no quantizer: encode . decode is the identity for
+    arbitrary pixels under every predictor, through the public
+    jpeg_decode entry point."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    rng = random.Random(42)
+    for pred in range(1, 8):
+        for w, h in [(1, 1), (7, 3), (16, 16), (31, 5)]:
+            px = bytes(rng.randrange(256) for _ in range(w * h))
+            blob = jpeg_encode_lossless(px, w, h, predictor=pred)
+            assert blob[:3] == b"\xff\xd8\xff"
+            assert jpeg_decode(blob) == (w, h, 1, px), (pred, w, h)
+
+
+def test_lossless_jpeg_rejects_malformed_and_out_of_scope():
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode_lossless,
+    )
+
+    px = bytes(range(64))
+    blob = jpeg_encode_lossless(px, 8, 8)
+
+    with pytest.raises(ValueError, match="malformed"):
+        jpeg_decode(blob[:24])  # truncated in the header run
+    with pytest.raises(ValueError):
+        jpeg_decode(blob[:-12])  # truncated entropy data
+
+    # 16-bit precision is out of scope
+    raw = bytearray(blob)
+    k = raw.index(b"\xff\xc3") + 4
+    raw[k] = 16
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        jpeg_decode(bytes(raw))
+
+    # multi-component is out of scope
+    raw = bytearray(blob)
+    raw[k + 5] = 3  # Nf
+    with pytest.raises(NotImplementedError, match="multi-component"):
+        jpeg_decode(bytes(raw))
+
+    # restart intervals are out of scope in lossless: splice a DRI in
+    raw = bytearray(blob)
+    sos_at = raw.index(b"\xff\xda")
+    dri = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 2)
+    raw[sos_at:sos_at] = dri
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg_decode(bytes(raw))
+
+    # invalid predictor selector is malformed
+    raw = bytearray(blob)
+    sos_at = raw.index(b"\xff\xda")
+    raw[sos_at + 7] = 0  # Ss (predictor) = 0
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg_decode(bytes(raw))
+
+    with pytest.raises(ValueError, match="dimensions"):
+        jpeg_encode_lossless(bytes(10), 8, 8)
+    with pytest.raises(ValueError, match="predictor"):
+        jpeg_encode_lossless(px, 8, 8, predictor=8)
+
+
+def test_lossless_jpeg_ssss16_and_custom_table():
+    """A hand-assembled third-party-style stream: a custom DHT whose
+    symbols include SSSS=16 (diff 32768 with NO extra bits, mod 2^16)
+    decodes — the decoder reads tables from the stream, never assumes
+    the encoder's."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        _BitWriter,
+        _huff_codes,
+        jpeg_decode,
+    )
+
+    # table: symbols 0..16 all present (counts by code length)
+    bits = [0, 0, 0, 0, 16, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(17))
+    codes = _huff_codes(bits, vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker, body):
+        out.extend(marker)
+        out.extend(_s.pack(">H", len(body) + 2))
+        out.extend(body)
+
+    segment(b"\xff\xc3", _s.pack(">BHHB", 8, 1, 2, 1) + bytes([1, 0x11, 0]))
+    segment(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))
+    segment(b"\xff\xda", bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1
+
+    w = _BitWriter()
+    # sample 0: diff 2 from the 128 default -> 130
+    sym, extra = 2, 0b10
+    w.write(*codes[sym]); w.write(extra, sym)
+    # sample 1: SSSS=16 -> diff 32768, (130 + 32768) & 0xFF = 130
+    w.write(*codes[16])
+    out.extend(w.flush())
+    out.extend(b"\xff\xd9")
+
+    assert jpeg_decode(bytes(out)) == (2, 1, 1, bytes([130, 130]))
