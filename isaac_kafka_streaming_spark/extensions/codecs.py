@@ -169,7 +169,10 @@ def wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
                 w.getnframes(),
                 w.readframes(w.getnframes()),
             )
-    except (wave.Error, EOFError) as e:  # malformed RIFF body
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # malformed RIFF body; the stdlib wave/chunk modules leak a
+        # bare RuntimeError for a corrupt fmt-chunk size (found by the
+        # codec fuzz test), so that wraps to ValueError here too
         raise ValueError(f"malformed WAV: {e}") from e
 
 
@@ -2994,3 +2997,166 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         out[y * width : (y + 1) * width] = cur
         prev = cur
     return width, height, 1, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV (mu-law / A-law) — ITU-T G.711 logarithmic PCM,
+# the telephony-corpus format tag 7 / 6 inside RIFF/WAVE.  The stdlib
+# `wave` module only reads linear PCM (tag 1), so this section walks
+# the RIFF grammar directly (the AVI section's _walk_riff) and expands
+# each companded byte to 16-bit linear.  The companding math is the
+# classic Sun/CCITT implementation, verified in tests to agree with
+# CPython's audioop on EVERY 16-bit value (encode) and every code
+# (decode) where audioop is importable.
+# ---------------------------------------------------------------------------
+
+_ULAW_SEG = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+_ALAW_SEG = (0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+
+
+def ulaw_to_lin16(u: int) -> int:
+    """Expand one mu-law code to a 16-bit linear sample."""
+    u = ~u & 0xFF
+    t = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)) - 0x84
+    return -t if (u & 0x80) else t
+
+
+def alaw_to_lin16(a: int) -> int:
+    """Expand one A-law code to a 16-bit linear sample."""
+    a ^= 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def lin16_to_ulaw(v: int) -> int:
+    """Compand one 16-bit linear sample to mu-law (14-bit domain with
+    floor shifts, the audioop-compatible convention)."""
+    v >>= 2
+    if v < 0:
+        v, mask = -v, 0x7F
+    else:
+        mask = 0xFF
+    if v > 8159:
+        v = 8159
+    v += 0x21  # BIAS >> 2
+    seg = next((i for i, lim in enumerate(_ULAW_SEG) if v <= lim), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((v >> (seg + 1)) & 0x0F)) ^ mask
+
+
+def lin16_to_alaw(v: int) -> int:
+    """Compand one 16-bit linear sample to A-law (13-bit domain)."""
+    v >>= 3
+    if v >= 0:
+        mask = 0xD5
+    else:
+        mask = 0x55
+        v = -v - 1
+    seg = next((i for i, lim in enumerate(_ALAW_SEG) if v <= lim), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (v >> 1) & 0x0F if seg < 2 else (v >> seg) & 0x0F
+    return aval ^ mask
+
+
+def wav_format_tag(blob: bytes) -> int:
+    """The RIFF/WAVE fmt chunk's wFormatTag (1 = linear PCM, 6 =
+    A-law, 7 = mu-law, ...), or 0 if the blob is not a WAVE file."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return 0
+    try:
+        (riff_size,) = struct.unpack_from("<I", blob, 4)
+        end = min(8 + riff_size, len(blob))
+        for fourcc, start, size in _walk_riff(blob, 12, end):
+            if fourcc == b"fmt " and size >= 2:
+                return struct.unpack_from("<H", blob, start)[0]
+    except (ValueError, struct.error):
+        return 0
+    return 0
+
+
+def g711_wav_encode(
+    pcm16: bytes, law: str = "mu", sample_rate: int = 8000,
+    n_channels: int = 1,
+) -> bytes:
+    """Compand 16-bit LE linear PCM and wrap it as a real G.711 WAV
+    (fmt tag 7 for mu-law, 6 for A-law, plus the fact chunk non-PCM
+    WAVs require)."""
+    if law not in ("mu", "a"):
+        raise ValueError(f"unknown companding law {law!r} ('mu' or 'a')")
+    if len(pcm16) % (2 * n_channels):
+        raise ValueError("PCM byte count does not match 16-bit frames")
+    comp = lin16_to_ulaw if law == "mu" else lin16_to_alaw
+    samples = struct.unpack(f"<{len(pcm16) // 2}h", pcm16)
+    data = bytes(comp(v) for v in samples)
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack(
+        "<HHIIHHH",
+        tag, n_channels, sample_rate,
+        sample_rate * n_channels,  # byte rate (1 byte/sample)
+        n_channels, 8,             # block align, bits per sample
+        0,                         # cbSize (no extra format bytes)
+    )
+    n_frames = len(data) // n_channels
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", n_frames))
+        + _riff_chunk(b"data", data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def g711_wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a G.711 WAV: (sample_rate, n_channels, n_frames, 16-bit
+    LE linear PCM).  Linear-PCM files raise ValueError pointing at
+    wav_decode; other compression tags raise NotImplementedError;
+    malformed input raises ValueError."""
+    try:
+        return _g711_wav_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed G.711 WAV: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _g711_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(8 + riff_size, len(blob))
+    tag = rate = n_ch = None
+    data = None
+    for fourcc, start, size in _walk_riff(blob, 12, end):
+        if fourcc == b"fmt ":
+            if size < 14:
+                raise ValueError("WAV fmt chunk too short")
+            tag, n_ch, rate = struct.unpack_from("<HHI", blob, start)
+        elif fourcc == b"data":
+            data = blob[start : start + size]
+    if tag is None or data is None:
+        raise ValueError("WAV lacks fmt or data chunk")
+    if tag == 1:
+        raise ValueError(
+            "linear-PCM WAV: use wav_decode (g711_wav_decode reads "
+            "mu-law/A-law only)"
+        )
+    if tag not in (6, 7):
+        raise NotImplementedError(
+            f"WAV compression tag {tag} is out of scope (G.711 "
+            "mu-law/A-law only)"
+        )
+    expand = ulaw_to_lin16 if tag == 7 else alaw_to_lin16
+    if n_ch < 1:
+        raise ValueError("WAV declares zero channels")
+    pcm16 = struct.pack(f"<{len(data)}h", *(expand(b) for b in data))
+    return rate, n_ch, len(data) // n_ch, pcm16

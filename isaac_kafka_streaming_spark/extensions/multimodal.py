@@ -622,12 +622,18 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     non-DC bins (the mean is removed first, so the 8-bit unsigned
     offset never wins), dominant_freq_hz = bin * rate / n_samples.
 
-    Supports 8-bit unsigned and 16-bit signed PCM; multi-channel audio
-    is averaged to mono before the transform.  Empty data chunks give
-    (bin 0, 0.0 Hz), not a crash — the extract_audio_features
-    contract."""
+    Supports 8-bit unsigned and 16-bit signed PCM, plus G.711
+    mu-law/A-law WAVs (format tags 7/6, expanded to 16-bit linear by
+    codecs.g711_wav_decode); multi-channel audio is averaged to mono
+    before the transform.  Empty data chunks give (bin 0, 0.0 Hz),
+    not a crash — the extract_audio_features contract."""
     _ship_codecs_by_value()
-    from .codecs import pcm_to_mono_f64, wav_decode
+    from .codecs import (
+        g711_wav_decode,
+        pcm_to_mono_f64,
+        wav_decode,
+        wav_format_tag,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -635,7 +641,9 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
+                b = bytes(blob)
+                dec = g711_wav_decode if wav_format_tag(b) in (6, 7) else wav_decode
+                rate, n_ch, n_frames, pcm = dec(b)
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 n = len(x)
                 if n >= 2:
@@ -680,13 +688,19 @@ def extract_audio_spectrogram(
     time.  Hann-windowed numpy rfft per frame; ``hop`` defaults to
     ``frame_len`` (non-overlapping); a trailing partial frame is
     dropped (the standard STFT framing).  Same PCM scope as the
-    whole-clip path: 8-bit unsigned / 16-bit signed, channel-mean."""
+    whole-clip path: 8-bit unsigned / 16-bit signed / G.711
+    mu-law/A-law, channel-mean."""
     if hop is None:
         hop = frame_len
     if frame_len < 2 or hop < 1:
         raise ValueError("frame_len must be >= 2 and hop >= 1")
     _ship_codecs_by_value()
-    from .codecs import pcm_to_mono_f64, wav_decode
+    from .codecs import (
+        g711_wav_decode,
+        pcm_to_mono_f64,
+        wav_decode,
+        wav_format_tag,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -695,7 +709,9 @@ def extract_audio_spectrogram(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                rate, n_ch, n_frames, pcm = wav_decode(bytes(blob))
+                b = bytes(blob)
+                dec = g711_wav_decode if wav_format_tag(b) in (6, 7) else wav_decode
+                rate, n_ch, n_frames, pcm = dec(b)
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 if window is None:
                     window = np.hanning(frame_len)

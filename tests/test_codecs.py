@@ -1995,3 +1995,157 @@ def test_lossless_jpeg_ssss16_and_custom_table():
     out.extend(b"\xff\xd9")
 
     assert jpeg_decode(bytes(out)) == (2, 1, 1, bytes([130, 130]))
+
+
+# ---------------------------------------------------------------------------
+# Cross-codec boundary fuzz: the malformed-input contract
+# ---------------------------------------------------------------------------
+
+
+def test_all_decoders_never_leak_internal_exceptions():
+    """Every decoder's documented contract: malformed input raises
+    ValueError (or NotImplementedError for honest scope limits), NEVER
+    IndexError/struct.error/KeyError/zlib.error.  Seeded fuzz over
+    three malformation classes per format: random bytes behind a valid
+    magic, truncations of a valid file, and single-byte corruptions."""
+    import hashlib as _h
+    import random
+
+    from isaac_kafka_streaming_spark.extensions import codecs as C
+
+    frames = [
+        _const_block_frame([64 + 2 * (b % 64) for b in _h.sha256(bytes([i])).digest()[:4]])
+        for i in range(2)
+    ]
+    gray = bytes(range(256))
+
+    subjects = [
+        ("png", C.png_decode, C.png_encode(gray, 16, 16), C.PNG_MAGIC),
+        ("jpeg", C.jpeg_decode, C.jpeg_encode(gray, 16, 16), b"\xff\xd8\xff"),
+        (
+            "ljpeg",
+            C.jpeg_decode,
+            C.jpeg_encode_lossless(gray, 16, 16),
+            b"\xff\xd8\xff",
+        ),
+        (
+            "pjpeg",
+            C.jpeg_decode,
+            C.jpeg_encode_progressive(gray, 16, 16),
+            b"\xff\xd8\xff",
+        ),
+        ("gif", C.gif_decode, C.gif_encode(frames[:2], 16, 16), b"GIF89a"),
+        ("avi", C.avi_decode, C.avi_encode(frames, 16, 16), None),
+        ("mp4", C.mp4_decode, C.mp4_encode(frames, 16, 16), None),
+        ("mkv", C.mkv_decode, C.mkv_encode(frames, 16, 16), C.MKV_MAGIC),
+        ("wav", C.wav_decode, C.wav_encode(gray), b"RIFF"),
+    ]
+
+    rng = random.Random(0x5EED)
+    allowed = (ValueError, NotImplementedError)
+    for name, decode, valid, magic in subjects:
+        # sanity: the valid blob decodes
+        decode(valid)
+        probes = []
+        if magic is not None:
+            for _ in range(8):
+                probes.append(
+                    magic + bytes(rng.randrange(256) for _ in range(64))
+                )
+        for _ in range(20):  # truncations
+            probes.append(valid[: rng.randrange(1, len(valid))])
+        for _ in range(40):  # single-byte corruptions
+            b = bytearray(valid)
+            b[rng.randrange(len(b))] ^= 1 + rng.randrange(255)
+            probes.append(bytes(b))
+        for i, p in enumerate(probes):
+            try:
+                decode(p)
+            except allowed:
+                pass
+            except Exception as exc:  # noqa: BLE001 - the assertion
+                raise AssertionError(
+                    f"{name} probe {i} leaked {type(exc).__name__}: {exc}"
+                ) from exc
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV (mu-law / A-law)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_companding_matches_audioop_exactly():
+    """The Sun/CCITT companding here agrees with CPython's audioop on
+    every 16-bit value (encode) and every code (decode), both laws —
+    when audioop is importable (it is on 3.11; gated for 3.13+)."""
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        alaw_to_lin16,
+        lin16_to_alaw,
+        lin16_to_ulaw,
+        ulaw_to_lin16,
+    )
+
+    try:
+        import audioop
+    except ImportError:
+        import pytest
+
+        pytest.skip("audioop removed from this Python")
+
+    for c in range(256):
+        assert ulaw_to_lin16(c) == _s.unpack(
+            "<h", audioop.ulaw2lin(bytes([c]), 2)
+        )[0]
+        assert alaw_to_lin16(c) == _s.unpack(
+            "<h", audioop.alaw2lin(bytes([c]), 2)
+        )[0]
+    for v in range(-32768, 32768):
+        pv = _s.pack("<h", v)
+        assert lin16_to_ulaw(v) == audioop.lin2ulaw(pv, 2)[0]
+        assert lin16_to_alaw(v) == audioop.lin2alaw(pv, 2)[0]
+
+
+def test_g711_wav_roundtrip_and_rejection():
+    import math
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        g711_wav_decode,
+        g711_wav_encode,
+        wav_encode,
+        wav_format_tag,
+    )
+
+    pcm = _s.pack(
+        "<256h",
+        *(round(9000 * math.sin(2 * math.pi * 20 * t / 256)) for t in range(256)),
+    )
+    for law, tag in (("mu", 7), ("a", 6)):
+        blob = g711_wav_encode(pcm, law)
+        assert wav_format_tag(blob) == tag
+        rate, ch, n, out = g711_wav_decode(blob)
+        assert (rate, ch, n) == (8000, 1, 256)
+        # companding is idempotent on its lattice: re-encoding the
+        # decoded signal reproduces the file byte-for-byte
+        assert g711_wav_encode(out, law) == blob
+
+    pcm_wav = wav_encode(bytes(range(64)))
+    assert wav_format_tag(pcm_wav) == 1
+    with pytest.raises(ValueError, match="use wav_decode"):
+        g711_wav_decode(pcm_wav)
+
+    raw = bytearray(g711_wav_encode(pcm, "mu"))
+    k = raw.index(b"fmt ") + 8
+    _s.pack_into("<H", raw, k, 2)  # ADPCM tag
+    with pytest.raises(NotImplementedError, match="tag 2"):
+        g711_wav_decode(bytes(raw))
+
+    with pytest.raises(ValueError):
+        g711_wav_decode(g711_wav_encode(pcm, "mu")[:30])
+    with pytest.raises(ValueError, match="law"):
+        g711_wav_encode(pcm, "opus")
+    assert wav_format_tag(b"\x00" * 16) == 0

@@ -604,3 +604,41 @@ def test_audio_spectral_randomized_tones(spark):
         assert got[i].dominant_bin == b, (i, got[i], b)
         assert abs(got[i].dominant_freq_hz - freq) < 1e-9
         assert got[i].n_samples == n
+
+
+def test_spectral_paths_decode_g711_wavs(spark):
+    """A mu-law (and A-law) telephony WAV goes through the same FFT
+    and STFT paths as linear PCM: companding quantization is ~38 dB
+    below a 9000-amplitude tone, so the argmax still lands on the
+    synthesis bin."""
+    import math
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import g711_wav_encode
+
+    n = 256
+
+    def tone16(b):
+        return _s.pack(
+            f"<{n}h",
+            *(round(9000 * math.sin(2 * math.pi * b * t / n)) for t in range(n)),
+        )
+
+    media = spark.createDataFrame(
+        [
+            (0, "audio", g711_wav_encode(tone16(17), "mu"),
+             {"n_bytes": n, "mime": "audio/basic", "source": "t"}),
+            (1, "audio", g711_wav_encode(tone16(33), "a"),
+             {"n_bytes": n, "mime": "audio/basic", "source": "t"}),
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in mm.extract_audio_spectral(media).collect()}
+    assert got[0].dominant_bin == 17 and got[1].dominant_bin == 33
+    assert got[0].sample_rate == 8000 and got[0].n_samples == n
+
+    spec = {
+        r.media_id: r
+        for r in mm.extract_audio_spectrogram(media, frame_len=256).collect()
+    }
+    assert spec[0].dominant_bin == 17 and spec[1].dominant_bin == 33
