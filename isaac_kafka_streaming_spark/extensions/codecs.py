@@ -2829,8 +2829,10 @@ def _mkv_decode_impl(blob: bytes) -> tuple[int, int, int, list]:
 # prediction is entropy-coded with the SAME category+magnitude scheme
 # (and the same Huffman/bit-IO machinery) as the baseline DC path, so
 # this coding model is exact by definition for ANY pixel content.
-# Scope: 8-bit precision, single component, predictors 1-7, point
-# transform 0, no restart intervals — others raise (honest, enforced).
+# Scope: 8-bit precision, greyscale or 3-component interleaved (1x1
+# factors, per-component prediction contexts and tables), predictors
+# 1-7, point transform 0, no restart intervals — others raise
+# (honest, enforced).
 # ---------------------------------------------------------------------------
 
 
@@ -2860,13 +2862,19 @@ def _lossless_predict(cur, prev, x, predictor):
 
 
 def jpeg_encode_lossless(
-    pixels: bytes, width: int, height: int, predictor: int = 4
+    pixels: bytes, width: int, height: int, predictor: int = 4,
+    channels: int = 1,
 ) -> bytes:
-    """Encode raw 8-bit greyscale samples as a real lossless JPEG
-    (SOF3): Huffman-coded prediction differences, bit-exact for any
-    content — no quantizer to survive.  The Huffman table is written
-    into the stream, so decoders never assume it."""
-    if len(pixels) != width * height:
+    """Encode raw 8-bit samples as a real lossless JPEG (SOF3):
+    Huffman-coded prediction differences, bit-exact for any content —
+    no quantizer to survive.  ``channels``: 1 (greyscale) or 3 (RGB,
+    stored as-is — lossless JPEG has no mandated color transform),
+    interleaved in one scan, each component with its own prediction
+    context.  The Huffman table is written into the stream, so
+    decoders never assume it."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3, not {channels}")
+    if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
     if not 1 <= predictor <= 7:
         raise ValueError(f"predictor {predictor} out of range 1-7")
@@ -2878,31 +2886,37 @@ def jpeg_encode_lossless(
         out.extend(struct.pack(">H", len(body) + 2))
         out.extend(body)
 
-    segment(
-        b"\xff\xc3",  # SOF3
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
+    sof = struct.pack(">BHHB", 8, height, width, channels)
+    for ci in range(channels):
+        sof += bytes([ci + 1, 0x11, 0])
+    segment(b"\xff\xc3", sof)  # SOF3
     bits, vals = _H_DC_LUM
     segment(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))  # DHT
-    segment(b"\xff\xda", bytes([1, 1, 0x00, predictor, 0, 0]))  # SOS
+    sos = bytes([channels])
+    for ci in range(channels):
+        sos += bytes([ci + 1, 0x00])
+    segment(b"\xff\xda", sos + bytes([predictor, 0, 0]))  # SOS
 
     codes = _huff_codes(*_H_DC_LUM)
     writer = _BitWriter()
-    prev = None
+    prev = [None] * channels
     for y in range(height):
-        cur = pixels[y * width : (y + 1) * width]
+        cur = [bytearray(width) for _ in range(channels)]
+        row = pixels[y * width * channels : (y + 1) * width * channels]
         for x in range(width):
-            if y == 0 and x == 0:
-                px = 128  # 2^(P-1)
-            else:
-                px = _lossless_predict(cur, prev, x, predictor)
-            diff = (cur[x] - px) % 65536
-            if diff > 32767:
-                diff -= 65536  # the mod-2^16 signed convention
-            s, extra = _magnitude(diff)
-            writer.write(*codes[s])
-            if s:
-                writer.write(extra, s)
+            for ci in range(channels):
+                cur[ci][x] = row[x * channels + ci]
+                if y == 0 and x == 0:
+                    px = 128  # 2^(P-1)
+                else:
+                    px = _lossless_predict(cur[ci], prev[ci], x, predictor)
+                diff = (cur[ci][x] - px) % 65536
+                if diff > 32767:
+                    diff -= 65536  # the mod-2^16 signed convention
+                s, extra = _magnitude(diff)
+                writer.write(*codes[s])
+                if s:
+                    writer.write(extra, s)
         prev = cur
     out.extend(writer.flush())
     out.extend(b"\xff\xd9")  # EOI
@@ -2913,7 +2927,7 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     """SOF3 decoder, dispatched from jpeg_decode (which owns the
     malformed-input ValueError boundary)."""
     huff: dict = {}
-    width = height = None
+    width = height = nc = None
     predictor = None
     pos = 2
     while True:
@@ -2933,11 +2947,18 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                     f"{precision}-bit lossless JPEG is out of scope "
                     "(8-bit only)"
                 )
-            if nc != 1:
+            if nc not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component lossless JPEG is out of scope "
-                    "(greyscale only)"
+                    f"{nc}-component lossless JPEG is out of scope "
+                    "(greyscale or 3-component only)"
                 )
+            for ci in range(nc):
+                hv = body[6 + 3 * ci + 1]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless components are out of "
+                        "scope (1x1 factors only)"
+                    )
         elif marker == 0xC4:
             i = 0
             while i < len(body):
@@ -2956,11 +2977,12 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 )
         elif marker == 0xDA:
             ns = body[0]
-            if ns != 1:
+            if nc is None or ns != nc:
                 raise NotImplementedError(
-                    "multi-component lossless scans are out of scope"
+                    "lossless scans must interleave every frame "
+                    "component (per-component scans are out of scope)"
                 )
-            table_id = body[2] >> 4
+            table_ids = [body[2 + 2 * ci] >> 4 for ci in range(ns)]
             predictor = body[1 + 2 * ns]
             point_transform = body[3 + 2 * ns] & 0x0F
             if not 1 <= predictor <= 7:
@@ -2974,29 +2996,32 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         pos = end
     if width is None:
         raise ValueError("lossless JPEG scan before SOF3 header")
-    if table_id not in huff:
+    if any(t not in huff for t in table_ids):
         raise ValueError("lossless JPEG scan references a missing DHT")
 
-    table = huff[table_id]
+    tables = [huff[t] for t in table_ids]
     reader = _BitReader(blob, pos)
-    out = bytearray(width * height)
-    prev = None
+    out = bytearray(width * height * nc)
+    prev = [None] * nc
     for y in range(height):
-        cur = bytearray(width)
+        cur = [bytearray(width) for _ in range(nc)]
+        base = y * width * nc
         for x in range(width):
-            s = _read_symbol(reader, table)
-            if s == 16:
-                diff = 32768  # T.81 H.1: SSSS=16 carries no extra bits
-            else:
-                diff = _extend(reader.bits(s), s) if s else 0
-            if y == 0 and x == 0:
-                px = 128
-            else:
-                px = _lossless_predict(cur, prev, x, predictor)
-            cur[x] = (px + diff) & 0xFF  # mod-2^16 then 8-bit sample
-        out[y * width : (y + 1) * width] = cur
+            for ci in range(nc):
+                s = _read_symbol(reader, tables[ci])
+                if s == 16:
+                    diff = 32768  # T.81 H.1: SSSS=16, no extra bits
+                else:
+                    diff = _extend(reader.bits(s), s) if s else 0
+                if y == 0 and x == 0:
+                    px = 128
+                else:
+                    px = _lossless_predict(cur[ci], prev[ci], x, predictor)
+                v = (px + diff) & 0xFF  # mod-2^16 then 8-bit sample
+                cur[ci][x] = v
+                out[base + x * nc + ci] = v
         prev = cur
-    return width, height, 1, bytes(out)
+    return width, height, nc, bytes(out)
 
 
 # ---------------------------------------------------------------------------
