@@ -3185,3 +3185,192 @@ def _g711_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("WAV declares zero channels")
     pcm16 = struct.pack(f"<{len(data)}h", *(expand(b) for b in data))
     return rate, n_ch, len(data) // n_ch, pcm16
+
+
+# ---------------------------------------------------------------------------
+# IMA/DVI ADPCM WAV (format tag 0x11) — the classic 4-bit adaptive
+# step-size codec, block-framed as Microsoft WAV lays it out: each
+# block starts with a per-channel 4-byte header (s16 predictor, u8
+# step index, u8 reserved) followed by 4-bit nibbles, low nibble
+# first.  Tables are the published IMA reference tables.  Scope:
+# mono; stereo interleave raises (honest).
+# ---------------------------------------------------------------------------
+
+_IMA_INDEX_ADJUST = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+)
+
+
+def _ima_step(nibble: int, pred: int, index: int) -> tuple:
+    """One IMA ADPCM decode step: (new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJUST[nibble & 7]))
+    return pred, index
+
+
+def _ima_encode_sample(v: int, pred: int, index: int) -> tuple:
+    """One IMA ADPCM encode step: (nibble, new_pred, new_index)."""
+    step = _IMA_STEPS[index]
+    diff = v - pred
+    nibble = 0
+    if diff < 0:
+        nibble = 8
+        diff = -diff
+    if diff >= step:
+        nibble |= 4
+        diff -= step
+    if diff >= step >> 1:
+        nibble |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        nibble |= 1
+    return (nibble,) + _ima_step(nibble, pred, index)
+
+
+def adpcm_wav_encode(
+    pcm16: bytes, sample_rate: int = 8000, block_frames: int = 505
+) -> bytes:
+    """Compress 16-bit LE mono PCM as a real IMA ADPCM WAV (tag 0x11,
+    MS block framing: 4-byte header + 4-bit nibbles, low nibble
+    first).  ``block_frames`` is samples per block INCLUDING the
+    header sample (505 -> the canonical 256-byte mono block)."""
+    if len(pcm16) % 2:
+        raise ValueError("PCM byte count does not match 16-bit frames")
+    if block_frames < 2 or (block_frames - 1) % 8:
+        raise ValueError(
+            "block_frames must be 1 + a multiple of 8 nibble samples"
+        )
+    samples = struct.unpack(f"<{len(pcm16) // 2}h", pcm16)
+    if not samples:
+        raise ValueError("ADPCM needs at least one sample")
+    block_align = 4 + (block_frames - 1) // 2
+
+    data = bytearray()
+    index = 0
+    i = 0
+    while i < len(samples):
+        chunk = samples[i : i + block_frames]
+        pred = chunk[0]
+        data += struct.pack("<hBB", pred, index, 0)
+        nibbles = []
+        for v in chunk[1:]:
+            nib, pred, index = _ima_encode_sample(v, pred, index)
+            nibbles.append(nib)
+        while len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+            data.append(lo | (hi << 4))
+        # pad the final block to block_align (decoder stops at n_frames)
+        pad = block_align - 4 - len(nibbles) // 2
+        data += b"\x00" * pad
+        i += block_frames
+
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // block_frames,  # nominal byte rate
+        block_align, 4,            # block align, bits per sample
+        2,                         # cbSize
+        block_frames,              # wSamplesPerBlock
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", len(samples)))
+        + _riff_chunk(b"data", bytes(data))
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def adpcm_wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an IMA ADPCM WAV: (sample_rate, n_channels, n_frames,
+    16-bit LE linear PCM).  Non-ADPCM tags and stereo raise; malformed
+    input raises ValueError."""
+    try:
+        return _adpcm_wav_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed ADPCM WAV: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _adpcm_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(8 + riff_size, len(blob))
+    tag = rate = n_ch = block_align = spb = None
+    n_frames = None
+    data = None
+    for fourcc, start, size in _walk_riff(blob, 12, end):
+        if fourcc == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            tag, n_ch, rate, _br, block_align, _bits = struct.unpack_from(
+                "<HHIIHH", blob, start
+            )
+            if size >= 20:
+                (spb,) = struct.unpack_from("<H", blob, start + 18)
+        elif fourcc == b"fact":
+            (n_frames,) = struct.unpack_from("<I", blob, start)
+        elif fourcc == b"data":
+            data = blob[start : start + size]
+    if tag is None or data is None:
+        raise ValueError("WAV lacks fmt or data chunk")
+    if tag != 0x11:
+        raise NotImplementedError(
+            f"WAV compression tag {tag} is not IMA ADPCM (0x11)"
+        )
+    if n_ch != 1:
+        raise NotImplementedError(
+            "stereo IMA ADPCM is out of scope (mono only)"
+        )
+    if spb is None:
+        spb = (block_align - 4) * 2 + 1
+    out = []
+    pos = 0
+    while pos + 4 <= len(data) and (n_frames is None or len(out) < n_frames):
+        pred, index, _rsvd = struct.unpack_from("<hBB", data, pos)
+        if index > 88:
+            raise ValueError(f"ADPCM step index {index} out of range")
+        out.append(pred)
+        nib_bytes = data[pos + 4 : pos + block_align]
+        produced = 1
+        for byte in nib_bytes:
+            for nib in (byte & 0x0F, byte >> 4):
+                if produced >= spb:
+                    break
+                pred, index = _ima_step(nib, pred, index)
+                out.append(pred)
+                produced += 1
+        pos += block_align
+    if n_frames is not None:
+        if len(out) < n_frames:
+            raise ValueError(
+                f"ADPCM data carries {len(out)} samples, fact declares "
+                f"{n_frames}"
+            )
+        out = out[:n_frames]
+    if not out:
+        raise ValueError("ADPCM WAV has no samples")
+    return rate, 1, len(out), struct.pack(f"<{len(out)}h", *out)

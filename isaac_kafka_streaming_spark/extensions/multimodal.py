@@ -623,17 +623,26 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     offset never wins), dominant_freq_hz = bin * rate / n_samples.
 
     Supports 8-bit unsigned and 16-bit signed PCM, plus G.711
-    mu-law/A-law WAVs (format tags 7/6, expanded to 16-bit linear by
-    codecs.g711_wav_decode); multi-channel audio is averaged to mono
+    mu-law/A-law WAVs (format tags 7/6) and IMA ADPCM WAVs (tag 0x11),
+    each expanded to 16-bit linear by the matching codecs decoder
+    behind a format-tag dispatch; multi-channel audio is averaged to mono
     before the transform.  Empty data chunks give (bin 0, 0.0 Hz),
     not a crash — the extract_audio_features contract."""
     _ship_codecs_by_value()
     from .codecs import (
+        adpcm_wav_decode,
         g711_wav_decode,
         pcm_to_mono_f64,
         wav_decode,
         wav_format_tag,
     )
+
+    def _decoder_for(tag):
+        if tag in (6, 7):
+            return g711_wav_decode
+        if tag == 0x11:
+            return adpcm_wav_decode
+        return wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -642,8 +651,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 b = bytes(blob)
-                dec = g711_wav_decode if wav_format_tag(b) in (6, 7) else wav_decode
-                rate, n_ch, n_frames, pcm = dec(b)
+                rate, n_ch, n_frames, pcm = _decoder_for(wav_format_tag(b))(b)
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 n = len(x)
                 if n >= 2:
@@ -689,18 +697,26 @@ def extract_audio_spectrogram(
     ``frame_len`` (non-overlapping); a trailing partial frame is
     dropped (the standard STFT framing).  Same PCM scope as the
     whole-clip path: 8-bit unsigned / 16-bit signed / G.711
-    mu-law/A-law, channel-mean."""
+    mu-law/A-law / IMA ADPCM, channel-mean."""
     if hop is None:
         hop = frame_len
     if frame_len < 2 or hop < 1:
         raise ValueError("frame_len must be >= 2 and hop >= 1")
     _ship_codecs_by_value()
     from .codecs import (
+        adpcm_wav_decode,
         g711_wav_decode,
         pcm_to_mono_f64,
         wav_decode,
         wav_format_tag,
     )
+
+    def _decoder_for(tag):
+        if tag in (6, 7):
+            return g711_wav_decode
+        if tag == 0x11:
+            return adpcm_wav_decode
+        return wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -710,8 +726,7 @@ def extract_audio_spectrogram(
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
                 b = bytes(blob)
-                dec = g711_wav_decode if wav_format_tag(b) in (6, 7) else wav_decode
-                rate, n_ch, n_frames, pcm = dec(b)
+                rate, n_ch, n_frames, pcm = _decoder_for(wav_format_tag(b))(b)
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 if window is None:
                     window = np.hanning(frame_len)

@@ -2055,6 +2055,18 @@ def test_all_decoders_never_leak_internal_exceptions():
         ("mp4", C.mp4_decode, C.mp4_encode(frames, 16, 16), None),
         ("mkv", C.mkv_decode, C.mkv_encode(frames, 16, 16), C.MKV_MAGIC),
         ("wav", C.wav_decode, C.wav_encode(gray), b"RIFF"),
+        (
+            "g711",
+            C.g711_wav_decode,
+            C.g711_wav_encode(bytes(512), "mu"),
+            None,
+        ),
+        (
+            "adpcm",
+            C.adpcm_wav_decode,
+            C.adpcm_wav_encode(bytes(1024)),
+            None,
+        ),
     ]
 
     rng = random.Random(0x5EED)
@@ -2189,3 +2201,58 @@ def test_lossless_jpeg_roundtrip_property(w, h, pred, channels, data):
     )
     blob = jpeg_encode_lossless(px, w, h, predictor=pred, channels=channels)
     assert jpeg_decode(blob) == (w, h, channels, px)
+
+
+def test_adpcm_wav_roundtrip_quality_and_rejection():
+    """IMA ADPCM is lossy-but-adaptive: block-header samples are
+    exact, mean error on a smooth tone stays tiny relative to the
+    amplitude, and the WAV framing (fact count, odd lengths, custom
+    block sizes) round-trips; stereo/non-ADPCM/corrupt inputs
+    raise."""
+    import math
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        adpcm_wav_decode,
+        adpcm_wav_encode,
+        wav_format_tag,
+    )
+
+    n = 2048
+    orig = [round(12000 * math.sin(2 * math.pi * 50 * t / n)) for t in range(n)]
+    pcm = _s.pack(f"<{n}h", *orig)
+    blob = adpcm_wav_encode(pcm, 8000)
+    assert wav_format_tag(blob) == 0x11
+    rate, ch, nf, out = adpcm_wav_decode(blob)
+    assert (rate, ch, nf) == (8000, 1, n)
+    dec = _s.unpack(f"<{n}h", out)
+    assert dec[0] == orig[0]  # block header carries the exact sample
+    mean_err = sum(abs(a - b) for a, b in zip(orig, dec)) / n
+    assert mean_err < 400  # ~-30 dB of a 12000-amplitude signal
+
+    # odd length + non-default block size: fact trimming works
+    odd = _s.pack("<777h", *orig[:777])
+    blob2 = adpcm_wav_encode(odd, 16000, block_frames=129)
+    rate2, _ch, nf2, out2 = adpcm_wav_decode(blob2)
+    assert (rate2, nf2, len(out2)) == (16000, 777, 777 * 2)
+
+    with pytest.raises(NotImplementedError, match="not IMA ADPCM"):
+        raw = bytearray(blob)
+        _s.pack_into("<H", raw, raw.index(b"fmt ") + 8, 2)
+        adpcm_wav_decode(bytes(raw))
+    with pytest.raises(NotImplementedError, match="mono"):
+        raw = bytearray(blob)
+        _s.pack_into("<H", raw, raw.index(b"fmt ") + 10, 2)
+        adpcm_wav_decode(bytes(raw))
+    with pytest.raises(ValueError, match="step index"):
+        raw = bytearray(blob)
+        raw[raw.index(b"data") + 8 + 2] = 99  # first block's index byte
+        adpcm_wav_decode(bytes(raw))
+    with pytest.raises(ValueError):
+        adpcm_wav_decode(blob[:40])
+    with pytest.raises(ValueError, match="block_frames"):
+        adpcm_wav_encode(pcm, 8000, block_frames=10)
+    with pytest.raises(ValueError, match="at least one"):
+        adpcm_wav_encode(b"", 8000)

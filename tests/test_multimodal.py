@@ -642,3 +642,26 @@ def test_spectral_paths_decode_g711_wavs(spark):
         for r in mm.extract_audio_spectrogram(media, frame_len=256).collect()
     }
     assert spec[0].dominant_bin == 17 and spec[1].dominant_bin == 33
+
+
+def test_spectral_paths_decode_adpcm_wavs(spark):
+    """An IMA ADPCM telephony WAV goes through the FFT path like
+    linear PCM: ADPCM error on a steady tone is far below the tone,
+    so the argmax still lands on the synthesis bin."""
+    import math
+    import struct as _s
+
+    from isaac_kafka_streaming_spark.extensions.codecs import adpcm_wav_encode
+
+    n = 1024
+    pcm = _s.pack(
+        f"<{n}h",
+        *(round(12000 * math.sin(2 * math.pi * 60 * t / n)) for t in range(n)),
+    )
+    media = spark.createDataFrame(
+        [(0, "audio", adpcm_wav_encode(pcm, 8000),
+          {"n_bytes": n, "mime": "audio/x-adpcm", "source": "t"})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    r = mm.extract_audio_spectral(media).collect()[0]
+    assert (r.dominant_bin, r.n_samples, r.sample_rate) == (60, n, 8000)
