@@ -2178,8 +2178,9 @@ def digest_block_frames(digest: bytes, n_frames: int = 2) -> list:
 
 def pcm_to_mono_f64(pcm: bytes, n_frames: int, n_ch: int):
     """Decode raw PCM (as returned by wav_decode) to a mono float64
-    numpy array: 8-bit unsigned or 16-bit signed little-endian,
-    multi-channel averaged.  Raises ValueError on other widths.
+    numpy array: 8-bit unsigned, 16-bit signed or 24-bit signed
+    little-endian, multi-channel averaged.  Raises ValueError on
+    other widths.
 
     The one numpy-importing function in this module — numpy ships
     wherever the Arrow workers run (it underlies pandas/pyarrow), and
@@ -2191,9 +2192,15 @@ def pcm_to_mono_f64(pcm: bytes, n_frames: int, n_ch: int):
         x = np.frombuffer(pcm, dtype=np.uint8).astype(np.float64)
     elif width == 2:
         x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+    elif width == 3:
+        b = np.frombuffer(pcm, dtype=np.uint8).reshape(-1, 3).astype(
+            np.int64
+        )
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        x = np.where(v >= 1 << 23, v - (1 << 24), v).astype(np.float64)
     else:
         raise ValueError(
-            f"unsupported PCM sample width {width} (8/16-bit only)"
+            f"unsupported PCM sample width {width} (8/16/24-bit only)"
         )
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
@@ -3374,3 +3381,79 @@ def _adpcm_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     if not out:
         raise ValueError("ADPCM WAV has no samples")
     return rate, 1, len(out), struct.pack(f"<{len(out)}h", *out)
+
+
+def float_wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an IEEE-float WAV (format tag 3, 32-bit): (sample_rate,
+    n_channels, n_frames, 16-bit LE linear PCM) — floats in [-1, 1]
+    scale to the 16-bit range (clipped), the conventional reduction.
+    The stdlib `wave` module is integer-PCM-only, so this walks the
+    RIFF grammar directly.  Non-float tags and non-32-bit widths
+    raise; malformed input raises ValueError."""
+    try:
+        return _float_wav_decode_impl(blob)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"malformed float WAV: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _float_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE signature")
+    (riff_size,) = struct.unpack_from("<I", blob, 4)
+    end = min(8 + riff_size, len(blob))
+    tag = rate = n_ch = bits = None
+    data = None
+    for fourcc, start, size in _walk_riff(blob, 12, end):
+        if fourcc == b"fmt ":
+            if size < 16:
+                raise ValueError("WAV fmt chunk too short")
+            tag, n_ch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", blob, start
+            )
+        elif fourcc == b"data":
+            data = blob[start : start + size]
+    if tag is None or data is None:
+        raise ValueError("WAV lacks fmt or data chunk")
+    if tag != 3:
+        raise NotImplementedError(
+            f"WAV compression tag {tag} is not IEEE float (3)"
+        )
+    if bits != 32:
+        raise NotImplementedError(
+            f"{bits}-bit float WAV is out of scope (32-bit only)"
+        )
+    if n_ch < 1:
+        raise ValueError("WAV declares zero channels")
+    n = len(data) // 4
+    floats = struct.unpack(f"<{n}f", data[: n * 4])
+    pcm16 = struct.pack(
+        f"<{n}h",
+        *(
+            max(-32768, min(32767, round(v * 32767.0)))
+            for v in floats
+        ),
+    )
+    return rate, n_ch, n // n_ch, pcm16
+
+
+def float_wav_encode(
+    floats, sample_rate: int = 8000, n_channels: int = 1
+) -> bytes:
+    """Wrap float samples in [-1, 1] as a real IEEE-float WAV (tag 3,
+    32-bit), fact chunk included."""
+    data = struct.pack(f"<{len(floats)}f", *floats)
+    fmt = struct.pack(
+        "<HHIIHHH",
+        3, n_channels, sample_rate,
+        sample_rate * n_channels * 4,
+        n_channels * 4, 32, 0,
+    )
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", struct.pack("<I", len(floats) // n_channels))
+        + _riff_chunk(b"data", data)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

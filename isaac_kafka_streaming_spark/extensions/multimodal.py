@@ -623,7 +623,8 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     offset never wins), dominant_freq_hz = bin * rate / n_samples.
 
     Supports 8-bit unsigned and 16-bit signed PCM, plus G.711
-    mu-law/A-law WAVs (format tags 7/6) and IMA ADPCM WAVs (tag 0x11),
+    mu-law/A-law WAVs (format tags 7/6), IMA ADPCM WAVs (tag 0x11)
+    and 32-bit IEEE-float WAVs (tag 3),
     each expanded to 16-bit linear by the matching codecs decoder
     behind a format-tag dispatch; multi-channel audio is averaged to mono
     before the transform.  Empty data chunks give (bin 0, 0.0 Hz),
@@ -631,6 +632,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     _ship_codecs_by_value()
     from .codecs import (
         adpcm_wav_decode,
+        float_wav_decode,
         g711_wav_decode,
         pcm_to_mono_f64,
         wav_decode,
@@ -642,6 +644,8 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
             return g711_wav_decode
         if tag == 0x11:
             return adpcm_wav_decode
+        if tag == 3:
+            return float_wav_decode
         return wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -705,6 +709,7 @@ def extract_audio_spectrogram(
     _ship_codecs_by_value()
     from .codecs import (
         adpcm_wav_decode,
+        float_wav_decode,
         g711_wav_decode,
         pcm_to_mono_f64,
         wav_decode,
@@ -716,6 +721,8 @@ def extract_audio_spectrogram(
             return g711_wav_decode
         if tag == 0x11:
             return adpcm_wav_decode
+        if tag == 3:
+            return float_wav_decode
         return wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

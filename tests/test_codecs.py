@@ -2067,6 +2067,12 @@ def test_all_decoders_never_leak_internal_exceptions():
             C.adpcm_wav_encode(bytes(1024)),
             None,
         ),
+        (
+            "fwav",
+            C.float_wav_decode,
+            C.float_wav_encode([0.0] * 64),
+            None,
+        ),
     ]
 
     rng = random.Random(0x5EED)
@@ -2256,3 +2262,48 @@ def test_adpcm_wav_roundtrip_quality_and_rejection():
         adpcm_wav_encode(pcm, 8000, block_frames=10)
     with pytest.raises(ValueError, match="at least one"):
         adpcm_wav_encode(b"", 8000)
+
+
+def test_float_wav_roundtrip_and_rejection():
+    import math
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        float_wav_decode,
+        float_wav_encode,
+        wav_encode,
+        wav_format_tag,
+    )
+
+    n = 512
+    fl = [0.7 * math.sin(2 * math.pi * 30 * t / n) for t in range(n)]
+    blob = float_wav_encode(fl, 16000)
+    assert wav_format_tag(blob) == 3
+    rate, ch, nf, pcm = float_wav_decode(blob)
+    assert (rate, ch, nf) == (16000, 1, n)
+    vals = _s.unpack(f"<{n}h", pcm)
+    assert abs(max(vals) - round(0.7 * 32767)) <= 1
+    # out-of-range floats clip, not wrap
+    clip = float_wav_decode(float_wav_encode([2.0, -2.0]))
+    assert _s.unpack("<2h", clip[3]) == (32767, -32768)
+
+    with pytest.raises(NotImplementedError, match="not IEEE float"):
+        float_wav_decode(wav_encode(bytes(16)))
+    raw = bytearray(float_wav_encode(fl))
+    _s.pack_into("<H", raw, raw.index(b"fmt ") + 8 + 14, 64)  # bits=64
+    with pytest.raises(NotImplementedError, match="64-bit"):
+        float_wav_decode(bytes(raw))
+    with pytest.raises(ValueError):
+        float_wav_decode(blob[:30])
+
+
+def test_pcm24_mono_conversion():
+    """24-bit signed LE PCM converts exactly, including negatives."""
+    from isaac_kafka_streaming_spark.extensions.codecs import pcm_to_mono_f64
+
+    vals = [0, 1, -1, 8_388_607, -8_388_608, 123_456, -123_456]
+    pcm = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
+    out = pcm_to_mono_f64(pcm, len(vals), 1)
+    assert out.tolist() == [float(v) for v in vals]
