@@ -33,8 +33,12 @@ WAV_MAGIC = b"RIFF"
 _CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
-def png_encode(pixels: bytes, width: int, height: int, color_type: int = 0) -> bytes:
-    """Encode raw 8-bit samples as a real PNG (non-interlaced).
+def png_encode(
+    pixels: bytes, width: int, height: int, color_type: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """Encode raw 8-bit samples as a real PNG (sequential, or Adam7
+    when ``interlace`` is set — seven gathered sub-images, filter 0).
 
     `pixels` is the concatenation of scanlines, `channels * width *
     height` bytes.  Output parses in any standards-compliant reader.
@@ -53,11 +57,31 @@ def png_encode(pixels: bytes, width: int, height: int, color_type: int = 0) -> b
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
-    stride = width * channels
-    raw = b"".join(
-        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
     )
+    stride = width * channels
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + pixels[y * stride : (y + 1) * stride]
+            for y in range(height)
+        )
+    else:
+        parts = []
+        for x0, xs, y0, ys in _ADAM7:
+            pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+            ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            for py in range(ph):
+                oy = y0 + py * ys
+                line = bytearray([0])
+                for px_i in range(pw):
+                    ox = x0 + px_i * xs
+                    src = (oy * width + ox) * channels
+                    line += pixels[src : src + channels]
+                parts.append(bytes(line))
+        raw = b"".join(parts)
     return (
         PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -74,54 +98,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a PNG: returns (width, height, channels, pixel bytes).
+# Adam7 pass geometry: (x_start, x_step, y_start, y_step)
+_ADAM7 = (
+    (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
+    (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
+)
 
-    Real decode: chunk walk with CRC validation, IHDR checks, IDAT
-    inflate, and per-scanline unfiltering (None/Sub/Up/Average/Paeth).
-    Supports 8-bit non-interlaced color types 0/2/6; raises ValueError
-    on anything else (interlace, palette, 16-bit) instead of guessing.
-    """
-    if blob[:8] != PNG_MAGIC:
-        raise ValueError("not a PNG: bad signature")
-    pos, width = 8, None
-    height = channels = None
-    idat = bytearray()
-    while pos < len(blob):
-        try:
-            (length,) = struct.unpack_from(">I", blob, pos)
-            tag = blob[pos + 4 : pos + 8]
-            body = blob[pos + 8 : pos + 8 + length]
-            (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
-        except struct.error as e:  # truncated mid-chunk
-            raise ValueError(f"truncated PNG chunk stream: {e}") from e
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        pos += 12 + length
-        if tag == b"IHDR":
-            width, height, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-            if depth != 8 or color not in _CHANNELS:
-                raise ValueError(f"unsupported PNG: depth={depth} color={color}")
-            if interlace:
-                raise ValueError("interlaced PNG unsupported")
-            channels = _CHANNELS[color]
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-    if width is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
+                  channels: int) -> bytearray:
+    """Reconstruct one filtered sub-image (the spec's filter types
+    None/Sub/Up/Average/Paeth) starting at `offset` in the inflated
+    stream; returns the raster (the caller advances by
+    (width*channels + 1) * height)."""
     stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG payload size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        base = offset + y * (stride + 1)
+        if base + 1 + stride > len(raw):
+            raise ValueError("PNG payload size mismatch")
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
             for x in range(channels, stride):
                 line[x] = (line[x] + line[x - channels]) & 0xFF
@@ -141,6 +139,82 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"bad PNG filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    return out
+
+
+def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a PNG: returns (width, height, channels, pixel bytes).
+
+    Real decode: chunk walk with CRC validation, IHDR checks, IDAT
+    inflate, and per-scanline unfiltering (None/Sub/Up/Average/Paeth).
+    Supports 8-bit color types 0/2/6, sequential AND Adam7-interlaced
+    (round 12 — each of the seven passes unfilters as its own
+    sub-image, then scatters into the canvas); raises ValueError on
+    anything else (palette, 16-bit) instead of guessing.
+    """
+    if blob[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    height = channels = None
+    interlace = 0
+    idat = bytearray()
+    while pos < len(blob):
+        try:
+            (length,) = struct.unpack_from(">I", blob, pos)
+            tag = blob[pos + 4 : pos + 8]
+            body = blob[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        except struct.error as e:  # truncated mid-chunk
+            raise ValueError(f"truncated PNG chunk stream: {e}") from e
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in _CHANNELS:
+                raise ValueError(f"unsupported PNG: depth={depth} color={color}")
+            if interlace not in (0, 1):
+                raise ValueError(f"bad PNG interlace method {interlace}")
+            channels = _CHANNELS[color]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = width * channels
+
+    if not interlace:
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("PNG payload size mismatch")
+        out = _png_unfilter(raw, 0, width, height, channels)
+        return width, height, channels, bytes(out)
+
+    # Adam7: seven independently-filtered sub-images, scattered
+    out = bytearray(stride * height)
+    offset = 0
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+        ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue  # empty passes carry NO scanlines
+        sub = _png_unfilter(raw, offset, pw, ph, channels)
+        offset += (pw * channels + 1) * ph
+        for py in range(ph):
+            oy = y0 + py * ys
+            for px_i in range(pw):
+                ox = x0 + px_i * xs
+                src = (py * pw + px_i) * channels
+                dst = (oy * width + ox) * channels
+                out[dst : dst + channels] = sub[src : src + channels]
+    if offset != len(raw):
+        raise ValueError("PNG payload size mismatch")
     return width, height, channels, bytes(out)
 
 

@@ -2307,3 +2307,88 @@ def test_pcm24_mono_conversion():
     pcm = b"".join(v.to_bytes(3, "little", signed=True) for v in vals)
     out = pcm_to_mono_f64(pcm, len(vals), 1)
     assert out.tolist() == [float(v) for v in vals]
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG
+# ---------------------------------------------------------------------------
+
+
+def test_png_adam7_hand_built_filtered_passes():
+    """A hand-assembled interlaced PNG with a FILTERED pass (the
+    encoder only emits filter 0, so this pins the decoder against
+    streams it never produces): each pass unfilters independently —
+    2x2 image => pass 1 = (0,0), pass 6 = (1,0), pass 7 = row 1 with
+    a Sub-filtered line."""
+    import struct as _s
+    import zlib as _z
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        PNG_MAGIC,
+        png_decode,
+    )
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)  # interlace=1
+    raw = bytes(
+        [0, 10]        # pass 1: filter None, pixel (0,0)=10
+        + [0, 20]      # pass 6: filter None, pixel (1,0)=20
+        + [1, 30, 11]  # pass 7: filter Sub -> 30, (11+30)=41
+    )
+    blob = (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(blob) == (2, 2, 1, bytes([10, 20, 30, 41]))
+
+    # truncated pass stream and trailing garbage are both malformed
+    import pytest
+
+    for bad_raw in (raw[:-1], raw + b"\x00"):
+        bad = (
+            PNG_MAGIC
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bad_raw))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="size mismatch"):
+            png_decode(bad)
+
+    # interlace method 2 is invalid
+    bad_ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)
+    with pytest.raises(ValueError, match="interlace"):
+        png_decode(
+            PNG_MAGIC
+            + chunk(b"IHDR", bad_ihdr)
+            + chunk(b"IDAT", _z.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    color=st.sampled_from([0, 2, 6]),
+    data=st.data(),
+)
+def test_png_adam7_roundtrip_property(w, h, color, data):
+    """encode(interlace) . decode is the identity for every dim/color
+    combo — incl. dims where several passes are empty."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        png_decode,
+        png_encode,
+    )
+
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    n = w * h * channels
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
+    got = png_decode(png_encode(px, w, h, color_type=color, interlace=True))
+    assert got == (w, h, channels, px)
