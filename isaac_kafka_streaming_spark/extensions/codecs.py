@@ -68,11 +68,7 @@ def png_encode(
         )
     else:
         parts = []
-        for x0, xs, y0, ys in _ADAM7:
-            pw = (width - x0 + xs - 1) // xs if width > x0 else 0
-            ph = (height - y0 + ys - 1) // ys if height > y0 else 0
-            if pw == 0 or ph == 0:
-                continue
+        for x0, xs, y0, ys, pw, ph in _adam7_passes(width, height):
             for py in range(ph):
                 oy = y0 + py * ys
                 line = bytearray([0])
@@ -103,6 +99,17 @@ _ADAM7 = (
     (0, 8, 0, 8), (4, 8, 0, 8), (0, 4, 4, 8), (2, 4, 0, 4),
     (0, 2, 2, 4), (1, 2, 0, 2), (0, 1, 1, 2),
 )
+
+
+def _adam7_passes(width: int, height: int):
+    """Yield (x0, xs, y0, ys, pw, ph) for each NON-EMPTY Adam7 pass —
+    one definition of the pass dimensions and the empty-pass skip, so
+    the encoder and decoder can never disagree on them."""
+    for x0, xs, y0, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+        ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+        if pw and ph:
+            yield x0, xs, y0, ys, pw, ph
 
 
 def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
@@ -199,11 +206,7 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     # Adam7: seven independently-filtered sub-images, scattered
     out = bytearray(stride * height)
     offset = 0
-    for x0, xs, y0, ys in _ADAM7:
-        pw = (width - x0 + xs - 1) // xs if width > x0 else 0
-        ph = (height - y0 + ys - 1) // ys if height > y0 else 0
-        if pw == 0 or ph == 0:
-            continue  # empty passes carry NO scanlines
+    for x0, xs, y0, ys, pw, ph in _adam7_passes(width, height):
         sub = _png_unfilter(raw, offset, pw, ph, channels)
         offset += (pw * channels + 1) * ph
         for py in range(ph):
@@ -3426,6 +3429,10 @@ def _adpcm_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         raise NotImplementedError(
             "stereo IMA ADPCM is out of scope (mono only)"
         )
+    if block_align is None or block_align < 4:
+        # also the infinite-loop guard: the block loop advances by
+        # block_align, so anything < 4 (the header size) is malformed
+        raise ValueError(f"ADPCM block align {block_align} invalid (< 4)")
     if spb is None:
         spb = (block_align - 4) * 2 + 1
     out = []
@@ -3452,8 +3459,8 @@ def _adpcm_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 f"{n_frames}"
             )
         out = out[:n_frames]
-    if not out:
-        raise ValueError("ADPCM WAV has no samples")
+    # an empty data chunk is a valid WAV: 0 frames, not a crash —
+    # the same contract as the PCM/G.711/float decoders
     return rate, 1, len(out), struct.pack(f"<{len(out)}h", *out)
 
 
@@ -3502,14 +3509,36 @@ def _float_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("WAV declares zero channels")
     n = len(data) // 4
     floats = struct.unpack(f"<{n}f", data[: n * 4])
-    pcm16 = struct.pack(
-        f"<{n}h",
-        *(
-            max(-32768, min(32767, round(v * 32767.0)))
-            for v in floats
-        ),
-    )
+
+    def to16(v):
+        # non-finite samples occur in real (badly mastered) float
+        # WAVs: +/-inf clamps to full scale, NaN reads as silence —
+        # round() would otherwise leak OverflowError on inf
+        if v != v:  # NaN
+            return 0
+        if v >= 1.0:
+            return 32767
+        if v <= -1.0:
+            return -32768
+        return round(v * 32767.0)
+
+    pcm16 = struct.pack(f"<{n}h", *(to16(v) for v in floats))
     return rate, n_ch, n // n_ch, pcm16
+
+
+def wav_decode_any(blob: bytes) -> tuple[int, int, int, bytes]:
+    """Decode ANY supported WAV coding by dispatching on the fmt tag:
+    linear PCM (wav_decode), G.711 mu-law/A-law (tags 7/6), IMA ADPCM
+    (0x11), 32-bit IEEE float (3).  The single entry point the audio
+    extractors share, so a new coding is wired in exactly one place."""
+    tag = wav_format_tag(blob)
+    if tag in (6, 7):
+        return g711_wav_decode(blob)
+    if tag == 0x11:
+        return adpcm_wav_decode(blob)
+    if tag == 3:
+        return float_wav_decode(blob)
+    return wav_decode(blob)
 
 
 def float_wav_encode(

@@ -630,23 +630,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
     before the transform.  Empty data chunks give (bin 0, 0.0 Hz),
     not a crash — the extract_audio_features contract."""
     _ship_codecs_by_value()
-    from .codecs import (
-        adpcm_wav_decode,
-        float_wav_decode,
-        g711_wav_decode,
-        pcm_to_mono_f64,
-        wav_decode,
-        wav_format_tag,
-    )
-
-    def _decoder_for(tag):
-        if tag in (6, 7):
-            return g711_wav_decode
-        if tag == 0x11:
-            return adpcm_wav_decode
-        if tag == 3:
-            return float_wav_decode
-        return wav_decode
+    from .codecs import pcm_to_mono_f64, wav_decode_any
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -654,8 +638,7 @@ def extract_audio_spectral(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                b = bytes(blob)
-                rate, n_ch, n_frames, pcm = _decoder_for(wav_format_tag(b))(b)
+                rate, n_ch, n_frames, pcm = wav_decode_any(bytes(blob))
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 n = len(x)
                 if n >= 2:
@@ -707,23 +690,7 @@ def extract_audio_spectrogram(
     if frame_len < 2 or hop < 1:
         raise ValueError("frame_len must be >= 2 and hop >= 1")
     _ship_codecs_by_value()
-    from .codecs import (
-        adpcm_wav_decode,
-        float_wav_decode,
-        g711_wav_decode,
-        pcm_to_mono_f64,
-        wav_decode,
-        wav_format_tag,
-    )
-
-    def _decoder_for(tag):
-        if tag in (6, 7):
-            return g711_wav_decode
-        if tag == 0x11:
-            return adpcm_wav_decode
-        if tag == 3:
-            return float_wav_decode
-        return wav_decode
+    from .codecs import pcm_to_mono_f64, wav_decode_any
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -732,8 +699,7 @@ def extract_audio_spectrogram(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["blob"]):
-                b = bytes(blob)
-                rate, n_ch, n_frames, pcm = _decoder_for(wav_format_tag(b))(b)
+                rate, n_ch, n_frames, pcm = wav_decode_any(bytes(blob))
                 x = pcm_to_mono_f64(pcm, n_frames, n_ch)
                 if window is None:
                     window = np.hanning(frame_len)

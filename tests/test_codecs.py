@@ -2392,3 +2392,49 @@ def test_png_adam7_roundtrip_property(w, h, color, data):
     px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n)))
     got = png_decode(png_encode(px, w, h, color_type=color, interlace=True))
     assert got == (w, h, channels, px)
+
+
+def test_adpcm_and_float_wav_edge_contracts():
+    """The second-review regressions: a zero block-align ADPCM WAV
+    must raise (not hang), an empty ADPCM data chunk yields 0 frames
+    (the sibling decoders' contract), and non-finite float samples
+    clamp/zero instead of leaking OverflowError."""
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        adpcm_wav_decode,
+        adpcm_wav_encode,
+        float_wav_decode,
+        float_wav_encode,
+        wav_decode_any,
+    )
+
+    blob = adpcm_wav_encode(bytes(1024))
+    raw = bytearray(blob)
+    _s.pack_into("<H", raw, raw.index(b"fmt ") + 8 + 12, 0)  # block_align=0
+    with pytest.raises(ValueError, match="block align"):
+        adpcm_wav_decode(bytes(raw))
+
+    # empty data chunk: rebuild with fact=0, data empty
+    from isaac_kafka_streaming_spark.extensions.codecs import _riff_chunk
+
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, 256, 4, 2, 505)
+    body = (
+        b"WAVE"
+        + _riff_chunk(b"fmt ", fmt)
+        + _riff_chunk(b"fact", _s.pack("<I", 0))
+        + _riff_chunk(b"data", b"")
+    )
+    empty = b"RIFF" + _s.pack("<I", len(body)) + body
+    assert adpcm_wav_decode(empty) == (8000, 1, 0, b"")
+
+    rate, ch, n, pcm = float_wav_decode(
+        float_wav_encode([0.5, float("inf"), float("-inf"), float("nan")])
+    )
+    assert _s.unpack("<4h", pcm) == (round(0.5 * 32767), 32767, -32768, 0)
+
+    # the shared dispatch reaches every coding from one entry point
+    assert wav_decode_any(empty)[2] == 0
+    assert wav_decode_any(float_wav_encode([1.0]))[3] == _s.pack("<h", 32767)
