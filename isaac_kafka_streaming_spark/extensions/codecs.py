@@ -30,7 +30,7 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 WAV_MAGIC = b"RIFF"
 
 # PNG color type -> samples per pixel (8-bit depth only)
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # type 3: 1 index/px
 
 
 def png_encode(
@@ -84,6 +84,26 @@ def png_encode(
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _png_apply_palette(indices, width, height, palette, trns):
+    """Expand palette indices to RGB (or RGBA when a tRNS chunk gives
+    per-entry alpha) — the color-type-3 completion of png_decode."""
+    if palette is None:
+        raise ValueError("palettized PNG lacks a PLTE chunk")
+    n_entries = len(palette) // 3
+    channels = 4 if trns is not None else 3
+    out = bytearray(width * height * channels)
+    for i, idx in enumerate(indices):
+        if idx >= n_entries:
+            raise ValueError(
+                f"palette index {idx} out of range ({n_entries} entries)"
+            )
+        base = i * channels
+        out[base : base + 3] = palette[idx * 3 : idx * 3 + 3]
+        if channels == 4:
+            out[base + 3] = trns[idx] if idx < len(trns) else 255
+    return width, height, channels, bytes(out)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -154,15 +174,19 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
 
     Real decode: chunk walk with CRC validation, IHDR checks, IDAT
     inflate, and per-scanline unfiltering (None/Sub/Up/Average/Paeth).
-    Supports 8-bit color types 0/2/6, sequential AND Adam7-interlaced
-    (round 12 — each of the seven passes unfilters as its own
-    sub-image, then scatters into the canvas); raises ValueError on
-    anything else (palette, 16-bit) instead of guessing.
+    Supports 8-bit color types 0/2/6 plus palettized type 3 (8-bit
+    indices through PLTE, with tRNS promoting the output to RGBA),
+    sequential AND Adam7-interlaced (round 12 — each of the seven
+    passes unfilters as its own sub-image, then scatters into the
+    canvas); raises ValueError on anything else (sub-byte palette
+    indices, 16-bit depth) instead of guessing.
     """
     if blob[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad signature")
     pos, width = 8, None
     height = channels = None
+    color = None
+    palette = trns = None
     interlace = 0
     idat = bytearray()
     while pos < len(blob):
@@ -185,6 +209,12 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
             if interlace not in (0, 1):
                 raise ValueError(f"bad PNG interlace method {interlace}")
             channels = _CHANNELS[color]
+        elif tag == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError(f"bad PLTE length {len(body)}")
+            palette = body
+        elif tag == b"tRNS":
+            trns = body
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -201,6 +231,8 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
         if len(raw) != (stride + 1) * height:
             raise ValueError("PNG payload size mismatch")
         out = _png_unfilter(raw, 0, width, height, channels)
+        if color == 3:
+            return _png_apply_palette(out, width, height, palette, trns)
         return width, height, channels, bytes(out)
 
     # Adam7: seven independently-filtered sub-images, scattered
@@ -218,6 +250,8 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
                 out[dst : dst + channels] = sub[src : src + channels]
     if offset != len(raw):
         raise ValueError("PNG payload size mismatch")
+    if color == 3:
+        return _png_apply_palette(out, width, height, palette, trns)
     return width, height, channels, bytes(out)
 
 

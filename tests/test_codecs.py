@@ -2438,3 +2438,71 @@ def test_adpcm_and_float_wav_edge_contracts():
     # the shared dispatch reaches every coding from one entry point
     assert wav_decode_any(empty)[2] == 0
     assert wav_decode_any(float_wav_encode([1.0]))[3] == _s.pack("<h", 32767)
+
+
+def test_png_palette_decode():
+    """Color type 3: 8-bit indices map through PLTE to RGB, tRNS
+    promotes to RGBA with missing entries opaque, out-of-range indices
+    and a missing PLTE raise, and the palettized path composes with
+    Adam7 interlacing."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        PNG_MAGIC,
+        png_decode,
+    )
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    raw = bytes([0, 0, 1, 0, 2, 0])  # 2x2 indices 0 1 / 2 0
+    ihdr = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+
+    blob = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+    )
+    assert png_decode(blob) == (
+        2, 2, 3,
+        bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 0, 0]),
+    )
+
+    with_trns = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal)
+        + chunk(b"tRNS", bytes([128]))
+        + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, ch, px = png_decode(with_trns)
+    assert (w, h, ch) == (2, 2, 4)
+    assert px[3] == 128 and px[7] == 255  # entry 0 translucent, rest opaque
+
+    ihdr_i = _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1)
+    interlaced = (
+        PNG_MAGIC + chunk(b"IHDR", ihdr_i) + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", _z.compress(bytes([0, 0, 0, 1, 0, 2, 0])))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(interlaced)[2] == 3
+
+    with pytest.raises(ValueError, match="out of range"):
+        png_decode(
+            PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal[:3])
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="lacks a PLTE"):
+        png_decode(
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+    with pytest.raises(ValueError, match="bad PLTE"):
+        png_decode(
+            PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal[:4])
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
