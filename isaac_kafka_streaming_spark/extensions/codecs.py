@@ -3,17 +3,20 @@
 The container ships no image/audio libraries (PIL, cv2, soundfile), so
 "real decode" here means real *formats* decoded with real *parsers*
 built on the stdlib: PNG via zlib/struct (signature, chunked layout,
-CRC validation, inflate, all five scanline filters), WAV via the
-`wave` module, JPEG via T.81 Huffman codecs (sequential DCT,
-progressive, and lossless DPCM), and animated GIF via an LZW
-decoder/encoder pair (see the JPEG and GIF sections below).  These are complete for
-the subset they declare — 8-bit-depth non-interlaced greyscale/RGB/RGBA
-PNG, PCM WAV, baseline greyscale/YCbCr JPEG, non-interlaced GIF87a/89a
-— and raise on anything else rather than guessing.
+CRC validation, inflate, all five scanline filters, Adam7 interlace,
+palette+tRNS), WAV via the `wave` module plus direct RIFF walks for
+the non-PCM codings (G.711 mu-law/A-law, IMA ADPCM, 32-bit IEEE
+float), JPEG via T.81 Huffman codecs (sequential DCT, progressive,
+and lossless DPCM), animated GIF via an LZW decoder/encoder pair, and
+Motion-JPEG video in RIFF/AVI, ISO-BMFF/MP4 and EBML/MKV containers
+(see the sections below).  These are complete for the subset each
+section declares — and raise on anything else rather than guessing.
 
 Everything is a pure bytes->values function with no Spark imports, so
 the Arrow workers that run them inside mapInPandas need nothing but
-the stdlib, and the functions unit-test without a session.
+the stdlib (pcm_to_mono_f64 alone imports numpy lazily, which ships
+wherever Arrow workers run), and the functions unit-test without a
+session.
 
 Reference scope note: the reference engine has no media path at all;
 this implements SURVEY.md §2.13's multimodal column contract.
