@@ -3193,25 +3193,25 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-12 window tiers (plan_window.py output, history through r11;
-# 138 live entries).  The round-11 window went fully green in
-# CORRECTNESS_r11.json (50/50 hash-checked), so the live freshness
-# distribution entering round 12 is {r11: 50, r10: 50, r09: 38}.
-#   T1: the 38 entries whose last green row is r09 — they fall out of
-#       the K=3 freshness span unless re-checked in round 12
-#       (invariant-REQUIRED; plan_window fronts them).  Includes
-#       tpch_q18, tpch_q5 and customers_without_big_orders (which
-#       yielded their round-11 fill slots to the mid-round T0s) plus
-#       the dedup-cluster/graph/knn/text-curation cohorts last checked
-#       in r09.
-#   T2: 10 of the 50 entries last green in r10 (fill; they expire
-#       after round 13 otherwise — taking the expiring tier first
-#       keeps the must-check load spread at ~38/round).
-#       question_part_counts and purchases_within_day_of_signup yielded
-#       their fill slots to the mid-round T0s media_avi_frames and
-#       media_pjpeg_features (the swap discipline); they front round 13.
-# The 90 parked entries are all green in r10 or r11, inside the K=3
-# freshness span through round 12.
+# Round-13 window tiers (plan_window.py output, history through r12;
+# 144 live entries).  The round-12 window went fully green in
+# CORRECTNESS_r12.json (50/50 hash-checked), so the live freshness
+# distribution entering round 13 is {r12: 50, r11: 50, r10: 44}.
+#   T1: the 44 entries whose last green row is r10 — the tightest
+#       rotation yet (the six round-12 T0 media/DSP registrations
+#       displaced six r10-green fill entries, bunching the expiry
+#       wave).  They fall out of the K=3 freshness span unless
+#       re-checked this round (invariant-REQUIRED; plan_window fronts
+#       them): the O2/O6 aggregation block, the as-of/quantile pair,
+#       the tpch_q2/q8/q9/q11/q12/q19/q20/q21 block, the sketch
+#       witnesses, and the text-curation/knn cohorts last checked r10.
+#   T2: 6 of the 50 entries last green in r11 (fill; they expire
+#       after round 14 otherwise — taking the expiring tier first
+#       keeps the must-check load spread).
+# The 94 parked entries are all green in r11 or r12, inside the K=3
+# freshness span through round 13.  Window is exactly 50/50 with zero
+# T3 slack this round — do NOT register net-new graded entries before
+# this window lands green.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3233,64 +3233,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (6): registered mid-round-12;
-    # they take the slots of the last six T2-fill entries
-    # (question_part_counts, purchases_within_day_of_signup,
-    # purchase_asof_signup, value_quantiles, last_seen_map, last_seen
-    # — r10-green, they front the round-13 window; the swap
-    # discipline)
-    "media_avi_frames",
-    "media_pjpeg_features",
-    "media_tone_spectral",
-    "media_stft_bins",
-    "compressed_ingest",
-    "media_ljpeg_features",
-    # T1 — last green <= r9 (invariant requires) (38)
-    "customers_without_big_orders",
-    "tpch_q5",
-    "tpch_q18",
-    "session_transcripts",
-    "dedup_incoming",
-    "duplicate_passages",
-    "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh_md5",
-    "dedup_simhash_md5",
-    "dedup_clusters",
-    "dedup_semantic",
-    "dedup_embedding_srp",
-    "pagerank_pages",
-    "pagerank_personalized",
-    "label_propagation",
-    "corpus_shards",
-    "concat_chunk_plan",
-    "corpus_split",
-    "split_contamination",
-    "ngram_contamination",
-    "decontaminate_exact",
-    "stratified_sample",
-    "embedding_centroids",
-    "knn_bruteforce",
-    "knn_ivf",
-    "kmeans_centroids",
-    "knn_quantized",
-    "embedding_label_stats",
-    "token_counts",
-    "text_quality",
-    "lang_id",
-    "doc_fingerprints",
-    "tfidf_top_terms",
-    "corpus_keep_list",
-    "repetition_metrics",
-    "pii_scrub",
-    "lang_source_rollup",
-    "selection_budget_curve",
-    # T2 — last green r10 (expires after next round) (6 of 50)
-    "event_type_counts",
-    "daily_event_counts",
-    "daily_role_counts",
-    "daily_role_type_map",
-    "user_snapshot",
-    "enriched_events",
+    # T1 — last green r10 (invariant requires) (44)
+    "last_seen",
+    "last_seen_map",
+    "value_quantiles",
+    "purchase_asof_signup",
+    "purchases_within_day_of_signup",
+    "question_part_counts",
+    "question_page_rollup",
+    "question_completion",
+    "orders_with_returns",
+    "user_activity_coverage",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q19",
+    "tpch_q12",
+    "tpch_q2",
+    "tpch_q11",
+    "tpch_q20",
+    "tpch_q21",
+    "hll_distinct_md5",
+    "histogram_quantiles",
+    "user_daily_gapfill",
+    "funnel_signup_purchase",
+    "cohort_retention",
+    "dedup_incoming_minhash_md5",
+    "contained_documents",
+    "bloom_prefilter",
+    "passage_scrub",
+    "source_overlap_matrix",
+    "page_components",
+    "priority_sample",
+    "temperature_mixture",
+    "knn_pq",
+    "knn_srp",
+    "bigram_perplexity",
+    "cms_heavy_hitters",
+    "corpus_report",
+    "vocab_coverage",
+    "bpe_learn",
+    "bpe_tokenize_stats",
+    "winnow_fingerprints",
+    "pmi_top_pairs",
+    "winnow_probe_incoming",
+    "feature_hash_embed",
+    "bm25_top_docs",
+    # T2 — last green r11 (expires after round 14) (6 of 50)
+    "user_streaks",
+    "threshold_achievements",
+    "sliding_weekly_counts",
+    "user_notifications",
+    "user_event_counts",
+    "anonymous_events",
 ]
 
 
