@@ -224,6 +224,15 @@ def png_decode(blob: bytes) -> tuple[int, int, int, bytes]:
             break
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
+    if trns is not None and color != 3:
+        # tRNS on greyscale/truecolor (types 0/2) defines a single
+        # transparent color this RGB-only decoder has no channel to
+        # carry — raise rather than silently dropping transparency
+        # (the module's no-guessing stance)
+        raise NotImplementedError(
+            f"PNG tRNS transparency for color type {color} is out of "
+            "scope (palette type 3 only)"
+        )
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
@@ -3131,9 +3140,16 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             for ci in range(nc):
                 s = _read_symbol(reader, tables[ci])
                 if s == 16:
-                    diff = 32768  # T.81 H.1: SSSS=16, no extra bits
-                else:
-                    diff = _extend(reader.bits(s), s) if s else 0
+                    # T.81 H.1 defines SSSS=16 (diff=32768, no extra
+                    # bits) only for 16-bit precision; under the 8-bit
+                    # '& 0xFF' reconstruction it would be a silent
+                    # no-op, so in this 8-bit-only decoder it can only
+                    # mean a malformed stream — raise, don't guess.
+                    raise ValueError(
+                        "lossless JPEG SSSS=16 in an 8-bit scan "
+                        "(only defined for 16-bit precision)"
+                    )
+                diff = _extend(reader.bits(s), s) if s else 0
                 if y == 0 and x == 0:
                     px = 128
                 else:
@@ -3304,6 +3320,15 @@ def _g711_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     expand = ulaw_to_lin16 if tag == 7 else alaw_to_lin16
     if n_ch < 1:
         raise ValueError("WAV declares zero channels")
+    if len(data) % n_ch:
+        # a trailing partial frame would make the returned PCM longer
+        # than n_frames*n_ch and crash the downstream channel reshape
+        # with a raw numpy error — keep it inside the decoder's
+        # malformed-input contract instead
+        raise ValueError(
+            f"G.711 data length {len(data)} is not a whole number of "
+            f"{n_ch}-channel frames"
+        )
     pcm16 = struct.pack(f"<{len(data)}h", *(expand(b) for b in data))
     return rate, n_ch, len(data) // n_ch, pcm16
 
@@ -3426,7 +3451,16 @@ def adpcm_wav_encode(
 def adpcm_wav_decode(blob: bytes) -> tuple[int, int, int, bytes]:
     """Decode an IMA ADPCM WAV: (sample_rate, n_channels, n_frames,
     16-bit LE linear PCM).  Non-ADPCM tags and stereo raise; malformed
-    input raises ValueError."""
+    input raises ValueError.
+
+    fact-chunk contract: the true frame count comes from the fact
+    chunk (REQUIRED by the WAV spec for compressed formats) and the
+    decode is truncated to it.  When a third-party file omits fact,
+    the block structure alone cannot distinguish real samples from
+    the encoder's zero-pad nibbles in a full final block, so the
+    decoder returns every block-decodable sample — up to
+    wSamplesPerBlock-1 trailing near-silent pad samples may be
+    included.  Files written by adpcm_wav_encode always carry fact."""
     try:
         return _adpcm_wav_decode_impl(blob)
     except (IndexError, struct.error) as exc:
@@ -3544,8 +3578,15 @@ def _float_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
         )
     if n_ch < 1:
         raise ValueError("WAV declares zero channels")
+    if len(data) % (4 * n_ch):
+        # same contract as the G.711 path: a trailing partial frame
+        # must raise here, not surface as a numpy reshape error later
+        raise ValueError(
+            f"float WAV data length {len(data)} is not a whole number "
+            f"of {n_ch}-channel 32-bit frames"
+        )
     n = len(data) // 4
-    floats = struct.unpack(f"<{n}f", data[: n * 4])
+    floats = struct.unpack(f"<{n}f", data)
 
     def to16(v):
         # non-finite samples occur in real (badly mastered) float

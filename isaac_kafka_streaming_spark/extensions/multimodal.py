@@ -684,7 +684,7 @@ def extract_audio_spectrogram(
     ``frame_len`` (non-overlapping); a trailing partial frame is
     dropped (the standard STFT framing).  Same PCM scope as the
     whole-clip path: 8-bit unsigned / 16-bit signed / G.711
-    mu-law/A-law / IMA ADPCM, channel-mean."""
+    mu-law/A-law / IMA ADPCM / 32-bit IEEE float, channel-mean."""
     if hop is None:
         hop = frame_len
     if frame_len < 2 or hop < 1:

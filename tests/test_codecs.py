@@ -1973,11 +1973,15 @@ def test_lossless_jpeg_rejects_malformed_and_out_of_scope():
 
 
 def test_lossless_jpeg_ssss16_and_custom_table():
-    """A hand-assembled third-party-style stream: a custom DHT whose
-    symbols include SSSS=16 (diff 32768 with NO extra bits, mod 2^16)
-    decodes — the decoder reads tables from the stream, never assumes
-    the encoder's."""
+    """A hand-assembled third-party-style stream with a custom DHT:
+    the decoder reads tables from the stream, never assumes the
+    encoder's — and SSSS=16 (defined by T.81 H.1 only for 16-bit
+    precision, where it means diff 32768 with NO extra bits) raises
+    in this 8-bit-only decoder instead of decoding as a silent no-op
+    under the '& 0xFF' reconstruction."""
     import struct as _s
+
+    import pytest
 
     from isaac_kafka_streaming_spark.extensions.codecs import (
         _BitWriter,
@@ -1990,27 +1994,35 @@ def test_lossless_jpeg_ssss16_and_custom_table():
     vals = list(range(17))
     codes = _huff_codes(bits, vals)
 
-    out = bytearray(b"\xff\xd8")
+    def stream(payload_syms):
+        out = bytearray(b"\xff\xd8")
 
-    def segment(marker, body):
-        out.extend(marker)
-        out.extend(_s.pack(">H", len(body) + 2))
-        out.extend(body)
+        def segment(marker, body):
+            out.extend(marker)
+            out.extend(_s.pack(">H", len(body) + 2))
+            out.extend(body)
 
-    segment(b"\xff\xc3", _s.pack(">BHHB", 8, 1, 2, 1) + bytes([1, 0x11, 0]))
-    segment(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))
-    segment(b"\xff\xda", bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1
+        segment(
+            b"\xff\xc3", _s.pack(">BHHB", 8, 1, 2, 1) + bytes([1, 0x11, 0])
+        )
+        segment(b"\xff\xc4", b"\x00" + bytes(bits) + bytes(vals))
+        segment(b"\xff\xda", bytes([1, 1, 0x00, 1, 0, 0]))  # predictor 1
+        w = _BitWriter()
+        for sym, extra in payload_syms:
+            w.write(*codes[sym])
+            if sym and sym < 16:
+                w.write(extra, sym)
+        out.extend(w.flush())
+        out.extend(b"\xff\xd9")
+        return bytes(out)
 
-    w = _BitWriter()
-    # sample 0: diff 2 from the 128 default -> 130
-    sym, extra = 2, 0b10
-    w.write(*codes[sym]); w.write(extra, sym)
-    # sample 1: SSSS=16 -> diff 32768, (130 + 32768) & 0xFF = 130
-    w.write(*codes[16])
-    out.extend(w.flush())
-    out.extend(b"\xff\xd9")
+    # the custom table decodes: diffs +2 then -1 from the 128 default
+    ok = stream([(2, 0b10), (1, 0b0)])
+    assert jpeg_decode(ok) == (2, 1, 1, bytes([130, 129]))
 
-    assert jpeg_decode(bytes(out)) == (2, 1, 1, bytes([130, 130]))
+    # SSSS=16 in an 8-bit scan is malformed — raise, don't guess
+    with pytest.raises(ValueError, match="SSSS=16"):
+        jpeg_decode(stream([(2, 0b10), (16, 0)]))
 
 
 # ---------------------------------------------------------------------------
@@ -2438,6 +2450,84 @@ def test_adpcm_and_float_wav_edge_contracts():
     # the shared dispatch reaches every coding from one entry point
     assert wav_decode_any(empty)[2] == 0
     assert wav_decode_any(float_wav_encode([1.0]))[3] == _s.pack("<h", 32767)
+
+
+def test_wav_partial_trailing_frame_raises():
+    """A multi-channel G.711 or float WAV whose data chunk ends in a
+    partial frame raises the decoder's ValueError — not a raw numpy
+    reshape error downstream in pcm_to_mono_f64 (the third-review
+    boundary item)."""
+    import struct as _s
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        _riff_chunk,
+        float_wav_decode,
+        g711_wav_decode,
+    )
+
+    def wav(fmt_body, data):
+        body = (
+            b"WAVE" + _riff_chunk(b"fmt ", fmt_body)
+            + _riff_chunk(b"data", data)
+        )
+        return b"RIFF" + _s.pack("<I", len(body)) + body
+
+    # stereo mu-law, 5 data bytes: 2.5 frames — malformed
+    g711_fmt = _s.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8)
+    with pytest.raises(ValueError, match="whole number"):
+        g711_wav_decode(wav(g711_fmt, b"\x00" * 5))
+    # ...while 3 whole stereo frames decode: 6 bytes -> 3 frames
+    rate, ch, n, pcm = g711_wav_decode(wav(g711_fmt, b"\x00" * 6))
+    assert (rate, ch, n, len(pcm)) == (8000, 2, 3, 12)
+
+    # stereo float, 12 bytes: 1.5 two-channel 32-bit frames
+    f_fmt = _s.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    with pytest.raises(ValueError, match="whole number"):
+        float_wav_decode(wav(f_fmt, _s.pack("<3f", 0.0, 0.5, -0.5)))
+    rate, ch, n, pcm = float_wav_decode(
+        wav(f_fmt, _s.pack("<4f", 0.0, 0.5, -0.5, 1.0))
+    )
+    assert (rate, ch, n, len(pcm)) == (8000, 2, 2, 8)
+
+
+def test_png_trns_on_nonpalette_raises():
+    """tRNS alongside color types 0/2 defines single-color
+    transparency this decoder cannot carry — NotImplementedError, not
+    silently-dropped alpha (the no-guessing stance)."""
+    import struct as _s
+    import zlib as _z
+
+    import pytest
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        PNG_MAGIC,
+        png_decode,
+    )
+
+    def chunk(tag, body):
+        return (
+            _s.pack(">I", len(body)) + tag + body
+            + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for color, ch, trns in ((0, 1, _s.pack(">H", 7)),
+                            (2, 3, _s.pack(">HHH", 1, 2, 3))):
+        ihdr = _s.pack(">IIBBBBB", 1, 1, 8, color, 0, 0, 0)
+        raw = bytes([0]) + bytes(ch)  # one filtered row
+        blob = (
+            PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"tRNS", trns)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError, match="tRNS"):
+            png_decode(blob)
+        # without tRNS the same image decodes
+        ok = (
+            PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(raw)) + chunk(b"IEND", b"")
+        )
+        assert png_decode(ok) == (1, 1, ch, bytes(ch))
 
 
 def test_png_palette_decode():
