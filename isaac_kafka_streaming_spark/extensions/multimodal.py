@@ -112,6 +112,32 @@ def _ship_codecs_by_value() -> None:
     cloudpickle.register_pickle_by_value(codecs)
 
 
+def _spread_for_decode(docs: DataFrame) -> DataFrame:
+    """Decouple decode parallelism from scan splits before the
+    per-document codec work.
+
+    The media pipelines are embarrassingly parallel CPU (encode/decode
+    per row, zero cross-row state), but their parallelism was
+    inherited from the parquet scan — and a small single-file table
+    reads as ONE split, serializing the entire codec chain onto one
+    core of a 32-core executor (measured: the two most expensive
+    queries on the round-12 board ran single-threaded).  When the
+    batch input has fewer partitions than the cluster's default
+    parallelism, hash-repartition the tiny (doc_id, text) projection
+    up to it; rows are independent, so placement cannot change any
+    value.  At real scale — inputs with >= cores splits — and on
+    streaming inputs (micro-batch partitioning is the source's) this
+    is a no-op, so no extra Exchange appears where the scan already
+    provides the parallelism."""
+    out = docs.select("doc_id", "text")
+    if out.isStreaming:
+        return out
+    target = out.sparkSession.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < target:
+        out = out.repartition(target, "doc_id")
+    return out
+
+
 # width lookup for the digest-pixel PNGs: digest[0] % 4 -> a factor
 # pair of 32, so every layout holds exactly the 32 digest bytes with
 # no padding (brightness stays the plain mean of the digest bytes)
@@ -153,7 +179,7 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_ljpeg_media(docs: DataFrame) -> DataFrame:
@@ -193,7 +219,7 @@ def documents_as_ljpeg_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
@@ -238,7 +264,7 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_gif_media(docs: DataFrame) -> DataFrame:
@@ -273,7 +299,7 @@ def documents_as_gif_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_pjpeg_media(docs: DataFrame) -> DataFrame:
@@ -317,7 +343,7 @@ def documents_as_pjpeg_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_avi_media(docs: DataFrame) -> DataFrame:
@@ -353,7 +379,7 @@ def documents_as_avi_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
@@ -388,7 +414,7 @@ def documents_as_mp4_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_mkv_media(docs: DataFrame) -> DataFrame:
@@ -422,7 +448,7 @@ def documents_as_mkv_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_wav_media(docs: DataFrame) -> DataFrame:
@@ -454,7 +480,7 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_image_features(
@@ -781,7 +807,7 @@ def documents_as_tone_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 DECOMPRESSED_TEXT_SCHEMA = T.StructType(
@@ -831,7 +857,7 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def decompress_text_blobs(media: DataFrame) -> DataFrame:
@@ -929,7 +955,7 @@ def documents_as_chirp_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def resize_images(

@@ -665,3 +665,37 @@ def test_spectral_paths_decode_adpcm_wavs(spark):
     )
     r = mm.extract_audio_spectral(media).collect()[0]
     assert (r.dominant_bin, r.n_samples, r.sample_rate) == (60, n, 8000)
+
+
+def test_spread_for_decode_decouples_parallelism(spark, sf_smoke):
+    """The codec chain must not inherit a single-split scan: a
+    1-partition batch input spreads to defaultParallelism before the
+    per-doc decode (the round-13 fix — both top-cost media queries had
+    been running single-threaded), an input already at/above the
+    target keeps its partitioning (no extra Exchange at real scale),
+    and values are placement-independent (identical feature rows
+    either way)."""
+    docs = read_table(spark, sf_smoke, "documents").limit(20)
+    target = spark.sparkContext.defaultParallelism
+
+    narrow = docs.coalesce(1)
+    spread = mm._spread_for_decode(narrow)
+    assert spread.rdd.getNumPartitions() == target
+
+    wide = docs.repartition(target + 7, "doc_id")
+    kept = mm._spread_for_decode(wide)
+    assert kept.rdd.getNumPartitions() == target + 7
+
+    a = {
+        (r.media_id, r.content_hash)
+        for r in mm.extract_image_features(
+            mm.documents_as_png_media(narrow)
+        ).collect()
+    }
+    b = {
+        (r.media_id, r.content_hash)
+        for r in mm.extract_image_features(
+            mm.documents_as_png_media(wide)
+        ).collect()
+    }
+    assert a == b and len(a) == 20
