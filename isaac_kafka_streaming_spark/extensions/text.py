@@ -977,12 +977,15 @@ def vocab_coverage(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
     counts = tok.groupBy("w").agg(F.count("*").alias("cw"))
-    total = counts.agg(F.sum("cw").alias("tot"))
+    # the grand total rides the cumsum's own partition-summary frame
+    # (total_alias) instead of a separate agg + crossJoin(broadcast) —
+    # one whole broadcast-build job less per run (round-13 profiling:
+    # this query's residual cost is per-job constants, not data)
     vocab = (
         cumsum_total_order(
-            counts, [F.col("cw").desc(), F.col("w")], "cw", "cum_before"
+            counts, [F.col("cw").desc(), F.col("w")], "cw", "cum_before",
+            total_alias="tot",
         )
-        .crossJoin(F.broadcast(total))
         .filter(F.col("cum_before") < coverage * F.col("tot"))
         .select("w", F.lit(1).alias("in_vocab"))
     )

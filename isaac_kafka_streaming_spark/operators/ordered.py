@@ -43,19 +43,29 @@ def _assert_no_helper_collision(df: DataFrame, fn: str) -> None:
         )
 
 
-def _offsets(part: DataFrame, agg_col) -> DataFrame:
+def _offsets(part: DataFrame, agg_col, total_alias: str | None = None
+             ) -> DataFrame:
     """Per-partition exclusive prefix of ``agg_col`` over the (tiny)
     partition-summary frame — the one deliberate single-partition sort,
-    keyed on __pid."""
+    keyed on __pid.  With ``total_alias``, also carry the grand total
+    (an unbounded window over the same #shuffle-partitions rows — free
+    relative to a separate full-frame aggregate)."""
     w_off = Window.orderBy("__pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    return (
+    out = (
         part.groupBy("__pid")
         .agg(agg_col.alias("__n"))
         .withColumn("__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0)))
-        .select("__pid", "__off")
     )
+    if total_alias is None:
+        return out.select("__pid", "__off")
+    w_all = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return out.withColumn(
+        total_alias, F.sum("__n").over(w_all)
+    ).select("__pid", "__off", total_alias)
 
 
 def ranked_total_order(
@@ -99,6 +109,7 @@ def cumsum_total_order(
     value_col: str,
     alias: str,
     inclusive: bool = False,
+    total_alias: str | None = None,
 ) -> DataFrame:
     """Running sum of ``value_col`` over a total order (exclusive
     prefix by default — the "cumulative count of everything strictly
@@ -116,9 +127,26 @@ def cumsum_total_order(
     scan is deterministic; it is also the module's one declared Python
     boundary — batched, vectorized, linear, zero shuffle.  NULL values
     contribute 0 to the running sum (the window-sum null-skipping
-    semantics the previous implementation had via coalesce)."""
+    semantics the previous implementation had via coalesce).
+
+    ``total_alias``: also append the GRAND total of ``value_col`` as a
+    constant column.  The share-of-total shape (cumulative < fraction
+    x total) otherwise needs a separate ``df.agg(sum)`` — one more
+    broadcast-build job re-reading the frame; here the total rides the
+    partition-summary frame the offsets window already aggregates, so
+    it costs nothing (measured: one full job removed from
+    vocab_coverage)."""
     _assert_no_helper_collision(df, "cumsum_total_order")
     cols = df.columns
+    if total_alias is not None and (
+        total_alias in cols
+        or total_alias in _HELPER_COLS
+        or total_alias == alias
+    ):
+        raise ValueError(
+            f"cumsum_total_order: total_alias {total_alias!r} collides "
+            "with an input/helper/alias column"
+        )
     part = (
         df.repartitionByRange(*order_cols)
         .sortWithinPartitions(*order_cols)
@@ -148,8 +176,8 @@ def cumsum_total_order(
             yield pdf
 
     scanned = local.mapInPandas(_scan, schema=scan_schema)
-    offsets = _offsets(local, F.sum(value_col))
-    return scanned.join(F.broadcast(offsets), "__pid").select(
-        *cols,
-        (F.col("__off") + F.col("__lc")).alias(alias),
-    )
+    offsets = _offsets(local, F.sum(value_col), total_alias)
+    out = [*cols, (F.col("__off") + F.col("__lc")).alias(alias)]
+    if total_alias is not None:
+        out.append(F.col(total_alias))
+    return scanned.join(F.broadcast(offsets), "__pid").select(*out)

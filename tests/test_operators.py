@@ -619,3 +619,33 @@ def test_cumsum_total_order_multi_batch_carry(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_cumsum_total_order_total_alias(spark):
+    """total_alias rides the grand total on the offsets frame (the
+    round-13 job-count trim for the share-of-total shape): value
+    equals a separate agg(sum), every row carries it, and colliding
+    aliases raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.operators.ordered import (
+        cumsum_total_order,
+    )
+
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 23).alias("v")
+    )
+    order = [F.col("v").desc(), F.col("id")]
+    out = cumsum_total_order(df, order, "v", "c", total_alias="tot")
+    want_tot = df.agg(F.sum("v")).collect()[0][0]
+    rows = out.collect()
+    assert len(rows) == 500
+    assert {r.tot for r in rows} == {want_tot}
+    # the cumsum itself is unchanged by the extra column
+    base = {(r.id, r.c) for r in cumsum_total_order(df, order, "v", "c").collect()}
+    assert {(r.id, r.c) for r in rows} == base
+
+    for bad in ("c", "v", "__pid"):
+        with pytest.raises(ValueError, match="total_alias"):
+            cumsum_total_order(df, order, "v", "c", total_alias=bad)
