@@ -162,6 +162,56 @@ def build_skewed_events(spark, src_dir: str, out_dir: str) -> None:
           "the hot user")
 
 
+def build_lsh_corpus(
+    src_dir: str, out_dir: str, n_extra: int = 100_000, clique: bool = True
+) -> None:
+    """The banded-LSH pair-tier stress (round-13, the 10x escalation
+    the CC star rounds already passed): the sf0.1 corpus plus
+    ``n_extra`` synthetic docs that are either ONE identical ~30-token
+    text repeated (clique=True — every band bucket for that text holds
+    100k docs, the w^2 self-join cliff the max_bucket_size excision
+    exists for) or ``n_extra`` all-distinct same-length texts
+    (clique=False — the equal-volume control whose buckets are
+    singletons).  Equal ratio A≈B with the cap on is the claim: a
+    100k-wide duplicate clique costs the pair tier ~nothing, because
+    its buckets are excised before the self-join ever sees them."""
+    text_expr = (
+        f"'{BOILERPLATE}'"
+        if clique
+        else (
+            "trim(regexp_replace("
+            "md5(CAST(i AS VARCHAR)) || md5(CAST(i + 1000000 AS VARCHAR)) "
+            "|| md5(CAST(i + 2000000 AS VARCHAR)) "
+            "|| md5(CAST(i + 3000000 AS VARCHAR)), "
+            "'(....)', '\\1 ', 'g'))"
+        )
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT doc_id, text, lang, source,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM (
+                SELECT doc_id, text, lang, source
+                FROM '{src_dir}/documents.parquet'
+                UNION ALL
+                SELECT 10000000 + i AS doc_id, {text_expr} AS text,
+                       'en' AS lang, 'synthetic' AS source
+                FROM range({n_extra}) t(i)
+            ) ORDER BY doc_id
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    n, distinct_texts = con.execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT text) "
+        f"FROM '{out_dir}/documents.parquet'"
+    ).fetchone()
+    kind = "clique" if clique else "spread"
+    print(f"lsh {kind} corpus: {n} docs, {distinct_texts} distinct texts")
+
+
 def build_hub_edges(spark, out_dir: str, n_edges: int, n_hubs: int) -> None:
     """A star-forest edge set: ``n_edges`` edges striped over ``n_hubs``
     hub nodes (hub i = node i, leaves numbered from n_hubs up).  With
@@ -217,6 +267,11 @@ def main() -> int:
         i = argv.index("--sources")
         n_sources = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     src = args[0] if args else "/root/testdata/sf0.1"
     out = os.environ.get("SKEW_DIR", "/tmp/skewdata")
@@ -229,6 +284,7 @@ def main() -> int:
 
     from isaac_kafka_streaming_spark.extensions.dedup import (
         contained_documents,
+        minhash_lsh_pairs,
         source_overlap_matrix,
     )
     from isaac_kafka_streaming_spark.extensions.graph import (
@@ -255,6 +311,12 @@ def main() -> int:
     out_hub1m, out_hubs1m = out + "_hub1m", out + "_hub1k1m"
     build_hub_edges(spark, out_hub1m, n_edges=1_000_000, n_hubs=1)
     build_hub_edges(spark, out_hubs1m, n_edges=1_000_000, n_hubs=1000)
+    # round-13: the LSH pair-tier analogue of the 1M-hub row — one
+    # text duplicated 100k x (every band bucket 100k wide) vs the
+    # equal-volume all-distinct twin, both under the shipped cap
+    out_lsh_cl, out_lsh_sp = out + "_lshclique", out + "_lshspread"
+    build_lsh_corpus(src, out_lsh_cl, clique=True)
+    build_lsh_corpus(src, out_lsh_sp, clique=False)
 
     cases = [
         # (name, callable, (label_a, dir_a, kwargs_a),
@@ -313,10 +375,21 @@ def main() -> int:
             ("hub=1Mx1", out_hub1m, {}),
             ("hub=1kx1k", out_hubs1m, {}),
         ),
+        # banded-LSH pair tier: a 100k-doc identical-text clique vs the
+        # equal-volume all-distinct twin, cap=64 (the shipped guard) —
+        # A≈B iff the hot-bucket excision bounds the w^2 self-join
+        (
+            "lsh_pairs_100k_clique",
+            minhash_lsh_pairs,
+            ("clique", out_lsh_cl, {"max_bucket_size": 64}),
+            ("spread", out_lsh_sp, {"max_bucket_size": 64}),
+        ),
     ]
     print(f"{'operator':<24} {'variant A':>10} {'s':>7} {'rows':>8} "
           f"{'variant B':>10} {'s':>7} {'rows':>9} {'B/A':>6}")
     for name, fn, (lab_a, dir_a, kw_a), (lab_b, dir_b, kw_b) in cases:
+        if only is not None and name not in only:
+            continue
         t_a, n_a = time_min2(spark, fn, spark, dir_a, **kw_a)
         t_b, n_b = time_min2(spark, fn, spark, dir_b, **kw_b)
         print(f"{name:<24} {lab_a:>10} {t_a:>7.2f} {n_a:>8} "
