@@ -902,6 +902,235 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=DECOMPRESSED_TEXT_SCHEMA)
 
 
+JSONL_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("n_docs", T.IntegerType()),
+    ]
+)
+
+JSONL_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("line_no", T.IntegerType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def documents_as_jsonl_gz_shards(
+    docs: DataFrame, docs_per_shard: int = 8
+) -> DataFrame:
+    """Adapter: documents packed into REAL jsonl.gz shards — the
+    multi-document-per-blob layout web-scale corpora actually ship in
+    (one gzip member per shard, one JSON object per line).  Shard
+    assignment is floor(doc_id / docs_per_shard) and lines are sorted
+    by doc_id, so the whole layout stays a pure SQL function of the
+    documents table for the oracle.
+
+    Scale shape: the group is formed by a JVM-side
+    collect_list(struct) whose width is the CONSTANT docs_per_shard —
+    never corpus-bounded — and the gzip of each shard is one Arrow
+    batch row.  This is the write side; real pipelines mostly run the
+    read side (explode_jsonl_gz_shards) against shards that already
+    exist."""
+    if docs_per_shard < 1:
+        raise ValueError("docs_per_shard must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import json
+
+        for pdf in batches:
+            rows = []
+            for shard_id, members in zip(pdf["shard_id"], pdf["docs"]):
+                lines = "\n".join(
+                    json.dumps(
+                        {"id": int(m["doc_id"]), "text": m["text"]},
+                        ensure_ascii=False,
+                        sort_keys=True,
+                    )
+                    for m in members
+                )
+                rows.append(
+                    (
+                        shard_id,
+                        gzip.compress(lines.encode("utf-8"), mtime=0),
+                        len(members),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["shard_id", "blob", "n_docs"])
+
+    grouped = (
+        _spread_for_decode(docs)
+        .select(
+            F.floor(F.col("doc_id") / docs_per_shard)
+            .cast("long")
+            .alias("shard_id"),
+            F.struct("doc_id", "text").alias("s"),
+        )
+        .groupBy("shard_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("docs"))
+    )
+    return grouped.mapInPandas(run, schema=JSONL_SHARD_SCHEMA)
+
+
+def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
+    """Compressed-shard ingestion over mapInPandas: inflate each
+    jsonl.gz blob (gzip magic enforced — the module's no-guessing
+    stance), split into lines, json-parse each into one output row
+    (shard_id, line_no, doc_id, text).  A 1->N row expansion that is
+    stateless and per-blob: it runs unchanged on a stream of shard
+    files and costs zero shuffle at any scale — THE read shape of a
+    petabyte jsonl.gz corpus.  Malformed gzip or JSON raises
+    ValueError with the shard id, not a silent drop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+        import zlib as _z
+
+        for pdf in batches:
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf["blob"]):
+                b = bytes(blob)
+                if b[:2] != b"\x1f\x8b":
+                    raise ValueError(
+                        f"shard {shard_id}: not gzip (magic {b[:2]!r})"
+                    )
+                try:
+                    raw = _z.decompress(b, wbits=31)
+                except _z.error as exc:
+                    raise ValueError(
+                        f"shard {shard_id}: corrupt gzip: {exc}"
+                    ) from exc
+                for line_no, line in enumerate(
+                    raw.decode("utf-8").split("\n")
+                ):
+                    try:
+                        obj = json.loads(line)
+                    except json.JSONDecodeError as exc:
+                        raise ValueError(
+                            f"shard {shard_id} line {line_no}: bad JSON: "
+                            f"{exc}"
+                        ) from exc
+                    rows.append(
+                        (shard_id, line_no, int(obj["id"]), obj["text"])
+                    )
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "line_no", "doc_id", "text"]
+            )
+
+    return shards.mapInPandas(run, schema=JSONL_DOC_SCHEMA)
+
+
+def documents_as_companded_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL non-PCM WAV in one of the
+    three round-12 codings, chosen by digest parity — G.711 mu-law
+    (tag 7), G.711 A-law (tag 6), or 32-bit IEEE float (tag 3).  The
+    sample values are constructed to round-trip EXACTLY: for G.711 the
+    PCM fed to the encoder is expand(digest byte), and companding is
+    idempotent on its expansion lattice (pinned in tests), so the
+    file's data bytes ARE the digest and the decode is the pure
+    expansion formula; for float the samples are k/32767 with integer
+    k = (byte-128)*200, which the decoder's round(v*32767) recovers as
+    exactly k.  Every decoded sample is therefore a pure SQL function
+    of sha256(text) — the analytic oracle for lossy-looking codecs."""
+    _ship_codecs_by_value()
+    from .codecs import (
+        alaw_to_lin16,
+        float_wav_encode,
+        g711_wav_encode,
+        ulaw_to_lin16,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                sel = digest[0] % 3
+                if sel == 0:
+                    pcm = _s.pack(
+                        "<32h", *(ulaw_to_lin16(b) for b in digest)
+                    )
+                    blob, coding = g711_wav_encode(pcm, "mu"), "ulaw"
+                elif sel == 1:
+                    pcm = _s.pack(
+                        "<32h", *(alaw_to_lin16(b) for b in digest)
+                    )
+                    blob, coding = g711_wav_encode(pcm, "a"), "alaw"
+                else:
+                    blob, coding = (
+                        float_wav_encode(
+                            [(b - 128) * 200 / 32767.0 for b in digest]
+                        ),
+                        "float32",
+                    )
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        blob,
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "audio/wav",
+                            "source": coding,
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SAMPLES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("coding", T.StringType()),
+        T.StructField("sample_no", T.IntegerType()),
+        T.StructField("value", T.IntegerType()),
+    ]
+)
+
+
+def extract_audio_samples(media: DataFrame) -> DataFrame:
+    """Per-sample audio extraction over mapInPandas (1->N row
+    expansion): decode ANY supported WAV coding via wav_decode_any and
+    emit every 16-bit sample as its own row — the shape that grades a
+    decoder's full output rather than a summary statistic.  The coding
+    label rides in from the adapter's meta.source.  Stateless and
+    per-blob: runs unchanged on streams, zero shuffle."""
+    _ship_codecs_by_value()
+    from .codecs import wav_decode_any
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        for pdf in batches:
+            rows = []
+            for mid, blob, meta in zip(
+                pdf["media_id"], pdf["blob"], pdf["meta"]
+            ):
+                _rate, _n_ch, _n_frames, pcm = wav_decode_any(bytes(blob))
+                vals = _s.unpack(f"<{len(pcm) // 2}h", pcm)
+                coding = meta["source"]
+                rows.extend(
+                    (mid, coding, i, int(v)) for i, v in enumerate(vals)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "coding", "sample_no", "value"]
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SAMPLES_SCHEMA)
+
+
 def documents_as_chirp_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL WAV whose content CHANGES
     over time — 512 samples, the first 256 a pure sine at DFT bin
@@ -1304,6 +1533,50 @@ def compressed_ingest(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def media_codec_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """X5 — the round-12 audio codings graded end-to-end: documents
+    rendered as REAL mu-law, A-law and 32-bit-float WAVs (coding by
+    digest mod 3), decoded by wav_decode_any, EVERY 16-bit sample
+    emitted as its own graded row.  The oracle recomputes each sample
+    analytically from sha256(text): the G.711 files' data bytes are
+    the digest itself (companding is idempotent on the expansion
+    lattice), so the expected value is the pure ITU expansion formula
+    in SQL; the float samples are k/32767 with k=(byte-128)*200, which
+    the decoder recovers exactly.  Encode -> container -> sniff ->
+    decode, hash-checked sample-for-sample."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_audio_samples(documents_as_companded_media(docs))
+
+
+def jsonl_shard_ingest(spark, sf_dir: str) -> DataFrame:
+    """X5 — multi-document compressed-shard ingestion on a graded
+    path: documents packed 8-per-shard into REAL jsonl.gz blobs
+    (documents_as_jsonl_gz_shards), then inflated + line-split +
+    json-parsed back to one row per document
+    (explode_jsonl_gz_shards).  The oracle rebuilds the whole layout
+    analytically from the documents table — shard assignment is
+    floor(doc_id/8), line order is doc_id rank within shard, and the
+    text round-trips exactly (md5 + byte length) — so a full
+    write-shards-then-ingest cycle is hash-graded.  This is the
+    compressed_ingest entry one notch closer to the real pipeline
+    shape: one blob carries MANY documents."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = explode_jsonl_gz_shards(documents_as_jsonl_gz_shards(docs))
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.octet_length(F.encode("text", "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+        "shard_id",
+        "line_no",
+    )
+
+
 def media_stft_bins(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL STFT on a graded path: documents rendered as genuine
     two-tone WAVs (bin changes mid-clip), analyzed by the Hann-windowed
@@ -1565,6 +1838,77 @@ def register() -> dict:
             """,
             "X5 compressed-corpus ingestion (gzip/zlib auto-sniff + "
             "stdlib inflate) via mapInPandas, round-trip oracle",
+        ),
+        "jsonl_shard_ingest": QueryDef(
+            jsonl_shard_ingest,
+            """
+            SELECT doc_id,
+                   md5(text) AS text_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(floor(doc_id / 8) AS BIGINT) AS shard_id,
+                   CAST(ROW_NUMBER() OVER (
+                            PARTITION BY floor(doc_id / 8)
+                            ORDER BY doc_id
+                        ) - 1 AS INTEGER) AS line_no
+            FROM documents
+            """,
+            "X5 multi-doc jsonl.gz shard ingestion (pack 8 docs/shard, "
+            "gzip, inflate + line-split + json-parse back) via "
+            "mapInPandas, analytic layout + round-trip oracle",
+        ),
+        "media_codec_roundtrip": QueryDef(
+            media_codec_roundtrip,
+            # per-sample analytic oracle: the G.711 data bytes ARE the
+            # digest (idempotent lattice), so expected values are the
+            # ITU mu/A expansion formulas; float samples are exactly
+            # (byte-128)*200.  byte b at digest position i; coding by
+            # digest[0] % 3.
+            f"""
+            WITH h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            ),
+            s AS (
+                SELECT media_id, hash, {_hexbyte(1)} % 3 AS sel,
+                       UNNEST(range(32)) AS i
+                FROM h
+            ),
+            b AS (
+                SELECT media_id, sel, CAST(i AS INTEGER) AS sample_no,
+                       ((position(substr(hash, CAST(2 * i + 1 AS INTEGER),
+                                         1) IN '0123456789abcdef') - 1) * 16
+                        + (position(substr(hash, CAST(2 * i + 2 AS INTEGER),
+                                           1) IN '0123456789abcdef') - 1))
+                           AS byte
+                FROM s
+            )
+            SELECT media_id,
+                   CASE sel WHEN 0 THEN 'ulaw' WHEN 1 THEN 'alaw'
+                            ELSE 'float32' END AS coding,
+                   sample_no,
+                   CAST(CASE sel
+                        WHEN 0 THEN
+                            (CASE WHEN (255 - byte) >= 128
+                                  THEN -1 ELSE 1 END)
+                            * ((((255 - byte) % 16) * 8 + 132)
+                               * (1 << (((255 - byte) // 16) % 8)) - 132)
+                        WHEN 1 THEN
+                            (CASE WHEN xor(byte, 85) >= 128
+                                  THEN 1 ELSE -1 END)
+                            * (CASE ((xor(byte, 85) // 16) % 8)
+                               WHEN 0 THEN (xor(byte, 85) % 16) * 16 + 8
+                               WHEN 1 THEN (xor(byte, 85) % 16) * 16 + 264
+                               ELSE ((xor(byte, 85) % 16) * 16 + 264)
+                                    * (1 << (((xor(byte, 85) // 16) % 8)
+                                             - 1))
+                               END)
+                        ELSE (byte - 128) * 200
+                   END AS INTEGER) AS value
+            FROM b
+            """,
+            "X5 G.711 mu/A-law + IEEE-float WAV codings graded "
+            "end-to-end per decoded sample (analytic ITU expansion "
+            "oracle on the idempotent companding lattice)",
         ),
         "media_stft_bins": QueryDef(
             media_stft_bins,

@@ -3208,10 +3208,12 @@ REGISTRY: dict[str, QueryDef] = {
 #   T2: 6 of the 50 entries last green in r11 (fill; they expire
 #       after round 14 otherwise — taking the expiring tier first
 #       keeps the must-check load spread).
-# The 94 parked entries are all green in r11 or r12, inside the K=3
+# The 96 parked entries are all green in r11 or r12, inside the K=3
 # freshness span through round 13.  Window is exactly 50/50 with zero
-# T3 slack this round — do NOT register net-new graded entries before
-# this window lands green.
+# T3 slack: the two mid-round-13 T0 registrations (jsonl_shard_ingest,
+# media_codec_roundtrip — 146 live entries now, ceiling 150) displaced
+# the last two T2-fill entries, which front the round-14 window.  No
+# further net-new registrations this round.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3233,6 +3235,13 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — no green row yet (must-check) (2): registered mid-round-13
+    # (jsonl.gz multi-doc shard ingestion; G.711/float WAV codings
+    # graded per-sample).  They take the slots of the last two T2-fill
+    # entries (user_event_counts, anonymous_events — r11-green, they
+    # front the round-14 window; the swap discipline)
+    "jsonl_shard_ingest",
+    "media_codec_roundtrip",
     # T1 — last green r10 (invariant requires) (44)
     "last_seen",
     "last_seen_map",
@@ -3278,13 +3287,11 @@ _DRIVER_CHECK_ORDER = [
     "winnow_probe_incoming",
     "feature_hash_embed",
     "bm25_top_docs",
-    # T2 — last green r11 (expires after round 14) (6 of 50)
+    # T2 — last green r11 (expires after round 14) (4 of 6)
     "user_streaks",
     "threshold_achievements",
     "sliding_weekly_counts",
     "user_notifications",
-    "user_event_counts",
-    "anonymous_events",
 ]
 
 

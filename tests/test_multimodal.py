@@ -699,3 +699,125 @@ def test_spread_for_decode_decouples_parallelism(spark, sf_smoke):
         ).collect()
     }
     assert a == b and len(a) == 20
+
+
+def test_jsonl_gz_shards_roundtrip_and_rejection(spark, sf_smoke):
+    """documents_as_jsonl_gz_shards packs 8 docs per gzip'd jsonl blob
+    and explode_jsonl_gz_shards recovers every (doc_id, text) exactly,
+    with line_no = doc_id rank within shard; malformed blobs raise the
+    decoder's ValueError, not a silent drop."""
+    import gzip
+
+    import pytest
+
+    docs = read_table(spark, sf_smoke, "documents")
+    want = {(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()}
+
+    shards = mm.documents_as_jsonl_gz_shards(docs).cache()
+    srows = shards.collect()
+    assert sum(r.n_docs for r in srows) == len(want)
+    assert all(1 <= r.n_docs <= 8 for r in srows)
+    assert all(bytes(r.blob)[:2] == b"\x1f\x8b" for r in srows)
+
+    out = mm.explode_jsonl_gz_shards(shards).collect()
+    assert {(r.doc_id, r.text) for r in out} == want
+    for r in out:
+        assert r.shard_id == r.doc_id // 8
+    # line_no is the doc_id rank within the shard
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard_id, r.doc_id)):
+        assert r.line_no == by_shard.get(r.shard_id, 0)
+        by_shard[r.shard_id] = r.line_no + 1
+
+    def one(blob):
+        df = spark.createDataFrame(
+            [(0, blob, 1)], schema=mm.JSONL_SHARD_SCHEMA
+        )
+        return mm.explode_jsonl_gz_shards(df).collect()
+
+    with pytest.raises(Exception, match="not gzip"):
+        one(b"\x78\x9cgarbage")
+    with pytest.raises(Exception, match="corrupt gzip"):
+        one(b"\x1f\x8b" + b"\x00" * 10)
+    with pytest.raises(Exception, match="bad JSON"):
+        one(gzip.compress(b'{"id": 1, "text": "ok"}\nnot json'))
+    with pytest.raises(ValueError, match="docs_per_shard"):
+        mm.documents_as_jsonl_gz_shards(docs, docs_per_shard=0)
+
+
+def test_jsonl_gz_explode_runs_on_a_stream(spark, sf_smoke, tmp_path):
+    """The ingest (read) side of the shard path is stateless 1->N, so
+    the identical explode plan runs on a file stream of shard blobs
+    bit-for-bit — the compressed-corpus streaming twin."""
+    import glob
+    import shutil
+
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    docs = read_table(spark, sf_smoke, "documents").limit(16)
+    shards = mm.documents_as_jsonl_gz_shards(docs, docs_per_shard=4).cache()
+    want = {
+        (r.shard_id, r.line_no, r.doc_id, r.text)
+        for r in mm.explode_jsonl_gz_shards(shards).collect()
+    }
+
+    flat = tmp_path / "shards_stream"
+    flat.mkdir()
+    ids = sorted(r.shard_id for r in shards.select("shard_id").collect())
+    split = ids[len(ids) // 2]
+    from pyspark.sql import functions as F
+
+    for i, part in enumerate(
+        [shards.filter(F.col("shard_id") <= split),
+         shards.filter(F.col("shard_id") > split)]
+    ):
+        tmp = str(flat) + f"_tmp{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        (src,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.copy(src, flat / f"{i:03d}.parquet")
+
+    stream = (
+        spark.readStream.schema(shards.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(flat))
+    )
+    got = run_to_memory(
+        mm.explode_jsonl_gz_shards(stream),
+        "jsonl_stream_explode",
+        output_mode="append",
+    ).collect()
+    assert {(r.shard_id, r.line_no, r.doc_id, r.text) for r in got} == want
+
+
+def test_companded_media_samples_exact(spark, sf_smoke):
+    """media_codec_roundtrip's core claim, pinned in-process: every
+    decoded sample equals the analytic expansion of the digest byte —
+    G.711 via the ITU formulas on the idempotent lattice, float via
+    exact k/32767 recovery — across all three codings."""
+    import hashlib as _h
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        alaw_to_lin16,
+        ulaw_to_lin16,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents").limit(30)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    out = mm.extract_audio_samples(
+        mm.documents_as_companded_media(docs)
+    ).collect()
+    assert len(out) == 30 * 32
+    seen_codings = set()
+    for r in out:
+        digest = _h.sha256(texts[r.media_id].encode("utf-8")).digest()
+        sel = digest[0] % 3
+        b = digest[r.sample_no]
+        if sel == 0:
+            want_coding, want = "ulaw", ulaw_to_lin16(b)
+        elif sel == 1:
+            want_coding, want = "alaw", alaw_to_lin16(b)
+        else:
+            want_coding, want = "float32", (b - 128) * 200
+        assert (r.coding, r.value) == (want_coding, want)
+        seen_codings.add(r.coding)
+    assert seen_codings == {"ulaw", "alaw", "float32"}
