@@ -821,3 +821,46 @@ def test_companded_media_samples_exact(spark, sf_smoke):
         assert (r.coding, r.value) == (want_coding, want)
         seen_codings.add(r.coding)
     assert seen_codings == {"ulaw", "alaw", "float32"}
+
+
+def test_jsonl_gz_shards_ingest_from_real_files(spark, sf_smoke, tmp_path):
+    """The true pipeline shape: shards written to disk as real
+    .jsonl.gz FILES, read back with Spark's binaryFile source (path ->
+    content), and exploded by the same stateless reader — proving the
+    ingest side needs nothing but a blob column, wherever it comes
+    from."""
+    import gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    docs = read_table(spark, sf_smoke, "documents").limit(20)
+    rows = sorted(
+        ((r.doc_id, r.text) for r in docs.collect()), key=lambda t: t[0]
+    )
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    for s in range(0, len(rows), 8):
+        chunk = rows[s : s + 8]
+        sid = s // 8  # file-positional shard naming
+        lines = "\n".join(
+            json.dumps({"id": int(d), "text": t}, ensure_ascii=False,
+                       sort_keys=True)
+            for d, t in chunk
+        )
+        (shard_dir / f"shard-{sid:05d}.jsonl.gz").write_bytes(
+            gzip.compress(lines.encode("utf-8"), mtime=0)
+        )
+
+    shards = (
+        spark.read.format("binaryFile")
+        .load(str(shard_dir))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)", 1)
+            .cast("long")
+            .alias("shard_id"),
+            F.col("content").alias("blob"),
+        )
+    )
+    out = mm.explode_jsonl_gz_shards(shards).collect()
+    assert {(r.doc_id, r.text) for r in out} == set(rows)
