@@ -176,11 +176,28 @@ def test_bpe_pairs_partial_agg_jvm_side(spark, sf_smoke):
 
 def test_media_png_prunes_scan_no_exchange(spark, sf_smoke):
     """The real-decode path is two pipelined MapInPandas stages over a
-    doc_id+text scan: blob bytes must never reach an exchange, and the
-    parquet read schema must exclude every unused column."""
+    doc_id+text scan.  Blob bytes must never reach an exchange: the
+    ONLY exchange allowed is the round-13 decode-spread — a hash
+    repartition of the tiny (doc_id, text) projection BEFORE any blob
+    exists (and none at all when the scan already provides the
+    parallelism).  The parquet read schema must exclude every unused
+    column."""
     plan = _formatted(spark, "media_png_features", sf_smoke)
     assert plan.count("MapInPandas") >= 2
-    assert "Exchange" not in plan, "blob bytes crossed a shuffle"
+    # formatted plans name each node once in the tree ("+- Exchange
+    # (n)") and once in the details ("(n) Exchange") — count tree nodes
+    n_exchanges = plan.count("Exchange (")
+    assert n_exchanges <= 1, plan
+    if n_exchanges:
+        # the spread exchange carries only the pre-decode projection:
+        # its child in the tree must be the scan itself (no blob
+        # exists yet), never a MapInPandas output
+        assert "hashpartitioning(doc_id" in plan, plan
+        lines = plan.splitlines()
+        (i,) = [k for k, l in enumerate(lines) if "Exchange (" in l]
+        assert "Scan parquet" in lines[i + 1], (
+            "blob bytes crossed a shuffle:\n" + plan
+        )
     schema_line = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in schema_line and "lang" not in schema_line
 
