@@ -148,6 +148,10 @@ HEADLINE = [
     "media_stft_bins",
     "compressed_ingest",
     "media_ljpeg_features",
+    # round 13 additions: multi-doc jsonl.gz shard ingestion and the
+    # per-sample G.711/float audio codec round-trip
+    "jsonl_shard_ingest",
+    "media_codec_roundtrip",
 ]
 
 
