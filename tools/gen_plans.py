@@ -356,6 +356,19 @@ PICKS = {
         "10-row non-equi join, one partial-aggregable rollup; no "
         "rangepartitioning anywhere."
     ),
+    "jsonl_shard_ingest": (
+        "Multi-doc jsonl.gz shards: ONE hash exchange builds the "
+        "constant-width (8-doc) shard groups; gzip-pack and "
+        "inflate+parse are pipelined Arrow mapInPandas stages — blob "
+        "bytes never cross a shuffle, and the read side alone is "
+        "exchange-free (stateless 1->N, the streaming twin)."
+    ),
+    "media_codec_roundtrip": (
+        "Per-sample audio codec grading: the decode-spread exchange "
+        "carries only (doc_id, text) BEFORE any blob exists; encode "
+        "and decode+1->32-sample expansion are pipelined Arrow "
+        "mapInPandas stages with no further exchange."
+    ),
     "page_components": (
         "Exact CC (large-star/small-star): the same single corpus "
         "pass as the rest of the graph family, then star rounds over "
