@@ -864,3 +864,29 @@ def test_jsonl_gz_shards_ingest_from_real_files(spark, sf_smoke, tmp_path):
     )
     out = mm.explode_jsonl_gz_shards(shards).collect()
     assert {(r.doc_id, r.text) for r in out} == set(rows)
+
+
+def test_jsonl_gz_shards_adversarial_text(spark):
+    """The jsonl format survives exactly the content that breaks naive
+    line-based packing: literal newlines (JSON-escaped, so one doc
+    stays one line), quotes, backslashes, tabs, emoji, and empty
+    strings all round-trip byte-exactly."""
+    texts = [
+        "line one\nline two\n\nline four",
+        'quote " and \\ backslash \\" mix',
+        "tab\there\r\nwindows newline",
+        "emoji \U0001f600 and accents \u00e9\u00e8\u00ea",
+        "",
+        " leading and trailing ",
+        "\x01 control char",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    shards = mm.documents_as_jsonl_gz_shards(docs, docs_per_shard=3)
+    out = mm.explode_jsonl_gz_shards(shards).collect()
+    assert {(r.doc_id, r.text) for r in out} == {
+        (i, t) for i, t in enumerate(texts)
+    }
+    # one JSON line per doc even with embedded newlines
+    assert sorted(r.line_no for r in out if r.shard_id == 0) == [0, 1, 2]
