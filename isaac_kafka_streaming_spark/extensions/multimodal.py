@@ -112,7 +112,7 @@ def _ship_codecs_by_value() -> None:
     cloudpickle.register_pickle_by_value(codecs)
 
 
-def _spread_for_decode(docs: DataFrame) -> DataFrame:
+def _spread_for_decode(docs: DataFrame, heavy: bool = True) -> DataFrame:
     """Decouple decode parallelism from scan splits before the
     per-document codec work.
 
@@ -128,9 +128,19 @@ def _spread_for_decode(docs: DataFrame) -> DataFrame:
     value.  At real scale — inputs with >= cores splits — and on
     streaming inputs (micro-batch partitioning is the source's) this
     is a no-op, so no extra Exchange appears where the scan already
-    provides the parallelism."""
+    provides the parallelism.
+
+    ``heavy`` draws the measured cost line (same-session min-of-5 A/B
+    at sf0.1, SCALE_DESIGN.md round 13): the exchange + 32-task
+    Python fan-out costs ~0.3-0.5 s, so it pays only where per-doc
+    codec CPU dominates — T.81 Huffman+IDCT (all JPEG families, the
+    MJPEG containers), GIF LZW, FFT/STFT synthesis+analysis: 2-4.5x
+    wins.  Cheap per-doc work (stdlib-zlib PNG at digest sizes, PCM
+    WAV, gzip, jsonl pack, G.711 expansion) runs FASTER single-split
+    than paying the fan-out; those adapters pass heavy=False and keep
+    the scan's partitioning."""
     out = docs.select("doc_id", "text")
-    if out.isStreaming:
+    if not heavy or out.isStreaming:
         return out
     target = out.sparkSession.sparkContext.defaultParallelism
     if out.rdd.getNumPartitions() < target:
@@ -179,7 +189,7 @@ def documents_as_png_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs, heavy=False).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def documents_as_ljpeg_media(docs: DataFrame) -> DataFrame:
@@ -480,7 +490,7 @@ def documents_as_wav_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs, heavy=False).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def extract_image_features(
@@ -857,7 +867,7 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs, heavy=False).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 def decompress_text_blobs(media: DataFrame) -> DataFrame:
@@ -964,7 +974,7 @@ def documents_as_jsonl_gz_shards(
             yield pd.DataFrame(rows, columns=["shard_id", "blob", "n_docs"])
 
     grouped = (
-        _spread_for_decode(docs)
+        _spread_for_decode(docs, heavy=False)
         .select(
             F.floor(F.col("doc_id") / docs_per_shard)
             .cast("long")
@@ -1087,7 +1097,7 @@ def documents_as_companded_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
+    return _spread_for_decode(docs, heavy=False).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 AUDIO_SAMPLES_SCHEMA = T.StructType(
