@@ -881,6 +881,7 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
     at any scale."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip as _gz
         import zlib as _z
 
         for pdf in batches:
@@ -889,7 +890,10 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
                 b = bytes(blob)
                 try:
                     if b[:2] == b"\x1f\x8b":
-                        raw, codec = _z.decompress(b, wbits=31), "gzip"
+                        # gzip.decompress inflates ALL members (a
+                        # concatenated .gz is valid per RFC 1952);
+                        # zlib(wbits=31) stops after the first
+                        raw, codec = _gz.decompress(b), "gzip"
                     elif (
                         len(b) >= 2
                         and (b[0] & 0x0F) == 8      # CM = deflate
@@ -902,7 +906,7 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
                             f"unknown compression magic {b[:2]!r} "
                             "(gzip/zlib only)"
                         )
-                except _z.error as exc:
+                except (OSError, EOFError, _z.error) as exc:
                     raise ValueError(f"corrupt compressed blob: {exc}") from exc
                 rows.append((mid, raw.decode("utf-8"), len(raw), codec))
             yield pd.DataFrame(
@@ -994,10 +998,14 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     (shard_id, line_no, doc_id, text).  A 1->N row expansion that is
     stateless and per-blob: it runs unchanged on a stream of shard
     files and costs zero shuffle at any scale — THE read shape of a
-    petabyte jsonl.gz corpus.  Malformed gzip or JSON raises
-    ValueError with the shard id, not a silent drop."""
+    petabyte jsonl.gz corpus.  Multi-member gzip (cat a.gz b.gz /
+    pigz / bgzf output — valid per RFC 1952 and common for appended
+    shards) inflates COMPLETELY.  Malformed gzip, JSON, or a line
+    that is not an {id: int, text: str} document raises ValueError
+    with the shard id, not a silent drop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
         import json
         import zlib as _z
 
@@ -1010,8 +1018,11 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
                         f"shard {shard_id}: not gzip (magic {b[:2]!r})"
                     )
                 try:
-                    raw = _z.decompress(b, wbits=31)
-                except _z.error as exc:
+                    # gzip.decompress concatenates ALL members;
+                    # zlib(wbits=31) would silently stop after the
+                    # first (the round-13 review finding)
+                    raw = gzip.decompress(b)
+                except (OSError, EOFError, _z.error) as exc:
                     raise ValueError(
                         f"shard {shard_id}: corrupt gzip: {exc}"
                     ) from exc
@@ -1025,8 +1036,18 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
                             f"shard {shard_id} line {line_no}: bad JSON: "
                             f"{exc}"
                         ) from exc
+                    if (
+                        not isinstance(obj, dict)
+                        or not isinstance(obj.get("id"), int)
+                        or isinstance(obj.get("id"), bool)
+                        or not isinstance(obj.get("text"), str)
+                    ):
+                        raise ValueError(
+                            f"shard {shard_id} line {line_no}: JSON is "
+                            "not an {id: int, text: str} document"
+                        )
                     rows.append(
-                        (shard_id, line_no, int(obj["id"]), obj["text"])
+                        (shard_id, line_no, obj["id"], obj["text"])
                     )
             yield pd.DataFrame(
                 rows, columns=["shard_id", "line_no", "doc_id", "text"]

@@ -890,3 +890,59 @@ def test_jsonl_gz_shards_adversarial_text(spark):
     }
     # one JSON line per doc even with embedded newlines
     assert sorted(r.line_no for r in out if r.shard_id == 0) == [0, 1, 2]
+
+
+def test_jsonl_gz_multimember_and_shape_contract(spark):
+    """Round-13 review findings, pinned: (a) a multi-member gzip shard
+    (cat a.gz b.gz - valid per RFC 1952) inflates COMPLETELY instead
+    of silently dropping every document after the first member; (b) a
+    line that parses as JSON but is not an {id: int, text: str}
+    document raises the decoder ValueError with shard context, not a
+    bare KeyError.  decompress_text_blobs gets the same multi-member
+    guarantee."""
+    import gzip
+    import json
+
+    import pytest
+
+    def shard_df(blob):
+        return spark.createDataFrame(
+            [(0, blob, 0)], schema=mm.JSONL_SHARD_SCHEMA
+        )
+
+    member_a = gzip.compress(
+        json.dumps({"id": 1, "text": "alpha"}).encode() + b"\n"
+        + json.dumps({"id": 2, "text": "beta"}).encode(),
+        mtime=0,
+    )
+    member_b = gzip.compress(
+        b"\n" + json.dumps({"id": 3, "text": "gamma"}).encode(), mtime=0
+    )
+    out = mm.explode_jsonl_gz_shards(shard_df(member_a + member_b)).collect()
+    assert {(r.doc_id, r.text) for r in out} == {
+        (1, "alpha"), (2, "beta"), (3, "gamma")
+    }
+
+    for bad in (
+        {"doc_id": 1, "text": "missing id key"},
+        {"id": "1", "text": "string id"},
+        {"id": True, "text": "bool id"},
+        {"id": 1},
+        {"id": 1, "text": 7},
+        [1, 2, 3],
+        42,
+    ):
+        blob = gzip.compress(json.dumps(bad).encode(), mtime=0)
+        with pytest.raises(Exception, match="not an .id: int, text: str."):
+            mm.explode_jsonl_gz_shards(shard_df(blob)).collect()
+
+    # decompress_text_blobs: multi-member gzip of one doc round-trips
+    media = spark.createDataFrame(
+        [(0, "text",
+          gzip.compress(b"first half ", mtime=0)
+          + gzip.compress(b"second half", mtime=0),
+          {"n_bytes": 22, "mime": "application/gzip", "source": "gzip"})],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    row = mm.decompress_text_blobs(media).collect()[0]
+    assert (row.text, row.codec) == ("first half second half", "gzip")

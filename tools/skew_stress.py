@@ -277,10 +277,23 @@ def main() -> int:
     out = os.environ.get("SKEW_DIR", "/tmp/skewdata")
     out_uniform = out + "_uniform"
     out_events = out + "_events"
-    build_skewed(
-        src, out, clique_mod=10 if heavy else 50, n_sources=n_sources
+
+    # builds are gated on the --only selection (round-13 review
+    # finding: corpus builds dominate wall clock, so an unselective
+    # build loop defeated the flag's purpose)
+    def sel(*names) -> bool:
+        return only is None or bool(only & set(names))
+
+    DOC_CASES = (
+        "contained_documents", "source_overlap_matrix",
+        "winnow_probe_incoming", "selection_budget_curve", "dsir_select",
     )
-    build_skewed(src, out_uniform, uniform=True)
+    if sel(*DOC_CASES):
+        build_skewed(
+            src, out, clique_mod=10 if heavy else 50, n_sources=n_sources
+        )
+    if sel("selection_budget_curve", "dsir_select"):
+        build_skewed(src, out_uniform, uniform=True)
 
     from isaac_kafka_streaming_spark.extensions.dedup import (
         contained_documents,
@@ -299,24 +312,28 @@ def main() -> int:
 
     spark = get_spark("skew-stress")
     spark.sparkContext.setLogLevel("ERROR")
-    build_skewed_events(spark, src, out_events)
+    if sel("page_transition_edges"):
+        build_skewed_events(spark, src, out_events)
     out_hub, out_hubs = out + "_hub1", out + "_hub100"
-    build_hub_edges(spark, out_hub, n_edges=100_000, n_hubs=1)
-    build_hub_edges(spark, out_hubs, n_edges=100_000, n_hubs=100)
+    if sel("cc_star_hub"):
+        build_hub_edges(spark, out_hub, n_edges=100_000, n_hubs=1)
+        build_hub_edges(spark, out_hubs, n_edges=100_000, n_hubs=100)
     # round-12: the 10x-degree escalation — a SINGLE 1M-degree hub,
     # the shape where a collect_set row would be a ~10 MB+ single
     # record (outright OOM territory at executor defaults); with the
     # groupBy-min + join-back star rounds it is just 1M more O(1)-width
     # rows, so the claim is ratio ≈ 1x vs the same edges spread 1000x
     out_hub1m, out_hubs1m = out + "_hub1m", out + "_hub1k1m"
-    build_hub_edges(spark, out_hub1m, n_edges=1_000_000, n_hubs=1)
-    build_hub_edges(spark, out_hubs1m, n_edges=1_000_000, n_hubs=1000)
+    if sel("cc_star_hub_1m"):
+        build_hub_edges(spark, out_hub1m, n_edges=1_000_000, n_hubs=1)
+        build_hub_edges(spark, out_hubs1m, n_edges=1_000_000, n_hubs=1000)
     # round-13: the LSH pair-tier analogue of the 1M-hub row — one
     # text duplicated 100k x (every band bucket 100k wide) vs the
     # equal-volume all-distinct twin, both under the shipped cap
     out_lsh_cl, out_lsh_sp = out + "_lshclique", out + "_lshspread"
-    build_lsh_corpus(src, out_lsh_cl, clique=True)
-    build_lsh_corpus(src, out_lsh_sp, clique=False)
+    if sel("lsh_pairs_100k_clique"):
+        build_lsh_corpus(src, out_lsh_cl, clique=True)
+        build_lsh_corpus(src, out_lsh_sp, clique=False)
 
     cases = [
         # (name, callable, (label_a, dir_a, kwargs_a),
