@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread_small_scan
 
 # -- shared tokenization (lockstep with the DuckDB twins below) -----------
 
@@ -289,13 +289,13 @@ def minhash_lsh_pairs(
     result (see dedup_clusters).  One-shot graded/bench runs may skip
     it — session teardown clears the blocks.
     """
-    # the source is a single small parquet file (one scan partition):
-    # spread the signature computation across cores before the heavy
-    # per-document expressions. At 100 TB the scan is already parallel
-    # and this repartition is dropped.
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # a small single-file source reads as one scan partition: spread
+    # the signature computation across cores before the heavy
+    # per-document expressions.  At 100 TB the scan is already
+    # parallel and the guard makes this a no-op (round 13: previously
+    # an unconditional repartition, i.e. a pointless full-corpus
+    # shuffle at scale).
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     # cached: the shingle arrays feed the signature explode AND twice
     # the verification join — without it the tokenization runs 4x.
     # At 100 TB this intermediate is written to a temp table instead.
@@ -674,9 +674,7 @@ def simhash_pairs(
     the final assembly is safe: the 64 shifted terms are bit-disjoint,
     so their sum is their bitwise OR, no carries.
     """
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
     ).withColumn("h", F.xxhash64("token"))
@@ -1951,9 +1949,7 @@ def dedup_incoming_minhash(
     already catches.  Fan-out bound pinned in
     tests/test_dedup_guards.py.
     """
-    docs = read_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
     shingled = _cache_once(
         docs.select(
             "doc_id",

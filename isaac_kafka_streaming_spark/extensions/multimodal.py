@@ -140,12 +140,11 @@ def _spread_for_decode(docs: DataFrame, heavy: bool = True) -> DataFrame:
     than paying the fan-out; those adapters pass heavy=False and keep
     the scan's partitioning."""
     out = docs.select("doc_id", "text")
-    if not heavy or out.isStreaming:
+    if not heavy:
         return out
-    target = out.sparkSession.sparkContext.defaultParallelism
-    if out.rdd.getNumPartitions() < target:
-        out = out.repartition(target, "doc_id")
-    return out
+    from ..io import spread_small_scan
+
+    return spread_small_scan(out)
 
 
 # width lookup for the digest-pixel PNGs: digest[0] % 4 -> a factor

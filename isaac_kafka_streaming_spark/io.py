@@ -115,3 +115,24 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.expr("timestamp_micros(ts div 1000)")
             )
     return df
+
+
+def spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Raise a batch frame's parallelism to the cluster default WHEN
+    the scan provided less — and only then.
+
+    A small single-file parquet table reads as ONE split, so every
+    downstream per-row computation (signature hashing, codec decode)
+    inherits a single task unless re-spread.  Conversely, a real
+    corpus arrives with >= cores splits, where an unconditional
+    repartition is a full-frame shuffle that buys nothing (or actively
+    REDUCES parallelism when splits > cores).  This guard makes the
+    "dropped at scale" claim true in code: streaming inputs and
+    already-wide inputs pass through untouched; only a
+    narrower-than-cores batch input pays the (tiny) hash exchange."""
+    if df.isStreaming:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df

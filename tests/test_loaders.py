@@ -169,3 +169,26 @@ def test_kafka_parse_malformed_json_zero_defaults(spark):
     for r in rows.values():
         assert (r.user_id, r.anonymous_user, r.event_type) == ("", False, "")
         assert r.event_ts_ms == 0 and r.event_details is None
+
+
+def test_spread_small_scan_guard(spark, sf_smoke):
+    """The io-level guard behind every scan spread: raises parallelism
+    only for narrower-than-cores batch inputs; wide inputs keep their
+    partitioning (no full-corpus shuffle at scale) and streaming
+    inputs pass through untouched."""
+    from isaac_kafka_streaming_spark.io import read_table, spread_small_scan
+
+    docs = read_table(spark, sf_smoke, "documents")
+    target = spark.sparkContext.defaultParallelism
+
+    narrow = docs.coalesce(1)
+    assert spread_small_scan(narrow).rdd.getNumPartitions() == target
+
+    wide = docs.repartition(target + 5, "doc_id")
+    assert spread_small_scan(wide).rdd.getNumPartitions() == target + 5
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .parquet(sf_smoke)
+    )
+    assert spread_small_scan(stream) is stream
