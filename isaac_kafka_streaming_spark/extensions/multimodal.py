@@ -1055,6 +1055,47 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(run, schema=JSONL_DOC_SCHEMA)
 
 
+def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
+    """One-call ingestion of a directory of real ``*.jsonl.gz`` shard
+    FILES — the shape a reference user actually has on disk/object
+    store: Spark's binaryFile source lists and reads the blobs
+    (distributed, splittable by FILE — exactly the parallelism a
+    100 TB shard corpus provides naturally), then
+    explode_jsonl_gz_shards inflates and parses one row per document.
+
+    shard_id is the last integer run in each file name (the
+    ``shard-00042.jsonl.gz`` convention); files without a numeric
+    component raise rather than colliding on a guessed id."""
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jsonl.gz")
+        .load(path)
+        .select(
+            # id from the file NAME only — digits in parent directories
+            # must not leak in as shard ids
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1),
+                r"(\d+)\D*$",
+                1,
+            ).alias("__sid_str"),
+            F.col("path"),
+            F.col("content").alias("blob"),
+        )
+    )
+    shards = shards.select(
+        F.when(
+            F.col("__sid_str") == "", F.raise_error(
+                F.concat(
+                    F.lit("shard file name carries no numeric id: "),
+                    F.col("path"),
+                )
+            ).cast("long")
+        ).otherwise(F.col("__sid_str").cast("long")).alias("shard_id"),
+        "blob",
+    )
+    return explode_jsonl_gz_shards(shards)
+
+
 def documents_as_companded_media(docs: DataFrame) -> DataFrame:
     """Adapter: each document becomes a REAL non-PCM WAV in one of the
     three round-12 codings, chosen by digest parity — G.711 mu-law

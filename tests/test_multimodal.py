@@ -946,3 +946,38 @@ def test_jsonl_gz_multimember_and_shape_contract(spark):
     )
     row = mm.decompress_text_blobs(media).collect()[0]
     assert (row.text, row.codec) == ("first half second half", "gzip")
+
+
+def test_ingest_jsonl_gz_dir(spark, tmp_path):
+    """One-call directory ingestion: binaryFile listing + shard-id
+    from the file name + the shared explode; a file without a numeric
+    id raises instead of colliding on a guess."""
+    import gzip
+    import json
+
+    import pytest
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs = {0: "alpha", 1: "beta", 2: "gamma", 3: "delta"}
+    for sid, ids in ((7, [0, 1]), (8, [2, 3])):
+        lines = "\n".join(
+            json.dumps({"id": i, "text": docs[i]}) for i in ids
+        )
+        (d / f"shard-{sid:05d}.jsonl.gz").write_bytes(
+            gzip.compress(lines.encode(), mtime=0)
+        )
+    (d / "README.txt").write_text("not a shard")  # glob-filtered out
+
+    out = mm.ingest_jsonl_gz_dir(spark, str(d)).collect()
+    assert {(r.shard_id, r.doc_id, r.text) for r in out} == {
+        (7, 0, "alpha"), (7, 1, "beta"), (8, 2, "gamma"), (8, 3, "delta")
+    }
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "noid.jsonl.gz").write_bytes(
+        gzip.compress(json.dumps({"id": 1, "text": "x"}).encode(), mtime=0)
+    )
+    with pytest.raises(Exception, match="no numeric id"):
+        mm.ingest_jsonl_gz_dir(spark, str(bad)).collect()
