@@ -1055,34 +1055,22 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(run, schema=JSONL_DOC_SCHEMA)
 
 
-def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
-    """One-call ingestion of a directory of real ``*.jsonl.gz`` shard
-    FILES — the shape a reference user actually has on disk/object
-    store: Spark's binaryFile source lists and reads the blobs
-    (distributed, splittable by FILE — exactly the parallelism a
-    100 TB shard corpus provides naturally), then
-    explode_jsonl_gz_shards inflates and parses one row per document.
-
-    shard_id is the last integer run in each file name (the
-    ``shard-00042.jsonl.gz`` convention); files without a numeric
-    component raise rather than colliding on a guessed id."""
-    shards = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jsonl.gz")
-        .load(path)
-        .select(
-            # id from the file NAME only — digits in parent directories
-            # must not leak in as shard ids
-            F.regexp_extract(
-                F.element_at(F.split(F.col("path"), "/"), -1),
-                r"(\d+)\D*$",
-                1,
-            ).alias("__sid_str"),
-            F.col("path"),
-            F.col("content").alias("blob"),
-        )
+def _shards_from_binary_files(files: DataFrame) -> DataFrame:
+    """(path, content) from the binaryFile source -> (shard_id, blob).
+    shard_id is the last integer run in each file NAME (the
+    ``shard-00042.jsonl.gz`` convention; digits in parent directories
+    must not leak in); id-less files raise rather than colliding on a
+    guessed id."""
+    named = files.select(
+        F.regexp_extract(
+            F.element_at(F.split(F.col("path"), "/"), -1),
+            r"(\d+)\D*$",
+            1,
+        ).alias("__sid_str"),
+        F.col("path"),
+        F.col("content").alias("blob"),
     )
-    shards = shards.select(
+    return named.select(
         F.when(
             F.col("__sid_str") == "", F.raise_error(
                 F.concat(
@@ -1093,7 +1081,47 @@ def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
         ).otherwise(F.col("__sid_str").cast("long")).alias("shard_id"),
         "blob",
     )
-    return explode_jsonl_gz_shards(shards)
+
+
+#: binaryFile's fixed schema, declared for the streaming reader (a
+#: streaming source cannot infer it)
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
+    """One-call ingestion of a directory of real ``*.jsonl.gz`` shard
+    FILES — the shape a reference user actually has on disk/object
+    store: Spark's binaryFile source lists and reads the blobs
+    (distributed, splittable by FILE — exactly the parallelism a
+    100 TB shard corpus provides naturally), then
+    explode_jsonl_gz_shards inflates and parses one row per document."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jsonl.gz")
+        .load(path)
+    )
+    return explode_jsonl_gz_shards(_shards_from_binary_files(files))
+
+
+def stream_jsonl_gz_dir(spark, path: str) -> DataFrame:
+    """The streaming twin of ingest_jsonl_gz_dir: a binaryFile FILE
+    STREAM over the shard directory (new shards picked up per
+    micro-batch — the arriving-crawl-dump shape), through the same
+    stateless exploder.  Append-mode, zero state, zero shuffle."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.jsonl.gz")
+        .load(path)
+    )
+    return explode_jsonl_gz_shards(_shards_from_binary_files(files))
 
 
 def documents_as_companded_media(docs: DataFrame) -> DataFrame:

@@ -981,3 +981,37 @@ def test_ingest_jsonl_gz_dir(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no numeric id"):
         mm.ingest_jsonl_gz_dir(spark, str(bad)).collect()
+
+
+def test_stream_jsonl_gz_dir_matches_batch(spark, tmp_path):
+    """stream_jsonl_gz_dir: the binaryFile FILE STREAM over a shard
+    directory produces exactly the batch ingest's rows (append mode,
+    stateless) - the arriving-crawl-dump shape end-to-end on real
+    files."""
+    import gzip
+    import json
+
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    docs = {i: f"doc {i}" for i in range(6)}
+    for sid, ids in ((1, [0, 1]), (2, [2, 3]), (3, [4, 5])):
+        lines = "\n".join(
+            json.dumps({"id": i, "text": docs[i]}) for i in ids
+        )
+        (d / f"shard-{sid:03d}.jsonl.gz").write_bytes(
+            gzip.compress(lines.encode(), mtime=0)
+        )
+
+    want = {
+        (r.shard_id, r.line_no, r.doc_id, r.text)
+        for r in mm.ingest_jsonl_gz_dir(spark, str(d)).collect()
+    }
+    got = run_to_memory(
+        mm.stream_jsonl_gz_dir(spark, str(d)),
+        "jsonl_dir_stream",
+        output_mode="append",
+    ).collect()
+    assert {(r.shard_id, r.line_no, r.doc_id, r.text) for r in got} == want
+    assert len(want) == 6
