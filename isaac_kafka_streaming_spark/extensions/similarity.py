@@ -781,8 +781,21 @@ def knn_pq(
     Output: (query_id, neighbor_id, l2_dist, rank) — rank 1..k by
     exact distance ASC, neighbor_id tie-break, self excluded.
     STAGED round 6, REGISTERED round 7 (round-6 window saturated)."""
-    emb = read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # spread before the Lloyd/ADC chain: a single-file embeddings scan
+    # otherwise runs every per-row higher-order-function fold on one
+    # task (round-13 A/B: 4.31 -> 2.82 s at sf0.1; no-op at real
+    # scale).  Parity-safe: the Lloyd means average float32-derived
+    # doubles whose partial sums are exact in a 53-bit mantissa, so
+    # aggregation order cannot move a bit.  kmeans_centroids measured
+    # the opposite way (1.63 -> 1.96 s — k=8 over full vectors is
+    # shuffle-overhead-bound) and stays un-spread.
+    from ..io import spread_small_scan
+
+    emb = spread_small_scan(
+        read_table(spark, sf_dir, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ),
+        "vec_id",
     )
     # cached, not checkpointed: every Lloyd iteration, the final
     # encode, and the query projection re-read this N*m-row frame.
