@@ -422,6 +422,24 @@ def test_multimodal_pipeline_runs_on_a_stream(spark, sf_smoke, tmp_path):
     for d in docs.collect():
         assert got_texts[d.doc_id].text == d.text
 
+    # the companded-audio round-trip path (round 13) is stateless too:
+    # identical per-sample rows on the stream, bit-for-bit
+    got_samples = {
+        (r.media_id, r.sample_no): (r.coding, r.value)
+        for r in run_to_memory(
+            mm.extract_audio_samples(mm.documents_as_companded_media(stream)),
+            "media_stream_samples",
+            output_mode="append",
+        ).collect()
+    }
+    want_samples = {
+        (r.media_id, r.sample_no): (r.coding, r.value)
+        for r in mm.extract_audio_samples(
+            mm.documents_as_companded_media(docs)
+        ).collect()
+    }
+    assert got_samples == want_samples and len(got_samples) == 12 * 32
+
 
 def test_audio_spectrogram_tracks_changing_content(spark):
     """The STFT path resolves time-varying content a whole-clip FFT
