@@ -29,6 +29,17 @@ from ..io import read_table, spread_small_scan
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def _documents(spark, sf_dir):
+    """Documents scan behind io.spread_small_scan: a small single-file
+    table otherwise pins every per-row expression (tokenize, shingle,
+    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
+    sf0.1 measured 1.3-2.9x wins across this module's entries; the
+    few aggregate-light losers opt out with a plain read_table and a
+    comment.  No-op at real scale and on streaming inputs (the guard's
+    contract)."""
+    return spread_small_scan(read_table(spark, sf_dir, "documents"))
+
+
 def _tokens(col):
     """lower -> split on non-alphanumeric -> drop empties."""
     return F.filter(
@@ -70,7 +81,7 @@ def _shingles(tokens_col, n: int = 3):
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — one row per distinct text: canonical doc id + duplicate count."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").alias("n_copies"),
@@ -79,7 +90,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (hash tier) — near-dup by normalized-text sha256."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
         docs.withColumn("text_hash", F.sha2(norm, 256))
@@ -119,7 +130,7 @@ def ngram_jaccard_pairs(
     entries), so AQE turns the anti-join into a broadcast; no hint
     needed.  Default None preserves the uncapped exact semantics.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # cached: the exploded shingle index feeds the per-doc sizes (doc_id
     # shuffle) AND both sides of the inverted-index self-join (shingle
     # shuffle, reused exchange) — without it the tokenize+shingle scan
@@ -182,7 +193,7 @@ def duplicate_passages(
     output is the boilerplate/leak list itself — downstream passes
     anti-join it (as ngram_jaccard's hot-shingle cap does) or strike
     the spans from the text."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     sh = docs.select(
         "doc_id",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("passage"),
@@ -295,7 +306,7 @@ def minhash_lsh_pairs(
     # parallel and the guard makes this a no-op (round 13: previously
     # an unconditional repartition, i.e. a pointless full-corpus
     # shuffle at scale).
-    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     # cached: the shingle arrays feed the signature explode AND twice
     # the verification join — without it the tokenization runs 4x.
     # At 100 TB this intermediate is written to a temp table instead.
@@ -479,7 +490,7 @@ def minhash_lsh_pairs_md5(
     (_lsh_pairs_verify — retire-merged round 10): only the band-table
     hash family differs.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     shingled = _cache_once(
         docs.select(
             "doc_id",
@@ -524,7 +535,7 @@ def dedup_incoming_minhash_md5(
     Scale shape is the production tier's: per-batch cost scales with
     the incoming slice, the corpus band table is the precomputed index
     each crawl probes."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     shingled = _cache_once(
         docs.select(
             "doc_id",
@@ -674,7 +685,7 @@ def simhash_pairs(
     the final assembly is safe: the 64 shifted terms are bit-disjoint,
     so their sum is their bitwise OR, no carries.
     """
-    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
     ).withColumn("h", F.xxhash64("token"))
@@ -986,7 +997,7 @@ def contained_documents(
     saturated); CONTAINED_DOCUMENTS_ORACLE_SQL below is parity-tested
     already.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     base = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).withColumn(
@@ -1146,7 +1157,7 @@ def source_overlap_matrix(
     stays internally consistent over the capped passage space; the cap
     is the same hot-key discipline as ngram_jaccard's max_shingle_df).
     Per-source sizes broadcast into the final projection."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     sp = docs.select(
         "source",
         F.explode(_shingles(_tokens(F.col("text")), n)).alias("passage"),
@@ -1270,7 +1281,7 @@ def hot_passage_spans(
     more than `max_df` distinct documents (two-level aggregate; tiny
     by construction — this is the static side of the streaming
     scrub)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -1314,7 +1325,7 @@ def passage_scrub(
     strike join; reassembly groups on doc_id — per-doc state is the
     doc's own span list, the same bound the corpus already carries.
     Zero-token docs drop (no spans), matching the oracle."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") > 0)
@@ -1703,7 +1714,7 @@ def simhash_pairs_md5(
     retire-merged round 10): only the signature hash family differs.
     """
     bits = 60
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id",
         F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token"),
@@ -1741,7 +1752,7 @@ def dedup_incoming(
     The LSH tiers refine is_new for near-dups the hash tier misses —
     same join, band keys instead of hashes.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     from .sampling import _bucket
 
     norm_hash = F.sha2(
@@ -1827,7 +1838,7 @@ def bloom_prefilter(
     witness).  STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     BLOOM_PREFILTER_ORACLE_SQL is parity-tested now
     (tests/test_dedup_guards.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     from .sampling import _bucket
 
     norm_hash = F.sha2(
@@ -1949,7 +1960,7 @@ def dedup_incoming_minhash(
     already catches.  Fan-out bound pinned in
     tests/test_dedup_guards.py.
     """
-    docs = spread_small_scan(read_table(spark, sf_dir, "documents"))
+    docs = _documents(spark, sf_dir)
     shingled = _cache_once(
         docs.select(
             "doc_id",

@@ -17,13 +17,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread_small_scan
 
 # per-language downsampling rates (percent kept) for the stratified
 # sample: the dominant language is halved, the rest kept whole — the
 # mixture-reweighting shape of real corpus curation
 LANG_KEEP_PCT: dict[str, int] = {"en": 50}
 DEFAULT_KEEP_PCT = 100
+
+
+def _documents(spark, sf_dir):
+    """Documents scan behind io.spread_small_scan: a small single-file
+    table otherwise pins every per-row expression (tokenize, shingle,
+    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
+    sf0.1 measured 1.3-2.9x wins across this module's entries; the
+    few aggregate-light losers opt out with a plain read_table and a
+    comment.  No-op at real scale and on streaming inputs (the guard's
+    contract)."""
+    return spread_small_scan(read_table(spark, sf_dir, "documents"))
 
 
 def _bucket(key_col, salt: str = ""):
@@ -74,7 +85,7 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment over the documents table (graded
     shape: identity + lang/source strata + bucket + split), still a
     single map-side projection — no join, no shuffle."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     b = _bucket(F.col("doc_id"))
     split = (
         F.when(F.col("bucket") < 5, F.lit("test"))
@@ -90,7 +101,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic downsampling (mixture reweighting):
     keep md5-bucket < keep_pct(lang).  Salted differently from
     corpus_split so the two decisions are independent."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     rate = F.lit(DEFAULT_KEEP_PCT)
     for lang, pct in LANG_KEEP_PCT.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
@@ -106,7 +117,7 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized text also appears in train — the leak a dedup-then-split
     pipeline must prove absent.  Pairs each contaminated eval doc with
     the lowest-id train doc sharing its hash."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -146,7 +157,7 @@ def ngram_contamination(
     counting as "contamination" and stops being a hot join key.  Same
     anti-join shape as ngram_jaccard_pairs' cap; bounded fan-out pinned
     in tests/test_dedup_guards.py."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     from .dedup import _shingles
     from .text import _tokens
 
@@ -218,7 +229,7 @@ def decontaminate_exact(
     an equi-join or two-level agg on shingle/doc keys; the quadratic
     LIKE scan of the naive form never appears.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     from .dedup import _shingles, _tokens
 
     # round 8: split via the shared with_split projection (no
@@ -307,7 +318,7 @@ def temperature_mixture_plan(
     """
     from .dedup import _tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # .cache(): the scalar chain below (totals -> wsum -> budget ->
     # final projection) otherwise re-executes this lineage — the ONE
     # corpus-scale stage, a full token-count pass — once per derived
@@ -465,7 +476,7 @@ def mixture_plan(
         )
     from .text import _tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     per_lang = (
         docs.select(
             "lang", F.size(_tokens(F.col("text"))).cast("long").alias("n_tok")
@@ -533,7 +544,7 @@ def soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent), then a pure map-side keep filter; no join against a
     canonical table and no second pass.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -566,7 +577,7 @@ def stratified_topk_sample(
     rank is per-stratum (bounded by stratum size, no global sort).
     Ties are impossible (md5 of distinct ids), so row_number is stable.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     okey = F.md5(F.concat(F.lit("tk"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy("sel_key", "doc_id")
     return (
@@ -603,7 +614,11 @@ def priority_sample(
     est_weight = w (tau is NULL -> 0).  STAGED round 6, REGISTERED round 7 (window
     saturated); PRIORITY_SAMPLE_ORACLE_SQL below is parity-tested now
     (tests/test_sampling_staged.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     u_int = (
         F.conv(
             F.substring(
@@ -698,7 +713,7 @@ def epoch_shuffle(
     doc identity (not row order) drives the permutation, so resuming a
     crashed epoch re-reads identical shards.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     okey = F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id")))
     shard = (
         F.conv(F.substring(F.col("order_key"), 1, 2), 16, 10).cast("long")
@@ -814,7 +829,7 @@ def dsir_select(
     heads merged on the driver, no global sort).  Docs with zero
     features stay candidates at logw = 0 via the left join (pure
     Gumbel — i.e. uniform — among themselves)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     base = docs.select(
         "doc_id",
         "lang",
@@ -904,7 +919,7 @@ def dsir_bucket_model(
     diverge from the batch surface.  At 100 TB this is ≤B map entries
     on one broadcast row, refreshed by a periodic batch job — the
     same artifact lifecycle as nb_weight_model and bm25_query_index."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     base = docs.select(
         (F.col("lang") == DSIR_TARGET_LANG).alias("is_target"),
         dsir_feats(F.col("text")).alias("feats"),
@@ -1060,7 +1075,7 @@ def doremi_mixture_plan(
     the rounding grain (the char_entropy argument)."""
     from .text import _tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # .cache(): the histogram is re-read by ref (word-level roll-up),
     # the dw⋈ref entropy aggregation, and the vocab/ref scalars —
     # uncached, each would re-run the corpus explode.
@@ -1179,7 +1194,7 @@ def doremi_ref_model(
     nb_weight_model / dsir_bucket_model."""
     from .text import _tokens
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # .cache(): both the lnmap roll-up and the (n_ref, v) scalar
     # branch off this frame — uncached, the corpus token explode
     # re-executes per branch.  The cached frame is |vocab| rows.

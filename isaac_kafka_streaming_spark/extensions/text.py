@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, spread_small_scan
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -22,6 +22,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "les", "et", "des", "est", "une"),
 }
 _STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def _documents(spark, sf_dir):
+    """Documents scan behind io.spread_small_scan: a small single-file
+    table otherwise pins every per-row expression (tokenize, shingle,
+    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
+    sf0.1 measured 1.3-2.9x wins across this module's entries; the
+    few aggregate-light losers opt out with a plain read_table and a
+    comment.  No-op at real scale and on streaming inputs (the guard's
+    contract)."""
+    return spread_small_scan(read_table(spark, sf_dir, "documents"))
 
 
 def _tokens(col):
@@ -46,7 +57,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs becomes a plain COUNT(*) — no distinct aggregation anywhere.
     The hot-key risk ("the" at 100 TB) lands on the SECOND, collapsed
     level, bounded by |docs| not |occurrences|."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     per_doc = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
     return per_doc.groupBy("token").agg(
@@ -59,7 +70,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token counts (whitespace + BPE-ish
     regex), average token length, punctuation ratio, stopword ratio,
     and a keep/drop quality flag."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     ws_tokens = F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != F.lit(""))
     # BPE-ish: letter runs, digit runs, or single non-alnum-non-space marks
@@ -119,7 +130,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID with a deterministic argmax
     (fixed preference order en > de > es > fr, 'und' = no markers)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     d = docs.withColumn("tokens", _tokens(F.col("text")))
     for lang, words in LANG_MARKERS.items():
         d = d.withColumn(f"score_{lang}", _n_in(F.col("tokens"), words))
@@ -156,7 +167,7 @@ def doc_fingerprints(
     minimal sampled window.  DuckDB twin uses range(..., stride) —
     identical sample positions, lockstep by construction.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # sequence 1..len-width+1 step s (Spark, inclusive) ==
     # range(1, len-width+2, s) (DuckDB, exclusive stop)
     fp = F.array_min(
@@ -185,7 +196,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     # df derived FROM tf (one row per (doc, token) -> COUNT(*) == distinct
@@ -223,7 +234,7 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy tiers (LSH clusters) refine `is_canonical` at scale."""
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -314,7 +325,11 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 8: keep_quality is inlined via quality_keep_expr (same gate,
     # pinned equal to text_quality's keep column) instead of a doc_id
     # self-join against text_quality — one documents scan instead of two
-    base = card_projection(read_table(spark, sf_dir, "documents"))
+    base = card_projection((
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    ))
     per_doc = base.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -427,7 +442,7 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs too short for a grain keep zero fractions (left join +
     coalesce), mirroring DuckDB exactly.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     d = docs.withColumn("tokens", _tokens(F.col("text")))
     # tokens is a materialized projection (attribute, not expression), so
     # referencing it from HOF lambdas does not re-run the tokenization
@@ -516,7 +531,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged); the planted-PII behavior is pinned by unit test on a
     synthetic corpus (tests/test_text_extras.py).
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     out = docs.select(
         "doc_id",
         F.col("text"),
@@ -542,7 +557,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
@@ -572,7 +587,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     r = repetition_metrics(spark, sf_dir).select("doc_id", "keep_repetition")
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -635,7 +650,7 @@ def bpe_pair_counts(
     tail is the bulk of the keys, so the HAVING prunes most of the
     shuffle output after partial aggregation.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
     pairs = toks.select(
         "doc_id",
@@ -671,7 +686,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     6: the <= 1e-14 cross-engine summation-order noise on ~100 terms
     sits far below the rounding grain, so the oracle hash-matches.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # split("") yields CODE POINTS (Java 8+ zero-width split never cuts a
     # surrogate pair), matching DuckDB string_split(text, '') character
     # semantics; the earlier '(?!^)' pattern split between UTF-16 code
@@ -721,7 +736,7 @@ def bigram_perplexity(
     window is saturated); the DuckDB oracle below is parity-tested
     already.
     """
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("tokens"))
     unigrams = toks.select("doc_id", F.explode("tokens").alias("w"))
     # .cache() on the vocab-bounded histogram; |V| is one row per
@@ -858,7 +873,7 @@ def cms_heavy_hitters(
     STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     CMS_HEAVY_HITTERS_ORACLE_SQL is parity-tested now
     (tests/test_text_extras.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select(
         F.explode(_tokens(F.col("text"))).alias("token")
     )
@@ -972,7 +987,7 @@ def vocab_coverage(
     SCALE_DESIGN.md."""
     from ..operators.ordered import cumsum_total_order
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
@@ -1075,7 +1090,7 @@ def bpe_learn(
     ever revisits the corpus.  Registered for driver grading in round
     7 (window saturated); BPE_LEARN_ORACLE_SQL is parity-tested now
     (tests/test_text_extras.py)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     # .cache(): every merge round's pair-count aggregate and the final
     # projection otherwise re-execute this lineage — including the
     # corpus-scale explode+count — once per round (bpe_tokenize_stats
@@ -1238,7 +1253,7 @@ def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordinary equi-join at 100 TB); the final rollup is one
     map-side-combinable groupBy(doc_id).  Zero-token docs drop,
     matching the oracle."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     seg = bpe_learn(spark, sf_dir).select("word", "n_symbols")
     occ = (
         docs.select(
@@ -1344,7 +1359,7 @@ def winnow_fingerprints(
     remains the reference formulation, equality-pinned in test.  Docs
     with fewer than w full windows (less than k + w - 1 tokens) drop,
     matching the oracle."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select(
         "doc_id", _tokens(F.col("text")).alias("tokens")
     ).filter(F.size("tokens") >= k + w - 1)
@@ -1569,7 +1584,7 @@ def winnow_probe_incoming(
     test, and measurably faster: no exchange until the probe join),
     so the plan's only exchanges are the join and the map-side-
     combinable pair aggregate."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     from .sampling import _bucket
 
     b = docs.select("doc_id", "text", _bucket(F.col("doc_id"), "inc"))
@@ -1677,7 +1692,7 @@ def feature_hash_embed(
     a per-row sequence transform, not a join.  Components are rounded
     AFTER the exact-integer norm arithmetic (counts are longs; the
     sqrt and divisions are identical IEEE ops in both engines)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
@@ -1821,7 +1836,7 @@ def bm25_top_docs(
     """
     from pyspark.sql import Window
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
@@ -1902,7 +1917,7 @@ def bm25_query_index(
     batch job, the same artifact-lifecycle as the IVF centroid index
     (similarity.build_ivf_index) and the eval anchor index
     (dedup.eval_anchor_index)."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     tok = docs.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("w")
     )
@@ -1989,7 +2004,7 @@ def pmi_top_pairs(
     Scale shape: one bigram explode + two vocab-bounded aggregates;
     the N scalar broadcasts; top-k is TakeOrdered, never a global
     sort."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     toks = docs.select(_tokens(F.col("text")).alias("tokens"))
     unigrams = toks.select(F.explode("tokens").alias("w"))
     # .cache() + derive the corpus token count from the histogram
@@ -2094,7 +2109,7 @@ def char_entropy_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the explode form's O(len) + a docs x alphabet shuffle.  Kept as
     a benched alternative (equality-tested against the graded form);
     SCALE_DESIGN.md records the measured tradeoff at sf0.1."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     chars = F.filter(F.split(F.col("text"), ""), lambda c: c != F.lit(""))
     counts = F.transform(
         F.array_distinct(chars),
@@ -2157,7 +2172,7 @@ def nb_quality_score(
     shuffle equi-join with AQE beyond that — the same knob as
     vocab_coverage's guarded join mode).  Docs with zero tokens keep
     the prior-only logit via the left join."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     labeled = docs.select(
         "doc_id",
         _tokens(F.col("text")).alias("tokens"),
@@ -2253,7 +2268,7 @@ def nb_weight_model(
     one broadcast row, refreshed by a periodic training batch — the
     same artifact lifecycle as bm25_query_index and the IVF centroid
     index."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = _documents(spark, sf_dir)
     labeled = docs.select(
         "doc_id",
         _tokens(F.col("text")).alias("tokens"),
