@@ -544,7 +544,11 @@ def soft_dedup_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent), then a pure map-side keep filter; no join against a
     canonical table and no second pass.
     """
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -577,7 +581,11 @@ def stratified_topk_sample(
     rank is per-stratum (bounded by stratum size, no global sort).
     Ties are impossible (md5 of distinct ids), so row_number is stable.
     """
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     okey = F.md5(F.concat(F.lit("tk"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy("sel_key", "doc_id")
     return (
@@ -713,7 +721,11 @@ def epoch_shuffle(
     doc identity (not row order) drives the permutation, so resuming a
     crashed epoch re-reads identical shards.
     """
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     okey = F.md5(F.concat_ws(":", F.lit(epoch), F.col("doc_id")))
     shard = (
         F.conv(F.substring(F.col("order_key"), 1, 2), 16, 10).cast("long")
