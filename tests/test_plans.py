@@ -565,3 +565,19 @@ def test_graph_final_ranks_partition_safe(spark, sf_smoke):
     )
     assert "TakeOrderedAndProject" in seeds_plan
     assert "Exchange SinglePartition" not in seeds_plan
+
+
+def test_scan_spread_wiring(spark, sf_smoke):
+    """The round-13 decode/tokenize spread stays wired: heavy per-row
+    entries carry the doc_id hash exchange ahead of their first
+    corpus-wide stage at single-split scale, while the measured
+    aggregate-light opt-outs stay at their pinned shuffle count (their
+    own single-exchange guards enforce the rest)."""
+    for name in ("winnow_fingerprints", "doc_fingerprints", "pii_scrub"):
+        plan = _executed_plan(spark, name, sf_smoke)
+        assert "hashpartitioning(doc_id" in plan, name
+    # opt-outs: no doc_id pre-exchange beyond what the plan already
+    # needs (corpus_report aggregates globally; priority_sample's only
+    # exchange is its own sampling shuffle)
+    plan = _executed_plan(spark, "priority_sample", sf_smoke)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
