@@ -1838,7 +1838,11 @@ def bloom_prefilter(
     witness).  STAGED round 6, REGISTERED round 7 (round-6 window saturated);
     BLOOM_PREFILTER_ORACLE_SQL is parity-tested now
     (tests/test_dedup_guards.py)."""
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     from .sampling import _bucket
 
     norm_hash = F.sha2(

@@ -234,7 +234,11 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy tiers (LSH clusters) refine `is_canonical` at scale."""
     from pyspark.sql import Window
 
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
     )
@@ -557,7 +561,11 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition rollup per (lang, source)."""
-    docs = _documents(spark, sf_dir)
+    docs = (
+        # measured spread opt-out (round 13): aggregate-light;
+        # the exchange costs more than the single-split scan
+        read_table(spark, sf_dir, "documents")
+    )
     return docs.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
