@@ -22,22 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table, spread_small_scan
+from ..io import (
+    read_documents_spread as _documents,
+    read_table,
+)
 
 # -- shared tokenization (lockstep with the DuckDB twins below) -----------
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
-
-
-def _documents(spark, sf_dir):
-    """Documents scan behind io.spread_small_scan: a small single-file
-    table otherwise pins every per-row expression (tokenize, shingle,
-    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
-    sf0.1 measured 1.3-2.9x wins across this module's entries; the
-    few aggregate-light losers opt out with a plain read_table and a
-    comment.  No-op at real scale and on streaming inputs (the guard's
-    contract)."""
-    return spread_small_scan(read_table(spark, sf_dir, "documents"))
 
 
 def _tokens(col):

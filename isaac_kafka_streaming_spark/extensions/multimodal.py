@@ -1025,9 +1025,17 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
                     raise ValueError(
                         f"shard {shard_id}: corrupt gzip: {exc}"
                     ) from exc
-                for line_no, line in enumerate(
-                    raw.decode("utf-8").split("\n")
-                ):
+                # POSIX jsonl files newline-TERMINATE every line (and
+                # may carry blank separator lines); json.loads("")
+                # would abort the whole job on the standard shape, so
+                # blank lines are skipped and line_no counts DOCUMENTS
+                # within the shard — the same rank the oracle computes
+                # (second-review finding, live-repro'd)
+                doc_lines = (
+                    ln for ln in raw.decode("utf-8").split("\n")
+                    if ln.strip()
+                )
+                for line_no, line in enumerate(doc_lines):
                     try:
                         obj = json.loads(line)
                     except json.JSONDecodeError as exc:
@@ -1060,7 +1068,14 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     shard_id is the last integer run in each file NAME (the
     ``shard-00042.jsonl.gz`` convention; digits in parent directories
     must not leak in); id-less files raise rather than colliding on a
-    guessed id."""
+    guessed id, and so do DUPLICATE ids (shard-7 next to batch-7, or
+    shard-007 next to shard-7 — silently merging two files' documents
+    under one shard_id would conflate their line_no spaces).  The
+    duplicate check joins a tiny (id, count) frame broadcast onto the
+    file list — blob bytes never shuffle.  On a STREAMING file list
+    the check is skipped (a cross-batch aggregation would make the
+    stateless exploder stateful); the streaming reader documents that
+    it trusts the writer's naming."""
     named = files.select(
         F.regexp_extract(
             F.element_at(F.split(F.col("path"), "/"), -1),
@@ -1070,6 +1085,35 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
         F.col("path"),
         F.col("content").alias("blob"),
     )
+    if not files.isStreaming:
+        # dedup on the NUMERIC id — "shard-7" and "batch-007" collide
+        # at 7 even though their digit strings differ.  try_cast: an
+        # id-less file ("" -> NULL) must fall through to the dedicated
+        # no-numeric-id raise below, not die in ANSI cast
+        named = named.withColumn(
+            "__sid", F.expr("try_cast(__sid_str AS BIGINT)")
+        )
+        dups = (
+            named.select("__sid")
+            .groupBy("__sid")
+            .agg(F.count("*").alias("__n_files"))
+            .filter(F.col("__n_files") > 1)
+        )
+        named = named.join(F.broadcast(dups), "__sid", "left").select(
+            F.when(
+                F.col("__n_files").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("duplicate shard id across files (id "),
+                        F.col("__sid_str"),
+                        F.lit("): "),
+                        F.col("path"),
+                    )
+                ),
+            ).otherwise(F.col("__sid_str")).alias("__sid_str"),
+            "path",
+            "blob",
+        )
     return named.select(
         F.when(
             F.col("__sid_str") == "", F.raise_error(
@@ -1114,7 +1158,11 @@ def stream_jsonl_gz_dir(spark, path: str) -> DataFrame:
     """The streaming twin of ingest_jsonl_gz_dir: a binaryFile FILE
     STREAM over the shard directory (new shards picked up per
     micro-batch — the arriving-crawl-dump shape), through the same
-    stateless exploder.  Append-mode, zero state, zero shuffle."""
+    stateless exploder.  Append-mode, zero state, zero shuffle.
+    Unlike the batch reader, duplicate-shard-id detection is NOT
+    possible statelessly across micro-batches — the stream trusts the
+    writer's file naming (use the batch reader to validate a directory
+    once before tailing it)."""
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)

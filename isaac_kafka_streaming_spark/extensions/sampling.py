@@ -17,24 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table, spread_small_scan
+from ..io import (
+    read_documents_spread as _documents,
+    read_table,
+)
 
 # per-language downsampling rates (percent kept) for the stratified
 # sample: the dominant language is halved, the rest kept whole — the
 # mixture-reweighting shape of real corpus curation
 LANG_KEEP_PCT: dict[str, int] = {"en": 50}
 DEFAULT_KEEP_PCT = 100
-
-
-def _documents(spark, sf_dir):
-    """Documents scan behind io.spread_small_scan: a small single-file
-    table otherwise pins every per-row expression (tokenize, shingle,
-    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
-    sf0.1 measured 1.3-2.9x wins across this module's entries; the
-    few aggregate-light losers opt out with a plain read_table and a
-    comment.  No-op at real scale and on streaming inputs (the guard's
-    contract)."""
-    return spread_small_scan(read_table(spark, sf_dir, "documents"))
 
 
 def _bucket(key_col, salt: str = ""):
@@ -84,7 +76,10 @@ def with_split(docs: DataFrame) -> DataFrame:
 def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment over the documents table (graded
     shape: identity + lang/source strata + bucket + split), still a
-    single map-side projection — no join, no shuffle."""
+    single map-side projection — no join, and no shuffle beyond the
+    round-13 scan spread (_documents inserts a doc_id hash exchange
+    only when the scan is narrower than the cluster; none at real
+    scale)."""
     docs = _documents(spark, sf_dir)
     b = _bucket(F.col("doc_id"))
     split = (

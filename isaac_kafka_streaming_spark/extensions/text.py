@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table, spread_small_scan
+from ..io import (
+    read_documents_spread as _documents,
+    read_table,
+)
 
 _TOKEN_SPLIT = "[^a-z0-9]+"
 
@@ -22,17 +25,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "les", "et", "des", "est", "une"),
 }
 _STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
-
-
-def _documents(spark, sf_dir):
-    """Documents scan behind io.spread_small_scan: a small single-file
-    table otherwise pins every per-row expression (tokenize, shingle,
-    hash folds, regex) to ONE scan task.  Round-13 interleaved A/B at
-    sf0.1 measured 1.3-2.9x wins across this module's entries; the
-    few aggregate-light losers opt out with a plain read_table and a
-    comment.  No-op at real scale and on streaming inputs (the guard's
-    contract)."""
-    return spread_small_scan(read_table(spark, sf_dir, "documents"))
 
 
 def _tokens(col):
@@ -1590,8 +1582,10 @@ def winnow_probe_incoming(
     Fingerprinting uses the SHUFFLE-FREE per-row form
     (winnow_fp_hashes — equality with the windowed relation pinned in
     test, and measurably faster: no exchange until the probe join),
-    so the plan's only exchanges are the join and the map-side-
-    combinable pair aggregate."""
+    so the plan's only exchanges are the join, the map-side-combinable
+    pair aggregate, and (at narrow-scan scale only) the round-13
+    _documents spread ahead of the fingerprint fold — none at real
+    scale."""
     docs = _documents(spark, sf_dir)
     from .sampling import _bucket
 

@@ -136,3 +136,14 @@ def spread_small_scan(df: DataFrame, key: str = "doc_id") -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, key)
     return df
+
+
+def read_documents_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan behind spread_small_scan — THE shared entry
+    point for every per-row-heavy corpus operator (tokenize, shingle,
+    hash folds, regex, codec work).  Round-13 interleaved A/B at sf0.1
+    measured 1.3-2.9x wins across the text/dedup/sampling families;
+    the measured aggregate-light losers opt out at their call sites
+    with a plain read_table and a comment.  No-op at real scale and on
+    streaming inputs (the guard's contract)."""
+    return spread_small_scan(read_table(spark, sf_dir, "documents"))

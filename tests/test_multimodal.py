@@ -1033,3 +1033,44 @@ def test_stream_jsonl_gz_dir_matches_batch(spark, tmp_path):
     ).collect()
     assert {(r.shard_id, r.line_no, r.doc_id, r.text) for r in got} == want
     assert len(want) == 6
+
+
+def test_jsonl_gz_posix_files_and_duplicate_ids(spark, tmp_path):
+    """Second-review findings, pinned: (a) newline-TERMINATED jsonl.gz
+    files (the POSIX shape every real writer produces) and blank
+    separator lines ingest cleanly, with line_no counting documents;
+    (b) two files whose names share a trailing integer run raise on
+    the batch reader instead of silently conflating their documents
+    under one shard_id."""
+    import gzip
+    import json
+
+    import pytest
+
+    d = tmp_path / "posix"
+    d.mkdir()
+    body = (
+        json.dumps({"id": 0, "text": "alpha"}) + "\n"
+        + json.dumps({"id": 1, "text": "beta"}) + "\n\n"
+        + json.dumps({"id": 2, "text": "gamma"}) + "\n"
+    )
+    (d / "shard-001.jsonl.gz").write_bytes(
+        gzip.compress(body.encode(), mtime=0)
+    )
+    out = sorted(
+        mm.ingest_jsonl_gz_dir(spark, str(d)).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [(r.line_no, r.doc_id, r.text) for r in out] == [
+        (0, 0, "alpha"), (1, 1, "beta"), (2, 2, "gamma")
+    ]
+
+    dup = tmp_path / "dup"
+    dup.mkdir()
+    blob = gzip.compress(
+        json.dumps({"id": 9, "text": "x"}).encode(), mtime=0
+    )
+    (dup / "shard-7.jsonl.gz").write_bytes(blob)
+    (dup / "batch-007.jsonl.gz").write_bytes(blob)
+    with pytest.raises(Exception, match="duplicate shard id"):
+        mm.ingest_jsonl_gz_dir(spark, str(dup)).collect()
