@@ -24,6 +24,7 @@ this implements SURVEY.md §2.13's multimodal column contract.
 
 from __future__ import annotations
 
+import gzip
 import io
 import struct
 import wave
@@ -3638,3 +3639,39 @@ def float_wav_encode(
         + _riff_chunk(b"data", data)
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def inflate_shard(blob: bytes, ctx: str) -> bytes:
+    """Magic-sniffed shard decompression, stdlib only: gzip (ALL
+    members — RFC 1952 concatenation is valid and common for appended
+    shards), bzip2 and xz (both stdlib decoders handle concatenated
+    streams) — the codings public corpora actually ship jsonl shards
+    in (.gz everywhere, .bz2 the classic Common Crawl dumps, .xz The
+    Pile).  zstd is sniffed and raises an HONEST NotImplementedError
+    naming the missing module (this environment ships no zstandard);
+    unknown magics and corrupt streams raise ValueError carrying the
+    caller's context — never a silent drop."""
+    import bz2
+    import lzma
+
+    try:
+        if blob[:2] == b"\x1f\x8b":
+            return gzip.decompress(blob)
+        if blob[:3] == b"BZh":
+            return bz2.decompress(blob)
+        if blob[:6] == b"\xfd7zXZ\x00":
+            return lzma.decompress(blob)
+    except (OSError, EOFError, zlib.error, lzma.LZMAError,
+            ValueError) as exc:
+        raise ValueError(
+            f"{ctx}: corrupt compressed stream: {exc}"
+        ) from exc
+    if blob[:4] == b"\x28\xb5\x2f\xfd":
+        raise NotImplementedError(
+            f"{ctx}: zstd needs the 'zstandard' module, which this "
+            "environment does not ship (honest stub, not a guess)"
+        )
+    raise ValueError(
+        f"{ctx}: unknown compression magic {blob[:4]!r} "
+        "(gzip/bzip2/xz supported, zstd stubbed)"
+    )

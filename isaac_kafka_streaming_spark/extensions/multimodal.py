@@ -992,39 +992,28 @@ def documents_as_jsonl_gz_shards(
 
 def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     """Compressed-shard ingestion over mapInPandas: inflate each
-    jsonl.gz blob (gzip magic enforced — the module's no-guessing
-    stance), split into lines, json-parse each into one output row
+    jsonl shard blob (magic-sniffed via codecs.inflate_shard — gzip
+    with ALL members, bzip2, xz; zstd raises an honest stub; unknown
+    magics raise — the module's no-guessing stance), split into lines,
+    json-parse each into one output row
     (shard_id, line_no, doc_id, text).  A 1->N row expansion that is
     stateless and per-blob: it runs unchanged on a stream of shard
     files and costs zero shuffle at any scale — THE read shape of a
-    petabyte jsonl.gz corpus.  Multi-member gzip (cat a.gz b.gz /
-    pigz / bgzf output — valid per RFC 1952 and common for appended
-    shards) inflates COMPLETELY.  Malformed gzip, JSON, or a line
-    that is not an {id: int, text: str} document raises ValueError
-    with the shard id, not a silent drop."""
+    petabyte jsonl shard corpus, in the three codings public corpora
+    actually use (.gz everywhere, .bz2 the classic CC dumps, .xz The
+    Pile).  Malformed streams, JSON, or a line that is not an
+    {id: int, text: str} document raise ValueError with the shard id,
+    not a silent drop."""
+    _ship_codecs_by_value()
+    from .codecs import inflate_shard
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import gzip
         import json
-        import zlib as _z
 
         for pdf in batches:
             rows = []
             for shard_id, blob in zip(pdf["shard_id"], pdf["blob"]):
-                b = bytes(blob)
-                if b[:2] != b"\x1f\x8b":
-                    raise ValueError(
-                        f"shard {shard_id}: not gzip (magic {b[:2]!r})"
-                    )
-                try:
-                    # gzip.decompress concatenates ALL members;
-                    # zlib(wbits=31) would silently stop after the
-                    # first (the round-13 review finding)
-                    raw = gzip.decompress(b)
-                except (OSError, EOFError, _z.error) as exc:
-                    raise ValueError(
-                        f"shard {shard_id}: corrupt gzip: {exc}"
-                    ) from exc
+                raw = inflate_shard(bytes(blob), f"shard {shard_id}")
                 # POSIX jsonl files newline-TERMINATE every line (and
                 # may carry blank separator lines); json.loads("")
                 # would abort the whole job on the standard shape, so
@@ -1148,7 +1137,7 @@ def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
     explode_jsonl_gz_shards inflates and parses one row per document."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jsonl.gz")
+        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz}")
         .load(path)
     )
     return explode_jsonl_gz_shards(_shards_from_binary_files(files))
@@ -1166,7 +1155,7 @@ def stream_jsonl_gz_dir(spark, path: str) -> DataFrame:
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.jsonl.gz")
+        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz}")
         .load(path)
     )
     return explode_jsonl_gz_shards(_shards_from_binary_files(files))
