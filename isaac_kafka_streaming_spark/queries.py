@@ -3193,27 +3193,25 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-13 window tiers (plan_window.py output, history through r12;
-# 144 live entries).  The round-12 window went fully green in
-# CORRECTNESS_r12.json (50/50 hash-checked), so the live freshness
-# distribution entering round 13 is {r12: 50, r11: 50, r10: 44}.
-#   T1: the 44 entries whose last green row is r10 — the tightest
-#       rotation yet (the six round-12 T0 media/DSP registrations
-#       displaced six r10-green fill entries, bunching the expiry
-#       wave).  They fall out of the K=3 freshness span unless
-#       re-checked this round (invariant-REQUIRED; plan_window fronts
-#       them): the O2/O6 aggregation block, the as-of/quantile pair,
-#       the tpch_q2/q8/q9/q11/q12/q19/q20/q21 block, the sketch
-#       witnesses, and the text-curation/knn cohorts last checked r10.
-#   T2: 6 of the 50 entries last green in r11 (fill; they expire
-#       after round 14 otherwise — taking the expiring tier first
+# Round-14 window tiers (plan_window.py output, history through r13;
+# 146 live entries).  The round-13 window went fully green in
+# CORRECTNESS_r13.json (50/50 hash-checked), so the live freshness
+# distribution entering round 14 is {r13: 50, r12: 50, r11: 46}.
+#   T1: the 46 entries whose last green row is r11 — they fall out of
+#       the K=3 freshness span unless re-checked this round
+#       (invariant-REQUIRED; plan_window fronts them): the O7/P1/P6
+#       event block, props_k_stats/question_page_array, the
+#       tpch_q1/q3/q4/q6/q7/q10/q13/q14/q15/q16/q17/q22 block, the
+#       exact/normalized/cosine dedup tier, the r11 media block, and
+#       the selection/mixing cohort last checked r11.
+#   T2: 4 of the 50 entries last green in r12 (fill; they expire
+#       after round 15 otherwise — taking the expiring tier first
 #       keeps the must-check load spread).
-# The 96 parked entries are all green in r11 or r12, inside the K=3
-# freshness span through round 13.  Window is exactly 50/50 with zero
-# T3 slack: the two mid-round-13 T0 registrations (jsonl_shard_ingest,
-# media_codec_roundtrip — 146 live entries now, ceiling 150) displaced
-# the last two T2-fill entries, which front the round-14 window.  No
-# further net-new registrations this round.
+# The 96 parked entries are all green in r12 or r13, inside the K=3
+# freshness span through round 14.  Window is 46 T1 + 4 T2 with zero
+# T3 slack and only 4 displaceable fill slots: at most 2 net-new
+# registrations this round (capacity 146/150) and each displaces a
+# T2-fill entry per the swap discipline.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3235,63 +3233,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (2): registered mid-round-13
-    # (jsonl.gz multi-doc shard ingestion; G.711/float WAV codings
-    # graded per-sample).  They take the slots of the last two T2-fill
-    # entries (user_event_counts, anonymous_events — r11-green, they
-    # front the round-14 window; the swap discipline)
-    "jsonl_shard_ingest",
-    "media_codec_roundtrip",
-    # T1 — last green r10 (invariant requires) (44)
-    "last_seen",
-    "last_seen_map",
-    "value_quantiles",
-    "purchase_asof_signup",
-    "purchases_within_day_of_signup",
-    "question_part_counts",
-    "question_page_rollup",
-    "question_completion",
-    "orders_with_returns",
-    "user_activity_coverage",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q19",
-    "tpch_q12",
-    "tpch_q2",
-    "tpch_q11",
-    "tpch_q20",
-    "tpch_q21",
-    "hll_distinct_md5",
-    "histogram_quantiles",
-    "user_daily_gapfill",
-    "funnel_signup_purchase",
-    "cohort_retention",
-    "dedup_incoming_minhash_md5",
-    "contained_documents",
-    "bloom_prefilter",
-    "passage_scrub",
-    "source_overlap_matrix",
-    "page_components",
-    "priority_sample",
-    "temperature_mixture",
-    "knn_pq",
-    "knn_srp",
-    "bigram_perplexity",
-    "cms_heavy_hitters",
-    "corpus_report",
-    "vocab_coverage",
-    "bpe_learn",
-    "bpe_tokenize_stats",
-    "winnow_fingerprints",
-    "pmi_top_pairs",
-    "winnow_probe_incoming",
-    "feature_hash_embed",
-    "bm25_top_docs",
-    # T2 — last green r11 (expires after round 14) (4 of 6)
-    "user_streaks",
-    "threshold_achievements",
-    "sliding_weekly_counts",
-    "user_notifications",
+    # T1 — last green r11 (invariant requires) (46)
+    "user_event_counts",
+    "anonymous_events",
+    "user_profiles",
+    "props_k_stats",
+    "question_page_array",
+    "purchasers_without_errors",
+    "daily_role_rollup",
+    "role_type_cube",
+    "tpch_q6",
+    "tpch_q14",
+    "tpch_q3",
+    "tpch_q1",
+    "revenue_by_nation",
+    "top_orders_per_segment",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q7",
+    "tpch_q13",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q16",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_embedding_cosine",
+    "prototype_prune",
+    "media_features",
+    "media_png_features",
+    "media_jpeg_features",
+    "media_gif_frames",
+    "media_wav_stats",
+    "media_frame_stats",
+    "overlap_chunk_plan",
+    "length_bucket_plan",
+    "soft_dedup_sample",
+    "stratified_topk_sample",
+    "epoch_shuffle",
+    "mixture_plan",
+    "dsir_select",
+    "doremi_mixture",
+    "mmr_rerank",
+    "embedding_quantize",
+    "bpe_pair_counts",
+    "char_entropy",
+    "corpus_curation",
+    "nb_quality_score",
+    # T2 — last green r12 (expires after round 15) (4 of 50)
+    "event_type_counts",
+    "daily_event_counts",
+    "daily_role_counts",
+    "daily_role_type_map",
 ]
 
 
