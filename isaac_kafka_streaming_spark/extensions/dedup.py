@@ -73,7 +73,11 @@ def _shingles(tokens_col, n: int = 3):
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — one row per distinct text: canonical doc id + duplicate count."""
-    docs = _documents(spark, sf_dir)
+    # measured spread opt-out (round 14, interleaved min-of-5 at
+    # sf0.1): aggregate-light (groupBy only, pure JVM) — the spread's
+    # hash exchange costs 3.6x what the single-split scan saves
+    # (0.116 s plain vs 0.413 s spread)
+    docs = read_table(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count("*").alias("n_copies"),
@@ -82,7 +86,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 (hash tier) — near-dup by normalized-text sha256."""
-    docs = _documents(spark, sf_dir)
+    # measured spread opt-out (round 14, interleaved min-of-5 at
+    # sf0.1): sha2+groupBy is aggregate-light — 0.153 s plain vs
+    # 0.416 s spread; restores the single-exchange plan the driver
+    # bench flagged (0.214 s r12 -> 0.565 s r13)
+    docs = read_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return (
         docs.withColumn("text_hash", F.sha2(norm, 256))
