@@ -1010,6 +1010,13 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
 
+        # flush at shard boundaries once the accumulator crosses this
+        # bound: peak memory is ONE inflated shard plus the bound, not
+        # a whole Arrow batch of inflated shards (inflation ratio x
+        # shards-per-batch would otherwise multiply)
+        _FLUSH_ROWS = 10_000
+        _COLS = ["shard_id", "line_no", "doc_id", "text"]
+
         for pdf in batches:
             rows = []
             for shard_id, blob in zip(pdf["shard_id"], pdf["blob"]):
@@ -1045,9 +1052,11 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
                     rows.append(
                         (shard_id, line_no, obj["id"], obj["text"])
                     )
-            yield pd.DataFrame(
-                rows, columns=["shard_id", "line_no", "doc_id", "text"]
-            )
+                if len(rows) >= _FLUSH_ROWS:
+                    yield pd.DataFrame(rows, columns=_COLS)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLS)
 
     return shards.mapInPandas(run, schema=JSONL_DOC_SCHEMA)
 
@@ -1057,7 +1066,9 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     shard_id is the last integer run in each file NAME (the
     ``shard-00042.jsonl.gz`` convention; digits in parent directories
     must not leak in); id-less files raise rather than colliding on a
-    guessed id, and so do DUPLICATE ids (shard-7 next to batch-7, or
+    guessed id, as do ids whose digit run OVERFLOWS BIGINT (try_cast
+    NULL would otherwise bypass the dedup join and conflate such files
+    under shard_id NULL), and so do DUPLICATE ids (shard-7 next to batch-7, or
     shard-007 next to shard-7 — silently merging two files' documents
     under one shard_id would conflate their line_no spaces).  The
     duplicate check joins a tiny (id, count) frame broadcast onto the
@@ -1073,15 +1084,20 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
         ).alias("__sid_str"),
         F.col("path"),
         F.col("content").alias("blob"),
+    ).withColumn(
+        # try_cast: an id-less file ("" -> NULL) must fall through to
+        # the dedicated no-numeric-id raise below, not die in ANSI
+        # cast; a digit run that OVERFLOWS BIGINT also casts to NULL
+        # and gets its own raise — NULL ids must never reach the dedup
+        # join (NULL groups don't equi-join back, so two overflowing
+        # files would silently merge under shard_id NULL with
+        # colliding line_no spaces, exactly the conflation the check
+        # exists to prevent)
+        "__sid", F.expr("try_cast(__sid_str AS BIGINT)")
     )
     if not files.isStreaming:
         # dedup on the NUMERIC id — "shard-7" and "batch-007" collide
-        # at 7 even though their digit strings differ.  try_cast: an
-        # id-less file ("" -> NULL) must fall through to the dedicated
-        # no-numeric-id raise below, not die in ANSI cast
-        named = named.withColumn(
-            "__sid", F.expr("try_cast(__sid_str AS BIGINT)")
-        )
+        # at 7 even though their digit strings differ
         dups = (
             named.select("__sid")
             .groupBy("__sid")
@@ -1098,8 +1114,9 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
                         F.lit("): "),
                         F.col("path"),
                     )
-                ),
-            ).otherwise(F.col("__sid_str")).alias("__sid_str"),
+                ).cast("long"),
+            ).otherwise(F.col("__sid")).alias("__sid"),
+            "__sid_str",
             "path",
             "blob",
         )
@@ -1111,7 +1128,16 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
                     F.col("path"),
                 )
             ).cast("long")
-        ).otherwise(F.col("__sid_str").cast("long")).alias("shard_id"),
+        ).when(
+            F.col("__sid").isNull(), F.raise_error(
+                F.concat(
+                    F.lit("shard file id overflows BIGINT (id "),
+                    F.col("__sid_str"),
+                    F.lit("): "),
+                    F.col("path"),
+                )
+            ).cast("long")
+        ).otherwise(F.col("__sid")).alias("shard_id"),
         "blob",
     )
 
@@ -1166,10 +1192,15 @@ def documents_as_companded_media(docs: DataFrame) -> DataFrame:
     three round-12 codings, chosen by digest parity — G.711 mu-law
     (tag 7), G.711 A-law (tag 6), or 32-bit IEEE float (tag 3).  The
     sample values are constructed to round-trip EXACTLY: for G.711 the
-    PCM fed to the encoder is expand(digest byte), and companding is
-    idempotent on its expansion lattice (pinned in tests), so the
-    file's data bytes ARE the digest and the decode is the pure
-    expansion formula; for float the samples are k/32767 with integer
+    PCM fed to the encoder is expand(digest byte), so the file's data
+    bytes are the digest UP TO the mu-law 0x7F/0xFF negative-zero
+    alias (lin16_to_ulaw(ulaw_to_lin16(0x7F)) == 0xFF — negative zero
+    re-encodes as positive zero; A-law has no alias) and the decoded
+    VALUES are exactly the expansion of the digest bytes — the
+    per-sample grading below depends only on values, never on file
+    bytes (alias pinned in tests/test_codecs.py
+    test_g711_negative_zero_alias); for float the samples are k/32767
+    with integer
     k = (byte-128)*200, which the decoder's round(v*32767) recovers as
     exactly k.  Every decoded sample is therefore a pure SQL function
     of sha256(text) — the analytic oracle for lossy-looking codecs."""

@@ -2197,6 +2197,38 @@ def test_g711_wav_roundtrip_and_rejection():
     assert wav_format_tag(b"\x00" * 16) == 0
 
 
+def test_g711_negative_zero_alias():
+    """Companding is byte-idempotent on its expansion lattice EXCEPT
+    for exactly one mu-law code: 0x7F (negative zero) decodes to 0,
+    which re-encodes as 0xFF (positive zero).  A-law has no alias.
+    documents_as_companded_media's docstring leans on this: decoded
+    VALUES are exactly the expansion of the digest bytes, but a
+    byte-level blob oracle would break on any digest containing 0x7F
+    — pin the alias so that claim can never silently drift."""
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        alaw_to_lin16,
+        lin16_to_alaw,
+        lin16_to_ulaw,
+        ulaw_to_lin16,
+    )
+
+    assert ulaw_to_lin16(0x7F) == 0
+    assert lin16_to_ulaw(0) == 0xFF
+    assert lin16_to_ulaw(ulaw_to_lin16(0x7F)) == 0xFF
+    # ... and 0x7F is the ONLY non-fixed point in either law
+    mu_aliases = [
+        c for c in range(256) if lin16_to_ulaw(ulaw_to_lin16(c)) != c
+    ]
+    a_aliases = [
+        c for c in range(256) if lin16_to_alaw(alaw_to_lin16(c)) != c
+    ]
+    assert mu_aliases == [0x7F]
+    assert a_aliases == []
+    # values still agree across the alias — the per-sample grading's
+    # actual invariant
+    assert ulaw_to_lin16(0xFF) == ulaw_to_lin16(0x7F) == 0
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     w=st.integers(min_value=1, max_value=12),

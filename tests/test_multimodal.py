@@ -1076,6 +1076,64 @@ def test_jsonl_gz_posix_files_and_duplicate_ids(spark, tmp_path):
         mm.ingest_jsonl_gz_dir(spark, str(dup)).collect()
 
 
+def test_jsonl_shard_id_overflows_bigint(spark, tmp_path):
+    """Advice finding, pinned: a filename digit run past BIGINT
+    try_casts to NULL, and NULL groups never equi-join back against
+    the dedup frame — without a guard, two such files would silently
+    merge under shard_id NULL with colliding line_no spaces (exactly
+    the conflation the duplicate check exists to prevent).  The reader
+    must RAISE on an unrepresentable id instead."""
+    import gzip
+    import json
+
+    import pytest
+
+    d = tmp_path / "overflow"
+    d.mkdir()
+    # 20 digits > 9223372036854775807 (BIGINT max, 19 digits)
+    for big in ("99999999999999999998", "99999999999999999999"):
+        (d / f"shard-{big}.jsonl.gz").write_bytes(
+            gzip.compress(
+                json.dumps({"id": 1, "text": "x"}).encode(), mtime=0
+            )
+        )
+    with pytest.raises(Exception, match="overflows BIGINT"):
+        mm.ingest_jsonl_gz_dir(spark, str(d)).collect()
+
+
+def test_jsonl_shard_explode_bounded_flush(spark):
+    """Advice finding, pinned: the exploder flushes at shard
+    boundaries once the accumulator crosses its bound (10k rows), so
+    peak memory is one inflated shard, not a whole Arrow batch of
+    them.  A 10,050-doc shard next to a small one must cross the bound
+    mid-batch and still recover every row with intact per-shard
+    line_no spaces."""
+    import gzip
+    import json
+
+    n_big = 10_050
+    big = "\n".join(
+        json.dumps({"id": i, "text": f"d{i}"}) for i in range(n_big)
+    )
+    small = "\n".join(
+        json.dumps({"id": 100_000 + i, "text": f"s{i}"}) for i in range(3)
+    )
+    shards = spark.createDataFrame(
+        [
+            (1, gzip.compress(big.encode(), mtime=0), n_big),
+            (2, gzip.compress(small.encode(), mtime=0), 3),
+        ],
+        schema=mm.JSONL_SHARD_SCHEMA,
+    ).coalesce(1)  # one partition -> both shards in one Arrow batch
+    out = mm.explode_jsonl_gz_shards(shards).collect()
+    assert len(out) == n_big + 3
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append((r.line_no, r.doc_id))
+    assert sorted(by_shard[1]) == [(i, i) for i in range(n_big)]
+    assert sorted(by_shard[2]) == [(i, 100_000 + i) for i in range(3)]
+
+
 def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
     """The shard exploder reads the codings public corpora actually
     use: bzip2 (classic CC dumps) and xz (The Pile) inflate via the
