@@ -241,7 +241,7 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
     which is what keeps every decoded feature a pure SQL function of
     sha256(text) for the oracle."""
     _ship_codecs_by_value()
-    from .codecs import jpeg_encode
+    from .codecs import digest_block_frames, jpeg_encode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -249,19 +249,15 @@ def documents_as_jpeg_media(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 digest = hashlib.sha256(raw).digest()
-                img = bytearray(256)
-                for bi in range(4):
-                    v = 64 + 2 * (digest[bi] % 64)
-                    oy, ox = (bi // 2) * 8, (bi % 2) * 8
-                    for y in range(8):
-                        row = (oy + y) * 16 + ox
-                        for x in range(8):
-                            img[row + x] = v
+                # frame 0 of the shared graded construction (codecs
+                # digest_block_frames): four constant 8x8 blocks from
+                # digest bytes 0-3 as 64 + 2*(byte % 64)
+                img = digest_block_frames(digest, 1)[0]
                 rows.append(
                     (
                         doc_id,
                         "image",
-                        jpeg_encode(bytes(img), 16, 16),
+                        jpeg_encode(img, 16, 16),
                         {
                             "n_bytes": len(raw),
                             "mime": "image/jpeg",
@@ -320,7 +316,7 @@ def documents_as_pjpeg_media(docs: DataFrame) -> DataFrame:
     sha256(text) — the same oracle as the baseline entry, which is the
     point: two genuinely different coding models, one answer."""
     _ship_codecs_by_value()
-    from .codecs import jpeg_encode_progressive
+    from .codecs import digest_block_frames, jpeg_encode_progressive
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -328,19 +324,14 @@ def documents_as_pjpeg_media(docs: DataFrame) -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 raw = text.encode("utf-8")
                 digest = hashlib.sha256(raw).digest()
-                img = bytearray(256)
-                for bi in range(4):
-                    v = 64 + 2 * (digest[bi] % 64)
-                    oy, ox = (bi // 2) * 8, (bi % 2) * 8
-                    for y in range(8):
-                        row = (oy + y) * 16 + ox
-                        for x in range(8):
-                            img[row + x] = v
+                # same frame-0 digest-block construction as the
+                # baseline adapter (shared via codecs)
+                img = digest_block_frames(digest, 1)[0]
                 rows.append(
                     (
                         doc_id,
                         "image",
-                        jpeg_encode_progressive(bytes(img), 16, 16),
+                        jpeg_encode_progressive(img, 16, 16),
                         {
                             "n_bytes": len(raw),
                             "mime": "image/jpeg",
