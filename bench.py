@@ -152,6 +152,10 @@ HEADLINE = [
     # per-sample G.711/float audio codec round-trip
     "jsonl_shard_ingest",
     "media_codec_roundtrip",
+    # round 14 additions: the WARC record-framed shard container and
+    # the end-to-end ingest->gate->mixture composition
+    "warc_shard_ingest",
+    "curation_pipeline",
 ]
 
 

@@ -1052,6 +1052,181 @@ def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     return shards.mapInPandas(run, schema=JSONL_DOC_SCHEMA)
 
 
+WARC_RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("rec_no", T.IntegerType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("content_length", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def documents_as_warc_shards(
+    docs: DataFrame, docs_per_shard: int = 8
+) -> DataFrame:
+    """Adapter: documents packed into REAL .warc.gz shards — the
+    ISO 28500 / web-archive layout pretraining crawls actually ship
+    in.  Each WARC record is its OWN gzip member (record-at-a-time
+    compression, the convention that lets a reader resync at member
+    boundaries) and the shard blob is the member concatenation —
+    exactly the multi-member stream codecs.inflate_shard already
+    reads.  Record framing is the spec's: a WARC/1.0 version line,
+    named headers, CRLF CRLF, a Content-Length-delimited block, and
+    the CRLF CRLF record terminator — blocks are LENGTH-delimited,
+    never sentinel-delimited, so payload text containing blank lines
+    or even 'WARC/1.0' cannot break the framing.  Shard assignment is
+    floor(doc_id / docs_per_shard) with records sorted by doc_id, so
+    the whole layout stays a pure SQL function of the documents table
+    for the oracle.  Same constant-width collect_list shape as the
+    jsonl packer (write side; real pipelines mostly run the read
+    side)."""
+    if docs_per_shard < 1:
+        raise ValueError("docs_per_shard must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for shard_id, members in zip(pdf["shard_id"], pdf["docs"]):
+                blob = bytearray()
+                for m in members:
+                    doc_id = int(m["doc_id"])
+                    payload = m["text"].encode("utf-8")
+                    header = (
+                        "WARC/1.0\r\n"
+                        "WARC-Type: resource\r\n"
+                        f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                        f"WARC-Target-URI: doc://{doc_id}\r\n"
+                        "Content-Type: text/plain; charset=utf-8\r\n"
+                        f"Content-Length: {len(payload)}\r\n"
+                        "\r\n"
+                    ).encode("ascii")
+                    blob += gzip.compress(
+                        header + payload + b"\r\n\r\n", mtime=0
+                    )
+                rows.append((shard_id, bytes(blob), len(members)))
+            yield pd.DataFrame(
+                rows, columns=["shard_id", "blob", "n_docs"]
+            )
+
+    grouped = (
+        _spread_for_decode(docs, heavy=False)
+        .select(
+            F.floor(F.col("doc_id") / docs_per_shard)
+            .cast("long")
+            .alias("shard_id"),
+            F.struct("doc_id", "text").alias("s"),
+        )
+        .groupBy("shard_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("docs"))
+    )
+    return grouped.mapInPandas(run, schema=JSONL_SHARD_SCHEMA)
+
+
+def explode_warc_shards(shards: DataFrame) -> DataFrame:
+    """WARC-shard ingestion over mapInPandas: inflate each shard blob
+    (multi-member gzip / bzip2 / xz via codecs.inflate_shard), then
+    walk the record framing — version line, header fields, blank
+    line, Content-Length block, CRLF CRLF terminator — emitting one
+    row per record (shard_id, rec_no, record_id, warc_type,
+    content_length, text).  Stateless and per-blob like the jsonl
+    exploder: zero shuffle at any scale, runs unchanged on a stream
+    of shard files.  Malformed framing (bad version line, header
+    without a colon, missing Content-Length, truncated block, absent
+    terminator) raises ValueError naming the shard and record — no
+    silent drops.  Bounded flush per the jsonl exploder's memory
+    contract: peak is one inflated shard plus the 10k-row bound, not
+    an Arrow batch of inflated shards."""
+    _ship_codecs_by_value()
+    from .codecs import inflate_shard
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _FLUSH_ROWS = 10_000
+        _COLS = [
+            "shard_id", "rec_no", "record_id", "warc_type",
+            "content_length", "text",
+        ]
+
+        for pdf in batches:
+            rows = []
+            for shard_id, blob in zip(pdf["shard_id"], pdf["blob"]):
+                raw = inflate_shard(bytes(blob), f"warc shard {shard_id}")
+                pos, rec_no, n = 0, 0, len(raw)
+                while pos < n:
+                    hdr_end = raw.find(b"\r\n\r\n", pos)
+                    if hdr_end < 0:
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: "
+                            "unterminated header block"
+                        )
+                    lines = raw[pos:hdr_end].decode("utf-8").split("\r\n")
+                    if not lines[0].startswith("WARC/"):
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: bad "
+                            f"version line {lines[0]!r}"
+                        )
+                    fields = {}
+                    for ln in lines[1:]:
+                        name, sep, value = ln.partition(":")
+                        if not sep:
+                            raise ValueError(
+                                f"warc shard {shard_id} record {rec_no}: "
+                                f"header line without a colon: {ln!r}"
+                            )
+                        fields[name.strip().lower()] = value.strip()
+                    if "content-length" not in fields:
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: "
+                            "missing Content-Length"
+                        )
+                    clen = int(fields["content-length"])
+                    body_start = hdr_end + 4
+                    body_end = body_start + clen
+                    if raw[body_end:body_end + 4] != b"\r\n\r\n":
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: "
+                            "block not followed by the CRLF CRLF record "
+                            "terminator (truncated or wrong "
+                            "Content-Length)"
+                        )
+                    rows.append(
+                        (
+                            shard_id,
+                            rec_no,
+                            fields.get("warc-record-id", ""),
+                            fields.get("warc-type", ""),
+                            clen,
+                            raw[body_start:body_end].decode("utf-8"),
+                        )
+                    )
+                    rec_no += 1
+                    pos = body_end + 4
+                if len(rows) >= _FLUSH_ROWS:
+                    yield pd.DataFrame(rows, columns=_COLS)
+                    rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=_COLS)
+
+    return shards.mapInPandas(run, schema=WARC_RECORD_SCHEMA)
+
+
+def ingest_warc_dir(spark, path: str) -> DataFrame:
+    """One-call ingestion of a directory of real ``*.warc.gz`` shard
+    files: binaryFile listing + shard-id-from-filename (shared with
+    the jsonl readers, including the duplicate/overflow guards) + the
+    WARC record exploder."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc.{gz,bz2,xz}")
+        .load(path)
+    )
+    return explode_warc_shards(_shards_from_binary_files(files))
+
+
 def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     """(path, content) from the binaryFile source -> (shard_id, blob).
     shard_id is the last integer run in each file NAME (the
@@ -1735,6 +1910,142 @@ def jsonl_shard_ingest(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_shard_ingest(spark, sf_dir: str) -> DataFrame:
+    """X5 — WARC-shard ingestion on a graded path: documents packed
+    8-per-shard into REAL .warc.gz blobs (one gzip member per record,
+    the web-archive convention — documents_as_warc_shards), then
+    inflated and record-parsed back (explode_warc_shards).  The
+    oracle rebuilds the layout analytically from the documents table
+    — shard assignment floor(doc_id/8), record order = doc_id rank
+    within shard, Content-Length = utf-8 byte length, and the block
+    round-trips exactly (md5) — so the full
+    write-shards-then-ingest cycle is hash-graded.  Together with
+    jsonl_shard_ingest this covers both container framings public
+    pretraining corpora actually use: line-delimited JSON and
+    length-delimited WARC records."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = explode_warc_shards(documents_as_warc_shards(docs))
+    return out.select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        "content_length",
+        "shard_id",
+        "rec_no",
+    )
+
+
+def curation_pipeline(spark, sf_dir: str) -> DataFrame:
+    """End-to-end curation integration — the composition the
+    per-operator rows never check: documents packed into real
+    jsonl.gz shards, ingested back (inflate + line-split + parse),
+    doc metadata recovered by a doc_id equi-join against the
+    documents table (the id-keyed metadata-store shape), the fused
+    curation gate applied (the three map-side tiers of
+    corpus_curation: token-count/length quality, stopword lang-id,
+    normalized-hash canonical), and a temperature mixture plan
+    (alpha = 0.7, the temperature_mixture rule) derived over the
+    SURVIVORS per language.  Text must round-trip the shard coding
+    byte-exactly or every downstream hash, token count and share in
+    the plan drifts — which is precisely what the driver's
+    hash-grading checks.
+
+    Scale shape: one corpus pass packs (constant-width collect_list),
+    one stateless mapInPandas inflates, the metadata join is a plain
+    doc_id equi-join (exchange-free on a doc_id-bucketed layout), the
+    gate is map-side except the one normalized-hash window shuffle,
+    and the mixture is two tiny aggregations re-broadcast — identical
+    to temperature_mixture's audited plan.  per_lang is cached so the
+    scalar chain (totals -> wsum -> budget) does not re-run the
+    corpus lineage."""
+    from pyspark.sql import Window
+
+    from ..io import read_table
+    from .dedup import _tokens
+    from .text import _STOPWORDS, _n_in
+
+    docs = read_table(spark, sf_dir, "documents")
+    ingested = explode_jsonl_gz_shards(
+        documents_as_jsonl_gz_shards(docs)
+    ).select("doc_id", "text")
+    joined = ingested.join(docs.select("doc_id", "lang"), "doc_id")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    w = Window.partitionBy("text_hash")
+    avg_len = F.round(
+        F.aggregate(
+            F.col("tokens"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / F.greatest(F.size("tokens"), F.lit(1)),
+        4,
+    )
+    kept = (
+        joined.withColumn("text_hash", norm_hash)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .withColumn(
+            "keep_quality",
+            (F.size("tokens") >= 5) & avg_len.between(2, 15),
+        )
+        .withColumn("lang_ok", _n_in(F.col("tokens"), _STOPWORDS) > 0)
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+        .filter("keep_quality AND lang_ok AND is_canonical")
+    )
+    per_lang = (
+        kept.select(
+            "lang", F.size("tokens").cast("long").alias("n_tok")
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tok").alias("n_tokens_kept"),
+        )
+        .cache()
+    )
+    totals = per_lang.select(F.sum("n_tokens_kept").alias("total_tokens"))
+    weighted = (
+        per_lang.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "nat_share", F.col("n_tokens_kept") / F.col("total_tokens")
+        )
+        .withColumn("w", F.pow(F.col("nat_share"), F.lit(0.7)))
+    )
+    wsum = weighted.select(F.sum("w").alias("wsum"))
+    planned = weighted.crossJoin(F.broadcast(wsum)).withColumn(
+        "target_share", F.col("w") / F.col("wsum")
+    )
+    budget = planned.select(
+        F.min(F.col("n_tokens_kept") / F.col("target_share")).alias(
+            "budget"
+        )
+    )
+    return planned.crossJoin(F.broadcast(budget)).select(
+        "lang",
+        "n_docs_kept",
+        "n_tokens_kept",
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("target_share")
+                * F.col("budget")
+                / F.col("n_tokens_kept"),
+            ),
+            6,
+        ).alias("keep_frac"),
+        F.round(F.col("target_share") * F.col("budget"), 2).alias(
+            "expected_tokens"
+        ),
+    )
+
+
 def media_stft_bins(spark, sf_dir: str) -> DataFrame:
     """X5 — REAL STFT on a graded path: documents rendered as genuine
     two-tone WAVs (bin changes mid-clip), analyzed by the Hann-windowed
@@ -1766,6 +2077,15 @@ def media_frame_stats(spark, sf_dir: str) -> DataFrame:
         "frame_no",
         F.octet_length("frame").cast("long").alias("frame_bytes"),
     )
+
+
+def _curation_stop_list() -> str:
+    """The curation oracle's stopword IN-list — the same _STOPWORDS
+    tuple the Spark gate uses, quoted for DuckDB (mirrors
+    text.register()'s stop_list)."""
+    from .text import _STOPWORDS
+
+    return ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
 def register() -> dict:
@@ -2013,6 +2333,81 @@ def register() -> dict:
             "X5 multi-doc jsonl.gz shard ingestion (pack 8 docs/shard, "
             "gzip, inflate + line-split + json-parse back) via "
             "mapInPandas, analytic layout + round-trip oracle",
+        ),
+        "warc_shard_ingest": QueryDef(
+            warc_shard_ingest,
+            """
+            SELECT doc_id,
+                   'resource' AS warc_type,
+                   md5(text) AS text_md5,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                       AS content_length,
+                   CAST(floor(doc_id / 8) AS BIGINT) AS shard_id,
+                   CAST(ROW_NUMBER() OVER (
+                            PARTITION BY floor(doc_id / 8)
+                            ORDER BY doc_id
+                        ) - 1 AS INTEGER) AS rec_no
+            FROM documents
+            """,
+            "X5 WARC shard ingestion (pack 8 records/shard as "
+            "per-record gzip members, inflate + record-frame parse "
+            "back) via mapInPandas, analytic layout + round-trip "
+            "oracle",
+        ),
+        "curation_pipeline": QueryDef(
+            curation_pipeline,
+            f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
+                       MIN(doc_id) OVER (PARTITION BY
+                           sha256(TRIM(regexp_replace(lower(text), '\\s+',
+                                       ' ', 'g')))) AS canon
+                FROM documents
+            ), kept AS (
+                SELECT lang, len(tokens) AS n_tok
+                FROM d
+                WHERE len(tokens) >= 5
+                  AND ROUND(COALESCE(list_sum(list_transform(tokens,
+                          t -> length(t))), 0)
+                      / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15
+                  AND len(list_filter(tokens,
+                          t -> t IN ({_curation_stop_list()}))) > 0
+                  AND doc_id = canon
+            ), per_lang AS (
+                SELECT lang, COUNT(*) AS n_docs_kept,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+                FROM kept GROUP BY lang
+            ), t AS (
+                SELECT SUM(n_tokens_kept) AS total_tokens FROM per_lang
+            ), weighted AS (
+                SELECT lang, n_docs_kept, n_tokens_kept,
+                       n_tokens_kept / total_tokens AS nat_share,
+                       POW(n_tokens_kept / total_tokens, 0.7) AS w
+                FROM per_lang CROSS JOIN t
+            ), ws AS (
+                SELECT SUM(w) AS wsum FROM weighted
+            ), planned AS (
+                SELECT lang, n_docs_kept, n_tokens_kept, nat_share,
+                       w / wsum AS target_share
+                FROM weighted CROSS JOIN ws
+            ), b AS (
+                SELECT MIN(n_tokens_kept / target_share) AS budget
+                FROM planned
+            )
+            SELECT lang, n_docs_kept, n_tokens_kept,
+                   ROUND(nat_share, 6) AS nat_share,
+                   ROUND(target_share, 6) AS target_share,
+                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                               target_share * budget / n_tokens_kept), 6)
+                       AS keep_frac,
+                   ROUND(target_share * budget, 2) AS expected_tokens
+            FROM planned CROSS JOIN b
+            """,
+            "end-to-end curation: jsonl.gz shard ingest -> metadata "
+            "join -> fused gate (quality+lang+canonical) -> "
+            "temperature mixture over survivors",
         ),
         "media_codec_roundtrip": QueryDef(
             media_codec_roundtrip,

@@ -3211,7 +3211,13 @@ REGISTRY: dict[str, QueryDef] = {
 # freshness span through round 14.  Window is 46 T1 + 4 T2 with zero
 # T3 slack and only 4 displaceable fill slots: at most 2 net-new
 # registrations this round (capacity 146/150) and each displaces a
-# T2-fill entry per the swap discipline.
+# T2-fill entry per the swap discipline.  The two mid-round-14 T0
+# registrations (warc_shard_ingest — the length-delimited web-archive
+# container framing; curation_pipeline — the end-to-end shard-ingest
+# -> gate -> mixture composition) take the slots of the last two
+# T2-fill entries (daily_role_counts, daily_role_type_map —
+# r12-green; they become round-15 T1 must-checks), bringing the
+# registry to its 148/150 capacity.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3233,6 +3239,9 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — no green row yet (must-check) (2): registered mid-round-14
+    "warc_shard_ingest",
+    "curation_pipeline",
     # T1 — last green r11 (invariant requires) (46)
     "user_event_counts",
     "anonymous_events",
@@ -3280,11 +3289,10 @@ _DRIVER_CHECK_ORDER = [
     "char_entropy",
     "corpus_curation",
     "nb_quality_score",
-    # T2 — last green r12 (expires after round 15) (4 of 50)
+    # T2 — last green r12 (expires after round 15) (2 of 50; the other
+    # two T2 slots went to the T0 registrations above)
     "event_type_counts",
     "daily_event_counts",
-    "daily_role_counts",
-    "daily_role_type_map",
 ]
 
 

@@ -1076,6 +1076,121 @@ def test_jsonl_gz_posix_files_and_duplicate_ids(spark, tmp_path):
         mm.ingest_jsonl_gz_dir(spark, str(dup)).collect()
 
 
+def test_warc_shard_roundtrip(spark, sf_smoke):
+    """documents_as_warc_shards -> explode_warc_shards recovers every
+    document exactly: record ids carry the doc_id, Content-Length is
+    the utf-8 byte length, rec_no is the doc_id rank within the
+    shard, and text round-trips byte-exactly — including payloads
+    that would break sentinel-based framing (length-delimited blocks
+    are the WARC design point)."""
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(20)
+    want = {r.doc_id: r.text for r in docs.collect()}
+    out = mm.explode_warc_shards(
+        mm.documents_as_warc_shards(docs)
+    ).collect()
+    assert len(out) == len(want)
+    for r in out:
+        doc_id = int(r.record_id.split(":")[-1].rstrip(">"))
+        assert r.text == want[doc_id]
+        assert r.content_length == len(r.text.encode("utf-8"))
+        assert r.warc_type == "resource"
+        assert r.shard_id == doc_id // 8
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard_id, []).append(
+            (r.rec_no, int(r.record_id.split(":")[-1].rstrip(">")))
+        )
+    for recs in by_shard.values():
+        recs.sort()
+        ids = [d for _, d in recs]
+        assert [n for n, _ in recs] == list(range(len(recs)))
+        assert ids == sorted(ids)  # records sorted by doc_id
+
+
+def test_warc_framing_survives_hostile_payloads(spark):
+    """A payload containing blank lines, CRLF runs and a literal
+    'WARC/1.0' line must round-trip — Content-Length delimiting, not
+    sentinel scanning."""
+    hostile = "WARC/1.0\r\n\r\nContent-Length: 3\r\n\r\n\n\nplain tail"
+    docs = spark.createDataFrame(
+        [(0, hostile), (1, "ordinary")], "doc_id long, text string"
+    )
+    out = {
+        int(r.record_id.split(":")[-1].rstrip(">")): r.text
+        for r in mm.explode_warc_shards(
+            mm.documents_as_warc_shards(docs)
+        ).collect()
+    }
+    assert out == {0: hostile, 1: "ordinary"}
+
+
+def test_warc_malformed_raises(spark):
+    """Truncated blocks, missing Content-Length, and a bad version
+    line raise ValueError naming the shard — no silent drops."""
+    import gzip
+
+    import pytest
+
+    def shard_df(blob):
+        return spark.createDataFrame(
+            [(1, blob, 1)], schema=mm.JSONL_SHARD_SCHEMA
+        )
+
+    good = (
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:doc:5>\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    ok = mm.explode_warc_shards(
+        shard_df(gzip.compress(good, mtime=0))
+    ).collect()
+    assert [(r.rec_no, r.text) for r in ok] == [(0, "hi")]
+
+    bad_version = gzip.compress(good.replace(b"WARC/1.0", b"HTTP/1.1"), mtime=0)
+    with pytest.raises(Exception, match="bad\\s+version line"):
+        mm.explode_warc_shards(shard_df(bad_version)).collect()
+    no_len = gzip.compress(
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:doc:5>\r\n\r\nhi\r\n\r\n", mtime=0
+    )
+    with pytest.raises(Exception, match="missing Content-Length"):
+        mm.explode_warc_shards(shard_df(no_len)).collect()
+    truncated = gzip.compress(good[:-4], mtime=0)
+    with pytest.raises(Exception, match="terminator"):
+        mm.explode_warc_shards(shard_df(truncated)).collect()
+    wrong_len = gzip.compress(good.replace(b"Length: 2", b"Length: 1"), mtime=0)
+    with pytest.raises(Exception, match="terminator"):
+        mm.explode_warc_shards(shard_df(wrong_len)).collect()
+
+
+def test_ingest_warc_dir(spark, tmp_path):
+    """Directory of real *.warc.gz files through binaryFile + the
+    shared shard-id naming guards + the record exploder."""
+    import gzip
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for sid, items in ((3, [(0, "alpha"), (1, "beta")]), (4, [(2, "gamma")])):
+        blob = bytearray()
+        for doc_id, text in items:
+            payload = text.encode()
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: resource\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            blob += gzip.compress(rec, mtime=0)
+        (d / f"crawl-{sid:04d}.warc.gz").write_bytes(bytes(blob))
+    out = mm.ingest_warc_dir(spark, str(d)).collect()
+    assert {
+        (r.shard_id, r.rec_no, r.record_id, r.text) for r in out
+    } == {
+        (3, 0, "<urn:doc:0>", "alpha"),
+        (3, 1, "<urn:doc:1>", "beta"),
+        (4, 0, "<urn:doc:2>", "gamma"),
+    }
+
+
 def test_jsonl_shard_id_overflows_bigint(spark, tmp_path):
     """Advice finding, pinned: a filename digit run past BIGINT
     try_casts to NULL, and NULL groups never equi-join back against

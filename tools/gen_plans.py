@@ -369,6 +369,20 @@ PICKS = {
         "and decode+1->32-sample expansion are pipelined Arrow "
         "mapInPandas stages with no further exchange."
     ),
+    "warc_shard_ingest": (
+        "WARC record-framed shards: same one-exchange shard grouping "
+        "as jsonl_shard_ingest; per-record gzip members pack and "
+        "inflate+record-parse as pipelined Arrow mapInPandas stages — "
+        "the read side alone is exchange-free (stateless 1->N)."
+    ),
+    "curation_pipeline": (
+        "End-to-end composition: pack exchange -> stateless inflate "
+        "-> doc_id equi-join (exchange-free on a doc_id-bucketed "
+        "layout) -> ONE normalized-hash window shuffle for the fused "
+        "gate -> tiny per-lang aggregate; the mixture scalar chain "
+        "(totals/wsum/budget) is broadcast crossjoins over cached "
+        "|langs|-row frames, temperature_mixture's audited shape."
+    ),
     "page_components": (
         "Exact CC (large-star/small-star): the same single corpus "
         "pass as the rest of the graph family, then star rounds over "

@@ -65,6 +65,8 @@ CARTESIAN_OK = {
     "pagerank_personalized",  # same 1-row dangling scalar per round
     "selection_budget_curve",  # broadcast 10-row threshold frame
     #   (non-equi >= join) + 1-row positives-total scalar
+    "curation_pipeline",  # temperature_mixture's scalar chain over
+    #   the curated survivors (totals/wsum/budget 1-row broadcasts)
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
