@@ -429,6 +429,19 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _HUFF_CODES_CACHE: dict = {}
 _HUFF_DECODE_CACHE: dict = {}
 
+#: memoization caps — the fixture paths see a handful of distinct
+#: tables/headers, but a real corpus of third-party blobs could carry
+#: unboundedly many distinct DHT/DQT segments; a full cache resets
+#: rather than growing without limit in a long-lived executor
+_CODEC_CACHE_MAX = 1024
+
+
+def _cache_put(cache: dict, key, value):
+    if len(cache) >= _CODEC_CACHE_MAX:
+        cache.clear()
+    cache[key] = value
+    return value
+
 
 def _huff_codes(bits, vals):
     """Canonical Huffman assignment (T.81 C.2): symbol -> (code, len).
@@ -448,8 +461,7 @@ def _huff_codes(bits, vals):
             k += 1
             code += 1
         code <<= 1
-    _HUFF_CODES_CACHE[key] = out
-    return out
+    return _cache_put(_HUFF_CODES_CACHE, key, out)
 
 
 def _huff_decode_table(bits, vals):
@@ -480,9 +492,9 @@ def _huff_decode_table(bits, vals):
             k += n
             maxcode[length] = code - 1
         code <<= 1
-    out = (maxcode, mincode, valptr, tuple(vals))
-    _HUFF_DECODE_CACHE[key] = out
-    return out
+    return _cache_put(
+        _HUFF_DECODE_CACHE, key, (maxcode, mincode, valptr, tuple(vals))
+    )
 
 
 class _BitWriter:
@@ -612,8 +624,13 @@ def _qtab_zz_np(qtab):
     key = tuple(qtab)
     arr = _QTAB_ZZ_CACHE.get(key)
     if arr is None:
-        arr = _np.array([qtab[_ZZ[i]] for i in range(64)], dtype=_np.float64)
-        _QTAB_ZZ_CACHE[key] = arr
+        arr = _cache_put(
+            _QTAB_ZZ_CACHE,
+            key,
+            _np.array(
+                [qtab[_ZZ[i]] for i in range(64)], dtype=_np.float64
+            ),
+        )
     return arr
 
 
@@ -1032,7 +1049,7 @@ def jpeg_encode(
             sos.extend(bytes([ci + 1, 0 if ci == 0 else 0x11]))
         sos.extend(b"\x00\x3f\x00")
         segment(b"\xff\xda", bytes(sos))  # SOS
-        _JPEG_HEADER_CACHE[hdr_key] = bytes(out)
+        _cache_put(_JPEG_HEADER_CACHE, hdr_key, bytes(out))
 
     qz_grids = None
     if _np is not None:

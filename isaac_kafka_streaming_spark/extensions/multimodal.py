@@ -1227,6 +1227,23 @@ def ingest_warc_dir(spark, path: str) -> DataFrame:
     return explode_warc_shards(_shards_from_binary_files(files))
 
 
+def stream_warc_dir(spark, path: str) -> DataFrame:
+    """The streaming twin of ingest_warc_dir: a binaryFile FILE STREAM
+    over the WARC shard directory through the same stateless record
+    exploder (append mode, zero state, zero shuffle) — the
+    arriving-crawl-dump shape.  Like stream_jsonl_gz_dir, duplicate
+    shard-id detection is not possible statelessly across
+    micro-batches; validate a directory once with the batch reader
+    before tailing it."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc.{gz,bz2,xz}")
+        .load(path)
+    )
+    return explode_warc_shards(_shards_from_binary_files(files))
+
+
 def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     """(path, content) from the binaryFile source -> (shard_id, blob).
     shard_id is the last integer run in each file NAME (the

@@ -1191,6 +1191,43 @@ def test_ingest_warc_dir(spark, tmp_path):
     }
 
 
+def test_stream_warc_dir_matches_batch(spark, tmp_path):
+    """stream_warc_dir: the binaryFile FILE STREAM over a WARC shard
+    directory produces exactly the batch reader's rows (append mode,
+    stateless)."""
+    import gzip
+
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    d = tmp_path / "warcs"
+    d.mkdir()
+    for sid, items in ((1, [(0, "a"), (1, "b")]), (2, [(2, "c")])):
+        blob = bytearray()
+        for doc_id, text in items:
+            payload = text.encode()
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: resource\r\n"
+                f"WARC-Record-ID: <urn:doc:{doc_id}>\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode() + payload + b"\r\n\r\n"
+            blob += gzip.compress(rec, mtime=0)
+        (d / f"crawl-{sid:03d}.warc.gz").write_bytes(bytes(blob))
+
+    want = {
+        (r.shard_id, r.rec_no, r.record_id, r.text)
+        for r in mm.ingest_warc_dir(spark, str(d)).collect()
+    }
+    got = run_to_memory(
+        mm.stream_warc_dir(spark, str(d)),
+        "warc_dir_stream",
+        output_mode="append",
+    ).collect()
+    assert {
+        (r.shard_id, r.rec_no, r.record_id, r.text) for r in got
+    } == want
+    assert len(want) == 3
+
+
 def test_jsonl_shard_id_overflows_bigint(spark, tmp_path):
     """Advice finding, pinned: a filename digit run past BIGINT
     try_casts to NULL, and NULL groups never equi-join back against

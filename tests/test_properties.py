@@ -648,10 +648,26 @@ def test_pagerank_core_equals_python_replay_on_generated_graphs(
         for r in pagerank_from_graph(nodes_df, edges_df).collect()
     }
 
+    # Spark's F.round is BigDecimal.valueOf(double) HALF_UP — i.e.
+    # HALF_UP on the double's SHORTEST decimal representation (repr).
+    # Python's round() is half-even on the exact binary value and
+    # diverges on ...5 boundaries (hypothesis found one: a 5-node
+    # graph whose node-1 rank is exactly 0.2368475 at 7 significant
+    # digits — Spark publishes 0.236848, round() gives 0.236847).
+    # The replay must round the way the engine under test rounds.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def spark_round(x: float, scale: int) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP
+            )
+        )
+
     outw: dict = {}
     for (s_, _), w_ in edges.items():
         outw[s_] = outw.get(s_, 0.0) + w_
-    pr = {v: round(1.0 / n, 12) for v in nodes}
+    pr = {v: spark_round(1.0 / n, 12) for v in nodes}
     d = PAGERANK_DAMPING
     for _ in range(PAGERANK_ITERS):
         dang = sum(pr[v] for v in nodes if v not in outw)
@@ -659,10 +675,12 @@ def test_pagerank_core_equals_python_replay_on_generated_graphs(
         for (s_, d_), w_ in edges.items():
             contrib[d_] += pr[s_] * w_ / outw[s_]
         pr = {
-            v: round((1.0 - d) / n + d * (contrib[v] + dang / n), 12)
+            v: spark_round(
+                (1.0 - d) / n + d * (contrib[v] + dang / n), 12
+            )
             for v in nodes
         }
-    expect = {v: round(pr[v], 6) for v in nodes}
+    expect = {v: spark_round(pr[v], 6) for v in nodes}
     order = sorted(nodes, key=lambda v: (-expect[v], v))
     ranks = {v: i + 1 for i, v in enumerate(order)}
     assert got == {v: (expect[v], ranks[v]) for v in nodes}
