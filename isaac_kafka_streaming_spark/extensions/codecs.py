@@ -544,8 +544,13 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
         self.nbits += 8
+        # trim consumed high bits: they are never read again (every
+        # extraction masks below nbits), and without the trim acc
+        # retains one bit per consumed stream bit — an unboundedly
+        # growing Python int whose per-fill shift turns large entropy
+        # streams quadratic
+        self.acc = ((self.acc << 8) | b) & ((1 << self.nbits) - 1)
 
     def bit(self):
         if self.nbits == 0:

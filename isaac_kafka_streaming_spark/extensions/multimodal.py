@@ -1184,6 +1184,15 @@ def explode_warc_shards(shards: DataFrame) -> DataFrame:
                             "missing Content-Length"
                         )
                     clen = int(fields["content-length"])
+                    if clen < 0:
+                        # a negative length would slice an empty block
+                        # (Python negative-index wraparound) and could
+                        # even line the terminator check up by accident
+                        # — reject instead of silently emitting ''
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: "
+                            f"negative Content-Length {clen}"
+                        )
                     body_start = hdr_end + 4
                     body_end = body_start + clen
                     if raw[body_end:body_end + 4] != b"\r\n\r\n":

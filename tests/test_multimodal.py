@@ -1161,6 +1161,9 @@ def test_warc_malformed_raises(spark):
     wrong_len = gzip.compress(good.replace(b"Length: 2", b"Length: 1"), mtime=0)
     with pytest.raises(Exception, match="terminator"):
         mm.explode_warc_shards(shard_df(wrong_len)).collect()
+    neg_len = gzip.compress(good.replace(b"Length: 2", b"Length: -4"), mtime=0)
+    with pytest.raises(Exception, match="negative Content-Length"):
+        mm.explode_warc_shards(shard_df(neg_len)).collect()
 
 
 def test_ingest_warc_dir(spark, tmp_path):
