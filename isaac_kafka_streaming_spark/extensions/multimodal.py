@@ -1184,7 +1184,14 @@ def explode_warc_shards(shards: DataFrame) -> DataFrame:
                             f"warc shard {shard_id} record {rec_no}: "
                             "missing Content-Length"
                         )
-                    clen = int(fields["content-length"])
+                    try:
+                        clen = int(fields["content-length"])
+                    except ValueError as exc:
+                        raise ValueError(
+                            f"warc shard {shard_id} record {rec_no}: "
+                            f"non-numeric Content-Length "
+                            f"{fields['content-length']!r}"
+                        ) from exc
                     if clen < 0:
                         # a negative length would slice an empty block
                         # (Python negative-index wraparound) and could
