@@ -803,6 +803,18 @@ def _extend(received, s):
 
 
 def _rgb_to_ycbcr(pixels, n):
+    if _np is not None:
+        # elementwise with the scalar loop's exact expression order —
+        # numpy evaluates each +/- left-to-right per element, so the
+        # values are bitwise identical to the reference loop
+        px = _np.frombuffer(bytes(pixels), dtype=_np.uint8).astype(
+            _np.float64
+        )
+        r, g, b = px[0::3], px[1::3], px[2::3]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        return y, cb, cr
     y, cb, cr = [0.0] * n, [0.0] * n, [0.0] * n
     for i in range(n):
         r, g, b = pixels[3 * i], pixels[3 * i + 1], pixels[3 * i + 2]
@@ -948,6 +960,40 @@ def _jpeg_planes(pixels, width, height, channels, subsample):
     # fh x fv box-average chroma (420: 2x2; 422: 2x1; 440: 1x2)
     cw = (width + fh - 1) // fh
     ch = (height + fv - 1) // fv
+    if _np is not None:
+        # masked fold in the scalar loop's exact (dy, dx) order: each
+        # step adds either the sample or +0.0 (skip) — and the running
+        # sum can never be -0.0 (IEEE 0.0 + -0.0 = +0.0), so x + 0.0
+        # is bitwise x and the fold equals the skip-if-out-of-bounds
+        # scalar accumulation exactly
+        cb2 = cb.reshape(height, width)
+        cr2 = cr.reshape(height, width)
+        acc_b = _np.zeros((ch, cw))
+        acc_r = _np.zeros((ch, cw))
+        cnt = _np.zeros((ch, cw))
+        ys = fv * _np.arange(ch)
+        xs = fh * _np.arange(cw)
+        for dy in range(fv):
+            for dx in range(fh):
+                sy = ys + dy
+                sx = xs + dx
+                valid = (sy[:, None] < height) & (sx[None, :] < width)
+                vb = cb2[_np.minimum(sy, height - 1)][
+                    :, _np.minimum(sx, width - 1)
+                ]
+                vr = cr2[_np.minimum(sy, height - 1)][
+                    :, _np.minimum(sx, width - 1)
+                ]
+                acc_b = acc_b + _np.where(valid, vb, 0.0)
+                acc_r = acc_r + _np.where(valid, vr, 0.0)
+                cnt = cnt + valid
+        cbd = (acc_b / cnt).reshape(-1)
+        crd = (acc_r / cnt).reshape(-1)
+        return (
+            [y, cbd, crd],
+            [(width, height), (cw, ch), (cw, ch)],
+            [(fh, fv), (1, 1), (1, 1)],
+        )
     cbd, crd = [0.0] * (cw * ch), [0.0] * (cw * ch)
     for cy in range(ch):
         for cx in range(cw):
