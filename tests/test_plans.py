@@ -581,3 +581,40 @@ def test_scan_spread_wiring(spark, sf_smoke):
     # exchange is its own sampling shuffle)
     plan = _executed_plan(spark, "priority_sample", sf_smoke)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_warc_explode_readside_exchange_free(spark):
+    """The WARC read side — the shape a petabyte shard corpus actually
+    exercises (blobs already exist; only the graded fixture ENCODES) —
+    must be a stateless 1->N mapInPandas with no Exchange: blob bytes
+    never shuffle at any scale."""
+    import gzip
+
+    from isaac_kafka_streaming_spark.extensions import multimodal as mm
+
+    rec = (
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:doc:1>\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    shards = spark.createDataFrame(
+        [(1, gzip.compress(rec, mtime=0), 1)], schema=mm.JSONL_SHARD_SCHEMA
+    )
+    plan = (
+        mm.explode_warc_shards(shards)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_curation_pipeline_plan_shape(spark, sf_smoke):
+    """The end-to-end composition keeps its audited shape: exactly one
+    window (the normalized-hash canonical gate), every crossJoin a
+    broadcast of a tiny scalar frame (BroadcastNestedLoopJoin, never
+    CartesianProduct), and two-phase aggregation for the per-lang
+    rollup."""
+    plan = _executed_plan(spark, "curation_pipeline", sf_smoke)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the scalar chain
+    assert "HashAggregate" in plan
