@@ -1166,23 +1166,62 @@ def jpeg_encode(
 
 
 def _decode_block(reader, dc_table, ac_table, qtab, pred):
-    """Huffman-decode one block -> (raster coefficient list, new pred)."""
+    """Huffman-decode one block -> (raster coefficient list, new pred).
+
+    The bit accumulator lives in closure variables for the whole block
+    — the decoder's hottest loop (~45 symbol reads + magnitude fetches
+    per block) no longer pays a method call per BIT.  fill/read_symbol/
+    take are _BitReader._fill / the F.16 decode / bits(n) verbatim;
+    reader state is written back before returning (and before raising
+    a restart marker) so the reader resumes exactly where the
+    method-based path would."""
+    data = reader.data
+    pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+
+    def fill():
+        nonlocal pos, acc, nbits
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            pos += 1
+        nbits += 8
+        acc = ((acc << 8) | b) & ((1 << nbits) - 1)
 
     def read_symbol(table):
+        nonlocal acc, nbits
         maxcode, mincode, valptr, vals = table
-        bit = reader.bit
         code, length = 0, 0
         while True:
-            code = (code << 1) | bit()
+            if nbits == 0:
+                fill()
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
             length += 1
             if mincode[length] <= code <= maxcode[length]:
                 return vals[valptr[length] + code - mincode[length]]
             if length >= 16:
                 raise ValueError("invalid Huffman stream")
 
+    def take(n):
+        nonlocal acc, nbits
+        while nbits < n:
+            fill()
+        nbits -= n
+        return (acc >> nbits) & ((1 << n) - 1)
+
     coef = [0] * 64
     s = read_symbol(dc_table)
-    diff = _extend(reader.bits(s), s) if s else 0
+    diff = _extend(take(s), s) if s else 0
     dc = pred + diff
     coef[0] = dc * qtab[0]
     k = 1
@@ -1196,9 +1235,11 @@ def _decode_block(reader, dc_table, ac_table, qtab, pred):
         k += rs >> 4
         s = rs & 0x0F
         if k > 63:
+            reader.pos, reader.acc, reader.nbits = pos, acc, nbits
             raise ValueError("AC run overflows block")
-        coef[_ZZ[k]] = _extend(reader.bits(s), s) * qtab[_ZZ[k]]
+        coef[_ZZ[k]] = _extend(take(s), s) * qtab[_ZZ[k]]
         k += 1
+    reader.pos, reader.acc, reader.nbits = pos, acc, nbits
     return coef, dc
 
 
