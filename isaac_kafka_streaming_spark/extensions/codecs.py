@@ -2325,43 +2325,64 @@ class _GifBits:
 
 def _gif_lzw_decode(mcs: int, data: bytes, n_pixels: int) -> bytearray:
     clear, end = 1 << mcs, (1 << mcs) + 1
-
-    def fresh_table():
-        return [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    # base table built once; a CLEAR merely list-copies it (the bytes
+    # singletons are immutable and shared) instead of re-materializing
+    # 2^mcs one-byte objects per reset
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
 
     out = bytearray()
-    bits = _GifBits(data)
+    # the _GifBits reader, inlined into locals: one code per loop
+    # iteration was paying a method call + attribute traffic per code
+    # (the LZW loop is the GIF decoder's hot path); logic is
+    # _GifBits.read verbatim
+    pos, acc, nbits = 0, 0, 0
+    nd = len(data)
     # spec does NOT require a leading CLEAR: a stream may open with a
     # literal code, so the table starts initialized (a CLEAR merely
     # resets it)
-    table: list = fresh_table()
+    table: list = list(base)
+    tlen = len(table)
     width = mcs + 1
+    maxc = 1 << width
     prev = None
     while len(out) < n_pixels:
-        code = bits.read(width)
+        while nbits < width:
+            if pos >= nd:
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & (maxc - 1)
+        acc >>= width
+        nbits -= width
         if code == clear:
-            table = fresh_table()
+            table = list(base)
+            tlen = len(table)
             width = mcs + 1
+            maxc = 1 << width
             prev = None
             continue
         if code == end:
             break
         if prev is None:
-            if code >= len(table):
+            if code >= tlen:
                 raise ValueError("invalid GIF LZW code")
             entry = table[code]
-        elif code < len(table):
+        elif code < tlen:
             entry = table[code]
             table.append(prev + entry[:1])
-        elif code == len(table):  # the KwKwK case
+            tlen += 1
+        elif code == tlen:  # the KwKwK case
             entry = prev + prev[:1]
             table.append(entry)
+            tlen += 1
         else:
             raise ValueError("invalid GIF LZW code")
         out += entry
         prev = entry
-        if len(table) == (1 << width) and width < 12:
+        if tlen == maxc and width < 12:
             width += 1
+            maxc <<= 1
     return out
 
 
