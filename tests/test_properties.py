@@ -749,3 +749,49 @@ def test_transition_edges_split_matches_python_replay(spark, triples):
             ).collect()
         }
         assert got == replay(split_gap is not None), f"split={split_gap}"
+
+
+warc_text_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",),  # no lone surrogates (utf-8)
+        ),
+        max_size=120,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(warc_text_strategy)
+@_settings
+def test_warc_shard_roundtrip_arbitrary_text(spark, texts):
+    """WARC pack -> explode is the identity on ARBITRARY document
+    text — control characters, CR/LF runs, blank lines, literal
+    'WARC/1.0' headers, full unicode — because blocks are
+    Content-Length-delimited, never sentinel-scanned.  Content-Length
+    must equal the utf-8 byte length and per-shard rec_no spaces must
+    stay dense and doc_id-ordered."""
+    from isaac_kafka_streaming_spark.extensions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    out = mm.explode_warc_shards(
+        mm.documents_as_warc_shards(docs)
+    ).collect()
+    assert len(out) == len(texts)
+    got = {}
+    by_shard = {}
+    for r in out:
+        doc_id = int(r.record_id.split(":")[-1].rstrip(">"))
+        got[doc_id] = r.text
+        assert r.content_length == len(r.text.encode("utf-8"))
+        assert r.shard_id == doc_id // 8
+        by_shard.setdefault(r.shard_id, []).append((r.rec_no, doc_id))
+    assert got == {i: t for i, t in enumerate(texts)}
+    for recs in by_shard.values():
+        recs.sort()
+        assert [n for n, _ in recs] == list(range(len(recs)))
+        assert [d for _, d in recs] == sorted(d for _, d in recs)
