@@ -2663,3 +2663,34 @@ def test_bitreader_accumulator_stays_bounded():
             x = (x << 1) | r2.bit()
         total2 = (total2 + v + w + x) & 0xFFFF
     assert total == total2
+
+
+def test_cross_codec_anchor_multi_mcu():
+    """The cross-codec equality anchor at MULTI-MCU scale: 64x64 (an
+    8x8 MCU grid for greyscale; 4x4 for 4:2:0) random-content images
+    through every subsampling must decode byte-equal from the
+    progressive and baseline encoders — this is the size class where
+    the round-14 batched FDCT/IDCT, the grid-order coefficient
+    scatter, and the inlined entropy loops all genuinely engage
+    (the 16x16 fixtures exercise one MCU row at most)."""
+    import random
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = random.Random(4242)
+    grey = bytes(rng.randrange(256) for _ in range(64 * 64))
+    assert jpeg_decode(jpeg_encode_progressive(grey, 64, 64)) == \
+        jpeg_decode(jpeg_encode(grey, 64, 64))
+    rgb = bytes(rng.randrange(256) for _ in range(64 * 64 * 3))
+    for sub in ("444", "420", "422", "440"):
+        a = jpeg_decode(
+            jpeg_encode_progressive(rgb, 64, 64, channels=3, subsample=sub)
+        )
+        b = jpeg_decode(
+            jpeg_encode(rgb, 64, 64, channels=3, subsample=sub)
+        )
+        assert a == b, f"cross-codec mismatch at {sub}"
