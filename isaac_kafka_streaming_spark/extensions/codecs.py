@@ -2125,15 +2125,77 @@ def _prog_ac_scan(
     A restart boundary byte-aligns onto an RSTn; an EOB run spanning
     one is malformed (raised).  Returns the EOB run carried into the
     next scan's blocks (always drained within one scan in practice,
-    but kept explicit)."""
-    table = huff[(1, tid)]
+    but kept explicit).
+
+    The bit accumulator is inlined into closure variables for the
+    whole scan (same pattern as _decode_block — the AC scans are the
+    progressive decoder's hot path); fill/read_symbol/take are
+    _BitReader verbatim, and state syncs back to the reader around
+    align_to_restart and before every return or restart-marker
+    raise."""
+    maxcode, mincode, valptr, vals = huff[(1, tid)]
     p1 = 1 << al
+    data = reader.data
+    pos, acc, nbits = reader.pos, reader.acc, reader.nbits
+
+    def sync():
+        reader.pos, reader.acc, reader.nbits = pos, acc, nbits
+
+    def fill():
+        nonlocal pos, acc, nbits
+        b = data[pos]
+        if b == 0xFF:
+            nxt = data[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                sync()
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            pos += 1
+        nbits += 8
+        acc = ((acc << 8) | b) & ((1 << nbits) - 1)
+
+    def read_symbol():
+        nonlocal acc, nbits
+        code, length = 0, 0
+        while True:
+            if nbits == 0:
+                fill()
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            length += 1
+            if mincode[length] <= code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
+            if length >= 16:
+                raise ValueError("invalid Huffman stream")
+
+    def take(n):
+        nonlocal acc, nbits
+        while nbits < n:
+            fill()
+        nbits -= n
+        return (acc >> nbits) & ((1 << n) - 1)
+
+    def getbit():
+        nonlocal acc, nbits
+        if nbits == 0:
+            fill()
+        nbits -= 1
+        return (acc >> nbits) & 1
 
     def restart_boundary(bi):
+        nonlocal pos, acc, nbits
         if restart_interval and bi and bi % restart_interval == 0:
             if eobrun:
                 raise ValueError("EOB run crosses a restart boundary")
+            sync()
             reader.align_to_restart()
+            pos, acc, nbits = reader.pos, reader.acc, reader.nbits
 
     if ah == 0:
         for bi, blk in enumerate(blocks):
@@ -2143,28 +2205,29 @@ def _prog_ac_scan(
                 continue
             k = ss
             while k <= se:
-                rs = _read_symbol(reader, table)
+                rs = read_symbol()
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r == 15:
                         k += 16  # ZRL
                         continue
-                    eobrun = (1 << r) - 1 + (reader.bits(r) if r else 0)
+                    eobrun = (1 << r) - 1 + (take(r) if r else 0)
                     break
                 k += r
                 if k > se:
                     raise ValueError("AC run overflows spectral band")
                 # block arrays are ZIG-ZAG ordered (the scan order);
                 # the final dequantize maps through _ZZ once
-                blk[k] = _extend(reader.bits(s), s) * p1
+                blk[k] = _extend(take(s), s) * p1
                 k += 1
+        sync()
         return eobrun
 
     m1 = -p1
 
     def correct(blk, z):
         c = blk[z]
-        if reader.bit() and (c & p1) == 0:
+        if getbit() and (c & p1) == 0:
             blk[z] = c + (p1 if c >= 0 else m1)
 
     for bi, blk in enumerate(blocks):
@@ -2172,17 +2235,17 @@ def _prog_ac_scan(
         k = ss
         if eobrun == 0:
             while k <= se:
-                rs = _read_symbol(reader, table)
+                rs = read_symbol()
                 r, s = rs >> 4, rs & 0x0F
                 if s == 0:
                     if r != 15:
-                        eobrun = (1 << r) + (reader.bits(r) if r else 0)
+                        eobrun = (1 << r) + (take(r) if r else 0)
                         break
                     val = 0  # ZRL: skip 16 zero-history coefficients
                 else:
                     if s != 1:
                         raise ValueError("bad magnitude in AC refinement")
-                    val = p1 if reader.bit() else m1
+                    val = p1 if getbit() else m1
                 while k <= se:
                     if blk[k] != 0:
                         correct(blk, k)
@@ -2202,6 +2265,7 @@ def _prog_ac_scan(
                     correct(blk, k)
                 k += 1
             eobrun -= 1
+    sync()
     return eobrun
 
 
