@@ -3664,12 +3664,61 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
     reader = _BitReader(blob, pos)
     out = bytearray(width * height * nc)
     prev = [None] * nc
+
+    # bit accumulator inlined into closure variables for the whole
+    # scan — lossless DPCM pays one symbol read + magnitude fetch per
+    # SAMPLE, the format's hot path (same pattern as _decode_block);
+    # fill/read_symbol/take are _BitReader verbatim
+    data = reader.data
+    rpos, acc, nbits = reader.pos, reader.acc, reader.nbits
+
+    def fill():
+        nonlocal rpos, acc, nbits
+        b = data[rpos]
+        if b == 0xFF:
+            nxt = data[rpos + 1]
+            if nxt == 0x00:
+                rpos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                reader.pos, reader.acc, reader.nbits = rpos, acc, nbits
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            rpos += 1
+        nbits += 8
+        acc = ((acc << 8) | b) & ((1 << nbits) - 1)
+
+    def read_symbol(table):
+        nonlocal acc, nbits
+        maxcode, mincode, valptr, vals = table
+        code, length = 0, 0
+        while True:
+            if nbits == 0:
+                fill()
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            length += 1
+            if mincode[length] <= code <= maxcode[length]:
+                return vals[valptr[length] + code - mincode[length]]
+            if length >= 16:
+                raise ValueError("invalid Huffman stream")
+
+    def take(n):
+        nonlocal acc, nbits
+        while nbits < n:
+            fill()
+        nbits -= n
+        return (acc >> nbits) & ((1 << n) - 1)
+
     for y in range(height):
         cur = [bytearray(width) for _ in range(nc)]
         base = y * width * nc
         for x in range(width):
             for ci in range(nc):
-                s = _read_symbol(reader, tables[ci])
+                s = read_symbol(tables[ci])
                 if s == 16:
                     # T.81 H.1 defines SSSS=16 (diff=32768, no extra
                     # bits) only for 16-bit precision; under the 8-bit
@@ -3680,7 +3729,7 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                         "lossless JPEG SSSS=16 in an 8-bit scan "
                         "(only defined for 16-bit precision)"
                     )
-                diff = _extend(reader.bits(s), s) if s else 0
+                diff = _extend(take(s), s) if s else 0
                 if y == 0 and x == 0:
                     px = 128
                 else:
@@ -3689,6 +3738,7 @@ def _jpeg_decode_lossless_impl(blob: bytes) -> tuple[int, int, int, bytes]:
                 cur[ci][x] = v
                 out[base + x * nc + ci] = v
         prev = cur
+    reader.pos, reader.acc, reader.nbits = rpos, acc, nbits
     return width, height, nc, bytes(out)
 
 
