@@ -152,11 +152,37 @@ def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
         ftype = raw[base]
         line = bytearray(raw[base + 1 : base + 1 + stride])
         if ftype == 1:  # Sub
-            for x in range(channels, stride):
-                line[x] = (line[x] + line[x - channels]) & 0xFF
+            if _np is not None and width > 32:
+                # Sub is a per-channel-lane prefix sum mod 256:
+                # cumsum in int64 then & 0xFF equals the sequential
+                # byte adds exactly (mod commutes with partial sums)
+                arr = _np.frombuffer(bytes(line), dtype=_np.uint8)
+                line = bytearray(
+                    (
+                        _np.cumsum(
+                            arr.astype(_np.int64).reshape(
+                                width, channels
+                            ),
+                            axis=0,
+                        )
+                        & 0xFF
+                    ).astype(_np.uint8).tobytes()
+                )
+            else:
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
         elif ftype == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prev[x]) & 0xFF
+            if _np is not None and stride > 32:
+                # uint8 addition wraps — exactly the & 0xFF
+                line = bytearray(
+                    (
+                        _np.frombuffer(bytes(line), dtype=_np.uint8)
+                        + _np.frombuffer(bytes(prev), dtype=_np.uint8)
+                    ).tobytes()
+                )
+            else:
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
         elif ftype == 3:  # Average
             for x in range(stride):
                 left = line[x - channels] if x >= channels else 0
@@ -2281,6 +2307,15 @@ def resize_nearest(
     deterministic, codec-free core the resize operator runs between a
     real decode and a real (PNG) re-encode.  Source pixel for output
     (x, y) is (x * width // target_w, y * height // target_h)."""
+    if _np is not None:
+        # pure integer gather — the index arithmetic is the loop's
+        # exact floor-division formula, so output bytes are identical
+        src = _np.frombuffer(bytes(pixels), dtype=_np.uint8).reshape(
+            height, width, channels
+        )
+        ys = (_np.arange(target_h) * height) // target_h
+        xs = (_np.arange(target_w) * width) // target_w
+        return src[ys][:, xs].tobytes()
     out = bytearray(target_w * target_h * channels)
     for y in range(target_h):
         sy = y * height // target_h
