@@ -3945,8 +3945,35 @@ def _g711_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             f"G.711 data length {len(data)} is not a whole number of "
             f"{n_ch}-channel frames"
         )
-    pcm16 = struct.pack(f"<{len(data)}h", *(expand(b) for b in data))
+    if _np is not None:
+        # 256-entry LUT gather: every code maps to the same 16-bit
+        # value the scalar expansion computes (pinned exhaustively in
+        # tests vs audioop); '<i2' matches struct '<h' byte-for-byte.
+        # Real telephony blobs are megabytes — one sample per byte —
+        # so the per-sample Python call was the decode's entire cost.
+        pcm16 = _g711_lut(tag)[
+            _np.frombuffer(data, dtype=_np.uint8)
+        ].tobytes()
+    else:
+        pcm16 = struct.pack(
+            f"<{len(data)}h", *(expand(b) for b in data)
+        )
     return rate, n_ch, len(data) // n_ch, pcm16
+
+
+_G711_LUTS: dict = {}
+
+
+def _g711_lut(tag: int):
+    """<i2 numpy LUT for G.711 expansion (tag 7 mu-law, 6 A-law)."""
+    lut = _G711_LUTS.get(tag)
+    if lut is None:
+        expand = ulaw_to_lin16 if tag == 7 else alaw_to_lin16
+        lut = _np.array(
+            [expand(c) for c in range(256)], dtype="<i2"
+        )
+        _G711_LUTS[tag] = lut
+    return lut
 
 
 # ---------------------------------------------------------------------------
@@ -4202,6 +4229,20 @@ def _float_wav_decode_impl(blob: bytes) -> tuple[int, int, int, bytes]:
             f"of {n_ch}-channel 32-bit frames"
         )
     n = len(data) // 4
+
+    if _np is not None:
+        # vectorized to16: np.rint is round-half-even on the same
+        # float64 product Python round() sees (f32 -> f64 via astype
+        # == struct.unpack's widening), NaN reads as silence and
+        # +/-inf clamps to full scale via the same comparisons
+        f = _np.frombuffer(data, dtype="<f4").astype(_np.float64)
+        r = _np.rint(f * 32767.0)
+        r = _np.where(_np.isnan(f), 0.0, r)
+        r = _np.where(f >= 1.0, 32767.0, r)
+        r = _np.where(f <= -1.0, -32768.0, r)
+        pcm16 = r.astype("<i2").tobytes()
+        return rate, n_ch, n // n_ch, pcm16
+
     floats = struct.unpack(f"<{n}f", data)
 
     def to16(v):
