@@ -1336,3 +1336,32 @@ def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
     assert {(r.shard_id, r.doc_id, r.text) for r in out} == {
         (1, 1, "alpha"), (2, 2, "beta"), (3, 3, "gamma")
     }
+
+
+def test_jsonl_and_warc_shard_formats_agree(spark, sf_smoke):
+    """Cross-format invariant: the jsonl.gz and WARC packers cover the
+    same shard layout (floor(doc_id/8), doc_id order within shard), so
+    exploding either must recover the identical (shard_id, doc_id,
+    text) set — one oracle-checkable contract behind both container
+    framings."""
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(40)
+    via_jsonl = {
+        (r.shard_id, r.doc_id, r.text)
+        for r in mm.explode_jsonl_gz_shards(
+            mm.documents_as_jsonl_gz_shards(docs)
+        ).collect()
+    }
+    via_warc = {
+        (
+            r.shard_id,
+            int(r.record_id.split(":")[-1].rstrip(">")),
+            r.text,
+        )
+        for r in mm.explode_warc_shards(
+            mm.documents_as_warc_shards(docs)
+        ).collect()
+    }
+    assert via_jsonl == via_warc
+    assert len(via_jsonl) == 40
