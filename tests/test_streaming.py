@@ -2053,3 +2053,87 @@ def test_streamed_store_mmr_rerank_parity(spark, sf_smoke, tmp_path_factory):
         # the streamed duplicate (cosine 1.0 with its query) wins rank 1
         top = min(rows)
         assert top[1] == qid + max_id + 1
+
+
+def test_curation_pipeline_streaming_parity(spark, sf_smoke, tmp_path):
+    """The end-to-end curation entry's streaming twin: REAL jsonl.gz
+    shard FILES tailed by stream_jsonl_gz_dir, the fused gate's
+    map-side tiers (token quality, stopword lang-id) applied on the
+    stream, and the dedup-canonical tier as a streaming per-hash
+    min-struct aggregate (min over struct(doc_id, lang, n_tok) ==
+    the batch window's min-doc_id survivor, carrying the survivor's
+    lang/token count).  The final per-lang (n_docs_kept,
+    n_tokens_kept) must equal the batch curation_pipeline's — and
+    since the temperature-mixture scalars are a deterministic
+    function of exactly those numbers, plan parity follows."""
+    import gzip
+    import json
+
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions import multimodal as mm
+    from isaac_kafka_streaming_spark.extensions.dedup import _tokens
+    from isaac_kafka_streaming_spark.extensions.text import _STOPWORDS, _n_in
+    from isaac_kafka_streaming_spark.io import read_table
+    from isaac_kafka_streaming_spark.queries import all_queries
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    # batch side: the graded entry's per-lang numbers
+    batch = {
+        (r.lang): (r.n_docs_kept, r.n_tokens_kept)
+        for r in all_queries()["curation_pipeline"].fn(
+            spark, sf_smoke
+        ).collect()
+    }
+
+    # write REAL shard files from the same documents
+    docs = read_table(spark, sf_smoke, "documents")
+    d = tmp_path / "shards"
+    d.mkdir()
+    for row in mm.documents_as_jsonl_gz_shards(docs).collect():
+        (d / f"shard-{row.shard_id:05d}.jsonl.gz").write_bytes(
+            bytes(row.blob)
+        )
+
+    meta = read_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang"
+    )
+    stream = mm.stream_jsonl_gz_dir(spark, str(d)).select(
+        "doc_id", "text"
+    ).join(meta, "doc_id")
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    avg_len = F.round(
+        F.aggregate(
+            F.col("tokens"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / F.greatest(F.size("tokens"), F.lit(1)),
+        4,
+    )
+    gated = (
+        stream.withColumn("text_hash", norm_hash)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .filter(
+            (F.size("tokens") >= 5)
+            & avg_len.between(2, 15)
+            & (_n_in(F.col("tokens"), _STOPWORDS) > 0)
+        )
+        .select(
+            "text_hash",
+            F.struct(
+                "doc_id", "lang", F.size("tokens").alias("n_tok")
+            ).alias("s"),
+        )
+    )
+    # canonical tier: per-hash min struct (lexicographic by doc_id
+    # first == the batch window's min-doc_id survivor)
+    survivors = gated.groupBy("text_hash").agg(F.min("s").alias("s"))
+    final = run_to_memory(
+        survivors, "curation_stream", output_mode="complete"
+    )
+    got = {}
+    for r in final.collect():
+        n_docs, n_tok = got.get(r.s.lang, (0, 0))
+        got[r.s.lang] = (n_docs + 1, n_tok + r.s.n_tok)
+    assert got == batch
