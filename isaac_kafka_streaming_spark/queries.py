@@ -3193,31 +3193,26 @@ REGISTRY: dict[str, QueryDef] = {
 # written against, and is what the 50×3 = 150-entry ceiling below
 # always assumed.
 #
-# Round-14 window tiers (plan_window.py output, history through r13;
-# 146 live entries).  The round-13 window went fully green in
-# CORRECTNESS_r13.json (50/50 hash-checked), so the live freshness
-# distribution entering round 14 is {r13: 50, r12: 50, r11: 46}.
-#   T1: the 46 entries whose last green row is r11 — they fall out of
+# Round-15 window tiers (plan_window.py output, history through r14;
+# 148 live entries).  The round-14 window went fully green in
+# CORRECTNESS_r14.json (50/50 hash-checked), so the live freshness
+# distribution entering round 15 is {r14: 50, r13: 50, r12: 48}.
+#   T1: the 48 entries whose last green row is r12 — they fall out of
 #       the K=3 freshness span unless re-checked this round
-#       (invariant-REQUIRED; plan_window fronts them): the O7/P1/P6
-#       event block, props_k_stats/question_page_array, the
-#       tpch_q1/q3/q4/q6/q7/q10/q13/q14/q15/q16/q17/q22 block, the
-#       exact/normalized/cosine dedup tier, the r11 media block, and
-#       the selection/mixing cohort last checked r11.
-#   T2: 4 of the 50 entries last green in r12 (fill; they expire
-#       after round 15 otherwise — taking the expiring tier first
-#       keeps the must-check load spread).
-# The 96 parked entries are all green in r12 or r13, inside the K=3
-# freshness span through round 14.  Window is 46 T1 + 4 T2 with zero
-# T3 slack and only 4 displaceable fill slots: at most 2 net-new
-# registrations this round (capacity 146/150) and each displaces a
-# T2-fill entry per the swap discipline.  The two mid-round-14 T0
-# registrations (warc_shard_ingest — the length-delimited web-archive
-# container framing; curation_pipeline — the end-to-end shard-ingest
-# -> gate -> mixture composition) take the slots of the last two
-# T2-fill entries (daily_role_counts, daily_role_type_map —
-# r12-green; they become round-15 T1 must-checks), bringing the
-# registry to its 148/150 capacity.
+#       (invariant-REQUIRED; plan_window fronts them): the
+#       user_snapshot/enriched_events event block, tpch_q5/q18, the
+#       LSH/SimHash/SRP/semantic dedup tier, the graph family
+#       (pagerank/label_propagation/dedup_clusters), the r12 media
+#       block, the corpus split/contamination block, the knn family,
+#       and the text-analysis cohort last checked r12.
+#   T2: 2 of the 50 entries last green in r13 (fill; they expire
+#       after round 16 otherwise — taking the expiring tier first
+#       keeps the must-check load spread): last_seen, last_seen_map.
+# The 98 parked entries are all green in r13 or r14, inside the K=3
+# freshness span through round 15.  Window is 48 T1 + 2 T2 with zero
+# T3 slack and only 2 displaceable fill slots: at most 2 net-new
+# registrations this round (capacity 148/150), each displacing a
+# T2-fill entry per the swap discipline.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3239,60 +3234,58 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
-    # T0 — no green row yet (must-check) (2): registered mid-round-14
-    "warc_shard_ingest",
-    "curation_pipeline",
-    # T1 — last green r11 (invariant requires) (46)
-    "user_event_counts",
-    "anonymous_events",
-    "user_profiles",
-    "props_k_stats",
-    "question_page_array",
-    "purchasers_without_errors",
-    "daily_role_rollup",
-    "role_type_cube",
-    "tpch_q6",
-    "tpch_q14",
-    "tpch_q3",
-    "tpch_q1",
-    "revenue_by_nation",
-    "top_orders_per_segment",
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q7",
-    "tpch_q13",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q22",
-    "tpch_q16",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_embedding_cosine",
-    "prototype_prune",
-    "media_features",
-    "media_png_features",
-    "media_jpeg_features",
-    "media_gif_frames",
-    "media_wav_stats",
-    "media_frame_stats",
-    "overlap_chunk_plan",
-    "length_bucket_plan",
-    "soft_dedup_sample",
-    "stratified_topk_sample",
-    "epoch_shuffle",
-    "mixture_plan",
-    "dsir_select",
-    "doremi_mixture",
-    "mmr_rerank",
-    "embedding_quantize",
-    "bpe_pair_counts",
-    "char_entropy",
-    "corpus_curation",
-    "nb_quality_score",
-    # T2 — last green r12 (expires after round 15) (2 of 50; the other
-    # two T2 slots went to the T0 registrations above)
-    "event_type_counts",
-    "daily_event_counts",
+    # T1 — last green r12 (invariant requires) (48)
+    "daily_role_counts",
+    "daily_role_type_map",
+    "user_snapshot",
+    "enriched_events",
+    "customers_without_big_orders",
+    "tpch_q5",
+    "tpch_q18",
+    "session_transcripts",
+    "dedup_incoming",
+    "duplicate_passages",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh_md5",
+    "dedup_simhash_md5",
+    "dedup_clusters",
+    "dedup_semantic",
+    "dedup_embedding_srp",
+    "pagerank_pages",
+    "pagerank_personalized",
+    "label_propagation",
+    "media_ljpeg_features",
+    "media_pjpeg_features",
+    "media_avi_frames",
+    "media_tone_spectral",
+    "compressed_ingest",
+    "media_stft_bins",
+    "corpus_shards",
+    "concat_chunk_plan",
+    "corpus_split",
+    "split_contamination",
+    "ngram_contamination",
+    "decontaminate_exact",
+    "stratified_sample",
+    "embedding_centroids",
+    "knn_bruteforce",
+    "knn_ivf",
+    "kmeans_centroids",
+    "knn_quantized",
+    "embedding_label_stats",
+    "token_counts",
+    "text_quality",
+    "lang_id",
+    "doc_fingerprints",
+    "tfidf_top_terms",
+    "corpus_keep_list",
+    "repetition_metrics",
+    "pii_scrub",
+    "lang_source_rollup",
+    "selection_budget_curve",
+    # T2 — last green r13 (expires after round 16) (2 of 50)
+    "last_seen",
+    "last_seen_map",
 ]
 
 
