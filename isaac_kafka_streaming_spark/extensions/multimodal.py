@@ -131,8 +131,10 @@ def _spread_for_decode(docs: DataFrame, heavy: bool = True) -> DataFrame:
     provides the parallelism.
 
     ``heavy`` draws the measured cost line (same-session min-of-5 A/B
-    at sf0.1, SCALE_DESIGN.md rounds 13-14 — re-measured after the
-    round-14 per-doc codec speedups; heavy paths still win 1.8-3.2x): the exchange + 32-task
+    at sf0.1, SCALE_DESIGN.md rounds 13-15 — re-measured after the
+    round-14 per-doc codec speedups; heavy paths still win 1.6-3.0x,
+    and the cheap-tier wav path re-confirmed 1.7x faster WITHOUT the
+    spread in the round-15 refresh): the exchange + 32-task
     Python fan-out costs ~0.3-0.5 s, so it pays only where per-doc
     codec CPU dominates — T.81 Huffman+IDCT (all JPEG families, the
     MJPEG containers), GIF LZW, FFT/STFT synthesis+analysis: 2-4.5x
