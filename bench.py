@@ -156,6 +156,10 @@ HEADLINE = [
     # the end-to-end ingest->gate->mixture composition
     "warc_shard_ingest",
     "curation_pipeline",
+    # round 15 additions: the per-sample IMA-ADPCM roundtrip and the
+    # WARC-framed curation twin
+    "media_adpcm_roundtrip",
+    "warc_curation_pipeline",
 ]
 
 

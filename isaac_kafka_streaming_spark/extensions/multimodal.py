@@ -1459,6 +1459,50 @@ def documents_as_companded_media(docs: DataFrame) -> DataFrame:
     return _spread_for_decode(docs, heavy=False).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
+def documents_as_adpcm_media(docs: DataFrame) -> DataFrame:
+    """Adapter: each document becomes a REAL IMA ADPCM WAV (tag 0x11,
+    MS block framing) compressing the 32 16-bit samples
+    v_k = (digest[k] - 128) * 256.  Unlike the G.711/float codings
+    there is no idempotent lattice to hide behind: ADPCM is genuinely
+    lossy and STATEFUL — decoded sample k is the encoder's predictor
+    after step k, a function of every prior sample — so the analytic
+    oracle replays the whole (predictor, step-index) state machine as
+    a recursive CTE over the digest bytes (the dedup_clusters
+    transitive-closure recipe applied to a codec).  Decoded sample 0
+    is the block-header predictor, stored verbatim."""
+    _ship_codecs_by_value()
+    from .codecs import adpcm_wav_encode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _s
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                digest = hashlib.sha256(raw).digest()
+                pcm = _s.pack("<32h", *((b - 128) * 256 for b in digest))
+                rows.append(
+                    (
+                        doc_id,
+                        "audio",
+                        adpcm_wav_encode(pcm, sample_rate=8000),
+                        {
+                            "n_bytes": len(raw),
+                            "mime": "audio/wav",
+                            "source": "adpcm",
+                        },
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "blob", "meta"]
+            )
+
+    return _spread_for_decode(docs, heavy=False).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 AUDIO_SAMPLES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -1919,6 +1963,22 @@ def media_codec_roundtrip(spark, sf_dir: str) -> DataFrame:
     return extract_audio_samples(documents_as_companded_media(docs))
 
 
+def media_adpcm_roundtrip(spark, sf_dir: str) -> DataFrame:
+    """X5 — the IMA ADPCM coding graded end-to-end per decoded
+    sample: documents rendered as real tag-0x11 WAVs
+    (documents_as_adpcm_media), decoded by wav_decode_any's
+    per-nibble predictor, every 16-bit sample emitted as its own
+    graded row.  The DuckDB oracle replays the encoder's
+    (predictor, step-index) recursion over the digest bytes — a full
+    IMA ADPCM codec in SQL — closing the last audio coding that was
+    probe-timed but never driver-hashed (round-14 probe:
+    ~1 us/sample, the one justified sequential loop)."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    return extract_audio_samples(documents_as_adpcm_media(docs))
+
+
 def jsonl_shard_ingest(spark, sf_dir: str) -> DataFrame:
     """X5 — multi-document compressed-shard ingestion on a graded
     path: documents packed 8-per-shard into REAL jsonl.gz blobs
@@ -1998,16 +2058,54 @@ def curation_pipeline(spark, sf_dir: str) -> DataFrame:
     to temperature_mixture's audited plan.  per_lang is cached so the
     scalar chain (totals -> wsum -> budget) does not re-run the
     corpus lineage."""
-    from pyspark.sql import Window
-
     from ..io import read_table
-    from .dedup import _tokens
-    from .text import _STOPWORDS, _n_in
 
     docs = read_table(spark, sf_dir, "documents")
     ingested = explode_jsonl_gz_shards(
         documents_as_jsonl_gz_shards(docs)
     ).select("doc_id", "text")
+    return _curate_and_mix(ingested, docs)
+
+
+def warc_curation_pipeline(spark, sf_dir: str) -> DataFrame:
+    """The curation_pipeline composition over the OTHER container
+    framing: documents packed into real per-record-gzip .warc.gz
+    shards (documents_as_warc_shards), record-parsed back with doc_id
+    recovered from the WARC-Record-ID urn, then the IDENTICAL
+    downstream — metadata join, fused gate, temperature mixture
+    (_curate_and_mix, shared with curation_pipeline by construction).
+    Round 14 pinned jsonl-vs-WARC row equality at the INGEST level
+    (tests/test_multimodal.py); this entry makes the driver hash the
+    full WARC -> gate -> mixture composition, so a framing bug that
+    corrupts text in a way the per-record md5 row happens to miss
+    (e.g. in records that never reach the graded 500-doc window)
+    still has to reproduce the exact survivor shares.  The oracle is
+    the same analytic recompute as curation_pipeline's — the entries
+    differ ONLY in the Spark-side container coding under test, which
+    is exactly the point."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    ingested = explode_warc_shards(documents_as_warc_shards(docs)).select(
+        F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+    )
+    return _curate_and_mix(ingested, docs)
+
+
+def _curate_and_mix(ingested: DataFrame, docs: DataFrame) -> DataFrame:
+    """The shared curation downstream: metadata join -> fused gate
+    (token-count/length quality, stopword lang-id, normalized-hash
+    canonical) -> alpha=0.7 temperature mixture over the survivors.
+    ``ingested``: (doc_id, text) as recovered from a shard coding;
+    ``docs``: the metadata table."""
+    from pyspark.sql import Window
+
+    from .dedup import _tokens
+    from .text import _STOPWORDS, _n_in
+
     joined = ingested.join(docs.select("doc_id", "lang"), "doc_id")
     norm_hash = F.sha2(
         F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
@@ -2124,8 +2222,73 @@ def _curation_stop_list() -> str:
     return ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
+def _curation_oracle_sql() -> str:
+    """The analytic recompute of the curation composition, shared by
+    curation_pipeline (jsonl.gz framing) and warc_curation_pipeline
+    (WARC framing): both Spark paths must round-trip text byte-exactly
+    through their shard coding to reproduce these survivor shares —
+    the framing under test is the only difference between the two
+    graded entries."""
+    return f"""
+            WITH d AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
+                       MIN(doc_id) OVER (PARTITION BY
+                           sha256(TRIM(regexp_replace(lower(text), '\\s+',
+                                       ' ', 'g')))) AS canon
+                FROM documents
+            ), kept AS (
+                SELECT lang, len(tokens) AS n_tok
+                FROM d
+                WHERE len(tokens) >= 5
+                  AND ROUND(COALESCE(list_sum(list_transform(tokens,
+                          t -> length(t))), 0)
+                      / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15
+                  AND len(list_filter(tokens,
+                          t -> t IN ({_curation_stop_list()}))) > 0
+                  AND doc_id = canon
+            ), per_lang AS (
+                SELECT lang, COUNT(*) AS n_docs_kept,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
+                FROM kept GROUP BY lang
+            ), t AS (
+                SELECT SUM(n_tokens_kept) AS total_tokens FROM per_lang
+            ), weighted AS (
+                SELECT lang, n_docs_kept, n_tokens_kept,
+                       n_tokens_kept / total_tokens AS nat_share,
+                       POW(n_tokens_kept / total_tokens, 0.7) AS w
+                FROM per_lang CROSS JOIN t
+            ), ws AS (
+                SELECT SUM(w) AS wsum FROM weighted
+            ), planned AS (
+                SELECT lang, n_docs_kept, n_tokens_kept, nat_share,
+                       w / wsum AS target_share
+                FROM weighted CROSS JOIN ws
+            ), b AS (
+                SELECT MIN(n_tokens_kept / target_share) AS budget
+                FROM planned
+            )
+            SELECT lang, n_docs_kept, n_tokens_kept,
+                   ROUND(nat_share, 6) AS nat_share,
+                   ROUND(target_share, 6) AS target_share,
+                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
+                               target_share * budget / n_tokens_kept), 6)
+                       AS keep_frac,
+                   ROUND(target_share * budget, 2) AS expected_tokens
+            FROM planned CROSS JOIN b
+            """
+
+
 def register() -> dict:
     from ..queries import QueryDef
+
+    # the IMA step table as a SQL list literal, for the ADPCM oracle
+    # (codecs._IMA_STEPS, the canonical 89 entries — single source of
+    # truth with the Spark-side decoder)
+    from .codecs import _IMA_STEPS
+
+    _IMA_STEP_SQL = "[" + ", ".join(str(s) for s in _IMA_STEPS) + "]"
 
     # hex digit -> int, for reading sha256 digest bytes in ANSI SQL
     def _hexbyte(pos: int) -> str:
@@ -2392,58 +2555,20 @@ def register() -> dict:
         ),
         "curation_pipeline": QueryDef(
             curation_pipeline,
-            f"""
-            WITH d AS (
-                SELECT doc_id, lang,
-                       list_filter(regexp_split_to_array(lower(text),
-                           '[^a-z0-9]+'), t -> t <> '') AS tokens,
-                       MIN(doc_id) OVER (PARTITION BY
-                           sha256(TRIM(regexp_replace(lower(text), '\\s+',
-                                       ' ', 'g')))) AS canon
-                FROM documents
-            ), kept AS (
-                SELECT lang, len(tokens) AS n_tok
-                FROM d
-                WHERE len(tokens) >= 5
-                  AND ROUND(COALESCE(list_sum(list_transform(tokens,
-                          t -> length(t))), 0)
-                      / GREATEST(len(tokens), 1), 4) BETWEEN 2 AND 15
-                  AND len(list_filter(tokens,
-                          t -> t IN ({_curation_stop_list()}))) > 0
-                  AND doc_id = canon
-            ), per_lang AS (
-                SELECT lang, COUNT(*) AS n_docs_kept,
-                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens_kept
-                FROM kept GROUP BY lang
-            ), t AS (
-                SELECT SUM(n_tokens_kept) AS total_tokens FROM per_lang
-            ), weighted AS (
-                SELECT lang, n_docs_kept, n_tokens_kept,
-                       n_tokens_kept / total_tokens AS nat_share,
-                       POW(n_tokens_kept / total_tokens, 0.7) AS w
-                FROM per_lang CROSS JOIN t
-            ), ws AS (
-                SELECT SUM(w) AS wsum FROM weighted
-            ), planned AS (
-                SELECT lang, n_docs_kept, n_tokens_kept, nat_share,
-                       w / wsum AS target_share
-                FROM weighted CROSS JOIN ws
-            ), b AS (
-                SELECT MIN(n_tokens_kept / target_share) AS budget
-                FROM planned
-            )
-            SELECT lang, n_docs_kept, n_tokens_kept,
-                   ROUND(nat_share, 6) AS nat_share,
-                   ROUND(target_share, 6) AS target_share,
-                   ROUND(LEAST(CAST(1.0 AS DOUBLE),
-                               target_share * budget / n_tokens_kept), 6)
-                       AS keep_frac,
-                   ROUND(target_share * budget, 2) AS expected_tokens
-            FROM planned CROSS JOIN b
-            """,
+            _curation_oracle_sql(),
             "end-to-end curation: jsonl.gz shard ingest -> metadata "
             "join -> fused gate (quality+lang+canonical) -> "
             "temperature mixture over survivors",
+        ),
+        "warc_curation_pipeline": QueryDef(
+            warc_curation_pipeline,
+            # the SAME analytic recompute: the two pipeline entries
+            # differ only in the container coding the Spark side must
+            # round-trip byte-exactly to reproduce these shares
+            _curation_oracle_sql(),
+            "the curation composition over WARC record framing "
+            "(shard ingest -> gate -> mixture; doc_id recovered from "
+            "the WARC-Record-ID urn)",
         ),
         "media_codec_roundtrip": QueryDef(
             media_codec_roundtrip,
@@ -2498,6 +2623,68 @@ def register() -> dict:
             "X5 G.711 mu/A-law + IEEE-float WAV codings graded "
             "end-to-end per decoded sample (analytic ITU expansion "
             "oracle on the idempotent companding lattice)",
+        ),
+        "media_adpcm_roundtrip": QueryDef(
+            media_adpcm_roundtrip,
+            # full IMA ADPCM codec replayed in SQL: decoded sample k
+            # is the encoder's predictor after step k (the encoder and
+            # decoder share the state transitions), so a recursive CTE
+            # carrying (pred, idx) over the digest-byte samples — with
+            # the 89-entry step table and the nibble threshold logic
+            # inlined — reproduces every decoded 16-bit value exactly
+            # (prototype-pinned 0 mismatches over 16k samples before
+            # registration).  Sample 0 is the block header predictor.
+            f"""
+            WITH RECURSIVE h AS (
+                SELECT doc_id AS media_id, sha256(text) AS hash
+                FROM documents
+            ), b AS (
+                SELECT media_id, CAST(i AS INTEGER) AS k,
+                       (((position(substr(hash, CAST(2 * i + 1 AS INTEGER),
+                                          1) IN '0123456789abcdef') - 1) * 16
+                         + (position(substr(hash, CAST(2 * i + 2 AS INTEGER),
+                                            1) IN '0123456789abcdef') - 1))
+                        - 128) * 256 AS v
+                FROM (SELECT media_id, hash, UNNEST(range(32)) AS i FROM h)
+            ), st AS (
+                SELECT media_id, CAST(0 AS INTEGER) AS k, v AS pred,
+                       0 AS idx
+                FROM b WHERE k = 0
+                UNION ALL
+                SELECT media_id, k, pred2 AS pred, idx2 AS idx FROM (
+                    SELECT s.media_id, s.k,
+                           list_extract({_IMA_STEP_SQL}, st.idx + 1)
+                               AS step,
+                           s.v - st.pred AS d0,
+                           CASE WHEN d0 < 0 THEN 1 ELSE 0 END AS sgn,
+                           abs(d0) AS ad0,
+                           CASE WHEN ad0 >= step THEN 1 ELSE 0 END AS b4,
+                           ad0 - b4 * step AS ad1,
+                           CASE WHEN ad1 >= step // 2 THEN 1 ELSE 0 END
+                               AS b2,
+                           ad1 - b2 * (step // 2) AS ad2,
+                           CASE WHEN ad2 >= step // 4 THEN 1 ELSE 0 END
+                               AS b1,
+                           (step // 8) + b1 * (step // 4)
+                               + b2 * (step // 2) + b4 * step AS dd,
+                           GREATEST(-32768, LEAST(32767,
+                               st.pred + CASE WHEN sgn = 1
+                                              THEN -dd ELSE dd END))
+                               AS pred2,
+                           GREATEST(0, LEAST(88, st.idx + list_extract(
+                               [-1, -1, -1, -1, 2, 4, 6, 8],
+                               b4 * 4 + b2 * 2 + b1 + 1))) AS idx2
+                    FROM st JOIN b s
+                      ON s.media_id = st.media_id AND s.k = st.k + 1
+                )
+            )
+            SELECT media_id, 'adpcm' AS coding, k AS sample_no,
+                   CAST(pred AS INTEGER) AS value
+            FROM st
+            """,
+            "X5 IMA ADPCM WAV coding graded end-to-end per decoded "
+            "sample (the lossy stateful predictor replayed as a "
+            "recursive-CTE codec in SQL)",
         ),
         "media_stft_bins": QueryDef(
             media_stft_bins,

@@ -3212,7 +3212,15 @@ REGISTRY: dict[str, QueryDef] = {
 # freshness span through round 15.  Window is 48 T1 + 2 T2 with zero
 # T3 slack and only 2 displaceable fill slots: at most 2 net-new
 # registrations this round (capacity 148/150), each displacing a
-# T2-fill entry per the swap discipline.
+# T2-fill entry per the swap discipline.  The two mid-round-15 T0
+# registrations (media_adpcm_roundtrip — the lossy stateful IMA
+# predictor hash-graded per sample via a recursive-CTE SQL codec;
+# warc_curation_pipeline — the WARC-framed twin of the end-to-end
+# curation composition) take the slots of the two T2-fill entries
+# (last_seen, last_seen_map — r13-green; they become round-16 T1
+# must-checks), bringing the registry to its 150/150 capacity
+# ceiling: NO further registration is possible without a
+# retire-or-merge first.
 #
 # CAPACITY NOTE: the K=3 freshness invariant admits at most 50 x 3 =
 # 150 registry entries under perfect disjoint rotation.  At 135 live
@@ -3234,6 +3242,9 @@ REGISTRY: dict[str, QueryDef] = {
 # 50-wide wave with zero slack.  plan_window.py encodes this; use it,
 # don't hand-roll the window.
 _DRIVER_CHECK_ORDER = [
+    # T0 — no green row yet (must-check) (2): registered mid-round-15
+    "media_adpcm_roundtrip",
+    "warc_curation_pipeline",
     # T1 — last green r12 (invariant requires) (48)
     "daily_role_counts",
     "daily_role_type_map",
@@ -3283,9 +3294,6 @@ _DRIVER_CHECK_ORDER = [
     "pii_scrub",
     "lang_source_rollup",
     "selection_budget_curve",
-    # T2 — last green r13 (expires after round 16) (2 of 50)
-    "last_seen",
-    "last_seen_map",
 ]
 
 

@@ -67,6 +67,8 @@ CARTESIAN_OK = {
     #   (non-equi >= join) + 1-row positives-total scalar
     "curation_pipeline",  # temperature_mixture's scalar chain over
     #   the curated survivors (totals/wsum/budget 1-row broadcasts)
+    "warc_curation_pipeline",  # the same shared scalar chain
+    #   (_curate_and_mix) over the WARC-framed ingest
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
