@@ -1107,6 +1107,18 @@ def bpe_learn(
     )
     # split("(?!^)") matches the end-of-string position too, leaving a
     # trailing "" element — filter it or every word gains a ghost symbol
+    #
+    # .cache() per round (including round 0 here): round r's
+    # symbolization is referenced TWICE — by round r+1's pair-count
+    # aggregate (which feeds that round's broadcast top-pair) and by
+    # the continuing rewrite chain — and without a cache Catalyst
+    # plans the two references as separate copies whose pushed-down
+    # parent predicates differ, so ReuseExchange never fires and
+    # round 3's aggregate re-executes rounds 1-2's greedy rewrites
+    # from scratch (round-15 plan census: 23 hash exchanges, 8 cache
+    # scans, ZERO reuse; 14 exchanges and half the stage-jobs after).
+    # Every cached frame is the vocab histogram — O(|vocab|) rows,
+    # the same bounded artifact the words.cache() above holds.
     seq = words.withColumn(
         "syms",
         F.array_join(
@@ -1115,7 +1127,7 @@ def bpe_learn(
             ),
             " ",
         ),
-    )
+    ).cache()
     for r in range(1, rounds + 1):
         arr = F.split(F.col("syms"), " ")
         pairs = (
@@ -1165,7 +1177,7 @@ def bpe_learn(
                     .otherwise(F.concat(acc, F.lit(" "), x))
                 ),
             ),
-        )
+        ).cache()
     return seq.select(
         "word",
         "freq",
