@@ -564,15 +564,29 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("__c").desc(), F.col("cell_id")
-        )
+        # argmax as a partial-aggregating max(struct) — the same
+        # (cosine DESC, cell_id ASC) rule the old row_number window
+        # encoded (max of (c, -cell_id) is lexicographically that
+        # order; the payload field is never compared because cell_id
+        # is unique per candidate), but the exchange now carries
+        # map-side-combined rows instead of the k-expanded corpus and
+        # needs no sort (round-15: byte-identical at sf0.1, -20% wall)
         assigned = (
             emb.join(F.broadcast(cents), how="cross")
             .withColumn("__c", cos)
-            .withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("cell_id", "v")
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("cell_id")).alias("nc"),
+                        F.col("v").alias("vv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                (-F.col("m.nc")).alias("cell_id"), F.col("m.vv").alias("v")
+            )
         )
         means = (
             assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
@@ -856,16 +870,30 @@ def _pq_subvectors(
 
 def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """Encode: per (vec_id, sub_id), the L2-argmin code with code_id
-    tie-break against the broadcast codebook."""
-    w_asg = Window.partitionBy("vec_id", "sub_id").orderBy(
-        F.col("__d"), F.col("code_id")
-    )
+    tie-break against the broadcast codebook — a partial-aggregating
+    min(struct) (the (distance ASC, code_id ASC) rule; the sv payload
+    is never compared because code_id is unique per candidate), so
+    the exchange carries map-side-combined rows instead of the
+    ksub-expanded subvector table and needs no sort."""
     return (
         sub.join(F.broadcast(codebook), "sub_id")
         .withColumn("__d", _pq_l2("sv", "cv"))
-        .withColumn("__r", F.row_number().over(w_asg))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", "sub_id", "code_id", "sv")
+        .groupBy("vec_id", "sub_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("__d").alias("d"),
+                    F.col("code_id").alias("code_id"),
+                    F.col("sv").alias("sv"),
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            "sub_id",
+            F.col("m.code_id").alias("code_id"),
+            F.col("m.sv").alias("sv"),
+        )
     )
 
 
@@ -1094,17 +1122,36 @@ def _nearest_cell(df: DataFrame, centroids: DataFrame) -> DataFrame:
     rule build_ivf_index and append_to_ivf_index apply.  ``df``:
     (vec_id, v, norm, ...); ``centroids``: (cell_id, cv, cnorm).
     Output: the input columns + cell_id + cv (the winning centroid,
-    kept so callers can form residuals without a re-join)."""
+    kept so callers can form residuals without a re-join).
+
+    Argmax as a partial-aggregating max(struct): (cosine DESC,
+    cell_id ASC) is max of (c, -cell_id); the payload fields (the
+    winning centroid and the input's own columns, constant across a
+    vec_id's candidate rows) are never compared because cell_id is
+    unique per candidate.  The exchange carries map-side-combined
+    rows instead of the |centroids|-expanded input and needs no
+    sort."""
     cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__c").desc(), F.col("cell_id")
-    )
+    payload = [c for c in df.columns if c != "vec_id"]
+    m = F.max(
+        F.struct(
+            F.col("__c").alias("c"),
+            (-F.col("cell_id")).alias("nc"),
+            F.col("cv").alias("cv"),
+            *[F.col(c).alias(f"p_{c}") for c in payload],
+        )
+    ).alias("m")
     return (
         df.join(F.broadcast(centroids), how="cross")
         .withColumn("__c", cos)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__c", "__r", "cnorm")
+        .groupBy("vec_id")
+        .agg(m)
+        .select(
+            "vec_id",
+            *[F.col(f"m.p_{c}").alias(c) for c in payload],
+            (-F.col("m.nc")).alias("cell_id"),
+            F.col("m.cv").alias("cv"),
+        )
     )
 
 
