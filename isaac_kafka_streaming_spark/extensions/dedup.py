@@ -614,16 +614,25 @@ def _incoming_probe_best_match(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    w = Window.partitionBy("doc_new").orderBy(
-        F.col("jaccard").desc(), F.col("doc_ref")
-    )
+    # best-match argmax as a partial-aggregating max(struct) — the
+    # (jaccard DESC, doc_ref ASC) rule as max of (jaccard, -doc_ref);
+    # map-side combine instead of a window exchange + sort over the
+    # candidate-pair frame (round-15, same rewrite as the similarity
+    # family's _nearest_cell)
     return (
-        verified.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        verified.groupBy("doc_new")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard").alias("j"),
+                    (-F.col("doc_ref")).alias("nr"),
+                )
+            ).alias("m")
+        )
         .select(
             F.col("doc_new").alias("doc_id"),
-            F.col("doc_ref").alias("near_dup_of"),
-            "jaccard",
+            (-F.col("m.nr")).alias("near_dup_of"),
+            F.col("m.j").alias("jaccard"),
         )
     )
 
@@ -1609,20 +1618,32 @@ def _cell_assignment(
         F.col("norm").alias("cnorm"),
     )
     ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("__ccos").desc(), F.col("cell_id")
-    )
+    # centroid-assignment argmax as a partial-aggregating max(struct)
+    # — (cosine DESC, cell_id ASC) as max of (ccos, -cell_id); the
+    # v/norm payload fields are never compared (cell_id unique per
+    # candidate), and the exchange carries map-side-combined rows
+    # instead of the |centroids|-expanded corpus (round-15, the
+    # similarity-family rewrite)
     out = (
         corpus.join(F.broadcast(centroids), how="cross")
         .withColumn("__ccos", ccos)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("__ccos").alias("c"),
+                    (-F.col("cell_id")).alias("nc"),
+                    F.col("v").alias("vv"),
+                    F.col("norm").alias("nn"),
+                )
+            ).alias("m")
+        )
         .select(
             "vec_id",
-            "v",
-            "norm",
-            "cell_id",
-            F.round(F.col("__ccos"), 6).alias("centroid_cos"),
+            F.col("m.vv").alias("v"),
+            F.col("m.nn").alias("norm"),
+            (-F.col("m.nc")).alias("cell_id"),
+            F.round(F.col("m.c"), 6).alias("centroid_cos"),
         )
     )
     return out.cache() if cache else out

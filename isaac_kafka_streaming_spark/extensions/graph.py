@@ -631,19 +631,25 @@ def label_propagation_from_graph(
     )
     nodes = nodes.localCheckpoint()
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
-    w_best = Window.partitionBy("page_id").orderBy(
-        F.col("s").desc(), F.col("nlbl")
-    )
     for _ in range(iters):
         votes = (
             lbl.join(und, lbl.page_id == und.src)
             .groupBy(F.col("dst").alias("page_id"), F.col("lbl").alias("nlbl"))
             .agg(F.sum("w").alias("s"))
         )
+        # argmax vote as a partial-aggregating max(struct) — the
+        # (weight DESC, label ASC) rule as max of (s, -nlbl); one
+        # map-side-combinable exchange instead of a window re-shuffle
+        # + sort of the catalog x labels vote frame every round
+        # (round-15, the similarity-family rewrite)
         best = (
-            votes.withColumn("__r", F.row_number().over(w_best))
-            .filter(F.col("__r") == 1)
-            .select("page_id", F.col("nlbl").alias("best_lbl"))
+            votes.groupBy("page_id")
+            .agg(
+                F.max(
+                    F.struct(F.col("s").alias("s"), (-F.col("nlbl")).alias("nl"))
+                ).alias("m")
+            )
+            .select("page_id", (-F.col("m.nl")).alias("best_lbl"))
         )
         lbl = (
             nodes.join(lbl, "page_id")
