@@ -2137,3 +2137,82 @@ def test_curation_pipeline_streaming_parity(spark, sf_smoke, tmp_path):
         n_docs, n_tok = got.get(r.s.lang, (0, 0))
         got[r.s.lang] = (n_docs + 1, n_tok + r.s.n_tok)
     assert got == batch
+
+
+def test_warc_curation_pipeline_streaming_parity(spark, sf_smoke, tmp_path):
+    """The WARC-framed curation entry's streaming twin: REAL .warc.gz
+    shard FILES tailed by stream_warc_dir, doc_id recovered from the
+    WARC-Record-ID urn exactly as the graded warc_curation_pipeline
+    does, then the same gate tiers + per-hash min-struct survivor
+    state as the jsonl twin above.  The final per-lang (n_docs_kept,
+    n_tokens_kept) must equal the batch entry's — the mixture scalars
+    are a deterministic function of exactly those numbers."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions import multimodal as mm
+    from isaac_kafka_streaming_spark.extensions.dedup import _tokens
+    from isaac_kafka_streaming_spark.extensions.text import _STOPWORDS, _n_in
+    from isaac_kafka_streaming_spark.io import read_table
+    from isaac_kafka_streaming_spark.queries import all_queries
+    from isaac_kafka_streaming_spark.streaming.topology import run_to_memory
+
+    batch = {
+        (r.lang): (r.n_docs_kept, r.n_tokens_kept)
+        for r in all_queries()["warc_curation_pipeline"].fn(
+            spark, sf_smoke
+        ).collect()
+    }
+
+    docs = read_table(spark, sf_smoke, "documents")
+    d = tmp_path / "warc_shards"
+    d.mkdir()
+    for row in mm.documents_as_warc_shards(docs).collect():
+        (d / f"shard-{row.shard_id:05d}.warc.gz").write_bytes(
+            bytes(row.blob)
+        )
+
+    meta = docs.select("doc_id", "lang")
+    stream = (
+        mm.stream_warc_dir(spark, str(d))
+        .select(
+            F.regexp_extract("record_id", r"<urn:doc:(\d+)>", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "text",
+        )
+        .join(meta, "doc_id")
+    )
+    norm_hash = F.sha2(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), 256
+    )
+    avg_len = F.round(
+        F.aggregate(
+            F.col("tokens"), F.lit(0.0), lambda acc, t: acc + F.length(t)
+        )
+        / F.greatest(F.size("tokens"), F.lit(1)),
+        4,
+    )
+    gated = (
+        stream.withColumn("text_hash", norm_hash)
+        .withColumn("tokens", _tokens(F.col("text")))
+        .filter(
+            (F.size("tokens") >= 5)
+            & avg_len.between(2, 15)
+            & (_n_in(F.col("tokens"), _STOPWORDS) > 0)
+        )
+        .select(
+            "text_hash",
+            F.struct(
+                "doc_id", "lang", F.size("tokens").alias("n_tok")
+            ).alias("s"),
+        )
+    )
+    survivors = gated.groupBy("text_hash").agg(F.min("s").alias("s"))
+    final = run_to_memory(
+        survivors, "warc_curation_stream", output_mode="complete"
+    )
+    got = {}
+    for r in final.collect():
+        n_docs, n_tok = got.get(r.s.lang, (0, 0))
+        got[r.s.lang] = (n_docs + 1, n_tok + r.s.n_tok)
+    assert got == batch
