@@ -185,8 +185,13 @@ def pagerank_from_graph(
     (page_id), ``edges``: (src, dst, w double) — shared by the graded
     batch entry and the streaming read-time composition
     (pagerank_from_stores), so both rank EXACTLY the same way."""
-    edges = edges.localCheckpoint()
-    nodes = nodes.localCheckpoint()
+    # LAZY setup checkpoints (the round-15 CC fusion): nodes is
+    # materialized by the |V| count on the next line, edges by the
+    # eager ranked_nodes checkpoint job below (its outw aggregate
+    # computes through edges) — two setup jobs instead of four; the
+    # loop then reads both from their checkpointed partitions
+    edges = edges.localCheckpoint(eager=False)
+    nodes = nodes.localCheckpoint(eager=False)
     n = nodes.count()  # |V|: page-catalog-sized, drives only literals
     if n == 0:
         # 1.0/n below would raise ZeroDivisionError with a confusing
@@ -433,7 +438,9 @@ def ppr_from_graph(
     nowhere to land otherwise (the matching DuckDB oracle divides by
     |S| too), so an empty seed set is rejected loudly rather than
     surfacing as a mid-plan ZeroDivisionError."""
-    edges = edges.localCheckpoint()
+    # LAZY: materialized by the eager ranked_nodes checkpoint job
+    # below (the round-15 CC fusion)
+    edges = edges.localCheckpoint(eager=False)
     s = seeds.count()  # |S|: seed-slice-sized, drives only literals
     if s == 0:
         raise ValueError(
@@ -616,6 +623,10 @@ def label_propagation_from_graph(
     by the graded batch entry and the streaming read-time composition
     (lp_from_stores).  ``edges``: the DIRECTED (src, dst, w) list;
     the undirected view is built here."""
+    # LAZY setup checkpoints (the round-15 CC fusion): both are
+    # materialized by round 1's eager lbl checkpoint job, which
+    # computes through them; rounds 2+ read the checkpointed
+    # partitions
     und = (
         edges.select("src", "dst", "w")
         .unionByName(
@@ -627,9 +638,9 @@ def label_propagation_from_graph(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    nodes = nodes.localCheckpoint()
+    nodes = nodes.localCheckpoint(eager=False)
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
     for _ in range(iters):
         votes = (
