@@ -1164,62 +1164,43 @@ def test_ivf_cells_compaction_probe_identical(
     assert after == before
 
 
-def test_ivf_probe_heals_compaction_crash_every_point(
-    spark, sf_smoke, tmp_path_factory
+def _sweep_probe_heals(
+    spark,
+    tmp_path_factory,
+    tag,
+    base,
+    subdir,
+    append_batch,
+    probe,
+    every_point_lifecycle=True,
 ):
     """Probe-side crash lattice (round-15, extending the writer-side
-    test_compaction_crash_sweep_every_point): crash an IVF cells
+    test_compaction_crash_sweep_every_point): crash an index
     compaction at EVERY filesystem-operation index, then — with no
     manual recovery call — run the actual indexed probe.  The probe's
-    own heal-on-read (knn_ivf_indexed -> recover_compaction,
-    similarity.py) must return bit-identical neighbors at every crash
-    point: no double-counted row from the post-commit input+output
+    own heal-on-read (recover_compaction at the top of each indexed
+    probe) must return bit-identical neighbors at every crash point:
+    no double-counted row from the post-commit input+output
     coexistence state, no lost cell from a pre-commit staging orphan.
     After each heal the lifecycle must CONTINUE exactly-once: a fresh
     append + a clean compaction + a re-probe land on the same
-    expected rows every time."""
+    expected rows every time.  ``append_batch(path, offset)`` appends
+    one deterministic batch; ``probe(path)`` returns sorted result
+    tuples."""
     import os
     import shutil
 
     from isaac_kafka_streaming_spark.extensions.similarity import (
-        append_to_ivf_index,
         compact_index_codes,
     )
-
-    emb = read_table(spark, sf_smoke, "embeddings")
-    max_id = emb.agg(F.max("vec_id")).first()[0]
-
-    def make_append(offset):
-        return emb.filter(F.col("vec_id") == 1).select(
-            (F.col("vec_id") + F.lit(max_id + offset)).cast("long")
-            .alias("vec_id"),
-            "label",
-            "embedding",
-        )
-
-    # one pristine index, appended twice so compaction has real work;
-    # every crash point starts from a cheap copytree of this state
-    base = str(tmp_path_factory.mktemp("ivf_probe_crash") / "base")
-    build_ivf_index(spark, sf_smoke, base, n_cells=N_CELLS)
-    for i in (1, 2):
-        append_to_ivf_index(spark, base, make_append(i))
-
-    q = _queries(spark, sf_smoke, n=3)
-
-    def probe(path):
-        return sorted(
-            tuple(r)
-            for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2)
-            .collect()
-        )
 
     want = probe(base)
     # the post-heal lifecycle expectation, computed once on a clean
     # copy: append batch 3, compact cleanly, probe
-    ref = str(tmp_path_factory.mktemp("ivf_probe_crash") / "ref")
+    ref = str(tmp_path_factory.mktemp(f"{tag}_probe_crash") / "ref")
     shutil.copytree(base, ref)
-    append_to_ivf_index(spark, ref, make_append(3))
-    assert not compact_index_codes(spark, ref, data_subdir="cells")[
+    append_batch(ref, 3)
+    assert not compact_index_codes(spark, ref, data_subdir=subdir)[
         "skipped"
     ]
     want_after = probe(ref)
@@ -1231,7 +1212,7 @@ def test_ivf_probe_heals_compaction_crash_every_point(
     point = 0
     while True:
         path = str(
-            tmp_path_factory.mktemp(f"ivf_probe_crash_{point}") / "index"
+            tmp_path_factory.mktemp(f"{tag}_probe_crash_{point}") / "index"
         )
         shutil.copytree(base, path)
         budget = [point]
@@ -1249,7 +1230,7 @@ def test_ivf_probe_heals_compaction_crash_every_point(
 
         os.replace, os.remove = counting(real_replace), counting(real_remove)
         try:
-            compact_index_codes(spark, path, data_subdir="cells")
+            compact_index_codes(spark, path, data_subdir=subdir)
             crashed = False
         except Boom:
             crashed = True
@@ -1259,19 +1240,141 @@ def test_ivf_probe_heals_compaction_crash_every_point(
         # no manual recovery: the probe itself must heal, and a second
         # probe from the healed state must agree (idempotent heal)
         assert probe(path) == want, f"crash point {point}"
-        assert probe(path) == want, f"crash point {point} (re-probe)"
-        assert not os.path.exists(f"{path}/_compact_inflight_cells")
-        assert not os.path.isdir(f"{path}/_compact_staging_cells")
-        # the lifecycle continues exactly-once from the healed state
-        append_to_ivf_index(spark, path, make_append(3))
-        assert not compact_index_codes(spark, path, data_subdir="cells")[
-            "skipped"
-        ]
-        assert probe(path) == want_after, f"crash point {point} (post-heal)"
+        assert not os.path.exists(f"{path}/_compact_inflight_{subdir}")
+        assert not os.path.isdir(f"{path}/_compact_staging_{subdir}")
+        # the lifecycle continues exactly-once from the healed state;
+        # with every_point_lifecycle=False (the expensive PQ probe)
+        # the full re-probe + append + compact + probe cycle runs at
+        # every OTHER point plus the final one — every crash point
+        # still gets the primary heal assertion above
+        if every_point_lifecycle or point % 2 == 0 or not crashed:
+            assert probe(path) == want, f"crash point {point} (re-probe)"
+            append_batch(path, 3)
+            assert not compact_index_codes(
+                spark, path, data_subdir=subdir
+            )["skipped"]
+            assert probe(path) == want_after, (
+                f"crash point {point} (post-heal)"
+            )
         if not crashed:
             break  # budget exceeded the protocol's op count: fully swept
         point += 1
     assert point >= 4  # the sweep actually exercised multiple points
+
+
+def test_ivf_probe_heals_compaction_crash_every_point(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The crash lattice over the plain IVF float-row store
+    ('cells'), probed by knn_ivf_indexed — see _sweep_probe_heals."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivf_index,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+
+    def append_batch(path, offset):
+        append_to_ivf_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") == 1).select(
+                (F.col("vec_id") + F.lit(max_id + offset)).cast("long")
+                .alias("vec_id"),
+                "label",
+                "embedding",
+            ),
+        )
+
+    # one pristine index, appended twice so compaction has real work;
+    # every crash point starts from a cheap copytree of this state
+    base = str(tmp_path_factory.mktemp("ivf_probe_crash") / "base")
+    build_ivf_index(spark, sf_smoke, base, n_cells=N_CELLS)
+    for i in (1, 2):
+        append_batch(base, i)
+
+    q = _queries(spark, sf_smoke, n=3)
+
+    def probe(path):
+        return sorted(
+            tuple(r)
+            for r in knn_ivf_indexed(spark, path, q, k=3, nprobe=2)
+            .collect()
+        )
+
+    _sweep_probe_heals(
+        spark, tmp_path_factory, "ivf", base, "cells", append_batch, probe
+    )
+
+
+def test_ivfpq_probe_heals_compaction_crash_every_point(
+    spark, sf_smoke, tmp_path_factory
+):
+    """The same crash lattice over the IVF-PQ code table ('codes'),
+    probed by knn_ivfpq_indexed — the verdict named all three indexed
+    probes as heal-on-read; this covers the partitioned PQ-code
+    layout (flat-PQ shares the identical compact/recover/probe path
+    with partitioned=False)."""
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        knn_ivfpq_indexed,
+    )
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+
+    def append_batch(path, offset):
+        append_to_ivfpq_index(
+            spark,
+            path,
+            emb.filter(F.col("vec_id") == 1).select(
+                (F.col("vec_id") + F.lit(max_id + offset)).cast("long")
+                .alias("vec_id"),
+                "embedding",
+            ),
+        )
+
+    # 4 cells (not the module-wide 8): the sweep length is the
+    # protocol's filesystem-op count, which scales with the number of
+    # cell-partition files — 4 cells crosses every protocol phase
+    # (staging, manifest commit, per-file moves, input deletes,
+    # cleanup) at half the points and half the per-probe cost
+    base = str(tmp_path_factory.mktemp("ivfpq_probe_crash") / "base")
+    build_ivfpq_index(spark, sf_smoke, base, n_cells=4)
+    for i in (1, 2):
+        append_batch(base, i)
+
+    # The probe result alone cannot witness appended clones: the exact
+    # re-rank joins the shortlist against the FLOAT corpus (the
+    # lockstep contract), and index-only vec_ids drop there.  So the
+    # probe returns (knn rows, exact codes row count): the knn rows
+    # pin probe-path health through the heal, and the count is the
+    # direct double-count/lost-row signal for the code table — it is
+    # read AFTER the knn call, whose internal recover_compaction is
+    # the heal under test.  nprobe = n_cells so every cell partition
+    # is read on every probe (the pruning-interplay variant runs in
+    # the IVF lattice above, 8 cells / nprobe=2).
+    def probe(path):
+        rows = sorted(
+            tuple(r)
+            for r in knn_ivfpq_indexed(
+                spark, path, sf_smoke, n_queries=3, k=3, nprobe=4
+            ).collect()
+        )
+        n_codes = spark.read.parquet(f"{path}/codes").count()
+        return (rows, n_codes)
+
+    _sweep_probe_heals(
+        spark,
+        tmp_path_factory,
+        "ivfpq",
+        base,
+        "codes",
+        append_batch,
+        probe,
+        every_point_lifecycle=False,
+    )
 
 
 def test_compaction_preserves_post_snapshot_appends(
