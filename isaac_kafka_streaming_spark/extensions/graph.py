@@ -623,10 +623,11 @@ def label_propagation_from_graph(
     by the graded batch entry and the streaming read-time composition
     (lp_from_stores).  ``edges``: the DIRECTED (src, dst, w) list;
     the undirected view is built here."""
-    # LAZY setup checkpoints (the round-15 CC fusion): both are
-    # materialized by round 1's eager lbl checkpoint job, which
-    # computes through them; rounds 2+ read the checkpointed
-    # partitions
+    # LAZY setup checkpoint (the round-15 CC fusion): materialized by
+    # round 1's eager lbl checkpoint job, which computes through it;
+    # rounds 2+ read the checkpointed partitions.  nodes needs no
+    # checkpoint at all since the nodes-join-back removal: it is
+    # consumed exactly once, as round 0's init projection.
     und = (
         edges.select("src", "dst", "w")
         .unionByName(
@@ -640,7 +641,6 @@ def label_propagation_from_graph(
         .agg(F.sum("w").cast("long").alias("w"))
         .localCheckpoint(eager=False)
     )
-    nodes = nodes.localCheckpoint(eager=False)
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
     for _ in range(iters):
         votes = (
@@ -662,9 +662,13 @@ def label_propagation_from_graph(
             )
             .select("page_id", (-F.col("m.nl")).alias("best_lbl"))
         )
+        # lbl's key set IS the node catalog every round (round 0 is
+        # built from nodes; this update preserves keys), so the old
+        # nodes-join-back was a per-round no-op join — dropped
+        # round 15 (one fewer join per round; measured below the
+        # A/B in SCALE_DESIGN.md "Round 15, late")
         lbl = (
-            nodes.join(lbl, "page_id")
-            .join(best, "page_id", "left")
+            lbl.join(best, "page_id", "left")
             .select(
                 "page_id",
                 F.coalesce(F.col("best_lbl"), F.col("lbl")).alias("lbl"),
