@@ -987,17 +987,17 @@ def documents_as_jsonl_gz_shards(
 def explode_jsonl_gz_shards(shards: DataFrame) -> DataFrame:
     """Compressed-shard ingestion over mapInPandas: inflate each
     jsonl shard blob (magic-sniffed via codecs.inflate_shard — gzip
-    with ALL members, bzip2, xz; zstd raises an honest stub; unknown
-    magics raise — the module's no-guessing stance), split into lines,
-    json-parse each into one output row
+    with ALL members, bzip2, xz, zstd via pyarrow's bundled codec;
+    unknown magics raise — the module's no-guessing stance), split
+    into lines, json-parse each into one output row
     (shard_id, line_no, doc_id, text).  A 1->N row expansion that is
     stateless and per-blob: it runs unchanged on a stream of shard
     files and costs zero shuffle at any scale — THE read shape of a
-    petabyte jsonl shard corpus, in the three codings public corpora
+    petabyte jsonl shard corpus, in the four codings public corpora
     actually use (.gz everywhere, .bz2 the classic CC dumps, .xz The
-    Pile).  Malformed streams, JSON, or a line that is not an
-    {id: int, text: str} document raise ValueError with the shard id,
-    not a silent drop."""
+    Pile, .zst the post-2023 CC/RedPajama dumps).  Malformed streams,
+    JSON, or a line that is not an {id: int, text: str} document raise
+    ValueError with the shard id, not a silent drop."""
     _ship_codecs_by_value()
     from .codecs import inflate_shard
 
@@ -1132,7 +1132,8 @@ def documents_as_warc_shards(
 
 def explode_warc_shards(shards: DataFrame) -> DataFrame:
     """WARC-shard ingestion over mapInPandas: inflate each shard blob
-    (multi-member gzip / bzip2 / xz via codecs.inflate_shard), then
+    (multi-member gzip / bzip2 / xz / zstd via codecs.inflate_shard —
+    .warc.zst with whole-shard frames included), then
     walk the record framing — version line, header fields, blank
     line, Content-Length block, CRLF CRLF terminator — emitting one
     row per record (shard_id, rec_no, record_id, warc_type,
@@ -1240,7 +1241,7 @@ def ingest_warc_dir(spark, path: str) -> DataFrame:
     WARC record exploder."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc.{gz,bz2,xz}")
+        .option("pathGlobFilter", "*.warc.{gz,bz2,xz,zst}")
         .load(path)
     )
     return explode_warc_shards(_shards_from_binary_files(files))
@@ -1257,7 +1258,7 @@ def stream_warc_dir(spark, path: str) -> DataFrame:
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc.{gz,bz2,xz}")
+        .option("pathGlobFilter", "*.warc.{gz,bz2,xz,zst}")
         .load(path)
     )
     return explode_warc_shards(_shards_from_binary_files(files))
@@ -1265,10 +1266,11 @@ def stream_warc_dir(spark, path: str) -> DataFrame:
 
 def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     """(path, content) from the binaryFile source -> (shard_id, blob).
-    shard_id is the last integer run in each file NAME (the
-    ``shard-00042.jsonl.gz`` convention; digits in parent directories
-    must not leak in); id-less files raise rather than colliding on a
-    guessed id, as do ids whose digit run OVERFLOWS BIGINT (try_cast
+    shard_id is the last integer run in each file NAME after the
+    extension chain is stripped (the ``shard-00042.jsonl.gz``
+    convention; digits in parent directories must not leak in, and
+    neither may the digit in a ``.bz2`` extension); id-less files
+    raise rather than colliding on a guessed id, as do ids whose digit run OVERFLOWS BIGINT (try_cast
     NULL would otherwise bypass the dedup join and conflate such files
     under shard_id NULL), and so do DUPLICATE ids (shard-7 next to batch-7, or
     shard-007 next to shard-7 — silently merging two files' documents
@@ -1278,9 +1280,22 @@ def _shards_from_binary_files(files: DataFrame) -> DataFrame:
     the check is skipped (a cross-batch aggregation would make the
     stateless exploder stateful); the streaming reader documents that
     it trusts the writer's naming."""
+    # extension chain stripped BEFORE the digit-run extract: ".bz2"
+    # contains a digit, so `(\d+)\D*$` on the raw name would extract
+    # the 2 from the EXTENSION of every .bz2 shard (shard-9.jsonl.bz2
+    # -> id 2 — a silent mislabel, and any two .bz2 shards collide at
+    # 2).  Each extension starts with a letter, so stripping
+    # `(\.[A-Za-z][A-Za-z0-9]*)+$` removes the whole chain while
+    # leaving digit-run tails like "shard.00042" intact.  Latent since
+    # round 14 (the bz2/xz sniff predates it); caught in the round-15
+    # zstd audit, pinned in tests/test_multimodal.py.
     named = files.select(
         F.regexp_extract(
-            F.element_at(F.split(F.col("path"), "/"), -1),
+            F.regexp_replace(
+                F.element_at(F.split(F.col("path"), "/"), -1),
+                r"(\.[A-Za-z][A-Za-z0-9]*)+$",
+                "",
+            ),
             r"(\d+)\D*$",
             1,
         ).alias("__sid_str"),
@@ -1365,7 +1380,7 @@ def ingest_jsonl_gz_dir(spark, path: str) -> DataFrame:
     explode_jsonl_gz_shards inflates and parses one row per document."""
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz}")
+        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz,zst}")
         .load(path)
     )
     return explode_jsonl_gz_shards(_shards_from_binary_files(files))
@@ -1383,7 +1398,7 @@ def stream_jsonl_gz_dir(spark, path: str) -> DataFrame:
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz}")
+        .option("pathGlobFilter", "*.jsonl.{gz,bz2,xz,zst}")
         .load(path)
     )
     return explode_jsonl_gz_shards(_shards_from_binary_files(files))

@@ -1291,15 +1291,17 @@ def test_jsonl_shard_explode_bounded_flush(spark):
 
 def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
     """The shard exploder reads the codings public corpora actually
-    use: bzip2 (classic CC dumps) and xz (The Pile) inflate via the
-    stdlib — including concatenated streams — while a zstd blob raises
-    the honest NotImplementedError naming the missing module, and the
-    directory readers glob all three suffixes."""
+    use: bzip2 (classic CC dumps), xz (The Pile), and zstd (post-2023
+    CC/RedPajama, via pyarrow's bundled codec) — including
+    concatenated streams for all three — and the directory readers
+    glob all four suffixes."""
     import bz2
     import gzip
     import json
     import lzma
+    import struct
 
+    import pyarrow as pa
     import pytest
 
     def shard_df(blob):
@@ -1310,7 +1312,9 @@ def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
     line = json.dumps({"id": 1, "text": "alpha"}).encode()
     line2 = json.dumps({"id": 2, "text": "beta"}).encode()
 
-    for codec in (bz2.compress, lzma.compress):
+    zc = pa.Codec("zstd")
+    z = lambda b: zc.compress(b, asbytes=True)  # noqa: E731
+    for codec in (bz2.compress, lzma.compress, z):
         # concatenated streams must inflate completely
         blob = codec(line + b"\n") + codec(line2 + b"\n")
         out = mm.explode_jsonl_gz_shards(shard_df(blob)).collect()
@@ -1318,10 +1322,33 @@ def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
             (1, "alpha"), (2, "beta")
         }
 
-    with pytest.raises(Exception, match="zstandard"):
-        mm.explode_jsonl_gz_shards(
-            shard_df(b"\x28\xb5\x2f\xfdgarbage")
-        ).collect()
+    # zstd shards that LEAD with a skippable frame (embedded
+    # dictionary / seek-index convention) sniff and inflate too
+    skippable = struct.pack("<II", 0x184D2A50, 8) + b"\x00" * 8
+    out = mm.explode_jsonl_gz_shards(
+        shard_df(skippable + z(line + b"\n"))
+    ).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(1, "alpha")]
+
+    # FCS-less frame from a streaming writer (frame header carries no
+    # content size — the shape `zstd --stream` pipelines produce)
+    sink = pa.BufferOutputStream()
+    with pa.CompressedOutputStream(sink, "zstd") as w:
+        w.write(line + b"\n")
+    streamed = sink.getvalue().to_pybytes()
+    assert streamed[4] & 0xC0 == 0  # descriptor: FCS field absent
+    out = mm.explode_jsonl_gz_shards(shard_df(streamed)).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(1, "alpha")]
+
+    # corrupt / truncated / trailing-garbage zstd all raise loudly
+    good = z(line + b"\n")
+    for bad in (
+        b"\x28\xb5\x2f\xfdgarbage",
+        good[: len(good) // 2],
+        good + b"NOTAZSTDFRAME",
+    ):
+        with pytest.raises(Exception, match="corrupt compressed"):
+            mm.explode_jsonl_gz_shards(shard_df(bad)).collect()
     with pytest.raises(Exception, match="corrupt compressed"):
         mm.explode_jsonl_gz_shards(shard_df(b"BZhgarbage")).collect()
 
@@ -1332,10 +1359,74 @@ def test_jsonl_shard_codings_bz2_xz_zstd(spark, tmp_path):
     (d / "shard-3.jsonl.xz").write_bytes(
         lzma.compress(json.dumps({"id": 3, "text": "gamma"}).encode())
     )
+    (d / "shard-4.jsonl.zst").write_bytes(
+        z(json.dumps({"id": 4, "text": "delta"}).encode())
+    )
     out = mm.ingest_jsonl_gz_dir(spark, str(d)).collect()
     assert {(r.shard_id, r.doc_id, r.text) for r in out} == {
-        (1, 1, "alpha"), (2, 2, "beta"), (3, 3, "gamma")
+        (1, 1, "alpha"), (2, 2, "beta"), (3, 3, "gamma"),
+        (4, 4, "delta"),
     }
+
+
+def test_shard_id_ignores_extension_digits(spark, tmp_path):
+    """The '2' in a .bz2 EXTENSION must never become the shard id:
+    shard-9.jsonl.bz2 is shard 9 (the raw last-digit-run extract read
+    it as 2 — a silent mislabel that also collided any two .bz2
+    shards; caught in the round-15 zstd audit), and two .bz2 shards
+    with distinct ids coexist.  Version-tagged names like
+    shard-7.v2.jsonl.gz keep the id left of the extension chain."""
+    import bz2
+    import gzip
+    import json
+
+    d = tmp_path / "bz2ids"
+    d.mkdir()
+    mk = lambda i, t: json.dumps({"id": i, "text": t}).encode()  # noqa: E731
+    (d / "shard-8.jsonl.bz2").write_bytes(bz2.compress(mk(80, "eight")))
+    (d / "shard-9.jsonl.bz2").write_bytes(bz2.compress(mk(90, "nine")))
+    (d / "shard-7.v2.jsonl.gz").write_bytes(
+        gzip.compress(mk(70, "seven"), mtime=0)
+    )
+    out = mm.ingest_jsonl_gz_dir(spark, str(d)).collect()
+    assert {(r.shard_id, r.doc_id, r.text) for r in out} == {
+        (8, 80, "eight"), (9, 90, "nine"), (7, 70, "seven")
+    }
+
+
+def test_warc_zstd_shard_roundtrip(spark, sf_smoke):
+    """A .warc.zst shard — one whole-shard zstd frame over the plain
+    record stream, the post-2023 crawl-dump coding — explodes to
+    exactly the rows of its member-gzip twin: same records, same
+    framing walk, only the shard coding differs."""
+    import pyarrow as pa
+
+    from isaac_kafka_streaming_spark.extensions import codecs
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(8)
+    packed = mm.documents_as_warc_shards(docs).collect()
+    rows_gz = mm.explode_warc_shards(
+        mm.documents_as_warc_shards(docs)
+    ).collect()
+    zc = pa.Codec("zstd")
+    zdf = spark.createDataFrame(
+        [
+            (
+                r.shard_id,
+                zc.compress(
+                    codecs.inflate_shard(bytes(r.blob), "test"),
+                    asbytes=True,
+                ),
+                r.n_docs,
+            )
+            for r in packed
+        ],
+        schema=mm.JSONL_SHARD_SCHEMA,
+    )
+    rows_z = mm.explode_warc_shards(zdf).collect()
+    assert sorted(map(tuple, rows_z)) == sorted(map(tuple, rows_gz))
+    assert len(rows_z) == 8
 
 
 def test_jsonl_and_warc_shard_formats_agree(spark, sf_smoke):
