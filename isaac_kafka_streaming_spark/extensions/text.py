@@ -1128,6 +1128,7 @@ def bpe_learn(
             " ",
         ),
     ).cache()
+    cached = [words, seq]  # released via dedup.unpersist_deps
     for r in range(1, rounds + 1):
         arr = F.split(F.col("syms"), " ")
         pairs = (
@@ -1178,7 +1179,8 @@ def bpe_learn(
                 ),
             ),
         ).cache()
-    return seq.select(
+        cached.append(seq)
+    out = seq.select(
         "word",
         "freq",
         F.col("syms").alias("symbols"),
@@ -1187,6 +1189,11 @@ def bpe_learn(
         F.concat_ws("+", F.col("ma2"), F.col("mb2")).alias("merge2"),
         F.concat_ws("+", F.col("ma3"), F.col("mb3")).alias("merge3"),
     )
+    # the dedup cache contract (dedup.unpersist_deps): every vocab-
+    # bounded frame this trainer pinned, releasable by a long-lived
+    # caller once the result is fully materialized
+    out._cached_deps = cached
+    return out
 
 
 def _bpe_round_sql(r: int) -> str:

@@ -241,6 +241,31 @@ def _cc_star_edges(spark, edge_dir: str):
     )
 
 
+def _lp_hub(spark, edge_dir: str):
+    """Synchronous LP over the same star-forest edge sets as the CC
+    rows: the hub shape stresses the per-round votes aggregate (one
+    (dst, lbl) group receives the whole hub degree) — map-side partial
+    aggregation is the mitigation under test, there is no window or
+    join-back left on this path since round 15."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        label_propagation_from_graph,
+    )
+
+    e = spark.read.parquet(f"{edge_dir}/edges.parquet").select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        F.lit(1).cast("long").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("page_id"))
+        .union(e.select(F.col("dst").alias("page_id")))
+        .distinct()
+    )
+    return label_propagation_from_graph(nodes, e)
+
+
 def time_once(fn, *args, **kwargs) -> tuple[float, int]:
     t0 = time.perf_counter()
     n = fn(*args, **kwargs).count()
@@ -315,7 +340,7 @@ def main() -> int:
     if sel("page_transition_edges"):
         build_skewed_events(spark, src, out_events)
     out_hub, out_hubs = out + "_hub1", out + "_hub100"
-    if sel("cc_star_hub"):
+    if sel("cc_star_hub", "lp_hub"):
         build_hub_edges(spark, out_hub, n_edges=100_000, n_hubs=1)
         build_hub_edges(spark, out_hubs, n_edges=100_000, n_hubs=100)
     # round-12: the 10x-degree escalation — a SINGLE 1M-degree hub,
@@ -391,6 +416,16 @@ def main() -> int:
             _cc_star_edges,
             ("hub=1Mx1", out_hub1m, {}),
             ("hub=1kx1k", out_hubs1m, {}),
+        ),
+        # LP votes aggregate on the same hub forest: one (dst, lbl)
+        # group carries the whole hub degree — A≈B iff map-side
+        # partial aggregation absorbs it (no window/join-back remains
+        # on the LP round path since round 15)
+        (
+            "lp_hub",
+            _lp_hub,
+            ("hub=100kx1", out_hub, {}),
+            ("hub=1kx100", out_hubs, {}),
         ),
         # banded-LSH pair tier: a 100k-doc identical-text clique vs the
         # equal-volume all-distinct twin, cap=64 (the shipped guard) —
