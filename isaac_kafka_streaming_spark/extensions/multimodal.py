@@ -866,12 +866,15 @@ def documents_as_compressed(docs: DataFrame) -> DataFrame:
 def decompress_text_blobs(media: DataFrame) -> DataFrame:
     """Compressed-corpus ingestion over mapInPandas: auto-sniff each
     blob's compression from its magic bytes — gzip (1f 8b), zlib
-    (0x78 CMF with a valid FCHECK) — inflate with the stdlib, and
-    decode UTF-8.  Unknown magics raise ValueError (honest, not
+    (0x78 CMF with a valid FCHECK), zstd (RFC 8878 frame or skippable
+    magic, via pyarrow's bundled codec like the shard tier) — inflate,
+    and decode UTF-8.  Unknown magics raise ValueError (honest, not
     silently wrong) and corrupt streams surface as ValueError too,
     the codec-module malformed-input contract.  Stateless and
     per-row, so it runs unchanged on streams and costs zero shuffle
     at any scale."""
+    _ship_codecs_by_value()
+    from .codecs import _is_zstd_magic, zstd_inflate
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip as _gz
@@ -894,10 +897,14 @@ def decompress_text_blobs(media: DataFrame) -> DataFrame:
                         and (b[0] << 8 | b[1]) % 31 == 0  # FCHECK
                     ):
                         raw, codec = _z.decompress(b), "zlib"
+                    elif _is_zstd_magic(b):
+                        raw, codec = (
+                            zstd_inflate(b, f"media {mid}"), "zstd"
+                        )
                     else:
                         raise ValueError(
                             f"unknown compression magic {b[:2]!r} "
-                            "(gzip/zlib only)"
+                            "(gzip/zlib/zstd only)"
                         )
                 except (OSError, EOFError, _z.error) as exc:
                     raise ValueError(f"corrupt compressed blob: {exc}") from exc

@@ -182,6 +182,40 @@ def test_wav_roundtrip_property(pcm, rate):
     assert out == pcm
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    segments=st.lists(st.binary(min_size=0, max_size=512), min_size=1,
+                      max_size=5),
+    lead_skippable=st.booleans(),
+    streamed=st.booleans(),
+)
+def test_zstd_shard_concat_property(segments, lead_skippable, streamed):
+    """inflate_shard over any concatenation of independently-compressed
+    zstd frames (the appended-shard shape) recovers the exact byte
+    concatenation — with or without a leading skippable frame, and for
+    both the FCS-carrying one-shot frames and FCS-less streamed
+    frames."""
+    import struct as _struct
+
+    import pyarrow as pa
+
+    from isaac_kafka_streaming_spark.extensions.codecs import inflate_shard
+
+    zc = pa.Codec("zstd")
+    blob = bytearray()
+    if lead_skippable:
+        blob += _struct.pack("<II", 0x184D2A50, 8) + b"\x00" * 8
+    for seg in segments:
+        if streamed:
+            sink = pa.BufferOutputStream()
+            with pa.CompressedOutputStream(sink, "zstd") as w:
+                w.write(seg)
+            blob += sink.getvalue().to_pybytes()
+        else:
+            blob += zc.compress(seg, asbytes=True)
+    assert inflate_shard(bytes(blob), "prop") == b"".join(segments)
+
+
 def test_truncated_blobs_raise_valueerror():
     """Truncation mid-structure surfaces as the declared ValueError,
     never a raw struct/wave error from inside the parser."""

@@ -545,6 +545,17 @@ def test_compressed_ingest_roundtrip_and_rejection(spark, sf_smoke):
             schema=mm.MEDIA_SCHEMA,
         )
 
+    # the zstd per-blob tier (pyarrow-backed, like the shard tier)
+    import pyarrow as pa
+
+    zblob = pa.Codec("zstd").compress("zeta ζ".encode(), asbytes=True)
+    zrow = mm.decompress_text_blobs(media_of(zblob)).collect()[0]
+    assert (zrow.text, zrow.codec) == ("zeta ζ", "zstd")
+    with pytest.raises(Exception, match="corrupt compressed"):
+        mm.decompress_text_blobs(
+            media_of(b"\x28\xb5\x2f\xfdgarbage")
+        ).collect()
+
     with pytest.raises(Exception, match="unknown compression magic"):
         mm.decompress_text_blobs(media_of(b"\x00\x01plain")).collect()
     corrupt = bytearray(_gz.compress(b"hello world", mtime=0))
