@@ -1177,6 +1177,44 @@ def test_warc_malformed_raises(spark):
         mm.explode_warc_shards(shard_df(neg_len)).collect()
 
 
+def test_warc_walk_never_escapes_valueerror(spark):
+    """Adversarial sweep of the record walk: EVERY mid-record
+    truncation of a valid record, and seeded random garbage (raw and
+    'WARC/1.0'-prefixed), must either parse cleanly or raise the
+    walk's own ValueError naming the shard — never an IndexError /
+    struct.error / UnicodeDecodeError from inside the parser."""
+    import gzip
+    import random
+
+    def explode(raw):
+        df = spark.createDataFrame(
+            [(1, gzip.compress(raw, mtime=0), 1)],
+            schema=mm.JSONL_SHARD_SCHEMA,
+        )
+        return mm.explode_warc_shards(df).collect()
+
+    good = (
+        b"WARC/1.0\r\nWARC-Record-ID: <urn:doc:5>\r\n"
+        b"Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    )
+    probes = [good[:k] for k in range(1, len(good), 3)]
+    rng = random.Random(0x5EED)
+    probes += [bytes(rng.randrange(256) for _ in range(40)) for _ in range(6)]
+    probes += [
+        b"WARC/1.0\r\n" + bytes(rng.randrange(256) for _ in range(40))
+        for _ in range(6)
+    ]
+    for raw in probes:
+        try:
+            explode(raw)
+        except Exception as exc:
+            # the walk's declared failure mode, surfaced through the
+            # Arrow worker: its message (with the shard context) must
+            # be present; a parser crash (IndexError etc.) would not
+            # carry it
+            assert "warc shard 1" in str(exc), (raw, exc)
+
+
 def test_ingest_warc_dir(spark, tmp_path):
     """Directory of real *.warc.gz files through binaryFile + the
     shared shard-id naming guards + the record exploder."""

@@ -2086,14 +2086,26 @@ def test_curation_pipeline_streaming_parity(spark, sf_smoke, tmp_path):
         ).collect()
     }
 
-    # write REAL shard files from the same documents
+    # write REAL shard files from the same documents — every third
+    # shard re-coded as .jsonl.zst (round 15: the stream must read a
+    # MIXED-coding directory, the shape a corpus migrating codings
+    # actually has)
+    import pyarrow as pa
+
+    from isaac_kafka_streaming_spark.extensions import codecs
+
     docs = read_table(spark, sf_smoke, "documents")
     d = tmp_path / "shards"
     d.mkdir()
     for row in mm.documents_as_jsonl_gz_shards(docs).collect():
-        (d / f"shard-{row.shard_id:05d}.jsonl.gz").write_bytes(
-            bytes(row.blob)
-        )
+        blob = bytes(row.blob)
+        if row.shard_id % 3 == 0:
+            zblob = pa.Codec("zstd").compress(
+                codecs.inflate_shard(blob, "recode"), asbytes=True
+            )
+            (d / f"shard-{row.shard_id:05d}.jsonl.zst").write_bytes(zblob)
+        else:
+            (d / f"shard-{row.shard_id:05d}.jsonl.gz").write_bytes(blob)
 
     meta = read_table(spark, sf_smoke, "documents").select(
         "doc_id", "lang"
