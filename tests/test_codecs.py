@@ -216,6 +216,71 @@ def test_zstd_shard_concat_property(segments, lead_skippable, streamed):
     assert inflate_shard(bytes(blob), "prop") == b"".join(segments)
 
 
+def test_decoders_never_escape_valueerror_fuzz():
+    """The module-wide malformed-input contract, enforced by sweep:
+    EVERY truncation point and 300 seeded single-bit corruptions of a
+    valid blob, for all eleven decoder families, must either decode or
+    raise the declared ValueError / NotImplementedError — never an
+    IndexError / struct.error / KeyError / ZeroDivisionError from
+    inside a parser, and never a hang (alarm-guarded; a corrupt
+    length field driving a zero-progress walk would show up here).
+    ~8k probes, ~1 s."""
+    import random
+    import signal
+
+    from isaac_kafka_streaming_spark.extensions import codecs as C
+
+    grad = bytes((3 * x + 5 * y) % 256 for y in range(16) for x in range(16))
+    rgb = bytes(
+        (x * 7 + y * 3 + c) % 256
+        for y in range(8) for x in range(8) for c in range(3)
+    )
+    blobs = {
+        "jpeg": (C.jpeg_encode(grad, 16, 16), C.jpeg_decode),
+        "jpeg_prog": (C.jpeg_encode_progressive(grad, 16, 16), C.jpeg_decode),
+        "jpeg_ll": (C.jpeg_encode_lossless(grad, 16, 16), C.jpeg_decode),
+        "png": (C.png_encode(rgb, 8, 8, color_type=2), C.png_decode),
+        "wav": (C.wav_encode(bytes(range(64))), C.wav_decode),
+        "g711": (C.g711_wav_encode(bytes(range(64))), C.wav_decode_any),
+        "adpcm": (C.adpcm_wav_encode(bytes(range(128))), C.wav_decode_any),
+        "gif": (C.gif_encode([grad], 16, 16), C.gif_decode),
+        "avi": (C.avi_encode([grad], 16, 16), C.avi_decode),
+        "mp4": (C.mp4_encode([grad], 16, 16), C.mp4_decode),
+        "mkv": (C.mkv_encode([grad], 16, 16), C.mkv_decode),
+    }
+
+    class Hang(Exception):
+        pass
+
+    def on_alarm(*_):
+        raise Hang()
+
+    old = signal.signal(signal.SIGALRM, on_alarm)
+    bad = []
+    try:
+        rng = random.Random(0x5EED)
+        for name, (blob, dec) in blobs.items():
+            probes = [blob[:k] for k in range(len(blob))]
+            for _ in range(300):
+                b = bytearray(blob)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                probes.append(bytes(b))
+            for p in probes:
+                signal.alarm(5)
+                try:
+                    dec(p)
+                except (ValueError, NotImplementedError):
+                    pass
+                except Exception as exc:
+                    bad.append((name, type(exc).__name__, len(p)))
+                finally:
+                    signal.alarm(0)
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert not bad, bad[:10]
+
+
 def test_truncated_blobs_raise_valueerror():
     """Truncation mid-structure surfaces as the declared ValueError,
     never a raw struct/wave error from inside the parser."""
