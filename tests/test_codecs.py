@@ -281,6 +281,46 @@ def test_decoders_never_escape_valueerror_fuzz():
     assert not bad, bad[:10]
 
 
+def test_inflate_shard_never_escapes_valueerror_fuzz():
+    """The shard-inflate contract under the same sweep: every
+    truncation and 300 seeded bit-flips of a valid gzip / bzip2 / xz /
+    zstd shard either inflate or raise ValueError with the caller's
+    context — the four stdlib/pyarrow error taxonomies all normalize
+    at this boundary."""
+    import bz2
+    import gzip
+    import lzma
+    import random
+
+    import pyarrow as pa
+
+    from isaac_kafka_streaming_spark.extensions.codecs import inflate_shard
+
+    payload = b'{"id": 1, "text": "alpha beta gamma"}\n' * 20
+    blobs = {
+        "gzip": gzip.compress(payload, mtime=0),
+        "bz2": bz2.compress(payload),
+        "xz": lzma.compress(payload),
+        "zstd": pa.Codec("zstd").compress(payload, asbytes=True),
+    }
+    bad = []
+    rng = random.Random(0x5EED)
+    for name, blob in blobs.items():
+        probes = [blob[:k] for k in range(len(blob))]
+        for _ in range(300):
+            b = bytearray(blob)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            probes.append(bytes(b))
+        for p in probes:
+            try:
+                inflate_shard(p, "fuzz")
+            except ValueError:
+                pass
+            except Exception as exc:
+                bad.append((name, type(exc).__name__, len(p)))
+    assert not bad, bad[:10]
+
+
 def test_truncated_blobs_raise_valueerror():
     """Truncation mid-structure surfaces as the declared ValueError,
     never a raw struct/wave error from inside the parser."""
