@@ -2228,3 +2228,80 @@ def test_warc_curation_pipeline_streaming_parity(spark, sf_smoke, tmp_path):
         n_docs, n_tok = got.get(r.s.lang, (0, 0))
         got[r.s.lang] = (n_docs + 1, n_tok + r.s.n_tok)
     assert got == batch
+
+
+def test_threshold_state_survives_checkpoint_restart(spark, tmp_path):
+    """T9 at the STATE level: stop a GroupState query mid-corpus and
+    restart it from the same checkpoint — the restored per-user count
+    must complete a crossing that spans the restart, the pre-restart
+    crossing must not re-emit (file-sink exactly-once via the
+    _spark_metadata commit log), and a lost-state run would emit
+    nothing at all (the crossing only fires at cumulative count 3)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, date_attempted timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def add_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            threshold_crossing_stream(stream, thresholds=(3,))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # phase 1: user 1 reaches count 2 (no crossing), user 2 crosses
+    add_file(
+        "b0",
+        [
+            (1, t0),
+            (1, t0 + dt.timedelta(hours=1)),
+            (2, t0),
+            (2, t0 + dt.timedelta(hours=1)),
+            (2, t0 + dt.timedelta(hours=2)),
+        ],
+        1_000_000_000,
+    )
+    run_once()
+    after1 = {
+        (r.user_id, r.threshold) for r in spark.read.parquet(out).collect()
+    }
+    assert after1 == {(2, 3)}
+
+    # phase 2: ONE more attempt for user 1 — crosses only if the
+    # restarted query restored count=2 from the checkpoint
+    add_file("b1", [(1, t0 + dt.timedelta(days=1))], 1_000_000_100)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r.user_id, r.threshold) for r in rows)
+    assert got == [(1, 3), (2, 3)]  # state restored; no re-emission
+    (u1,) = [r for r in rows if r.user_id == 1]
+    assert u1.achieved_at == t0 + dt.timedelta(days=1)
