@@ -2305,3 +2305,76 @@ def test_threshold_state_survives_checkpoint_restart(spark, tmp_path):
     assert got == [(1, 3), (2, 3)]  # state restored; no re-emission
     (u1,) = [r for r in rows if r.user_id == 1]
     assert u1.achieved_at == t0 + dt.timedelta(days=1)
+
+
+def test_streak_state_survives_checkpoint_restart(spark, tmp_path):
+    """The multi-field GroupState witness: restart the O5 streak
+    machine from its checkpoint — an event arriving after the restart
+    must EXTEND the restored (start_us, end_us, n_events) streak, not
+    begin a fresh one (the lost-state signature would be a streak of
+    length 1 starting at the new event)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        streak_state_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def add_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            streak_state_stream(stream, gap_seconds=8)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(
+        "b0",
+        [(1, t0), (1, t0 + dt.timedelta(seconds=5))],
+        1_000_000_000,
+    )
+    run_once()
+
+    # 5 s after the last event — inside the 8 s gap, so it CONTINUES
+    # the streak iff (start_us, end_us, n) was restored
+    add_file("b1", [(1, t0 + dt.timedelta(seconds=10))], 1_000_000_100)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r.streak_start, r.n_events) for r in rows}
+    assert (t0, 3) in got          # restored state extended the streak
+    assert (t0 + dt.timedelta(seconds=10), 1) not in got  # no reset
+    (final,) = [r for r in rows if r.n_events == 3]
+    assert final.streak_end == t0 + dt.timedelta(seconds=10)
+    assert final.streak_units == 10 // 7
