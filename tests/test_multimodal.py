@@ -1443,6 +1443,43 @@ def test_shard_id_ignores_extension_digits(spark, tmp_path):
     }
 
 
+def test_packers_zstd_codec_cross_coding_equality(spark, sf_smoke):
+    """The write side's codec knob: both packers emit REAL .zst shards
+    (jsonl: one frame per shard; WARC: one frame over the plain record
+    stream) that explode to exactly the rows of their gzip twins, and
+    an unknown codec raises up front."""
+    import pytest
+
+    from isaac_kafka_streaming_spark.io import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(24)
+
+    gz = mm.explode_jsonl_gz_shards(
+        mm.documents_as_jsonl_gz_shards(docs)
+    ).collect()
+    zs = mm.explode_jsonl_gz_shards(
+        mm.documents_as_jsonl_gz_shards(docs, codec="zstd")
+    ).collect()
+    assert sorted(map(tuple, zs)) == sorted(map(tuple, gz))
+    # the zstd blobs really are zstd frames, not gzip members
+    blob = bytes(
+        mm.documents_as_jsonl_gz_shards(docs, codec="zstd")
+        .limit(1).collect()[0].blob
+    )
+    assert blob[:4] == b"\x28\xb5\x2f\xfd"
+
+    wgz = mm.explode_warc_shards(mm.documents_as_warc_shards(docs)).collect()
+    wzs = mm.explode_warc_shards(
+        mm.documents_as_warc_shards(docs, codec="zstd")
+    ).collect()
+    assert sorted(map(tuple, wzs)) == sorted(map(tuple, wgz))
+
+    with pytest.raises(ValueError, match="unknown shard codec"):
+        mm.documents_as_jsonl_gz_shards(docs, codec="lz4")
+    with pytest.raises(ValueError, match="unknown shard codec"):
+        mm.documents_as_warc_shards(docs, codec="lz4")
+
+
 def test_warc_zstd_shard_roundtrip(spark, sf_smoke):
     """A .warc.zst shard — one whole-shard zstd frame over the plain
     record stream, the post-2023 crawl-dump coding — explodes to
