@@ -2072,6 +2072,34 @@ def jsonl_shard_ingest(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def zstd_shard_ingest(spark, sf_dir: str) -> DataFrame:
+    """X5 — the zstd-coded twin of jsonl_shard_ingest: the identical
+    pack-then-ingest cycle with the shards carried as RFC 8878 frames
+    (codec="zstd" on the packer; pyarrow's bundled codec both ways)
+    instead of gzip members, so the driver hash would grade the zstd
+    round-trip end-to-end.  Output and oracle are byte-for-byte
+    jsonl_shard_ingest's — the coding is the ONLY delta, which is the
+    point (the warc_curation_pipeline precedent).  STAGED round 15:
+    the live registry sits at the 150-slot K=3 ceiling, so
+    registration needs the round-16 verdict to arbitrate the
+    retire-first (COVERAGE.md 'Round-16 registration option')."""
+    from ..io import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = explode_jsonl_gz_shards(
+        documents_as_jsonl_gz_shards(docs, codec="zstd")
+    )
+    return out.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("text_md5"),
+        F.octet_length(F.encode("text", "UTF-8"))
+        .cast("long")
+        .alias("n_bytes"),
+        "shard_id",
+        "line_no",
+    )
+
+
 def warc_shard_ingest(spark, sf_dir: str) -> DataFrame:
     """X5 — WARC-shard ingestion on a graded path: documents packed
     8-per-shard into REAL .warc.gz blobs (one gzip member per record,

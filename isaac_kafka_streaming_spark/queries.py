@@ -3329,7 +3329,19 @@ def staged_queries() -> dict[str, QueryDef]:
     ``tests/test_staged_registry.py``) stays for future rounds —
     per the capacity note above _DRIVER_CHECK_ORDER, net-new
     registrations from here should be rare and must re-run the
-    window-feasibility guard first."""
+    window-feasibility guard first.
+
+    Round 15 note: `zstd_shard_ingest`
+    (extensions.multimodal.zstd_shard_ingest) is implemented,
+    oracle-twinned (jsonl_shard_ingest's SQL verbatim — the shard
+    coding is the only delta) and parity-tested directly in
+    tests/test_multimodal.py, but deliberately NOT staged: with the
+    live registry at the 150 ceiling and the two round-15
+    registrations still ungraded, the rotation-feasibility guard
+    correctly rejects any additional must-register entry (2
+    never-checked + 48 invariant-required is exactly 50).  Staging it
+    is one line here once the round-16 verdict arbitrates the
+    retire-first (COVERAGE.md 'Round-16 registration option')."""
     return {}
 
 

@@ -1443,6 +1443,28 @@ def test_shard_id_ignores_extension_digits(spark, tmp_path):
     }
 
 
+def test_zstd_shard_ingest_matches_registered_twin(spark, sf_smoke):
+    """The ready-to-stage zstd_shard_ingest entry must produce the
+    registered jsonl_shard_ingest's rows EXACTLY (same output schema,
+    same values — the shard coding is the only delta, so the oracle
+    is shared verbatim).  Direct parity here until the round-16
+    verdict arbitrates the retire-first that would let it stage (the
+    rotation-feasibility guard rejects a 51st must-register entry at
+    the 150 ceiling)."""
+    from isaac_kafka_streaming_spark.queries import all_queries
+
+    want = sorted(
+        map(tuple, all_queries()["jsonl_shard_ingest"].fn(
+            spark, sf_smoke
+        ).collect())
+    )
+    got_df = mm.zstd_shard_ingest(spark, sf_smoke)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want
+    assert got_df.columns == ["doc_id", "text_md5", "n_bytes",
+                              "shard_id", "line_no"]
+
+
 def test_packers_zstd_codec_cross_coding_equality(spark, sf_smoke):
     """The write side's codec knob: both packers emit REAL .zst shards
     (jsonl: one frame per shard; WARC: one frame over the plain record
