@@ -2378,3 +2378,296 @@ def test_streak_state_survives_checkpoint_restart(spark, tmp_path):
     (final,) = [r for r in rows if r.n_events == 3]
     assert final.streak_end == t0 + dt.timedelta(seconds=10)
     assert final.streak_units == 10 // 7
+
+
+def test_funnel_state_survives_checkpoint_restart(spark, tmp_path):
+    """Third GroupState restart witness — the 4-slot funnel chain: a
+    'click' arriving after the restart advances the chain to step 3
+    only if the restored (t1, t2) slots carried over; lost state could
+    never reach step 3 from a bare click (the chain only starts at
+    signup)."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        funnel_state_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, event_type string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def add_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            funnel_state_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(
+        "b0",
+        [
+            (1, "signup", t0),
+            (1, "view", t0 + dt.timedelta(seconds=10)),
+        ],
+        1_000_000_000,
+    )
+    run_once()
+
+    add_file("b1", [(1, "click", t0 + dt.timedelta(seconds=20))],
+             1_000_000_100)
+    run_once()
+
+    rows = spark.read.parquet(out).collect()
+    assert max(r.step_reached for r in rows) == 3
+    (final,) = [r for r in rows if r.step_reached == 3]
+    assert (final.t1, final.t2, final.t3, final.t4) == (
+        t0,
+        t0 + dt.timedelta(seconds=10),
+        t0 + dt.timedelta(seconds=20),
+        None,
+    )
+
+
+def test_page_transition_state_survives_checkpoint_restart(
+    spark, tmp_path
+):
+    """Fourth GroupState restart witness — the graph-maintenance
+    machine: a page visit arriving after the restart must pair with
+    the LAST PAGE SEEN before the restart into a (src, dst) edge;
+    lost state would emit no transition at all (a lone visit has
+    nothing to pair with)."""
+    import datetime as dt
+    import glob
+    import json
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        page_transition_state_stream,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "user_id long, ts timestamp, event_id long, props string"
+    t0 = dt.datetime(2024, 1, 1)
+
+    def add_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src_dir / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src_dir))
+        )
+        q = (
+            page_transition_state_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file(
+        "b0", [(1, t0, 100, json.dumps({"k": "7"}))], 1_000_000_000
+    )
+    run_once()
+    assert spark.read.parquet(out).count() == 0  # nothing to pair yet
+
+    add_file(
+        "b1",
+        [(1, t0 + dt.timedelta(seconds=30), 101, json.dumps({"k": "9"}))],
+        1_000_000_100,
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert [(r.src, r.dst, r.n) for r in rows] == [(7, 9, 1)]
+
+
+def test_priority_reservoir_survives_checkpoint_restart(
+    spark, sf_smoke, tmp_path
+):
+    """Fifth GroupState restart witness — the weighted reservoir: the
+    corpus split ACROSS a stop/restart must still converge to batch
+    priority_sample bit-for-bit, because the k+1-row per-stratum state
+    (and the rows-seen version counter) rides the checkpoint.  Lost
+    state would leave only the post-restart documents in the
+    reservoir and a too-small version."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.extensions.sampling import (
+        priority_sample,
+    )
+    from isaac_kafka_streaming_spark.streaming.state import (
+        priority_sample_stream,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def add_file(name, df, mtime):
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id long, lang string, n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            priority_sample_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file("b0", docs.filter(F.col("doc_id") <= mid), 1_000_000_000)
+    run_once()
+    add_file("b1", docs.filter(F.col("doc_id") > mid), 1_000_000_100)
+    run_once()
+
+    emitted = spark.read.parquet(out).collect()
+    final_version = {}
+    for r in emitted:
+        final_version[r.lang] = max(final_version.get(r.lang, 0), r.version)
+    got = {
+        (r.doc_id, r.lang, r.weight, r.prio_rank, r.priority, r.est_weight)
+        for r in emitted
+        if r.version == final_version[r.lang]
+    }
+    want = {
+        (r.doc_id, r.lang, r.weight, r.prio_rank, r.priority, r.est_weight)
+        for r in priority_sample(spark, sf_smoke).collect()
+    }
+    assert got == want and want
+    # version counters crossed the restart too: totals, not tails
+    sizes = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert final_version == sizes
+
+
+def test_next_fit_packer_survives_checkpoint_restart(spark, tmp_path):
+    """Sixth GroupState restart witness — the online packer: a
+    document arriving after the restart must respect the OPEN BIN's
+    restored fill (60/100 tokens -> a 50-token doc closes it and opens
+    bin 1); lost state would re-open bin 0 empty and co-locate the two
+    documents in violation of capacity."""
+    import glob
+    import os
+    import shutil
+
+    from isaac_kafka_streaming_spark.streaming.state import (
+        pack_stream_next_fit,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+
+    def add_file(name, rows, mtime):
+        stage = tmp_path / f"stage_{name}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(stage)
+        )
+        (part,) = glob.glob(str(stage / "part-*.parquet"))
+        dst = src / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            pack_stream_next_fit(stream, ctx=100, n_shards=1)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    add_file("b0", [(1, " ".join(["tok"] * 60))], 1_000_000_000)
+    run_once()
+    add_file("b1", [(2, " ".join(["tok"] * 50))], 1_000_000_100)
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].n_tokens == 60 and rows[1].bin == 0
+    # 60 + 50 > 100: the restored fill forces bin 1 (lost state would
+    # have packed doc 2 into a fresh bin 0 next to doc 1)
+    assert rows[2].n_tokens == 50 and rows[2].bin == 1
