@@ -243,10 +243,12 @@ def test_decoders_never_escape_valueerror_fuzz():
         "wav": (C.wav_encode(bytes(range(64))), C.wav_decode),
         "g711": (C.g711_wav_encode(bytes(range(64))), C.wav_decode_any),
         "adpcm": (C.adpcm_wav_encode(bytes(range(128))), C.wav_decode_any),
-        "gif": (C.gif_encode([grad], 16, 16), C.gif_decode),
-        "avi": (C.avi_encode([grad], 16, 16), C.avi_decode),
-        "mp4": (C.mp4_encode([grad], 16, 16), C.mp4_decode),
-        "mkv": (C.mkv_encode([grad], 16, 16), C.mkv_decode),
+        # 3-frame containers: corruptions land in the frame WALK
+        # (chunk/box/element traversal), not just the first payload
+        "gif": (C.gif_encode([grad] * 3, 16, 16), C.gif_decode),
+        "avi": (C.avi_encode([grad] * 3, 16, 16), C.avi_decode),
+        "mp4": (C.mp4_encode([grad] * 3, 16, 16), C.mp4_decode),
+        "mkv": (C.mkv_encode([grad] * 3, 16, 16), C.mkv_decode),
     }
 
     class Hang(Exception):
