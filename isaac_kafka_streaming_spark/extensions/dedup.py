@@ -1610,40 +1610,51 @@ def _cell_assignment(
     before the round-8 cache; 1 after).  Pass ``cache=False`` from a
     single-read consumer (prototype_prune's window chain) where the
     materialization would buy nothing."""
-    from .similarity import _dot
+    from ..io import spread_small_scan
+    from .similarity import _dot, _packed_candidates
 
+    # the fold below keeps the SCAN's partitioning (that is the point:
+    # no exchange ever carries the corpus), so a narrower-than-cores
+    # batch scan must be spread here or the fold and everything
+    # downstream of the cached assignment runs single-task — the old
+    # aggregate's exchange did this incidentally; the guard is a no-op
+    # at real scale (io.spread_small_scan contract)
+    corpus = spread_small_scan(corpus, "vec_id")
     centroids = corpus.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
-    ccos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-    # centroid-assignment argmax as a partial-aggregating max(struct)
-    # — (cosine DESC, cell_id ASC) as max of (ccos, -cell_id); the
-    # v/norm payload fields are never compared (cell_id unique per
-    # candidate), and the exchange carries map-side-combined rows
-    # instead of the |centroids|-expanded corpus (round-15, the
-    # similarity-family rewrite)
-    out = (
-        corpus.join(F.broadcast(centroids), how="cross")
-        .withColumn("__ccos", ccos)
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("__ccos").alias("c"),
-                    (-F.col("cell_id")).alias("nc"),
-                    F.col("v").alias("vv"),
-                    F.col("norm").alias("nn"),
-                )
-            ).alias("m")
+    # centroid-assignment argmax as a map-side array fold over the
+    # packed centroid broadcast — array_max over (c, -cell_id) structs
+    # is the exact (cosine DESC, cell_id ASC) total order the old
+    # max(struct) aggregate encoded, but with NO exchange at all: the
+    # aggregate form still shuffled one combined (vec_id, v, norm) row
+    # per corpus key (round-15 optimization; plans/r15/)
+    cands = _packed_candidates(centroids, "cell_id", "cv", "cnorm")
+    best = F.array_max(
+        F.transform(
+            F.col("__cands"),
+            lambda cc: F.struct(
+                (
+                    _dot(F.col("v"), cc["cv"]) / (F.col("norm") * cc["cnorm"])
+                ).alias("c"),
+                (-cc["cell_id"]).alias("nc"),
+            ),
         )
+    )
+    out = (
+        corpus.crossJoin(cands)
+        .withColumn("__m", best)
+        # empty-candidate guard: the old inner cross join emitted no
+        # rows when centroids was empty; the fold yields NULL there
+        .filter(F.col("__m").isNotNull())
         .select(
             "vec_id",
-            F.col("m.vv").alias("v"),
-            F.col("m.nn").alias("norm"),
-            (-F.col("m.nc")).alias("cell_id"),
-            F.round(F.col("m.c"), 6).alias("centroid_cos"),
+            "v",
+            "norm",
+            (-F.col("__m.nc")).alias("cell_id"),
+            F.round(F.col("__m.c"), 6).alias("centroid_cos"),
         )
     )
     return out.cache() if cache else out

@@ -42,6 +42,31 @@ def _dot(x, y):
     )
 
 
+def _packed_candidates(cands: DataFrame, *cols: str) -> DataFrame:
+    """Every candidate row folded into ONE array-of-structs row
+    (column ``__cands``), for broadcast into a per-row argmax/argmin
+    fold (`F.array_max`/`array_min` over `F.transform`).
+
+    This is the zero-shuffle form of the broadcast-argmax join
+    (guide §2.4, remove shuffles outright): the corpus side keeps its
+    scan partitioning and NO exchange carries corpus rows at all,
+    where the max/min(struct) aggregate it replaces still exchanged
+    one map-side-combined row per corpus key (the whole corpus, with
+    its vector payload, crossing the wire once per assignment pass).
+    collect_list order is irrelevant: the fold's struct ordering is
+    total (score + unique tie id), so the argmax is order-independent;
+    array_max/array_min use the same NaN-greatest total ordering as
+    the max/min(struct) aggregates they replace, so results are
+    bit-identical."""
+    return F.broadcast(
+        cands.agg(
+            F.collect_list(
+                F.struct(*[F.col(c) for c in cols])
+            ).alias("__cands")
+        )
+    )
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -97,24 +122,43 @@ def knn_ivf(
     reads nprobe/n_cells of the data.  Query phase scans only probed
     cells.  Same output shape as knn_bruteforce.
     """
-    corpus = _corpus(spark, sf_dir)
+    from ..io import spread_small_scan
+
+    # the build-side fold keeps the scan's partitioning (the win: the
+    # old row_number window exchanged the |centroids|-expanded corpus
+    # and sorted it), so a narrower-than-cores batch scan is spread
+    # here; no-op at real scale (io.spread_small_scan contract)
+    corpus = spread_small_scan(_corpus(spark, sf_dir), "vec_id")
     centroids = corpus.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cell_id"),
         F.col("v").alias("cv"),
         F.col("norm").alias("cnorm"),
     )
 
+    cands = _packed_candidates(centroids, "cell_id", "cv", "cnorm")
+
     def nearest_cells(df: DataFrame, vcol: str, ncol: str, keep: int) -> DataFrame:
-        cos = _dot(F.col(vcol), F.col("cv")) / (F.col(ncol) * F.col("cnorm"))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("__cell_cos").desc(), F.col("cell_id")
+        # top-``keep`` cells per row as a map-side array fold over the
+        # packed centroid broadcast — the corpus build pass previously
+        # paid a |centroids|-expanded exchange + sort for its
+        # row_number window (round-15 optimization; plans/r15/).
+        # reverse(array_sort) = (cosine DESC, cell_id ASC) exactly:
+        # struct ordering on (c, -cell_id) ascending, reversed — the
+        # same total order (NaN-greatest included) the window used.
+        scored = F.transform(
+            F.col("__cands"),
+            lambda cc: F.struct(
+                (
+                    _dot(F.col(vcol), cc["cv"]) / (F.col(ncol) * cc["cnorm"])
+                ).alias("c"),
+                (-cc["cell_id"]).alias("nc"),
+            ),
         )
+        kept = F.slice(F.reverse(F.array_sort(scored)), 1, keep)
         return (
-            df.join(F.broadcast(centroids), how="cross")
-            .withColumn("__cell_cos", cos)
-            .withColumn("__cr", F.row_number().over(w))
-            .filter(F.col("__cr") <= keep)
-            .drop("__cell_cos", "__cr", "cv", "cnorm")
+            df.crossJoin(cands)
+            .withColumn("__kept", F.explode(kept))
+            .select(*df.columns, (-F.col("__kept.nc")).alias("cell_id"))
         )
 
     assigned = nearest_cells(corpus, "v", "norm", keep=1)  # build index
@@ -552,7 +596,18 @@ def kmeans_centroids(
     replays it as unrolled CTE rounds (`_kmeans_oracle_sql`) and the
     trainer is hash-checked, not just structurally asserted.
     """
-    emb = _corpus(spark, sf_dir).select("vec_id", "v", "norm")
+    from ..io import spread_small_scan
+
+    # the assignment fold below keeps the scan's partitioning (no
+    # exchange carries the corpus any more), so a narrower-than-cores
+    # batch scan must be spread or every round's fold + means explode
+    # runs single-task; no-op at real scale (io.spread_small_scan).
+    # (The round-13 "kmeans stays un-spread" measurement predates the
+    # fold: it applied to the exchange-bound max(struct) shape, where
+    # the aggregate's own exchange already spread the rounds.)
+    emb = spread_small_scan(
+        _corpus(spark, sf_dir).select("vec_id", "v", "norm"), "vec_id"
+    )
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(
@@ -563,30 +618,33 @@ def kmeans_centroids(
         .localCheckpoint()
     )
     for _ in range(iters):
-        cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
-        # argmax as a partial-aggregating max(struct) — the same
-        # (cosine DESC, cell_id ASC) rule the old row_number window
-        # encoded (max of (c, -cell_id) is lexicographically that
-        # order; the payload field is never compared because cell_id
-        # is unique per candidate), but the exchange now carries
-        # map-side-combined rows instead of the k-expanded corpus and
-        # needs no sort (round-15: byte-identical at sf0.1, -20% wall)
+        # argmax as a map-side array fold over the packed centroid
+        # broadcast — the same (cosine DESC, cell_id ASC) rule the
+        # max(struct) aggregate encoded (array_max over (c, -cell_id)
+        # structs is that exact total order, NaN-greatest included),
+        # but with NO exchange at all: the max(struct) form still
+        # shuffled one combined (vec_id, vector) row per corpus key
+        # every round (round-15 optimization; plans/r15/)
+        cands = _packed_candidates(cents, "cell_id", "cv", "cnorm")
+        best = F.array_max(
+            F.transform(
+                F.col("__cands"),
+                lambda cc: F.struct(
+                    (
+                        _dot(F.col("v"), cc["cv"])
+                        / (F.col("norm") * cc["cnorm"])
+                    ).alias("c"),
+                    (-cc["cell_id"]).alias("nc"),
+                ),
+            )
+        )
         assigned = (
-            emb.join(F.broadcast(cents), how="cross")
-            .withColumn("__c", cos)
-            .groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("__c").alias("c"),
-                        (-F.col("cell_id")).alias("nc"),
-                        F.col("v").alias("vv"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                (-F.col("m.nc")).alias("cell_id"), F.col("m.vv").alias("v")
-            )
+            emb.crossJoin(cands)
+            .select(best.alias("__m"), "v")
+            # empty-candidate guard: the old inner cross join emitted
+            # no rows when cents was empty; the fold yields NULL there
+            .filter(F.col("__m").isNotNull())
+            .select((-F.col("__m.nc")).alias("cell_id"), "v")
         )
         means = (
             assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
@@ -831,16 +889,16 @@ def knn_pq(
     return out
 
 
-def _pq_l2(a: str, b: str):
+def _pq_l2(a, b):
     """|a|^2 - 2 a.b + |b|^2 in this exact order: each dot is a
     sequential fold that matches DuckDB's list_dot_product
     bit-for-bit, and the combining ops are identical on both engines
-    (cf. _kmeans_oracle_sql)."""
-    return (
-        _dot(F.col(a), F.col(a))
-        - 2 * _dot(F.col(a), F.col(b))
-        + _dot(F.col(b), F.col(b))
-    )
+    (cf. _kmeans_oracle_sql).  Accepts column names or Column
+    expressions (the packed-candidate folds pass lambda-bound struct
+    fields)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
 
 
 def _pq_subvectors(
@@ -870,29 +928,36 @@ def _pq_subvectors(
 
 def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     """Encode: per (vec_id, sub_id), the L2-argmin code with code_id
-    tie-break against the broadcast codebook — a partial-aggregating
-    min(struct) (the (distance ASC, code_id ASC) rule; the sv payload
-    is never compared because code_id is unique per candidate), so
-    the exchange carries map-side-combined rows instead of the
-    ksub-expanded subvector table and needs no sort."""
-    return (
-        sub.join(F.broadcast(codebook), "sub_id")
-        .withColumn("__d", _pq_l2("sv", "cv"))
-        .groupBy("vec_id", "sub_id")
-        .agg(
-            F.min(
-                F.struct(
-                    F.col("__d").alias("d"),
-                    F.col("code_id").alias("code_id"),
-                    F.col("sv").alias("sv"),
-                )
-            ).alias("m")
+    tie-break — a map-side array fold over the per-subspace packed
+    codebook (array_min over (d, code_id) structs is the exact
+    (distance ASC, code_id ASC) total order, NaN-greatest included).
+    The codebook packs to one m-row array table broadcast into an
+    equi-join on sub_id, so NO exchange carries the subvector table at
+    all — the min(struct) aggregate this replaces still shuffled one
+    combined (vec_id, sub_id, subvector) row per corpus subvector
+    (round-15 optimization; plans/r15/)."""
+    packed = F.broadcast(
+        codebook.groupBy("sub_id").agg(
+            F.collect_list(F.struct("code_id", "cv")).alias("__cands")
         )
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("__cands"),
+            lambda cc: F.struct(
+                _pq_l2(F.col("sv"), cc["cv"]).alias("d"),
+                cc["code_id"].alias("code_id"),
+            ),
+        )
+    )
+    return (
+        sub.join(packed, "sub_id")
+        .select("vec_id", "sub_id", best.alias("__m"), "sv")
         .select(
             "vec_id",
             "sub_id",
-            F.col("m.code_id").alias("code_id"),
-            F.col("m.sv").alias("sv"),
+            F.col("__m.code_id").alias("code_id"),
+            "sv",
         )
     )
 
@@ -1124,33 +1189,39 @@ def _nearest_cell(df: DataFrame, centroids: DataFrame) -> DataFrame:
     Output: the input columns + cell_id + cv (the winning centroid,
     kept so callers can form residuals without a re-join).
 
-    Argmax as a partial-aggregating max(struct): (cosine DESC,
-    cell_id ASC) is max of (c, -cell_id); the payload fields (the
-    winning centroid and the input's own columns, constant across a
-    vec_id's candidate rows) are never compared because cell_id is
-    unique per candidate.  The exchange carries map-side-combined
-    rows instead of the |centroids|-expanded input and needs no
-    sort."""
-    cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+    Argmax as a map-side array fold over the packed centroid
+    broadcast: array_max over (c, -cell_id, cv) structs is the exact
+    (cosine DESC, cell_id ASC) total order (the trailing cv payload is
+    never compared because cell_id is unique per candidate), and the
+    input's own columns ride the row untouched.  NO exchange at all —
+    the max(struct) aggregate this replaces still shuffled one
+    combined row (with its vector payload) per input vec_id
+    (round-15 optimization; plans/r15/)."""
     payload = [c for c in df.columns if c != "vec_id"]
-    m = F.max(
-        F.struct(
-            F.col("__c").alias("c"),
-            (-F.col("cell_id")).alias("nc"),
-            F.col("cv").alias("cv"),
-            *[F.col(c).alias(f"p_{c}") for c in payload],
+    cands = _packed_candidates(centroids, "cell_id", "cv", "cnorm")
+    best = F.array_max(
+        F.transform(
+            F.col("__cands"),
+            lambda cc: F.struct(
+                (
+                    _dot(F.col("v"), cc["cv"]) / (F.col("norm") * cc["cnorm"])
+                ).alias("c"),
+                (-cc["cell_id"]).alias("nc"),
+                cc["cv"].alias("cv"),
+            ),
         )
-    ).alias("m")
+    )
     return (
-        df.join(F.broadcast(centroids), how="cross")
-        .withColumn("__c", cos)
-        .groupBy("vec_id")
-        .agg(m)
+        df.crossJoin(cands)
+        .withColumn("__m", best)
+        # empty-candidate guard: the old inner cross join emitted no
+        # rows when centroids was empty; the fold yields NULL there
+        .filter(F.col("__m").isNotNull())
         .select(
             "vec_id",
-            *[F.col(f"m.p_{c}").alias(c) for c in payload],
-            (-F.col("m.nc")).alias("cell_id"),
-            F.col("m.cv").alias("cv"),
+            *payload,
+            (-F.col("__m.nc")).alias("cell_id"),
+            F.col("__m.cv").alias("cv"),
         )
     )
 
