@@ -216,13 +216,23 @@ def pagerank_from_graph(
         dangling = pr.filter(F.col("ow").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
+        # broadcast rounds (round-15 optimization; plans/r15/): the
+        # rank vector and the contrib vector are catalog-sized and
+        # NARROW (page_id + two doubles), so both per-round joins run
+        # as broadcast hash joins — the edge list, the one frame that
+        # is actually big at 100 TB, never shuffles at all, where the
+        # sort-merge shape re-exchanged it (plus the rank vector)
+        # every round.  Holds while |V| rows fit a broadcast relation
+        # (the 8 GB / 512M-row cap — ~10^8 pages at these widths);
+        # past that, drop the two hints and the planner falls back to
+        # the old co-shuffled shape with identical results.
         contrib = (
-            pr.join(edges, pr.page_id == edges.src)
+            F.broadcast(pr).join(edges, pr.page_id == edges.src)
             .groupBy(F.col("dst").alias("page_id"))
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
         )
         pr = (
-            ranked_nodes.join(contrib, "page_id", "left")
+            ranked_nodes.join(F.broadcast(contrib), "page_id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "page_id",
@@ -474,8 +484,11 @@ def ppr_from_graph(
         dangling = pr.filter(F.col("ow").isNull()).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
+        # broadcast rounds — same rationale and caveat as
+        # pagerank_from_graph: both vectors are catalog-narrow, the
+        # edge list never shuffles (round-15 optimization; plans/r15/)
         contrib = (
-            pr.join(edges, pr.page_id == edges.src)
+            F.broadcast(pr).join(edges, pr.page_id == edges.src)
             .groupBy(F.col("dst").alias("page_id"))
             .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
         )
@@ -483,7 +496,7 @@ def ppr_from_graph(
             F.col("dang") / F.lit(float(s))
         )
         pr = (
-            ranked_nodes.join(contrib, "page_id", "left")
+            ranked_nodes.join(F.broadcast(contrib), "page_id", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "page_id",
@@ -643,8 +656,13 @@ def label_propagation_from_graph(
     )
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
     for _ in range(iters):
+        # broadcast rounds — the label vector is catalog-sized and two
+        # longs wide, so the votes join broadcasts it and the
+        # undirected edge list (the big frame) never shuffles; same
+        # rationale and |V|-cap caveat as pagerank_from_graph
+        # (round-15 optimization; plans/r15/)
         votes = (
-            lbl.join(und, lbl.page_id == und.src)
+            F.broadcast(lbl).join(und, lbl.page_id == und.src)
             .groupBy(F.col("dst").alias("page_id"), F.col("lbl").alias("nlbl"))
             .agg(F.sum("w").alias("s"))
         )
@@ -668,7 +686,7 @@ def label_propagation_from_graph(
         # round 15 (one fewer join per round; measured below the
         # A/B in SCALE_DESIGN.md "Round 15, late")
         lbl = (
-            lbl.join(best, "page_id", "left")
+            lbl.join(F.broadcast(best), "page_id", "left")
             .select(
                 "page_id",
                 F.coalesce(F.col("best_lbl"), F.col("lbl")).alias("lbl"),
@@ -680,7 +698,7 @@ def label_propagation_from_graph(
     )
     return (
         lbl.select("page_id", F.col("lbl").alias("community"))
-        .join(sizes, "community")
+        .join(F.broadcast(sizes), "community")
         .select("page_id", "community", "community_size")
     )
 
@@ -806,7 +824,10 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     sizes = labeled.groupBy("component").agg(
         F.count("*").alias("component_size")
     )
-    return labeled.join(sizes, "component").select(
+    # the size rollup is one row per community/component (<= catalog
+    # rows, two longs wide) — broadcast it so the catalog frame doesn't
+    # re-shuffle for the final attach (round-15; same |V|-cap caveat)
+    return labeled.join(F.broadcast(sizes), "component").select(
         "page_id", "component", "component_size"
     )
 
