@@ -2234,26 +2234,34 @@ def _curate_and_mix(ingested: DataFrame, docs: DataFrame) -> DataFrame:
             F.count("*").alias("n_docs_kept"),
             F.sum("n_tok").alias("n_tokens_kept"),
         )
+        # the cache is kept for the EXPENSIVE upstream (shard decode +
+        # gate): repeated reads of the plan reuse the |langs|-row
+        # result instead of re-decoding the shards (measured: dropping
+        # it costs the warm path 0.4-0.6 s at sf0.1)
         .cache()
     )
-    totals = per_lang.select(F.sum("n_tokens_kept").alias("total_tokens"))
-    weighted = (
-        per_lang.crossJoin(F.broadcast(totals))
+    # scalar chain as unpartitioned window aggregates over the
+    # |langs|-row frame — one SinglePartition exchange, no sort,
+    # instead of an aggregate job + broadcast build per scalar
+    # (round-15 optimization, the temperature_mixture recipe)
+    w_all = Window.partitionBy()
+    planned = (
+        per_lang
+        .withColumn("total_tokens", F.sum("n_tokens_kept").over(w_all))
         .withColumn(
             "nat_share", F.col("n_tokens_kept") / F.col("total_tokens")
         )
         .withColumn("w", F.pow(F.col("nat_share"), F.lit(0.7)))
-    )
-    wsum = weighted.select(F.sum("w").alias("wsum"))
-    planned = weighted.crossJoin(F.broadcast(wsum)).withColumn(
-        "target_share", F.col("w") / F.col("wsum")
-    )
-    budget = planned.select(
-        F.min(F.col("n_tokens_kept") / F.col("target_share")).alias(
-            "budget"
+        .withColumn("wsum", F.sum("w").over(w_all))
+        .withColumn("target_share", F.col("w") / F.col("wsum"))
+        .withColumn(
+            "budget",
+            F.min(F.col("n_tokens_kept") / F.col("target_share")).over(
+                w_all
+            ),
         )
     )
-    return planned.crossJoin(F.broadcast(budget)).select(
+    return planned.select(
         "lang",
         "n_docs_kept",
         "n_tokens_kept",

@@ -314,11 +314,6 @@ def temperature_mixture_plan(
     from .dedup import _tokens
 
     docs = _documents(spark, sf_dir)
-    # .cache(): the scalar chain below (totals -> wsum -> budget ->
-    # final projection) otherwise re-executes this lineage — the ONE
-    # corpus-scale stage, a full token-count pass — once per derived
-    # scalar (8 documents scans measured before the round-8 cache; 1
-    # after).  The cached frame is |langs| rows.
     per_lang = (
         docs.select("lang", F.size(_tokens(F.col("text"))).alias("n"))
         .groupBy("lang")
@@ -326,26 +321,31 @@ def temperature_mixture_plan(
             F.count("*").alias("n_docs"),
             F.sum("n").cast("long").alias("n_tokens"),
         )
-        .cache()
     )
-    totals = per_lang.select(
-        F.sum("n_tokens").alias("total_tokens")
-    )
-    weighted = (
-        per_lang.crossJoin(F.broadcast(totals))
+    # scalar chain (totals -> wsum -> budget) as unpartitioned window
+    # aggregates over the |langs|-row frame: ONE SinglePartition
+    # exchange of <= |langs| rows and no sort, where the old
+    # agg+crossJoin(broadcast) chain paid an aggregate job + broadcast
+    # build per scalar and needed a .cache() to stop the corpus pass
+    # re-executing per scalar (round-15 optimization; plans/r15/).
+    # Identical values: same sums/min over the same rows, and the
+    # window needs no ordering (plan_lint's sorted-single-partition
+    # detector stays clean).
+    w_all = Window.partitionBy()
+    planned = (
+        per_lang
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
         .withColumn("nat_share", F.col("n_tokens") / F.col("total_tokens"))
         .withColumn("w", F.pow(F.col("nat_share"), F.lit(alpha)))
-    )
-    wsum = weighted.select(F.sum("w").alias("wsum"))
-    planned = (
-        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("wsum", F.sum("w").over(w_all))
         .withColumn("target_share", F.col("w") / F.col("wsum"))
     )
-    budget = planned.select(
-        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
-    )
     return (
-        planned.crossJoin(F.broadcast(budget))
+        planned
+        .withColumn(
+            "budget",
+            F.min(F.col("n_tokens") / F.col("target_share")).over(w_all),
+        )
         .select(
             "lang",
             "n_docs",
@@ -494,11 +494,21 @@ def mixture_plan(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "target_share",
     )
-    budget = planned.filter(F.col("n_tokens") > 0).agg(
-        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
-    )
+    # feasible budget as an unpartitioned window min over the
+    # |targets|-row frame (min-of-when ignores the null it yields on
+    # zero-token rows — exactly the old filter+agg); one
+    # SinglePartition exchange instead of an aggregate job + broadcast
+    # (round-15 optimization)
     return (
-        planned.crossJoin(F.broadcast(budget))
+        planned.withColumn(
+            "budget",
+            F.min(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_tokens") / F.col("target_share"),
+                )
+            ).over(Window.partitionBy()),
+        )
         .select(
             "lang",
             "n_docs",
@@ -1075,8 +1085,9 @@ def doremi_mixture_plan(
     entropy sums all derive from that |domains|×|V|-bounded frame
     (the dw⋈ref join keys on word — vocab-bounded, never corpus
     rows); plus one column-pruned count-only pass for n_docs.  The
-    scalar chain (totals → wsum → budget) rides the cached
-    |domains|-row frame, the bpe/temperature discipline.  Entropies
+    scalar chain (totals → wsum → budget) is unpartitioned window
+    aggregates over the |domains|-row frame (one SinglePartition
+    exchange; the temperature_mixture recipe).  Entropies
     are normalized by N_d before the 6-dp round, so the cross-engine
     summation-order noise on the Σ c·ln(·) terms sits orders below
     the rounding grain (the char_entropy argument)."""
@@ -1117,7 +1128,6 @@ def doremi_mixture_plan(
         )
     )
     n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
-    # .cache(): |domains| rows; the scalar chain below re-reads it
     per_dom = (
         ent.join(F.broadcast(n_docs), "source")
         .crossJoin(F.broadcast(scal))
@@ -1138,25 +1148,28 @@ def doremi_mixture_plan(
             "excess",
             F.greatest(F.col("h_ref") - F.col("h_self"), F.lit(0.0)),
         )
-        .cache()
     )
-    tot = per_dom.select(F.sum("n_tokens").alias("total_tokens"))
-    weighted = (
-        per_dom.crossJoin(F.broadcast(tot))
+    # scalar chain (tot -> wsum -> budget) as unpartitioned window
+    # aggregates over the |domains|-row frame — one SinglePartition
+    # exchange, no sort, instead of an aggregate job + broadcast build
+    # per scalar (and the .cache() that chain needed); identical
+    # values (round-15 optimization, the temperature_mixture recipe)
+    w_all = Window.partitionBy()
+    planned = (
+        per_dom
+        .withColumn("total_tokens", F.sum("n_tokens").over(w_all))
         .withColumn("nat_share", F.col("n_tokens") / F.col("total_tokens"))
         .withColumn(
             "uw", F.col("nat_share") * F.exp(F.lit(eta) * F.col("excess"))
         )
-    )
-    wsum = weighted.select(F.sum("uw").alias("wsum"))
-    planned = weighted.crossJoin(F.broadcast(wsum)).withColumn(
-        "target_share", F.col("uw") / F.col("wsum")
-    )
-    budget = planned.select(
-        F.min(F.col("n_tokens") / F.col("target_share")).alias("budget")
+        .withColumn("wsum", F.sum("uw").over(w_all))
+        .withColumn("target_share", F.col("uw") / F.col("wsum"))
     )
     return (
-        planned.crossJoin(F.broadcast(budget))
+        planned.withColumn(
+            "budget",
+            F.min(F.col("n_tokens") / F.col("target_share")).over(w_all),
+        )
         .select(
             "source",
             "n_docs",

@@ -2375,22 +2375,29 @@ CROSS JOIN pri
 SELECTION_BUDGETS = tuple(range(10, 101, 10))
 
 
-def _budget_thresholds(scored: DataFrame) -> DataFrame:
+def _budget_thresholds(scored: DataFrame, *extra_aggs) -> DataFrame:
     """The 10-row (budget_pct, logit_threshold) frame from ONE exact
     percentile aggregate over the scored corpus — shared by the graded
     batch curve and selection_budget_thresholds (the offline artifact
-    the streaming budget counters broadcast)."""
+    the streaming budget counters broadcast).  ``extra_aggs``: further
+    aggregate expressions computed in the SAME corpus pass and carried
+    on every threshold row (the curve folds its positives total in
+    here instead of paying a second aggregate job + broadcast —
+    round-15 optimization)."""
     probs = ", ".join(
         f"{(100 - b) / 100.0!r}D" for b in SELECTION_BUDGETS
     )
+    agged = scored.agg(
+        F.expr(f"percentile(nb_logit, array({probs}))").alias("q"),
+        *extra_aggs,
+    )
+    carry = [c for c in agged.columns if c != "q"]
     return (
-        scored.agg(
-            F.expr(f"percentile(nb_logit, array({probs}))").alias("q")
-        )
-        .select(F.posexplode("q").alias("pos", "thr"))
+        agged.select(F.posexplode("q").alias("pos", "thr"), *carry)
         .select(
             ((F.col("pos") + 1) * 10).cast("bigint").alias("budget_pct"),
             F.round("thr", 6).alias("logit_threshold"),
+            *carry,
         )
     )
 
@@ -2441,9 +2448,12 @@ def selection_budget_curve(
     the honest tie-inflation a fixed-threshold deployment actually
     exhibits."""
     scored = nb_quality_score(spark, sf_dir, alpha, target_lang).cache()
-    th = _budget_thresholds(scored)
-    totals = scored.agg(
-        F.count(F.when(F.col("target_label"), 1)).alias("np")
+    # the positives total rides the threshold frame (same corpus pass
+    # as the percentile aggregate) instead of a second aggregate job +
+    # broadcast; it is globally constant, so grouping on it is free
+    # (round-15 optimization — the oracle already groups on np)
+    th = _budget_thresholds(
+        scored, F.count(F.when(F.col("target_label"), 1)).alias("np")
     )
     kept_pos = F.count(F.when(F.col("target_label"), 1))
     return (
@@ -2451,13 +2461,12 @@ def selection_budget_curve(
             F.broadcast(th),
             F.col("nb_logit") >= F.col("logit_threshold"),
         )
-        .groupBy("budget_pct", "logit_threshold")
+        .groupBy("budget_pct", "logit_threshold", "np")
         .agg(
             F.count("*").alias("n_docs_kept"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens_kept"),
             kept_pos.alias("_kp"),
         )
-        .crossJoin(F.broadcast(totals))
         .select(
             "budget_pct",
             "logit_threshold",

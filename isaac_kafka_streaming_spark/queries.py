@@ -2107,11 +2107,33 @@ def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each predicate-pruned to its event type).  The cached frame
         # is one row per user who reached the step.
         cur = cur.cache()
-        counts.append(cur.agg(F.count("*").alias(f"n{i}")))
+        counts.append(cur.select(F.lit(i).alias("step")))
         prev = cur
-    row = counts[0]
-    for c in counts[1:]:
-        row = row.crossJoin(F.broadcast(c))
+    # the four step counts in ONE aggregate over the union of the
+    # cached step frames, collected into a single map row — replaces
+    # four count-scalar jobs + three crossJoin(broadcast) builds
+    # (round-15 optimization).  A step nobody reached is absent from
+    # the map -> coalesce to the 0 the per-step count agg returned.
+    from functools import reduce
+
+    row = (
+        reduce(lambda a, b: a.unionAll(b), counts)
+        .groupBy("step")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("step", "n"))
+            ).alias("m")
+        )
+        .select(
+            *[
+                F.coalesce(
+                    F.element_at("m", F.lit(i)), F.lit(0).cast("long")
+                ).alias(f"n{i}")
+                for i in range(1, len(FUNNEL_STEPS) + 1)
+            ]
+        )
+    )
     structs = [
         F.struct(
             F.lit(1).alias("step"),
