@@ -226,6 +226,9 @@ def main() -> None:
         # sub-100 ms queries) — then the reported min is reproducible
         # run-over-run, and the metric stays the same min as every
         # earlier round.
+        # label jobs so the UI/event log attributes stages to queries
+        # (guide §1.5; display-only, the timed work is unchanged)
+        spark.sparkContext.setJobDescription(f"bench: {name}")
         runs: list[float] = []
         for i in range(5):
             t0 = time.perf_counter()
@@ -238,6 +241,7 @@ def main() -> None:
                 if lo2 - lo <= 0.05 * lo + 0.02:
                     break
         timings[name] = round(min(runs), 3)
+        spark.sparkContext.setJobDescription(None)
         spark.catalog.clearCache()
         # between-query GC (uncounted): heap pressure from earlier
         # queries otherwise lands as a collection pause inside a later

@@ -608,13 +608,16 @@ def test_warc_explode_readside_exchange_free(spark):
 
 
 def test_curation_pipeline_plan_shape(spark, sf_smoke):
-    """The end-to-end composition keeps its audited shape: exactly one
-    window (the normalized-hash canonical gate), every crossJoin a
-    broadcast of a tiny scalar frame (BroadcastNestedLoopJoin, never
-    CartesianProduct), and two-phase aggregation for the per-lang
-    rollup."""
+    """The end-to-end composition keeps its audited shape: the
+    normalized-hash canonical gate runs as a window, the round-15
+    scalar chain (totals -> wsum -> budget) runs as unpartitioned
+    window aggregates over the |langs|-row rollup — ONE
+    SinglePartition exchange, no crossJoin broadcasts left, and no
+    sort feeding that exchange (the |langs| rows need no order) — and
+    the per-lang rollup stays two-phase hash aggregation."""
     plan = _executed_plan(spark, "curation_pipeline", sf_smoke)
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # scalar chain gone
     assert "Window" in plan
-    assert "BroadcastNestedLoopJoin" in plan  # the scalar chain
+    assert "Exchange SinglePartition" in plan  # the |langs|-row chain
     assert "HashAggregate" in plan

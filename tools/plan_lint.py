@@ -35,8 +35,9 @@ CARTESIAN_OK = {
     "tpch_q22",  # 1-row avg-balance scalar
     "tpch_q11",  # 1-row (total, n_parts) threshold scalar
     "tpch_q20",  # 1-row global-share threshold scalar
-    "mixture_plan",  # 4-row share frame
-    "temperature_mixture",  # share frame (same shape as mixture_plan)
+    # (mixture_plan / temperature_mixture dropped round-15: their
+    # scalar chains are unpartitioned window aggregates now — no
+    # broadcast nested loop remains to allow)
     "soft_dedup_sample",  # 1-row scalar
     "corpus_keep_list",  # 1-row quality threshold frame
     "corpus_curation",  # composes keep-list's scalar
@@ -56,7 +57,8 @@ CARTESIAN_OK = {
     "bpe_learn",  # three 1-row top-pair scalars (one per merge round)
     "bpe_tokenize_stats",  # composes bpe_learn's scalar tops
     "pmi_top_pairs",  # broadcast 1-row corpus-token-count scalar
-    "funnel_signup_purchase",  # four 1-row step-count scalars
+    # (funnel_signup_purchase dropped round-15: the step counts fused
+    # into one union aggregate — no scalar crossJoins remain)
     "bm25_top_docs",  # broadcast 1-row (n_docs, avgdl) stats scalar
     "nb_quality_score",  # two 1-row scalars (class totals, priors)
     "dsir_select",  # broadcast 1-row (tt, tr) totals scalar
@@ -65,10 +67,9 @@ CARTESIAN_OK = {
     "pagerank_personalized",  # same 1-row dangling scalar per round
     "selection_budget_curve",  # broadcast 10-row threshold frame
     #   (non-equi >= join) + 1-row positives-total scalar
-    "curation_pipeline",  # temperature_mixture's scalar chain over
-    #   the curated survivors (totals/wsum/budget 1-row broadcasts)
-    "warc_curation_pipeline",  # the same shared scalar chain
-    #   (_curate_and_mix) over the WARC-framed ingest
+    # (curation_pipeline / warc_curation_pipeline dropped round-15:
+    # the shared _curate_and_mix scalar chain is window aggregates
+    # now; tests/test_plans.py pins BroadcastNestedLoopJoin ABSENT)
 }
 # Queries whose Python eval nodes are the DECLARED Arrow boundary:
 PYTHON_OK = {
