@@ -413,3 +413,76 @@ def test_mmr_rerank_matches_python_replay_and_degenerates(spark, sf_smoke):
     }
     first_two = {ranked[1], ranked[2]}
     assert first_two != {dup_of, dup_id}, ranked
+
+
+def test_packed_fold_argmax_matches_aggregate_total_order(spark):
+    """Round-15 equivalence pin for the zero-shuffle assignment folds:
+    array_max over (score, -cand_id) structs built from a packed
+    candidate broadcast must pick EXACTLY the winner the old
+    max(struct) aggregate picked — including score ties (smallest
+    cand_id wins) and NaN scores (NaN is greatest in Spark's total
+    ordering, for the aggregate, the fold, and a descending sort
+    alike).  Constructed frame: one row per scoring pathology."""
+    from pyspark.sql import functions as F
+
+    from isaac_kafka_streaming_spark.extensions.similarity import (
+        _packed_candidates,
+    )
+
+    # candidates: (cand_id, score-per-row map) — scores arranged so
+    # row "tie" ties cands 1/2, row "nan" gives cand 3 a NaN score,
+    # row "plain" has a unique max on cand 2
+    rows = [
+        ("tie", [1.0, 5.0, 5.0, 0.0]),
+        ("nan", [2.0, 1.0, 0.5, float("nan")]),
+        ("plain", [0.0, 1.0, 7.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, "row_id string, scores array<double>")
+    cands = spark.createDataFrame(
+        [(i,) for i in range(4)], "cand_id long"
+    )
+
+    # old shape: expand x aggregate max(struct)
+    expanded = df.join(F.broadcast(cands), how="cross").select(
+        "row_id",
+        "cand_id",
+        F.element_at("scores", F.col("cand_id").cast("int") + 1).alias("s"),
+    )
+    agg_winner = {
+        r.row_id: r.w
+        for r in expanded.groupBy("row_id")
+        .agg(
+            F.max(F.struct(F.col("s"), (-F.col("cand_id")).alias("nc")))
+            .alias("m")
+        )
+        .select("row_id", (-F.col("m.nc")).alias("w"))
+        .collect()
+    }
+
+    # new shape: packed broadcast + per-row array_max fold
+    packed = _packed_candidates(cands, "cand_id")
+    fold_winner = {
+        r.row_id: r.w
+        for r in df.crossJoin(packed)
+        .select(
+            "row_id",
+            F.array_max(
+                F.transform(
+                    F.col("__cands"),
+                    lambda cc: F.struct(
+                        F.element_at(
+                            "scores", cc["cand_id"].cast("int") + 1
+                        ).alias("s"),
+                        (-cc["cand_id"]).alias("nc"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("row_id", (-F.col("m.nc")).alias("w"))
+        .collect()
+    }
+
+    assert fold_winner == agg_winner
+    assert fold_winner["tie"] == 1  # tie -> smallest cand_id
+    assert fold_winner["nan"] == 3  # NaN is greatest, wins
+    assert fold_winner["plain"] == 2
