@@ -173,9 +173,12 @@ PICKS = {
         "equi-join — quadratic bounded by cell size."
     ),
     "kmeans_centroids": (
-        "Lloyd iteration: centroids broadcast per round, mean update is "
-        "a two-phase hash aggregate on (cell_id, pos); localCheckpoint "
-        "keeps lineage flat (plan shown is the final projection)."
+        "Lloyd iteration: per round the k centroids pack into ONE "
+        "broadcast array row and assignment is a map-side array_max "
+        "fold — no exchange carries the corpus (round 15); mean "
+        "update is a two-phase hash aggregate on (cell_id, pos); "
+        "localCheckpoint keeps lineage flat (plan shown is the final "
+        "projection)."
     ),
     # round 6 staged additions (registered round 7; resolved via
     # staged_queries())
@@ -324,8 +327,9 @@ PICKS = {
         "Iterative graph tier: ONE corpus pass (per-user lag window + "
         "edge groupBy) before the checkpoint; five contribution "
         "rounds over page-catalog-bounded checkpointed frames — "
-        "equi-joins on the node key + 1-row broadcast dangling "
-        "scalars; no events re-scan in the final plan.  The published "
+        "BROADCAST rounds since round 15 (rank + contrib vectors "
+        "broadcast, the edge list never re-shuffles) + 1-row "
+        "broadcast dangling scalars; no events re-scan.  The published "
         "1..|V| rank is range-PARTITIONED (round 11): local indexes "
         "come from monotonically_increasing_id over the range-sorted "
         "checkpoint (no window over the |V| frame at all), and the "
@@ -380,8 +384,9 @@ PICKS = {
         "-> doc_id equi-join (exchange-free on a doc_id-bucketed "
         "layout) -> ONE normalized-hash window shuffle for the fused "
         "gate -> tiny per-lang aggregate; the mixture scalar chain "
-        "(totals/wsum/budget) is broadcast crossjoins over cached "
-        "|langs|-row frames, temperature_mixture's audited shape."
+        "(totals/wsum/budget) rides unpartitioned window aggregates "
+        "over the cached |langs|-row frame — one SinglePartition "
+        "exchange, no crossJoin broadcasts (round 15)."
     ),
     "page_components": (
         "Exact CC (large-star/small-star): the same single corpus "
