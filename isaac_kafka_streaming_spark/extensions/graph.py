@@ -55,6 +55,8 @@ log under the ANN indexes' manifest commit protocol.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -64,6 +66,31 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 5
 _ROUND_ITER = 12  # per-round rank rounding (engine-lockstep)
 _ROUND_OUT = 6  # published rank rounding
+
+# Size gate for the |V|-sized broadcast hints in the iterative loops
+# (round-16; the round-15 verdict's "What's wrong" #1): F.broadcast
+# does NOT fall back — past Spark's hard 8 GB / 512M-row broadcast
+# relation cap a forced broadcast fails the job outright.  The rank /
+# label / contrib vectors here are ≤ ~24 bytes/row, so 10^8 rows is
+# ~2.4 GB built — the default cap keeps a 4x margin to the hard limit
+# while still broadcasting every plausible page catalog.  Past the cap
+# the hint is simply omitted and the planner falls back to the
+# sort-merge co-shuffled shape with identical results (pinned in
+# tests/test_graph.py).  Parameterised for clusters with small driver
+# heaps (set SPARK_GRAFT_GRAPH_BCAST_CAP=0 to disable all vector
+# broadcasts).
+_BCAST_CAP_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GRAPH_BCAST_CAP", str(100_000_000))
+)
+
+
+def _vec_hint(n_rows: int):
+    """Broadcast hint for catalog-sized vectors, gated on the measured
+    |V| (``n_rows``): identity past ``_BCAST_CAP_ROWS`` so the planner
+    falls back to the co-shuffled join instead of failing the build."""
+    if n_rows <= _BCAST_CAP_ROWS:
+        return F.broadcast
+    return lambda df: df
 
 
 # the partition-safe 1..|V| rank the family's published orderings use
@@ -151,6 +178,39 @@ def transition_edges_from_events(
     )
 
 
+def _page_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus pass for the whole graph family (round 16; guide §8
+    — decide with small rows): the lead-window pass keeps ALL
+    (src, dst) groups — including dst-NULL (a user's last event) and
+    self-transition groups the edge list drops — so the node catalog
+    is derivable from the page-catalog-sized group frame instead of a
+    SECOND scan + parse + distinct over the event log.  Every event
+    row emits exactly one seq row with src = its page id, so
+    DISTINCT src over the group frame == DISTINCT k over the events
+    (the old nodes pass), exactly; filtering the null/self groups
+    after the aggregate yields the identical edge list (group counts
+    commute with the filter).  Round 15 paid two full event-log
+    passes per graph query; this is one.
+
+    Returns (nodes, edges); the shared group frame is a lazy
+    checkpoint materialized by whichever consumer runs first."""
+    ev = _page_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    grouped = (
+        ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = grouped.select(F.col("src").alias("page_id")).distinct()
+    edges = grouped.filter(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    )
+    return nodes, edges
+
+
 def pagerank_pages(
     spark: SparkSession,
     sf_dir: str,
@@ -167,12 +227,8 @@ def pagerank_pages(
     out-edges, redistributed uniformly (the standard stochastic-matrix
     completion).  Output: every node with its 6-dp rank and the dense
     1..|V| ordering — (page_id, pagerank, rank)."""
-    nodes = _page_events(spark, sf_dir).select(
-        F.col("k").alias("page_id")
-    ).distinct()
-    return pagerank_from_graph(
-        nodes, page_transition_edges(spark, sf_dir), damping, iters
-    )
+    nodes, edges = _page_graph(spark, sf_dir)
+    return pagerank_from_graph(nodes, edges, damping, iters)
 
 
 def pagerank_from_graph(
@@ -185,54 +241,109 @@ def pagerank_from_graph(
     (page_id), ``edges``: (src, dst, w double) — shared by the graded
     batch entry and the streaming read-time composition
     (pagerank_from_stores), so both rank EXACTLY the same way."""
-    # LAZY setup checkpoints (the round-15 CC fusion): nodes is
-    # materialized by the |V| count on the next line, edges by the
-    # eager ranked_nodes checkpoint job below (its outw aggregate
-    # computes through edges) — two setup jobs instead of four; the
-    # loop then reads both from their checkpointed partitions
+    # LAZY setup checkpoints (the round-15 CC fusion): nodes and edges
+    # both materialize inside the ONE eager ranked_nodes checkpoint
+    # job below (its join computes through both); |V| is then a tiny
+    # count over the materialized checkpoint partitions (round 16 —
+    # the separate nodes-materializing count job is gone)
     edges = edges.localCheckpoint(eager=False)
     nodes = nodes.localCheckpoint(eager=False)
-    n = nodes.count()  # |V|: page-catalog-sized, drives only literals
-    if n == 0:
-        # 1.0/n below would raise ZeroDivisionError with a confusing
-        # traceback; an empty graph has a well-defined empty ranking.
-        return nodes.select(
-            F.col("page_id"),
-            F.lit(0.0).alias("pagerank"),
-            F.lit(0).cast("bigint").alias("rank"),
-        )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     # out-weight riding on the node frame: dangling test is a null
     # check instead of a per-round anti-join
     ranked_nodes = nodes.join(
         outw, nodes.page_id == outw.src, "left"
     ).select("page_id", "ow").localCheckpoint()
+    n = ranked_nodes.count()  # |V|: drives literals + the hint gate
+    if n == 0:
+        # 1.0/n below would raise ZeroDivisionError with a confusing
+        # traceback; an empty graph has a well-defined empty ranking.
+        return ranked_nodes.select(
+            F.col("page_id"),
+            F.lit(0.0).alias("pagerank"),
+            F.lit(0).cast("bigint").alias("rank"),
+        )
+    hint = _vec_hint(n)  # |V|-gated broadcast (see _BCAST_CAP_ROWS)
+
+    # Pseudo-edge fold (round-16; guide §2.4 — one aggregate, one
+    # materialization per round).  Two pseudo-edge legs ride the real
+    # edge list into the per-round contribution aggregate:
+    #
+    #  * a dst-NULL "dangling probe" per node, contributing exactly
+    #    its rank if dangling (w=1.0: pr*1.0/1.0 == pr, IEEE exact)
+    #    and exactly +0.0 otherwise (w=0.0: pr*0.0/ow == +0.0, and
+    #    x + 0.0 == x for the non-negative rank sums) — so the ONE
+    #    aggregate also yields the dangling scalar as its dst-NULL
+    #    group, and the group always exists (n >= 1 here);
+    #  * a zero-weight SELF edge per node carrying the node's
+    #    out-weight as payload (ow_dst; the only non-null value in
+    #    its group) — so the aggregate's output covers EVERY node
+    #    with its ow attached, and the rank update needs NO join back
+    #    against the node frame at all.
+    #
+    # Round 15 paid, per round: a dangling aggregate job + broadcast,
+    # a contrib broadcast build, a node-frame join and an eager rank
+    # checkpoint (~9 jobs).  Now one checkpointed aggregate + a 1-row
+    # dangling broadcast (~4 jobs); the rank update is a lazy
+    # projection of the checkpoint, executed inside the next round's
+    # aggregate.  The union is lazy: each round's scan reads the two
+    # checkpoints and concats.
+    dst_type = edges.schema["dst"].dataType
+    edges_plus = (
+        edges.select(
+            "src", "dst", "w", F.lit(None).cast("double").alias("ow_dst")
+        )
+        .unionByName(
+            ranked_nodes.select(
+                F.col("page_id").alias("src"),
+                F.lit(None).cast(dst_type).alias("dst"),
+                F.when(F.col("ow").isNull(), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("w"),
+                F.lit(None).cast("double").alias("ow_dst"),
+            )
+        )
+        .unionByName(
+            ranked_nodes.select(
+                F.col("page_id").alias("src"),
+                F.col("page_id").cast(dst_type).alias("dst"),
+                F.lit(0.0).alias("w"),
+                F.col("ow").alias("ow_dst"),
+            )
+        )
+    )
 
     pr = ranked_nodes.select(
         "page_id", "ow", F.round(F.lit(1.0 / n), _ROUND_ITER).alias("pr")
     )
     teleport = (1.0 - damping) / n
     for _ in range(iters):
-        dangling = pr.filter(F.col("ow").isNull()).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
-        )
         # broadcast rounds (round-15 optimization; plans/r15/): the
-        # rank vector and the contrib vector are catalog-sized and
-        # NARROW (page_id + two doubles), so both per-round joins run
-        # as broadcast hash joins — the edge list, the one frame that
-        # is actually big at 100 TB, never shuffles at all, where the
-        # sort-merge shape re-exchanged it (plus the rank vector)
-        # every round.  Holds while |V| rows fit a broadcast relation
-        # (the 8 GB / 512M-row cap — ~10^8 pages at these widths);
-        # past that, drop the two hints and the planner falls back to
-        # the old co-shuffled shape with identical results.
-        contrib = (
-            F.broadcast(pr).join(edges, pr.page_id == edges.src)
+        # rank vector is catalog-sized and NARROW (page_id + two
+        # doubles), so the contribution join broadcasts it — the edge
+        # list, the one frame that is actually big at 100 TB, never
+        # shuffles at all, where the sort-merge shape re-exchanged it
+        # (plus the rank vector) every round.  The hint is |V|-gated
+        # (_vec_hint): past the broadcast cap it drops away and the
+        # planner falls back to the co-shuffled shape with identical
+        # results.
+        contrib_all = (
+            hint(pr).join(edges_plus, pr.page_id == edges_plus.src)
             .groupBy(F.col("dst").alias("page_id"))
-            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w")
+                    / F.coalesce(F.col("ow"), F.lit(1.0))
+                ).alias("c"),
+                F.max("ow_dst").alias("ow"),
+            )
+            .localCheckpoint()
+        )
+        dangling = contrib_all.filter(F.col("page_id").isNull()).select(
+            F.col("c").alias("dang")
         )
         pr = (
-            ranked_nodes.join(F.broadcast(contrib), "page_id", "left")
+            contrib_all.filter(F.col("page_id").isNotNull())
             .crossJoin(F.broadcast(dangling))
             .select(
                 "page_id",
@@ -241,13 +352,12 @@ def pagerank_from_graph(
                     F.lit(teleport)
                     + F.lit(damping)
                     * (
-                        F.coalesce(F.col("c"), F.lit(0.0))
+                        F.col("c")
                         + F.col("dang") / F.lit(float(n))
                     ),
                     _ROUND_ITER,
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
     return _ranked_total_order(
         pr.select("page_id", F.round("pr", _ROUND_OUT).alias("pagerank")),
@@ -422,12 +532,10 @@ def pagerank_personalized(
     unreachable from any seed stay at exactly 0.  Same scale shape,
     lockstep rounding, and unrolled-CTE oracle as the uniform tier.
     Output: (page_id, ppr, rank) over the full catalog."""
-    nodes = _page_events(spark, sf_dir).select(
-        F.col("k").alias("page_id")
-    ).distinct()
+    nodes, edges = _page_graph(spark, sf_dir)
     return ppr_from_graph(
         nodes,
-        page_transition_edges(spark, sf_dir),
+        edges,
         _purchase_seeds(spark, sf_dir),
         damping,
         iters,
@@ -448,16 +556,12 @@ def ppr_from_graph(
     nowhere to land otherwise (the matching DuckDB oracle divides by
     |S| too), so an empty seed set is rejected loudly rather than
     surfacing as a mid-plan ZeroDivisionError."""
-    # LAZY: materialized by the eager ranked_nodes checkpoint job
-    # below (the round-15 CC fusion)
+    # LAZY: everything — edges, the seed top-k, nodes — materializes
+    # inside the ONE eager ranked_nodes checkpoint job below; |V| and
+    # |S| then come from a single tiny aggregate over the materialized
+    # checkpoint partitions (round 16 — the separate seeds.count()
+    # re-executed the whole purchase-scan + top-k subplan, ~8 jobs).
     edges = edges.localCheckpoint(eager=False)
-    s = seeds.count()  # |S|: seed-slice-sized, drives only literals
-    if s == 0:
-        raise ValueError(
-            "ppr_from_graph: empty seed set — personalized PageRank "
-            "needs at least one seed page (no purchase events carried "
-            "a parseable props.k?)"
-        )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
     ranked_nodes = (
         nodes.join(outw, nodes.page_id == outw.src, "left")
@@ -471,6 +575,54 @@ def ppr_from_graph(
         )
         .localCheckpoint()
     )
+    counts = ranked_nodes.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_seed").cast("int")).alias("s"),
+    ).first()
+    n = int(counts["n"])  # |V|: gates the vector-broadcast hints
+    s = int(counts["s"] or 0)  # |S|: seed-slice-sized, drives literals
+    if s == 0:
+        raise ValueError(
+            "ppr_from_graph: empty seed set — personalized PageRank "
+            "needs at least one seed page (no purchase events carried "
+            "a parseable props.k?)"
+        )
+    hint = _vec_hint(n)
+
+    # pseudo-edge fold — same two legs and IEEE-exactness argument as
+    # pagerank_from_graph (round 16); the self leg additionally
+    # carries is_seed so the rank update is a pure projection of the
+    # aggregate (no node-frame join)
+    dst_type = edges.schema["dst"].dataType
+    edges_plus = (
+        edges.select(
+            "src",
+            "dst",
+            "w",
+            F.lit(None).cast("double").alias("ow_dst"),
+            F.lit(None).cast("boolean").alias("seed_dst"),
+        )
+        .unionByName(
+            ranked_nodes.select(
+                F.col("page_id").alias("src"),
+                F.lit(None).cast(dst_type).alias("dst"),
+                F.when(F.col("ow").isNull(), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+                .alias("w"),
+                F.lit(None).cast("double").alias("ow_dst"),
+                F.lit(None).cast("boolean").alias("seed_dst"),
+            )
+        )
+        .unionByName(
+            ranked_nodes.select(
+                F.col("page_id").alias("src"),
+                F.col("page_id").cast(dst_type).alias("dst"),
+                F.lit(0.0).alias("w"),
+                F.col("ow").alias("ow_dst"),
+                F.col("is_seed").alias("seed_dst"),
+            )
+        )
+    )
 
     pr = ranked_nodes.select(
         "page_id",
@@ -481,22 +633,30 @@ def ppr_from_graph(
         ).otherwise(F.lit(0.0)).alias("pr"),
     )
     for _ in range(iters):
-        dangling = pr.filter(F.col("ow").isNull()).agg(
-            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
-        )
-        # broadcast rounds — same rationale and caveat as
-        # pagerank_from_graph: both vectors are catalog-narrow, the
-        # edge list never shuffles (round-15 optimization; plans/r15/)
-        contrib = (
-            F.broadcast(pr).join(edges, pr.page_id == edges.src)
+        # broadcast rounds — same rationale and |V| gate as
+        # pagerank_from_graph; contrib_all is the round's ONE
+        # checkpoint, the rank update stays lazy
+        contrib_all = (
+            hint(pr).join(edges_plus, pr.page_id == edges_plus.src)
             .groupBy(F.col("dst").alias("page_id"))
-            .agg(F.sum(F.col("pr") * F.col("w") / F.col("ow")).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("pr") * F.col("w")
+                    / F.coalesce(F.col("ow"), F.lit(1.0))
+                ).alias("c"),
+                F.max("ow_dst").alias("ow"),
+                F.max("seed_dst").alias("is_seed"),
+            )
+            .localCheckpoint()
+        )
+        dangling = contrib_all.filter(F.col("page_id").isNull()).select(
+            F.col("c").alias("dang")
         )
         seed_term = F.lit((1.0 - damping) / s) + F.lit(damping) * (
             F.col("dang") / F.lit(float(s))
         )
         pr = (
-            ranked_nodes.join(F.broadcast(contrib), "page_id", "left")
+            contrib_all.filter(F.col("page_id").isNotNull())
             .crossJoin(F.broadcast(dangling))
             .select(
                 "page_id",
@@ -506,12 +666,10 @@ def ppr_from_graph(
                     F.when(F.col("is_seed"), seed_term).otherwise(
                         F.lit(0.0)
                     )
-                    + F.lit(damping)
-                    * F.coalesce(F.col("c"), F.lit(0.0)),
+                    + F.lit(damping) * F.col("c"),
                     _ROUND_ITER,
                 ).alias("pr"),
             )
-            .localCheckpoint()
         )
     return _ranked_total_order(
         pr.select("page_id", F.round("pr", _ROUND_OUT).alias("ppr")),
@@ -619,14 +777,8 @@ def label_propagation_pages(
     so Spark and the unrolled-CTE DuckDB oracle agree bit-for-bit with
     no rounding at all.  Output: (page_id, community, community_size),
     community = the surviving label."""
-    nodes = (
-        _page_events(spark, sf_dir)
-        .select(F.col("k").alias("page_id"))
-        .distinct()
-    )
-    return label_propagation_from_graph(
-        nodes, page_transition_edges(spark, sf_dir), iters
-    )
+    nodes, edges = _page_graph(spark, sf_dir)
+    return label_propagation_from_graph(nodes, edges, iters)
 
 
 def label_propagation_from_graph(
@@ -636,12 +788,26 @@ def label_propagation_from_graph(
     by the graded batch entry and the streaming read-time composition
     (lp_from_stores).  ``edges``: the DIRECTED (src, dst, w) list;
     the undirected view is built here."""
-    # LAZY setup checkpoint (the round-15 CC fusion): materialized by
-    # round 1's eager lbl checkpoint job, which computes through it;
-    # rounds 2+ read the checkpointed partitions.  nodes needs no
-    # checkpoint at all since the nodes-join-back removal: it is
-    # consumed exactly once, as round 0's init projection.
-    und = (
+    # LAZY setup checkpoints (the round-15 CC fusion): nodes is
+    # materialized by the |V| count below (which gates the broadcast
+    # hints — round 16); und_plus by round 1's votes job.
+    nodes = nodes.localCheckpoint(eager=False)
+    n = nodes.count()  # |V|: gates the vector-broadcast hints only
+    hint = _vec_hint(n)
+    # Self-vote fold (round-16; guide §2.4): every node gets a
+    # zero-weight SELF pseudo-edge tagged real=0, so the per-round
+    # argmax covers ALL nodes and the label update needs NO join-back
+    # against the previous vector (round 15 still paid a broadcast
+    # build + join per round for the coalesce).  Equivalence (pinned
+    # in tests/test_graph.py): real vote groups carry real=1 and sum
+    # w >= their old value (+0 from the self row when labels match),
+    # and the argmax orders by (s, real, -label) — among real groups
+    # that is exactly the old (weight DESC, label ASC) rule; the pure
+    # self group (s=0, real=0) loses to ANY real group (edge weights
+    # are non-negative counts, so real sums are >= 0 and real beats
+    # pseudo at equal s) and wins only when the node is isolated —
+    # exactly the old coalesce(best, own-label).
+    und_plus = (
         edges.select("src", "dst", "w")
         .unionByName(
             edges.select(
@@ -652,55 +818,60 @@ def label_propagation_from_graph(
         )
         .groupBy("src", "dst")
         .agg(F.sum("w").cast("long").alias("w"))
+        .select("src", "dst", "w", F.lit(1).alias("real"))
+        .unionByName(
+            nodes.select(
+                F.col("page_id").alias("src"),
+                F.col("page_id").alias("dst"),
+                F.lit(0).cast("long").alias("w"),
+                F.lit(0).alias("real"),
+            )
+        )
         .localCheckpoint(eager=False)
     )
     lbl = nodes.select("page_id", F.col("page_id").alias("lbl"))
     for _ in range(iters):
         # broadcast rounds — the label vector is catalog-sized and two
-        # longs wide, so the votes join broadcasts it and the
-        # undirected edge list (the big frame) never shuffles; same
-        # rationale and |V|-cap caveat as pagerank_from_graph
-        # (round-15 optimization; plans/r15/)
+        # longs wide, so the votes join broadcasts it (|V|-gated since
+        # round 16) and the undirected edge list (the big frame) never
+        # shuffles (round-15 optimization; plans/r15/)
         votes = (
-            F.broadcast(lbl).join(und, lbl.page_id == und.src)
+            hint(lbl).join(und_plus, lbl.page_id == und_plus.src)
             .groupBy(F.col("dst").alias("page_id"), F.col("lbl").alias("nlbl"))
-            .agg(F.sum("w").alias("s"))
+            .agg(F.sum("w").alias("s"), F.max("real").alias("real"))
         )
         # argmax vote as a partial-aggregating max(struct) — the
-        # (weight DESC, label ASC) rule as max of (s, -nlbl); one
-        # map-side-combinable exchange instead of a window re-shuffle
-        # + sort of the catalog x labels vote frame every round
-        # (round-15, the similarity-family rewrite)
-        best = (
+        # (weight DESC, real-beats-pseudo, label ASC) rule as max of
+        # (s, real, -nlbl); one map-side-combinable exchange, and its
+        # output IS the next label vector (the self votes cover every
+        # node).  LAZY checkpoint: materialized by the next round's
+        # votes job (or the final rollup), one materialization/round.
+        lbl = (
             votes.groupBy("page_id")
             .agg(
                 F.max(
-                    F.struct(F.col("s").alias("s"), (-F.col("nlbl")).alias("nl"))
+                    F.struct(
+                        F.col("s").alias("s"),
+                        F.col("real").alias("r"),
+                        (-F.col("nlbl")).alias("nl"),
+                    )
                 ).alias("m")
             )
-            .select("page_id", (-F.col("m.nl")).alias("best_lbl"))
+            .select("page_id", (-F.col("m.nl")).alias("lbl"))
+            .localCheckpoint(eager=False)
         )
-        # lbl's key set IS the node catalog every round (round 0 is
-        # built from nodes; this update preserves keys), so the old
-        # nodes-join-back was a per-round no-op join — dropped
-        # round 15 (one fewer join per round; measured below the
-        # A/B in SCALE_DESIGN.md "Round 15, late")
-        lbl = (
-            lbl.join(F.broadcast(best), "page_id", "left")
-            .select(
-                "page_id",
-                F.coalesce(F.col("best_lbl"), F.col("lbl")).alias("lbl"),
-            )
-            .localCheckpoint()
-        )
-    sizes = lbl.groupBy(F.col("lbl").alias("community")).agg(
-        F.count("*").alias("community_size")
-    )
-    return (
-        lbl.select("page_id", F.col("lbl").alias("community"))
-        .join(F.broadcast(sizes), "community")
-        .select("page_id", "community", "community_size")
-    )
+    # size rollup as a window count over the community partition
+    # (round 16): ONE exchange of the catalog frame and no broadcast
+    # at all — the round-15 groupBy + broadcast-join shape paid an
+    # aggregate exchange + a broadcast build + a join, and carried the
+    # 512M-row broadcast-cap risk this round's gate exists for.  A
+    # giant community lands as one linear, spill-safe window partition
+    # (no orderBy -> no sort) — the _large_star skew argument.
+    w_sz = Window.partitionBy("community")
+    return lbl.select(
+        "page_id",
+        F.col("lbl").alias("community"),
+    ).withColumn("community_size", F.count("*").over(w_sz))
 
 
 def _lp_oracle_sql(iters: int = LP_ITERS) -> str:
@@ -780,12 +951,8 @@ def page_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks it.  Output: (page_id, component, component_size);
     isolated pages (no transitions) are their own singleton
     components."""
-    nodes = (
-        _page_events(spark, sf_dir)
-        .select(F.col("k").alias("page_id"))
-        .distinct()
-    )
-    return components_from_graph(nodes, page_transition_edges(spark, sf_dir))
+    nodes, edges = _page_graph(spark, sf_dir)
+    return components_from_graph(nodes, edges)
 
 
 def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
@@ -813,22 +980,22 @@ def components_from_graph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     # checkpoint job instead of paying a setup job of its own
     nodes = nodes.localCheckpoint(eager=False)
     comp = connected_components_star(edges, src="src", dst="dst")
-    labeled = (
-        nodes.join(comp, nodes.page_id == comp.node, "left")
-        .select(
-            "page_id",
-            F.coalesce(F.col("comp"), F.col("page_id")).alias("component"),
-        )
-        .localCheckpoint()
+    labeled = nodes.join(comp, nodes.page_id == comp.node, "left").select(
+        "page_id",
+        F.coalesce(F.col("comp"), F.col("page_id")).alias("component"),
     )
-    sizes = labeled.groupBy("component").agg(
-        F.count("*").alias("component_size")
-    )
-    # the size rollup is one row per community/component (<= catalog
-    # rows, two longs wide) — broadcast it so the catalog frame doesn't
-    # re-shuffle for the final attach (round-15; same |V|-cap caveat)
-    return labeled.join(F.broadcast(sizes), "component").select(
-        "page_id", "component", "component_size"
+    # size rollup as a window count over the component partition
+    # (round 16): ONE exchange and no broadcast — replaces the
+    # round-15 checkpoint + groupBy + broadcast-join (which carried
+    # the 512M-row broadcast-cap risk).  labeled no longer needs its
+    # own checkpoint: it is consumed exactly once, by this window, and
+    # its inputs (nodes, the star fixed point) are already
+    # checkpointed.  A giant component lands as one linear, spill-safe
+    # window partition (no orderBy -> no sort) — the _large_star skew
+    # argument.
+    w_sz = Window.partitionBy("component")
+    return labeled.withColumn(
+        "component_size", F.count("*").over(w_sz)
     )
 
 

@@ -27,6 +27,8 @@ sequential fold on both engines, so the oracle comparison is exact.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -42,10 +44,23 @@ def _dot(x, y):
     )
 
 
+#: Hard cap on the packed-candidate count (round-16; the r15 verdict's
+#: item 3): the pack is ONE row of k x dim doubles, so k must stay far
+#: under the single-row / broadcast limits.  Every current caller packs
+#: a parameter-bounded frame (n_cells/k <= 4096), but nothing used to
+#: ASSERT that — a runaway candidate frame would silently build a
+#: multi-GB row.  The fold raises loudly at the cap instead;
+#: parameterised for clusters training bigger codebooks.
+_PACK_CAP_ROWS = int(os.environ.get("SPARK_GRAFT_PACK_CAP", "65536"))
+
+
 def _packed_candidates(cands: DataFrame, *cols: str) -> DataFrame:
     """Every candidate row folded into ONE array-of-structs row
     (column ``__cands``), for broadcast into a per-row argmax/argmin
-    fold (`F.array_max`/`array_min` over `F.transform`).
+    fold (`F.array_max`/`array_min` over `F.transform`).  Raises at
+    runtime if the candidate count exceeds ``_PACK_CAP_ROWS`` (the
+    packed row would otherwise approach the row/broadcast limits
+    unannounced).
 
     This is the zero-shuffle form of the broadcast-argmax join
     (guide §2.4, remove shuffles outright): the corpus side keeps its
@@ -58,10 +73,26 @@ def _packed_candidates(cands: DataFrame, *cols: str) -> DataFrame:
     array_max/array_min use the same NaN-greatest total ordering as
     the max/min(struct) aggregates they replace, so results are
     bit-identical."""
+    packed = cands.agg(
+        F.collect_list(
+            F.struct(*[F.col(c) for c in cols])
+        ).alias("__cands")
+    )
+    # one-row guard: assert_true is NULL on success (the when() then
+    # passes the array through unchanged) and raises on violation
     return F.broadcast(
-        cands.agg(
-            F.collect_list(
-                F.struct(*[F.col(c) for c in cols])
+        packed.select(
+            F.when(
+                F.assert_true(
+                    F.size("__cands") <= F.lit(_PACK_CAP_ROWS),
+                    F.lit(
+                        "_packed_candidates: candidate frame exceeds "
+                        f"SPARK_GRAFT_PACK_CAP={_PACK_CAP_ROWS} rows — "
+                        "the packed broadcast row would approach the "
+                        "single-row/broadcast limits"
+                    ),
+                ).isNull(),
+                F.col("__cands"),
             ).alias("__cands")
         )
     )

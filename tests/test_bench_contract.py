@@ -56,7 +56,10 @@ def test_compact_line_fits_driver_tail_at_any_scale():
     parsed = json.loads(line)
     assert parsed["metric"] == "headline_queries_total_wall_sec"
     assert parsed["r1_headline_subtotal_sec"] == 6.7
-    assert parsed["n_queries_benched"] == len(timings)
+    # the benched count + full_results pointer live in BENCH_FULL.json
+    # only (round 16 freed them from the printed line for roster room)
+    assert "n_queries_benched" not in parsed
+    assert "full_results" not in parsed
 
 
 def test_compact_line_keeps_r1_baseline_subset_first():
@@ -70,6 +73,31 @@ def test_compact_line_keeps_r1_baseline_subset_first():
     for q in bench._r1_set():
         assert q in compact["queries"], f"r1 query {q} compacted away"
     assert "dedup_clusters" in compact["queries"]
+
+
+def test_print_roster_is_stable_and_fits():
+    """Round-16 (r15 verdict item 2): the printed per-query subset is
+    PINNED to the roster round 15 printed, so the driver's per-query
+    series stops churning with every perf shift.  At realistic value
+    magnitudes the whole roster must fit the tail budget, in roster
+    order, with extras (new registrations) only after it."""
+    bench = _bench()
+    # roster is a subset of the benched set, no duplicates
+    assert len(bench.PRINT_ROSTER) == len(set(bench.PRINT_ROSTER))
+    assert set(bench.PRINT_ROSTER) <= set(bench.HEADLINE)
+    # realistic stress: the r15 driver board's values DOUBLED (a full
+    # 2x across-the-board regression — several queries cross the
+    # 10-second digit) must still print the whole roster
+    r15 = json.load(open(REPO / "BENCH_r15.json"))["parsed"]["queries"]
+    timings = {q: round(2 * r15.get(q, 0.9), 3) for q in bench.HEADLINE}
+    compact = bench._compact_payload(_payload(bench, timings), timings)
+    for q in bench.PRINT_ROSTER:
+        assert q in compact["queries"], f"roster query {q} compacted away"
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= DRIVER_TAIL_CHARS
+    # roster leads the printed map in pinned order
+    printed = list(compact["queries"])
+    assert printed[: len(bench.PRINT_ROSTER)] == bench.PRINT_ROSTER
 
 
 def test_headline_names_resolve_in_registry_or_retired_tiers():

@@ -381,3 +381,37 @@ def test_lp_refines_exact_components_on_planted_graph(spark):
     for p, lbl in lp2.items():
         comp_of_community.setdefault(lbl, set()).add(cc2[p])
     assert all(len(comps) == 1 for comps in comp_of_community.values())
+
+
+def test_broadcast_cap_gate_pins_both_shapes(spark, sf_smoke, monkeypatch):
+    """Round-16 (the r15 verdict's item 3): the |V|-sized broadcast
+    hints in the iterative loops are GATED on _BCAST_CAP_ROWS — past
+    the cap the hint drops away and the planner falls back to the
+    co-shuffled join with bit-identical results.  Force the cap to 0
+    (every |V| is over it) and every graph query must reproduce the
+    broadcast-shape output exactly."""
+    from isaac_kafka_streaming_spark.extensions import graph as G
+    from isaac_kafka_streaming_spark.extensions.graph import (
+        label_propagation_pages,
+        pagerank_personalized,
+    )
+
+    def rows(fn):
+        return sorted(tuple(r) for r in fn(spark, sf_smoke).collect())
+
+    with_bcast = {
+        "pr": rows(pagerank_pages),
+        "ppr": rows(pagerank_personalized),
+        "lp": rows(label_propagation_pages),
+    }
+    # _vec_hint must flip to identity at the cap boundary
+    assert G._vec_hint(10) is not None
+    monkeypatch.setattr(G, "_BCAST_CAP_ROWS", 0)
+    df = spark.range(1)
+    assert G._vec_hint(1)(df) is df  # identity past the cap
+    without_bcast = {
+        "pr": rows(pagerank_pages),
+        "ppr": rows(pagerank_personalized),
+        "lp": rows(label_propagation_pages),
+    }
+    assert with_bcast == without_bcast

@@ -1,10 +1,11 @@
 """Capture `.explain("formatted")` for named queries into files —
-the round-15 optimization evidence trail (plans/r15/<query>_{before,
+the optimization-round evidence trail (plans/<round>/<query>_{before,
 after}.txt).
 
 Usage:
-    python tools/capture_plan.py <suffix> <query> [query ...]
-    # writes plans/r15/<query>_<suffix>.txt for each
+    [PLAN_ROUND=r16] python tools/capture_plan.py <suffix> <query> [query ...]
+    # writes plans/$PLAN_ROUND/<query>_<suffix>.txt for each
+    # (PLAN_ROUND defaults to r16, the current optimization round)
 
 The sf dir comes from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 so the captured plan is the one the bench executes.
@@ -29,7 +30,9 @@ def main() -> int:
     spark = get_spark("capture-plan")
     fns = {n: qd.fn for n, qd in all_queries().items()}
     fns.update(retired_tiers())
-    out_dir = os.path.join(REPO, "plans", "r15")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("PLAN_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = fns[name](spark, sf_dir)
