@@ -627,18 +627,21 @@ def kmeans_centroids(
     replays it as unrolled CTE rounds (`_kmeans_oracle_sql`) and the
     trainer is hash-checked, not just structurally asserted.
     """
-    from ..io import spread_small_scan
-
-    # the assignment fold below keeps the scan's partitioning (no
-    # exchange carries the corpus any more), so a narrower-than-cores
-    # batch scan must be spread or every round's fold + means explode
-    # runs single-task; no-op at real scale (io.spread_small_scan).
-    # (The round-13 "kmeans stays un-spread" measurement predates the
-    # fold: it applied to the exchange-bound max(struct) shape, where
-    # the aggregate's own exchange already spread the rounds.)
-    emb = spread_small_scan(
-        _corpus(spark, sf_dir).select("vec_id", "v", "norm"), "vec_id"
-    )
+    # Round-16 adjudication (the r15 verdict's item 4): kmeans keeps
+    # the ROUND-14 max(struct) aggregate, NOT the round-15 packed
+    # fold.  The driver measured the fold +12% here, and a clean
+    # 3-pair interleaved A/B this round confirmed it (r14 shape
+    # 1.93/1.98/2.11 s vs fold 2.47/2.47/2.40 s min-of-5 at sf0.1) —
+    # at k=8 over full 64-dim vectors the giant per-row fold
+    # expression loses more to codegen than the map-side-combined
+    # exchange costs (the same lesson as the rejected knn_pq ADC),
+    # and the fold also forced a spread_small_scan repartition that
+    # re-added an exchange anyway.  The fold stays where it measured
+    # FASTER: knn_ivf (16 cells, build side), _pq_assign (subvector
+    # L2), _nearest_cell, dedup._cell_assignment.  Reverting also
+    # restores the r14 scan partitioning, closing the ADVICE note
+    # about spread-reordered mean sums leaning on the rounding grain.
+    emb = _corpus(spark, sf_dir).select("vec_id", "v", "norm")
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(
@@ -649,33 +652,29 @@ def kmeans_centroids(
         .localCheckpoint()
     )
     for _ in range(iters):
-        # argmax as a map-side array fold over the packed centroid
-        # broadcast — the same (cosine DESC, cell_id ASC) rule the
-        # max(struct) aggregate encoded (array_max over (c, -cell_id)
-        # structs is that exact total order, NaN-greatest included),
-        # but with NO exchange at all: the max(struct) form still
-        # shuffled one combined (vec_id, vector) row per corpus key
-        # every round (round-15 optimization; plans/r15/)
-        cands = _packed_candidates(cents, "cell_id", "cv", "cnorm")
-        best = F.array_max(
-            F.transform(
-                F.col("__cands"),
-                lambda cc: F.struct(
-                    (
-                        _dot(F.col("v"), cc["cv"])
-                        / (F.col("norm") * cc["cnorm"])
-                    ).alias("c"),
-                    (-cc["cell_id"]).alias("nc"),
-                ),
-            )
-        )
+        cos = _dot(F.col("v"), F.col("cv")) / (F.col("norm") * F.col("cnorm"))
+        # argmax as a partial-aggregating max(struct) — the same
+        # (cosine DESC, cell_id ASC) rule the old row_number window
+        # encoded (max of (c, -cell_id) is lexicographically that
+        # order; the payload field is never compared because cell_id
+        # is unique per candidate): the exchange carries map-side-
+        # combined rows and needs no sort
         assigned = (
-            emb.crossJoin(cands)
-            .select(best.alias("__m"), "v")
-            # empty-candidate guard: the old inner cross join emitted
-            # no rows when cents was empty; the fold yields NULL there
-            .filter(F.col("__m").isNotNull())
-            .select((-F.col("__m.nc")).alias("cell_id"), "v")
+            emb.join(F.broadcast(cents), how="cross")
+            .withColumn("__c", cos)
+            .groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("__c").alias("c"),
+                        (-F.col("cell_id")).alias("nc"),
+                        F.col("v").alias("vv"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                (-F.col("m.nc")).alias("cell_id"), F.col("m.vv").alias("v")
+            )
         )
         means = (
             assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
