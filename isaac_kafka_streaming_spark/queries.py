@@ -1668,6 +1668,14 @@ def _tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n_eu), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
+    # Round-16 note (measured, kept as-is): rewriting this window as a
+    # min(struct (unit_cost, s_suppkey, <payload>)) aggregate was
+    # A/B-tested and came back ~8% SLOWER (1.16/1.22 s window vs
+    # 1.27/1.34 s struct-agg, interleaved min-of-5 at sf0.1) — the
+    # rank<=1 window already prunes to one row per (part, partition)
+    # BEFORE its exchange via WindowGroupLimit(Partial), so the agg
+    # form saves no shuffle bytes and pays string-payload struct
+    # comparisons instead.  The window shape stays.
     w = Window.partitionBy("l_partkey").orderBy(
         F.col("unit_cost").asc(), F.col("s_suppkey").asc()
     )
@@ -1903,9 +1911,18 @@ def _tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
+    # ONE lineitem exchange for the whole chain (round 16; guide
+    # §2.4 — share the exchange): hash(l_orderkey) satisfies the
+    # orders join AND both aggregate distributions (okey,skey ⊇ okey),
+    # where the old groupBy(okey,skey) partitioning could NOT be
+    # reused by the per-order rollup, so lineitem effectively crossed
+    # the wire twice (plans/r16/tpch_q21_{audit,after}.txt: Exchange
+    # 2 -> 1 on the lineitem side).  All aggregates here are integer
+    # counts/maxes — partitioning cannot move a bit.
     per_supp = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
