@@ -2148,10 +2148,12 @@ def curation_pipeline(spark, sf_dir: str) -> DataFrame:
     one stateless mapInPandas inflates, the metadata join is a plain
     doc_id equi-join (exchange-free on a doc_id-bucketed layout), the
     gate is map-side except the one normalized-hash window shuffle,
-    and the mixture is two tiny aggregations re-broadcast — identical
-    to temperature_mixture's audited plan.  per_lang is cached so the
-    scalar chain (totals -> wsum -> budget) does not re-run the
-    corpus lineage."""
+    and the mixture's scalar chain (totals -> wsum -> budget) rides
+    unpartitioned window aggregates over the |langs|-row per-language
+    frame (round 15; one SinglePartition exchange of a handful of
+    rows, no per-scalar aggregate jobs or broadcasts) — identical to
+    temperature_mixture's audited plan.  per_lang is cached so the
+    window chain does not re-run the corpus lineage."""
     from ..io import read_table
 
     docs = read_table(spark, sf_dir, "documents")

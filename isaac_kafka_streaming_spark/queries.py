@@ -2086,8 +2086,10 @@ def _funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one conditional-min aggregate per step, each joined
     to the previous step's (user, ts) frame — every aggregate and
     every join keys on user_id, so ONE partitioning serves the whole
-    chain; the four step counts are 1-row scalars crossJoined
-    (broadcast) and exploded into the 4-row funnel report, so no
+    chain; the four step counts come from ONE aggregate over the
+    union of the per-step user frames, collected into a step->count
+    map row and exploded into the 4-row funnel report (round 15 —
+    no per-scalar aggregate jobs or crossJoin broadcasts), so no
     global-order window ever appears.
 
     STAGED round 6, REGISTERED round 7 (window saturated) — FUNNEL_ORACLE_SQL below is
