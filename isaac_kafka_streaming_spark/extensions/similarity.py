@@ -53,6 +53,10 @@ def _dot(x, y):
 #: parameterised for clusters training bigger codebooks.
 _PACK_CAP_ROWS = int(os.environ.get("SPARK_GRAFT_PACK_CAP", "65536"))
 
+#: embeddings fixture dimension (TESTDATA.md) — _pq_train's fused
+#: per-position mean aggregates unroll to dim // m avg columns
+_EMB_DIM = 64
+
 
 def _packed_candidates(cands: DataFrame, *cols: str) -> DataFrame:
     """Every candidate row folded into ONE array-of-structs row
@@ -676,6 +680,15 @@ def kmeans_centroids(
                 (-F.col("m.nc")).alias("cell_id"), F.col("m.vv").alias("v")
             )
         )
+        # mean update stays the posexplode + two-level aggregate
+        # (round-16 measured-and-rejected: fusing the update into ONE
+        # groupBy(cell_id) with 64 parallel avg columns — the rewrite
+        # that DID win for _pq_train's 8-wide subvectors — read
+        # +0.3-0.7 s at sf0.1 AND +0.5-1.0 s at the sf1 scaled board
+        # in 3-pair/2-pair interleaved A/Bs: at dim=64 the unrolled
+        # 64-avg projection loses more to codegen than the extra
+        # exchange costs, the same lesson as the rejected packed fold
+        # and the rejected knn_pq ADC)
         means = (
             assigned.select("cell_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell_id", "pos")
@@ -907,7 +920,7 @@ def knn_pq(
     # re-scans are corpus-sized and cache wins outright).  Released
     # by unpersist_deps(result) per the dedup cache contract.
     sub = _pq_subvectors(emb, m).cache()
-    cb = _pq_train(sub, ksub, iters)
+    cb = _pq_train(sub, ksub, iters, dsub=_EMB_DIM // m)
     codes = _pq_assign(sub, cb).select("vec_id", "sub_id", "code_id")
     sub_queries = sub.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -932,7 +945,7 @@ def _pq_l2(a, b):
 
 
 def _pq_subvectors(
-    emb: DataFrame, m: int, dim: int = 64, id_cols: tuple = ("vec_id",)
+    emb: DataFrame, m: int, dim: int = _EMB_DIM, id_cols: tuple = ("vec_id",)
 ) -> DataFrame:
     """Split (*id_cols, v) into the m contiguous subvector rows
     (*id_cols, sub_id, sv) — literal slices exploded from one
@@ -992,11 +1005,19 @@ def _pq_assign(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def _pq_train(sub: DataFrame, ksub: int, iters: int) -> DataFrame:
+def _pq_train(
+    sub: DataFrame, ksub: int, iters: int, dsub: int = _EMB_DIM // 8
+) -> DataFrame:
     """Fixed-iteration Lloyd over every subspace at once, grouped by
     sub_id (init: first ksub vectors' subvectors), localCheckpoint
     per round exactly like kmeans_centroids.  Returns the final
-    codebook (sub_id, code_id, cv)."""
+    codebook (sub_id, code_id, cv).  ``dsub`` is the subvector width
+    (dim // m): the per-round mean update runs as dsub parallel avg
+    columns fused into ONE aggregate per round (round 16; the same
+    rewrite, and the same value-identity argument, as the
+    kmeans_centroids update — the posexplode form paid a dsub x row
+    expansion plus a second collect_list aggregate and its exchange
+    every round)."""
     cb = (
         sub.filter(F.col("vec_id") < ksub)
         .select(
@@ -1007,20 +1028,12 @@ def _pq_train(sub: DataFrame, ksub: int, iters: int) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(iters):
-        means = (
-            _pq_assign(sub, cb)
-            .select(
-                "sub_id", "code_id", F.posexplode("sv").alias("pos", "val")
-            )
-            .groupBy("sub_id", "code_id", "pos")
-            .agg(F.avg("val").alias("mval"))
-        )
         cb = (
-            means.groupBy("sub_id", "code_id")
+            _pq_assign(sub, cb)
+            .groupBy("sub_id", "code_id")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                    lambda s: s["mval"],
+                F.array(
+                    *[F.avg(F.col("sv")[i]) for i in range(dsub)]
                 ).alias("cv")
             )
             .localCheckpoint()
@@ -1137,7 +1150,7 @@ def build_pq_index(
     )
     sub = _pq_subvectors(emb, m).cache()
     try:
-        cb = _pq_train(sub, ksub, iters)
+        cb = _pq_train(sub, ksub, iters, dsub=_EMB_DIM // m)
         cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
         _pq_assign(sub, cb).select(
             "vec_id", "sub_id", "code_id"
@@ -1303,7 +1316,7 @@ def build_ivfpq_index(
     )
     try:
         sub = _pq_subvectors(assigned.select("vec_id", "v"), m)
-        cb = _pq_train(sub, ksub, iters)
+        cb = _pq_train(sub, ksub, iters, dsub=_EMB_DIM // m)
         cb.write.mode("overwrite").parquet(f"{index_path}/codebooks")
         centroids.write.mode("overwrite").parquet(f"{index_path}/centroids")
         _pq_assign(sub, cb).select("vec_id", "sub_id", "code_id").join(
