@@ -98,7 +98,9 @@ def _vec_hint(n_rows: int):
 from ..operators.ordered import ranked_total_order as _ranked_total_order
 
 
-def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _page_events(
+    spark: SparkSession, sf_dir: str, extra_cols: tuple = ()
+) -> DataFrame:
     """Events with the page id parsed from the JSON props payload —
     the props_k_stats parse (F1/F12), kept LONG for the node key.
 
@@ -117,6 +119,7 @@ def _page_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "event_id",
+            *extra_cols,
             F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .filter(F.col("k").isNotNull())
@@ -179,8 +182,8 @@ def transition_edges_from_events(
 
 
 def _page_graph(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
+    spark: SparkSession, sf_dir: str, with_purchase_counts: bool = False
+) -> tuple:
     """ONE corpus pass for the whole graph family (round 16; guide §8
     — decide with small rows): the lead-window pass keeps ALL
     (src, dst) groups — including dst-NULL (a user's last event) and
@@ -194,10 +197,52 @@ def _page_graph(
     commute with the filter).  Round 15 paid two full event-log
     passes per graph query; this is one.
 
-    Returns (nodes, edges); the shared group frame is a lazy
-    checkpoint materialized by whichever consumer runs first."""
-    ev = _page_events(spark, sf_dir)
+    Returns (nodes, edges) — or (nodes, edges, seeds) when
+    ``with_purchase_counts`` is set; the shared group frame is a lazy
+    checkpoint materialized by whichever consumer runs first.
+
+    ``with_purchase_counts`` (round 16; PPR only): the seq rows carry
+    each event's purchase flag, so the per-(src, dst) aggregate ALSO
+    sums purchases — summing those over dst yields exactly the
+    per-page purchase count (_purchase_seeds' aggregate: every event
+    row emits one seq row keyed by its own page id), and the seed
+    top-k (count DESC, page_id tie-break, zero-purchase pages
+    excluded like the purchase-filtered scan excludes them) reads the
+    page-catalog-sized group checkpoint instead of paying a SECOND
+    full event-log scan + JSON parse.  The plain branch is untouched
+    — pagerank/LP/CC plans stay byte-identical."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    if with_purchase_counts:
+        ev = _page_events(spark, sf_dir, extra_cols=("event_type",))
+        grouped = (
+            ev.select(
+                F.col("k").alias("src"),
+                F.lead("k").over(w).alias("dst"),
+                (F.col("event_type") == "purchase")
+                .cast("long")
+                .alias("__p"),
+            )
+            .groupBy("src", "dst")
+            .agg(
+                F.count("*").cast("double").alias("w"),
+                F.sum("__p").alias("np"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        nodes = grouped.select(F.col("src").alias("page_id")).distinct()
+        edges = grouped.filter(
+            F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+        ).select("src", "dst", "w")
+        seeds = (
+            grouped.groupBy("src")
+            .agg(F.sum("np").alias("n_purch"))
+            .filter(F.col("n_purch") > 0)
+            .orderBy(F.col("n_purch").desc(), F.col("src"))
+            .limit(PPR_N_SEEDS)
+            .select(F.col("src").alias("page_id"))
+        )
+        return nodes, edges, seeds
+    ev = _page_events(spark, sf_dir)
     grouped = (
         ev.select(F.col("k").alias("src"), F.lead("k").over(w).alias("dst"))
         .groupBy("src", "dst")
@@ -532,14 +577,18 @@ def pagerank_personalized(
     unreachable from any seed stay at exactly 0.  Same scale shape,
     lockstep rounding, and unrolled-CTE oracle as the uniform tier.
     Output: (page_id, ppr, rank) over the full catalog."""
-    nodes, edges = _page_graph(spark, sf_dir)
-    return ppr_from_graph(
-        nodes,
-        edges,
-        _purchase_seeds(spark, sf_dir),
-        damping,
-        iters,
+    # one event-log pass for graph AND seeds (round 16): the purchase
+    # top-k rides the _page_graph group checkpoint instead of paying
+    # a second full scan + JSON parse (the same one-pass discipline
+    # the round-16 node-catalog fusion applied).  _purchase_seeds
+    # stays the standalone form (the streamed-store twin and tests
+    # pin its TakeOrderedAndProject shape); seed sets are identical
+    # by construction — integer counts, same (count DESC, page_id)
+    # rule, zero-purchase pages excluded on both paths.
+    nodes, edges, seeds = _page_graph(
+        spark, sf_dir, with_purchase_counts=True
     )
+    return ppr_from_graph(nodes, edges, seeds, damping, iters)
 
 
 def ppr_from_graph(
