@@ -131,18 +131,34 @@ def ngram_jaccard_pairs(
     needed.  Default None preserves the uncapped exact semantics.
     """
     docs = _documents(spark, sf_dir)
-    # cached: the exploded shingle index feeds the per-doc sizes (doc_id
-    # shuffle) AND both sides of the inverted-index self-join (shingle
-    # shuffle, reused exchange) — without it the tokenize+shingle scan
-    # runs once per shuffle key.  Same contract as minhash_lsh_pairs:
-    # released via unpersist_deps by long-lived callers (dedup_clusters).
+    # cached: the exploded shingle index feeds both sides of the
+    # inverted-index self-join (shingle shuffle, reused exchange) —
+    # without it the tokenize+shingle scan runs once per shuffle key.
+    # Each index row CARRIES its doc's distinct-shingle count (round
+    # 16; guide §2.3/§8 — attach small decisions without reshuffling
+    # the big side): |shingles| is just F.size of the per-doc array
+    # BEFORE the explode, so the pair aggregate reads sz_a/sz_b off
+    # its own input rows and the old shape's TWO re-exchanges of the
+    # PAIR table (join-by-doc_a + join-by-doc_b against a separately
+    # aggregated sizes frame) are gone, along with the sizes exchange
+    # itself.  Same contract as minhash_lsh_pairs: released via
+    # unpersist_deps by long-lived callers (dedup_clusters).
+    arr = docs.select(
+        "doc_id", _shingles(_tokens(F.col("text")), n).alias("shingles")
+    )
     sh_cached = _cache_once(
-        docs.select(
-            "doc_id", F.explode(_shingles(_tokens(F.col("text")), n)).alias("shingle")
+        arr.select(
+            "doc_id",
+            F.size("shingles").alias("sz"),
+            F.explode("shingles").alias("shingle"),
         )
     )
     sh = sh_cached
     if max_shingle_df is not None:
+        # the capped tier keeps the aggregated-sizes shape: sizes must
+        # be recounted over the FILTERED shingle universe (hot
+        # shingles excised), so the pre-explode array size no longer
+        # equals the per-doc count and cannot be carried
         # _shingles is per-doc distinct, so count(*) == document frequency
         hot = (
             sh.groupBy("shingle")
@@ -151,24 +167,49 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("n_common"))
         )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sz_b"))
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_shingles").alias("sz_a"),
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_shingles").alias("sz_b"),
+        )
+        inter = inter.join(sa, "doc_a").join(sb, "doc_b")
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        # sz_a/sz_b are constant within each (doc_a, doc_b) group
+        # (functionally dependent on the doc keys); min() reads the
+        # value with map-side partial aggregation, no extra exchange
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(
+                F.count("*").alias("n_common"),
+                F.min(F.col("a.sz")).alias("sz_a"),
+                F.min(F.col("b.sz")).alias("sz_b"),
+            )
+        )
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        inter.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
