@@ -31,6 +31,16 @@ def get_spark(app_name: str = "isaac-kafka-streaming-spark") -> SparkSession:
         # local[32]: shuffle width ~ cores; on a cluster this scales with
         # executor count (or is left to AQE's initialPartitionNum).
         .config("spark.sql.shuffle.partitions", cpus)
+        # shuffle/broadcast/spill payload codec: zstd compresses
+        # markedly better than the lz4 default at similar read speed
+        # (round-16 config sweep; interleaved min-of-5 board subset
+        # won 2 of 3 valid pairs, −4.5% total, with the shuffle-heavy
+        # queries — dedup_clusters_lsh, pagerank, bpe_tokenize —
+        # consistently faster; at 100 TB the ratio directly cuts
+        # shuffle bytes on the wire).  preferSortMergeJoin=false was
+        # swept the same way and came back dead neutral while
+        # re-planning many pinned shapes — rejected, not retried.
+        .config("spark.io.compression.codec", "zstd")
         # Oracle comparison: duckdb timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
