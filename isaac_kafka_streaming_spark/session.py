@@ -31,16 +31,24 @@ def get_spark(app_name: str = "isaac-kafka-streaming-spark") -> SparkSession:
         # local[32]: shuffle width ~ cores; on a cluster this scales with
         # executor count (or is left to AQE's initialPartitionNum).
         .config("spark.sql.shuffle.partitions", cpus)
-        # shuffle/broadcast/spill payload codec: zstd compresses
-        # markedly better than the lz4 default at similar read speed
-        # (round-16 config sweep; interleaved min-of-5 board subset
-        # won 2 of 3 valid pairs, −4.5% total, with the shuffle-heavy
-        # queries — dedup_clusters_lsh, pagerank, bpe_tokenize —
-        # consistently faster; at 100 TB the ratio directly cuts
-        # shuffle bytes on the wire).  preferSortMergeJoin=false was
-        # swept the same way and came back dead neutral while
-        # re-planning many pinned shapes — rejected, not retried.
-        .config("spark.io.compression.codec", "zstd")
+        # shuffle/broadcast/spill payload codec.  zstd was tried in the
+        # round-16 sweep (it won a small sf0.1 subset A/B) and then
+        # REVERTED by the sf1 scaled board: on high-entropy payloads —
+        # the embedding tiers' array<double> shuffles — zstd's extra
+        # compression CPU buys no ratio and quadrupled
+        # dedup_embedding_srp (39.5/32.4/33.3 s vs 8.3/9.2/7.7 s, 3/3
+        # interleaved pairs at sf1; knn_pq lost 3/3 too).  Exactly the
+        # guide §2.3 caveat: "for already-compressed or high-entropy
+        # binary payloads, compression can be pure overhead."  The
+        # codec stays a deployment knob (env) for clusters whose wire
+        # is the bottleneck; the measured local default is lz4.
+        # preferSortMergeJoin=false was swept the same way and came
+        # back dead neutral while re-planning many pinned shapes —
+        # rejected, not retried.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         # Oracle comparison: duckdb timestamps are UTC-naive.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
